@@ -1,0 +1,144 @@
+package graft.core
+
+/** Planar predicates over fixed-point int coordinates. All arithmetic is
+  * exact int64 (inputs are 1e-7-degree fix ints, |lon_fix| ≤ 1.8e9, so
+  * cross products fit in 63 bits when operand spans are < ~2^31 — callers
+  * keep polygon extents well below that).
+  *
+  * These replace the GEOS predicates the reference uses in
+  * reference/include/osmium/multipolygon/builder.hpp (isCCW :473, isSimple
+  * :461, PreparedPolygon::contains :707-711) with an own implementation.
+  */
+object Planar {
+
+  /** Twice the signed area of the ring (shoelace). Positive = CCW.
+    * Ring may or may not repeat the first point at the end.
+    */
+  def signedArea2(xs: Array[Long], ys: Array[Long]): BigInt = {
+    var sum = BigInt(0)
+    val n = effLen(xs)
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      sum += BigInt(xs(i)) * ys(j) - BigInt(xs(j)) * ys(i)
+      i += 1
+    }
+    sum
+  }
+
+  def isCCW(xs: Array[Long], ys: Array[Long]): Boolean = signedArea2(xs, ys) > 0
+
+  /** Point strictly/boundary-inclusively inside ring via ray casting.
+    * Even-odd rule; points exactly on an edge return true.
+    * Ring closed or open (first==last tolerated).
+    */
+  def pointInRing(px: Long, py: Long, xs: Array[Long], ys: Array[Long]): Boolean = {
+    val n = effLen(xs)
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = xs(i); val yi = ys(i)
+      val xj = xs(j); val yj = ys(j)
+      // on-edge check (exact): collinear and within bbox of segment
+      val cross = (BigInt(xj) - xi) * (py - yi) - (BigInt(yj) - yi) * (px - xi)
+      if (cross == 0 &&
+          px >= math.min(xi, xj) && px <= math.max(xi, xj) &&
+          py >= math.min(yi, yj) && py <= math.max(yi, yj)) return true
+      if ((yi > py) != (yj > py)) {
+        // x of edge at scanline py vs px, exact integer comparison:
+        // px < xi + (py-yi)*(xj-xi)/(yj-yi)  ⇔ sign-aware cross test
+        val d = (BigInt(xj) - xi) * (py - yi) - (BigInt(px) - xi) * (yj - yi)
+        val denomPos = yj > yi
+        if ((d > 0) == denomPos && d != 0) inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** Point in polygon with holes: inside outer ring and in no inner ring.
+    * (Even-odd over all rings — matches parity semantics of
+    * builder.hpp:722-738.)
+    */
+  def pointInPolygon(px: Long, py: Long,
+                     rings: Array[(Array[Long], Array[Long])]): Boolean = {
+    var parity = false
+    var i = 0
+    while (i < rings.length) {
+      if (pointInRing(px, py, rings(i)._1, rings(i)._2)) parity = !parity
+      i += 1
+    }
+    parity
+  }
+
+  /** Do proper segments (p1,p2) and (p3,p4) intersect (incl. touching)? */
+  def segmentsIntersect(x1: Long, y1: Long, x2: Long, y2: Long,
+                        x3: Long, y3: Long, x4: Long, y4: Long): Boolean = {
+    val d1 = orient(x3, y3, x4, y4, x1, y1)
+    val d2 = orient(x3, y3, x4, y4, x2, y2)
+    val d3 = orient(x1, y1, x2, y2, x3, y3)
+    val d4 = orient(x1, y1, x2, y2, x4, y4)
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) true
+    else if (d1 == 0 && onSeg(x3, y3, x4, y4, x1, y1)) true
+    else if (d2 == 0 && onSeg(x3, y3, x4, y4, x2, y2)) true
+    else if (d3 == 0 && onSeg(x1, y1, x2, y2, x3, y3)) true
+    else if (d4 == 0 && onSeg(x1, y1, x2, y2, x4, y4)) true
+    else false
+  }
+
+  /** Ring simplicity: no two non-adjacent edges intersect; adjacent edges
+    * only share their common endpoint. O(n^2) — rings are small per group
+    * (reference reserves 500-node ways; isSimple use builder.hpp:461).
+    */
+  def isSimpleRing(xs: Array[Long], ys: Array[Long]): Boolean = {
+    val n = effLen(xs)
+    if (n < 3) return false
+    var i = 0
+    while (i < n) {
+      val i2 = (i + 1) % n
+      var j = i + 1
+      while (j < n) {
+        val j2 = (j + 1) % n
+        val adjacent = (i2 == j) || (j2 == i)
+        if (!adjacent) {
+          if (segmentsIntersect(xs(i), ys(i), xs(i2), ys(i2),
+                                xs(j), ys(j), xs(j2), ys(j2))) return false
+        } else {
+          // adjacent edges must not overlap beyond the shared vertex:
+          // check the far endpoints are not on the other segment interior
+          if (i2 == j) {
+            if (orient(xs(i), ys(i), xs(i2), ys(i2), xs(j2), ys(j2)) == 0 &&
+                onSeg(xs(i), ys(i), xs(i2), ys(i2), xs(j2), ys(j2)) &&
+                !(xs(j2) == xs(i2) && ys(j2) == ys(i2)) &&
+                !(xs(j2) == xs(i) && ys(j2) == ys(i))) return false
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Orientation of point (px,py) vs directed segment (x1,y1)->(x2,y2):
+    * >0 left (CCW), <0 right, 0 collinear. Exact.
+    */
+  def orient(x1: Long, y1: Long, x2: Long, y2: Long, px: Long, py: Long): Int =
+    ((BigInt(x2) - x1) * (py - y1) - (BigInt(y2) - y1) * (px - x1)).signum
+
+  private def onSeg(x1: Long, y1: Long, x2: Long, y2: Long, px: Long, py: Long): Boolean =
+    px >= math.min(x1, x2) && px <= math.max(x1, x2) &&
+    py >= math.min(y1, y2) && py <= math.max(y1, y2)
+
+  /** Ignore a repeated closing vertex. */
+  private def effLen(xs: Array[Long]): Int = xs.length
+
+  /** Strip the closing vertex if the ring repeats it. */
+  def open(xs: Array[Long], ys: Array[Long]): (Array[Long], Array[Long]) =
+    if (xs.length > 1 && xs(0) == xs(xs.length - 1) && ys(0) == ys(ys.length - 1))
+      (xs.dropRight(1), ys.dropRight(1))
+    else (xs, ys)
+}

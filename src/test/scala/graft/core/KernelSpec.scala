@@ -1,0 +1,184 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Tier-1 unit goldens mirroring the reference test suite:
+  * reference/test/t/geometry (all .cpp files), test/t/osm/test_position.cpp.
+  */
+class KernelSpec extends AnyFunSuite {
+  private def forSeeded(n: Int)(f: scala.util.Random => Unit): Unit = {
+    val rnd = new scala.util.Random(42)
+    (0 until n).foreach(_ => f(rnd))
+  }
+
+  // --- fixed point (test_position.cpp:12-70, position.hpp:35-45) ----------
+  test("fixed-point conversion 1.2 -> 12000000") {
+    assert(FixedPoint.doubleToFix(1.2) === 12000000)
+    assert(FixedPoint.doubleToFix(-3.2) === -32000000)
+    assert(FixedPoint.fixToDouble(12000000) === 1.2)
+  }
+
+  test("fix<->double round trip (7dp decimals survive)") {
+    forSeeded(2000) { rnd =>
+      val fix = rnd.between(-1800000000, 1800000001)
+      assert(FixedPoint.doubleToFix(FixedPoint.fixToDouble(fix)) === fix)
+    }
+  }
+
+  // --- haversine (test_haversine.cpp:17-20) -------------------------------
+  test("haversine golden: Nashville->LA (test_haversine.cpp:17-20)") {
+    val d = Haversine.distance(-86.67, 36.12, -118.4, 33.94)
+    // The reference test's check is one-sided (d - 2887259.95060711 < 0.001)
+    // and its own formula evaluates to 2887258.8455288424; we match the
+    // formula (haversine.hpp:48-57) bit-for-bit and satisfy the same check.
+    assert(math.abs(d - 2887258.8455288424) < 1e-6)
+    assert(d - 2887259.95060711 < 0.001)
+  }
+
+  test("haversine way length = sum of pair distances") {
+    val pts = Array((0.0, 0.0), (1.0, 0.0), (1.0, 1.0))
+    val expect = Haversine.distance(0, 0, 1, 0) + Haversine.distance(1, 0, 1, 1)
+    assert(math.abs(Haversine.length(pts) - expect) < 1e-9)
+  }
+
+  // --- WKT/WKB goldens (test_point/linestring/polygon_geometry.cpp) -------
+  private def fx(d: Double) = FixedPoint.doubleToFix(d)
+
+  test("POINT WKT/EWKT/WKB goldens") {
+    assert(Wkt.point(fx(1.2), fx(3.4)) === "POINT(1.2 3.4)")
+    assert(Wkt.point(fx(1.2), fx(3.4), ewkt = true) === "SRID=4326;POINT(1.2 3.4)")
+    assert(Wkt.toHex(Wkt.pointWkb(fx(1.2), fx(3.4))) ===
+      "0101000000333333333333F33F3333333333330B40")
+  }
+
+  test("LINESTRING WKT/WKB goldens (incl. reverse and EWKB)") {
+    val lon = Array(fx(1.9), fx(1.9), fx(2.9))
+    val lat = Array(fx(1.9), fx(2.9), fx(2.9))
+    assert(Wkt.lineString(lon, lat) === "LINESTRING(1.9 1.9,1.9 2.9,2.9 2.9)")
+    assert(Wkt.lineString(lon, lat, ewkt = true) ===
+      "SRID=4326;LINESTRING(1.9 1.9,1.9 2.9,2.9 2.9)")
+    assert(Wkt.toHex(Wkt.lineStringWkb(lon.reverse, lat.reverse)) ===
+      "01020000000300000033333333333307403333333333330740666666666666FE3F3333333333330740666666666666FE3F666666666666FE3F")
+    assert(Wkt.toHex(Wkt.lineStringWkb(lon.reverse, lat.reverse, ewkb = true)) ===
+      "0102000020E61000000300000033333333333307403333333333330740666666666666FE3F3333333333330740666666666666FE3F666666666666FE3F")
+    assert(Wkt.toHex(Wkt.lineStringWkb(lon, lat)) ===
+      "010200000003000000666666666666FE3F666666666666FE3F666666666666FE3F333333333333074033333333333307403333333333330740")
+  }
+
+  test("POLYGON WKT/WKB goldens") {
+    val lon = Array(fx(1.9), fx(1.9), fx(2.9), fx(1.9))
+    val lat = Array(fx(1.9), fx(2.9), fx(2.9), fx(1.9))
+    assert(Wkt.polygon(Seq((lon, lat))) ===
+      "POLYGON((1.9 1.9,1.9 2.9,2.9 2.9,1.9 1.9))")
+    assert(Wkt.toHex(Wkt.polygonWkb(Seq((lon, lat)))) ===
+      "01030000000100000004000000666666666666FE3F666666666666FE3F666666666666FE3F333333333333074033333333333307403333333333330740666666666666FE3F666666666666FE3F")
+    assert(Wkt.toHex(Wkt.polygonWkb(Seq((lon, lat)), ewkb = true)) ===
+      "0103000020E61000000100000004000000666666666666FE3F666666666666FE3F666666666666FE3F333333333333074033333333333307403333333333330740666666666666FE3F666666666666FE3F")
+  }
+
+  // --- planar predicates ---------------------------------------------------
+  test("shoelace orientation") {
+    val ccwX = Array(0L, 10L, 10L, 0L); val ccwY = Array(0L, 0L, 10L, 10L)
+    assert(Planar.isCCW(ccwX, ccwY))
+    assert(!Planar.isCCW(ccwX.reverse, ccwY.reverse))
+  }
+
+  test("ray-cast point in ring: square, concave, boundary") {
+    val sqX = Array(0L, 10L, 10L, 0L); val sqY = Array(0L, 0L, 10L, 10L)
+    assert(Planar.pointInRing(5, 5, sqX, sqY))
+    assert(!Planar.pointInRing(15, 5, sqX, sqY))
+    assert(Planar.pointInRing(0, 5, sqX, sqY))  // on edge
+    assert(Planar.pointInRing(10, 10, sqX, sqY)) // on vertex
+    // concave "C" shape
+    val cX = Array(0L, 10L, 10L, 2L, 2L, 10L, 10L, 0L)
+    val cY = Array(0L, 0L, 3L, 3L, 7L, 7L, 10L, 10L)
+    assert(Planar.pointInRing(1, 5, cX, cY))
+    assert(!Planar.pointInRing(6, 5, cX, cY)) // in the notch
+    assert(Planar.pointInRing(6, 1, cX, cY))
+  }
+
+  test("polygon with hole: parity semantics") {
+    val outer = (Array(0L, 100L, 100L, 0L), Array(0L, 0L, 100L, 100L))
+    val hole = (Array(40L, 60L, 60L, 40L), Array(40L, 40L, 60L, 60L))
+    val rings = Array(outer, hole)
+    assert(Planar.pointInPolygon(10, 10, rings))
+    assert(!Planar.pointInPolygon(50, 50, rings))
+    assert(!Planar.pointInPolygon(150, 50, rings))
+  }
+
+  test("segment intersection") {
+    assert(Planar.segmentsIntersect(0, 0, 10, 10, 0, 10, 10, 0))
+    assert(!Planar.segmentsIntersect(0, 0, 10, 0, 0, 5, 10, 5))
+    assert(Planar.segmentsIntersect(0, 0, 10, 0, 5, 0, 15, 0)) // collinear overlap
+    assert(Planar.segmentsIntersect(0, 0, 10, 0, 10, 0, 20, 5)) // touch at endpoint
+  }
+
+  test("ring simplicity") {
+    assert(Planar.isSimpleRing(Array(0L, 10L, 10L, 0L), Array(0L, 0L, 10L, 10L)))
+    // bow-tie
+    assert(!Planar.isSimpleRing(Array(0L, 10L, 0L, 10L), Array(0L, 10L, 10L, 0L)))
+  }
+
+  // --- cell ids ------------------------------------------------------------
+  test("cell id spread/compact round trip") {
+    forSeeded(2000) { rnd =>
+      val v = rnd.nextLong((1L << 30))
+      assert(CellId.compact(CellId.spread(v)) === v)
+    }
+  }
+
+  test("cell id level/parent/range invariants") {
+    val id = CellId.fromFix(123456789L, -45678901L, 16)
+    assert(CellId.level(id) === 16)
+    assert(CellId.level(CellId.parent(id)) === 15)
+    assert(CellId.contains(CellId.parent(id), id))
+    assert(CellId.rangeMin(CellId.parent(id)) <= CellId.rangeMin(id))
+    assert(CellId.rangeMax(CellId.parent(id)) >= CellId.rangeMax(id))
+    val kids = CellId.children(id)
+    assert(kids.forall(k => CellId.contains(id, k)))
+    assert(kids.forall(k => CellId.parent(k) === id))
+  }
+
+  test("cell xy round trip and ring") {
+    val id = CellId.fromXY(100, 200, 10)
+    assert(CellId.x(id) === 100)
+    assert(CellId.y(id) === 200)
+    assert(CellId.ring(id, 0) === Array(id))
+    val r1 = CellId.ring(id, 1)
+    assert(r1.length === 8)
+    assert(r1.forall(c => CellId.level(c) === 10))
+    assert(!r1.contains(id))
+    // antimeridian wrap
+    val edge = CellId.fromXY(0, 200, 10)
+    val re = CellId.ring(edge, 1)
+    assert(re.contains(CellId.fromXY((1L << 10) - 1, 200, 10)))
+  }
+
+  test("bbox cover contains the point's cell") {
+    val lvl = 8
+    val id = CellId.fromFix(100000000L, 200000000L, lvl)
+    val cover = CellId.coverBBox(90000000L, 190000000L, 110000000L, 210000000L, lvl)
+    assert(cover.contains(id))
+  }
+
+  // --- tiles ---------------------------------------------------------------
+  test("web-mercator tile assignment") {
+    assert(Tiles.tileX(0, 0.0) === 0)
+    assert(Tiles.tileY(0, 0.0) === 0)
+    assert(Tiles.tileX(1, 0.1) === 1)
+    assert(Tiles.tileY(1, 0.1) === 0)
+    // z=16 around Mainz: lon 8.2711, lat 50.0005
+    assert(Tiles.tileX(16, 8.2711) === 34273)
+    assert(Tiles.tileY(16, 50.0005) === 22226)
+    // clamping at poles
+    assert(Tiles.tileY(4, 89.9) === 0)
+    assert(Tiles.tileY(4, -89.9) === 15)
+  }
+
+  test("equirect bin matches nodedensity.cpp semantics") {
+    // factor = width/360 for a 360x180 raster: factor 1
+    assert(Tiles.equirectBin(-180.0, 90.0, 1.0, 360, 180) === ((0, 0)))
+    assert(Tiles.equirectBin(179.9, -89.9, 1.0, 360, 180) === ((359, 179)))
+    assert(Tiles.equirectBin(0.5, 0.5, 1.0, 360, 180) === ((180, 89)))
+  }
+}
