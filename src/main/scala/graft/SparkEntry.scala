@@ -1,13 +1,526 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Fns
+import graft.operators._
+import graft.sources.{OsmSynth, Synth}
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with a DuckDB-oracle SQL twin in `oracleSql`.
+  *
+  * Oracle-parity rules used throughout: outputs are integers/strings (or
+  * doubles rounded per-row BEFORE aggregation), spatial math is exact int64
+  * on fixed-point coords, and every nondeterministic ordering is resolved
+  * by an explicit deterministic tie-break.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Epoch micros of a (possibly TIMESTAMP_NTZ) column; the session is
+    * pinned to UTC so NTZ values equal DuckDB's naive epoch_us.
+    */
+  private def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Flagship: pages → derived points → PIP join against the polygon set →
+    * web-mercator tiles, the full north-rule slice. Driver smoke-checks
+    * rows > 0 on sf0.001.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val pts = Synth.points(spark, dir)
+    val hits = SpatialOps.pipJoinConvex(spark, pts)
+    hits.join(pts, "pid").select(
+      col("pid"), col("poly_id"),
+      Fns.tileX(8, Fns.fixToDeg(col("lon_fix"))).as("tx"),
+      Fns.tileY(8, Fns.fixToDeg(col("lat_fix"))).as("ty"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Spark-side queries
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational core (built-in op mapping) ---
+    "q1_agg" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0)
+          .cast("long")).as("rev_e4"),
+        count(lit(1)).as("n"))
+    }),
+
+    "q3_topk" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val cut = 883612800000000L // 1998-01-01 UTC in micros
+      val rev = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(us(col("o_orderdate")) < cut && us(col("l_shipdate")) >= cut)
+        .groupBy(col("o_orderkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0)
+          .cast("long")).as("rev_e4"))
+      val w = Window.orderBy(col("rev_e4").desc, col("o_orderkey"))
+      rev.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 10)
+    }),
+
+    "q5_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val n = t(s, d, "nation"); val r = t(s, d, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0)
+          .cast("long")).as("rev_e4"))
+    }),
+
+    "q_anti_join" -> ((s, d) => {
+      t(s, d, "customer").join(t(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    "q_semi_join" -> ((s, d) => {
+      val cut = 978307200000000L // 2001-01-01 UTC micros
+      t(s, d, "supplier").join(
+          t(s, d, "lineitem").filter(us(col("l_shipdate")) >= cut),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // --- windows / history (EndTime, RangeFromHistory, ApplyHandler) ---
+    "q_endtime" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.select(col("event_id"), col("user_id"), us(col("ts")).as("ts_us"),
+        us(lead(col("ts"), 1).over(w)).as("end_us"))
+    }),
+
+    "q_history_range" -> ((s, d) => {
+      val ev = HistoryOps.endTime(t(s, d, "events"), "user_id", "ts", "ts")
+      val from = 1704672000000000L // 2024-01-08
+      val to = 1705276800000000L   // 2024-01-15
+      ev.filter(us(col("ts")) <= to &&
+          (col("endtime").isNull || us(col("endtime")) >= from))
+        .select(col("event_id"), col("user_id"))
+    }),
+
+    "q_merge_upsert" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val base = ev.select(col("event_id"), lit(1L).as("version"), col("value"))
+      val changes = ev.filter(col("event_id") % 10 === 0)
+        .select(col("event_id"), lit(2L).as("version"), (col("value") + 1.0).as("value"))
+      HistoryOps.mergeUpsert(base, changes, "event_id", "version")
+        .select(col("event_id"), col("version"),
+          round(col("value") * 100, 0).cast("long").as("value_cents"))
+    }),
+
+    "q_props_hist" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy(regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("k"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // --- spatial (north rule) ---
+    "q_bbox" -> ((s, d) => SpatialOps.bbox(Synth.points(s, d))),
+
+    "q_density" -> ((s, d) => SpatialOps.equirectDensity(Synth.points(s, d), 7)),
+
+    "q_tiles" -> ((s, d) => SpatialOps.tileDensity(Synth.points(s, d), 7)),
+
+    "q_cells" -> ((s, d) => {
+      Synth.points(s, d)
+        .select(Fns.cellId(col("lon_fix"), col("lat_fix"), 12).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+    }),
+
+    "q_haversine_way" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val key = col("l_orderkey") * lit(10L) + col("l_linenumber")
+      val pts = li.select(col("l_orderkey").as("way_id"), col("l_linenumber").as("seq"),
+        Fns.fixToDeg(Fns.lonFixOf(key)).as("lon"), Fns.fixToDeg(Fns.latFixOf(key)).as("lat"))
+      val w = Window.partitionBy(col("way_id")).orderBy(col("seq"))
+      pts.select(col("way_id"),
+          Fns.haversineMeters(col("lon"), col("lat"),
+            lag(col("lon"), 1).over(w), lag(col("lat"), 1).over(w)).as("seg"))
+        .groupBy(col("way_id"))
+        .agg(round(sum(col("seg")), 0).cast("long").as("len_m"),
+          count(col("seg")).as("n_segs"))
+        .filter(col("n_segs") >= 1)
+    }),
+
+    "q_pip_join" -> ((s, d) => SpatialOps.pipJoinConvex(s, Synth.points(s, d))),
+
+    "q_knn" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      SpatialOps.knn(pts, pts.filter(col("pid") % 997 === 0), 5)
+    }),
+
+    // --- dedup suite ---
+    "q_dedup_exact" -> ((s, d) => DedupOps.exactDuplicates(Synth.corpus(s, d))),
+
+    "q_dedup_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(Synth.corpus(s, d), 600)),
+
+    "q_dedup_minhash" -> ((s, d) => DedupOps.minHashLshPairs(Synth.corpus(s, d))),
+
+    "q_dedup_simhash" -> ((s, d) => DedupOps.simHashPairs(Synth.corpus(s, d), 2)),
+
+    "q_sim_neardup" -> ((s, d) => DedupOps.embeddingNearDups(Synth.embCorpus(s, d), 9000L)),
+
+    // --- similarity search ---
+    "q_sim_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.cosineTopK(e, e.filter(col("vec_id") % 25 === 0), 10)
+    }),
+
+    // --- text analysis ---
+    "q_lang_id" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"), Fns.langId(col("text")).as("lang_pred"))
+    }),
+
+    "q_quality" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        Fns.qualityScore(col("text")).cast("long").as("score"))
+    }),
+
+    "q_token_stats" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        Fns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Fns.docFingerprint(col("text")).as("fingerprint"))
+    }),
+
+    // --- pages invariant (north rule per-row checksum) ---
+    "q_pages_invariant" -> ((s, d) => {
+      Synth.pages(s, d).select(col("url"), sha2(col("text"), 256).as("text_sha"),
+        us(col("warc_ts")).as("warc_us"), col("lang"))
+    }),
+
+    // --- assembly flagship (not SQL-expressible → rows-only check) ---
+    "q_area_assembly" -> ((s, d) => areaAssembly(s)),
+  )
+
+  /** Full conformance-plane assembly pipeline over synthesized entities. */
+  def areaAssembly(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val (nodes, ways, members) = OsmSynth.frames(spark, 150)
+    val waysC = AssemblyOps.coordinatesForWays(ways, nodes)
+    val memberWays = members.join(waysC, "way_id")
+      .select(col("rel_id").as("relId"), col("member_pos").as("memberPos"),
+        col("way_id").as("wayId"), col("xs"), col("ys"))
+      .as[AssemblyOps.MemberWay]
+    val fromRels = AssemblyOps.assembleAreas(spark, memberWays)
+    val loneWays = AssemblyOps.waysNotInAnyRelation(waysC, members)
+    val fromWays = AssemblyOps.areasFromClosedWays(spark, loneWays)
+    fromRels.unionByName(fromWays).toDF()
+      .select(col("areaId").as("area_id"), col("origId").as("orig_id"),
+        col("fromWay").as("from_way"), col("nOuter").as("n_outer"),
+        col("nInner").as("n_inner"), col("status"), col("wkt"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB oracle SQL twins
+  // ---------------------------------------------------------------------
+
+  private val P = Synth.pointsSql
+  private val C = Synth.corpusSql
+  private val E = Synth.embCorpusSql
+  private val RevE4 =
+    "CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000) AS BIGINT)) AS BIGINT)"
+
+  /** DuckDB shingle-hash subquery over the corpus: (doc_id, sh). */
+  private def shinglesSql(distinct: Boolean): String = {
+    val asc = (k: Int) => s"CAST(ascii(substr(t, i + $k, 1)) AS BIGINT)"
+    val h = (0 to 4).map(asc).reduceLeft((a, b) => s"($a * 31 + $b)")
+    val sel = if (distinct) "SELECT DISTINCT" else "SELECT"
+    s"""$sel doc_id, $h AS sh FROM (
+       |  SELECT doc_id, t, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+       |  FROM (SELECT doc_id, substr(text, 1, 256) AS t FROM corpus))""".stripMargin
+  }
+
+  /** DuckDB 8-char Horner token hash of expression `e`. */
+  private def tokenHashSql(e: String): String =
+    (1 to 8).map(k => s"CAST(ascii(substr($e, $k, 1)) AS BIGINT)")
+      .reduceLeft((a, b) => s"($a * 31 + $b)")
+
+  private def haversineSql(lon1: String, lat1: String, lon2: String, lat2: String): String = {
+    val deg = "0.017453292519943295769236907684886"
+    s"""(2.0 * 6372797.560856 * asin(sqrt(
+       |  sin(($lat1 - $lat2) * $deg * 0.5) * sin(($lat1 - $lat2) * $deg * 0.5) +
+       |  cos($lat1 * $deg) * cos($lat2 * $deg) *
+       |  sin(($lon1 - $lon2) * $deg * 0.5) * sin(($lon1 - $lon2) * $deg * 0.5))))""".stripMargin
+  }
+
+  /** Morton spread of expression `v` (low 16 bits) as DuckDB bit arithmetic. */
+  private def spreadSql(v: String): String = {
+    val s1 = s"((($v) | (($v) << 8)) & 71777214294589695)"
+    val s2 = s"(($s1 | ($s1 << 4)) & 1085102592571150095)"
+    val s3 = s"(($s2 | ($s2 << 2)) & 3689348814741910323)"
+    s"(($s3 | ($s3 << 1)) & 6148914691236517205)"
+  }
+
+  private def minHashAgg(j: Int): String = {
+    val a = 1000003L + 2L * j; val b = 12345L + 7919L * j
+    s"min((sh * $a + $b) % 1000000007) AS mh$j"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty, $RevE4 AS rev_e4,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "q3_topk" ->
+      s"""WITH rev AS (
+         |  SELECT o_orderkey, $RevE4 AS rev_e4
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE epoch_us(o_orderdate) < 883612800000000
+         |    AND epoch_us(l_shipdate) >= 883612800000000
+         |  GROUP BY 1)
+         |SELECT o_orderkey, rev_e4, rank FROM (
+         |  SELECT *, row_number() OVER (ORDER BY rev_e4 DESC, o_orderkey) AS rank FROM rev)
+         |WHERE rank <= 10""".stripMargin,
+
+    "q5_join" ->
+      s"""SELECT n_name, $RevE4 AS rev_e4
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY 1""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND epoch_us(l_shipdate) >= 978307200000000)""".stripMargin,
+
+    "q_endtime" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS end_us
+        |FROM events""".stripMargin,
+
+    "q_history_range" ->
+      """WITH h AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |    epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS end_us
+        |  FROM events)
+        |SELECT event_id, user_id FROM h
+        |WHERE ts_us <= 1705276800000000
+        |  AND (end_us IS NULL OR end_us >= 1704672000000000)""".stripMargin,
+
+    "q_merge_upsert" ->
+      """WITH u AS (
+        |  SELECT event_id, 1 AS version, value FROM events
+        |  UNION ALL
+        |  SELECT event_id, 2 AS version, value + 1.0 FROM events WHERE event_id % 10 = 0)
+        |SELECT event_id, CAST(version AS BIGINT) AS version,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY version DESC) AS rn FROM u)
+        |WHERE rn = 1""".stripMargin,
+
+    "q_props_hist" ->
+      """SELECT regexp_extract(props, '"k": (\d+)', 1) AS k, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_bbox" ->
+      s"""WITH p AS ($P)
+         |SELECT min(lon_fix) AS min_lon, min(lat_fix) AS min_lat,
+         |       max(lon_fix) AS max_lon, max(lat_fix) AS max_lat FROM p""".stripMargin,
+
+    "q_density" ->
+      s"""WITH p AS ($P)
+         |SELECT least(((lon_fix + 1800000000) * 128) // 3600000000, 127) AS bx,
+         |       least(((lat_fix + 900000000) * 128) // 1800000000, 127) AS by,
+         |       least(count(*), 65535) AS cnt
+         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "q_tiles" ->
+      s"""WITH p AS ($P), deg AS (
+         |  SELECT lon_fix / 10000000.0 AS lon,
+         |    least(greatest(lat_fix / 10000000.0, -85.05112877980659), 85.05112877980659) AS lat
+         |  FROM p)
+         |SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 128.0) AS BIGINT), 0), 127) AS tx,
+         |  least(greatest(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 128.0) AS BIGINT), 0), 127) AS ty,
+         |  least(count(*), 65535) AS cnt
+         |FROM deg GROUP BY 1, 2""".stripMargin,
+
+    "q_cells" ->
+      s"""WITH p AS ($P), xy AS (
+         |  SELECT least(((lon_fix + 1800000000) * 4096) // 3600000000, 4095) AS cx,
+         |         least(((lat_fix + 900000000) * 4096) // 1800000000, 4095) AS cy
+         |  FROM p)
+         |SELECT (16777216 | ${spreadSql("cx")} | (${spreadSql("cy")} << 1)) AS cell, count(*) AS n
+         |FROM xy GROUP BY 1""".stripMargin,
+
+    "q_haversine_way" ->
+      s"""WITH pts AS (
+         |  SELECT l_orderkey AS way_id, l_linenumber AS seq,
+         |    (((l_orderkey*10 + l_linenumber) * 2654435761) % 1800000000 - 900000000) / 10000000.0 AS lon,
+         |    (((l_orderkey*10 + l_linenumber) * 2246822519) % 1200000000 - 600000000) / 10000000.0 AS lat
+         |  FROM lineitem),
+         |segs AS (
+         |  SELECT way_id,
+         |    ${haversineSql("lon", "lat",
+               "lag(lon, 1) OVER (PARTITION BY way_id ORDER BY seq)",
+               "lag(lat, 1) OVER (PARTITION BY way_id ORDER BY seq)")} AS seg
+         |  FROM pts)
+         |SELECT way_id, CAST(round(sum(seg)) AS BIGINT) AS len_m, count(seg) AS n_segs
+         |FROM segs WHERE seg IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_pip_join" ->
+      s"""WITH p AS ($P)
+         |SELECT p.pid, pe.poly_id
+         |FROM p, ${Synth.polygonEdgesValuesSql}
+         |GROUP BY p.pid, pe.poly_id, p.lon_fix, p.lat_fix
+         |HAVING bool_and((x2 - x1) * (p.lat_fix - y1) - (y2 - y1) * (p.lon_fix - x1) >= 0)""".stripMargin,
+
+    "q_knn" ->
+      s"""WITH p AS ($P), q AS (SELECT * FROM p WHERE pid % 997 = 0),
+         |d AS (
+         |  SELECT q.pid AS qid, p.pid AS pid,
+         |    (p.lon_fix - q.lon_fix) * (p.lon_fix - q.lon_fix) +
+         |    (p.lat_fix - q.lat_fix) * (p.lat_fix - q.lat_fix) AS d2
+         |  FROM p, q WHERE p.pid <> q.pid)
+         |SELECT qid, pid, rank, d2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, pid) AS rank FROM d)
+         |WHERE rank <= 5""".stripMargin,
+
+    "q_dedup_exact" ->
+      s"""WITH corpus AS ($C)
+         |SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n
+         |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""WITH corpus AS ($C),
+         |sh AS (${shinglesSql(distinct = true)}),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, (i * 1000) // (sa.sz + sb.sz - i) AS jaccard_pm
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE (i * 1000) // (sa.sz + sb.sz - i) >= 600""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH corpus AS ($C),
+         |sh AS (${shinglesSql(distinct = false)}),
+         |sig AS (SELECT doc_id, ${(0 until DedupOps.NumMinHashes).map(minHashAgg).mkString(", ")}
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (${(0 until DedupOps.NumMinHashes / DedupOps.BandSize).map { b =>
+             val key = (0 until DedupOps.BandSize)
+               .map(i => s"mh${b * DedupOps.BandSize + i}")
+               .reduceLeft((acc, c) => s"($acc * 1000000007 + $c)")
+             s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+           }.mkString("\n  UNION ALL ")})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q_dedup_simhash" -> {
+      val votes = (0 until 16).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+      val bits = (0 until 16).map(b =>
+        s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" | ")
+      val ham = (0 until 16).map(i => s"(((xor(a.sh, b.sh)) >> $i) & 1)").mkString(" + ")
+      s"""WITH corpus AS ($C),
+         |toks AS (SELECT doc_id, ${tokenHashSql("tok")} AS h FROM (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM corpus)),
+         |sims AS (SELECT doc_id, $bits AS sh FROM (
+         |  SELECT doc_id, $votes FROM toks GROUP BY doc_id)),
+         |buckets AS (
+         |  SELECT doc_id, sh, sh & 255 AS bucket, 0 AS half FROM sims
+         |  UNION ALL
+         |  SELECT doc_id, sh, (sh >> 8) & 255 AS bucket, 1 AS half FROM sims)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, ($ham) AS dist
+         |FROM buckets a JOIN buckets b
+         |  ON a.half = b.half AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |WHERE ($ham) <= 2""".stripMargin
+    },
+
+    "q_sim_neardup" -> {
+      val bucket = (0 until 8).map(i =>
+        s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END").mkString(" | ")
+      val dot = "(SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) " +
+        "FROM unnest(range(1, 1 + len(a.embedding))) AS t(i))"
+      val na = "sqrt((SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) FROM unnest(range(1, 1 + len(a.embedding))) AS t(i)))"
+      val nb = "sqrt((SELECT sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) FROM unnest(range(1, 1 + len(b.embedding))) AS t(i)))"
+      s"""WITH ec AS ($E),
+         |e AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM ec)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  CAST(round($dot / ($na * $nb) * 10000) AS BIGINT) AS cos_e4
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE CAST(round($dot / ($na * $nb) * 10000) AS BIGINT) >= 9000""".stripMargin
+    },
+
+    "q_sim_topk" -> {
+      val dot = "(SELECT sum(CAST(q.qemb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) " +
+        "FROM unnest(range(1, 1 + len(e.embedding))) AS t(i))"
+      val nq = "sqrt((SELECT sum(CAST(q.qemb[i] AS DOUBLE) * CAST(q.qemb[i] AS DOUBLE)) FROM unnest(range(1, 1 + len(q.qemb))) AS t(i)))"
+      val ne = "sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM unnest(range(1, 1 + len(e.embedding))) AS t(i)))"
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qemb FROM embeddings WHERE vec_id % 25 = 0),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id AS nid,
+         |    CAST(round($dot / ($nq * $ne) * 1000000) AS BIGINT) AS cos_e6
+         |  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+         |SELECT qid, nid, rank, cos_e6 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin
+    },
+
+    "q_lang_id" -> {
+      val scores = Fns.LangMarkers.map { case (lang, ms) =>
+        val cnt = ms.map(m =>
+          s"((length(pt) - length(replace(pt, '$m', ''))) // ${m.length})").mkString(" + ")
+        lang -> s"($cnt)"
+      }
+      val best = scores.map(_._2).reduceLeft((a, b) => s"greatest($a, $b)")
+      val cases = scores.map { case (lang, s) =>
+        s"WHEN $s = best AND $s > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents)
+         |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id, pt, $best AS best FROM padded)""".stripMargin
+    },
+
+    "q_quality" ->
+      """SELECT doc_id,
+        |  least(length(text), 400) +
+        |  least(len(regexp_extract_all(text, '[^ ]+')) * 4, 400) +
+        |  least(((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5) * 40, 200)
+        |  AS score
+        |FROM documents""".stripMargin,
+
+    "q_token_stats" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokenHashSql("tok")} AS h FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents))
+         |SELECT d.doc_id, CAST(len(regexp_extract_all(d.text, '[^ ]+')) AS BIGINT) AS n_tokens,
+         |  (SELECT CAST(sum(h) AS BIGINT) % 2305843009213693951 FROM toks WHERE toks.doc_id = d.doc_id) AS fingerprint
+         |FROM documents d""".stripMargin,
+
+    "q_pages_invariant" ->
+      """SELECT 'https://example.org/doc/' || doc_id AS url, sha256(text) AS text_sha,
+        |  1704067200000000 + doc_id * 1000000 AS warc_us, lang
+        |FROM documents""".stripMargin,
+  )
 }

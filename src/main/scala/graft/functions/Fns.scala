@@ -1,0 +1,225 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level function catalog — the engine's scalar layer.
+  *
+  * Everything here composes built-in `org.apache.spark.sql.functions`
+  * (whole-stage-codegen'd Catalyst expressions); no Scala UDFs in the hot
+  * path. Where a query needs an exact DuckDB-oracle twin, the math is pure
+  * int64 so both engines agree bit-for-bit.
+  */
+object Fns {
+
+  // ---- integer helpers -----------------------------------------------------
+
+  /** Exact integer division for non-negative a (both operands long-valued).
+    * Implemented as (a - a % b) / b: the double division is exact because
+    * the numerator is divisible by b and the quotient < 2^53.
+    */
+  def idiv(a: Column, b: Long): Column =
+    ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+
+  // ---- deterministic point synthesis ---------------------------------------
+  // Points derived from an integer key by multiplicative hashing; identical
+  // SQL exists on the DuckDB side. lon in ±90°, lat in ±60° so that squared
+  // fix-point distances stay within int64 (see Knn).
+
+  def lonFixOf(key: Column): Column =
+    (key * lit(2654435761L)) % lit(1800000000L) - lit(900000000L)
+
+  def latFixOf(key: Column): Column =
+    (key * lit(2246822519L)) % lit(1200000000L) - lit(600000000L)
+
+  /** Fixed-point (1e-7 deg) to degrees — position.hpp:43-45. */
+  def fixToDeg(fix: Column): Column = fix.cast("double") / lit(1e7)
+
+  // ---- geodesy --------------------------------------------------------------
+
+  /** Haversine distance in meters, reference constants
+    * (reference/include/osmium/geometry/haversine.hpp:43-57).
+    * Pure built-in trig — stays inside whole-stage codegen.
+    */
+  def haversineMeters(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val degToRad = lit(0.017453292519943295769236907684886)
+    val r = lit(6372797.560856)
+    val lonh = sin((lon1 - lon2) * degToRad * lit(0.5))
+    val lath = sin((lat1 - lat2) * degToRad * lit(0.5))
+    val tmp = cos(lat1 * degToRad) * cos(lat2 * degToRad)
+    lit(2.0) * r * asin(sqrt(lath * lath + tmp * lonh * lonh))
+  }
+
+  // ---- tiling ---------------------------------------------------------------
+
+  /** Web-mercator tile x at zoom z (clamped into [0, 2^z)). */
+  def tileX(z: Int, lonDeg: Column): Column = {
+    val n = 1L << z
+    val raw = floor((lonDeg + lit(180.0)) / lit(360.0) * lit(n.toDouble)).cast("long")
+    least(greatest(raw, lit(0L)), lit(n - 1))
+  }
+
+  /** Web-mercator tile y at zoom z (lat clamped to the mercator domain). */
+  def tileY(z: Int, latDeg: Column): Column = {
+    val n = 1L << z
+    val latC = least(greatest(latDeg, lit(-85.05112877980659)), lit(85.05112877980659))
+    val latR = radians(latC)
+    val raw = floor((lit(1.0) - log(tan(latR) + lit(1.0) / cos(latR)) / lit(math.Pi))
+      / lit(2.0) * lit(n.toDouble)).cast("long")
+    least(greatest(raw, lit(0L)), lit(n - 1))
+  }
+
+  /** Equirectangular integer bin on fix coords at 2^level resolution —
+    * exact int64 (generalizes reference/examples/nodedensity.cpp:47-54).
+    */
+  def cellX(lonFix: Column, level: Int): Column = {
+    val max = (1L << level) - 1
+    least(idiv((lonFix + lit(1800000000L)) * lit(1L << level), 3600000000L), lit(max))
+  }
+  def cellY(latFix: Column, level: Int): Column = {
+    val max = (1L << level) - 1
+    least(idiv((latFix + lit(900000000L)) * lit(1L << level), 1800000000L), lit(max))
+  }
+
+  /** Morton interleave of two sub-2^16 grid coordinates (magic-number
+    * spreading — pure bit ops, exact in any engine).
+    */
+  def mortonSpread(v: Column): Column = {
+    val s1 = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x3333333333333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** Sentinel-bit hierarchical cell id (see graft.core.CellId): parent is a
+    * plain >> 2, so interval containment joins need no recursion.
+    */
+  def cellId(lonFix: Column, latFix: Column, level: Int): Column =
+    lit(1L << (2 * level))
+      .bitwiseOR(mortonSpread(cellX(lonFix, level)))
+      .bitwiseOR(shiftleft(mortonSpread(cellY(latFix, level)), 1))
+
+  // ---- text analysis --------------------------------------------------------
+
+  /** Whitespace token count via regexp (identical RE2/Java semantics for
+    * this pattern).
+    */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^ ]+"), lit(0)))
+
+  /** Occurrences of a literal substring — replace/length arithmetic, exact. */
+  def substrCount(text: Column, pat: String): Column =
+    ((length(text) - length(replace(text, lit(pat), lit("")))) / lit(pat.length)).cast("long")
+
+  /** Stopword markers per language for the n-gram/stopword language-ID
+    * heuristic (space-padded to avoid partial-word hits).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " la "),
+    "es" -> Seq(" el ", " y ", " de la "),
+  )
+
+  /** Heuristic language id: argmax of marker-hit counts, deterministic
+    * tie-break by the LangMarkers order, 'und' (undetermined) when all zero.
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val scores = LangMarkers.map { case (lang, ms) =>
+      lang -> ms.map(m => substrCount(padded, m)).reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1000]: blends length, mean token length and
+    * punctuation-free ratio. Integer output (exact).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text)
+    val lenScore = least(length(text).cast("long"), lit(400L))         // 0..400
+    val tokScore = least(toks * lit(4L), lit(400L))                    // 0..400
+    val stopHits = least(substrCount(concat(lit(" "), text, lit(" ")), " the ") * lit(40L), lit(200L))
+    lenScore + tokScore + stopHits                                     // 0..1000
+  }
+
+  /** 31-ary Horner hash of the first 8 chars — int64-exact, and expressible
+    * as plain ascii/substr arithmetic in any SQL engine.
+    */
+  def tokenHash(tok: Column): Column =
+    (1 to 8).map(i => ascii(substring(tok, i, 1)).cast("long"))
+      .reduceLeft((acc, a) => acc * lit(31L) + a)
+
+  /** Order-independent document fingerprint: sum of token hashes mod 2^61-1
+    * (bounded: ≤ 2^47 per token hash × ≤ 2^20 tokens < 2^63 pre-mod).
+    */
+  def docFingerprint(text: Column): Column = {
+    val toks = regexp_extract_all(text, lit("[^ ]+"), lit(0))
+    pmod(
+      aggregate(toks, lit(0L), (acc, t) => acc + tokenHashExpr(t)),
+      lit(2305843009213693951L))
+  }
+
+  private def tokenHashExpr(tok: Column): Column =
+    (1 to 8).map(i => ascii(substring(tok, i, 1)).cast("long"))
+      .reduceLeft((acc, a) => acc * lit(31L) + a)
+
+  /** Character 5-gram shingle hashes of the first `cap` chars (each hash the
+    * Horner value of 5 chars — ≤ 31^4·255 ≈ 2.4e8).
+    */
+  def shingleHashes(text: Column, cap: Int): Column = {
+    val t = substring(text, 1, cap)
+    val idx = sequence(lit(1), greatest(length(t) - lit(4), lit(1)))
+    transform(idx, i =>
+      (0 to 4).map(o => ascii(substring(t, i + lit(o), lit(1))).cast("long"))
+        .reduceLeft((acc, a) => acc * lit(31L) + a))
+  }
+
+  /** MinHash signature component j over shingle hashes:
+    * min((a_j·h + b_j) mod p), p = 1e9+7. Universal-hash family with
+    * deterministic per-j constants.
+    */
+  def minHash(shingles: Column, j: Int): Column = {
+    val a = 1000003L + 2L * j   // odd multipliers
+    val b = 12345L + 7919L * j
+    array_min(transform(shingles, h => (h * lit(a) + lit(b)) % lit(1000000007L)))
+  }
+
+  /** 16-bit SimHash over token hashes: bit b set iff the weighted sum of
+    * (±1 per token, sign from token-hash bit b) is positive.
+    */
+  def simHash16(text: Column): Column = {
+    val toks = regexp_extract_all(text, lit("[^ ]+"), lit(0))
+    val hashes = transform(toks, t => tokenHashExpr(t))
+    (0 until 16).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two small (≤32-bit) hash values. */
+  def hamming(a: Column, b: Column): Column = {
+    val x = a.bitwiseXOR(b)
+    (0 until 16).map(i => shiftright(x, i).bitwiseAND(lit(1L))).reduce(_ + _)
+  }
+
+  // ---- embeddings -----------------------------------------------------------
+
+  /** Dot product of two float arrays as a deterministic left fold in double
+    * precision (functions.zip_with + aggregate — codegen-friendly).
+    */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosineSim(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+}

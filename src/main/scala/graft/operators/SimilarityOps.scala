@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Fns
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k with a broadcast query set — the
+  * exact reference answer and the right physical plan when |queries| is
+  * small (one broadcast, no shuffle of the big side, window top-k per
+  * query). Scale path: sign-LSH bucketing (see DedupOps.embeddingNearDups)
+  * or an IVF-style cell restriction; both reuse this exact scorer for the
+  * final rerank.
+  */
+object SimilarityOps {
+
+  /** Exact cosine top-k: (qid, nid, rank, cos_e6). Deterministic — scores
+    * rounded to 1e-6 before ranking, ties broken by neighbor id.
+    */
+  def cosineTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qemb")))
+    val scored = emb.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(Fns.cosineSim(col("embedding"), col("qemb")) * lit(1000000.0), 0)
+          .cast("long").as("cos_e6"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("cos_e6"))
+  }
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{CellId, Planar}
+import graft.functions.Fns
+import graft.sources.Synth
+
+/** Spatial operators: point-in-polygon join, kNN, tiling/density.
+  *
+  * Scale design (north rule): the polygon side is small-by-construction
+  * (admin polygons) → broadcast its cell cover; the point side is the
+  * 10^12-row table → one narrow projection, no shuffle for PIP (broadcast
+  * hash join on cell + codegen'd exact refinement). Density/tiling are
+  * map-side-combined groupBy aggregations on integer keys.
+  */
+object SpatialOps {
+
+  /** Cover level used for the broadcast PIP prefilter: 64x32 grid cells of
+    * ~5.6° — a few cells per admin-sized polygon.
+    */
+  val CoverLevel = 6
+
+  /** Point-in-polygon join of a (pid, lon_fix, lat_fix) point table against
+    * the deterministic hexagon set: broadcast cell-cover equi-join, then
+    * exact refinement. For CCW convex rings the refinement is the exact
+    * half-plane conjunction bool_and(cross >= 0) — boundary-inclusive,
+    * identical to the ray-cast kernel (Planar.pointInRing) and exact in
+    * int64, so the DuckDB oracle can replicate it bit-for-bit.
+    *
+    * Reference capability: PreparedPolygon::contains use at
+    * reference/include/osmium/multipolygon/builder.hpp:707-711, generalized
+    * to an engine-level join per the north rule.
+    */
+  def pipJoinConvex(spark: SparkSession, points: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cover = Synth.hexagons.flatMap { h =>
+      CellId.coverBBox(h.xs.min, h.ys.min, h.xs.max, h.ys.max, CoverLevel)
+        .map(c => (c, h.polyId))
+    }.toDF("cell", "poly_id")
+
+    val edges = Synth.polygonEdgesDf(spark)
+    val pts = points.withColumn("cell", Fns.cellId(col("lon_fix"), col("lat_fix"), CoverLevel))
+
+    // candidates via broadcast cover join, then exact convex refinement:
+    // every edge cross product (x2-x1)(py-y1)-(y2-y1)(px-x1) >= 0.
+    val cand = pts.join(broadcast(cover), "cell")
+    val cross = (col("x2") - col("x1")) * (col("lat_fix") - col("y1")) -
+      (col("y2") - col("y1")) * (col("lon_fix") - col("x1"))
+    cand.join(broadcast(edges), "poly_id")
+      .groupBy(col("pid"), col("poly_id"))
+      .agg(min(when(cross >= 0, 1L).otherwise(0L)).as("inside"))
+      .filter(col("inside") === 1L)
+      .select(col("pid"), col("poly_id"))
+  }
+
+  /** General-polygon PIP via the exact ray-cast kernel (concave rings,
+    * holes): broadcast cover join + Planar-based refinement. Used by the
+    * area pipeline; the convex variant above is the oracle-checked path.
+    */
+  def pipJoinGeneral(spark: SparkSession, points: DataFrame,
+                     polygons: Map[Int, Array[(Array[Long], Array[Long])]],
+                     coverLevel: Int = CoverLevel): DataFrame = {
+    import spark.implicits._
+    val cover = polygons.toSeq.flatMap { case (id, rings) =>
+      val xs = rings.flatMap(_._1); val ys = rings.flatMap(_._2)
+      CellId.coverBBox(xs.min, ys.min, xs.max, ys.max, coverLevel).map(c => (c, id))
+    }.toDF("cell", "poly_id")
+    val polysB = points.sparkSession.sparkContext.broadcast(polygons)
+    val refine = udf { (polyId: Int, x: Long, y: Long) =>
+      Planar.pointInPolygon(x, y, polysB.value(polyId))
+    }
+    points.withColumn("cell", Fns.cellId(col("lon_fix"), col("lat_fix"), coverLevel))
+      .join(broadcast(cover), "cell")
+      .filter(refine(col("poly_id"), col("lon_fix"), col("lat_fix")))
+      .select(col("pid"), col("poly_id"))
+  }
+
+  /** Exact kNN of every query point against the full point table.
+    * Query side is small → broadcast; distance is exact int64 squared
+    * euclid on fix coords (lon ±9e8, lat ±6e8 keep dx²+dy² < 2^63);
+    * ties broken by pid. Returns (qid, pid, rank).
+    *
+    * At scale the cell-ring expansion variant (CellId.ring) bounds the
+    * candidate set; the broadcast form is the exact baseline.
+    */
+  def knn(points: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("pid").as("qid"),
+      col("lon_fix").as("qx"), col("lat_fix").as("qy")))
+    val dx = col("lon_fix") - col("qx")
+    val dy = col("lat_fix") - col("qy")
+    val joined = points.join(q, col("pid") =!= col("qid"))
+      .withColumn("d2", dx * dx + dy * dy)
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("pid"), col("rank"), col("d2"))
+  }
+
+  /** Web-mercator z/x/y tile density (generalizes the reference's
+    * equirectangular node-density raster, examples/nodedensity.cpp:47-61,
+    * including its uint16 saturating counts).
+    */
+  def tileDensity(points: DataFrame, z: Int): DataFrame =
+    points.select(
+        Fns.tileX(z, Fns.fixToDeg(col("lon_fix"))).as("tx"),
+        Fns.tileY(z, Fns.fixToDeg(col("lat_fix"))).as("ty"))
+      .groupBy("tx", "ty")
+      .agg(least(count(lit(1)), lit(65535L)).as("cnt"))
+
+  /** Equirect integer raster — exact int64 twin of nodedensity binning. */
+  def equirectDensity(points: DataFrame, level: Int): DataFrame =
+    points.select(
+        Fns.cellX(col("lon_fix"), level).as("bx"),
+        Fns.cellY(col("lat_fix"), level).as("by"))
+      .groupBy("bx", "by")
+      .agg(least(count(lit(1)), lit(65535L)).as("cnt"))
+
+  /** FindBbox (reference/include/osmium/handler/find_bbox.hpp:32-57). */
+  def bbox(points: DataFrame): DataFrame =
+    points.agg(
+      min("lon_fix").as("min_lon"), min("lat_fix").as("min_lat"),
+      max("lon_fix").as("max_lon"), max("lat_fix").as("max_lat"))
+}

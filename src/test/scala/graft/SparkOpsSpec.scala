@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.CellId
+import graft.functions.Fns
+import graft.operators._
+import graft.sources.Synth
+
+/** Spark-side operator tests on sf0.001 — cross-checks the Column-API
+  * operators against the pure-Scala kernel (brute force) on sampled rows.
+  */
+class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private val dir = "/root/testdata/sf0.001"
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("Fns.cellId (Column) agrees with CellId.fromFix (kernel)") {
+    val rows = Synth.points(spark, dir).limit(500)
+      .select(col("lon_fix"), col("lat_fix"), Fns.cellId(col("lon_fix"), col("lat_fix"), 12))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) === CellId.fromFix(r.getLong(0), r.getLong(1), 12))
+    }
+  }
+
+  test("pipJoinConvex equals brute-force kernel PIP") {
+    val pts = Synth.points(spark, dir)
+    val sparkHits = SpatialOps.pipJoinConvex(spark, pts)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val local = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = (for {
+      (pid, x, y) <- local
+      h <- Synth.hexagons
+      if graft.core.Planar.pointInRing(x, y, h.xs, h.ys)
+    } yield (pid, h.polyId)).toSet
+    assert(sparkHits === expect)
+  }
+
+  test("knn matches local brute force for one query") {
+    val pts = Synth.points(spark, dir)
+    val q = pts.filter(col("pid") % 997 === 0)
+    val knn = SpatialOps.knn(pts, q, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val local = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val qids = local.filter(_._1 % 997 == 0)
+    val expect = qids.flatMap { case (qid, qx, qy) =>
+      local.filter(_._1 != qid)
+        .map { case (pid, x, y) =>
+          val dx = x - qx; val dy = y - qy
+          (pid, dx * dx + dy * dy)
+        }
+        .sortBy { case (pid, d2) => (d2, pid) }
+        .take(5).zipWithIndex
+        .map { case ((pid, _), i) => (qid, pid, (i + 1).toLong) }
+    }.toSet
+    assert(knn === expect)
+  }
+
+  test("entry flagship returns rows with valid tiles") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) < 256)
+      assert(r.getLong(3) >= 0 && r.getLong(3) < 256)
+    }
+  }
+
+  test("area assembly pipeline produces the expected population") {
+    val out = SparkEntry.areaAssembly(spark).collect()
+    val byStatus = out.groupBy(r => (r.getString(5), r.getBoolean(2))).view.mapValues(_.length).toMap
+    // 150 groups: g%17==5 -> DanglingEnds (9); rest ok; g%6==0 -> 25 way-areas
+    assert(byStatus(("DanglingEnds", false)) === (0 until 150).count(_ % 17 == 5))
+    assert(byStatus(("ok", false)) === 150 - (0 until 150).count(_ % 17 == 5))
+    assert(byStatus(("ok", true)) === (0 until 150).count(_ % 6 == 0))
+    // holes: g%4==2 and not dangling
+    val nInner = out.filter(r => r.getString(5) == "ok").map(_.getInt(4)).sum
+    assert(nInner === (0 until 150).count(g => g % 4 == 2 && g % 17 != 5))
+    // area-id bijection: from_way <=> even id, orig_id = id/2 rounded toward 0
+    out.filter(r => r.getString(5) == "ok").foreach { r =>
+      val id = r.getLong(0); val orig = r.getLong(1); val fromWay = r.getBoolean(2)
+      assert(fromWay === (id % 2 == 0))
+      assert(orig === (if (fromWay) id / 2 else (id - java.lang.Long.signum(id)) / 2))
+    }
+  }
+
+  test("exact dedup finds exactly the injected copies") {
+    val dups = DedupOps.exactDuplicates(Synth.corpus(spark, dir)).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(dups.length === (0L until nDocs).count(_ % 7 == 0))
+    dups.foreach(r => assert(r.getLong(2) === 2L))
+  }
+
+  test("minhash LSH candidates include every exact-copy pair") {
+    val pairs = DedupOps.minHashLshPairs(Synth.corpus(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    (0L until nDocs).filter(_ % 7 == 0).foreach { id =>
+      assert(pairs.contains((id, id + 1000000L)), s"missing exact pair for $id")
+    }
+  }
+
+  test("cosine top-1 of an injected near-duplicate is its source") {
+    val e = Synth.embCorpus(spark, dir)
+    val q = e.filter(col("vec_id") >= 1000000L).limit(5)
+    val top = SimilarityOps.cosineTopK(e, q, 1).collect()
+    top.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) - 1000000L) // nearest = original vector
+      assert(r.getLong(3) > 999000L) // cos > 0.999
+    }
+  }
+}

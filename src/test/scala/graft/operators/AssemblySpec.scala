@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.AssemblyOps.{Area, MemberWay}
+
+/** Pure unit tests of the per-relation assembly kernel (no Spark).
+  * Semantics mirror reference/include/osmium/multipolygon/builder.hpp —
+  * greedy ring growth with inversion, containment-parity inner/outer,
+  * outer-CW/inner-CCW final orientation, area-id scheme (osm/area.hpp:71-84).
+  */
+class AssemblySpec extends AnyFunSuite {
+
+  private def mw(rel: Long, pos: Int, way: Long, pts: (Long, Long)*): MemberWay =
+    MemberWay(rel, pos, way, pts.map(_._1).toArray, pts.map(_._2).toArray)
+
+  test("two open ways close into one outer ring; area id = 2*rel + sgn") {
+    val ways = Array(
+      mw(7, 0, 70, (0, 0), (10, 0), (10, 10)),
+      mw(7, 1, 71, (10, 10), (0, 10), (0, 0)))
+    val out = AssemblyOps.assembleOne(7, ways).toArray
+    assert(out.length === 1)
+    val a = out.head
+    assert(a.areaId === 15)
+    assert(a.origId === 7)
+    assert(!a.fromWay)
+    assert(a.status === "ok")
+    assert(a.nOuter === 1 && a.nInner === 0)
+    // outer ring CW (CCW build order reversed); C++ %.10g prints 1e-06
+    assert(a.wkt === "MULTIPOLYGON(((0 1e-06,1e-06 1e-06,1e-06 0,0 0,0 1e-06)))")
+  }
+
+  test("reversed member way is inverted during ring growth") {
+    val ways = Array(
+      mw(1, 0, 10, (0, 0), (10, 0), (10, 10)),
+      mw(1, 1, 11, (0, 0), (0, 10), (10, 10))) // same ring, reversed direction
+    val out = AssemblyOps.assembleOne(1, ways).toArray
+    assert(out.head.status === "ok")
+    assert(out.head.nOuter === 1)
+  }
+
+  test("closed inner way becomes a hole (containment parity)") {
+    val ways = Array(
+      mw(3, 0, 30, (0, 0), (100, 0), (100, 100)),
+      mw(3, 1, 31, (100, 100), (0, 100), (0, 0)),
+      mw(3, 2, 32, (40, 40), (60, 40), (60, 60), (40, 60), (40, 40)))
+    val a = AssemblyOps.assembleOne(3, ways).toArray.head
+    assert(a.status === "ok")
+    assert(a.nOuter === 1 && a.nInner === 1)
+  }
+
+  test("two disjoint outer rings -> one area, two polygons") {
+    val ways = Array(
+      mw(4, 0, 40, (0, 0), (10, 0), (10, 10), (0, 10), (0, 0)),
+      mw(4, 1, 41, (100, 100), (110, 100), (110, 110), (100, 110), (100, 100)))
+    val a = AssemblyOps.assembleOne(4, ways).toArray.head
+    assert(a.status === "ok")
+    assert(a.nOuter === 2 && a.nInner === 0)
+    assert(a.wkt.startsWith("MULTIPOLYGON((("))
+    assert(a.wkt.contains(")),((")) // two polygons
+  }
+
+  test("dangling ends -> error row, no area") {
+    val ways = Array(mw(5, 0, 50, (0, 0), (10, 0), (10, 10)))
+    val a = AssemblyOps.assembleOne(5, ways).toArray.head
+    assert(a.status === "DanglingEnds")
+    assert(a.wkt === null)
+  }
+
+  test("self-intersecting ring -> InvalidRing") {
+    // bow-tie: 0,0 -> 10,10 -> 10,0 -> 0,10 -> 0,0
+    val ways = Array(mw(6, 0, 60, (0, 0), (10, 10), (10, 0), (0, 10), (0, 0)))
+    val a = AssemblyOps.assembleOne(6, ways).toArray.head
+    assert(a.status === "InvalidRing")
+  }
+
+  test("nested ring parity: ring inside a hole is an outer ring again") {
+    val ways = Array(
+      mw(8, 0, 80, (0, 0), (100, 0), (100, 100), (0, 100), (0, 0)),
+      mw(8, 1, 81, (20, 20), (80, 20), (80, 80), (20, 80), (20, 20)),
+      mw(8, 2, 82, (40, 40), (60, 40), (60, 60), (40, 60), (40, 40)))
+    val a = AssemblyOps.assembleOne(8, ways).toArray.head
+    assert(a.status === "ok")
+    assert(a.nOuter === 2 && a.nInner === 1)
+  }
+
+  test("negative relation id keeps the id bijection") {
+    val ways = Array(mw(-3, 0, 90, (0, 0), (10, 0), (10, 10), (0, 10), (0, 0)))
+    val a = AssemblyOps.assembleOne(-3, ways).toArray.head
+    assert(a.areaId === -7) // -3*2 + sgn(-3)
+    assert(a.origId === -3)
+  }
+}
