@@ -1,24 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR (default sf0.1) at local[SPARK_GRAFT_CPUS]
+  * (default 32) and prints ONE JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},
+  *    "flagship_rows_per_sec":<n>,"sf":...}
+  *
+  * The headline north-rule metric is flagship_rows_per_sec: output rows of
+  * the spatial-join + tiling slice (points → PIP → tile counts) per second
+  * of wall clock, measured after one warm-up. BenchScale (separate main)
+  * produces the N-vs-4N scaling evidence in BENCH/BASELINE.md.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // flagship throughput: joined+tiled rows per second (north-rule metric)
+    val flagshipRps = {
+      val warm = BenchScale.flagship(spark, sfDir).count() // warm-up
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val joined = BenchScale.flagship(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.sum("count")).collect()(0).getLong(0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(s"[bench] flagship: $joined rows in ${f"$sec%.2f"}s (warm=$warm)")
+      joined / sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val rows = try fn(spark, sfDir).count() catch {
+        case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(s"[bench] $name: ${f"$sec%.2f"}s ($rows rows)")
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"flagship_rows_per_sec":$flagshipRps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -203,6 +203,48 @@ object SparkEntry {
         us(col("warc_ts")).as("warc_us"), col("lang"))
     }),
 
+    // --- filters / scalar functions (tags + timestamp + WKT catalog) ---
+    "q_tag_filter" -> ((s, d) => {
+      // Tags::RegexFilter + KeyValueFilter analog (tags/regex_filter.hpp:40-84)
+      t(s, d, "documents")
+        .filter(col("text").rlike("the [a-z]+ (slow|fast)") && col("lang") =!= "zh")
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
+    "q_timestamp_iso" -> ((s, d) => {
+      // Timestamp::to_iso (utils/timestamp.hpp:54-67)
+      t(s, d, "events").select(col("event_id"),
+        date_format(col("ts").cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("iso"))
+    }),
+
+    "q_string_table" -> ((s, d) => {
+      // StringTable frequency dictionary (utils/stringtable.hpp:115-159):
+      // hot strings get small ids — rank tokens by count desc.
+      val toks = t(s, d, "documents")
+        .select(explode(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("tok"))
+      toks.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 100)
+    }),
+
+    "q_fanout" -> ((s, d) => {
+      // Handler::Sequence tee (handler.hpp:202-282): one scan, two sinks.
+      val docs = t(s, d, "documents")
+      val byLang = docs.groupBy(col("lang").as("key")).agg(count(lit(1)).as("n"))
+        .withColumn("dim", lit("lang"))
+      val bySource = docs.groupBy(col("source").as("key")).agg(count(lit(1)).as("n"))
+        .withColumn("dim", lit("source"))
+      byLang.unionByName(bySource).select("dim", "key", "n")
+    }),
+
+    "q_wkt" -> ((s, d) => {
+      // WKT writer with C++ setprecision(10) formatting (geometry/point.hpp:70-75)
+      val wktUdf = udf((x: Long, y: Long) =>
+        s"POINT(${graft.core.Wkt.fmtG(x / 1e7)} ${graft.core.Wkt.fmtG(y / 1e7)})")
+      Synth.points(s, d).filter(col("pid") % 101 === 0)
+        .select(col("pid"), wktUdf(col("lon_fix"), col("lat_fix")).as("wkt"))
+    }),
+
     // --- assembly flagship (not SQL-expressible → rows-only check) ---
     "q_area_assembly" -> ((s, d) => areaAssembly(s)),
   )
@@ -237,12 +279,32 @@ object SparkEntry {
 
   /** DuckDB shingle-hash subquery over the corpus: (doc_id, sh). */
   private def shinglesSql(distinct: Boolean): String = {
+    val L = DedupOps.ShingleLen
     val asc = (k: Int) => s"CAST(ascii(substr(t, i + $k, 1)) AS BIGINT)"
-    val h = (0 to 4).map(asc).reduceLeft((a, b) => s"($a * 31 + $b)")
+    val h = (0 until L).map(asc).reduceLeft((a, b) => s"($a * 31 + $b)")
     val sel = if (distinct) "SELECT DISTINCT" else "SELECT"
-    s"""$sel doc_id, $h AS sh FROM (
-       |  SELECT doc_id, t, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
-       |  FROM (SELECT doc_id, substr(text, 1, 256) AS t FROM corpus))""".stripMargin
+    s"""$sel doc_id, ($h) % 1000000007 AS sh FROM (
+       |  SELECT doc_id, t, unnest(range(1, greatest(length(t) - ${L - 1}, 1) + 1)) AS i
+       |  FROM (SELECT doc_id, substr(text, 1, ${DedupOps.ShingleCap}) AS t FROM corpus))""".stripMargin
+  }
+
+  /** DuckDB LSH-candidate CTE body (sig/bands/cand over `sh`). */
+  private def lshCandSql: String = {
+    val nBands = DedupOps.NumMinHashes / DedupOps.BandSize
+    val bands = (0 until nBands).map { b =>
+      val key = (0 until DedupOps.BandSize)
+        .map(i => s"mh${b * DedupOps.BandSize + i}")
+        .reduceLeft((acc, c) => s"(($acc * 1000003 + $c) % 1000000007)")
+      s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""sig AS (SELECT doc_id, ${(0 until DedupOps.NumMinHashes).map(minHashAgg).mkString(", ")}
+       |  FROM sh GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
   }
 
   /** DuckDB 8-char Horner token hash of expression `e`. */
@@ -407,11 +469,14 @@ object SparkEntry {
 
     "q_dedup_jaccard" ->
       s"""WITH corpus AS ($C),
-         |sh AS (${shinglesSql(distinct = true)}),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |sh AS (${shinglesSql(distinct = false)}),
+         |$lshCandSql,
+         |sizes AS (SELECT doc_id, count(DISTINCT sh) AS sz FROM sh GROUP BY 1),
          |inter AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  SELECT c.doc_a, c.doc_b, count(DISTINCT a.sh) AS i
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, (i * 1000) // (sa.sz + sb.sz - i) AS jaccard_pm
          |FROM inter
@@ -422,18 +487,8 @@ object SparkEntry {
     "q_dedup_minhash" ->
       s"""WITH corpus AS ($C),
          |sh AS (${shinglesSql(distinct = false)}),
-         |sig AS (SELECT doc_id, ${(0 until DedupOps.NumMinHashes).map(minHashAgg).mkString(", ")}
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (${(0 until DedupOps.NumMinHashes / DedupOps.BandSize).map { b =>
-             val key = (0 until DedupOps.BandSize)
-               .map(i => s"mh${b * DedupOps.BandSize + i}")
-               .reduceLeft((acc, c) => s"($acc * 1000000007 + $c)")
-             s"SELECT doc_id, $b AS band, $key AS band_key FROM sig"
-           }.mkString("\n  UNION ALL ")})
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2""".stripMargin,
+         |$lshCandSql
+         |SELECT doc_a, doc_b, n_bands FROM cand""".stripMargin,
 
     "q_dedup_simhash" -> {
       val votes = (0 until 16).map(b =>
@@ -522,5 +577,32 @@ object SparkEntry {
       """SELECT 'https://example.org/doc/' || doc_id AS url, sha256(text) AS text_sha,
         |  1704067200000000 + doc_id * 1000000 AS warc_us, lang
         |FROM documents""".stripMargin,
+
+    "q_tag_filter" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE regexp_matches(text, 'the [a-z]+ (slow|fast)') AND lang <> 'zh'""".stripMargin,
+
+    "q_timestamp_iso" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso FROM events""".stripMargin,
+
+    "q_string_table" ->
+      """WITH cnts AS (
+        |  SELECT tok, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents)
+        |  GROUP BY 1)
+        |SELECT tok, cnt, rank FROM (
+        |  SELECT *, row_number() OVER (ORDER BY cnt DESC, tok) AS rank FROM cnts)
+        |WHERE rank <= 100""".stripMargin,
+
+    "q_fanout" ->
+      """SELECT 'lang' AS dim, lang AS key, count(*) AS n FROM documents GROUP BY 2
+        |UNION ALL
+        |SELECT 'source' AS dim, source AS key, count(*) AS n FROM documents GROUP BY 2""".stripMargin,
+
+    "q_wkt" ->
+      s"""WITH p AS ($P)
+         |SELECT pid, 'POINT(' || printf('%.10g', lon_fix / 10000000.0) || ' ' ||
+         |  printf('%.10g', lat_fix / 10000000.0) || ')' AS wkt
+         |FROM p WHERE pid % 101 = 0""".stripMargin,
   )
 }

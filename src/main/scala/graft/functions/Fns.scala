@@ -167,15 +167,16 @@ object Fns {
     (1 to 8).map(i => ascii(substring(tok, i, 1)).cast("long"))
       .reduceLeft((acc, a) => acc * lit(31L) + a)
 
-  /** Character 5-gram shingle hashes of the first `cap` chars (each hash the
-    * Horner value of 5 chars — ≤ 31^4·255 ≈ 2.4e8).
+  /** Character n-gram shingle hashes of the first `cap` chars: Horner base
+    * 31 over `len` chars, reduced mod 1e9+7 (Horner stays < 2^63 for
+    * len <= 12; the mod keeps the minhash multiply in int64).
     */
-  def shingleHashes(text: Column, cap: Int): Column = {
+  def shingleHashes(text: Column, cap: Int, len: Int): Column = {
     val t = substring(text, 1, cap)
-    val idx = sequence(lit(1), greatest(length(t) - lit(4), lit(1)))
+    val idx = sequence(lit(1), greatest(length(t) - lit(len - 1), lit(1)))
     transform(idx, i =>
-      (0 to 4).map(o => ascii(substring(t, i + lit(o), lit(1))).cast("long"))
-        .reduceLeft((acc, a) => acc * lit(31L) + a))
+      (0 until len).map(o => ascii(substring(t, i + lit(o), lit(1))).cast("long"))
+        .reduceLeft((acc, a) => acc * lit(31L) + a) % lit(1000000007L))
   }
 
   /** MinHash signature component j over shingle hashes:

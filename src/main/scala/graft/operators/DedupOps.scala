@@ -22,21 +22,25 @@ object DedupOps {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
-  val NumMinHashes = 8
-  val BandSize = 2
+  val NumMinHashes = 12
+  val BandSize = 4
   val ShingleCap = 256
+  val ShingleLen = 10
 
-  /** MinHash signatures (k = NumMinHashes) over character-5-gram shingles
-    * of the first ShingleCap chars.
+  /** MinHash signatures (k = NumMinHashes) over character-10-gram shingles
+    * of the first ShingleCap chars. Parameters tuned so band collisions on
+    * non-duplicates stay rare even on a narrow-vocabulary corpus.
     */
   def minHashSignatures(corpus: DataFrame): DataFrame = {
-    val sh = Fns.shingleHashes(col("text"), ShingleCap)
+    val sh = Fns.shingleHashes(col("text"), ShingleCap, ShingleLen)
     val cols = (0 until NumMinHashes).map(j => Fns.minHash(sh, j).as(s"mh$j"))
     corpus.select(col("doc_id") +: cols: _*)
   }
 
   /** LSH candidate pairs: docs sharing at least one band (bands of
-    * BandSize consecutive minhashes). Output (doc_a < doc_b, n_bands).
+    * BandSize consecutive minhashes, band key = mod-chained polynomial).
+    * Output (doc_a < doc_b, n_bands). Shuffle cost is O(bands·rows) narrow
+    * rows; never all-pairs.
     */
   def minHashLshPairs(corpus: DataFrame): DataFrame = {
     val sig = minHashSignatures(corpus)
@@ -44,7 +48,7 @@ object DedupOps {
     val banded = (0 until nBands).map { b =>
       val key = (0 until BandSize)
         .map(i => col(s"mh${b * BandSize + i}"))
-        .reduceLeft((acc, c) => acc * lit(1000000007L) + c)
+        .reduceLeft((acc, c) => (acc * lit(1000003L) + c) % lit(1000000007L))
       sig.select(col("doc_id"), lit(b).as("band"), key.as("band_key"))
     }.reduce(_ unionByName _)
     val a = banded.as("a"); val b = banded.as("b")
@@ -55,23 +59,27 @@ object DedupOps {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** Exact n-gram Jaccard similarity of LSH-candidate pairs (verification
-    * stage): |A∩B| / |A∪B| over distinct shingle hashes. Output pairs with
-    * jaccard_pm (per-mille, exact integer) >= threshold.
+  /** Exact n-gram Jaccard verification of the LSH candidates (the
+    * canonical MinHash-dedup pipeline: candidates from banding, verified
+    * exactly): |A∩B| / |A∪B| over distinct shingle hashes, computed with
+    * per-doc shingle arrays joined to the bounded candidate set — no
+    * all-pairs stage anywhere. Output pairs with jaccard_pm (per-mille,
+    * exact integer) >= threshold.
     */
   def ngramJaccardPairs(corpus: DataFrame, thresholdPm: Int): DataFrame = {
-    val shingled = corpus.select(col("doc_id"),
-      explode(array_distinct(Fns.shingleHashes(col("text"), ShingleCap))).as("sh"))
-    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = shingled.as("a"); val b = shingled.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    val union = col("sza") + col("szb") - col("inter")
-    val num = col("inter") * lit(1000L)
+    val cand = minHashLshPairs(corpus).select("doc_a", "doc_b")
+    val sets = corpus.select(col("doc_id"),
+      array_distinct(array_sort(Fns.shingleHashes(col("text"), ShingleCap, ShingleLen)))
+        .as("shs"))
+    val inter = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("sza", size(col("sa")).cast("long"))
+      .withColumn("szb", size(col("sb")).cast("long"))
+    val union = col("sza") + col("szb") - col("i")
+    val num = col("i") * lit(1000L)
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
       .withColumn("jaccard_pm", ((num - pmod(num, union)) / union).cast("long"))
       .filter(col("jaccard_pm") >= thresholdPm)
       .select(col("doc_a"), col("doc_b"), col("jaccard_pm"))

@@ -76,15 +76,12 @@ object SpatialOps {
       .select(col("pid"), col("poly_id"))
   }
 
-  /** Exact kNN of every query point against the full point table.
-    * Query side is small → broadcast; distance is exact int64 squared
-    * euclid on fix coords (lon ±9e8, lat ±6e8 keep dx²+dy² < 2^63);
-    * ties broken by pid. Returns (qid, pid, rank).
-    *
-    * At scale the cell-ring expansion variant (CellId.ring) bounds the
-    * candidate set; the broadcast form is the exact baseline.
+  /** Exact brute-force kNN: broadcast the query set, score every point,
+    * window top-k. Distance is exact int64 squared euclid on fix coords
+    * (lon ±9e8, lat ±6e8 keep dx²+dy² < 2^63); ties broken by pid.
+    * Correct for any geometry; cost O(|points|·|queries|).
     */
-  def knn(points: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def knnBruteForce(points: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col("pid").as("qid"),
       col("lon_fix").as("qx"), col("lat_fix").as("qy")))
@@ -96,6 +93,66 @@ object SpatialOps {
     joined.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("pid"), col("rank"), col("d2"))
+  }
+
+  /** Exact kNN via cell-ring candidate pruning (the scale path):
+    * candidates come only from the query's 3x3 cell neighborhood at
+    * `level`; a query's result is provably exact when its kth candidate
+    * distance is below the minimum separation to any point outside the
+    * neighborhood (one full cell span per axis, floor(width) because
+    * integer cell boundaries jitter by 1). Queries that fail the
+    * guarantee (sparse regions) fall back to the exact brute force —
+    * output is therefore always the exact kNN, but the heavy scoring
+    * touches ~9 cells instead of the whole table.
+    */
+  def knn(points: DataFrame, queries: DataFrame, k: Int, level: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = 1L << level
+    val wMin = 3600000000L / n - 1 // conservative min lon-cell span (fix units)
+    val hMin = 1800000000L / n - 1
+    val bound = math.min(wMin, hMin)
+    val bound2 = bound * bound
+
+    def cellOf(x: Column, y: Column): Column =
+      lit(1L << (2 * level))
+        .bitwiseOR(Fns.mortonSpread(x))
+        .bitwiseOR(shiftleft(Fns.mortonSpread(y), 1))
+
+    // query side: explode the 3x3 neighborhood (x wraps, y clamps)
+    val q = queries.select(col("pid").as("qid"),
+      col("lon_fix").as("qx"), col("lat_fix").as("qy"),
+      Fns.cellX(col("lon_fix"), level).as("qcx"),
+      Fns.cellY(col("lat_fix"), level).as("qcy"))
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
+    val qcells = q.withColumn("cell", explode(array(offsets.map { case (dx, dy) =>
+        val nx = pmod(col("qcx") + dx, lit(n))
+        val ny = least(greatest(col("qcy") + dy, lit(0L)), lit(n - 1))
+        cellOf(nx, ny)
+      }: _*))).dropDuplicates("qid", "cell")
+
+    val pts = points.withColumn("cell",
+      cellOf(Fns.cellX(col("lon_fix"), level), Fns.cellY(col("lat_fix"), level)))
+    val dx = col("lon_fix") - col("qx")
+    val dy = col("lat_fix") - col("qy")
+    val cand = pts.join(broadcast(qcells), "cell")
+      .filter(col("pid") =!= col("qid"))
+      .withColumn("d2", dx * dx + dy * dy)
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))
+    val ranked = cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("pid"), col("rank"), col("d2"))
+
+    // per-query exactness guarantee: k candidates found AND kth within bound
+    val stats = ranked.groupBy("qid")
+      .agg(count(lit(1)).as("cnt"), max("d2").as("maxd2"))
+      .filter(col("cnt") === k && col("maxd2") <= bound2)
+      .select(col("qid").as("ok_qid"))
+    val guaranteed = ranked.join(broadcast(stats), col("qid") === col("ok_qid"))
+      .drop("ok_qid")
+    val fallbackQueries = queries.join(
+      broadcast(stats.withColumnRenamed("ok_qid", "pid")), Seq("pid"), "left_anti")
+    val fallback = knnBruteForce(points, fallbackQueries, k)
+    guaranteed.unionByName(fallback)
   }
 
   /** Web-mercator z/x/y tile density (generalizes the reference's

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("streaming EndTime closes previous versions per key") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[StreamingOps.Versioned]
+    val q = StreamingOps.endTimeStream(input.toDS())
+      .writeStream.format("memory").queryName("endtimes").outputMode("append").start()
+    try {
+      input.addData(
+        StreamingOps.Versioned(1, 1, 100), StreamingOps.Versioned(1, 2, 200),
+        StreamingOps.Versioned(2, 1, 150))
+      q.processAllAvailable()
+      input.addData(StreamingOps.Versioned(1, 3, 300), StreamingOps.Versioned(2, 2, 250))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT key, version, tsMicros, endMicros FROM endtimes")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows === Set(
+        (1L, 1L, 100L, 200L),  // closed within first batch
+        (1L, 2L, 200L, 300L),  // closed across batches (state carried)
+        (2L, 1L, 150L, 250L)))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed counts aggregate a replayed event stream") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = StreamingOps.windowedCounts(df, "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("wins").outputMode("append").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+      input.addData((ts(1), "click"), (ts(2), "click"), (ts(11), "view"))
+      q.processAllAvailable()
+      // advance watermark far enough to close the first windows
+      input.addData((ts(60), "click"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, count FROM wins").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows.contains(("click", 2L))) // window [0,10) closed with 2 clicks
+      assert(rows.contains(("view", 1L)))
+    } finally q.stop()
+  }
+}
