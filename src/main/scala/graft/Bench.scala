@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import graft.sources.Synth
 
 /** Per-round benchmark: runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR (default sf0.1) at local[SPARK_GRAFT_CPUS]
@@ -17,24 +18,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = BenchScale.session(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
-    // flagship throughput: joined+tiled rows per second (north-rule metric)
+    // flagship throughput: points processed through PIP join + tiling per
+    // second of wall clock (north-rule metric), on the 8x-replicated set
     val flagshipRps = {
-      val warm = BenchScale.flagship(spark, sfDir).count() // warm-up
+      val warm = BenchScale.flagship(spark, sfDir, BenchScale.Rep).count() // warm-up
       val t0 = System.nanoTime()
-      val joined = BenchScale.flagship(spark, sfDir)
+      val joined = BenchScale.flagship(spark, sfDir, BenchScale.Rep)
         .agg(org.apache.spark.sql.functions.sum("count")).collect()(0).getLong(0)
       val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(s"[bench] flagship: $joined rows in ${f"$sec%.2f"}s (warm=$warm)")
-      joined / sec
+      val pts = Synth.points(spark, sfDir).count() * BenchScale.Rep
+      System.err.println(
+        s"[bench] flagship: $pts points -> $joined joined rows in ${f"$sec%.2f"}s (warm=$warm)")
+      pts / sec
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

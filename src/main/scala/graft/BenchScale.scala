@@ -20,8 +20,15 @@ import graft.sources.Synth
   */
 object BenchScale {
 
-  def flagship(spark: SparkSession, sfDir: String): DataFrame = {
-    val pts = Synth.points(spark, sfDir)
+  /** The flagship job, optionally with the point set replicated `rep`
+    * times (distinct pids, same coords) so the scaling measurement
+    * amortizes fixed planning/scheduling overhead.
+    */
+  def flagship(spark: SparkSession, sfDir: String, rep: Int = 1): DataFrame = {
+    val base = Synth.points(spark, sfDir)
+    val pts = if (rep == 1) base else
+      base.withColumn("r", explode(sequence(lit(0), lit(rep - 1))))
+        .select((col("pid") * rep + col("r")).as("pid"), col("lon_fix"), col("lat_fix"))
     SpatialOps.pipJoinConvex(spark, pts)
       .join(pts, "pid")
       .select(
@@ -30,10 +37,12 @@ object BenchScale {
       .groupBy("tx", "ty").count()
   }
 
+  val Rep = 8
+
   private def timedRun(spark: SparkSession, sfDir: String): (Double, Long) = {
     val t0 = System.nanoTime()
     // count() the tile aggregation AND materialize the full pipeline
-    val rows = flagship(spark, sfDir).agg(sum("count")).collect()(0).getLong(0)
+    val rows = flagship(spark, sfDir, Rep).agg(sum("count")).collect()(0).getLong(0)
     ((System.nanoTime() - t0) / 1e9, rows)
   }
 
@@ -42,6 +51,11 @@ object BenchScale {
     .appName(s"graft-scale-$cpus")
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.adaptive.enabled", "true")
+    // the driver testdata ships as one ~10MB parquet per table: with the
+    // 128MB default the whole scan is ONE split and cannot fan out across
+    // cores — size splits to the actual input (≈80 splits for lineitem)
+    .config("spark.sql.files.maxPartitionBytes", 131072)
+    .config("spark.sql.files.openCostInBytes", 16384)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

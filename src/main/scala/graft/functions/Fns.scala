@@ -189,17 +189,44 @@ object Fns {
     array_min(transform(shingles, h => (h * lit(a) + lit(b)) % lit(1000000007L)))
   }
 
+  /** Let-binding for collection expressions: evaluates `v` exactly once and
+    * exposes it to `body` as a lambda variable. Without this, k references
+    * to the same Column re-evaluate its whole subtree k times (Catalyst
+    * CollapseProject inlines projections; higher-order lambdas are the
+    * only value-binding construct available to expressions).
+    */
+  def bindOnce(v: Column)(body: Column => Column): Column =
+    element_at(transform(array(v), x => body(x)), 1)
+
+  /** All k minhash components as ONE array-valued expression with the
+    * shingle array evaluated exactly once per row. Critical for
+    * performance: k separate minHash() columns each recompute the
+    * shingling, which dominated the dedup stage 12-fold.
+    */
+  def minHashArray(shingles: Column, k: Int): Column =
+    bindOnce(shingles) { shs =>
+      transform(sequence(lit(0), lit(k - 1)), j => {
+        val a = lit(1000003L) + lit(2L) * j
+        val b = lit(12345L) + lit(7919L) * j
+        array_min(transform(shs, h => (h * a + b) % lit(1000000007L)))
+      })
+    }
+
   /** 16-bit SimHash over token hashes: bit b set iff the weighted sum of
     * (±1 per token, sign from token-hash bit b) is positive.
     */
   def simHash16(text: Column): Column = {
     val toks = regexp_extract_all(text, lit("[^ ]+"), lit(0))
     val hashes = transform(toks, t => tokenHashExpr(t))
-    (0 until 16).map { b =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    // bind the hash array once: the 16 per-bit aggregates then scan a
+    // materialized array instead of re-hashing every token 16 times
+    bindOnce(hashes) { hs =>
+      (0 until 16).map { b =>
+        val votes = aggregate(hs, lit(0L),
+          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+        when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }
   }
 
   /** Hamming distance between two small (≤32-bit) hash values. */

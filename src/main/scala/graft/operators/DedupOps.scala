@@ -28,29 +28,33 @@ object DedupOps {
   val ShingleLen = 10
 
   /** MinHash signatures (k = NumMinHashes) over character-10-gram shingles
-    * of the first ShingleCap chars. Parameters tuned so band collisions on
-    * non-duplicates stay rare even on a narrow-vocabulary corpus.
+    * of the first ShingleCap chars, as one array column (single shingle
+    * evaluation per row — see Fns.minHashArray). Parameters tuned so band
+    * collisions on non-duplicates stay rare even on a narrow-vocabulary
+    * corpus.
     */
-  def minHashSignatures(corpus: DataFrame): DataFrame = {
-    val sh = Fns.shingleHashes(col("text"), ShingleCap, ShingleLen)
-    val cols = (0 until NumMinHashes).map(j => Fns.minHash(sh, j).as(s"mh$j"))
-    corpus.select(col("doc_id") +: cols: _*)
-  }
+  def minHashSignatures(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+      Fns.minHashArray(
+        Fns.shingleHashes(col("text"), ShingleCap, ShingleLen), NumMinHashes).as("mh"))
 
   /** LSH candidate pairs: docs sharing at least one band (bands of
     * BandSize consecutive minhashes, band key = mod-chained polynomial).
-    * Output (doc_a < doc_b, n_bands). Shuffle cost is O(bands·rows) narrow
-    * rows; never all-pairs.
+    * Output (doc_a < doc_b, n_bands). One pass over the corpus (posexplode
+    * of the band-key array), banded rows persisted for the self-join —
+    * shuffle cost is O(bands·rows) narrow rows; never all-pairs.
     */
   def minHashLshPairs(corpus: DataFrame): DataFrame = {
-    val sig = minHashSignatures(corpus)
     val nBands = NumMinHashes / BandSize
-    val banded = (0 until nBands).map { b =>
-      val key = (0 until BandSize)
-        .map(i => col(s"mh${b * BandSize + i}"))
-        .reduceLeft((acc, c) => (acc * lit(1000003L) + c) % lit(1000000007L))
-      sig.select(col("doc_id"), lit(b).as("band"), key.as("band_key"))
-    }.reduce(_ unionByName _)
+    val bandKeys = Fns.bindOnce(col("mh")) { mh =>
+      transform(sequence(lit(0), lit(nBands - 1)), b => {
+        (0 until BandSize).map(i => element_at(mh, b * BandSize + i + 1))
+          .reduceLeft((acc, c) => (acc * lit(1000003L) + c) % lit(1000000007L))
+      })
+    }
+    val banded = minHashSignatures(corpus)
+      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+      .persist()
     val a = banded.as("a"); val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
@@ -71,6 +75,7 @@ object DedupOps {
     val sets = corpus.select(col("doc_id"),
       array_distinct(array_sort(Fns.shingleHashes(col("text"), ShingleCap, ShingleLen)))
         .as("shs"))
+      .persist()
     val inter = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
