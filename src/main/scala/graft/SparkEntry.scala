@@ -245,6 +245,20 @@ object SparkEntry {
         .select(col("pid"), wktUdf(col("lon_fix"), col("lat_fix")).as("wkt"))
     }),
 
+    // --- multimodal plumbing (stubbed codec, real binary pipeline) ---
+    "q_multimodal" -> ((s, d) => {
+      MultimodalOps.extractMedia(s, Synth.pages(s, d)).toDF()
+        .select(col("url"), col("byteLen").as("byte_len"), col("width"),
+          col("height"), col("nFrames").as("n_frames"))
+    }),
+
+    // --- skew-safe aggregation (salted two-level density) ---
+    "q_salted_density" -> ((s, d) => {
+      val cells = Synth.points(s, d)
+        .select(Fns.cellId(col("lon_fix"), col("lat_fix"), 8).as("cell"))
+      SkewOps.saltedCount(cells, "cell", Seq("cell"), 16)
+    }),
+
     // --- assembly flagship (not SQL-expressible → rows-only check) ---
     "q_area_assembly" -> ((s, d) => areaAssembly(s)),
   )
@@ -604,5 +618,27 @@ object SparkEntry {
          |SELECT pid, 'POINT(' || printf('%.10g', lon_fix / 10000000.0) || ' ' ||
          |  printf('%.10g', lat_fix / 10000000.0) || ')' AS wkt
          |FROM p WHERE pid % 101 = 0""".stripMargin,
+
+    "q_multimodal" ->
+      """WITH m AS (
+        |  SELECT 'https://example.org/doc/' || doc_id AS url,
+        |    CAST(12 + length(text) + 14 AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT url, n AS byte_len,
+        |  CAST(320 + (n * 7919) % 1280 AS INTEGER) AS width,
+        |  CAST(240 + (n * 104729) % 720 AS INTEGER) AS height,
+        |  CAST(1 + n % 24 AS INTEGER) AS n_frames
+        |FROM m""".stripMargin,
+
+    "q_salted_density" -> {
+      val spread = spreadSql("cx")
+      val spready = spreadSql("cy")
+      s"""WITH p AS ($P), xy AS (
+         |  SELECT least(((lon_fix + 1800000000) * 256) // 3600000000, 255) AS cx,
+         |         least(((lat_fix + 900000000) * 256) // 1800000000, 255) AS cy
+         |  FROM p)
+         |SELECT (65536 | $spread | ($spready << 1)) AS cell, count(*) AS cnt
+         |FROM xy GROUP BY 1""".stripMargin
+    },
   )
 }

@@ -113,6 +113,55 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("checkpointed job resumes without recomputing finished buckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val pts = Synth.points(spark, dir)
+    def job(df: org.apache.spark.sql.DataFrame) =
+      SpatialOps.equirectDensity(df, 7)
+    val ran1 = CheckpointOps.runResumable(spark, pts, "pid", 4, s"$tmp/out", s"$tmp/lineage")(job)
+    assert(ran1 === 4)
+    // second invocation: everything checkpointed, nothing recomputes
+    val ran2 = CheckpointOps.runResumable(spark, pts, "pid", 4, s"$tmp/out", s"$tmp/lineage")(job)
+    assert(ran2 === 0)
+    // simulate a lost bucket: drop one lineage row set → only that bucket reruns
+    val lineage = spark.read.parquet(s"$tmp/lineage")
+    lineage.filter(col("bucket") =!= 2).write.mode("overwrite").parquet(s"$tmp/lineage2")
+    val pts2 = Synth.points(spark, dir)
+    val ran3 = CheckpointOps.runResumable(spark, pts2, "pid", 4, s"$tmp/out", s"$tmp/lineage2")(job)
+    assert(ran3 === 1)
+    // union of bucket outputs equals the unbucketed job output
+    val bucketed = spark.read.parquet(s"$tmp/out/bucket=*")
+      .groupBy("bx", "by").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = job(pts)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bucketed === direct)
+  }
+
+  test("salted count equals plain groupBy count") {
+    val cells = Synth.points(spark, dir)
+      .select(graft.functions.Fns.cellId(col("lon_fix"), col("lat_fix"), 8).as("cell"))
+    val salted = SkewOps.saltedCount(cells, "cell", Seq("cell"), 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = cells.groupBy("cell").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted === plain)
+  }
+
+  test("multimodal extract: stub decode is deterministic and fingerprint matches kernel") {
+    val metas = MultimodalOps.extractMedia(spark, Synth.pages(spark, dir)).collect()
+    assert(metas.length === 500)
+    val pages = Synth.pages(spark, dir).select("url", "html").collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toMap
+    metas.take(20).foreach { m =>
+      val bytes = pages(m.url)
+      val (w, h, f) = MultimodalOps.decodeStub(bytes)
+      assert((m.width, m.height, m.nFrames) === ((w, h, f)))
+      assert(m.fingerprint === MultimodalOps.byteFingerprint(bytes))
+      assert(m.byteLen === bytes.length.toLong)
+    }
+  }
+
   test("cosine top-1 of an injected near-duplicate is its source") {
     val e = Synth.embCorpus(spark, dir)
     val q = e.filter(col("vec_id") >= 1000000L).limit(5)
