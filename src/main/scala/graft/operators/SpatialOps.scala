@@ -55,8 +55,10 @@ object SpatialOps {
   }
 
   /** General-polygon PIP via the exact ray-cast kernel (concave rings,
-    * holes): broadcast cover join + Planar-based refinement. Used by the
-    * area pipeline; the convex variant above is the oracle-checked path.
+    * holes): broadcast cover join + native-Expression refinement
+    * (graft.plans.PointInPolygonSet — stays inside whole-stage codegen
+    * where a Scala UDF would break the span). Used by the area pipeline;
+    * the convex variant above is the oracle-checked path.
     */
   def pipJoinGeneral(spark: SparkSession, points: DataFrame,
                      polygons: Map[Int, Array[(Array[Long], Array[Long])]],
@@ -66,13 +68,10 @@ object SpatialOps {
       val xs = rings.flatMap(_._1); val ys = rings.flatMap(_._2)
       CellId.coverBBox(xs.min, ys.min, xs.max, ys.max, coverLevel).map(c => (c, id))
     }.toDF("cell", "poly_id")
-    val polysB = points.sparkSession.sparkContext.broadcast(polygons)
-    val refine = udf { (polyId: Int, x: Long, y: Long) =>
-      Planar.pointInPolygon(x, y, polysB.value(polyId))
-    }
     points.withColumn("cell", Fns.cellId(col("lon_fix"), col("lat_fix"), coverLevel))
       .join(broadcast(cover), "cell")
-      .filter(refine(col("poly_id"), col("lon_fix"), col("lat_fix")))
+      .filter(graft.plans.PointInPolygonSet(
+        col("poly_id"), col("lon_fix"), col("lat_fix"), polygons))
       .select(col("pid"), col("poly_id"))
   }
 

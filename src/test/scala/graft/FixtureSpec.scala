@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Utf8, Wkt}
+import graft.operators.AssemblyOps
+import graft.sources.OsmXml
+
+/** Tier-2 behavioral fixtures ported verbatim from the reference test
+  * suite (FIXTURES.md §3): expected outcomes are encoded in the data via
+  * test=ok|fail tags.
+  */
+class FixtureSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private def res(name: String): String =
+    getClass.getResource(s"/fixtures/$name").getPath
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("broken_way_geometries: linestring validity matches every test tag") {
+    val (nodesDf, waysDf, _) = OsmXml.frames(spark, res("broken_way_geometries.osm"))
+    val nodes = nodesDf.select(col("id"), col("lon_fix").cast("long").as("x"),
+      col("lat_fix").cast("long").as("y"))
+    val ways = waysDf.select(col("way_id"), col("refs"))
+    val resolved = AssemblyOps.coordinatesForWays(ways, nodes)
+    // validity = >= 2 positionally-distinct consecutive points (the
+    // reference's JS pipeline produces no geometry otherwise —
+    // osmjs/js/osm2shape.js via wrapper geometry fallbacks)
+    val verdicts = waysDf.select(col("way_id"), col("tags")("test").as("expect"))
+      .join(resolved, Seq("way_id"), "left")
+      .collect().map { r =>
+        val expect = r.getString(1)
+        val ok = if (r.isNullAt(2)) false else {
+          val xs = r.getSeq[Long](2); val ys = r.getSeq[Long](3)
+          val pts = xs.zip(ys)
+          val dedup = pts.foldLeft(List.empty[(Long, Long)]) {
+            case (acc, p) if acc.headOption.contains(p) => acc
+            case (acc, p) => p :: acc
+          }
+          dedup.length >= 2
+        }
+        (r.getLong(0), expect, if (ok) "ok" else "fail")
+      }
+    assert(verdicts.length === 7)
+    verdicts.foreach { case (id, expect, got) =>
+      assert(got === expect, s"way $id expected $expect got $got")
+    }
+  }
+
+  test("broken_way_geometries: valid way WKT golden") {
+    val (nodesDf, waysDf, _) = OsmXml.frames(spark, res("broken_way_geometries.osm"))
+    val nodes = nodesDf.select(col("id"), col("lon_fix").cast("long").as("x"),
+      col("lat_fix").cast("long").as("y"))
+    val resolved = AssemblyOps.coordinatesForWays(
+      waysDf.select(col("way_id"), col("refs")), nodes)
+    val way2 = resolved.filter(col("way_id") === 2).collect()(0)
+    val lon = way2.getSeq[Long](1).map(_.toInt).toArray
+    val lat = way2.getSeq[Long](2).map(_.toInt).toArray
+    assert(Wkt.lineString(lon, lat) === "LINESTRING(1 2,2 2)")
+  }
+
+  test("utf8_clipping: truncation never splits a multi-byte character") {
+    val (nodesDf, _, _) = OsmXml.frames(spark, res("utf8_clipping.osm"))
+    val vals = nodesDf.select(col("tags")("utf8")).collect().map(_.getString(0))
+    assert(vals.length >= 10)
+    for (v <- vals; limit <- Seq(9, 10)) {
+      val t = Utf8.safeTruncate(v, limit)
+      assert(Utf8.byteLen(t) <= limit, s"'$t' exceeds $limit bytes")
+      assert(v.startsWith(t))
+      // the cut never produces an unpaired surrogate / partial char:
+      // re-encoding round-trips exactly
+      val rt = new String(t.getBytes("UTF-8"), "UTF-8")
+      assert(rt === t)
+      // maximality: adding the next code point would exceed the budget
+      if (t.length < v.length) {
+        val nextCp = v.codePointAt(t.length)
+        val nextLen = if (nextCp < 0x80) 1 else if (nextCp < 0x800) 2
+          else if (nextCp < 0x10000) 3 else 4
+        assert(Utf8.byteLen(t) + nextLen > limit)
+      }
+    }
+    // hand goldens: 2-byte char at 3rd position, budget cuts mid-char
+    assert(Utf8.safeTruncate("12¢56789", 3) === "12")
+    assert(Utf8.safeTruncate("12¢56789", 4) === "12¢")
+  }
+}

@@ -50,6 +50,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sparkHits === expect)
   }
 
+  test("pipJoinGeneral (native Expression) agrees with convex path and handles concave rings") {
+    val pts = Synth.points(spark, dir)
+    val polyMap: Map[Int, Array[(Array[Long], Array[Long])]] =
+      Synth.hexagons.map(h => h.polyId -> Array((h.xs, h.ys))).toMap
+    val general = SpatialOps.pipJoinGeneral(spark, pts, polyMap)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val convex = SpatialOps.pipJoinConvex(spark, pts)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(general === convex)
+    // concave C-shape + hole: compare against the kernel brute force
+    val cX = Array(0L, 800000000L, 800000000L, 200000000L, 200000000L,
+      800000000L, 800000000L, 0L)
+    val cY = Array(-500000000L, -500000000L, -200000000L, -200000000L,
+      200000000L, 200000000L, 500000000L, 500000000L)
+    val concave = Map(99 -> Array((cX, cY)))
+    val got = SpatialOps.pipJoinGeneral(spark, pts, concave)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expect = pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (_, x, y) => graft.core.Planar.pointInRing(x, y, cX, cY) }
+      .map { case (pid, _, _) => (pid, 99) }.toSet
+    assert(got === expect)
+  }
+
   test("knn matches local brute force for one query") {
     val pts = Synth.points(spark, dir)
     val q = pts.filter(col("pid") % 997 === 0)
