@@ -264,21 +264,26 @@ object SparkEntry {
   )
 
   /** Full conformance-plane assembly pipeline over synthesized entities. */
-  def areaAssembly(spark: SparkSession): DataFrame = {
+  def areaAssembly(spark: SparkSession, attemptRepair: Boolean = true): DataFrame = {
     import spark.implicits._
-    val (nodes, ways, members) = OsmSynth.frames(spark, 150)
+    val (nodes, ways, rels, members) = OsmSynth.frames(spark, 150)
     val waysC = AssemblyOps.coordinatesForWays(ways, nodes)
-    val memberWays = members.join(waysC, "way_id")
+      .join(ways.select(col("way_id"), col("tags")), "way_id")
+    val memberWays = members
+      .join(waysC, "way_id")
+      .join(rels.withColumnRenamed("tags", "relTags"), "rel_id")
       .select(col("rel_id").as("relId"), col("member_pos").as("memberPos"),
-        col("way_id").as("wayId"), col("xs"), col("ys"))
+        col("way_id").as("wayId"), col("xs"), col("ys"), col("tags"),
+        col("relTags"))
       .as[AssemblyOps.MemberWay]
-    val fromRels = AssemblyOps.assembleAreas(spark, memberWays)
+    val fromRels = AssemblyOps.assembleAreas(spark, memberWays, attemptRepair)
     val loneWays = AssemblyOps.waysNotInAnyRelation(waysC, members)
     val fromWays = AssemblyOps.areasFromClosedWays(spark, loneWays)
     fromRels.unionByName(fromWays).toDF()
       .select(col("areaId").as("area_id"), col("origId").as("orig_id"),
         col("fromWay").as("from_way"), col("nOuter").as("n_outer"),
-        col("nInner").as("n_inner"), col("status"), col("wkt"))
+        col("nInner").as("n_inner"), col("status"), col("wkt"),
+        to_json(col("tags")).as("tags_json"))
   }
 
   // ---------------------------------------------------------------------

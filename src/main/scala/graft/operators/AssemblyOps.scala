@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Planar, Wkt}
+import graft.core.{Haversine, FixedPoint, Planar, Wkt}
 
 /** Entity assembly — the reference's signature computation re-expressed
   * Spark-first.
@@ -13,19 +13,47 @@ import graft.core.{Planar, Wkt}
   *    2-pass sorted-lookup join = explode members → join ways → groupBy
   *    relation.
   *  - Multipolygon ring building (multipolygon/builder.hpp:182-974): a
-  *    deterministic per-relation computation → typed flatMapGroups. Ring
-  *    growth follows the builder's greedy endpoint matching with way
-  *    inversion (complete_ring :484-526), inner/outer classification is
-  *    containment parity (:694-752), final orientation outer-CW/inner-CCW
-  *    (:885-892), area ids follow osm/area.hpp:71-84 (way → id*2,
-  *    relation → id*2 + sgn(id)).
+  *    deterministic per-relation computation → typed flatMapGroups:
+  *      · greedy ring growth with way inversion (complete_ring :484-526)
+  *      · dangling-end repair: sort-and-cancel end nodes, connect closest
+  *        pairs with pseudo-ways, re-run ring building (:550-637,684-687)
+  *      · inner/outer classification by containment parity (:694-752)
+  *      · tag logic: ignore {type,created_by,source,note} (:202-208),
+  *        same_tags/untagged/merge_tags (:216-285), one-way inner rings
+  *        with own tags emit EXTRA areas (:758-780), outer-way tags merged
+  *        when the relation is untagged or single-ring-single-way
+  *        (:922-945)
+  *      · final orientation outer-CW/inner-CCW (:885-892)
+  *      · area ids follow osm/area.hpp:71-84 (way → id*2, relation →
+  *        id*2 + sgn(id)); errors surface as status rows matching the
+  *        taxonomy at builder.hpp:59-87.
+  *    Deviations (documented): ring endpoints match by position (the
+  *    reference matches node refs; identical on ref-consistent data) and
+  *    polygon validity is ring-simplicity (no GEOS isValid); the
+  *    self-intersection binary-search salvage (:342-422) is not yet
+  *    implemented — such rings report InvalidRing.
   */
 object AssemblyOps {
 
   case class MemberWay(relId: Long, memberPos: Int, wayId: Long,
-                       xs: Array[Long], ys: Array[Long])
+                       xs: Array[Long], ys: Array[Long],
+                       tags: Map[String, String], relTags: Map[String, String])
   case class Area(areaId: Long, origId: Long, fromWay: Boolean,
-                  nOuter: Int, nInner: Int, status: String, wkt: String)
+                  nOuter: Int, nInner: Int, status: String, wkt: String,
+                  tags: Map[String, String])
+
+  /** builder.hpp:202-208 */
+  private val IgnoredTagKeys = Set("type", "created_by", "source", "note")
+
+  private def significant(tags: Map[String, String]): Map[String, String] =
+    tags.view.filterKeys(k => !IgnoredTagKeys.contains(k)).toMap
+
+  private def untagged(tags: Map[String, String]): Boolean = significant(tags).isEmpty
+
+  private def sameTags(a: Map[String, String], b: Map[String, String]): Boolean =
+    significant(a) == significant(b)
+
+  // -------------------------------------------------------------------------
 
   /** Node-location join: ways(way_id, refs array<long>) ⋈ nodes(id, x, y)
     * → ways with coordinate arrays, member order preserved via posexplode.
@@ -50,23 +78,24 @@ object AssemblyOps {
 
   /** Closed standalone ways with >= 4 nodes become areas directly
     * (multipolygon/assembler.hpp:88-95), area_id = way_id * 2.
+    * Input: (way_id, xs, ys, tags).
     */
   def areasFromClosedWays(spark: SparkSession, ways: DataFrame): Dataset[Area] = {
     import spark.implicits._
     ways.filter(size(col("xs")) >= 4 &&
         element_at(col("xs"), 1) === element_at(col("xs"), -1) &&
         element_at(col("ys"), 1) === element_at(col("ys"), -1))
-      .select(col("way_id"), col("xs"), col("ys"))
-      .as[(Long, Array[Long], Array[Long])]
-      .map { case (wayId, xs, ys) =>
+      .select(col("way_id"), col("xs"), col("ys"), col("tags"))
+      .as[(Long, Array[Long], Array[Long], Map[String, String])]
+      .map { case (wayId, xs, ys, tags) =>
         val (ox, oy) = Planar.open(xs, ys)
         if (!Planar.isSimpleRing(ox, oy))
-          Area(wayId * 2, wayId, fromWay = true, 0, 0, "InvalidRing", null)
+          Area(wayId * 2, wayId, fromWay = true, 0, 0, "InvalidRing", null, tags)
         else {
           // outer ring must be CW in the final geometry (builder.hpp:885-892)
           val (cx, cy) = if (Planar.isCCW(ox, oy)) (ox.reverse, oy.reverse) else (ox, oy)
           val wkt = Wkt.multiPolygon(Seq(Seq((closeI(cx), closeI(cy)))))
-          Area(wayId * 2, wayId, fromWay = true, 1, 0, "ok", wkt)
+          Area(wayId * 2, wayId, fromWay = true, 1, 0, "ok", wkt, tags)
         }
       }
   }
@@ -75,68 +104,129 @@ object AssemblyOps {
     * per-group deterministic ring building. Embarrassingly parallel across
     * relations; one shuffle on rel_id.
     */
-  def assembleAreas(spark: SparkSession, members: Dataset[MemberWay]): Dataset[Area] = {
+  def assembleAreas(spark: SparkSession, members: Dataset[MemberWay],
+                    attemptRepair: Boolean = true): Dataset[Area] = {
     import spark.implicits._
     members.groupByKey(_.relId).flatMapGroups { (relId, it) =>
       val ways = it.toArray.sortBy(_.memberPos)
-      assembleOne(relId, ways)
+      assembleOne(relId, ways, attemptRepair)
     }
   }
 
-  /** Deterministic single-relation assembly (pure function — unit-testable
-    * without Spark). Mirrors Builder::build (builder.hpp:308-324) minus the
-    * repair modes (round-1 scope; errors reported as status rows, matching
-    * the error taxonomy at builder.hpp:59-87).
-    */
-  def assembleOne(relId: Long, ways: Array[MemberWay]): Iterator[Area] = {
+  // ---- per-relation kernel (pure; unit-testable without Spark) -------------
+
+  private case class WayBuf(wayId: Long, xs: Array[Long], ys: Array[Long],
+                            tags: Map[String, String], pseudo: Boolean)
+  private case class RingBuf(xs: Array[Long], ys: Array[Long], ways: Seq[WayBuf])
+
+  def assembleOne(relId: Long, memberWays: Array[MemberWay],
+                  attemptRepair: Boolean = true): Iterator[Area] = {
     val areaId = relId * 2 + java.lang.Long.signum(relId)
-    if (ways.isEmpty)
-      return Iterator(Area(areaId, relId, fromWay = false, 0, 0, "NoRings", null))
+    val relTags = memberWays.headOption.map(_.relTags).getOrElse(Map.empty)
+    def err(status: String) =
+      Iterator(Area(areaId, relId, fromWay = false, 0, 0, status, null, relTags))
 
-    // greedy ring growth with endpoint matching + way inversion
-    // (complete_ring, builder.hpp:484-526); scan order = member order.
-    val used = new Array[Boolean](ways.length)
-    val rings = scala.collection.mutable.ArrayBuffer.empty[(Array[Long], Array[Long])]
-    var dangling = false
-    var i = 0
-    while (i < ways.length && !dangling) {
-      if (!used(i)) {
-        used(i) = true
-        var xs = ways(i).xs.toBuffer
-        var ys = ways(i).ys.toBuffer
-        var closed = xs.length >= 4 && xs.head == xs.last && ys.head == ys.last
-        var progress = true
-        while (!closed && progress) {
-          progress = false
-          var j = 0
-          while (j < ways.length && !progress) {
-            if (!used(j)) {
-              val w = ways(j)
-              if (w.xs.head == xs.last && w.ys.head == ys.last) {
-                xs ++= w.xs.drop(1); ys ++= w.ys.drop(1); used(j) = true; progress = true
-              } else if (w.xs.last == xs.last && w.ys.last == ys.last) {
-                xs ++= w.xs.reverse.drop(1); ys ++= w.ys.reverse.drop(1); used(j) = true; progress = true
-              }
-            }
-            j += 1
-          }
-          closed = xs.length >= 4 && xs.head == xs.last && ys.head == ys.last
-        }
-        if (closed) rings += ((xs.toArray, ys.toArray))
-        else dangling = true
+    if (memberWays.isEmpty) return err("NoRings")
+
+    // assemble_ways (builder.hpp:644-660): skip empty ways; dedup by way id
+    // when repairing
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val ways = scala.collection.mutable.ArrayBuffer.empty[WayBuf]
+    memberWays.foreach { w =>
+      if (w.xs.nonEmpty && (!attemptRepair || !seen.contains(w.wayId))) {
+        seen += w.wayId
+        ways += WayBuf(w.wayId, w.xs, w.ys, w.tags, pseudo = false)
       }
-      i += 1
     }
-    if (dangling || rings.isEmpty)
-      return Iterator(Area(areaId, relId, fromWay = false, 0, 0,
-        if (dangling) "DanglingEnds" else "NoRings", null))
+    if (ways.isEmpty) return err("NoRings")
 
-    val open = rings.map { case (xs, ys) => Planar.open(xs, ys) }
+    // greedy ring growth (complete_ring :484-526); scan order = vector order
+    val used = scala.collection.mutable.ArrayBuffer.fill(ways.length)(false)
+    val rings = scala.collection.mutable.ArrayBuffer.empty[RingBuf]
+    def makeRings(): Unit = {
+      var i = 0
+      while (i < ways.length) {
+        if (!used(i)) {
+          val start = ways(i)
+          val xs = start.xs.toBuffer
+          val ys = start.ys.toBuffer
+          val ringWays = scala.collection.mutable.ArrayBuffer(start)
+          val usedHere = scala.collection.mutable.ArrayBuffer(i)
+          var closed = xs.length >= 4 && xs.head == xs.last && ys.head == ys.last
+          var progress = true
+          while (!closed && progress) {
+            progress = false
+            var j = 0
+            while (j < ways.length && !progress) {
+              if (!used(j) && !usedHere.contains(j)) {
+                val w = ways(j)
+                if (w.xs.head == xs.last && w.ys.head == ys.last) {
+                  xs ++= w.xs.drop(1); ys ++= w.ys.drop(1)
+                  ringWays += w; usedHere += j; progress = true
+                } else if (w.xs.last == xs.last && w.ys.last == ys.last) {
+                  xs ++= w.xs.reverse.drop(1); ys ++= w.ys.reverse.drop(1)
+                  ringWays += w; usedHere += j; progress = true
+                }
+              }
+              j += 1
+            }
+            closed = xs.length >= 4 && xs.head == xs.last && ys.head == ys.last
+          }
+          if (closed) {
+            usedHere.foreach(used(_) = true)
+            rings += RingBuf(xs.toArray, ys.toArray, ringWays.toSeq)
+          }
+        }
+        i += 1
+      }
+    }
+    makeRings()
+
+    // dangling-end detection and repair (:550-637)
+    val unused = ways.indices.filterNot(used)
+    if (unused.nonEmpty) {
+      val endNodes = unused.flatMap { i =>
+        val w = ways(i)
+        Seq((w.xs.head, w.ys.head), (w.xs.last, w.ys.last))
+      }.sorted
+      val dangling = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var i = 0
+      while (i < endNodes.length) {
+        if (i + 1 < endNodes.length && endNodes(i) == endNodes(i + 1)) i += 2
+        else { dangling += endNodes(i); i += 1 }
+      }
+      if (dangling.nonEmpty) {
+        if (!attemptRepair) return err("DanglingEnds")
+        // connect each dangling end to its closest partner (:608-637)
+        def hav(a: (Long, Long), b: (Long, Long)): Double =
+          Haversine.distance(
+            FixedPoint.fixToDouble(a._1.toInt), FixedPoint.fixToDouble(a._2.toInt),
+            FixedPoint.fixToDouble(b._1.toInt), FixedPoint.fixToDouble(b._2.toInt))
+        while (dangling.nonEmpty) {
+          val wn = dangling.remove(dangling.length - 1)
+          var closest = 0
+          var minD = hav(wn, dangling(0))
+          var k = 1
+          while (k < dangling.length) {
+            val d = hav(wn, dangling(k))
+            if (d < minD) { minD = d; closest = k }
+            k += 1
+          }
+          val c = dangling.remove(closest)
+          ways += WayBuf(-1L, Array(c._1, wn._1), Array(c._2, wn._2),
+            Map.empty, pseudo = true)
+          used += false
+        }
+        makeRings() // re-run with the repair bits (:684-687)
+      }
+    }
+    if (rings.isEmpty) return err("NoRings")
+
+    val open = rings.map(r => Planar.open(r.xs, r.ys))
     if (open.exists { case (xs, ys) => !Planar.isSimpleRing(xs, ys) })
-      return Iterator(Area(areaId, relId, fromWay = false, 0, 0, "InvalidRing", null))
+      return err("InvalidRing")
 
-    // inner/outer by containment parity (builder.hpp:694-752): a ring
-    // contained in an even number of other rings is an outer ring.
+    // inner/outer by containment parity (:694-752)
     val n = open.length
     val containedBy = Array.tabulate(n) { a =>
       (0 until n).filter(b => b != a &&
@@ -144,25 +234,58 @@ object AssemblyOps {
         ringAreaAbs(open(b)) > ringAreaAbs(open(a))).toArray
     }
     val isInner = containedBy.map(_.length % 2 == 1)
-
-    // group each inner ring under its smallest containing outer ring
     val outers = (0 until n).filter(!isInner(_))
+    // direct parent of an inner ring = smallest containing ring
+    val parentOf = Array.tabulate(n) { a =>
+      if (!isInner(a) || containedBy(a).isEmpty) -1
+      else containedBy(a).minBy(b => ringAreaAbs(open(b)))
+    }
+
+    val extraAreas = scala.collection.mutable.ArrayBuffer.empty[Area]
+    var areaTags = relTags
+
+    // handle_one_way_inner_rings (:758-780): a tagged single-way inner ring
+    // with tags differing from the area (and from a single-way parent ring)
+    // emits its own area
+    (0 until n).filter(isInner).foreach { a =>
+      val realWays = rings(a).ways.filterNot(_.pseudo)
+      if (rings(a).ways.size == 1 && realWays.size == 1 && !untagged(realWays.head.tags)) {
+        val w = realWays.head
+        val parentSingle = parentOf(a) >= 0 && rings(parentOf(a)).ways.size == 1 &&
+          rings(parentOf(a)).ways.filterNot(_.pseudo).headOption
+            .exists(pw => sameTags(w.tags, pw.tags))
+        if (!sameTags(w.tags, areaTags) && !parentSingle) {
+          val (cx, cy) = orient(open(a), ccw = false)
+          extraAreas += Area(w.wayId * 2, w.wayId, fromWay = true, 1, 0, "ok",
+            Wkt.multiPolygon(Seq(Seq((closeI(cx), closeI(cy))))), w.tags)
+        }
+      }
+    }
+
+    // per-outer-ring polygon + tag merge (:885-945)
+    val outerRingCount = outers.length
     val polys = outers.map { o =>
-      val holes = (0 until n).filter(a => isInner(a) && containedBy(a).contains(o) &&
-        // direct containment: no other outer between them
-        !outers.exists(o2 => o2 != o && containedBy(a).contains(o2) &&
-          containedBy(o2).contains(o)))
-      // orientation: outer CW, holes CCW (builder.hpp:885-892)
+      val holes = (0 until n).filter(a => isInner(a) && parentOf(a) == o)
+      rings(o).ways.filterNot(_.pseudo).foreach { w =>
+        if (untagged(w.tags)) ()                      // way not tagged — ok
+        else if (sameTags(areaTags, w.tags)) ()       // same as area — ok
+        else if (untagged(areaTags))                  // relation untagged — take way tags
+          areaTags = areaTags ++ significant(w.tags).filterNot(kv => areaTags.contains(kv._1))
+        else if (outerRingCount == 1 && rings(o).ways.size == 1)
+          areaTags = areaTags ++ significant(w.tags).filterNot(kv => areaTags.contains(kv._1))
+      }
       val (oxs, oys) = orient(open(o), ccw = false)
-      val rs = Seq((closeI(oxs), closeI(oys))) ++ holes.map { h =>
+      Seq((closeI(oxs), closeI(oys))) ++ holes.map { h =>
         val (hx, hy) = orient(open(h), ccw = true)
         (closeI(hx), closeI(hy))
       }
-      rs
     }
+    if (polys.isEmpty) return extraAreas.iterator ++ err("NoRings")
+
     val wkt = Wkt.multiPolygon(polys)
-    Iterator(Area(areaId, relId, fromWay = false, outers.length,
-      isInner.count(identity), "ok", wkt))
+    extraAreas.iterator ++ Iterator(
+      Area(areaId, relId, fromWay = false, outerRingCount,
+        isInner.count(identity), "ok", wkt, areaTags))
   }
 
   private def ringAreaAbs(r: (Array[Long], Array[Long])): BigInt =

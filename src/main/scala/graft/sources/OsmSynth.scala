@@ -19,7 +19,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object OsmSynth {
   case class Node(id: Long, x: Long, y: Long)
-  case class Way(way_id: Long, refs: Array[Long], closed: Boolean)
+  case class Way(way_id: Long, refs: Array[Long], closed: Boolean,
+                 tags: Map[String, String])
+  case class Rel(rel_id: Long, tags: Map[String, String])
   case class RelMember(rel_id: Long, member_pos: Int, way_id: Long, role: String)
 
   val Side = 4000000L
@@ -27,14 +29,19 @@ object OsmSynth {
   def baseX(g: Int): Long = (g % 40).toLong * 10000000L - 200000000L
   def baseY(g: Int): Long = (g / 40).toLong * 10000000L - 200000000L
 
-  def generate(numGroups: Int): (Seq[Node], Seq[Way], Seq[RelMember]) = {
+  def generate(numGroups: Int): (Seq[Node], Seq[Way], Seq[Rel], Seq[RelMember]) = {
     val nodes = scala.collection.mutable.ArrayBuffer.empty[Node]
     val ways = scala.collection.mutable.ArrayBuffer.empty[Way]
+    val rels = scala.collection.mutable.ArrayBuffer.empty[Rel]
     val members = scala.collection.mutable.ArrayBuffer.empty[RelMember]
 
     for (g <- 0 until numGroups) {
       val relId = g + 1L
       val nid = 1000L * relId
+      // relation tags: type marker always; landuse only on even groups so
+      // odd groups exercise the untagged-relation tag-merge path
+      rels += Rel(relId, Map("type" -> "multipolygon") ++
+        (if (g % 2 == 0) Map("landuse" -> "forest") else Map.empty))
       val bx = baseX(g); val by = baseY(g)
       // outer square corners c0..c3 (CCW)
       val corners = Array((bx, by), (bx + Side, by), (bx + Side, by + Side), (bx, by + Side))
@@ -42,9 +49,11 @@ object OsmSynth {
       // way A: c0-c1-c2 ; way B: c2-c3-c0
       val wayA = 10L * relId
       val wayB = 10L * relId + 1
-      ways += Way(wayA, Array(nid, nid + 1, nid + 2), closed = false)
+      ways += Way(wayA, Array(nid, nid + 1, nid + 2), closed = false, Map.empty)
       val refsB = Array(nid + 2, nid + 3, nid)
-      ways += Way(wayB, if (g % 3 == 1) refsB.reverse else refsB, closed = false)
+      // g%5==1: tagged outer way (merged into the area iff relation untagged)
+      ways += Way(wayB, if (g % 3 == 1) refsB.reverse else refsB, closed = false,
+        if (g % 5 == 1) Map("landuse" -> "meadow") else Map.empty)
       members += RelMember(relId, 0, wayA, "outer")
       if (g % 17 != 5) members += RelMember(relId, 1, wayB, "outer")
       // hole: quarter-size closed way in the center
@@ -53,7 +62,10 @@ object OsmSynth {
         val h = Array((bx + q, by + q), (bx + 3 * q, by + q), (bx + 3 * q, by + 3 * q), (bx + q, by + 3 * q))
         h.zipWithIndex.foreach { case ((x, y), i) => nodes += Node(nid + 10 + i, x, y) }
         val wayH = 10L * relId + 2
-        ways += Way(wayH, Array(nid + 10, nid + 11, nid + 12, nid + 13, nid + 10), closed = true)
+        // g%8==2: tagged hole -> extra one-way-inner-ring area emitted
+        ways += Way(wayH, Array(nid + 10, nid + 11, nid + 12, nid + 13, nid + 10),
+          closed = true,
+          if (g % 8 == 2) Map("natural" -> "water") else Map.empty)
         members += RelMember(relId, 2, wayH, "inner")
       }
       // standalone closed way, in no relation
@@ -61,15 +73,17 @@ object OsmSynth {
         val sx = bx + 2 * Side; val sy = by
         val s = Array((sx, sy), (sx + Side, sy), (sx + Side, sy + Side), (sx, sy + Side))
         s.zipWithIndex.foreach { case ((x, y), i) => nodes += Node(nid + 20 + i, x, y) }
-        ways += Way(100000L + relId, Array(nid + 20, nid + 21, nid + 22, nid + 23, nid + 20), closed = true)
+        ways += Way(100000L + relId,
+          Array(nid + 20, nid + 21, nid + 22, nid + 23, nid + 20), closed = true,
+          Map("building" -> "yes"))
       }
     }
-    (nodes.toSeq, ways.toSeq, members.toSeq)
+    (nodes.toSeq, ways.toSeq, rels.toSeq, members.toSeq)
   }
 
-  def frames(spark: SparkSession, numGroups: Int): (DataFrame, DataFrame, DataFrame) = {
+  def frames(spark: SparkSession, numGroups: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import spark.implicits._
-    val (nodes, ways, members) = generate(numGroups)
-    (nodes.toDF(), ways.toDF(), members.toDF())
+    val (nodes, ways, rels, members) = generate(numGroups)
+    (nodes.toDF(), ways.toDF(), rels.toDF(), members.toDF())
   }
 }

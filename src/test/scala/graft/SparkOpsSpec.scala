@@ -103,15 +103,28 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("area assembly pipeline produces the expected population") {
+    // without repair: g%17==5 relations fail with DanglingEnds
+    val strict = SparkEntry.areaAssembly(spark, attemptRepair = false).collect()
+    val strictBy = strict.groupBy(r => (r.getString(5), r.getBoolean(2))).view.mapValues(_.length).toMap
+    assert(strictBy(("DanglingEnds", false)) === (0 until 150).count(_ % 17 == 5))
+
+    // with repair (default): every relation assembles
     val out = SparkEntry.areaAssembly(spark).collect()
     val byStatus = out.groupBy(r => (r.getString(5), r.getBoolean(2))).view.mapValues(_.length).toMap
-    // 150 groups: g%17==5 -> DanglingEnds (9); rest ok; g%6==0 -> 25 way-areas
-    assert(byStatus(("DanglingEnds", false)) === (0 until 150).count(_ % 17 == 5))
-    assert(byStatus(("ok", false)) === 150 - (0 until 150).count(_ % 17 == 5))
-    assert(byStatus(("ok", true)) === (0 until 150).count(_ % 6 == 0))
-    // holes: g%4==2 and not dangling
-    val nInner = out.filter(r => r.getString(5) == "ok").map(_.getInt(4)).sum
-    assert(nInner === (0 until 150).count(g => g % 4 == 2 && g % 17 != 5))
+    assert(byStatus(("ok", false)) === 150)
+    assert(byStatus.getOrElse(("DanglingEnds", false), 0) === 0)
+    // from-way areas: standalone closed ways + extra tagged-inner-ring areas
+    val nStandalone = (0 until 150).count(_ % 6 == 0)
+    val nExtraInner = (0 until 150).count(_ % 8 == 2)
+    assert(byStatus(("ok", true)) === nStandalone + nExtraInner)
+    // holes: every g%4==2 (repaired triangles still contain the hole vertex)
+    val nInner = out.filter(r => r.getString(5) == "ok" && !r.getBoolean(2)).map(_.getInt(4)).sum
+    assert(nInner === (0 until 150).count(g => g % 4 == 2))
+    // tag merge: untagged relation (odd g) + tagged outer way (g%5==1);
+    // g%17==5 groups omit the tagged way entirely, so no merge there
+    val merged = out.filter(r => !r.getBoolean(2) && r.getString(7).contains("meadow"))
+    assert(merged.length ===
+      (0 until 150).count(g => g % 2 == 1 && g % 5 == 1 && g % 17 != 5))
     // area-id bijection: from_way <=> even id, orig_id = id/2 rounded toward 0
     out.filter(r => r.getString(5) == "ok").foreach { r =>
       val id = r.getLong(0); val orig = r.getLong(1); val fromWay = r.getBoolean(2)

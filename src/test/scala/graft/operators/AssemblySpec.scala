@@ -11,7 +11,13 @@ import graft.operators.AssemblyOps.{Area, MemberWay}
 class AssemblySpec extends AnyFunSuite {
 
   private def mw(rel: Long, pos: Int, way: Long, pts: (Long, Long)*): MemberWay =
-    MemberWay(rel, pos, way, pts.map(_._1).toArray, pts.map(_._2).toArray)
+    MemberWay(rel, pos, way, pts.map(_._1).toArray, pts.map(_._2).toArray,
+      Map.empty, Map.empty)
+
+  private def mwT(rel: Long, pos: Int, way: Long, tags: Map[String, String],
+                  relTags: Map[String, String], pts: (Long, Long)*): MemberWay =
+    MemberWay(rel, pos, way, pts.map(_._1).toArray, pts.map(_._2).toArray,
+      tags, relTags)
 
   test("two open ways close into one outer ring; area id = 2*rel + sgn") {
     val ways = Array(
@@ -59,11 +65,74 @@ class AssemblySpec extends AnyFunSuite {
     assert(a.wkt.contains(")),((")) // two polygons
   }
 
-  test("dangling ends -> error row, no area") {
+  test("dangling ends without repair -> error row, no area") {
     val ways = Array(mw(5, 0, 50, (0, 0), (10, 0), (10, 10)))
-    val a = AssemblyOps.assembleOne(5, ways).toArray.head
+    val a = AssemblyOps.assembleOne(5, ways, attemptRepair = false).toArray.head
     assert(a.status === "DanglingEnds")
     assert(a.wkt === null)
+  }
+
+  test("dangling ends WITH repair: pseudo-way closes the gap (builder.hpp:550-637)") {
+    val ways = Array(mw(5, 0, 50, (0, 0), (10, 0), (10, 10)))
+    val a = AssemblyOps.assembleOne(5, ways, attemptRepair = true).toArray.head
+    assert(a.status === "ok")
+    assert(a.nOuter === 1)
+    assert(a.wkt != null) // triangle closed by the repair segment
+  }
+
+  test("repair pairs closest dangling ends across two broken rings") {
+    // two C-shaped open ways far apart; each repairs to its own ring,
+    // not to the other's ends (closest-pair semantics)
+    val ways = Array(
+      mw(9, 0, 90, (0, 0), (10, 0), (10, 10), (0, 10)),
+      mw(9, 1, 91, (1000, 1000), (1010, 1000), (1010, 1010), (1000, 1010)))
+    val a = AssemblyOps.assembleOne(9, ways, attemptRepair = true).toArray.head
+    assert(a.status === "ok")
+    assert(a.nOuter === 2)
+  }
+
+  test("tag logic: untagged relation inherits single outer way's tags") {
+    val ways = Array(mwT(10, 0, 100, Map("landuse" -> "meadow"),
+      Map("type" -> "multipolygon"),
+      (0, 0), (10, 0), (10, 10), (0, 10), (0, 0)))
+    val a = AssemblyOps.assembleOne(10, ways).toArray.head
+    assert(a.status === "ok")
+    assert(a.tags("landuse") === "meadow")
+    assert(a.tags("type") === "multipolygon") // ignore-keys untouched
+  }
+
+  test("tag logic: tagged relation with multi-way outer keeps its own tags") {
+    val rel = Map("type" -> "multipolygon", "landuse" -> "forest")
+    val ways = Array(
+      mwT(11, 0, 110, Map.empty, rel, (0, 0), (10, 0), (10, 10)),
+      mwT(11, 1, 111, Map("landuse" -> "meadow"), rel, (10, 10), (0, 10), (0, 0)))
+    val a = AssemblyOps.assembleOne(11, ways).toArray.head
+    assert(a.tags("landuse") === "forest")
+  }
+
+  test("tagged one-way inner ring emits an extra area (builder.hpp:758-780)") {
+    val rel = Map("type" -> "multipolygon", "landuse" -> "forest")
+    val ways = Array(
+      mwT(12, 0, 120, Map.empty, rel, (0, 0), (100, 0), (100, 100), (0, 100), (0, 0)),
+      mwT(12, 1, 121, Map("natural" -> "water"), rel,
+        (40, 40), (60, 40), (60, 60), (40, 60), (40, 40)))
+    val out = AssemblyOps.assembleOne(12, ways).toArray
+    assert(out.length === 2)
+    val extra = out.find(_.fromWay).get
+    assert(extra.areaId === 242) // way 121 * 2
+    assert(extra.tags === Map("natural" -> "water"))
+    val main = out.find(!_.fromWay).get
+    assert(main.nInner === 1)
+  }
+
+  test("one-way inner ring with same tags as area emits NO extra area") {
+    val rel = Map("type" -> "multipolygon", "natural" -> "water")
+    val ways = Array(
+      mwT(13, 0, 130, Map.empty, rel, (0, 0), (100, 0), (100, 100), (0, 100), (0, 0)),
+      mwT(13, 1, 131, Map("natural" -> "water"), rel,
+        (40, 40), (60, 40), (60, 60), (40, 60), (40, 40)))
+    val out = AssemblyOps.assembleOne(13, ways).toArray
+    assert(out.length === 1)
   }
 
   test("self-intersecting ring -> InvalidRing") {
