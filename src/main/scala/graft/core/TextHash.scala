@@ -1,0 +1,122 @@
+package graft.core
+
+/** Tight-loop text hashing kernel backing the native Catalyst expressions
+  * (graft.plans.ShingleMinHash / ShingleHashArray). Value-identical to the
+  * Column-composed forms in graft.functions.Fns (shingleHashes/minHash) —
+  * those serve as the executable spec; these run ~100x faster because the
+  * interpreted higher-order-function path allocates and boxes per element.
+  *
+  * Semantics (shared with the DuckDB oracle SQL):
+  *  - shingle i (1-based, i in [1, max(n-L+1, 1)]) over the first `cap`
+  *    CHARACTERS: Horner base 31 over code points, positions past the end
+  *    contribute 0 (matching ascii(substr(...)) = 0 on empty), reduced
+  *    mod 1e9+7
+  *  - minhash_j = min over shingles of (h * (1000003 + 2j) + (12345 + 7919j))
+  *    mod 1e9+7
+  */
+object TextHash {
+  val P = 1000000007L
+
+  /** Code points of the first `cap` characters. */
+  private def codePoints(s: String, cap: Int): Array[Int] = {
+    val out = new Array[Int](math.min(s.length, cap))
+    var i = 0; var n = 0
+    while (i < s.length && n < cap) {
+      val cp = s.codePointAt(i)
+      out(n) = cp
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  def shingleHashes(s: String, cap: Int, len: Int): Array[Long] = {
+    val cps = codePoints(s, cap)
+    val n = cps.length
+    val m = math.max(n - (len - 1), 1)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var k = 0
+      while (k < len) {
+        val c = if (i + k < n) cps(i + k) else 0
+        h = h * 31 + c
+        k += 1
+      }
+      out(i) = h % P
+      i += 1
+    }
+    out
+  }
+
+  /** 8-char Horner token hash: positions past the token end contribute 0
+    * (matches ascii(substring(tok, k, 1)) = 0 in the Column-composed spec,
+    * Fns.tokenHash).
+    */
+  def tokenHash(cps: Array[Int], from: Int, to: Int): Long = {
+    var h = 0L
+    var k = 0
+    while (k < 8) {
+      val c = if (from + k < to) cps(from + k) else 0
+      h = h * 31 + c
+      k += 1
+    }
+    h
+  }
+
+  /** 16-bit SimHash over space-separated tokens (tokens = maximal runs of
+    * non-space code points, the '[^ ]+' of the spec form Fns.simHash16).
+    */
+  def simHash16(s: String): Long = {
+    val cps = new Array[Int](s.length)
+    var i = 0; var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(n) = cp; n += 1
+      i += Character.charCount(cp)
+    }
+    val votes = new Array[Int](16)
+    var p = 0
+    while (p < n) {
+      if (cps(p) != ' ') {
+        var q = p
+        while (q < n && cps(q) != ' ') q += 1
+        val h = tokenHash(cps, p, q)
+        var b = 0
+        while (b < 16) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        p = q
+      } else p += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 16) {
+      if (votes(b) > 0) sh |= 1L << b
+      b += 1
+    }
+    sh
+  }
+
+  def minHash(s: String, cap: Int, len: Int, k: Int): Array[Long] = {
+    val sh = shingleHashes(s, cap, len)
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = 1000003L + 2L * j
+      val b = 12345L + 7919L * j
+      var min = Long.MaxValue
+      var i = 0
+      while (i < sh.length) {
+        val v = (sh(i) * a + b) % P
+        if (v < min) min = v
+        i += 1
+      }
+      out(j) = min
+      j += 1
+    }
+    out
+  }
+}

@@ -28,15 +28,16 @@ object DedupOps {
   val ShingleLen = 10
 
   /** MinHash signatures (k = NumMinHashes) over character-10-gram shingles
-    * of the first ShingleCap chars, as one array column (single shingle
-    * evaluation per row — see Fns.minHashArray). Parameters tuned so band
-    * collisions on non-duplicates stay rare even on a narrow-vocabulary
-    * corpus.
+    * of the first ShingleCap chars, via the native ShingleMinHash
+    * expression (the Column-composed Fns form is the executable spec but
+    * evaluates interpreted lambdas per character — >100x slower).
+    * Parameters tuned so band collisions on non-duplicates stay rare even
+    * on a narrow-vocabulary corpus.
     */
   def minHashSignatures(corpus: DataFrame): DataFrame =
     corpus.select(col("doc_id"),
-      Fns.minHashArray(
-        Fns.shingleHashes(col("text"), ShingleCap, ShingleLen), NumMinHashes).as("mh"))
+      graft.plans.TextHashExpressions
+        .shingleMinHash(col("text"), ShingleCap, ShingleLen, NumMinHashes).as("mh"))
 
   /** LSH candidate pairs: docs sharing at least one band (bands of
     * BandSize consecutive minhashes, band key = mod-chained polynomial).
@@ -73,8 +74,8 @@ object DedupOps {
   def ngramJaccardPairs(corpus: DataFrame, thresholdPm: Int): DataFrame = {
     val cand = minHashLshPairs(corpus).select("doc_a", "doc_b")
     val sets = corpus.select(col("doc_id"),
-      array_distinct(array_sort(Fns.shingleHashes(col("text"), ShingleCap, ShingleLen)))
-        .as("shs"))
+      array_distinct(graft.plans.TextHashExpressions
+        .shingleHashes(col("text"), ShingleCap, ShingleLen)).as("shs"))
       .persist()
     val inter = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
@@ -96,7 +97,8 @@ object DedupOps {
     * corpus duplicates have distance 0-2, found via half-match buckets).
     */
   def simHashPairs(corpus: DataFrame, maxDist: Int): DataFrame = {
-    val sh = corpus.select(col("doc_id"), Fns.simHash16(col("text")).as("sh"))
+    val sh = corpus.select(col("doc_id"),
+      graft.plans.TextHashExpressions.simHash16(col("text")).as("sh"))
     val lo = sh.select(col("doc_id"), col("sh"), col("sh").bitwiseAND(lit(255L)).as("bucket"), lit(0).as("half"))
     val hi = sh.select(col("doc_id"), col("sh"), shiftright(col("sh"), 8).bitwiseAND(lit(255L)).as("bucket"), lit(1).as("half"))
     val buckets = lo.unionByName(hi)

@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.TextHash
+
+/** Codegen bridge for generated Java (primitive-loop kernel calls). */
+object TextHashKernel {
+  def shingles(s: UTF8String, cap: Int, len: Int): GenericArrayData =
+    new GenericArrayData(TextHash.shingleHashes(s.toString, cap, len))
+  def minhash(s: UTF8String, cap: Int, len: Int, k: Int): GenericArrayData =
+    new GenericArrayData(TextHash.minHash(s.toString, cap, len, k))
+}
+
+/** Native `array<long>` of character n-gram shingle hashes. Replaces the
+  * Column-composed Fns.shingleHashes in hot paths: the interpreted
+  * higher-order-function form evaluates a boxed lambda per character and
+  * was measured >100x slower at sf0.1 (see DedupOps).
+  */
+case class ShingleHashArray(child: Expression, cap: Int, len: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(text: Any): Any =
+    TextHashKernel.shingles(text.asInstanceOf[UTF8String], cap, len)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.plans.TextHashKernel.shingles($t, $cap, $len)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native `array<long>` MinHash signature over character n-gram shingles —
+  * one pass, no per-element boxing; value-identical to
+  * Fns.minHashArray(Fns.shingleHashes(...)) (property-tested).
+  */
+case class ShingleMinHash(child: Expression, cap: Int, len: Int, k: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_minhash"
+
+  override def nullSafeEval(text: Any): Any =
+    TextHashKernel.minhash(text.asInstanceOf[UTF8String], cap, len, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.plans.TextHashKernel.minhash($t, $cap, $len, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native 16-bit SimHash (long) — value-identical to Fns.simHash16. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash16"
+
+  override def nullSafeEval(text: Any): Any =
+    TextHash.simHash16(text.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.core.TextHash.simHash16($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextHashExpressions {
+  def simHash16(text: Column): Column =
+    GraftColumnBridge.column(SimHash16(GraftColumnBridge.expression(text)))
+
+  def shingleHashes(text: Column, cap: Int, len: Int): Column =
+    GraftColumnBridge.column(
+      ShingleHashArray(GraftColumnBridge.expression(text), cap, len))
+
+  def shingleMinHash(text: Column, cap: Int, len: Int, k: Int): Column =
+    GraftColumnBridge.column(
+      ShingleMinHash(GraftColumnBridge.expression(text), cap, len, k))
+}

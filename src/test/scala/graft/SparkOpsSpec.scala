@@ -133,6 +133,36 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native ShingleMinHash/ShingleHashArray match the Column-composed spec") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(50)
+    val both = docs.select(
+      graft.plans.TextHashExpressions.shingleHashes(col("text"), 256, 10).as("native_sh"),
+      Fns.shingleHashes(col("text"), 256, 10).as("spec_sh"),
+      graft.plans.TextHashExpressions.shingleMinHash(col("text"), 256, 10, 12).as("native_mh"),
+      Fns.minHashArray(Fns.shingleHashes(col("text"), 256, 10), 12).as("spec_mh"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3))
+    }
+    // short-text edge: text shorter than the shingle length
+    val edge = spark.range(1).select(lit("abc").as("text"))
+    val e = edge.select(
+      graft.plans.TextHashExpressions.shingleHashes(col("text"), 256, 10).as("n"),
+      Fns.shingleHashes(col("text"), 256, 10).as("s")).collect()(0)
+    assert(e.getSeq[Long](0) === e.getSeq[Long](1))
+    // simhash parity incl. edge strings
+    val sims = docs.select(
+        graft.plans.TextHashExpressions.simHash16(col("text")),
+        Fns.simHash16(col("text"))).collect()
+    sims.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val ss = spark; import ss.implicits._
+    val edges = Seq("", " ", "a", "  double  spaces  ", "tok").toDF("text")
+      .select(graft.plans.TextHashExpressions.simHash16(col("text")),
+        Fns.simHash16(col("text"))).collect()
+    edges.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("exact dedup finds exactly the injected copies") {
     val dups = DedupOps.exactDuplicates(Synth.corpus(spark, dir)).collect()
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
