@@ -181,6 +181,12 @@ object SparkEntry {
       SimilarityOps.cosineTopK(e, e.filter(col("vec_id") % 25 === 0), 10)
     }),
 
+    // ANN scale path (deterministic but not SQL-expressible → rows-only)
+    "q_sim_ann" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.cosineTopKAnn(e, e.filter(col("vec_id") % 25 === 0), 10)
+    }),
+
     // --- text analysis ---
     "q_lang_id" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"), Fns.langId(col("text")).as("lang_pred"))

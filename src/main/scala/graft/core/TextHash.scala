@@ -17,6 +17,48 @@ package graft.core
 object TextHash {
   val P = 1000000007L
 
+  /** splitmix64-style integer mixer — deterministic pseudo-random weights
+    * for LSH hyperplanes without any RNG state.
+    */
+  def mix64(v: Long): Long = {
+    var z = v + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic hyperplane weight in (-0.5, 0.5) for (table, bit, dim). */
+  def lshWeight(table: Int, bit: Int, dim: Int): Double = {
+    val h = mix64(table.toLong * 1000003L + bit.toLong * 8191L + dim.toLong)
+    (h & 0xFFFFFFFFL).toDouble / 4294967296.0 - 0.5
+  }
+
+  /** Sign-projection LSH buckets over a float vector: `tables` independent
+    * `bits`-bit signatures (bit b of table t = sign of the deterministic
+    * hyperplane (t,b) dot v).
+    */
+  def lshBuckets(vec: Array[Float], tables: Int, bits: Int): Array[Long] = {
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var b = 0
+      while (b < bits) {
+        var dot = 0.0
+        var j = 0
+        while (j < vec.length) {
+          dot += lshWeight(t, b, j) * vec(j)
+          j += 1
+        }
+        if (dot >= 0) bucket |= 1L << b
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
+
   /** Code points of the first `cap` characters. */
   private def codePoints(s: String, cap: Int): Array[Int] = {
     val out = new Array[Int](math.min(s.length, cap))

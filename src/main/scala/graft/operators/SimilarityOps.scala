@@ -16,6 +16,37 @@ import graft.functions.Fns
   */
 object SimilarityOps {
 
+  /** Approximate cosine top-k via multi-table sign-projection LSH (the
+    * scale path): candidates = vectors sharing any of `tables` bucket
+    * signatures with the query (native VecLshBuckets expression), exact
+    * cosine reranks the candidate set. Same output schema as the exact
+    * form; queries with fewer than k candidates return fewer rows (ANN
+    * semantics). At the 10^12 posture the bucket join shuffles only
+    * (tables x rows) narrow rows instead of scoring the full table per
+    * query.
+    */
+  def cosineTopKAnn(emb: DataFrame, queries: DataFrame, k: Int,
+                    tables: Int = 8, bits: Int = 12): DataFrame = {
+    import graft.plans.TextHashExpressions.vecLshBuckets
+    def banded(df: DataFrame, idCol: String, embCol: String): DataFrame =
+      df.select(col(idCol), col(embCol),
+          posexplode(vecLshBuckets(col(embCol), tables, bits)).as(Seq("table", "bucket")))
+    val e = banded(emb, "vec_id", "embedding")
+    val q = broadcast(banded(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qemb")), "qid", "qemb"))
+    val cand = e.join(q, Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("embedding"), col("qemb"))
+      .dropDuplicates("qid", "nid")
+    val scored = cand.select(col("qid"), col("nid"),
+      round(Fns.cosineSim(col("embedding"), col("qemb")) * lit(1000000.0), 0)
+        .cast("long").as("cos_e6"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("cos_e6"))
+  }
+
   /** Exact cosine top-k: (qid, nid, rank, cos_e6). Deterministic — scores
     * rounded to 1e-6 before ranking, ties broken by neighbor id.
     */

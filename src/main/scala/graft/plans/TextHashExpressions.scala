@@ -77,9 +77,43 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen bridge for the LSH-bucket kernel (ArrayData float unwrap). */
+object VecLshKernel {
+  def buckets(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+              tables: Int, bits: Int): GenericArrayData =
+    new GenericArrayData(TextHash.lshBuckets(vec.toFloatArray(), tables, bits))
+}
+
+/** Native sign-projection LSH buckets over an `array<float>` embedding:
+  * `tables` independent `bits`-bit signatures from deterministic
+  * hyperplanes (core.TextHash.lshWeight). The ANN scale path for
+  * similarity search — candidates come from bucket equality, exact cosine
+  * reranks.
+  */
+case class VecLshBuckets(child: Expression, tables: Int, bits: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_lsh_buckets"
+
+  override def nullSafeEval(vec: Any): Any =
+    VecLshKernel.buckets(
+      vec.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], tables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.plans.VecLshKernel.buckets($v, $tables, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHashExpressions {
   def simHash16(text: Column): Column =
     GraftColumnBridge.column(SimHash16(GraftColumnBridge.expression(text)))
+
+  def vecLshBuckets(vec: Column, tables: Int, bits: Int): Column =
+    GraftColumnBridge.column(
+      VecLshBuckets(GraftColumnBridge.expression(vec), tables, bits))
 
   def shingleHashes(text: Column, cap: Int, len: Int): Column =
     GraftColumnBridge.column(

@@ -204,6 +204,16 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketed === direct)
   }
 
+  test("progress listener records per-stage throughput metrics") {
+    val (cnt, metrics) = MetricsOps.withProgress(spark) {
+      Synth.points(spark, dir).groupBy("lon_fix").count().count()
+    }
+    assert(cnt > 0)
+    val rows = metrics.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("inputRecords")).sum > 0)
+  }
+
   test("salted count equals plain groupBy count") {
     val cells = Synth.points(spark, dir)
       .select(graft.functions.Fns.cellId(col("lon_fix"), col("lat_fix"), 8).as("cell"))
@@ -225,6 +235,24 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert((m.width, m.height, m.nFrames) === ((w, h, f)))
       assert(m.fingerprint === MultimodalOps.byteFingerprint(bytes))
       assert(m.byteLen === bytes.length.toLong)
+    }
+  }
+
+  test("ANN cosine top-k: recall vs exact baseline on near-duplicates") {
+    val e = Synth.embCorpus(spark, dir)
+    val q = e.filter(col("vec_id") >= 1000000L)
+    val ann = SimilarityOps.cosineTopKAnn(e, q, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nQueries = q.count()
+    // injected near-copies differ in one component by 0.01 — the LSH
+    // signatures agree on (almost) every table, so recall@1 must be high
+    val hits = ann.count { case (qid, nid) => nid == qid - 1000000L }
+    assert(hits >= (nQueries * 0.9).toInt, s"recall@1 = $hits/$nQueries")
+    // ANN never invents scores: every reported pair matches the exact score
+    val exact = SimilarityOps.cosineTopK(e, q, 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    SimilarityOps.cosineTopKAnn(e, q, 1).collect().foreach { r =>
+      exact.get((r.getLong(0), r.getLong(1))).foreach(s => assert(s === r.getLong(3)))
     }
   }
 
