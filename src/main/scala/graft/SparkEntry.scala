@@ -33,8 +33,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val pts = Synth.points(spark, dir)
-    val hits = SpatialOps.pipJoinConvex(spark, pts)
-    hits.join(pts, "pid").select(
+    SpatialOps.pipJoinConvexTagged(spark, pts).select(
       col("pid"), col("poly_id"),
       Fns.tileX(8, Fns.fixToDeg(col("lon_fix"))).as("tx"),
       Fns.tileY(8, Fns.fixToDeg(col("lat_fix"))).as("ty"))

@@ -32,26 +32,32 @@ object SpatialOps {
     * reference/include/osmium/multipolygon/builder.hpp:707-711, generalized
     * to an engine-level join per the north rule.
     */
-  def pipJoinConvex(spark: SparkSession, points: DataFrame): DataFrame = {
+  def pipJoinConvex(spark: SparkSession, points: DataFrame): DataFrame =
+    pipJoinConvexTagged(spark, points).select(col("pid"), col("poly_id"))
+
+  /** pipJoinConvex carrying the point coordinates through, so downstream
+    * tiling needs NO join back against the full point table. Shape:
+    * one broadcast hash join (cell cover) + the native ray-cast filter
+    * (PointInPolygonSet) — zero shuffles of the point side; the plan is a
+    * single map stage until the consumer's aggregation. For CCW convex
+    * rings the boundary-inclusive ray cast equals the half-plane
+    * conjunction bool_and(cross >= 0), which is what the DuckDB oracle
+    * computes (property-tested in SparkOpsSpec).
+    */
+  def pipJoinConvexTagged(spark: SparkSession, points: DataFrame): DataFrame = {
     import spark.implicits._
     val cover = Synth.hexagons.flatMap { h =>
       CellId.coverBBox(h.xs.min, h.ys.min, h.xs.max, h.ys.max, CoverLevel)
         .map(c => (c, h.polyId))
     }.toDF("cell", "poly_id")
+    val polyMap: graft.plans.PipKernel.Polys =
+      Synth.hexagons.map(h => h.polyId -> Array((h.xs, h.ys))).toMap
 
-    val edges = Synth.polygonEdgesDf(spark)
-    val pts = points.withColumn("cell", Fns.cellId(col("lon_fix"), col("lat_fix"), CoverLevel))
-
-    // candidates via broadcast cover join, then exact convex refinement:
-    // every edge cross product (x2-x1)(py-y1)-(y2-y1)(px-x1) >= 0.
-    val cand = pts.join(broadcast(cover), "cell")
-    val cross = (col("x2") - col("x1")) * (col("lat_fix") - col("y1")) -
-      (col("y2") - col("y1")) * (col("lon_fix") - col("x1"))
-    cand.join(broadcast(edges), "poly_id")
-      .groupBy(col("pid"), col("poly_id"))
-      .agg(min(when(cross >= 0, 1L).otherwise(0L)).as("inside"))
-      .filter(col("inside") === 1L)
-      .select(col("pid"), col("poly_id"))
+    points.withColumn("cell", Fns.cellId(col("lon_fix"), col("lat_fix"), CoverLevel))
+      .join(broadcast(cover), "cell")
+      .filter(graft.plans.PointInPolygonSet(
+        col("poly_id"), col("lon_fix"), col("lat_fix"), polyMap))
+      .select(col("pid"), col("poly_id"), col("lon_fix"), col("lat_fix"))
   }
 
   /** General-polygon PIP via the exact ray-cast kernel (concave rings,

@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions registers native functions for SQL use") {
+    // force a fresh session so withExtensions is honored even when other
+    // suites in this JVM already created one
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .createOrReplaceTempView("docs")
+      val viaSql = spark.sql(
+        """SELECT doc_id, simhash16(text) AS sh,
+          |  shingle_minhash(text, 256, 10, 12) AS mh,
+          |  size(shingle_hashes(text, 256, 10)) AS n
+          |FROM docs ORDER BY doc_id LIMIT 5""".stripMargin).collect()
+      assert(viaSql.length === 5)
+      viaSql.foreach { r =>
+        val text = spark.sql(s"SELECT text FROM docs WHERE doc_id = ${r.getLong(0)}")
+          .collect()(0).getString(0)
+        assert(r.getLong(1) === graft.core.TextHash.simHash16(text))
+        assert(r.getSeq[Long](2) === graft.core.TextHash.minHash(text, 256, 10, 12).toSeq)
+      }
+      val emb = spark.sql(
+        """SELECT vec_lsh_buckets(CAST(array(0.5, -0.25) AS array<float>), 4, 8) AS b""")
+        .collect()(0).getSeq[Long](0)
+      assert(emb === graft.core.TextHash.lshBuckets(Array(0.5f, -0.25f), 4, 8).toSeq)
+    } finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+}
