@@ -123,6 +123,135 @@ object Planar {
     true
   }
 
+  /** Open-polyline simplicity (GEOS LineString::isSimple semantics): no
+    * two segments intersect except adjacent ones at their shared vertex,
+    * with the endpoint exception for a closed input (first==last).
+    * Consecutive duplicate points are dropped first (the reference builds
+    * its coordinate sequences with allowRepeated=false).
+    */
+  def isSimplePath(xsIn: Array[Long], ysIn: Array[Long]): Boolean = {
+    // drop consecutive duplicates
+    val px = new scala.collection.mutable.ArrayBuffer[Long](xsIn.length)
+    val py = new scala.collection.mutable.ArrayBuffer[Long](xsIn.length)
+    var k = 0
+    while (k < xsIn.length) {
+      if (px.isEmpty || px.last != xsIn(k) || py.last != ysIn(k)) {
+        px += xsIn(k); py += ysIn(k)
+      }
+      k += 1
+    }
+    val m = px.length
+    if (m < 3) return true
+    val closed = px(0) == px(m - 1) && py(0) == py(m - 1)
+    var i = 0
+    while (i < m - 1) {
+      var j = i + 1
+      while (j < m - 1) {
+        val shareLeft = j == i + 1
+        val shareWrap = closed && i == 0 && j == m - 2
+        if (shareLeft || shareWrap) {
+          if (!sharedEndpointOk(px(i), py(i), px(i + 1), py(i + 1),
+            px(j), py(j), px(j + 1), py(j + 1))) return false
+        } else {
+          if (segmentsIntersect(px(i), py(i), px(i + 1), py(i + 1),
+            px(j), py(j), px(j + 1), py(j + 1))) return false
+        }
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  /** Two segments sharing exactly one endpoint are simple unless they are
+    * collinear and overlap in more than the shared point (or coincide).
+    */
+  private def sharedEndpointOk(ax: Long, ay: Long, bx: Long, by: Long,
+                               cx: Long, cy: Long, dx: Long, dy: Long): Boolean = {
+    val bothShared = (ax == cx && ay == cy && bx == dx && by == dy) ||
+      (ax == dx && ay == dy && bx == cx && by == cy)
+    if (bothShared) return false // zero-area spike
+    if (orient(ax, ay, bx, by, cx, cy) != 0 || orient(ax, ay, bx, by, dx, dy) != 0)
+      return true // not collinear: intersection can only be the shared point
+    def strictlyOn(x1: Long, y1: Long, x2: Long, y2: Long, qx: Long, qy: Long) =
+      onSeg(x1, y1, x2, y2, qx, qy) &&
+        !(qx == x1 && qy == y1) && !(qx == x2 && qy == y2)
+    !(strictlyOn(ax, ay, bx, by, cx, cy) || strictlyOn(ax, ay, bx, by, dx, dy) ||
+      strictlyOn(cx, cy, dx, dy, ax, ay) || strictlyOn(cx, cy, dx, dy, bx, by))
+  }
+
+  /** Self-intersection salvage, mirroring the reference's binary-search
+    * cut (multipolygon/builder.hpp:342-422): find the longest simple
+    * prefix and suffix of the (closed) coordinate sequence, cut out the
+    * overlap-complement — or keep the cut-out itself when it is longer
+    * than half the ring. Returns the repaired CLOSED ring if it ends up a
+    * simple valid ring; None otherwise. Handles one self-intersection,
+    * like the original.
+    */
+  def salvageRing(xs: Array[Long], ys: Array[Long]): Option[(Array[Long], Array[Long])] = {
+    val n = xs.length
+    def prefixSimple(len: Int) = isSimplePath(xs.take(len), ys.take(len))
+    def suffixSimple(from: Int) = isSimplePath(xs.drop(from), ys.drop(from))
+
+    // longest simple prefix
+    var inv = n; var va = 0
+    var current = (inv + va) / 2
+    var simple = true
+    var loop = true
+    while (loop) {
+      simple = prefixSimple(current)
+      if (!simple) inv = current else va = current
+      if (current == (inv + va) / 2) loop = false
+      else current = (inv + va) / 2
+    }
+    if (!simple) current -= 1
+    var cutoutstart = current
+
+    // longest simple suffix
+    inv = 0; va = n
+    current = (inv + va) / 2
+    simple = true; loop = true
+    while (loop) {
+      simple = suffixSimple(current)
+      if (!simple) inv = current else va = current
+      if (current == (inv + va) / 2) loop = false
+      else current = (inv + va) / 2
+    }
+    if (!simple) current += 1
+    var cutoutend = current
+
+    if (cutoutstart < cutoutend) {
+      val t = cutoutstart; cutoutstart = cutoutend; cutoutend = t
+    }
+    val (rawX, rawY) =
+      if (cutoutstart - cutoutend > n / 2) {
+        val mx = xs.slice(cutoutend, cutoutstart)
+        val my = ys.slice(cutoutend, cutoutstart)
+        (mx :+ mx(0), my :+ my(0))
+      } else {
+        (xs.take(cutoutend) ++ xs.drop(cutoutstart),
+          ys.take(cutoutend) ++ ys.drop(cutoutstart))
+      }
+    // the concatenation can leave a repeated vertex at the seam — collapse
+    // consecutive duplicates (GEOS tolerates them; our exact kernel doesn't)
+    val bx = new scala.collection.mutable.ArrayBuffer[Long](rawX.length)
+    val by = new scala.collection.mutable.ArrayBuffer[Long](rawY.length)
+    var q = 0
+    while (q < rawX.length) {
+      if (bx.isEmpty || bx.last != rawX(q) || by.last != rawY(q)) {
+        bx += rawX(q); by += rawY(q)
+      }
+      q += 1
+    }
+    val rx = bx.toArray; val ry = by.toArray
+    if (rx.length < 4 || rx(0) != rx(rx.length - 1) || ry(0) != ry(ry.length - 1))
+      return None
+    val (ox, oy) = open(rx, ry)
+    if (ox.length >= 3 && isSimpleRing(ox, oy) && signedArea2(ox, oy) != 0)
+      Some((rx, ry))
+    else None
+  }
+
   /** Orientation of point (px,py) vs directed segment (x1,y1)->(x2,y2):
     * >0 left (CCW), <0 right, 0 collinear. Exact.
     */

@@ -222,9 +222,23 @@ object AssemblyOps {
     }
     if (rings.isEmpty) return err("NoRings")
 
+    // ring validation (ring_is_complete, builder.hpp:449-479): a
+    // non-simple ring is salvaged via the binary-search cut when repairing
+    // (create_non_intersecting_linear_ring :342-422); un-salvageable rings
+    // are DROPPED (the reference returns a null RingInfo), and a relation
+    // whose rings all drop reports NoRings.
+    val validRings = rings.flatMap { r =>
+      val (ox, oy) = Planar.open(r.xs, r.ys)
+      if (Planar.isSimpleRing(ox, oy)) Some(r)
+      else if (attemptRepair)
+        Planar.salvageRing(r.xs, r.ys).map { case (rx, ry) => r.copy(xs = rx, ys = ry) }
+      else None
+    }
+    if (validRings.isEmpty) return err("NoRings")
+    rings.clear()
+    rings ++= validRings
+
     val open = rings.map(r => Planar.open(r.xs, r.ys))
-    if (open.exists { case (xs, ys) => !Planar.isSimpleRing(xs, ys) })
-      return err("InvalidRing")
 
     // inner/outer by containment parity (:694-752)
     val n = open.length

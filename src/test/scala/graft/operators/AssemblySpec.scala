@@ -135,11 +135,29 @@ class AssemblySpec extends AnyFunSuite {
     assert(out.length === 1)
   }
 
-  test("self-intersecting ring -> InvalidRing") {
-    // bow-tie: 0,0 -> 10,10 -> 10,0 -> 0,10 -> 0,0
+  test("un-salvageable self-intersecting ring is dropped -> NoRings") {
+    // bow-tie: 0,0 -> 10,10 -> 10,0 -> 0,10 -> 0,0 (builder ring_is_complete
+    // returns no RingInfo; a relation with no surviving rings errors)
     val ways = Array(mw(6, 0, 60, (0, 0), (10, 10), (10, 0), (0, 10), (0, 0)))
-    val a = AssemblyOps.assembleOne(6, ways).toArray.head
-    assert(a.status === "InvalidRing")
+    assert(AssemblyOps.assembleOne(6, ways, attemptRepair = false)
+      .toArray.head.status === "NoRings")
+    assert(AssemblyOps.assembleOne(6, ways, attemptRepair = true)
+      .toArray.head.status === "NoRings")
+  }
+
+  test("pinched ring salvaged by the binary-search cut (builder.hpp:342-422)") {
+    // 11-point closed ring where index 3 == index 7 (the comment's example:
+    // a loop hanging off the main ring); repair cuts out the loop
+    val pts = Seq[(Long, Long)](
+      (0, 0), (10, 0), (20, 0), (20, 10), (30, 10), (30, 20), (20, 20),
+      (20, 10), (10, 20), (0, 20), (0, 0))
+    val ways = Array(mw(14, 0, 140, pts: _*))
+    assert(AssemblyOps.assembleOne(14, ways, attemptRepair = false)
+      .toArray.head.status === "NoRings")
+    val repaired = AssemblyOps.assembleOne(14, ways, attemptRepair = true).toArray.head
+    assert(repaired.status === "ok")
+    assert(repaired.nOuter === 1)
+    assert(repaired.wkt != null)
   }
 
   test("nested ring parity: ring inside a hole is an outer ring again") {
