@@ -27,11 +27,13 @@ import graft.core.{Haversine, FixedPoint, Planar, Wkt}
   *      · area ids follow osm/area.hpp:71-84 (way → id*2, relation →
   *        id*2 + sgn(id)); errors surface as status rows matching the
   *        taxonomy at builder.hpp:59-87.
+  *      · non-simple rings salvaged by the binary-search cut
+  *        (create_non_intersecting_linear_ring :342-422, Planar.salvageRing)
+  *        when repairing; un-salvageable rings dropped (ring_is_complete
+  *        :449-479 returns null)
   *    Deviations (documented): ring endpoints match by position (the
   *    reference matches node refs; identical on ref-consistent data) and
-  *    polygon validity is ring-simplicity (no GEOS isValid); the
-  *    self-intersection binary-search salvage (:342-422) is not yet
-  *    implemented — such rings report InvalidRing.
+  *    polygon validity is ring-simplicity (no GEOS isValid).
   */
 object AssemblyOps {
 
