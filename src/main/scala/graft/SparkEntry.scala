@@ -273,13 +273,13 @@ object SparkEntry {
     import spark.implicits._
     val (nodes, ways, rels, members) = OsmSynth.frames(spark, 150)
     val waysC = AssemblyOps.coordinatesForWays(ways, nodes)
-      .join(ways.select(col("way_id"), col("tags")), "way_id")
+      .join(ways.select(col("way_id"), col("refs"), col("tags")), "way_id")
     val memberWays = members
       .join(waysC, "way_id")
       .join(rels.withColumnRenamed("tags", "relTags"), "rel_id")
       .select(col("rel_id").as("relId"), col("member_pos").as("memberPos"),
-        col("way_id").as("wayId"), col("xs"), col("ys"), col("tags"),
-        col("relTags"))
+        col("way_id").as("wayId"), col("refs"), col("xs"), col("ys"),
+        col("tags"), col("relTags"))
       .as[AssemblyOps.MemberWay]
     val fromRels = AssemblyOps.assembleAreas(spark, memberWays, attemptRepair)
     val loneWays = AssemblyOps.waysNotInAnyRelation(waysC, members)

@@ -14,7 +14,8 @@ import graft.core.{Haversine, FixedPoint, Planar, Wkt}
   *    relation.
   *  - Multipolygon ring building (multipolygon/builder.hpp:182-974): a
   *    deterministic per-relation computation → typed flatMapGroups:
-  *      · greedy ring growth with way inversion (complete_ring :484-526)
+  *      · recursive backtracking ring growth with way inversion, matched
+  *        by node ref (complete_ring :484-526, make_one_ring :533-549)
   *      · dangling-end repair: sort-and-cancel end nodes, connect closest
   *        pairs with pseudo-ways, re-run ring building (:550-637,684-687)
   *      · inner/outer classification by containment parity (:694-752)
@@ -31,14 +32,14 @@ import graft.core.{Haversine, FixedPoint, Planar, Wkt}
   *        (create_non_intersecting_linear_ring :342-422, Planar.salvageRing)
   *        when repairing; un-salvageable rings dropped (ring_is_complete
   *        :449-479 returns null)
-  *    Deviations (documented): ring endpoints match by position (the
-  *    reference matches node refs; identical on ref-consistent data) and
-  *    polygon validity is ring-simplicity (no GEOS isValid).
+  *    Ring matching is by node REF with full recursive backtracking, as in
+  *    the reference. Remaining deviation (documented): polygon validity is
+  *    ring-simplicity (no GEOS isValid equivalent).
   */
 object AssemblyOps {
 
   case class MemberWay(relId: Long, memberPos: Int, wayId: Long,
-                       xs: Array[Long], ys: Array[Long],
+                       refs: Array[Long], xs: Array[Long], ys: Array[Long],
                        tags: Map[String, String], relTags: Map[String, String])
   case class Area(areaId: Long, origId: Long, fromWay: Boolean,
                   nOuter: Int, nInner: Int, status: String, wkt: String,
@@ -117,7 +118,8 @@ object AssemblyOps {
 
   // ---- per-relation kernel (pure; unit-testable without Spark) -------------
 
-  private case class WayBuf(wayId: Long, xs: Array[Long], ys: Array[Long],
+  private case class WayBuf(wayId: Long, refs: Array[Long],
+                            xs: Array[Long], ys: Array[Long],
                             tags: Map[String, String], pseudo: Boolean)
   private case class RingBuf(xs: Array[Long], ys: Array[Long], ways: Seq[WayBuf])
 
@@ -137,73 +139,119 @@ object AssemblyOps {
     memberWays.foreach { w =>
       if (w.xs.nonEmpty && (!attemptRepair || !seen.contains(w.wayId))) {
         seen += w.wayId
-        ways += WayBuf(w.wayId, w.xs, w.ys, w.tags, pseudo = false)
+        ways += WayBuf(w.wayId, w.refs, w.xs, w.ys, w.tags, pseudo = false)
       }
     }
     if (ways.isEmpty) return err("NoRings")
 
-    // greedy ring growth (complete_ring :484-526); scan order = vector order
-    val used = scala.collection.mutable.ArrayBuffer.fill(ways.length)(false)
+    // ring growth state (WayInfo used/invert/sequence, builder.hpp:92-130):
+    // used = -1 unused, -2 failed ring start, >=0 ring index
+    val used = scala.collection.mutable.ArrayBuffer.fill(ways.length)(-1)
+    val invert = scala.collection.mutable.ArrayBuffer.fill(ways.length)(false)
+    val sequence = scala.collection.mutable.ArrayBuffer.fill(ways.length)(0)
     val rings = scala.collection.mutable.ArrayBuffer.empty[RingBuf]
-    def makeRings(): Unit = {
+
+    /** ring_is_complete (:449-479): assemble coordinates from the ring's
+      * ways in sequence order (inverted as flagged, consecutive duplicates
+      * dropped), validate simplicity, salvage when repairing; None (=null
+      * RingInfo) makes the caller backtrack.
+      */
+    def ringIsComplete(ringcount: Int): Option[RingBuf] = {
+      val members = ways.indices.filter(used(_) == ringcount).sortBy(sequence(_))
+      val xs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val ys = scala.collection.mutable.ArrayBuffer.empty[Long]
+      members.foreach { i =>
+        val w = ways(i)
+        val rangeIdx = if (invert(i)) w.xs.indices.reverse else w.xs.indices
+        rangeIdx.foreach { k =>
+          if (xs.isEmpty || xs.last != w.xs(k) || ys.last != w.ys(k)) {
+            xs += w.xs(k); ys += w.ys(k)
+          }
+        }
+      }
+      if (xs.length < 4) return None
+      val ring = RingBuf(xs.toArray, ys.toArray, members.map(ways(_)))
+      val (ox, oy) = Planar.open(ring.xs, ring.ys)
+      if (ox.length >= 3 && Planar.isSimpleRing(ox, oy)) Some(ring)
+      else if (attemptRepair)
+        Planar.salvageRing(ring.xs, ring.ys)
+          .map { case (rx, ry) => ring.copy(xs = rx, ys = ry) }
+      else None
+    }
+
+    /** complete_ring (:484-526): recursive backtracking extension by node
+      * REF equality, inverting ways as needed; geometric failure at
+      * closure backtracks into other combinations.
+      */
+    def completeRing(first: Long, last: Long, ringcount: Int, seqNo: Int): Option[RingBuf] = {
+      if (first == last) return ringIsComplete(ringcount)
       var i = 0
       while (i < ways.length) {
-        if (!used(i)) {
-          val start = ways(i)
-          val xs = start.xs.toBuffer
-          val ys = start.ys.toBuffer
-          val ringWays = scala.collection.mutable.ArrayBuffer(start)
-          val usedHere = scala.collection.mutable.ArrayBuffer(i)
-          var closed = xs.length >= 4 && xs.head == xs.last && ys.head == ys.last
-          var progress = true
-          while (!closed && progress) {
-            progress = false
-            var j = 0
-            while (j < ways.length && !progress) {
-              if (!used(j) && !usedHere.contains(j)) {
-                val w = ways(j)
-                if (w.xs.head == xs.last && w.ys.head == ys.last) {
-                  xs ++= w.xs.drop(1); ys ++= w.ys.drop(1)
-                  ringWays += w; usedHere += j; progress = true
-                } else if (w.xs.last == xs.last && w.ys.last == ys.last) {
-                  xs ++= w.xs.reverse.drop(1); ys ++= w.ys.reverse.drop(1)
-                  ringWays += w; usedHere += j; progress = true
-                }
-              }
-              j += 1
-            }
-            closed = xs.length >= 4 && xs.head == xs.last && ys.head == ys.last
-          }
-          if (closed) {
-            usedHere.foreach(used(_) = true)
-            rings += RingBuf(xs.toArray, ys.toArray, ringWays.toSeq)
+        if (used(i) < 0) {
+          val oldUsed = used(i)
+          val w = ways(i)
+          if (w.refs.head == last) {
+            used(i) = ringcount; sequence(i) = seqNo; invert(i) = false
+            val r = completeRing(first, w.refs.last, ringcount, seqNo + 1)
+            if (r.isDefined) return r
+            used(i) = oldUsed
+          } else if (w.refs.last == last) {
+            used(i) = ringcount; sequence(i) = seqNo; invert(i) = true
+            val r = completeRing(first, w.refs.head, ringcount, seqNo + 1)
+            if (r.isDefined) return r
+            used(i) = oldUsed
           }
         }
         i += 1
       }
+      None
     }
-    makeRings()
 
-    // dangling-end detection and repair (:550-637)
-    val unused = ways.indices.filterNot(used)
-    if (unused.nonEmpty) {
-      val endNodes = unused.flatMap { i =>
+    /** make_one_ring (:533-549): start from the first unused way; a failed
+      * start is marked -2 and ring building stops for this pass.
+      */
+    def makeOneRing(): Boolean = {
+      var i = 0
+      while (i < ways.length) {
+        if (used(i) == -1) {
+          used(i) = rings.length; sequence(i) = 0; invert(i) = false
+          completeRing(ways(i).refs.head, ways(i).refs.last, rings.length, 1) match {
+            case Some(r) => rings += r; return true
+            case None => used(i) = -2; return false
+          }
+        }
+        i += 1
+      }
+      false
+    }
+
+    while (makeOneRing()) {}
+
+    // find_and_repair_holes_in_rings (:550-637): end nodes of all unused
+    // ways (state reset to -1), sorted by node REF, adjacent equal refs
+    // cancel; leftovers are dangling and get connected to their
+    // haversine-closest partner by pseudo-ways.
+    val unusedIdx = ways.indices.filter(used(_) < 0)
+    if (unusedIdx.nonEmpty) {
+      unusedIdx.foreach(used(_) = -1)
+      case class End(ref: Long, x: Long, y: Long)
+      val endNodes = unusedIdx.flatMap { i =>
         val w = ways(i)
-        Seq((w.xs.head, w.ys.head), (w.xs.last, w.ys.last))
-      }.sorted
-      val dangling = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        Seq(End(w.refs.head, w.xs.head, w.ys.head),
+          End(w.refs.last, w.xs.last, w.ys.last))
+      }.sortBy(_.ref)
+      val dangling = scala.collection.mutable.ArrayBuffer.empty[End]
       var i = 0
       while (i < endNodes.length) {
-        if (i + 1 < endNodes.length && endNodes(i) == endNodes(i + 1)) i += 2
+        if (i + 1 < endNodes.length && endNodes(i).ref == endNodes(i + 1).ref) i += 2
         else { dangling += endNodes(i); i += 1 }
       }
       if (dangling.nonEmpty) {
         if (!attemptRepair) return err("DanglingEnds")
-        // connect each dangling end to its closest partner (:608-637)
-        def hav(a: (Long, Long), b: (Long, Long)): Double =
+        def hav(a: End, b: End): Double =
           Haversine.distance(
-            FixedPoint.fixToDouble(a._1.toInt), FixedPoint.fixToDouble(a._2.toInt),
-            FixedPoint.fixToDouble(b._1.toInt), FixedPoint.fixToDouble(b._2.toInt))
+            FixedPoint.fixToDouble(a.x.toInt), FixedPoint.fixToDouble(a.y.toInt),
+            FixedPoint.fixToDouble(b.x.toInt), FixedPoint.fixToDouble(b.y.toInt))
         while (dangling.nonEmpty) {
           val wn = dangling.remove(dangling.length - 1)
           var closest = 0
@@ -215,30 +263,15 @@ object AssemblyOps {
             k += 1
           }
           val c = dangling.remove(closest)
-          ways += WayBuf(-1L, Array(c._1, wn._1), Array(c._2, wn._2),
-            Map.empty, pseudo = true)
-          used += false
+          ways += WayBuf(-1L, Array(c.ref, wn.ref), Array(c.x, wn.x),
+            Array(c.y, wn.y), Map.empty, pseudo = true)
+          used += -1; invert += false; sequence += 0
         }
-        makeRings() // re-run with the repair bits (:684-687)
       }
+      // re-run ring building with the repair bits (:684-687)
+      while (makeOneRing()) {}
     }
     if (rings.isEmpty) return err("NoRings")
-
-    // ring validation (ring_is_complete, builder.hpp:449-479): a
-    // non-simple ring is salvaged via the binary-search cut when repairing
-    // (create_non_intersecting_linear_ring :342-422); un-salvageable rings
-    // are DROPPED (the reference returns a null RingInfo), and a relation
-    // whose rings all drop reports NoRings.
-    val validRings = rings.flatMap { r =>
-      val (ox, oy) = Planar.open(r.xs, r.ys)
-      if (Planar.isSimpleRing(ox, oy)) Some(r)
-      else if (attemptRepair)
-        Planar.salvageRing(r.xs, r.ys).map { case (rx, ry) => r.copy(xs = rx, ys = ry) }
-      else None
-    }
-    if (validRings.isEmpty) return err("NoRings")
-    rings.clear()
-    rings ++= validRings
 
     val open = rings.map(r => Planar.open(r.xs, r.ys))
 

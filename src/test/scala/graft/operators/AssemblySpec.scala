@@ -10,14 +10,19 @@ import graft.operators.AssemblyOps.{Area, MemberWay}
   */
 class AssemblySpec extends AnyFunSuite {
 
+  // node refs derived from positions (consistent ids for equal positions),
+  // so ref-based ring matching behaves like the fixtures' shared node ids
+  private def refsOf(pts: Seq[(Long, Long)]): Array[Long] =
+    pts.map(p => p._1 * 1000003L + p._2 + 7L).toArray
+
   private def mw(rel: Long, pos: Int, way: Long, pts: (Long, Long)*): MemberWay =
-    MemberWay(rel, pos, way, pts.map(_._1).toArray, pts.map(_._2).toArray,
-      Map.empty, Map.empty)
+    MemberWay(rel, pos, way, refsOf(pts),
+      pts.map(_._1).toArray, pts.map(_._2).toArray, Map.empty, Map.empty)
 
   private def mwT(rel: Long, pos: Int, way: Long, tags: Map[String, String],
                   relTags: Map[String, String], pts: (Long, Long)*): MemberWay =
-    MemberWay(rel, pos, way, pts.map(_._1).toArray, pts.map(_._2).toArray,
-      tags, relTags)
+    MemberWay(rel, pos, way, refsOf(pts),
+      pts.map(_._1).toArray, pts.map(_._2).toArray, tags, relTags)
 
   test("two open ways close into one outer ring; area id = 2*rel + sgn") {
     val ways = Array(
