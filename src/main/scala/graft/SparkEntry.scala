@@ -279,7 +279,10 @@ object SparkEntry {
       .join(rels.withColumnRenamed("tags", "relTags"), "rel_id")
       .select(col("rel_id").as("relId"), col("member_pos").as("memberPos"),
         col("way_id").as("wayId"), col("refs"), col("xs"), col("ys"),
-        col("tags"), col("relTags"))
+        col("tags"), col("relTags"),
+        // deterministic synthetic object timestamps (area ts = max member ts)
+        (lit(1500000000000000L) + col("way_id")).as("tsMicros"),
+        lit(1500000000000000L).as("relTsMicros"))
       .as[AssemblyOps.MemberWay]
     val fromRels = AssemblyOps.assembleAreas(spark, memberWays, attemptRepair)
     val loneWays = AssemblyOps.waysNotInAnyRelation(waysC, members)

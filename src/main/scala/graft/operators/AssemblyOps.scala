@@ -40,10 +40,11 @@ object AssemblyOps {
 
   case class MemberWay(relId: Long, memberPos: Int, wayId: Long,
                        refs: Array[Long], xs: Array[Long], ys: Array[Long],
-                       tags: Map[String, String], relTags: Map[String, String])
+                       tags: Map[String, String], relTags: Map[String, String],
+                       tsMicros: Long = 0L, relTsMicros: Long = 0L)
   case class Area(areaId: Long, origId: Long, fromWay: Boolean,
                   nOuter: Int, nInner: Int, status: String, wkt: String,
-                  tags: Map[String, String])
+                  tags: Map[String, String], tsMicros: Long = 0L)
 
   /** builder.hpp:202-208 */
   private val IgnoredTagKeys = Set("type", "created_by", "source", "note")
@@ -127,8 +128,12 @@ object AssemblyOps {
                   attemptRepair: Boolean = true): Iterator[Area] = {
     val areaId = relId * 2 + java.lang.Long.signum(relId)
     val relTags = memberWays.headOption.map(_.relTags).getOrElse(Map.empty)
+    // area timestamp starts at the relation's and is bumped to the newest
+    // member way's (assemble_ways, builder.hpp:652-655)
+    val areaTs = (memberWays.headOption.map(_.relTsMicros).getOrElse(0L) +:
+      memberWays.map(_.tsMicros).toSeq).max
     def err(status: String) =
-      Iterator(Area(areaId, relId, fromWay = false, 0, 0, status, null, relTags))
+      Iterator(Area(areaId, relId, fromWay = false, 0, 0, status, null, relTags, areaTs))
 
     if (memberWays.isEmpty) return err("NoRings")
 
@@ -306,7 +311,7 @@ object AssemblyOps {
         if (!sameTags(w.tags, areaTags) && !parentSingle) {
           val (cx, cy) = orient(open(a), ccw = false)
           extraAreas += Area(w.wayId * 2, w.wayId, fromWay = true, 1, 0, "ok",
-            Wkt.multiPolygon(Seq(Seq((closeI(cx), closeI(cy))))), w.tags)
+            Wkt.multiPolygon(Seq(Seq((closeI(cx), closeI(cy))))), w.tags, areaTs)
         }
       }
     }
@@ -334,7 +339,7 @@ object AssemblyOps {
     val wkt = Wkt.multiPolygon(polys)
     extraAreas.iterator ++ Iterator(
       Area(areaId, relId, fromWay = false, outerRingCount,
-        isInner.count(identity), "ok", wkt, areaTags))
+        isInner.count(identity), "ok", wkt, areaTags, areaTs))
   }
 
   private def ringAreaAbs(r: (Array[Long], Array[Long])): BigInt =

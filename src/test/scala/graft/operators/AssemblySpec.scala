@@ -175,6 +175,17 @@ class AssemblySpec extends AnyFunSuite {
     assert(a.nOuter === 2 && a.nInner === 1)
   }
 
+  test("area timestamp bumps to the newest member way (builder.hpp:652-655)") {
+    val ways = Array(
+      mw(15, 0, 150, (0, 0), (10, 0), (10, 10)).copy(tsMicros = 100L, relTsMicros = 50L),
+      mw(15, 1, 151, (10, 10), (0, 10), (0, 0)).copy(tsMicros = 300L, relTsMicros = 50L))
+    val a = AssemblyOps.assembleOne(15, ways).toArray.head
+    assert(a.tsMicros === 300L)
+    // relation newer than all members: keeps the relation's timestamp
+    val ways2 = ways.map(w => w.copy(relTsMicros = 999L))
+    assert(AssemblyOps.assembleOne(15, ways2).toArray.head.tsMicros === 999L)
+  }
+
   test("negative relation id keeps the id bijection") {
     val ways = Array(mw(-3, 0, 90, (0, 0), (10, 0), (10, 10), (0, 10), (0, 0)))
     val a = AssemblyOps.assembleOne(-3, ways).toArray.head
