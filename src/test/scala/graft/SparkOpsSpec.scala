@@ -204,6 +204,28 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketed === direct)
   }
 
+  test("cell-partitioned layout prunes at the partition level") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val pts = Synth.points(spark, dir)
+    graft.sources.StorageOps.writePartitionedPoints(pts, s"$tmp/pts")
+    // pick the most populated partition cell
+    val top = pts.select(Fns.cellId(col("lon_fix"), col("lat_fix"),
+        graft.sources.StorageOps.PartitionLevel).as("c"))
+      .groupBy("c").count().orderBy(col("count").desc).first()
+    val cell = top.getLong(0); val expect = top.getLong(1)
+    val q = graft.sources.StorageOps.readPointsInPartition(spark, s"$tmp/pts", cell)
+    assert(q.count() === expect)
+    // the physical plan must carry the predicate as a PartitionFilter
+    // (metadata pruning), not a post-scan Filter over all rows
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("part_cell"),
+      s"no partition filter in plan:\n$plan")
+    // and the scan must read only the matching partition's records
+    val (_, metrics) = MetricsOps.withProgress(spark) { q.count() }
+    val read = metrics.collect().map(_.getAs[Long]("inputRecords")).sum
+    assert(read === expect, s"scan read $read rows, expected only $expect")
+  }
+
   test("progress listener records per-stage throughput metrics") {
     val (cnt, metrics) = MetricsOps.withProgress(spark) {
       Synth.points(spark, dir).groupBy("lon_fix").count().count()
