@@ -252,6 +252,48 @@ object Planar {
     else None
   }
 
+  /** Proper crossing: segments intersect at a single interior point of
+    * both (touching at endpoints or collinear overlap do NOT count).
+    */
+  def properCross(x1: Long, y1: Long, x2: Long, y2: Long,
+                  x3: Long, y3: Long, x4: Long, y4: Long): Boolean = {
+    val d1 = orient(x3, y3, x4, y4, x1, y1)
+    val d2 = orient(x3, y3, x4, y4, x2, y2)
+    val d3 = orient(x1, y1, x2, y2, x3, y3)
+    val d4 = orient(x1, y1, x2, y2, x4, y4)
+    ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+      ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
+  }
+
+  /** Polygon-with-holes validity (the subset of GEOS isValid the engine
+    * enforces): every hole vertex inside-or-on the outer ring, and no
+    * proper edge crossing hole↔outer or hole↔hole. Touching at points is
+    * allowed, as in GEOS.
+    */
+  def polygonValid(outer: (Array[Long], Array[Long]),
+                   holes: Seq[(Array[Long], Array[Long])]): Boolean = {
+    def edges(r: (Array[Long], Array[Long])): IndexedSeq[(Long, Long, Long, Long)] = {
+      val (xs, ys) = r
+      xs.indices.map { i =>
+        val j = (i + 1) % xs.length
+        (xs(i), ys(i), xs(j), ys(j))
+      }
+    }
+    val oe = edges(outer)
+    holes.zipWithIndex.forall { case (h, hi) =>
+      val (hx, hy) = h
+      hx.indices.forall(i => pointInRing(hx(i), hy(i), outer._1, outer._2)) &&
+      edges(h).forall { case (a, b, c, d) =>
+        oe.forall { case (p, q, r, s) => !properCross(a, b, c, d, p, q, r, s) } &&
+        holes.zipWithIndex.forall { case (h2, hj) =>
+          hj <= hi || edges(h2).forall { case (p, q, r, s) =>
+            !properCross(a, b, c, d, p, q, r, s)
+          }
+        }
+      }
+    }
+  }
+
   /** Orientation of point (px,py) vs directed segment (x1,y1)->(x2,y2):
     * >0 left (CCW), <0 right, 0 collinear. Exact.
     */

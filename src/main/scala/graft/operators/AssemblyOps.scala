@@ -316,10 +316,16 @@ object AssemblyOps {
       }
     }
 
-    // per-outer-ring polygon + tag merge (:885-945)
+    // per-outer-ring polygon + tag merge (:885-945); polygon-level
+    // validity mirrors the GEOS isValid gate at builder.hpp:912-931 —
+    // an invalid polygon aborts the area with InvalidRing (extra areas
+    // emitted by handle_one_way_inner_rings survive, as in the reference
+    // where m_areas already holds them when the throw unwinds)
     val outerRingCount = outers.length
     val polys = outers.map { o =>
       val holes = (0 until n).filter(a => isInner(a) && parentOf(a) == o)
+      if (!Planar.polygonValid(open(o), holes.map(open(_))))
+        return extraAreas.iterator ++ err("InvalidRing")
       rings(o).ways.filterNot(_.pseudo).foreach { w =>
         if (untagged(w.tags)) ()                      // way not tagged — ok
         else if (sameTags(areaTags, w.tags)) ()       // same as area — ok

@@ -175,6 +175,28 @@ class AssemblySpec extends AnyFunSuite {
     assert(a.nOuter === 2 && a.nInner === 1)
   }
 
+  test("hole escaping the outer ring -> polygon invalid -> InvalidRing") {
+    val rel = Map("type" -> "multipolygon")
+    val ways = Array(
+      mwT(16, 0, 160, Map.empty, rel, (0, 0), (100, 0), (100, 100), (0, 100), (0, 0)),
+      // "hole" sticking out of the outer ring's right edge
+      mwT(16, 1, 161, Map.empty, rel, (80, 40), (120, 40), (120, 60), (80, 60), (80, 40)))
+    val a = AssemblyOps.assembleOne(16, ways).toArray
+    // parity: the half-outside ring's first vertex (80,40) is inside the
+    // square -> classified inner -> escapes -> invalid polygon
+    assert(a.head.status === "InvalidRing")
+  }
+
+  test("hole touching the outer boundary at a point stays valid") {
+    val rel = Map("type" -> "multipolygon")
+    val ways = Array(
+      mwT(17, 0, 170, Map.empty, rel, (0, 0), (100, 0), (100, 100), (0, 100), (0, 0)),
+      mwT(17, 1, 171, Map.empty, rel, (0, 50), (40, 30), (40, 70), (0, 50)))
+    val a = AssemblyOps.assembleOne(17, ways).toArray.head
+    assert(a.status === "ok")
+    assert(a.nInner === 1)
+  }
+
   test("area timestamp bumps to the newest member way (builder.hpp:652-655)") {
     val ways = Array(
       mw(15, 0, 150, (0, 0), (10, 0), (10, 10)).copy(tsMicros = 100L, relTsMicros = 50L),
