@@ -61,8 +61,17 @@ object SparkEntry {
         .groupBy(col("o_orderkey"))
         .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000, 0)
           .cast("long")).as("rev_e4"))
-      val w = Window.orderBy(col("rev_e4").desc, col("o_orderkey"))
-      rev.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 10)
+      // Top-k via orderBy+limit so Spark plans TakeOrderedAndProject
+      // (per-partition partial top-k + tiny merge) instead of funnelling the
+      // full aggregate through a single-partition global window. Rank over
+      // the k survivors is then window-free: rank = #rows ahead-or-equal in
+      // the sort order, via a broadcast self-join on the k-row result.
+      val top = rev.orderBy(col("rev_e4").desc, col("o_orderkey")).limit(10).persist()
+      val ahead = broadcast(top.select(col("rev_e4").as("r2"), col("o_orderkey").as("k2")))
+      top.join(ahead, col("r2") > col("rev_e4") ||
+          (col("r2") === col("rev_e4") && col("k2") <= col("o_orderkey")))
+        .groupBy(col("o_orderkey"), col("rev_e4"))
+        .agg(count(lit(1)).as("rank"))
     }),
 
     "q5_join" -> ((s, d) => {
@@ -104,7 +113,7 @@ object SparkEntry {
     }),
 
     "q_history_range" -> ((s, d) => {
-      val ev = HistoryOps.endTime(t(s, d, "events"), "user_id", "ts", "ts")
+      val ev = HistoryOps.endTime(t(s, d, "events"), "user_id", "ts", "ts", "event_id")
       val from = 1704672000000000L // 2024-01-08
       val to = 1705276800000000L   // 2024-01-15
       ev.filter(us(col("ts")) <= to &&
@@ -170,7 +179,7 @@ object SparkEntry {
 
     "q_dedup_minhash" -> ((s, d) => DedupOps.minHashLshPairs(Synth.corpus(s, d))),
 
-    "q_dedup_simhash" -> ((s, d) => DedupOps.simHashPairs(Synth.corpus(s, d), 2)),
+    "q_dedup_simhash" -> ((s, d) => DedupOps.simHashPairs(Synth.corpus(s, d), 3)),
 
     "q_sim_neardup" -> ((s, d) => DedupOps.embeddingNearDups(Synth.embCorpus(s, d), 9000L)),
 
@@ -180,7 +189,6 @@ object SparkEntry {
       SimilarityOps.cosineTopK(e, e.filter(col("vec_id") % 25 === 0), 10)
     }),
 
-    // ANN scale path (deterministic but not SQL-expressible → rows-only)
     "q_sim_ann" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       SimilarityOps.cosineTopKAnn(e, e.filter(col("vec_id") % 25 === 0), 10)
@@ -228,8 +236,13 @@ object SparkEntry {
       val toks = t(s, d, "documents")
         .select(explode(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("cnt").desc, col("tok"))
-      toks.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= 100)
+      // TakeOrderedAndProject top-k with window-free rank (see q3_topk).
+      val top = toks.orderBy(col("cnt").desc, col("tok")).limit(100).persist()
+      val ahead = broadcast(top.select(col("cnt").as("c2"), col("tok").as("t2")))
+      top.join(ahead, col("c2") > col("cnt") ||
+          (col("c2") === col("cnt") && col("t2") <= col("tok")))
+        .groupBy(col("tok"), col("cnt"))
+        .agg(count(lit(1)).as("rank"))
     }),
 
     "q_fanout" -> ((s, d) => {
@@ -261,7 +274,7 @@ object SparkEntry {
     "q_salted_density" -> ((s, d) => {
       val cells = Synth.points(s, d)
         .select(Fns.cellId(col("lon_fix"), col("lat_fix"), 8).as("cell"))
-      SkewOps.saltedCount(cells, "cell", Seq("cell"), 16)
+      SkewOps.saltedCount(cells, "cell", 16)
     }),
 
     // --- assembly flagship (not SQL-expressible → rows-only check) ---
@@ -338,6 +351,35 @@ object SparkEntry {
   private def tokenHashSql(e: String): String =
     (1 to 8).map(k => s"CAST(ascii(substr($e, $k, 1)) AS BIGINT)")
       .reduceLeft((a, b) => s"($a * 31 + $b)")
+
+  /** DuckDB twins of the 8 VecLshBuckets bucket values (12-bit sign-LSH
+    * signatures) over expression `embExpr`: the deterministic hyperplane
+    * weights (core.TextHash.lshWeight) are inlined as double literals, and
+    * the dot product is the same ascending-index left-assoc sum the kernel
+    * computes, so the signs match bit-for-bit. Dim 64 per TESTDATA.md.
+    */
+  private def lshBucketsSql(embExpr: String): Seq[String] =
+    (0 until DedupOps.NearDupTables).map { t =>
+      (0 until DedupOps.NearDupBits).map { b =>
+        val dot = (0 until 64).map { j =>
+          s"(${graft.core.TextHash.lshWeight(t, b, j)})*CAST($embExpr[${j + 1}] AS DOUBLE)"
+        }.mkString(" + ")
+        s"CASE WHEN ($dot) >= 0 THEN ${1L << b} ELSE 0 END"
+      }.mkString("(", " | ", ")")
+    }
+
+  /** CTE body `eb` + unnested `bk` (vec_id, embedding, tbl, bucket) over a
+    * vector CTE named `src` — shared by the near-dup and ANN oracles.
+    */
+  private def lshBankSql: String = {
+    val buckets = lshBucketsSql("embedding")
+      .zipWithIndex.map { case (e, t) => s"$e AS bucket$t" }.mkString(",\n  ")
+    val bank = (0 until DedupOps.NearDupTables)
+      .map(t => s"SELECT vec_id, $t AS tbl, bucket$t AS bucket FROM eb")
+      .mkString("\n  UNION ALL ")
+    s"""eb AS (SELECT vec_id, $buckets FROM src),
+       |bk AS ($bank)""".stripMargin
+  }
 
   private def haversineSql(lon1: String, lat1: String, lon2: String, lat2: String): String = {
     val deg = "0.017453292519943295769236907684886"
@@ -491,8 +533,9 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       s"""WITH corpus AS ($C)
-         |SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n
-         |FROM corpus GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+         |SELECT sha256(text) AS text_sha, CAST(length(text) AS BIGINT) AS text_len,
+         |  min(doc_id) AS keep_id, count(*) AS n
+         |FROM corpus GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""WITH corpus AS ($C),
@@ -518,39 +561,80 @@ object SparkEntry {
          |SELECT doc_a, doc_b, n_bands FROM cand""".stripMargin,
 
     "q_dedup_simhash" -> {
-      val votes = (0 until 16).map(b =>
-        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
-      val bits = (0 until 16).map(b =>
-        s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" | ")
-      val ham = (0 until 16).map(i => s"(((xor(a.sh, b.sh)) >> $i) & 1)").mkString(" + ")
+      // 64-bit simhash as 4x16-bit bands (core.TextHash.simHash64 layout):
+      // per-band rehash h_j of the mod-P token hash, 16 vote sums per band,
+      // candidates = shared (band, band_key), dist = summed band xors.
+      val hjs = (0 until DedupOps.SimHashBands).map(j =>
+        s"((h * ${1000003L + 2L * j} + ${12345L + 7919L * j}) % 1000000007) AS h$j")
+        .mkString(", ")
+      val votes = (0 until DedupOps.SimHashBands).flatMap(j => (0 until 16).map(b =>
+        s"sum(CASE WHEN ((h$j >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v${j * 16 + b}"))
+        .mkString(", ")
+      val bandBits = (0 until DedupOps.SimHashBands).map { j =>
+        (0 until 16).map(b =>
+          s"CASE WHEN v${j * 16 + b} > 0 THEN ${1L << b} ELSE 0 END").mkString("(", " | ", ")")
+      }
+      val sims = bandBits.zipWithIndex.map { case (e, j) => s"$e AS b$j" }.mkString(", ")
+      val bank = (0 until DedupOps.SimHashBands)
+        .map(j => s"SELECT doc_id, b0, b1, b2, b3, $j AS band, b$j AS band_key FROM sims")
+        .mkString("\n  UNION ALL ")
+      val ham = (0 until DedupOps.SimHashBands)
+        .map(j => s"bit_count(xor(a.b$j, b.b$j))").mkString(" + ")
       s"""WITH corpus AS ($C),
-         |toks AS (SELECT doc_id, ${tokenHashSql("tok")} AS h FROM (
+         |toks AS (SELECT doc_id, (${tokenHashSql("tok")}) % 1000000007 AS h FROM (
          |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM corpus)),
-         |sims AS (SELECT doc_id, $bits AS sh FROM (
-         |  SELECT doc_id, $votes FROM toks GROUP BY doc_id)),
-         |buckets AS (
-         |  SELECT doc_id, sh, sh & 255 AS bucket, 0 AS half FROM sims
-         |  UNION ALL
-         |  SELECT doc_id, sh, (sh >> 8) & 255 AS bucket, 1 AS half FROM sims)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, ($ham) AS dist
-         |FROM buckets a JOIN buckets b
-         |  ON a.half = b.half AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |WHERE ($ham) <= 2""".stripMargin
+         |hj AS (SELECT doc_id, $hjs FROM toks),
+         |votes AS (SELECT doc_id, $votes FROM hj GROUP BY doc_id),
+         |sims AS (SELECT doc_id, $sims FROM votes),
+         |bank AS ($bank)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST($ham AS BIGINT) AS dist
+         |FROM bank a JOIN bank b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |WHERE ($ham) <= 3""".stripMargin
     },
 
     "q_sim_neardup" -> {
-      val bucket = (0 until 8).map(i =>
-        s"CASE WHEN embedding[${i + 1}] >= 0 THEN ${1L << i} ELSE 0 END").mkString(" | ")
       val dot = "(SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) " +
         "FROM unnest(range(1, 1 + len(a.embedding))) AS t(i))"
       val na = "sqrt((SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)) FROM unnest(range(1, 1 + len(a.embedding))) AS t(i)))"
       val nb = "sqrt((SELECT sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) FROM unnest(range(1, 1 + len(b.embedding))) AS t(i)))"
-      s"""WITH ec AS ($E),
-         |e AS (SELECT vec_id, embedding, ($bucket) AS bucket FROM ec)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""WITH src AS ($E),
+         |$lshBankSql,
+         |cand AS (
+         |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+         |  FROM bk x JOIN bk y
+         |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT c.va AS vec_a, c.vb AS vec_b,
          |  CAST(round($dot / ($na * $nb) * 10000) AS BIGINT) AS cos_e4
-         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |FROM cand c JOIN src a ON a.vec_id = c.va JOIN src b ON b.vec_id = c.vb
          |WHERE CAST(round($dot / ($na * $nb) * 10000) AS BIGINT) >= 9000""".stripMargin
+    },
+
+    "q_sim_ann" -> {
+      // LSH-banded ANN with exact rerank, replicated end-to-end: the bucket
+      // bank (literal hyperplanes), the distinct candidate pairs, the
+      // cosine rerank and the per-query top-k window all mirror
+      // SimilarityOps.cosineTopKAnn.
+      val dot = "(SELECT sum(CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) " +
+        "FROM unnest(range(1, 1 + len(e.embedding))) AS t(i))"
+      val nq = "sqrt((SELECT sum(CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)) FROM unnest(range(1, 1 + len(q.embedding))) AS t(i)))"
+      val ne = "sqrt((SELECT sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) FROM unnest(range(1, 1 + len(e.embedding))) AS t(i)))"
+      s"""WITH src AS (SELECT vec_id, embedding FROM embeddings),
+         |$lshBankSql,
+         |cand AS (
+         |  SELECT DISTINCT qb.vec_id AS qid, ebk.vec_id AS nid
+         |  FROM bk ebk JOIN bk qb
+         |    ON ebk.tbl = qb.tbl AND ebk.bucket = qb.bucket
+         |  WHERE qb.vec_id % 25 = 0 AND ebk.vec_id <> qb.vec_id),
+         |scored AS (
+         |  SELECT c.qid, c.nid,
+         |    CAST(round($dot / ($nq * $ne) * 1000000) AS BIGINT) AS cos_e6
+         |  FROM cand c JOIN embeddings q ON q.vec_id = c.qid
+         |  JOIN embeddings e ON e.vec_id = c.nid)
+         |SELECT qid, nid, rank, cos_e6 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin
     },
 
     "q_sim_topk" -> {
@@ -597,7 +681,7 @@ object SparkEntry {
          |  SELECT doc_id, ${tokenHashSql("tok")} AS h FROM (
          |    SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents))
          |SELECT d.doc_id, CAST(len(regexp_extract_all(d.text, '[^ ]+')) AS BIGINT) AS n_tokens,
-         |  (SELECT CAST(sum(h) AS BIGINT) % 2305843009213693951 FROM toks WHERE toks.doc_id = d.doc_id) AS fingerprint
+         |  coalesce((SELECT CAST(sum(h) AS BIGINT) % 2305843009213693951 FROM toks WHERE toks.doc_id = d.doc_id), 0) AS fingerprint
          |FROM documents d""".stripMargin,
 
     "q_pages_invariant" ->

@@ -142,6 +142,54 @@ object TextHash {
     sh
   }
 
+  /** 64-bit SimHash as four independent 16-bit bands (hamming-LSH layout):
+    * band j votes on bits 0..15 of h_j = ((H mod P) * (1000003+2j) +
+    * (12345+7919j)) mod P, H = the 8-char Horner token hash. Band j
+    * occupies value bits [16j, 16j+16). Four bands give the standard
+    * pigeonhole guarantee: any pair at hamming distance <= 3 shares at
+    * least one full band — so band-bucket candidate generation is
+    * recall-complete for maxDist <= 3 (unlike the old 16-bit/2-half form,
+    * complete only for distance <= 1). All arithmetic int64-safe:
+    * H < 2^45, H mod P < 2^30, * a_j < 2^51.
+    */
+  def simHash64(s: String): Long = {
+    val cps = new Array[Int](s.length)
+    var i = 0; var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(n) = cp; n += 1
+      i += Character.charCount(cp)
+    }
+    val votes = new Array[Int](64)
+    var p = 0
+    while (p < n) {
+      if (cps(p) != ' ') {
+        var q = p
+        while (q < n && cps(q) != ' ') q += 1
+        val hmod = tokenHash(cps, p, q) % P
+        var j = 0
+        while (j < 4) {
+          val hj = (hmod * (1000003L + 2L * j) + (12345L + 7919L * j)) % P
+          var b = 0
+          while (b < 16) {
+            val idx = j * 16 + b
+            if (((hj >> b) & 1L) == 1L) votes(idx) += 1 else votes(idx) -= 1
+            b += 1
+          }
+          j += 1
+        }
+        p = q
+      } else p += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sh |= 1L << b
+      b += 1
+    }
+    sh
+  }
+
   def minHash(s: String, cap: Int, len: Int, k: Int): Array[Long] = {
     val sh = shingleHashes(s, cap, len)
     val out = new Array[Long](k)

@@ -229,6 +229,26 @@ object Fns {
     }
   }
 
+  /** 64-bit SimHash spec form (4x16-bit bands, see core.TextHash.simHash64
+    * for the layout and the recall guarantee). Interpreted and slow —
+    * parity spec for the native SimHash64 expression only.
+    */
+  def simHash64(text: Column): Column = {
+    val toks = regexp_extract_all(text, lit("[^ ]+"), lit(0))
+    val hashes = transform(toks, t => tokenHashExpr(t) % lit(1000000007L))
+    bindOnce(hashes) { hs =>
+      (0 until 64).map { idx =>
+        val j = idx / 16; val b = idx % 16
+        val a = lit(1000003L + 2L * j); val c = lit(12345L + 7919L * j)
+        val votes = aggregate(hs, lit(0L), (acc, h) => {
+          val hj = (h * a + c) % lit(1000000007L)
+          acc + when(shiftright(hj, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+        })
+        when(votes > 0, lit(1L << idx)).otherwise(lit(0L))
+      }.reduce((x, y) => x.bitwiseOR(y))
+    }
+  }
+
   /** Hamming distance between two small (≤32-bit) hash values. */
   def hamming(a: Column, b: Column): Column = {
     val x = a.bitwiseXOR(b)

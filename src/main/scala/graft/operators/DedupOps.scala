@@ -14,11 +14,15 @@ import graft.functions.Fns
   */
 object DedupOps {
 
-  /** Exact duplicate groups keyed by full text; keeps the smallest doc_id
-    * as the canonical representative (deterministic).
+  /** Exact duplicate groups keyed by (sha256, length) of the full text;
+    * keeps the smallest doc_id as the canonical representative
+    * (deterministic). The composite key makes an accidental-collision
+    * false-merge effectively impossible at the 10^12-row posture (md5
+    * alone is 128-bit and collision-constructible).
     */
   def exactDuplicates(corpus: DataFrame): DataFrame =
-    corpus.groupBy(md5(col("text")).as("text_md5"))
+    corpus.groupBy(sha2(col("text"), 256).as("text_sha"),
+        length(col("text")).cast("long").as("text_len"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
@@ -91,43 +95,59 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard_pm"))
   }
 
-  /** SimHash near-dup pairs: 16-bit simhash, pairs at hamming distance
-    * <= maxDist. Bucketed by the two 8-bit halves (any pair within
-    * distance<=? shares a half only for maxDist<=... — for the synthetic
-    * corpus duplicates have distance 0-2, found via half-match buckets).
+  val SimHashBands = 4
+
+  /** SimHash near-dup pairs: 64-bit simhash in 4x16-bit bands (hamming
+    * LSH), pairs at hamming distance <= maxDist. Candidates = docs sharing
+    * at least one full band; by pigeonhole this is recall-COMPLETE for
+    * maxDist <= SimHashBands - 1 = 3 (require it). Each band key is 16
+    * bits -> 65536 buckets per band, so the per-bucket self-join stays
+    * bounded at large corpus sizes (the old 16-bit/8-bit-half form
+    * saturated its 256 buckets and emitted O(n^2/256) pairs).
     */
   def simHashPairs(corpus: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= SimHashBands - 1,
+      s"band bucketing is recall-complete only for maxDist <= ${SimHashBands - 1}")
     val sh = corpus.select(col("doc_id"),
-      graft.plans.TextHashExpressions.simHash16(col("text")).as("sh"))
-    val lo = sh.select(col("doc_id"), col("sh"), col("sh").bitwiseAND(lit(255L)).as("bucket"), lit(0).as("half"))
-    val hi = sh.select(col("doc_id"), col("sh"), shiftright(col("sh"), 8).bitwiseAND(lit(255L)).as("bucket"), lit(1).as("half"))
-    val buckets = lo.unionByName(hi)
-    val a = buckets.as("a"); val b = buckets.as("b")
-    a.join(b, col("a.half") === col("b.half") &&
-        col("a.bucket") === col("b.bucket") &&
+      graft.plans.TextHashExpressions.simHash64(col("text")).as("sh"))
+    val banded = sh.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until SimHashBands).map(j =>
+        shiftright(col("sh"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "band_key")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        Fns.hamming(col("a.sh"), col("b.sh")).as("dist"))
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }
 
+  val NearDupTables = 8
+  val NearDupBits = 12
+
   /** Embedding-cosine near-duplicates: pairs with round(cos,4) >= threshold.
-    * Candidate generation via sign-LSH buckets (deterministic hyperplanes
-    * from index arithmetic) keeps this linear-ish in rows; the synthetic
-    * duplicates are exact/near-exact copies, so bucket agreement is certain.
+    * Candidates from multi-table sign-projection LSH (VecLshBuckets,
+    * 8 tables x 12 bits — the same family the ANN path uses): a pair is a
+    * candidate iff some table assigns both vectors the same 12-bit bucket.
+    * 4096 buckets per table bound the per-bucket self-join at scale (the
+    * old 8-sign-bit form had 256 buckets total and went quadratic);
+    * near-identical vectors agree on nearly every hyperplane, so
+    * multi-table agreement is near-certain. Exact cosine verifies.
     */
   def embeddingNearDups(emb: DataFrame, thresholdE4: Long): DataFrame = {
-    // bucket = sign bits of the first 8 components (cheap deterministic LSH)
-    val bucket = (0 until 8).map { i =>
-      when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val e = emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+    val e = emb.select(col("vec_id"), col("embedding"),
+      posexplode(graft.plans.TextHashExpressions
+        .vecLshBuckets(col("embedding"), NearDupTables, NearDupBits))
+        .as(Seq("table", "bucket")))
     val a = e.as("a"); val b = e.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    a.join(b, col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(Fns.cosineSim(col("a.embedding"), col("b.embedding")) * lit(10000.0), 0)
           .cast("long").as("cos_e4"))
+      .distinct()
       .filter(col("cos_e4") >= thresholdE4)
   }
 }

@@ -11,10 +11,14 @@ object HistoryOps {
 
   /** EndTime (reference/include/osmium/handler/endtime.hpp:36-131): each
     * version's endtime = next same-key version's timestamp.
-    * lead() over (partition by key order by version).
+    * lead() over (partition by key order by version, tieBreak...).
+    * Pass tie-break columns whenever (key, orderCol) is not unique —
+    * otherwise the lead() assignment is nondeterministic across runs.
     */
-  def endTime(df: DataFrame, keyCol: String, orderCol: String, tsCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+  def endTime(df: DataFrame, keyCol: String, orderCol: String, tsCol: String,
+              tieBreakCols: String*): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((col(orderCol) +: tieBreakCols.map(col)): _*)
     df.withColumn("endtime", lead(col(tsCol), 1).over(w))
   }
 

@@ -13,19 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
-  /** Deterministic salt in [0, saltFactor) derived from arbitrary columns
-    * (xxhash64 — stable across runs, unlike rand()).
+  /** Row-fanning salt in [0, saltFactor): derived from the per-row
+    * monotonic id, NOT from the grouping key — a salt that is a function of
+    * the key would map every row of a hot key to the same salt and the
+    * two-level split would be a no-op. The id cycles through all
+    * saltFactor values within each input partition, so a hot key fans out
+    * to up to saltFactor partial groups. The salt is aggregated away, so
+    * the (nondeterministic-tagged) id never affects output values.
     */
-  def salt(saltFactor: Int, cols: Column*): Column =
-    pmod(xxhash64(cols: _*), lit(saltFactor.toLong))
+  def salt(saltFactor: Int): Column =
+    pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
 
   /** Two-level count-by-key: partial counts per (key, salt), then final
     * combine per key. Same result as groupBy(key).count() with hot keys
     * split saltFactor ways in the first (wide) exchange.
     */
-  def saltedCount(df: DataFrame, keyCol: String, saltCols: Seq[String],
-                  saltFactor: Int): DataFrame =
-    df.withColumn("__salt", salt(saltFactor, saltCols.map(col): _*))
+  def saltedCount(df: DataFrame, keyCol: String, saltFactor: Int): DataFrame =
+    df.withColumn("__salt", salt(saltFactor))
       .groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(keyCol))
@@ -33,8 +37,8 @@ object SkewOps {
 
   /** Salted sum — same two-level scheme for an arbitrary long-typed sum. */
   def saltedSum(df: DataFrame, keyCol: String, valueCol: String,
-                saltCols: Seq[String], saltFactor: Int): DataFrame =
-    df.withColumn("__salt", salt(saltFactor, saltCols.map(col): _*))
+                saltFactor: Int): DataFrame =
+    df.withColumn("__salt", salt(saltFactor))
       .groupBy(col(keyCol), col("__salt"))
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(col(keyCol))

@@ -123,14 +123,17 @@ object SpatialOps {
         .bitwiseOR(Fns.mortonSpread(x))
         .bitwiseOR(shiftleft(Fns.mortonSpread(y), 1))
 
-    // query side: explode the 3x3 neighborhood (x wraps, y clamps)
+    // query side: explode the 3x3 neighborhood (both axes clamp: the
+    // distance metric is flat int64 euclid on fix coords, NOT cylindrical,
+    // so wrapping cells across the antimeridian would admit candidates that
+    // are far in this metric — and their dx could overflow dx*dx)
     val q = queries.select(col("pid").as("qid"),
       col("lon_fix").as("qx"), col("lat_fix").as("qy"),
       Fns.cellX(col("lon_fix"), level).as("qcx"),
       Fns.cellY(col("lat_fix"), level).as("qcy"))
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
     val qcells = q.withColumn("cell", explode(array(offsets.map { case (dx, dy) =>
-        val nx = pmod(col("qcx") + dx, lit(n))
+        val nx = least(greatest(col("qcx") + dx, lit(0L)), lit(n - 1))
         val ny = least(greatest(col("qcy") + dy, lit(0L)), lit(n - 1))
         cellOf(nx, ny)
       }: _*))).dropDuplicates("qid", "cell")

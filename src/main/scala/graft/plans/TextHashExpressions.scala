@@ -77,6 +77,24 @@ case class SimHash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native 64-bit SimHash (4x16-bit bands) — value-identical to
+  * Fns.simHash64; band layout documented at core.TextHash.simHash64.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(text: Any): Any =
+    TextHash.simHash64(text.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.core.TextHash.simHash64($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen bridge for the LSH-bucket kernel (ArrayData float unwrap). */
 object VecLshKernel {
   def buckets(vec: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -110,6 +128,9 @@ case class VecLshBuckets(child: Expression, tables: Int, bits: Int)
 object TextHashExpressions {
   def simHash16(text: Column): Column =
     GraftColumnBridge.column(SimHash16(GraftColumnBridge.expression(text)))
+
+  def simHash64(text: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(text)))
 
   def vecLshBuckets(vec: Column, tables: Int, bits: Int): Column =
     GraftColumnBridge.column(

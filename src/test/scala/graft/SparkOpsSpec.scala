@@ -168,13 +168,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(graft.plans.TextHashExpressions.simHash16(col("text")),
         Fns.simHash16(col("text"))).collect()
     edges.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // 64-bit simhash: native expression == Column spec form, incl. edges
+    val sims64 = docs.limit(50)
+      .select(graft.plans.TextHashExpressions.simHash64(col("text")),
+        Fns.simHash64(col("text"))).collect()
+    sims64.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val edges64 = Seq("", " ", "a", "  double  spaces  ", "tok").toDF("text")
+      .select(graft.plans.TextHashExpressions.simHash64(col("text")),
+        Fns.simHash64(col("text"))).collect()
+    edges64.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
   test("exact dedup finds exactly the injected copies") {
     val dups = DedupOps.exactDuplicates(Synth.corpus(spark, dir)).collect()
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
     assert(dups.length === (0L until nDocs).count(_ % 7 == 0))
-    dups.foreach(r => assert(r.getLong(2) === 2L))
+    dups.foreach(r => assert(r.getLong(3) === 2L))
   }
 
   test("minhash LSH candidates include every exact-copy pair") {
@@ -246,11 +255,24 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("salted count equals plain groupBy count") {
     val cells = Synth.points(spark, dir)
       .select(graft.functions.Fns.cellId(col("lon_fix"), col("lat_fix"), 8).as("cell"))
-    val salted = SkewOps.saltedCount(cells, "cell", Seq("cell"), 16)
+    val salted = SkewOps.saltedCount(cells, "cell", 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val plain = cells.groupBy("cell").count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(salted === plain)
+  }
+
+  test("salting actually fans a hot key out across partial groups") {
+    val ss = spark; import ss.implicits._
+    // one pathologically hot key: 10k identical rows
+    val hot = spark.range(10000).select(lit(42L).as("cell"))
+    val partials = hot.withColumn("__salt", SkewOps.salt(16))
+      .groupBy("cell", "__salt").count()
+    assert(partials.count() > 1L,
+      "hot key collapsed to a single (key, salt) partial — salt is a no-op")
+    // and the two-level result is still the exact count
+    val total = SkewOps.saltedCount(hot, "cell", 16).collect()
+    assert(total.length === 1 && total(0).getLong(1) === 10000L)
   }
 
   test("multimodal extract: stub decode is deterministic and fingerprint matches kernel") {
