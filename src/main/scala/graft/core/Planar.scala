@@ -294,6 +294,104 @@ object Planar {
     }
   }
 
+  /** Outcome of a touching-inner-rings merge attempt
+    * (reference/include/osmium/multipolygon/builder.hpp:804-866).
+    */
+  sealed trait RingMerge
+  /** Boundaries do not intersect in a single shared linestring (disjoint,
+    * point touch, or multiple separate shared pieces) — rings are left
+    * alone and the scan continues (the reference's non-LINESTRING branch).
+    */
+  case object NotTouching extends RingMerge
+  /** Single-linestring touch; the symmetric difference polygonized into
+    * exactly one ring, which replaces the pair.
+    */
+  case class Merged(xs: Array[Long], ys: Array[Long]) extends RingMerge
+  /** Single-linestring touch but the symmetric difference did not
+    * polygonize into one ring — the reference stops ALL further merging
+    * for this ring list (its polygonizer-failure `return`).
+    */
+  case object Unmergeable extends RingMerge
+
+  /** Touching-inner-rings merge (builder.hpp:804-866): GEOS asks whether
+    * the two ring BOUNDARIES intersect in a LINESTRING, and if so replaces
+    * ring a with polygonize(symDifference(boundary a, boundary b)) when
+    * that yields exactly one polygon.
+    *
+    * Vertex-exact model (consistent with the node-REF ring builder): the
+    * boundary intersection is the set of whole shared edges plus shared
+    * vertices. "Intersection is one linestring" ⇔ the shared edges form a
+    * single simple path (no branching, not a cycle, connected) and every
+    * shared vertex lies on that path. Rings sharing only points (GEOS
+    * (MULTI)POINT) or several separate runs (MULTILINESTRING) are NOT
+    * merged, matching GEOS type dispatch. Partial edge overlap without
+    * shared vertices cannot occur in data where shared boundaries share
+    * nodes (the OSM model).
+    *
+    * Inputs are OPEN rings; the result is an open ring.
+    */
+  def mergeTouchingRings(axs: Array[Long], ays: Array[Long],
+                         bxs: Array[Long], bys: Array[Long]): RingMerge = {
+    type P = (Long, Long)
+    def edge(p: P, q: P): (P, P) = if (p._1 < q._1 || (p._1 == q._1 && p._2 <= q._2)) (p, q) else (q, p)
+    def ringEdges(xs: Array[Long], ys: Array[Long]): Set[(P, P)] =
+      xs.indices.map { i =>
+        val j = (i + 1) % xs.length
+        edge((xs(i), ys(i)), (xs(j), ys(j)))
+      }.toSet
+    def verts(xs: Array[Long], ys: Array[Long]): Set[P] =
+      xs.indices.map(i => (xs(i), ys(i))).toSet
+
+    val ea = ringEdges(axs, ays); val eb = ringEdges(bxs, bys)
+    val shared = ea.intersect(eb)
+    if (shared.isEmpty) return NotTouching
+
+    // shared edges must form one simple path
+    val deg = scala.collection.mutable.Map.empty[P, Int].withDefaultValue(0)
+    shared.foreach { case (p, q) => deg(p) += 1; deg(q) += 1 }
+    if (deg.valuesIterator.exists(_ > 2)) return NotTouching
+    // iterator first: collect on a Map with tuple-valued results would
+    // rebuild a Map and collapse endpoints sharing an x coordinate
+    val ends = deg.iterator.collect { case (v, 1) => v }.toList
+    if (ends.size != 2) return NotTouching // cycle (identical rings) or broken
+    // connectivity of the shared set: walk from one endpoint
+    val adjS = scala.collection.mutable.Map.empty[P, List[P]].withDefaultValue(Nil)
+    shared.foreach { case (p, q) => adjS(p) ::= q; adjS(q) ::= p }
+    var visited = Set(ends.head)
+    var frontier = List(ends.head)
+    while (frontier.nonEmpty) {
+      val next = frontier.flatMap(adjS(_)).filterNot(visited)
+      visited ++= next
+      frontier = next
+    }
+    if (visited.size != deg.size) return NotTouching // several pieces
+    // no shared vertex off the path (else GEOS sees a GEOMETRYCOLLECTION)
+    if (verts(axs, ays).intersect(verts(bxs, bys)) != deg.keySet) return NotTouching
+
+    // symmetric difference of the boundaries, polygonized
+    val sym = ea.union(eb).diff(shared)
+    val adj = scala.collection.mutable.Map.empty[P, List[P]].withDefaultValue(Nil)
+    sym.foreach { case (p, q) => adj(p) ::= q; adj(q) ::= p }
+    if (adj.valuesIterator.exists(_.size != 2)) return Unmergeable
+    val start = adj.keysIterator.next()
+    val loopX = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val loopY = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var prev: P = null
+    var cur = start
+    var steps = 0
+    while ((prev == null || cur != start) && steps <= sym.size) {
+      loopX += cur._1; loopY += cur._2
+      val next = adj(cur).find(_ != prev).getOrElse(adj(cur).head)
+      prev = cur; cur = next
+      steps += 1
+    }
+    if (steps != sym.size) return Unmergeable // more than one loop
+    val rx = loopX.toArray; val ry = loopY.toArray
+    if (rx.length >= 3 && isSimpleRing(rx, ry) && signedArea2(rx, ry) != 0)
+      Merged(rx, ry)
+    else Unmergeable
+  }
+
   /** Orientation of point (px,py) vs directed segment (x1,y1)->(x2,y2):
     * >0 left (CCW), <0 right, 0 collinear. Exact.
     */

@@ -322,10 +322,19 @@ object AssemblyOps {
     // emitted by handle_one_way_inner_rings survive, as in the reference
     // where m_areas already holds them when the throw unwinds)
     val outerRingCount = outers.length
+    var nHoles = 0
     val polys = outers.map { o =>
-      val holes = (0 until n).filter(a => isInner(a) && parentOf(a) == o)
-      if (!Planar.polygonValid(open(o), holes.map(open(_))))
+      // check_touching_inner_rings (builder.hpp:880-883 call site, :804-866
+      // body): runs per outer ring on its direct inner rings, before the
+      // holes are attached
+      val holeSlots = scala.collection.mutable.ArrayBuffer.from(
+        (0 until n).filter(a => isInner(a) && parentOf(a) == o)
+          .map(a => Option(open(a))))
+      mergeTouchingInnerRings(holeSlots)
+      val holes = holeSlots.flatten.toSeq
+      if (!Planar.polygonValid(open(o), holes))
         return extraAreas.iterator ++ err("InvalidRing")
+      nHoles += holes.length
       rings(o).ways.filterNot(_.pseudo).foreach { w =>
         if (untagged(w.tags)) ()                      // way not tagged — ok
         else if (sameTags(areaTags, w.tags)) ()       // same as area — ok
@@ -336,7 +345,7 @@ object AssemblyOps {
       }
       val (oxs, oys) = orient(open(o), ccw = false)
       Seq((closeI(oxs), closeI(oys))) ++ holes.map { h =>
-        val (hx, hy) = orient(open(h), ccw = true)
+        val (hx, hy) = orient(h, ccw = true)
         (closeI(hx), closeI(hy))
       }
     }
@@ -345,7 +354,42 @@ object AssemblyOps {
     val wkt = Wkt.multiPolygon(polys)
     extraAreas.iterator ++ Iterator(
       Area(areaId, relId, fromWay = false, outerRingCount,
-        isInner.count(identity), "ok", wkt, areaTags, areaTs))
+        nHoles, "ok", wkt, areaTags, areaTs))
+  }
+
+  /** check_touching_inner_rings scan semantics (builder.hpp:804-866):
+    * examine pairs (j, k>j) of surviving rings; on a Merged outcome the
+    * pair collapses into slot j and the scan RESTARTS (the reference
+    * recurses then returns); an Unmergeable outcome (single-linestring
+    * touch whose symmetric difference did not polygonize into one ring)
+    * stops all further merging, as the reference returns from inside the
+    * polygonizer branch; NotTouching pairs are skipped.
+    */
+  private def mergeTouchingInnerRings(
+      rs: scala.collection.mutable.ArrayBuffer[Option[(Array[Long], Array[Long])]]): Unit = {
+    var restart = true
+    while (restart) {
+      restart = false
+      var j = 0
+      while (j < rs.length && !restart) {
+        if (rs(j).isDefined) {
+          var k = j + 1
+          while (k < rs.length && !restart) {
+            if (rs(k).isDefined) {
+              val a = rs(j).get; val b = rs(k).get
+              Planar.mergeTouchingRings(a._1, a._2, b._1, b._2) match {
+                case Planar.Merged(xs, ys) =>
+                  rs(j) = Some((xs, ys)); rs(k) = None; restart = true
+                case Planar.Unmergeable => return
+                case Planar.NotTouching => ()
+              }
+            }
+            k += 1
+          }
+        }
+        j += 1
+      }
+    }
   }
 
   private def ringAreaAbs(r: (Array[Long], Array[Long])): BigInt =

@@ -181,4 +181,43 @@ class KernelSpec extends AnyFunSuite {
     assert(Tiles.equirectBin(179.9, -89.9, 1.0, 360, 180) === ((359, 179)))
     assert(Tiles.equirectBin(0.5, 0.5, 1.0, 360, 180) === ((180, 89)))
   }
+
+  test("mergeTouchingRings: shared edge -> symmetric-difference union outline") {
+    // two 20x20 squares side by side sharing the vertical edge x=40
+    val a = (Array(20L, 40L, 40L, 20L), Array(20L, 20L, 40L, 40L))
+    val b = (Array(40L, 60L, 60L, 40L), Array(20L, 20L, 40L, 40L))
+    Planar.mergeTouchingRings(a._1, a._2, b._1, b._2) match {
+      case Planar.Merged(xs, ys) =>
+        assert(xs.length === 6) // hexagon outline with collinear seam vertices
+        // union area = sum of parts (interiors disjoint): 2*(400+400)
+        assert(Planar.signedArea2(xs, ys).abs === BigInt(1600))
+        assert(Planar.isSimpleRing(xs, ys))
+      case other => fail(s"expected Merged, got $other")
+    }
+  }
+
+  test("mergeTouchingRings: point touch and disjoint rings are NotTouching") {
+    val a = (Array(0L, 10L, 10L, 0L), Array(0L, 0L, 10L, 10L))
+    val pt = (Array(10L, 20L, 20L, 10L), Array(10L, 10L, 20L, 20L)) // corner touch
+    assert(Planar.mergeTouchingRings(a._1, a._2, pt._1, pt._2) === Planar.NotTouching)
+    val far = (Array(100L, 110L, 110L, 100L), Array(0L, 0L, 10L, 10L))
+    assert(Planar.mergeTouchingRings(a._1, a._2, far._1, far._2) === Planar.NotTouching)
+  }
+
+  test("mergeTouchingRings: two separate shared runs (MULTILINESTRING) do not merge") {
+    // ring B wraps around A's right side, sharing A's bottom AND top edges
+    // but neither side -> two disjoint shared runs
+    val a = (Array(0L, 30L, 30L, 0L), Array(0L, 0L, 10L, 10L))
+    val b = (Array(0L, 30L, 40L, 40L, 30L, 0L, -10L, -10L),
+             Array(0L, 0L, -5L, 15L, 10L, 10L, 15L, -5L))
+    val r = Planar.mergeTouchingRings(a._1, a._2, b._1, b._2)
+    assert(r === Planar.NotTouching)
+  }
+
+  test("mergeTouchingRings: overlapping rings give a non-simple outline -> Unmergeable") {
+    // B shares A's bottom edge but its top edge crosses A's right edge
+    val a = (Array(0L, 10L, 10L, 0L), Array(0L, 0L, 10L, 10L))
+    val b = (Array(0L, 10L, 12L, 0L), Array(0L, 0L, 5L, 5L))
+    assert(Planar.mergeTouchingRings(a._1, a._2, b._1, b._2) === Planar.Unmergeable)
+  }
 }

@@ -197,6 +197,39 @@ class AssemblySpec extends AnyFunSuite {
     assert(a.nInner === 1)
   }
 
+  test("touching inner rings sharing an edge merge into one hole (builder.hpp:804-866)") {
+    val ways = Array(
+      mw(20, 0, 200, (0, 0), (100, 0), (100, 100), (0, 100), (0, 0)),
+      mw(20, 1, 201, (20, 20), (40, 20), (40, 40), (20, 40), (20, 20)),
+      mw(20, 2, 202, (40, 20), (60, 20), (60, 40), (40, 40), (40, 20)))
+    val a = AssemblyOps.assembleOne(20, ways).toArray.head
+    assert(a.status === "ok")
+    assert(a.nOuter === 1 && a.nInner === 1) // the two holes merged
+    // merged hole = union outline: x spans 20..60 in the WKT
+    assert(a.wkt.contains("6e-06"))
+  }
+
+  test("inner rings sharing only a corner point stay separate holes") {
+    val ways = Array(
+      mw(21, 0, 210, (0, 0), (100, 0), (100, 100), (0, 100), (0, 0)),
+      mw(21, 1, 211, (20, 20), (40, 20), (40, 40), (20, 40), (20, 20)),
+      mw(21, 2, 212, (40, 40), (60, 40), (60, 60), (40, 60), (40, 40)))
+    val a = AssemblyOps.assembleOne(21, ways).toArray.head
+    assert(a.status === "ok")
+    assert(a.nOuter === 1 && a.nInner === 2) // point touch: GEOS (MULTI)POINT, no merge
+  }
+
+  test("a chain of three edge-touching inner rings merges fully (recursive restart)") {
+    val ways = Array(
+      mw(22, 0, 220, (0, 0), (100, 0), (100, 100), (0, 100), (0, 0)),
+      mw(22, 1, 221, (20, 20), (40, 20), (40, 40), (20, 40), (20, 20)),
+      mw(22, 2, 222, (40, 20), (60, 20), (60, 40), (40, 40), (40, 20)),
+      mw(22, 3, 223, (60, 20), (80, 20), (80, 40), (60, 40), (60, 20)))
+    val a = AssemblyOps.assembleOne(22, ways).toArray.head
+    assert(a.status === "ok")
+    assert(a.nOuter === 1 && a.nInner === 1)
+  }
+
   test("area timestamp bumps to the newest member way (builder.hpp:652-655)") {
     val ways = Array(
       mw(15, 0, 150, (0, 0), (10, 0), (10, 10)).copy(tsMicros = 100L, relTsMicros = 50L),
