@@ -727,6 +727,14 @@ object SparkEntry {
         |  CAST(1 + n % 24 AS INTEGER) AS n_frames
         |FROM m""".stripMargin,
 
+    // Golden-parquet oracle (assembly is not ANSI-SQL-expressible): the
+    // committed golden is regenerated only by an explicit MakeGoldens run,
+    // so the driver gate catches any unintended assembly-semantics drift
+    // with a full rows+schema+hash compare.
+    "q_area_assembly" ->
+      s"""SELECT area_id, orig_id, from_way, n_outer, n_inner, status, wkt, tags_json
+         |FROM read_parquet('${MakeGoldens.GoldenDir}/q_area_assembly/*.parquet')""".stripMargin,
+
     "q_salted_density" -> {
       val spread = spreadSql("cx")
       val spready = spreadSql("cy")
