@@ -172,6 +172,12 @@ object SparkEntry {
       SpatialOps.knn(pts, pts.filter(col("pid") % 997 === 0), 5)
     }),
 
+    // large-query-set kNN: cell-bucket shuffle join, query side not broadcast
+    "q_knn_large" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      SpatialOps.knnShuffled(pts, pts.filter(col("pid") % 101 === 0), 5)
+    }),
+
     // --- dedup suite ---
     "q_dedup_exact" -> ((s, d) => DedupOps.exactDuplicates(Synth.corpus(s, d))),
 
@@ -522,6 +528,17 @@ object SparkEntry {
 
     "q_knn" ->
       s"""WITH p AS ($P), q AS (SELECT * FROM p WHERE pid % 997 = 0),
+         |d AS (
+         |  SELECT q.pid AS qid, p.pid AS pid,
+         |    (p.lon_fix - q.lon_fix) * (p.lon_fix - q.lon_fix) +
+         |    (p.lat_fix - q.lat_fix) * (p.lat_fix - q.lat_fix) AS d2
+         |  FROM p, q WHERE p.pid <> q.pid)
+         |SELECT qid, pid, rank, d2 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, pid) AS rank FROM d)
+         |WHERE rank <= 5""".stripMargin,
+
+    "q_knn_large" ->
+      s"""WITH p AS ($P), q AS (SELECT * FROM p WHERE pid % 101 = 0),
          |d AS (
          |  SELECT q.pid AS qid, p.pid AS pid,
          |    (p.lon_fix - q.lon_fix) * (p.lon_fix - q.lon_fix) +

@@ -163,6 +163,81 @@ object SpatialOps {
     guaranteed.unionByName(fallback)
   }
 
+  /** Exact kNN for LARGE query sets (|queries| ~ |points|): cell-bucket
+    * shuffle equi-join — the query side is NEVER broadcast, so the plan
+    * scales to corpus-vs-corpus workloads where the broadcast variant
+    * (knn) would ship the whole query table to every task.
+    *
+    * Round r joins points against the 3x3 clamped cell neighborhood of
+    * each still-unresolved query at level - r; a query resolves when its
+    * kth candidate provably beats anything outside the neighborhood (same
+    * bound as knn). Each coarsening doubles the guaranteed radius, so
+    * sparse regions need O(level) rounds; at level 1 the 3x3 neighborhood
+    * covers the whole 2x2 grid and the remaining queries get their exact
+    * answer unconditionally. Rounds after the first carry only the
+    * unresolved tail (counted eagerly; the loop stops when none remain),
+    * so the dominant cost is the single level-`level` pass.
+    */
+  def knnShuffled(points: DataFrame, queries: DataFrame, k: Int, level: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cellOfAt(lv: Int)(x: Column, y: Column): Column =
+      lit(1L << (2 * lv))
+        .bitwiseOR(Fns.mortonSpread(x))
+        .bitwiseOR(shiftleft(Fns.mortonSpread(y), 1))
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
+
+    var remaining = queries.select(col("pid").as("qid"),
+      col("lon_fix").as("qx"), col("lat_fix").as("qy")).persist()
+    var out: DataFrame = null
+    var lv = level
+    var done = false
+    while (!done) {
+      val terminal = lv <= 1
+      val n = 1L << lv
+      val wMin = 3600000000L / n - 1
+      val hMin = 1800000000L / n - 1
+      val bound = math.min(wMin, hMin)
+      val bound2 = bound * bound
+
+      val qcells = remaining
+        .withColumn("qcx", Fns.cellX(col("qx"), lv))
+        .withColumn("qcy", Fns.cellY(col("qy"), lv))
+        .withColumn("cell", explode(array(offsets.map { case (dx, dy) =>
+          val nx = least(greatest(col("qcx") + dx, lit(0L)), lit(n - 1))
+          val ny = least(greatest(col("qcy") + dy, lit(0L)), lit(n - 1))
+          cellOfAt(lv)(nx, ny)
+        }: _*)))
+        .dropDuplicates("qid", "cell")
+        .select("qid", "qx", "qy", "cell")
+      val pts = points.withColumn("cell",
+        cellOfAt(lv)(Fns.cellX(col("lon_fix"), lv), Fns.cellY(col("lat_fix"), lv)))
+      val dx = col("lon_fix") - col("qx")
+      val dy = col("lat_fix") - col("qy")
+      val cand = pts.join(qcells, "cell") // shuffle join — no broadcast hint
+        .filter(col("pid") =!= col("qid"))
+        .withColumn("d2", dx * dx + dy * dy)
+      val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))
+      val ranked = cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("pid"), col("rank"), col("d2"))
+
+      if (terminal) {
+        out = if (out == null) ranked else out.unionByName(ranked)
+        done = true
+      } else {
+        val ok = ranked.groupBy("qid")
+          .agg(count(lit(1)).as("cnt"), max("d2").as("maxd2"))
+          .filter(col("cnt") === k && col("maxd2") <= bound2)
+          .select("qid").persist()
+        val emit = ranked.join(ok, "qid")
+        out = if (out == null) emit else out.unionByName(emit)
+        val next = remaining.join(ok, Seq("qid"), "left_anti").persist()
+        if (next.isEmpty) done = true else { remaining = next; lv -= 1 }
+      }
+    }
+    out
+  }
+
   /** Web-mercator z/x/y tile density (generalizes the reference's
     * equirectangular node-density raster, examples/nodedensity.cpp:47-61,
     * including its uint16 saturating counts).

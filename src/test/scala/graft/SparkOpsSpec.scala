@@ -275,6 +275,23 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(total.length === 1 && total(0).getLong(1) === 10000L)
   }
 
+  test("shuffled kNN: exact vs brute force on queries == full point set, no broadcast hints") {
+    val pts = Synth.points(spark, dir).limit(400).persist()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // with auto-broadcast off, the plan must still work (no broadcast
+      // hints anywhere) — the query side is joined by shuffle on cell
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val got = SpatialOps.knnShuffled(pts, pts, 3)
+      assert(!got.queryExecution.sparkPlan.toString.contains("BroadcastExchange"),
+        "query side must not be broadcast in the shuffled kNN plan")
+      val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val exact = SpatialOps.knnBruteForce(pts, pts, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotSet === exact)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("multimodal extract: stub decode is deterministic and fingerprint matches kernel") {
     val metas = MultimodalOps.extractMedia(spark, Synth.pages(spark, dir)).collect()
     assert(metas.length === 500)
