@@ -86,7 +86,7 @@ object BenchScale {
       .withColumn("inside",
         coalesce(col("poly_id").isNotNull &&
           graft.plans.PointInPolygonSet(
-            coalesce(col("poly_id"), lit(-1)), col("lon_fix"), col("lat_fix"), polyMap),
+            spark, coalesce(col("poly_id"), lit(-1)), col("lon_fix"), col("lat_fix"), polyMap),
           lit(false)))
       .select(tx.as("tx"), ty.as("ty"),
         Fns.haversineMeters(lon, lat, cLon, cLat).as("d"),

@@ -283,9 +283,48 @@ object SparkEntry {
       SkewOps.saltedCount(cells, "cell", 16)
     }),
 
-    // --- assembly flagship (not SQL-expressible → rows-only check) ---
+    // --- generic relation assembly (node + way + relation members) ---
+    "q_route_assembly" -> ((s, d) => {
+      val (members, nodes, ways, rels) = routeInput(s, d)
+      AssemblyOps.assembleGeneric(members, nodes, ways, rels)
+    }),
+
+    "q_orphans" -> ((s, d) => {
+      val (members, nodes, ways, rels) = routeInput(s, d)
+      Seq(("n", nodes), ("w", ways), ("r", rels)).map { case (t, e) =>
+        AssemblyOps.entitiesNotInAnyRelation(e, members, t)
+          .agg(count(lit(1)).as("n_orphans")).withColumn("mtype", lit(t))
+      }.reduce(_ unionByName _).select("mtype", "n_orphans")
+    }),
+
+    // --- assembly flagship (golden-parquet oracle) ---
     "q_area_assembly" -> ((s, d) => areaAssembly(s)),
   )
+
+  /** Route-relation-style typed-member input derived from the TPC-H-ish
+    * tables: each order is a relation with its customer as a node member,
+    * its lineitems as way members, and a derived (sometimes-missing)
+    * relation member — exercising the generic assembler's completeness
+    * semantics on real join keys.
+    */
+  private def routeInput(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val o = t(s, d, "orders"); val c = t(s, d, "customer"); val li = t(s, d, "lineitem")
+    val wayKey = col("l_orderkey") * lit(10L) + col("l_linenumber")
+    val members =
+      o.select(col("o_orderkey").as("rel_id"), lit("n").as("mtype"), col("o_custkey").as("ref"))
+        .unionByName(li.select(col("l_orderkey").as("rel_id"), lit("w").as("mtype"),
+          wayKey.as("ref")).distinct())
+        .unionByName(o.select(col("o_orderkey").as("rel_id"), lit("r").as("mtype"),
+          ((col("o_orderkey") % 1000L) * 7L + 1L).as("ref")))
+    val nodes = c.select(col("c_custkey").as("id"), col("c_nationkey").cast("long").as("payload"))
+    // (l_orderkey, l_linenumber) is not unique in the synthetic data —
+    // aggregate to one deterministic payload per way id
+    val ways = li.groupBy(wayKey.as("id"))
+      .agg(min(col("l_quantity")).cast("long").as("payload"))
+    val rels = o.select(col("o_orderkey").as("id"), col("o_custkey").as("payload"))
+    (members, nodes, ways, rels)
+  }
 
   /** Full conformance-plane assembly pipeline over synthesized entities. */
   def areaAssembly(spark: SparkSession, attemptRepair: Boolean = true): DataFrame = {
@@ -318,6 +357,19 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   private val P = Synth.pointsSql
+
+  /** SQL twin of routeInput (members/nodes/ways/rels CTE bodies). */
+  private val routeSql: String =
+    """members AS (
+      |  SELECT o_orderkey AS rel_id, 'n' AS mtype, o_custkey AS ref FROM orders
+      |  UNION ALL
+      |  SELECT DISTINCT l_orderkey, 'w', l_orderkey*10 + l_linenumber FROM lineitem
+      |  UNION ALL
+      |  SELECT o_orderkey, 'r', (o_orderkey % 1000) * 7 + 1 FROM orders),
+      |nodes AS (SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS payload FROM customer),
+      |ways AS (SELECT l_orderkey*10 + l_linenumber AS id,
+      |  CAST(min(l_quantity) AS BIGINT) AS payload FROM lineitem GROUP BY 1),
+      |rels AS (SELECT o_orderkey AS id, o_custkey AS payload FROM orders)""".stripMargin
   private val C = Synth.corpusSql
   private val E = Synth.embCorpusSql
   private val RevE4 =
@@ -743,6 +795,34 @@ object SparkEntry {
         |  CAST(240 + (n * 104729) % 720 AS INTEGER) AS height,
         |  CAST(1 + n % 24 AS INTEGER) AS n_frames
         |FROM m""".stripMargin,
+
+    "q_route_assembly" ->
+      s"""WITH $routeSql,
+         |resolved AS (
+         |  SELECT m.rel_id, m.mtype, e.payload
+         |  FROM members m LEFT JOIN (
+         |    SELECT 'n' AS t, id, payload FROM nodes
+         |    UNION ALL SELECT 'w', id, payload FROM ways
+         |    UNION ALL SELECT 'r', id, payload FROM rels) e
+         |  ON e.t = m.mtype AND e.id = m.ref)
+         |SELECT rel_id, count(*) AS n_members,
+         |  CAST(sum(CASE WHEN mtype = 'n' AND payload IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nodes,
+         |  CAST(sum(CASE WHEN mtype = 'w' AND payload IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ways,
+         |  CAST(sum(CASE WHEN mtype = 'r' AND payload IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rels,
+         |  CAST(sum(payload) AS BIGINT) AS payload_sum
+         |FROM resolved GROUP BY 1
+         |HAVING count(*) = count(payload)""".stripMargin,
+
+    "q_orphans" ->
+      s"""WITH $routeSql
+         |SELECT 'n' AS mtype, count(*) AS n_orphans FROM nodes
+         |  WHERE NOT EXISTS (SELECT 1 FROM members WHERE mtype = 'n' AND ref = nodes.id)
+         |UNION ALL
+         |SELECT 'w', count(*) FROM ways
+         |  WHERE NOT EXISTS (SELECT 1 FROM members WHERE mtype = 'w' AND ref = ways.id)
+         |UNION ALL
+         |SELECT 'r', count(*) FROM rels
+         |  WHERE NOT EXISTS (SELECT 1 FROM members WHERE mtype = 'r' AND ref = rels.id)""".stripMargin,
 
     // Golden-parquet oracle (assembly is not ANSI-SQL-expressible): the
     // committed golden is regenerated only by an explicit MakeGoldens run,

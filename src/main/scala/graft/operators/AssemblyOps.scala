@@ -80,6 +80,50 @@ object AssemblyOps {
   def waysNotInAnyRelation(ways: DataFrame, relMembers: DataFrame): DataFrame =
     ways.join(relMembers.select(col("way_id")).distinct(), Seq("way_id"), "left_anti")
 
+  /** Generic Relations::Assembler for node/way/relation members
+    * (relations/assembler.hpp:365-470 HandlerPass2 + relation_info.hpp:45-123):
+    * typed members resolve against their entity tables (the equal_range
+    * lookup becomes a per-type left equi-join), carrying each found
+    * member's payload into the relation. complete_relation fires only when
+    * need_members reaches 0, i.e. every kept member resolved — incomplete
+    * relations never reach the output, exactly as in the reference.
+    *
+    * Inputs: members(rel_id, mtype in 'n'/'w'/'r', ref); each entity table
+    * as (id, payload). The N/W/R template flags become keep-member
+    * booleans. Output per complete relation: member counts per type and
+    * the payload sum (evidence the member data actually attached).
+    */
+  def assembleGeneric(members: DataFrame,
+                      nodes: DataFrame, ways: DataFrame, rels: DataFrame,
+                      wantN: Boolean = true, wantW: Boolean = true,
+                      wantR: Boolean = true): DataFrame = {
+    val ents = Seq(("n", wantN, nodes), ("w", wantW, ways), ("r", wantR, rels))
+    val resolved = ents.collect { case (t, true, e) =>
+      members.filter(col("mtype") === t)
+        .join(e.select(col("id").as("ref"), col("payload")), Seq("ref"), "left")
+        .select(col("rel_id"), col("mtype"), col("payload"))
+    }.reduce(_ unionByName _)
+    resolved.groupBy("rel_id").agg(
+        count(lit(1)).as("n_members"),
+        count(col("payload")).as("n_resolved"),
+        sum(when(col("mtype") === "n" && col("payload").isNotNull, 1L).otherwise(0L)).as("n_nodes"),
+        sum(when(col("mtype") === "w" && col("payload").isNotNull, 1L).otherwise(0L)).as("n_ways"),
+        sum(when(col("mtype") === "r" && col("payload").isNotNull, 1L).otherwise(0L)).as("n_rels"),
+        sum(col("payload")).as("payload_sum"))
+      .filter(col("n_members") === col("n_resolved"))
+      .drop("n_resolved")
+  }
+
+  /** Per-type not-in-any-relation callbacks (assembler.hpp:198-230:
+    * node_/way_/relation_not_in_any_relation) as a left-anti join of the
+    * entity table against the kept members of that type.
+    */
+  def entitiesNotInAnyRelation(entities: DataFrame, members: DataFrame,
+                               mtype: String): DataFrame =
+    entities.join(
+      members.filter(col("mtype") === mtype).select(col("ref").as("id")).distinct(),
+      Seq("id"), "left_anti")
+
   /** Closed standalone ways with >= 4 nodes become areas directly
     * (multipolygon/assembler.hpp:88-95), area_id = way_id * 2.
     * Input: (way_id, xs, ys, tags).

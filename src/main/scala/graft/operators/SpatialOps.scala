@@ -56,7 +56,7 @@ object SpatialOps {
     points.withColumn("cell", Fns.cellId(col("lon_fix"), col("lat_fix"), CoverLevel))
       .join(broadcast(cover), "cell")
       .filter(graft.plans.PointInPolygonSet(
-        col("poly_id"), col("lon_fix"), col("lat_fix"), polyMap))
+        spark, col("poly_id"), col("lon_fix"), col("lat_fix"), polyMap))
       .select(col("pid"), col("poly_id"), col("lon_fix"), col("lat_fix"))
   }
 
@@ -77,7 +77,7 @@ object SpatialOps {
     points.withColumn("cell", Fns.cellId(col("lon_fix"), col("lat_fix"), coverLevel))
       .join(broadcast(cover), "cell")
       .filter(graft.plans.PointInPolygonSet(
-        col("poly_id"), col("lon_fix"), col("lat_fix"), polygons))
+        spark, col("poly_id"), col("lon_fix"), col("lat_fix"), polygons))
       .select(col("pid"), col("poly_id"))
   }
 

@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => SimHash16(args(0))))
 
     ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+
+    ext.injectFunction((
       new FunctionIdentifier("vec_lsh_buckets"),
       new ExpressionInfo(classOf[VecLshBuckets].getName, "vec_lsh_buckets"),
       (args: Seq[Expression]) =>

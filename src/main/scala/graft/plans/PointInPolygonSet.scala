@@ -1,6 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.Column
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftColumnBridge
@@ -17,34 +18,44 @@ object PipKernel {
       case Some(rings) => Planar.pointInPolygon(x, y, rings)
       case None => false
     }
+
+  /** Broadcast unwrap for generated code: the task carries only the
+    * broadcast HANDLE; the polygon map is fetched once per executor via
+    * TorrentBroadcast instead of serializing into every task closure.
+    */
+  def containsBc(bc: AnyRef, polyId: Int, x: Long, y: Long): Boolean =
+    contains(bc.asInstanceOf[Broadcast[Polys]].value, polyId, x, y)
 }
 
 /** Native Catalyst expression for the exact ray-cast point-in-polygon
-  * refinement: `pointInPolygonSet(poly_id, lon_fix, lat_fix)` against an
-  * embedded polygon set (rings with holes, even-odd parity — the engine
+  * refinement: `pointInPolygonSet(poly_id, lon_fix, lat_fix)` against a
+  * BROADCAST polygon set (rings with holes, even-odd parity — the engine
   * counterpart of PreparedPolygon::contains at
   * reference/include/osmium/multipolygon/builder.hpp:707-711).
   *
   * Implements doGenCode so the predicate stays inside whole-stage codegen
   * (a Scala UDF here would break the codegen span around the broadcast
-  * cell-cover join). The polygon set rides along as a codegen reference
-  * object — the same pattern Spark uses for, e.g., compiled regex objects.
+  * cell-cover join). The polygon set travels as a Spark broadcast
+  * variable: the expression tree — and thus every serialized task — holds
+  * only the O(1) broadcast handle, so the plan size is independent of the
+  * polygon corpus (a country-scale set embedded as a plan reference object
+  * would otherwise ship with every task closure).
   */
 case class PointInPolygonSet(first: Expression, second: Expression, third: Expression,
-                             polys: PipKernel.Polys)
+                             polysBc: Broadcast[PipKernel.Polys])
   extends TernaryExpression {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "point_in_polygon_set"
 
   override def nullSafeEval(polyId: Any, x: Any, y: Any): Any =
-    PipKernel.contains(polys, polyId.asInstanceOf[Int],
+    PipKernel.contains(polysBc.value, polyId.asInstanceOf[Int],
       x.asInstanceOf[Long], y.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val polysRef = ctx.addReferenceObj("polys", polys, "java.lang.Object")
+    val bcRef = ctx.addReferenceObj("polysBc", polysBc, "java.lang.Object")
     nullSafeCodeGen(ctx, ev, (polyId, x, y) =>
-      s"${ev.value} = graft.plans.PipKernel.contains($polysRef, $polyId, $x, $y);")
+      s"${ev.value} = graft.plans.PipKernel.containsBc($bcRef, $polyId, $x, $y);")
   }
 
   override protected def withNewChildrenInternal(
@@ -53,9 +64,14 @@ case class PointInPolygonSet(first: Expression, second: Expression, third: Expre
 }
 
 object PointInPolygonSet {
-  def apply(polyId: Column, x: Column, y: Column, polys: PipKernel.Polys): Column =
+  def apply(spark: SparkSession, polyId: Column, x: Column, y: Column,
+            polys: PipKernel.Polys): Column =
+    fromBroadcast(polyId, x, y, spark.sparkContext.broadcast(polys))
+
+  def fromBroadcast(polyId: Column, x: Column, y: Column,
+                    bc: Broadcast[PipKernel.Polys]): Column =
     GraftColumnBridge.column(PointInPolygonSet(
       GraftColumnBridge.expression(polyId),
       GraftColumnBridge.expression(x),
-      GraftColumnBridge.expression(y), polys))
+      GraftColumnBridge.expression(y), bc))
 }

@@ -292,6 +292,57 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("PointInPolygonSet plan size is O(1) in the polygon corpus (broadcast-backed)") {
+    def serializedExprSize(nPolys: Int): Int = {
+      val polys: graft.plans.PipKernel.Polys = (0 until nPolys).map { k =>
+        k -> Array((Array(0L, 10L, 10L, 0L).map(_ + k), Array(0L, 0L, 10L, 10L).map(_ + k)))
+      }.toMap
+      val bc = spark.sparkContext.broadcast(polys)
+      val colRef = graft.plans.PointInPolygonSet.fromBroadcast(
+        lit(1), lit(5L), lit(5L), bc)
+      val expr = org.apache.spark.sql.GraftColumnBridge.expression(colRef)
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(expr); oos.close()
+      bos.size()
+    }
+    val small = serializedExprSize(30)
+    val big = serializedExprSize(3000)
+    // the task-shipped expression carries only the broadcast handle: its
+    // serialized size must not scale with the polygon count
+    assert(big < small * 2, s"expression grew with polygons: $small -> $big bytes")
+    // and the predicate still evaluates correctly through the broadcast
+    val pts = Synth.points(spark, dir)
+    val viaBc = SpatialOps.pipJoinConvex(spark, pts).count()
+    assert(viaBc > 0)
+  }
+
+  test("generic assembler: only complete relations emit; type flags drop members") {
+    val ss = spark; import ss.implicits._
+    val members = Seq(
+      (1L, "n", 10L), (1L, "w", 20L), (1L, "r", 30L),   // complete
+      (2L, "n", 10L), (2L, "w", 999L),                  // way 999 missing -> incomplete
+      (3L, "r", 777L)                                   // rel 777 missing -> incomplete
+    ).toDF("rel_id", "mtype", "ref")
+    val nodes = Seq((10L, 5L)).toDF("id", "payload")
+    val ways = Seq((20L, 7L)).toDF("id", "payload")
+    val rels = Seq((30L, 11L)).toDF("id", "payload")
+    val out = AssemblyOps.assembleGeneric(members, nodes, ways, rels)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq((1L, 3L, 1L, 1L, 1L, 23L))) // 5 + 7 + 11
+    // with relation members not kept (R flag off), relation 3 has no kept
+    // members at all and relation 2 is still missing its way
+    val noR = AssemblyOps.assembleGeneric(members, nodes, ways, rels, wantR = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(noR === Set(1L))
+    // per-type orphan callbacks
+    val orphanWays = AssemblyOps.entitiesNotInAnyRelation(
+      Seq((20L, 7L), (21L, 8L)).toDF("id", "payload"), members, "w")
+      .collect().map(_.getLong(0)).toSet
+    assert(orphanWays === Set(21L))
+  }
+
   test("multimodal extract: stub decode is deterministic and fingerprint matches kernel") {
     val metas = MultimodalOps.extractMedia(spark, Synth.pages(spark, dir)).collect()
     assert(metas.length === 500)
