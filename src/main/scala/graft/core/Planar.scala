@@ -265,10 +265,11 @@ object Planar {
       ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
   }
 
-  /** Polygon-with-holes validity (the subset of GEOS isValid the engine
-    * enforces): every hole vertex inside-or-on the outer ring, and no
-    * proper edge crossing hole↔outer or hole↔hole. Touching at points is
-    * allowed, as in GEOS.
+  /** Polygon-with-holes validity (GEOS isValid parity for vertex-exact
+    * geometry): every hole vertex inside-or-on the outer ring, no proper
+    * edge crossing hole↔outer or hole↔hole, no two rings sharing a
+    * boundary SEGMENT, and a connected interior (rings may touch at
+    * isolated points only as long as the touch graph is acyclic).
     */
   def polygonValid(outer: (Array[Long], Array[Long]),
                    holes: Seq[(Array[Long], Array[Long])]): Boolean = {
@@ -291,7 +292,91 @@ object Planar {
           }
         }
       }
+    } && interiorConnected(outer, holes)
+  }
+
+  /** Connected-interior test (the GEOS isValid clause enforced by
+    * builder.hpp:912-931 via Polygon::isValid that was previously out of
+    * scope): the interior is disconnected iff the bipartite graph
+    * {rings} ∪ {touch points} with an edge per (ring, touch point)
+    * incidence contains a cycle — a hole touching the shell at two points
+    * pinches the interior apart, as does a chain of point-touching holes
+    * closing back on the shell, while any number of rings meeting at ONE
+    * common point stay valid. Distinct rings sharing a boundary segment
+    * (collinear overlapping edges) are invalid outright (1-dimensional
+    * boundary intersection). Touch points are shared vertices or a vertex
+    * of one ring lying on an edge of the other — exact int64 tests.
+    */
+  def interiorConnected(outer: (Array[Long], Array[Long]),
+                        holes: Seq[(Array[Long], Array[Long])]): Boolean = {
+    val rings = (outer +: holes).toArray
+    val nR = rings.length
+    if (nR == 1) return true
+    type P = (Long, Long)
+
+    def vertsOf(r: (Array[Long], Array[Long])): IndexedSeq[P] =
+      r._1.indices.map(i => (r._1(i), r._2(i)))
+    def edgesOf(r: (Array[Long], Array[Long])): IndexedSeq[(P, P)] =
+      r._1.indices.map { i =>
+        val j = (i + 1) % r._1.length
+        ((r._1(i), r._2(i)), (r._1(j), r._2(j)))
+      }
+
+    val incidences = scala.collection.mutable.Set.empty[(Int, P)]
+    var i = 0
+    while (i < nR) {
+      var j = i + 1
+      while (j < nR) {
+        // 1-dimensional boundary overlap between two rings → invalid
+        for (((a, b), (c, d)) <- edgesOf(rings(i)).flatMap(e => edgesOf(rings(j)).map((e, _))))
+          if (collinearOverlap(a._1, a._2, b._1, b._2, c._1, c._2, d._1, d._2))
+            return false
+        // touch points: shared vertices + vertex-on-edge contacts
+        val vi = vertsOf(rings(i)); val vj = vertsOf(rings(j))
+        val vjSet = vj.toSet
+        val touches = scala.collection.mutable.Set.empty[P]
+        touches ++= vi.filter(vjSet.contains)
+        for (v <- vi; (c, d) <- edgesOf(rings(j)))
+          if (orient(c._1, c._2, d._1, d._2, v._1, v._2) == 0 &&
+              onSeg(c._1, c._2, d._1, d._2, v._1, v._2)) touches += v
+        for (v <- vj; (a, b) <- edgesOf(rings(i)))
+          if (orient(a._1, a._2, b._1, b._2, v._1, v._2) == 0 &&
+              onSeg(a._1, a._2, b._1, b._2, v._1, v._2)) touches += v
+        touches.foreach { p => incidences += ((i, p)); incidences += ((j, p)) }
+        j += 1
+      }
+      i += 1
     }
+
+    // union-find over ring-nodes and point-nodes; a duplicate connection
+    // is a cycle = disconnected interior
+    val parent = scala.collection.mutable.Map.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r: Any = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    var ok = true
+    incidences.toSeq.sortBy(_.toString).foreach { case (r, p) =>
+      if (ok) {
+        val a = find(("ring", r)); val b = find(("pt", p))
+        if (a == b) ok = false else parent(a) = b
+      }
+    }
+    ok
+  }
+
+  /** Segments (a,b) and (c,d) collinear and overlapping in more than one
+    * point (exact).
+    */
+  private def collinearOverlap(ax: Long, ay: Long, bx: Long, by: Long,
+                               cx: Long, cy: Long, dx: Long, dy: Long): Boolean = {
+    if (orient(ax, ay, bx, by, cx, cy) != 0 || orient(ax, ay, bx, by, dx, dy) != 0)
+      return false
+    val horiz = math.abs(bx - ax) >= math.abs(by - ay)
+    val (a1, b1, c1, d1) = if (horiz) (ax, bx, cx, dx) else (ay, by, cy, dy)
+    math.max(math.min(a1, b1), math.min(c1, d1)) <
+      math.min(math.max(a1, b1), math.max(c1, d1))
   }
 
   /** Outcome of a touching-inner-rings merge attempt

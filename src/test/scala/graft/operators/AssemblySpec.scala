@@ -230,6 +230,45 @@ class AssemblySpec extends AnyFunSuite {
     assert(a.nOuter === 1 && a.nInner === 1)
   }
 
+  test("hole touching the outer boundary at TWO points disconnects the interior -> InvalidRing") {
+    val rel = Map("type" -> "multipolygon")
+    val ways = Array(
+      mwT(23, 0, 230, Map.empty, rel, (0, 0), (100, 0), (100, 100), (0, 100), (0, 0)),
+      // hole spanning the square, vertices on both the left and right edges
+      mwT(23, 1, 231, Map.empty, rel, (0, 50), (50, 30), (100, 50), (50, 70), (0, 50)))
+    assert(AssemblyOps.assembleOne(23, ways).toArray.head.status === "InvalidRing")
+  }
+
+  test("holes and shell all meeting at ONE point keep a connected interior") {
+    val rel = Map("type" -> "multipolygon")
+    val ways = Array(
+      mwT(24, 0, 240, Map.empty, rel, (0, 0), (100, 0), (100, 100), (0, 100), (0, 0)),
+      mwT(24, 1, 241, Map.empty, rel, (50, 50), (30, 40), (30, 60), (50, 50)),
+      mwT(24, 2, 242, Map.empty, rel, (50, 50), (70, 40), (70, 60), (50, 50)))
+    val a = AssemblyOps.assembleOne(24, ways).toArray.head
+    assert(a.status === "ok")
+    assert(a.nInner === 2)
+  }
+
+  test("chain of point-touching holes closing on the shell -> disconnected -> InvalidRing") {
+    val rel = Map("type" -> "multipolygon")
+    val ways = Array(
+      mwT(25, 0, 250, Map.empty, rel, (0, 0), (100, 0), (100, 100), (0, 100), (0, 0)),
+      // hole A touches the left edge and hole B; hole B touches the right edge
+      mwT(25, 1, 251, Map.empty, rel, (0, 50), (50, 30), (50, 50), (0, 50)),
+      mwT(25, 2, 252, Map.empty, rel, (50, 50), (100, 50), (50, 70), (50, 50)))
+    assert(AssemblyOps.assembleOne(25, ways).toArray.head.status === "InvalidRing")
+  }
+
+  test("hole edge collinear-overlapping the shell edge -> InvalidRing") {
+    val rel = Map("type" -> "multipolygon")
+    val ways = Array(
+      mwT(26, 0, 260, Map.empty, rel, (0, 0), (100, 0), (100, 100), (0, 100), (0, 0)),
+      // hole's left edge lies along a stretch of the shell's left edge
+      mwT(26, 1, 261, Map.empty, rel, (0, 40), (30, 40), (30, 60), (0, 60), (0, 40)))
+    assert(AssemblyOps.assembleOne(26, ways).toArray.head.status === "InvalidRing")
+  }
+
   test("area timestamp bumps to the newest member way (builder.hpp:652-655)") {
     val ways = Array(
       mw(15, 0, 150, (0, 0), (10, 0), (10, 10)).copy(tsMicros = 100L, relTsMicros = 50L),
