@@ -283,6 +283,23 @@ object SparkEntry {
       SkewOps.saltedCount(cells, "cell", 16)
     }),
 
+    // --- change-stream run grouping (osc create/modify/delete) ---
+    "q_change_groups" -> ((s, d) => {
+      // the osc writer's open_close_op_tag run grouping (xml.hpp:205-227)
+      // as a scalable gaps-and-islands window over per-user ordered
+      // streams: op = visible ? (version==1 ? c : m) : d
+      val ev = t(s, d, "events")
+      val op = when(col("event_id") % 7 === 0, "d")
+        .when(col("event_id") % 3 === 0, "c").otherwise("m")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wOp = Window.partitionBy(col("user_id"), col("op")).orderBy(col("ts"), col("event_id"))
+      ev.withColumn("op", op)
+        .withColumn("grp", row_number().over(w) - row_number().over(wOp))
+        .groupBy(col("user_id"), col("op"), col("grp"))
+        .agg(count(lit(1)).as("run_len"), min("event_id").as("min_event"))
+        .select("user_id", "op", "run_len", "min_event")
+    }),
+
     // --- generic relation assembly (node + way + relation members) ---
     "q_route_assembly" -> ((s, d) => {
       val (members, nodes, ways, rels) = routeInput(s, d)
@@ -795,6 +812,20 @@ object SparkEntry {
         |  CAST(240 + (n * 104729) % 720 AS INTEGER) AS height,
         |  CAST(1 + n % 24 AS INTEGER) AS n_frames
         |FROM m""".stripMargin,
+
+    "q_change_groups" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN event_id % 7 = 0 THEN 'd'
+        |         WHEN event_id % 3 = 0 THEN 'c' ELSE 'm' END AS op
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, op, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    - row_number() OVER (PARTITION BY user_id, op ORDER BY ts, event_id) AS grp
+        |  FROM ev)
+        |SELECT user_id, op, count(*) AS run_len, min(event_id) AS min_event
+        |FROM g GROUP BY user_id, op, grp""".stripMargin,
 
     "q_route_assembly" ->
       s"""WITH $routeSql,

@@ -217,9 +217,12 @@ object SpatialOps {
         .filter(col("pid") =!= col("qid"))
         .withColumn("d2", dx * dx + dy * dy)
       val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))
+      // persisted: the round's top-k feeds both the guarantee stats and the
+      // emitted output — without it the heavy join+window runs twice
       val ranked = cand.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= k)
         .select(col("qid"), col("pid"), col("rank"), col("d2"))
+        .persist()
 
       if (terminal) {
         out = if (out == null) ranked else out.unionByName(ranked)

@@ -22,9 +22,11 @@ object PipKernel {
   /** Broadcast unwrap for generated code: the task carries only the
     * broadcast HANDLE; the polygon map is fetched once per executor via
     * TorrentBroadcast instead of serializing into every task closure.
+    * The generated code caches the unwrapped map in a mutable member so
+    * the hot loop never touches the Broadcast lazy val.
     */
-  def containsBc(bc: AnyRef, polyId: Int, x: Long, y: Long): Boolean =
-    contains(bc.asInstanceOf[Broadcast[Polys]].value, polyId, x, y)
+  def unwrap(bc: AnyRef): AnyRef =
+    bc.asInstanceOf[Broadcast[Polys]].value
 }
 
 /** Native Catalyst expression for the exact ray-cast point-in-polygon
@@ -54,8 +56,10 @@ case class PointInPolygonSet(first: Expression, second: Expression, third: Expre
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("polysBc", polysBc, "java.lang.Object")
+    val cached = ctx.addMutableState("java.lang.Object", "pipPolys", v => s"$v = null;")
     nullSafeCodeGen(ctx, ev, (polyId, x, y) =>
-      s"${ev.value} = graft.plans.PipKernel.containsBc($bcRef, $polyId, $x, $y);")
+      s"""if ($cached == null) { $cached = graft.plans.PipKernel.unwrap($bcRef); }
+         |${ev.value} = graft.plans.PipKernel.contains($cached, $polyId, $x, $y);""".stripMargin)
   }
 
   override protected def withNewChildrenInternal(

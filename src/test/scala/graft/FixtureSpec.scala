@@ -1,5 +1,63 @@
 package graft
 
+import graft.sources.OsmChange
+import graft.sources.OsmChange.ChangeObj
+
+/** Golden test of the osc change-file writer: run grouping
+  * (create/modify/delete open-close on op change, xml.hpp:205-227),
+  * conditional meta attributes (write_meta :171-193), node lat-before-lon
+  * at %.7f, nd/member/tag children, group reopen after an interleaved op.
+  */
+class OsmChangeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("osc writer golden: grouping, meta attribute rules, children") {
+    val objs = Seq(
+      ChangeObj("node", 1, 1, visible = true, "2024-01-01T00:00:00Z", 7, "alice", 100,
+        latLon = Some((51.5, -0.1))),
+      ChangeObj("node", 2, 1, visible = true, "2024-01-01T00:00:01Z", 0, "", 0,
+        latLon = Some((48.8566, 2.3522)),
+        tags = Seq("amenity" -> "cafe", "name" -> "A&B \"Cafe\" <3")),
+      ChangeObj("way", 3, 2, visible = true, "2024-01-01T00:01:00Z", 7, "alice", 100,
+        nds = Seq(1, 2), tags = Seq("highway" -> "residential")),
+      ChangeObj("relation", 4, 5, visible = false, "2024-01-01T00:02:00Z", 8, "bob", 101,
+        members = Seq(("way", 3, "outer"))),
+      ChangeObj("node", 5, 1, visible = true, "2024-01-01T00:03:00Z", 7, "alice", 102,
+        latLon = Some((0.0, 0.0))))
+    val xml = OsmChange.changeXml(objs, "graft-test")
+    val expected =
+      """<?xml version="1.0"?>
+        |<osmChange version="0.6" generator="graft-test">
+        |  <create>
+        |    <node id="1" version="1" timestamp="2024-01-01T00:00:00Z" uid="7" user="alice" changeset="100" lat="51.5000000" lon="-0.1000000"/>
+        |    <node id="2" version="1" timestamp="2024-01-01T00:00:01Z" lat="48.8566000" lon="2.3522000">
+        |      <tag k="amenity" v="cafe"/>
+        |      <tag k="name" v="A&amp;B &quot;Cafe&quot; &lt;3"/>
+        |    </node>
+        |  </create>
+        |  <modify>
+        |    <way id="3" version="2" timestamp="2024-01-01T00:01:00Z" uid="7" user="alice" changeset="100">
+        |      <nd ref="1"/>
+        |      <nd ref="2"/>
+        |      <tag k="highway" v="residential"/>
+        |    </way>
+        |  </modify>
+        |  <delete>
+        |    <relation id="4" version="5" timestamp="2024-01-01T00:02:00Z" uid="8" user="bob" changeset="101">
+        |      <member type="way" ref="3" role="outer"/>
+        |    </relation>
+        |  </delete>
+        |  <create>
+        |    <node id="5" version="1" timestamp="2024-01-01T00:03:00Z" uid="7" user="alice" changeset="102" lat="0.0000000" lon="0.0000000"/>
+        |  </create>
+        |</osmChange>
+        |""".stripMargin
+    assert(xml === expected)
+    // op derivation (xml.hpp:96)
+    assert(OsmChange.op(objs(0)) === 'c')
+    assert(OsmChange.op(objs(2)) === 'm')
+    assert(OsmChange.op(objs(3)) === 'd')
+  }
+}
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
