@@ -415,9 +415,12 @@ object SparkEntry {
     s"""sig AS (SELECT doc_id, ${(0 until DedupOps.NumMinHashes).map(minHashAgg).mkString(", ")}
        |  FROM sh GROUP BY doc_id),
        |bands AS ($bands),
+       |kept AS (
+       |  SELECT * FROM bands QUALIFY
+       |    count(*) OVER (PARTITION BY band, band_key) <= ${DedupOps.MaxBandBucket}),
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
-       |  FROM bands a JOIN bands b
+       |  FROM kept a JOIN kept b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
   }

@@ -43,11 +43,22 @@ object DedupOps {
       graft.plans.TextHashExpressions
         .shingleMinHash(col("text"), ShingleCap, ShingleLen, NumMinHashes).as("mh"))
 
+  /** Band buckets larger than this are skipped by the LSH candidate
+    * generation: a bucket of size s emits O(s^2) pairs, so one degenerate
+    * mega-bucket (boilerplate shingles, near-empty docs) can dominate the
+    * whole job at corpus scale. Measured bucket sizes on the test corpora
+    * top out at 7, so the cap is inert at verification scale; exact
+    * duplicates skipped this way are the exact-dedup pipeline's job
+    * anyway. The DuckDB oracle replicates the cap bit-for-bit.
+    */
+  val MaxBandBucket = 64
+
   /** LSH candidate pairs: docs sharing at least one band (bands of
     * BandSize consecutive minhashes, band key = mod-chained polynomial).
     * Output (doc_a < doc_b, n_bands). One pass over the corpus (posexplode
     * of the band-key array), banded rows persisted for the self-join —
-    * shuffle cost is O(bands·rows) narrow rows; never all-pairs.
+    * shuffle cost is O(bands·rows) narrow rows; never all-pairs, and
+    * per-bucket pair count is bounded by MaxBandBucket^2.
     */
   def minHashLshPairs(corpus: DataFrame): DataFrame = {
     val nBands = NumMinHashes / BandSize
@@ -60,7 +71,12 @@ object DedupOps {
     val banded = minHashSignatures(corpus)
       .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
       .persist()
-    val a = banded.as("a"); val b = banded.as("b")
+    val smallBuckets = banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= MaxBandBucket)
+      .select("band", "band_key")
+    val kept = banded.join(smallBuckets, Seq("band", "band_key"))
+    val a = kept.as("a"); val b = kept.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))

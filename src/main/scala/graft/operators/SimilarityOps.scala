@@ -26,14 +26,19 @@ object SimilarityOps {
     * query.
     */
   def cosineTopKAnn(emb: DataFrame, queries: DataFrame, k: Int,
-                    tables: Int = 8, bits: Int = 12): DataFrame = {
+                    tables: Int = 8, bits: Int = 12,
+                    broadcastQueries: Boolean = true): DataFrame = {
     import graft.plans.TextHashExpressions.vecLshBuckets
     def banded(df: DataFrame, idCol: String, embCol: String): DataFrame =
       df.select(col(idCol), col(embCol),
           posexplode(vecLshBuckets(col(embCol), tables, bits)).as(Seq("table", "bucket")))
     val e = banded(emb, "vec_id", "embedding")
-    val q = broadcast(banded(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qemb")), "qid", "qemb"))
+    // corpus-vs-corpus workloads (|queries| ~ |emb|) pass
+    // broadcastQueries = false: the candidate join becomes a plain shuffle
+    // equi-join on (table, bucket) and nothing ships the query table whole
+    val qb = banded(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qemb")), "qid", "qemb")
+    val q = if (broadcastQueries) broadcast(qb) else qb
     val cand = e.join(q, Seq("table", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"), col("embedding"), col("qemb"))

@@ -375,6 +375,35 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ANN corpus-vs-corpus mode: same result, no query broadcast") {
+    val e = Synth.embCorpus(spark, dir)
+    val q = e.filter(col("vec_id") >= 1000000L)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = SimilarityOps.cosineTopKAnn(e, q, 1, broadcastQueries = false)
+      assert(!shuffled.queryExecution.sparkPlan.toString.contains("BroadcastExchange"))
+      val a = shuffled.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      val b = SimilarityOps.cosineTopKAnn(e, q, 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(a === b)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("minhash LSH skips degenerate mega-buckets but keeps normal duplicate pairs") {
+    val ss = spark; import ss.implicits._
+    // 100 identical boilerplate docs (every band bucket size 100 > cap) and
+    // one near-duplicate pair of a distinct text
+    val boiler = (0 until 100).map(i => (i.toLong, "common boilerplate text shared by every page of this site"))
+    val pairDoc = "a genuinely unique document about cell partitioned spatial joins at scale"
+    val rows = boiler ++ Seq((1000L, pairDoc), (1001L, pairDoc + " x"))
+    val pairs = DedupOps.minHashLshPairs(rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1000L, 1001L)), "near-dup pair must survive the cap")
+    assert(!pairs.exists { case (a, b) => a < 100 && b < 100 },
+      "mega-bucket boilerplate must not emit quadratic pairs")
+  }
+
   test("cosine top-1 of an injected near-duplicate is its source") {
     val e = Synth.embCorpus(spark, dir)
     val q = e.filter(col("vec_id") >= 1000000L).limit(5)
