@@ -200,6 +200,12 @@ object SparkEntry {
       SimilarityOps.cosineTopKAnn(e, e.filter(col("vec_id") % 25 === 0), 10)
     }),
 
+    // IVF-Flat scale path (deterministic coarse centroids, nprobe lists)
+    "q_sim_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.cosineTopKIvf(e, e.filter(col("vec_id") % 25 === 0), 10)
+    }),
+
     // --- text analysis ---
     "q_lang_id" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"), Fns.langId(col("text")).as("lang_pred"))
@@ -263,10 +269,11 @@ object SparkEntry {
 
     "q_wkt" -> ((s, d) => {
       // WKT writer with C++ setprecision(10) formatting (geometry/point.hpp:70-75)
-      val wktUdf = udf((x: Long, y: Long) =>
-        s"POINT(${graft.core.Wkt.fmtG(x / 1e7)} ${graft.core.Wkt.fmtG(y / 1e7)})")
+      // — native codegen expression, not a UDF, so the export projection
+      // stays inside the whole-stage codegen span
       Synth.points(s, d).filter(col("pid") % 101 === 0)
-        .select(col("pid"), wktUdf(col("lon_fix"), col("lat_fix")).as("wkt"))
+        .select(col("pid"), graft.plans.TextHashExpressions
+          .pointWkt(col("lon_fix"), col("lat_fix")).as("wkt"))
     }),
 
     // --- multimodal plumbing (stubbed codec, real binary pipeline) ---
@@ -739,6 +746,37 @@ object SparkEntry {
          |SELECT qid, nid, rank, cos_e6 FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rank
          |  FROM scored)
+         |WHERE rank <= 10""".stripMargin
+    },
+
+    "q_sim_ivf" -> {
+      def cosE6(a: String, b: String): String = {
+        val dot = s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) " +
+          s"FROM unnest(range(1, 1 + len($b))) AS t(i))"
+        val na = s"sqrt((SELECT sum(CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)) FROM unnest(range(1, 1 + len($a))) AS t(i)))"
+        val nb = s"sqrt((SELECT sum(CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM unnest(range(1, 1 + len($b))) AS t(i)))"
+        s"CAST(round($dot / ($na * $nb) * 1000000) AS BIGINT)"
+      }
+      s"""WITH cent AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 37 = 3),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosE6("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |    FROM embeddings e, cent c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, qemb, cid FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qemb, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosE6("q.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |    FROM embeddings q, cent c WHERE q.vec_id % 25 = 0) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS nid, ${cosE6("p.qemb", "a.embedding")} AS cos_e6
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid WHERE a.vec_id <> p.qid)
+         |SELECT qid, nid, rank, cos_e6 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rank
+         |  FROM cand)
          |WHERE rank <= 10""".stripMargin
     },
 

@@ -52,6 +52,47 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("rank"), col("cos_e6"))
   }
 
+  /** IVF-Flat approximate cosine top-k (the inverted-file scale path,
+    * complementing the LSH path): a deterministic coarse quantizer —
+    * centroids are the vectors with vec_id % centroidMod == 3, so the
+    * centroid count scales as n/centroidMod without a training pass —
+    * assigns every vector to its nearest centroid (cosine, rounded to
+    * 1e-6, ties by centroid id); a query probes its `nprobe` nearest
+    * centroids and exact cosine reranks the union of those inverted
+    * lists. ANN semantics: queries may return fewer than k rows.
+    *
+    * Plan shape: the centroid table is tiny by construction and rides a
+    * broadcast nested-loop join; the big side is scanned twice (assign,
+    * rerank) with no all-pairs stage — candidate volume per query is
+    * ~nprobe * centroidMod vectors.
+    */
+  def cosineTopKIvf(emb: DataFrame, queries: DataFrame, k: Int,
+                    centroidMod: Int = 37, nprobe: Int = 4): DataFrame = {
+    val cent = broadcast(emb.filter(col("vec_id") % centroidMod === 3)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    def nearest(df: DataFrame, idCol: String, embCol: String, top: Int): DataFrame = {
+      val scored = df.crossJoin(cent)
+        .withColumn("c_e6", round(Fns.cosineSim(col(embCol), col("cemb")) * lit(1000000.0), 0)
+          .cast("long"))
+      val w = Window.partitionBy(col(idCol)).orderBy(col("c_e6").desc, col("cid"))
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= top)
+        .drop("cemb", "c_e6", "__rn")
+    }
+    val assigned = nearest(emb, "vec_id", "embedding", 1)
+    val probes = nearest(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qemb")), "qid", "qemb", nprobe)
+    val cand = probes.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(Fns.cosineSim(col("embedding"), col("qemb")) * lit(1000000.0), 0)
+          .cast("long").as("cos_e6"))
+      .dropDuplicates("qid", "nid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("nid"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("cos_e6"))
+  }
+
   /** Exact cosine top-k: (qid, nid, rank, cos_e6). Deterministic — scores
     * rounded to 1e-6 before ranking, ties broken by neighbor id.
     */

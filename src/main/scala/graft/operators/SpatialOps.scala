@@ -146,9 +146,11 @@ object SpatialOps {
       .filter(col("pid") =!= col("qid"))
       .withColumn("d2", dx * dx + dy * dy)
     val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))
+    // persisted: feeds both the guarantee stats and the guaranteed output
     val ranked = cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("pid"), col("rank"), col("d2"))
+      .persist()
 
     // per-query exactness guarantee: k candidates found AND kth within bound
     val stats = ranked.groupBy("qid")

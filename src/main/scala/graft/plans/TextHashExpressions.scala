@@ -95,6 +95,35 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen bridge for the WKT point writer (C++ setprecision(10) parity
+  * via core.Wkt.fmtG).
+  */
+object WktKernel {
+  def pointWkt(lonFix: Long, latFix: Long): UTF8String =
+    UTF8String.fromString(
+      s"POINT(${graft.core.Wkt.fmtG(lonFix / 1e7)} ${graft.core.Wkt.fmtG(latFix / 1e7)})")
+}
+
+/** Native WKT point formatter — keeps q_wkt-style exports inside
+  * whole-stage codegen where the equivalent Scala UDF would break the
+  * span (the reference's ostream writer, geometry/point.hpp:70-75).
+  */
+case class PointWkt(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "point_wkt"
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    WktKernel.pointWkt(x.asInstanceOf[Long], y.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.plans.WktKernel.pointWkt($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen bridge for the LSH-bucket kernel (ArrayData float unwrap). */
 object VecLshKernel {
   def buckets(vec: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -131,6 +160,10 @@ object TextHashExpressions {
 
   def simHash64(text: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(text)))
+
+  def pointWkt(lonFix: Column, latFix: Column): Column =
+    GraftColumnBridge.column(PointWkt(
+      GraftColumnBridge.expression(lonFix), GraftColumnBridge.expression(latFix)))
 
   def vecLshBuckets(vec: Column, tables: Int, bits: Int): Column =
     GraftColumnBridge.column(

@@ -404,6 +404,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "mega-bucket boilerplate must not emit quadratic pairs")
   }
 
+  test("IVF cosine: never invents pairs or scores (subset of exact scorer)") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 25 === 0)
+    val ivf = SimilarityOps.cosineTopKIvf(e, q, 5).collect()
+    assert(ivf.nonEmpty)
+    val exact = SimilarityOps.cosineTopK(e, q, 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    ivf.foreach { r =>
+      val s = exact.get((r.getLong(0), r.getLong(1)))
+      assert(s.contains(r.getLong(3)), s"IVF pair not in exact scoring: $r")
+    }
+  }
+
   test("cosine top-1 of an injected near-duplicate is its source") {
     val e = Synth.embCorpus(spark, dir)
     val q = e.filter(col("vec_id") >= 1000000L).limit(5)
