@@ -13,6 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - outer square (side 4e6 fix = 0.4°) split into two 3-point ways
   *  - g % 3 == 1: the second way is reversed (tests inversion)
   *  - g % 4 == 2: a closed inner-hole way is added (role inner)
+  *  - g % 12 == 7: TWO adjacent inner holes sharing an edge (shared node
+  *    refs) → the touching-inner-rings merge collapses them to one hole
   *  - g % 17 == 5: the second outer way is OMITTED → DanglingEnds error
   *  - g % 6 == 0: additionally a standalone closed way (id 100000+g+1) that
   *    is in no relation → becomes an area directly (area_id = way_id*2)
@@ -67,6 +69,23 @@ object OsmSynth {
           closed = true,
           if (g % 8 == 2) Map("natural" -> "water") else Map.empty)
         members += RelMember(relId, 2, wayH, "inner")
+      }
+      // two adjacent holes sharing an edge (same shared node ids n31/n32,
+      // as real OSM data would) — exercises builder.hpp:804-866
+      if (g % 12 == 7) {
+        val q = Side / 4
+        val pts = Array(
+          (bx + q, by + q), (bx + 2 * q, by + q), (bx + 2 * q, by + 2 * q),
+          (bx + q, by + 2 * q), (bx + 3 * q, by + q), (bx + 3 * q, by + 2 * q))
+        pts.zipWithIndex.foreach { case ((x, y), i) => nodes += Node(nid + 30 + i, x, y) }
+        val holeL = 10L * relId + 2
+        val holeR = 10L * relId + 3
+        ways += Way(holeL,
+          Array(nid + 30, nid + 31, nid + 32, nid + 33, nid + 30), closed = true, Map.empty)
+        ways += Way(holeR,
+          Array(nid + 31, nid + 34, nid + 35, nid + 32, nid + 31), closed = true, Map.empty)
+        members += RelMember(relId, 2, holeL, "inner")
+        members += RelMember(relId, 3, holeR, "inner")
       }
       // standalone closed way, in no relation
       if (g % 6 == 0) {

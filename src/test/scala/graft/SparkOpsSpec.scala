@@ -124,9 +124,15 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nStandalone = (0 until 150).count(_ % 6 == 0)
     val nExtraInner = (0 until 150).count(_ % 8 == 2)
     assert(byStatus(("ok", true)) === nStandalone + nExtraInner)
-    // holes: every g%4==2 except the invalid two
+    // holes: every g%4==2 except the invalid two, plus ONE merged hole per
+    // g%12==7 group (its two edge-touching holes collapse via the
+    // touching-inner-rings merge)
     val nInner = out.filter(r => r.getString(5) == "ok" && !r.getBoolean(2)).map(_.getInt(4)).sum
-    assert(nInner === (0 until 150).count(g => g % 4 == 2) - nInvalid)
+    assert(nInner === (0 until 150).count(g => g % 4 == 2) - nInvalid
+      + (0 until 150).count(_ % 12 == 7))
+    // spot-check one touching-holes relation: exactly one hole remains
+    val touch = out.find(r => r.getLong(1) == 8L && !r.getBoolean(2)).get // g=7 -> rel 8
+    assert(touch.getString(5) === "ok" && touch.getInt(4) === 1)
     // tag merge: untagged relation (odd g) + tagged outer way (g%5==1);
     // g%17==5 groups omit the tagged way entirely, so no merge there
     val merged = out.filter(r => !r.getBoolean(2) && r.getString(7).contains("meadow"))
