@@ -33,4 +33,17 @@ object StorageOps {
     */
   def readPointsInPartition(spark: SparkSession, path: String, partCell: Long): DataFrame =
     spark.read.parquet(path).filter(col("part_cell") === partCell)
+
+  /** Bucketed table layout — the co-located-join side of the storage
+    * contract: two tables bucketed (and sorted) by the same key into the
+    * same bucket count join with NO shuffle, because each scan's output
+    * partitioning already satisfies the join's required distribution. At
+    * the 100 TB posture the big fact tables pre-pay their join shuffle
+    * once at write time instead of on every query.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
 }

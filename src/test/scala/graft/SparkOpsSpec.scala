@@ -22,6 +22,8 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -224,6 +226,18 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val direct = job(pts)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(bucketed === direct)
+  }
+
+  test("bucketed tables join with no shuffle (co-located layout)") {
+    val pts = Synth.points(spark, dir)
+    graft.sources.StorageOps.writeBucketed(pts, "pts_a", "pid", 8)
+    graft.sources.StorageOps.writeBucketed(
+      pts.withColumn("v", col("lon_fix") + 1), "pts_b", "pid", 8)
+    val j = spark.table("pts_a").join(spark.table("pts_b"), "pid")
+    val plan = j.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(j.count() === pts.count()) // pid is unique in the point set
   }
 
   test("cell-partitioned layout prunes at the partition level") {
