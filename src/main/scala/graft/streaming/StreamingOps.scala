@@ -26,6 +26,20 @@ object StreamingOps {
       .count()
       .select(col("window.start").as("win_start"), col("event_type"), col("count"))
 
+  /** Streaming exact dedup for an ingest pipeline: keep the first
+    * occurrence of each text (keyed by sha256 + length, like the batch
+    * exactDuplicates), with the dedup state bounded by a watermark —
+    * duplicates arriving later than the watermark horizon are passed
+    * through rather than growing state forever, the standard
+    * bounded-state trade-off of streaming dedup at corpus scale.
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, watermark: String): DataFrame =
+    docs
+      .withColumn("text_sha", sha2(col("text"), 256))
+      .withColumn("text_len", length(col("text")).cast("long"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_sha", "text_len")
+
   case class Versioned(key: Long, version: Long, tsMicros: Long)
   case class EndTimed(key: Long, version: Long, tsMicros: Long, endMicros: Option[Long])
 

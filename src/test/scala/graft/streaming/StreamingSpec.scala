@@ -63,4 +63,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.contains(("view", 1L)))
     } finally q.stop()
   }
+
+  test("streaming dedup keeps first occurrence within the watermark horizon") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingOps.dedupStream(df, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+      input.addData((ts(1), 1L, "alpha"), (ts(2), 2L, "beta"), (ts(3), 3L, "alpha"))
+      q.processAllAvailable()
+      input.addData((ts(4), 4L, "alpha"), (ts(5), 5L, "gamma"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM deduped").collect().map(_.getLong(0)).toSet
+      // first occurrences only: the within-batch (3) and cross-batch (4)
+      // duplicates of "alpha" are dropped while state is inside the horizon
+      assert(ids === Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
 }
