@@ -190,6 +190,27 @@ object TextHash {
     sh
   }
 
+  /** Cosine similarity of two float vectors, accumulated in double in
+    * ascending index order — bit-identical to the Column spec form
+    * (Fns.cosineSim: zip_with/aggregate left folds) and to the DuckDB
+    * oracle's ordered sums.
+    */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y
+      i += 1
+    }
+    i = 0
+    while (i < a.length) { val x = a(i).toDouble; na += x * x; i += 1 }
+    i = 0
+    while (i < b.length) { val y = b(i).toDouble; nb += y * y; i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   def minHash(s: String, cap: Int, len: Int, k: Int): Array[Long] = {
     val sh = shingleHashes(s, cap, len)
     val out = new Array[Long](k)

@@ -161,7 +161,7 @@ object DedupOps {
     a.join(b, col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(Fns.cosineSim(col("a.embedding"), col("b.embedding")) * lit(10000.0), 0)
+        round(graft.plans.TextHashExpressions.vecCosine(col("a.embedding"), col("b.embedding")) * lit(10000.0), 0)
           .cast("long").as("cos_e4"))
       .distinct()
       .filter(col("cos_e4") >= thresholdE4)

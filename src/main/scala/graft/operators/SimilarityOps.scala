@@ -44,7 +44,7 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id").as("nid"), col("embedding"), col("qemb"))
       .dropDuplicates("qid", "nid")
     val scored = cand.select(col("qid"), col("nid"),
-      round(Fns.cosineSim(col("embedding"), col("qemb")) * lit(1000000.0), 0)
+      round(graft.plans.TextHashExpressions.vecCosine(col("embedding"), col("qemb")) * lit(1000000.0), 0)
         .cast("long").as("cos_e6"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -72,7 +72,7 @@ object SimilarityOps {
       .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
     def nearest(df: DataFrame, idCol: String, embCol: String, top: Int): DataFrame = {
       val scored = df.crossJoin(cent)
-        .withColumn("c_e6", round(Fns.cosineSim(col(embCol), col("cemb")) * lit(1000000.0), 0)
+        .withColumn("c_e6", round(graft.plans.TextHashExpressions.vecCosine(col(embCol), col("cemb")) * lit(1000000.0), 0)
           .cast("long"))
       val w = Window.partitionBy(col(idCol)).orderBy(col("c_e6").desc, col("cid"))
       scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= top)
@@ -84,7 +84,7 @@ object SimilarityOps {
     val cand = probes.join(assigned, "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(Fns.cosineSim(col("embedding"), col("qemb")) * lit(1000000.0), 0)
+        round(graft.plans.TextHashExpressions.vecCosine(col("embedding"), col("qemb")) * lit(1000000.0), 0)
           .cast("long").as("cos_e6"))
       .dropDuplicates("qid", "nid")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("nid"))
@@ -100,7 +100,7 @@ object SimilarityOps {
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qemb")))
     val scored = emb.join(q, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        round(Fns.cosineSim(col("embedding"), col("qemb")) * lit(1000000.0), 0)
+        round(graft.plans.TextHashExpressions.vecCosine(col("embedding"), col("qemb")) * lit(1000000.0), 0)
           .cast("long").as("cos_e6"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -95,6 +95,37 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen bridge for the cosine kernel (ArrayData float unwrap). */
+object VecCosineKernel {
+  def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
+             b: org.apache.spark.sql.catalyst.util.ArrayData): Double =
+    TextHash.cosine(a.toFloatArray(), b.toFloatArray())
+}
+
+/** Native cosine similarity over two `array<float>` embeddings —
+  * value-identical to the Column spec form Fns.cosineSim (same
+  * ascending-index double accumulation), but a tight primitive loop
+  * inside whole-stage codegen instead of interpreted zip_with/aggregate
+  * lambdas (the measured 10-100x HOF penalty).
+  */
+case class VecCosine(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecCosineKernel.cosine(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecCosineKernel.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Codegen bridge for the WKT point writer (C++ setprecision(10) parity
   * via core.Wkt.fmtG).
   */
@@ -160,6 +191,10 @@ object TextHashExpressions {
 
   def simHash64(text: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(text)))
+
+  def vecCosine(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VecCosine(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   def pointWkt(lonFix: Column, latFix: Column): Column =
     GraftColumnBridge.column(PointWkt(

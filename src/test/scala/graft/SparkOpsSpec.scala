@@ -424,6 +424,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "mega-bucket boilerplate must not emit quadratic pairs")
   }
 
+  test("native VecCosine matches the Column-composed cosineSim bit-for-bit") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pairs = e.select(col("vec_id"), col("embedding"))
+      .crossJoin(e.select(col("embedding").as("e2"), col("vec_id").as("v2")))
+      .filter(col("vec_id") % 17 === 0 && col("v2") % 13 === 0)
+      .select(
+        graft.plans.TextHashExpressions.vecCosine(col("embedding"), col("e2")).as("native"),
+        Fns.cosineSim(col("embedding"), col("e2")).as("spec"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("IVF cosine: never invents pairs or scores (subset of exact scorer)") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.filter(col("vec_id") % 25 === 0)
