@@ -219,7 +219,7 @@ object SparkEntry {
     "q_token_stats" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
         Fns.tokenCount(col("text")).cast("long").as("n_tokens"),
-        Fns.docFingerprint(col("text")).as("fingerprint"))
+        graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fingerprint"))
     }),
 
     // --- pages invariant (north rule per-row checksum) ---

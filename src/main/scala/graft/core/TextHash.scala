@@ -190,6 +190,32 @@ object TextHash {
     sh
   }
 
+  /** Order-independent document fingerprint: sum of 8-char Horner token
+    * hashes mod 2^61-1, tokens = maximal runs of non-space code points —
+    * value-identical to the Column spec form Fns.docFingerprint (raw sum
+    * first, one mod at the end; magnitudes bounded as documented there).
+    */
+  def docFingerprint(s: String): Long = {
+    val cps = new Array[Int](s.length)
+    var i = 0; var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(n) = cp; n += 1
+      i += Character.charCount(cp)
+    }
+    var sum = 0L
+    var p = 0
+    while (p < n) {
+      if (cps(p) != ' ') {
+        var q = p
+        while (q < n && cps(q) != ' ') q += 1
+        sum += tokenHash(cps, p, q)
+        p = q
+      } else p += 1
+    }
+    java.lang.Math.floorMod(sum, 2305843009213693951L)
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double in
     * ascending index order — bit-identical to the Column spec form
     * (Fns.cosineSim: zip_with/aggregate left folds) and to the DuckDB

@@ -95,6 +95,25 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native document fingerprint (sum of token hashes mod 2^61-1) —
+  * value-identical to Fns.docFingerprint, replacing its interpreted
+  * aggregate-over-tokens lambda in hot ingest paths.
+  */
+case class DocFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_fingerprint"
+
+  override def nullSafeEval(text: Any): Any =
+    TextHash.docFingerprint(text.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.core.TextHash.docFingerprint($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen bridge for the cosine kernel (ArrayData float unwrap). */
 object VecCosineKernel {
   def cosine(a: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -191,6 +210,9 @@ object TextHashExpressions {
 
   def simHash64(text: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(text)))
+
+  def docFingerprint(text: Column): Column =
+    GraftColumnBridge.column(DocFingerprint(GraftColumnBridge.expression(text)))
 
   def vecCosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(VecCosine(

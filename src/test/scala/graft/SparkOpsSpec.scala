@@ -424,6 +424,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "mega-bucket boilerplate must not emit quadratic pairs")
   }
 
+  test("native DocFingerprint matches the Column-composed spec form") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(100)
+    val both = docs.select(
+      graft.plans.TextHashExpressions.docFingerprint(col("text")),
+      Fns.docFingerprint(col("text"))).collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    val ss = spark; import ss.implicits._
+    val edges = Seq("", " ", "tok", "  two  tokens  ").toDF("text")
+      .select(graft.plans.TextHashExpressions.docFingerprint(col("text")),
+        Fns.docFingerprint(col("text"))).collect()
+    edges.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("native VecCosine matches the Column-composed cosineSim bit-for-bit") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val pairs = e.select(col("vec_id"), col("embedding"))
