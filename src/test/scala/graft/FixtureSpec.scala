@@ -55,6 +55,16 @@ class OsmChangeSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(OsmChange.op(objs(0)) === 'c')
     assert(OsmChange.op(objs(2)) === 'm')
     assert(OsmChange.op(objs(3)) === 'd')
+
+    // round trip: parse the emitted change file back, re-emit, compare
+    val parsed = OsmChange.parseChange(xml)
+    assert(parsed.map(_._1) === Seq('c', 'c', 'm', 'd', 'c'))
+    assert(parsed.map(_._2.id) === objs.map(_.id))
+    assert(parsed.map(_._2.tags) === objs.map(_.tags))
+    assert(parsed.map(_._2.nds) === objs.map(_.nds))
+    assert(parsed.map(_._2.members) === objs.map(_.members))
+    val rewritten = OsmChange.changeXml(parsed.map(_._2), "graft-test")
+    assert(rewritten === xml)
   }
 }
 
