@@ -21,6 +21,18 @@ object OsmXml {
   case class ORelation(rel_id: Long, version: Int, tsIso: String, visible: Boolean,
                        tags: Map[String, String], members: Array[OMember])
 
+  /** Maximum OSM username/role length: 255 UTF-8 characters = 255*4+1
+    * bytes (reference/include/osmium/osm/object.hpp:51, relation_member
+    * .hpp:45-49). The reference throws std::length_error and resets the
+    * value to "" (object.hpp:185-193, relation_member.hpp:87-89); the
+    * engine's row-level twin maps an over-long value to "".
+    */
+  val MaxNameBytes = 255 * 4 + 1
+
+  def capName(s: String): String =
+    if (s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length > MaxNameBytes) ""
+    else s
+
   def parse(path: String): (Seq[ONode], Seq[OWay], Seq[ORelation]) = {
     val root = scala.xml.XML.loadFile(path)
     def tags(e: scala.xml.Node): Map[String, String] =
@@ -30,7 +42,7 @@ object OsmXml {
     }
     val nodes = (root \ "node").map { e =>
       ONode(attr(e, "id").toLong, attr(e, "version", "0").toInt, attr(e, "timestamp"),
-        attr(e, "uid", "-1").toInt, attr(e, "user"), attr(e, "changeset", "0").toInt,
+        attr(e, "uid", "-1").toInt, capName(attr(e, "user")), attr(e, "changeset", "0").toInt,
         attr(e, "visible", "true").toBoolean, tags(e),
         FixedPoint.doubleToFix(attr(e, "lon", "0").toDouble),
         FixedPoint.doubleToFix(attr(e, "lat", "0").toDouble))
@@ -44,7 +56,7 @@ object OsmXml {
       ORelation(attr(e, "id").toLong, attr(e, "version", "0").toInt, attr(e, "timestamp"),
         attr(e, "visible", "true").toBoolean, tags(e),
         (e \ "member").map(m =>
-          OMember((m \ "@type").text, (m \ "@ref").text.toLong, (m \ "@role").text)).toArray)
+          OMember((m \ "@type").text, (m \ "@ref").text.toLong, capName((m \ "@role").text))).toArray)
     }
     (nodes, ways, rels)
   }

@@ -9,6 +9,19 @@ import graft.sources.OsmChange.ChangeObj
   * at %.7f, nd/member/tag children, group reopen after an interleaved op.
   */
 class OsmChangeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("username/role length caps (255 UTF-8 chars): over-long values reset to empty") {
+    import graft.sources.OsmXml
+    val ok255 = "u" * 255
+    val okMultibyte = "é" * 255           // 2 bytes each = 510 bytes < 1021
+    val overBytes = "é" * 511             // 1022 bytes > 1021
+    val overAscii = "u" * 1022
+    assert(OsmXml.capName(ok255) === ok255)
+    assert(OsmXml.capName(okMultibyte) === okMultibyte)
+    assert(OsmXml.capName(overBytes) === "")   // reference throws + resets to ""
+    assert(OsmXml.capName(overAscii) === "")
+    assert(OsmXml.capName("") === "")
+  }
+
   test("osc writer golden: grouping, meta attribute rules, children") {
     val objs = Seq(
       ChangeObj("node", 1, 1, visible = true, "2024-01-01T00:00:00Z", 7, "alice", 100,
