@@ -196,6 +196,30 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("property: merging a chain of adjacent strips reassembles the full rectangle") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 30) {
+      val k = 2 + rnd.nextInt(5) // strips
+      val hgt = 10 + rnd.nextInt(50)
+      // random strictly-increasing x cuts
+      val xs = (Seq(0) ++ Seq.fill(k - 1)(1 + rnd.nextInt(98)).distinct.sorted ++ Seq(100))
+        .distinct.sorted
+      val strips = xs.sliding(2).map { case Seq(a, b) =>
+        (Array(a.toLong, b.toLong, b.toLong, a.toLong),
+         Array(0L, 0L, hgt.toLong, hgt.toLong))
+      }.toSeq
+      val merged = strips.reduceLeft { (acc, s) =>
+        Planar.mergeTouchingRings(acc._1, acc._2, s._1, s._2) match {
+          case Planar.Merged(mx, my) => (mx, my)
+          case other => fail(s"trial $trial: adjacent strips did not merge: $other")
+        }
+      }
+      assert(Planar.signedArea2(merged._1, merged._2).abs ===
+        BigInt(2L * 100L * hgt), s"trial $trial")
+      assert(Planar.isSimpleRing(merged._1, merged._2), s"trial $trial")
+    }
+  }
+
   test("mergeTouchingRings: point touch and disjoint rings are NotTouching") {
     val a = (Array(0L, 10L, 10L, 0L), Array(0L, 0L, 10L, 10L))
     val pt = (Array(10L, 20L, 20L, 10L), Array(10L, 10L, 20L, 20L)) // corner touch

@@ -280,6 +280,52 @@ class AssemblySpec extends AnyFunSuite {
     assert(AssemblyOps.assembleOne(15, ways2).toArray.head.tsMicros === 999L)
   }
 
+  test("property: random split/reverse/shuffle of a polygon+hole round-trips through assembly") {
+    // seeded loops (no scalacheck bridge in the offline cache): random
+    // convex-ish lattice polygons with one hole, outer ring split into
+    // 2..4 ways at random cut points, ways randomly reversed, member
+    // order shuffled — assembleOne must reconstruct one ok area with one
+    // hole and the exact outer vertex set
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 50) {
+      val w = 20 + rnd.nextInt(60); val h = 20 + rnd.nextInt(60)
+      val ox = 5 * (rnd.nextInt(20) - 10); val oy = 5 * (rnd.nextInt(20) - 10)
+      // outer ring: rectangle with an extra collinear-free notch vertex
+      val outer = Seq[(Long, Long)](
+        (ox, oy), (ox + w, oy), (ox + w, oy + h / 2 + 1 + rnd.nextInt(3)),
+        (ox + w, oy + h), (ox, oy + h)).distinct
+      val closed = outer :+ outer.head
+      // split into 2..4 consecutive runs (each at least one edge)
+      val nCuts = 2 + rnd.nextInt(math.min(3, closed.length - 2))
+      val cutPoints = (rnd.shuffle((1 until closed.length - 1).toList).take(nCuts - 1)).sorted
+      val bounds = (0 +: cutPoints) :+ (closed.length - 1)
+      var ways = bounds.sliding(2).zipWithIndex.map { case (Seq(a, b), i) =>
+        val pts = closed.slice(a, b + 1)
+        (i, if (rnd.nextBoolean()) pts.reverse else pts)
+      }.toSeq
+      ways = rnd.shuffle(ways)
+      // hole strictly inside
+      val q = 4
+      val hole = Seq[(Long, Long)](
+        (ox + q, oy + q), (ox + q + 6, oy + q), (ox + q + 6, oy + q + 6), (ox + q, oy + q + 6),
+        (ox + q, oy + q))
+      val rel = 1000L + trial
+      val memberWays = ways.zipWithIndex.map { case ((wid, pts), pos) =>
+        mw(rel, pos, 100L * rel + wid, pts: _*)
+      } :+ mw(rel, 99, 100L * rel + 99, hole: _*)
+      val out = AssemblyOps.assembleOne(rel, memberWays.toArray).toArray
+      assert(out.length === 1, s"trial $trial: ${out.mkString}")
+      val a = out.head
+      assert(a.status === "ok", s"trial $trial: $a ways=$ways")
+      assert(a.nOuter === 1 && a.nInner === 1, s"trial $trial")
+      // outer vertex set survives (WKT contains every outer vertex coord)
+      outer.foreach { case (x, y) =>
+        val fx = graft.core.Wkt.fmtG(x / 1e7)
+        assert(a.wkt.contains(fx), s"trial $trial missing x=$x ($fx) in ${a.wkt}")
+      }
+    }
+  }
+
   test("negative relation id keeps the id bijection") {
     val ways = Array(mw(-3, 0, 90, (0, 0), (10, 0), (10, 10), (0, 10), (0, 0)))
     val a = AssemblyOps.assembleOne(-3, ways).toArray.head
