@@ -403,29 +403,60 @@ object Planar {
     * ring a with polygonize(symDifference(boundary a, boundary b)) when
     * that yields exactly one polygon.
     *
-    * Vertex-exact model (consistent with the node-REF ring builder): the
-    * boundary intersection is the set of whole shared edges plus shared
-    * vertices. "Intersection is one linestring" ⇔ the shared edges form a
-    * single simple path (no branching, not a cycle, connected) and every
-    * shared vertex lies on that path. Rings sharing only points (GEOS
-    * (MULTI)POINT) or several separate runs (MULTILINESTRING) are NOT
-    * merged, matching GEOS type dispatch. Partial edge overlap without
-    * shared vertices cannot occur in data where shared boundaries share
-    * nodes (the OSM model).
+    * Vertex-exact model (consistent with the node-REF ring builder), made
+    * overlap-complete by a normalization step: each ring first gains the
+    * other ring's vertices that lie exactly on its edges, so partial
+    * collinear overlaps (a short edge lying on a longer one, with or
+    * without shared node refs) decompose into whole shared edges — any
+    * 1-dimensional overlap of lattice-point rings has its extremes among
+    * the two vertex sets, so this normalization is exhaustive. After it,
+    * the boundary intersection is the set of whole shared edges plus
+    * shared vertices. "Intersection is one linestring" ⇔ the shared edges
+    * form a single simple path (no branching, not a cycle, connected) and
+    * every shared vertex lies on that path. Rings sharing only points
+    * (GEOS (MULTI)POINT) or several separate runs (MULTILINESTRING) are
+    * NOT merged, matching GEOS type dispatch.
     *
     * Inputs are OPEN rings; the result is an open ring.
     */
-  def mergeTouchingRings(axs: Array[Long], ays: Array[Long],
-                         bxs: Array[Long], bys: Array[Long]): RingMerge = {
+  def mergeTouchingRings(axsIn: Array[Long], aysIn: Array[Long],
+                         bxsIn: Array[Long], bysIn: Array[Long]): RingMerge = {
     type P = (Long, Long)
     def edge(p: P, q: P): (P, P) = if (p._1 < q._1 || (p._1 == q._1 && p._2 <= q._2)) (p, q) else (q, p)
+    def verts(xs: Array[Long], ys: Array[Long]): Set[P] =
+      xs.indices.map(i => (xs(i), ys(i))).toSet
+
+    // normalization: insert the other ring's vertices that lie strictly
+    // inside this ring's edges, in along-edge order
+    def insertOnEdges(xs: Array[Long], ys: Array[Long],
+                      others: Set[P]): (Array[Long], Array[Long]) = {
+      val ox = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val oy = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = 0
+      while (i < xs.length) {
+        val j = (i + 1) % xs.length
+        val (px, py) = (xs(i), ys(i)); val (qx, qy) = (xs(j), ys(j))
+        ox += px; oy += py
+        val interior = others.filter { case (vx, vy) =>
+          !(vx == px && vy == py) && !(vx == qx && vy == qy) &&
+            orient(px, py, qx, qy, vx, vy) == 0 && onSeg(px, py, qx, qy, vx, vy)
+        }.toSeq.sortBy { case (vx, vy) =>
+          math.max(math.abs(vx - px), math.abs(vy - py))
+        }
+        interior.foreach { case (vx, vy) => ox += vx; oy += vy }
+        i += 1
+      }
+      (ox.toArray, oy.toArray)
+    }
+    val vA0 = verts(axsIn, aysIn); val vB0 = verts(bxsIn, bysIn)
+    val (axs, ays) = insertOnEdges(axsIn, aysIn, vB0)
+    val (bxs, bys) = insertOnEdges(bxsIn, bysIn, vA0)
+
     def ringEdges(xs: Array[Long], ys: Array[Long]): Set[(P, P)] =
       xs.indices.map { i =>
         val j = (i + 1) % xs.length
         edge((xs(i), ys(i)), (xs(j), ys(j)))
       }.toSet
-    def verts(xs: Array[Long], ys: Array[Long]): Set[P] =
-      xs.indices.map(i => (xs(i), ys(i))).toSet
 
     val ea = ringEdges(axs, ays); val eb = ringEdges(bxs, bys)
     val shared = ea.intersect(eb)

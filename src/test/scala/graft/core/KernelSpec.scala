@@ -220,6 +220,18 @@ class KernelSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeTouchingRings: partial edge overlap (no shared vertices) still merges") {
+    // B's top edge (3,0)-(7,0) lies strictly inside A's bottom edge
+    val a = (Array(0L, 10L, 10L, 0L), Array(0L, 0L, 10L, 10L))
+    val b = (Array(3L, 3L, 7L, 7L), Array(0L, -5L, -5L, 0L))
+    Planar.mergeTouchingRings(a._1, a._2, b._1, b._2) match {
+      case Planar.Merged(xs, ys) =>
+        assert(Planar.signedArea2(xs, ys).abs === BigInt(2 * (100 + 20)))
+        assert(Planar.isSimpleRing(xs, ys))
+      case other => fail(s"expected Merged, got $other")
+    }
+  }
+
   test("mergeTouchingRings: point touch and disjoint rings are NotTouching") {
     val a = (Array(0L, 10L, 10L, 0L), Array(0L, 0L, 10L, 10L))
     val pt = (Array(10L, 20L, 20L, 10L), Array(10L, 10L, 20L, 20L)) // corner touch
