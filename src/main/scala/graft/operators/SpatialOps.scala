@@ -271,6 +271,21 @@ object SpatialOps {
       .groupBy("bx", "by")
       .agg(least(count(lit(1)), lit(65535L)).as("cnt"))
 
+  /** Equirect density rendered to a grayscale PNG (the full nodedensity
+    * pipeline, examples/nodedensity.cpp:16-86): distributed saturating
+    * aggregation, then the raster-sized result renders on the driver.
+    * y is flipped (the reference bins (90 - lat)); min/max clamp to gray
+    * per the reference's formula.
+    */
+  def densityPng(points: DataFrame, level: Int,
+                 min: Int = 0, max: Int = 99999): Array[Byte] = {
+    val n = 1 << level
+    val cells = equirectDensity(points, level).collect().iterator.map { r =>
+      (r.getLong(0).toInt, n - 1 - r.getLong(1).toInt, r.getLong(2))
+    }
+    graft.core.Raster.grayPng(n, n, cells, min, max)
+  }
+
   /** FindBbox (reference/include/osmium/handler/find_bbox.hpp:32-57). */
   def bbox(points: DataFrame): DataFrame =
     points.agg(

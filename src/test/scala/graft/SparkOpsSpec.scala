@@ -228,6 +228,27 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketed === direct)
   }
 
+  test("density PNG round-trips the reference gray mapping (nodedensity.cpp:63-84)") {
+    // kernel formula goldens
+    assert(graft.core.Raster.gray(0, 0, 255) === 0)
+    assert(graft.core.Raster.gray(255, 0, 255) === 255)
+    assert(graft.core.Raster.gray(100, 0, 99999) === 0)    // integer division
+    assert(graft.core.Raster.gray(500000, 0, 99999) === 255) // clamped at max
+    assert(graft.core.Raster.gray(7, 0, 10) === 178)       // 7*255/10
+    // full pipeline: aggregate -> render -> decode -> per-pixel check
+    val pts = Synth.points(spark, dir)
+    val level = 5; val n = 1 << level
+    val png = SpatialOps.densityPng(pts, level, 0, 10)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === n && img.getHeight === n)
+    val expect = SpatialOps.equirectDensity(pts, level).collect()
+      .map(r => ((r.getLong(0).toInt, n - 1 - r.getLong(1).toInt), r.getLong(2))).toMap
+    for (x <- 0 until n; y <- 0 until n) {
+      val want = graft.core.Raster.gray(expect.getOrElse((x, y), 0L), 0, 10)
+      assert(img.getRaster.getSample(x, y, 0) === want, s"pixel ($x,$y)")
+    }
+  }
+
   test("bucketed tables join with no shuffle (co-located layout)") {
     val pts = Synth.points(spark, dir)
     graft.sources.StorageOps.writeBucketed(pts, "pts_a", "pid", 8)
