@@ -41,6 +41,9 @@ object Bench {
     // engine's actual cost, not the noise envelope
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = (1 to 2).map { pass =>
+        // clear persisted intermediates so pass 2 re-measures the full
+        // query (min-of-2 damps host noise and JIT warm-up, not real work)
+        spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         val rows = try fn(spark, sfDir).count() catch {
           case e: Throwable =>
