@@ -108,10 +108,17 @@ object SpatialOps {
     * integer cell boundaries jitter by 1). Queries that fail the
     * guarantee (sparse regions) fall back to the exact brute force —
     * output is therefore always the exact kNN, but the heavy scoring
-    * touches ~9 cells instead of the whole table.
+    * touches ~9 cells instead of the whole table. level <= 0 (default)
+    * derives the cell level from the point density (~50 points/cell),
+    * like knnShuffled.
     */
-  def knn(points: DataFrame, queries: DataFrame, k: Int, level: Int = 6): DataFrame = {
+  def knn(points: DataFrame, queries: DataFrame, k: Int, levelIn: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val level = if (levelIn > 0) levelIn else {
+      val cnt = math.max(points.count(), 1L)
+      math.max(1, math.min(12,
+        math.round(math.log(cnt / 50.0) / math.log(4.0)).toInt))
+    }
     val n = 1L << level
     val wMin = 3600000000L / n - 1 // conservative min lon-cell span (fix units)
     val hMin = 1800000000L / n - 1
