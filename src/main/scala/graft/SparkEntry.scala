@@ -283,6 +283,13 @@ object SparkEntry {
           col("height"), col("nFrames").as("n_frames"))
     }),
 
+    // frame sampling (every 4th frame; fingerprints are spec-checked
+    // against the kernel, the index contract is the oracle'd part)
+    "q_frames" -> ((s, d) => {
+      MultimodalOps.sampleFrames(s, Synth.pages(s, d), 4, 8).toDF()
+        .select(col("url"), col("frameIdx").cast("long").as("frame_idx"))
+    }),
+
     // --- skew-safe aggregation (salted two-level density) ---
     "q_salted_density" -> ((s, d) => {
       val cells = Synth.points(s, d)
@@ -903,6 +910,13 @@ object SparkEntry {
     "q_area_assembly" ->
       s"""SELECT area_id, orig_id, from_way, n_outer, n_inner, status, wkt, tags_json
          |FROM read_parquet('${MakeGoldens.GoldenDir}/q_area_assembly/*.parquet')""".stripMargin,
+
+    "q_frames" ->
+      """WITH m AS (
+        |  SELECT 'https://example.org/doc/' || doc_id AS url,
+        |    1 + (12 + length(text) + 14) % 24 AS nf
+        |  FROM documents)
+        |SELECT url, CAST(unnest(range(0, nf, 4)) AS BIGINT) AS frame_idx FROM m""".stripMargin,
 
     "q_salted_density" -> {
       val spread = spreadSql("cx")

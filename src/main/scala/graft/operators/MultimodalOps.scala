@@ -43,6 +43,39 @@ object MultimodalOps {
     h
   }
 
+  case class FrameSample(url: String, frameIdx: Int, frameFp: Long)
+
+  /** STUB resize: fit (w, h) into (maxW, maxH) preserving aspect ratio —
+    * the dimension contract of a real scaler; no-ops when already within
+    * bounds, never collapses below 1x1.
+    */
+  def resizeStub(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else {
+      val s = math.min(maxW.toDouble / w, maxH.toDouble / h)
+      (math.max(1, (w * s).toInt), math.max(1, (h * s).toInt))
+    }
+
+  /** Frame sampling over video-like payloads: every `stride`th frame index
+    * of the decoded stream, capped at `maxFrames` per document — the
+    * row-explosion (flatMap) shape a real video pipeline needs, one
+    * decoder context per task. Frame "content" is a deterministic
+    * per-frame fingerprint derived from the payload fingerprint.
+    */
+  def sampleFrames(spark: SparkSession, pages: DataFrame,
+                   stride: Int, maxFrames: Int): Dataset[FrameSample] = {
+    import spark.implicits._
+    pages.select(col("url"), col("html")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (url, bytes) =>
+          val (_, _, nFrames) = decodeStub(bytes)
+          val fp = byteFingerprint(bytes)
+          (0 until nFrames by stride).take(maxFrames).iterator.map(i =>
+            FrameSample(url, i, graft.core.TextHash.mix64(fp + i)))
+        }
+      }
+  }
+
   /** Decode + feature-extract over a (url, html binary) pages table,
     * batched per partition (mapPartitions — one stub-codec context per
     * task, the shape a real decoder needs).

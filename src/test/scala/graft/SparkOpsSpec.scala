@@ -398,6 +398,26 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("frame sampling: stride/cap contract and per-frame fingerprints") {
+    val frames = MultimodalOps.sampleFrames(spark, Synth.pages(spark, dir), 1, 3).collect()
+    // cap binds: no doc emits more than 3 frames, and all start at 0
+    val byUrl = frames.groupBy(_.url)
+    assert(byUrl.values.forall(_.length <= 3))
+    assert(byUrl.values.forall(_.map(_.frameIdx).sorted.startsWith(Seq(0))))
+    // fingerprints match the kernel derivation
+    val pages = Synth.pages(spark, dir).select("url", "html").limit(10).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+    pages.foreach { case (url, bytes) =>
+      val fp = MultimodalOps.byteFingerprint(bytes)
+      byUrl(url).foreach(f =>
+        assert(f.frameFp === graft.core.TextHash.mix64(fp + f.frameIdx)))
+    }
+    // resize stub: aspect preserved within bounds, no-op when already small
+    assert(MultimodalOps.resizeStub(100, 50, 200, 200) === ((100, 50)))
+    val (rw, rh) = MultimodalOps.resizeStub(1600, 800, 400, 400)
+    assert(rw === 400 && rh === 200)
+  }
+
   test("ANN cosine top-k: recall vs exact baseline on near-duplicates") {
     val e = Synth.embCorpus(spark, dir)
     val q = e.filter(col("vec_id") >= 1000000L)
