@@ -222,6 +222,12 @@ object SparkEntry {
         graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fingerprint"))
     }),
 
+    // BPE-ish pre-tokenizer counting (subword-run classes)
+    "q_token_bpe" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"),
+        Fns.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+    }),
+
     // --- pages invariant (north rule per-row checksum) ---
     "q_pages_invariant" -> ((s, d) => {
       Synth.pages(s, d).select(col("url"), sha2(col("text"), 256).as("text_sha"),
@@ -817,6 +823,11 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(len(regexp_extract_all(d.text, '[^ ]+')) AS BIGINT) AS n_tokens,
          |  coalesce((SELECT CAST(sum(h) AS BIGINT) % 2305843009213693951 FROM toks WHERE toks.doc_id = d.doc_id), 0) AS fingerprint
          |FROM documents d""".stripMargin,
+
+    "q_token_bpe" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${Fns.BpeTokenPattern}')) AS BIGINT) AS n_bpe
+         |FROM documents""".stripMargin,
 
     "q_pages_invariant" ->
       """SELECT 'https://example.org/doc/' || doc_id AS url, sha256(text) AS text_sha,

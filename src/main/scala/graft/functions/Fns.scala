@@ -153,6 +153,17 @@ object Fns {
     (1 to 8).map(i => ascii(substring(tok, i, 1)).cast("long"))
       .reduceLeft((acc, a) => acc * lit(31L) + a)
 
+  /** BPE-ish subword pre-tokenization count: letter runs, digit runs, and
+    * single other-non-space characters — the class structure of GPT-style
+    * pre-tokenizer regexes, restricted to constructs with identical
+    * semantics in Java regex and RE2/DuckDB so the oracle can replicate it
+    * verbatim.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
   /** Order-independent document fingerprint: sum of token hashes mod 2^61-1
     * (bounded: ≤ 2^47 per token hash × ≤ 2^20 tokens < 2^63 pre-mod).
     */
