@@ -889,19 +889,19 @@ object SparkEntry {
     "q_route_assembly" ->
       s"""WITH $routeSql,
          |resolved AS (
-         |  SELECT m.rel_id, m.mtype, e.payload
+         |  SELECT m.rel_id, m.mtype, e.payload, e.found
          |  FROM members m LEFT JOIN (
-         |    SELECT 'n' AS t, id, payload FROM nodes
-         |    UNION ALL SELECT 'w', id, payload FROM ways
-         |    UNION ALL SELECT 'r', id, payload FROM rels) e
+         |    SELECT 'n' AS t, id, payload, 1 AS found FROM nodes
+         |    UNION ALL SELECT 'w', id, payload, 1 FROM ways
+         |    UNION ALL SELECT 'r', id, payload, 1 FROM rels) e
          |  ON e.t = m.mtype AND e.id = m.ref)
          |SELECT rel_id, count(*) AS n_members,
-         |  CAST(sum(CASE WHEN mtype = 'n' AND payload IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nodes,
-         |  CAST(sum(CASE WHEN mtype = 'w' AND payload IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ways,
-         |  CAST(sum(CASE WHEN mtype = 'r' AND payload IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rels,
+         |  CAST(sum(CASE WHEN mtype = 'n' AND found IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nodes,
+         |  CAST(sum(CASE WHEN mtype = 'w' AND found IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ways,
+         |  CAST(sum(CASE WHEN mtype = 'r' AND found IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rels,
          |  CAST(sum(payload) AS BIGINT) AS payload_sum
          |FROM resolved GROUP BY 1
-         |HAVING count(*) = count(payload)""".stripMargin,
+         |HAVING count(*) = count(found)""".stripMargin,
 
     "q_orphans" ->
       s"""WITH $routeSql

@@ -100,15 +100,18 @@ object AssemblyOps {
     val ents = Seq(("n", wantN, nodes), ("w", wantW, ways), ("r", wantR, rels))
     val resolved = ents.collect { case (t, true, e) =>
       members.filter(col("mtype") === t)
-        .join(e.select(col("id").as("ref"), col("payload")), Seq("ref"), "left")
-        .select(col("rel_id"), col("mtype"), col("payload"))
+        .join(e.select(col("id").as("ref"), col("payload"), lit(1).as("__found")),
+          Seq("ref"), "left")
+        .select(col("rel_id"), col("mtype"), col("payload"), col("__found"))
     }.reduce(_ unionByName _)
+    // resolution is keyed on the join MATCH (__found), not on the payload —
+    // an entity with a legitimately null payload still resolves its member
     resolved.groupBy("rel_id").agg(
         count(lit(1)).as("n_members"),
-        count(col("payload")).as("n_resolved"),
-        sum(when(col("mtype") === "n" && col("payload").isNotNull, 1L).otherwise(0L)).as("n_nodes"),
-        sum(when(col("mtype") === "w" && col("payload").isNotNull, 1L).otherwise(0L)).as("n_ways"),
-        sum(when(col("mtype") === "r" && col("payload").isNotNull, 1L).otherwise(0L)).as("n_rels"),
+        count(col("__found")).as("n_resolved"),
+        sum(when(col("mtype") === "n" && col("__found").isNotNull, 1L).otherwise(0L)).as("n_nodes"),
+        sum(when(col("mtype") === "w" && col("__found").isNotNull, 1L).otherwise(0L)).as("n_ways"),
+        sum(when(col("mtype") === "r" && col("__found").isNotNull, 1L).otherwise(0L)).as("n_rels"),
         sum(col("payload")).as("payload_sum"))
       .filter(col("n_members") === col("n_resolved"))
       .drop("n_resolved")

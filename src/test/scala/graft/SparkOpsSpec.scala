@@ -363,20 +363,23 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val members = Seq(
       (1L, "n", 10L), (1L, "w", 20L), (1L, "r", 30L),   // complete
       (2L, "n", 10L), (2L, "w", 999L),                  // way 999 missing -> incomplete
-      (3L, "r", 777L)                                   // rel 777 missing -> incomplete
+      (3L, "r", 777L),                                  // rel 777 missing -> incomplete
+      (4L, "n", 11L)                                    // found entity, null payload -> complete
     ).toDF("rel_id", "mtype", "ref")
-    val nodes = Seq((10L, 5L)).toDF("id", "payload")
+    val nodes = Seq((10L, Some(5L)), (11L, None)).toDF("id", "payload")
     val ways = Seq((20L, 7L)).toDF("id", "payload")
     val rels = Seq((30L, 11L)).toDF("id", "payload")
     val out = AssemblyOps.assembleGeneric(members, nodes, ways, rels)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5)))
-    assert(out.toSeq === Seq((1L, 3L, 1L, 1L, 1L, 23L))) // 5 + 7 + 11
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5))).sortBy(_._1)
+    // relation 4's member matched an entity whose payload is null: it
+    // resolves (completeness keys on the join match, not the payload)
+    assert(out.toSeq === Seq((1L, 3L, 1L, 1L, 1L, 23L), (4L, 1L, 1L, 0L, 0L, -1L)))
     // with relation members not kept (R flag off), relation 3 has no kept
     // members at all and relation 2 is still missing its way
     val noR = AssemblyOps.assembleGeneric(members, nodes, ways, rels, wantR = false)
       .collect().map(_.getLong(0)).toSet
-    assert(noR === Set(1L))
+    assert(noR === Set(1L, 4L))
     // per-type orphan callbacks
     val orphanWays = AssemblyOps.entitiesNotInAnyRelation(
       Seq((20L, 7L), (21L, 8L)).toDF("id", "payload"), members, "w")
