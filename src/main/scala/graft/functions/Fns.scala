@@ -260,12 +260,6 @@ object Fns {
     }
   }
 
-  /** Hamming distance between two small (≤32-bit) hash values. */
-  def hamming(a: Column, b: Column): Column = {
-    val x = a.bitwiseXOR(b)
-    (0 until 16).map(i => shiftright(x, i).bitwiseAND(lit(1L))).reduce(_ + _)
-  }
-
   // ---- embeddings -----------------------------------------------------------
 
   /** Dot product of two float arrays as a deterministic left fold in double
