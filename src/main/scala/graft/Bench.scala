@@ -51,9 +51,10 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(s"[bench] $name pass $pass: ${f"$sec%.2f"}s ($rows rows)")
-        sec
+        // a failed pass must not win the min with its fast-fail time
+        if (rows < 0) Double.MaxValue else sec
       }
-      name -> secs.min
+      name -> (if (secs.min == Double.MaxValue) -1.0 else secs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

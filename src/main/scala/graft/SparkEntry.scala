@@ -927,7 +927,9 @@ object SparkEntry {
         |  SELECT 'https://example.org/doc/' || doc_id AS url,
         |    1 + (12 + length(text) + 14) % 24 AS nf
         |  FROM documents)
-        |SELECT url, CAST(unnest(range(0, nf, 4)) AS BIGINT) AS frame_idx FROM m""".stripMargin,
+        |SELECT url, frame_idx FROM (
+        |  SELECT url, CAST(unnest(range(0, nf, 4)) AS BIGINT) AS frame_idx FROM m)
+        |QUALIFY row_number() OVER (PARTITION BY url ORDER BY frame_idx) <= 8""".stripMargin,
 
     "q_salted_density" -> {
       val spread = spreadSql("cx")

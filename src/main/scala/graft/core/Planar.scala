@@ -314,13 +314,23 @@ object Planar {
     if (nR == 1) return true
     type P = (Long, Long)
 
-    def vertsOf(r: (Array[Long], Array[Long])): IndexedSeq[P] =
-      r._1.indices.map(i => (r._1(i), r._2(i)))
-    def edgesOf(r: (Array[Long], Array[Long])): IndexedSeq[(P, P)] =
-      r._1.indices.map { i =>
-        val j = (i + 1) % r._1.length
-        ((r._1(i), r._2(i)), (r._1(j), r._2(j)))
+    // hoisted once per ring — the pair loops below are allocation-free
+    val xs = rings.map(_._1); val ys = rings.map(_._2)
+    val vertSets: Array[Set[P]] =
+      rings.indices.map(r => xs(r).indices.map(i => (xs(r)(i), ys(r)(i))).toSet).toArray
+
+    /** vertex v of ring `a` lies on some edge of ring `b`? (exact) */
+    def vertexOnRing(vx: Long, vy: Long, b: Int): Boolean = {
+      val bx = xs(b); val by = ys(b)
+      var i = 0
+      while (i < bx.length) {
+        val j = (i + 1) % bx.length
+        if (orient(bx(i), by(i), bx(j), by(j), vx, vy) == 0 &&
+            onSeg(bx(i), by(i), bx(j), by(j), vx, vy)) return true
+        i += 1
       }
+      false
+    }
 
     val incidences = scala.collection.mutable.Set.empty[(Int, P)]
     var i = 0
@@ -328,21 +338,34 @@ object Planar {
       var j = i + 1
       while (j < nR) {
         // 1-dimensional boundary overlap between two rings → invalid
-        for (((a, b), (c, d)) <- edgesOf(rings(i)).flatMap(e => edgesOf(rings(j)).map((e, _))))
-          if (collinearOverlap(a._1, a._2, b._1, b._2, c._1, c._2, d._1, d._2))
-            return false
+        val ax = xs(i); val ay = ys(i); val bx = xs(j); val by = ys(j)
+        var p = 0
+        while (p < ax.length) {
+          val p2 = (p + 1) % ax.length
+          var q = 0
+          while (q < bx.length) {
+            val q2 = (q + 1) % bx.length
+            if (collinearOverlap(ax(p), ay(p), ax(p2), ay(p2),
+                bx(q), by(q), bx(q2), by(q2))) return false
+            q += 1
+          }
+          p += 1
+        }
         // touch points: shared vertices + vertex-on-edge contacts
-        val vi = vertsOf(rings(i)); val vj = vertsOf(rings(j))
-        val vjSet = vj.toSet
         val touches = scala.collection.mutable.Set.empty[P]
-        touches ++= vi.filter(vjSet.contains)
-        for (v <- vi; (c, d) <- edgesOf(rings(j)))
-          if (orient(c._1, c._2, d._1, d._2, v._1, v._2) == 0 &&
-              onSeg(c._1, c._2, d._1, d._2, v._1, v._2)) touches += v
-        for (v <- vj; (a, b) <- edgesOf(rings(i)))
-          if (orient(a._1, a._2, b._1, b._2, v._1, v._2) == 0 &&
-              onSeg(a._1, a._2, b._1, b._2, v._1, v._2)) touches += v
-        touches.foreach { p => incidences += ((i, p)); incidences += ((j, p)) }
+        var vi = 0
+        while (vi < ax.length) {
+          val v = (ax(vi), ay(vi))
+          if (vertSets(j).contains(v) || vertexOnRing(v._1, v._2, j)) touches += v
+          vi += 1
+        }
+        var vj = 0
+        while (vj < bx.length) {
+          val v = (bx(vj), by(vj))
+          if (vertSets(i).contains(v) || vertexOnRing(v._1, v._2, i)) touches += v
+          vj += 1
+        }
+        touches.foreach { pt => incidences += ((i, pt)); incidences += ((j, pt)) }
         j += 1
       }
       i += 1

@@ -17,6 +17,7 @@ import javax.imageio.ImageIO
 object Raster {
 
   def gray(value: Long, min: Int, max: Int): Int = {
+    require(max > min, s"gray range must be non-degenerate: [$min, $max]")
     val clamped = math.min(math.max(value, min), max)
     ((clamped - min) * 255 / (max - min)).toInt
   }

@@ -13,16 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
-  /** Row-fanning salt in [0, saltFactor): derived from the per-row
-    * monotonic id, NOT from the grouping key — a salt that is a function of
-    * the key would map every row of a hot key to the same salt and the
-    * two-level split would be a no-op. The id cycles through all
-    * saltFactor values within each input partition, so a hot key fans out
-    * to up to saltFactor partial groups. The salt is aggregated away, so
-    * the (nondeterministic-tagged) id never affects output values.
+  /** Partition-fanning salt in [0, saltFactor): derived from the physical
+    * input partition id, NOT from the grouping key — a salt that is a
+    * function of the key would map every row of a hot key to the same
+    * salt and the two-level split would be a no-op. A hot key spread over
+    * P input partitions fans out to min(P, saltFactor) partial groups,
+    * which is exactly the skew scenario (a hot key confined to one input
+    * partition is that partition's problem, not the reducer's).
+    *
+    * Why not a per-row counter: monotonically_increasing_id assigns
+    * DIFFERENT values when a stage is recomputed after a task loss, so a
+    * retried map task could split the same row into a different partial
+    * than the copy a reducer already fetched — double counting. The
+    * partition id is a pure function of the (deterministic) lineage, so
+    * recomputation reproduces identical partials.
     */
   def salt(saltFactor: Int): Column =
-    pmod(monotonically_increasing_id(), lit(saltFactor.toLong))
+    pmod(xxhash64(spark_partition_id()), lit(saltFactor.toLong))
 
   /** Two-level count-by-key: partial counts per (key, salt), then final
     * combine per key. Same result as groupBy(key).count() with hot keys

@@ -110,7 +110,8 @@ object SpatialOps {
     * output is therefore always the exact kNN, but the heavy scoring
     * touches ~9 cells instead of the whole table. level <= 0 (default)
     * derives the cell level from the point density (~50 points/cell),
-    * like knnShuffled.
+    * like knnShuffled — the density probe costs one count() job at
+    * plan-construction time; pass an explicit level to stay lazy.
     */
   def knn(points: DataFrame, queries: DataFrame, k: Int, levelIn: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -21,11 +21,14 @@ object OsmXml {
   case class ORelation(rel_id: Long, version: Int, tsIso: String, visible: Boolean,
                        tags: Map[String, String], members: Array[OMember])
 
-  /** Maximum OSM username/role length: 255 UTF-8 characters = 255*4+1
-    * bytes (reference/include/osmium/osm/object.hpp:51, relation_member
-    * .hpp:45-49). The reference throws std::length_error and resets the
-    * value to "" (object.hpp:185-193, relation_member.hpp:87-89); the
-    * engine's row-level twin maps an over-long value to "".
+  /** Maximum OSM username/role BYTE length. The reference's documented
+    * limit is 255 UTF-8 characters, but its enforced check is
+    * `strlen(user) > 255*4+1` — a byte bound of 1021 (reference/include/
+    * osmium/osm/object.hpp:51,185-193, relation_member.hpp:45-49,87-89:
+    * throw std::length_error + reset to ""). The engine mirrors the CODE,
+    * not the comment: values over 1021 UTF-8 bytes map to "" (so a
+    * 300-character ASCII name passes here exactly as it does in the
+    * reference).
     */
   val MaxNameBytes = 255 * 4 + 1
 
