@@ -165,12 +165,16 @@ object SpatialOps {
       .agg(count(lit(1)).as("cnt"), max("d2").as("maxd2"))
       .filter(col("cnt") === k && col("maxd2") <= bound2)
       .select(col("qid").as("ok_qid"))
+      .persist()
     val guaranteed = ranked.join(broadcast(stats), col("qid") === col("ok_qid"))
       .drop("ok_qid")
     val fallbackQueries = queries.join(
       broadcast(stats.withColumnRenamed("ok_qid", "pid")), Seq("pid"), "left_anti")
-    val fallback = knnBruteForce(points, fallbackQueries, k)
-    guaranteed.unionByName(fallback)
+    // common case: every query resolved — checking costs one pass over the
+    // (small, per the operator contract) query side and saves the
+    // brute-force plan's full point-table scan
+    if (fallbackQueries.isEmpty) guaranteed
+    else guaranteed.unionByName(knnBruteForce(points, fallbackQueries, k))
   }
 
   /** Exact kNN for LARGE query sets (|queries| ~ |points|): cell-bucket
