@@ -189,6 +189,10 @@ object SparkEntry {
 
     "q_sim_neardup" -> ((s, d) => DedupOps.embeddingNearDups(Synth.embCorpus(s, d), 9000L)),
 
+    // pairs -> canonical clusters (connected components, min-id label)
+    "q_dedup_clusters" -> ((s, d) =>
+      DedupOps.duplicateClusters(DedupOps.minHashLshPairs(Synth.corpus(s, d)))),
+
     // --- similarity search ---
     "q_sim_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -668,6 +672,21 @@ object SparkEntry {
          |sh AS (${shinglesSql(distinct = false)}),
          |$lshCandSql
          |SELECT doc_a, doc_b, n_bands FROM cand""".stripMargin,
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS ($C),
+         |sh AS (${shinglesSql(distinct = false)}),
+         |$lshCandSql,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges)
+         |SELECT id AS doc_id, least(id, coalesce(min(b), id)) AS cluster_id
+         |FROM nodes LEFT JOIN reach ON a = id GROUP BY id""".stripMargin,
 
     "q_dedup_simhash" -> {
       // 64-bit simhash as 4x16-bit bands (core.TextHash.simHash64 layout):

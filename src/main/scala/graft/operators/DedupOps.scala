@@ -84,6 +84,39 @@ object DedupOps {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Duplicate-cluster assignment: connected components over the pair
+    * graph, cluster id = smallest doc_id in the component — the step a
+    * dedup pipeline runs after pair generation to pick one canonical
+    * representative per group of transitively-linked near-duplicates.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * minimum label among itself and its neighbors; converges in
+    * O(diameter) rounds (dup-pair graphs have tiny diameters — chains of
+    * near-copies), each round one join + one aggregation on the
+    * symmetrized edge list. No component is ever materialized wider than
+    * its label frontier, so the shape survives corpus scale.
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id")).agg(min("label").as("nbr"))
+      val next = labels.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard verification of the LSH candidates (the
     * canonical MinHash-dedup pipeline: candidates from banding, verified
     * exactly): |A∩B| / |A∪B| over distinct shingle hashes, computed with

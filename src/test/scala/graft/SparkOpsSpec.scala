@@ -194,6 +194,20 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     dups.foreach(r => assert(r.getLong(3) === 2L))
   }
 
+  test("duplicate clusters: transitive chains collapse to min-id components") {
+    val ss = spark; import ss.implicits._
+    // chain 1-2-3, isolated pair 7-8, singleton edge 5-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (5L, 9L)).toDF("doc_a", "doc_b")
+    val got = DedupOps.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 5L -> 5L, 9L -> 5L))
+    // a longer chain exercises multi-round convergence (diameter 5)
+    val chain = (10L until 16L).sliding(2).map(s => (s(1), s(0))).toSeq.toDF("doc_a", "doc_b")
+    val got2 = DedupOps.duplicateClusters(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2.values.toSet === Set(10L) && got2.size === 6)
+  }
+
   test("minhash LSH candidates include every exact-copy pair") {
     val pairs = DedupOps.minHashLshPairs(Synth.corpus(spark, dir))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
