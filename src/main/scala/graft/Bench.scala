@@ -43,6 +43,7 @@ object Bench {
       val secs = (1 to 2).map { pass =>
         // clear persisted intermediates so pass 2 re-measures the full
         // query (min-of-2 damps host noise and JIT warm-up, not real work)
+        graft.core.CacheScope.releaseGlobal()
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         val rows = try fn(spark, sfDir).count() catch {
@@ -58,7 +59,14 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"flagship_rows_per_sec":$flagshipRps,"sf":"$sfDir"}""")
+    // 1-min host load average: the sandbox host carries external load
+    // (observed 2-4x swings) — conclusions about regressions should be
+    // gated on load < 3 and re-measured otherwise
+    val load = try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"flagship_rows_per_sec":$flagshipRps,"load":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -66,7 +66,8 @@ object SparkEntry {
       // full aggregate through a single-partition global window. Rank over
       // the k survivors is then window-free: rank = #rows ahead-or-equal in
       // the sort order, via a broadcast self-join on the k-row result.
-      val top = rev.orderBy(col("rev_e4").desc, col("o_orderkey")).limit(10).persist()
+      val top = graft.core.CacheScope.global.persist(
+        rev.orderBy(col("rev_e4").desc, col("o_orderkey")).limit(10))
       val ahead = broadcast(top.select(col("rev_e4").as("r2"), col("o_orderkey").as("k2")))
       top.join(ahead, col("r2") > col("rev_e4") ||
           (col("r2") === col("rev_e4") && col("k2") <= col("o_orderkey")))
@@ -167,6 +168,12 @@ object SparkEntry {
 
     "q_pip_join" -> ((s, d) => SpatialOps.pipJoinConvex(s, Synth.points(s, d))),
 
+    // polygon-CORPUS PIP: 10k-hexagon DataFrame side, distributed cell
+    // cover, shuffle equi-join (no polygon broadcast), native ray-cast
+    "q_pip_large" -> ((s, d) =>
+      SpatialOps.pipJoinPolygons(Synth.points(s, d), Synth.hexCorpus(s, PipLargePolys),
+        PipLargeLevel)),
+
     "q_knn" -> ((s, d) => {
       val pts = Synth.points(s, d)
       SpatialOps.knn(pts, pts.filter(col("pid") % 997 === 0), 5)
@@ -259,7 +266,8 @@ object SparkEntry {
         .select(explode(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
       // TakeOrderedAndProject top-k with window-free rank (see q3_topk).
-      val top = toks.orderBy(col("cnt").desc, col("tok")).limit(100).persist()
+      val top = graft.core.CacheScope.global.persist(
+        toks.orderBy(col("cnt").desc, col("tok")).limit(100))
       val ahead = broadcast(top.select(col("cnt").as("c2"), col("tok").as("t2")))
       top.join(ahead, col("c2") > col("cnt") ||
           (col("c2") === col("cnt") && col("t2") <= col("tok")))
@@ -341,6 +349,12 @@ object SparkEntry {
     // --- assembly flagship (golden-parquet oracle) ---
     "q_area_assembly" -> ((s, d) => areaAssembly(s)),
   )
+
+  /** q_pip_large parameters: polygon-corpus size and cover level (256x256
+    * grid, ~1.4° cells — 1-4 cover cells per 0.2-0.8°-radius hexagon).
+    */
+  val PipLargePolys = 10000
+  val PipLargeLevel = 8
 
   /** Route-relation-style typed-member input derived from the TPC-H-ish
     * tables: each order is a relation with its customer as a node member,
@@ -622,6 +636,37 @@ object SparkEntry {
          |GROUP BY p.pid, pe.poly_id, p.lon_fix, p.lat_fix
          |HAVING bool_and((x2 - x1) * (p.lat_fix - y1) - (y2 - y1) * (p.lon_fix - x1) >= 0)""".stripMargin,
 
+    "q_pip_large" -> {
+      // convex CCW hexagons: the boundary-inclusive ray cast equals the
+      // half-plane conjunction, so the oracle tests all 6 edge cross
+      // products; the cell-cover prefilter is replicated so DuckDB never
+      // goes all-pairs on 10k polygons x the point set
+      val lvl = 1 << PipLargeLevel
+      val verts = Seq(("cx + r", "cy"), ("cx + h", "cy + s"), ("cx - h", "cy + s"),
+        ("cx - r", "cy"), ("cx - h", "cy - s"), ("cx + h", "cy - s"))
+      val halfPlanes = verts.indices.map { i =>
+        val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.length)
+        s"((($x2) - ($x1)) * (p.lat_fix - ($y1)) - (($y2) - ($y1)) * (p.lon_fix - ($x1)) >= 0)"
+      }.mkString("\n  AND ")
+      s"""WITH p AS ($P),
+         |hexes AS (${Synth.hexCorpusSql(PipLargePolys)}),
+         |bbox AS (SELECT poly_id, cx, cy, r, h, s,
+         |  least(((cx - r + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) AS cx0,
+         |  least(((cx + r + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) AS cx1,
+         |  least(((cy - s + 900000000) * $lvl) // 1800000000, ${lvl - 1}) AS cy0,
+         |  least(((cy + s + 900000000) * $lvl) // 1800000000, ${lvl - 1}) AS cy1
+         |  FROM hexes),
+         |cover1 AS (SELECT poly_id, cx, cy, r, h, s, cy0, cy1,
+         |  unnest(range(cx0, cx1 + 1)) AS ccx FROM bbox),
+         |cover AS (SELECT poly_id, cx, cy, r, h, s, ccx,
+         |  unnest(range(cy0, cy1 + 1)) AS ccy FROM cover1)
+         |SELECT p.pid, c.poly_id
+         |FROM p JOIN cover c
+         |  ON least(((p.lon_fix + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) = c.ccx
+         | AND least(((p.lat_fix + 900000000) * $lvl) // 1800000000, ${lvl - 1}) = c.ccy
+         |WHERE $halfPlanes""".stripMargin
+    },
+
     "q_knn" ->
       s"""WITH p AS ($P), q AS (SELECT * FROM p WHERE pid % 997 = 0),
          |d AS (
@@ -789,8 +834,14 @@ object SparkEntry {
         val nb = s"sqrt((SELECT sum(CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM unnest(range(1, 1 + len($b))) AS t(i)))"
         s"CAST(round($dot / ($na * $nb) * 1000000) AS BIGINT)"
       }
-      s"""WITH cent AS (
-         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 37 = 3),
+      // bounded coarse quantizer: K = min(IvfMaxCentroids, ceil(sqrt(n)))
+      // target centroids via the mod rule — the EXACT rule cosineTopKIvf
+      // computes from its count() (floor division both sides)
+      s"""WITH n AS (SELECT count(*) AS c FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+         |  WHERE vec_id % (SELECT greatest(c // greatest(least(${SimilarityOps.IvfMaxCentroids},
+         |    CAST(ceil(sqrt(c)) AS BIGINT)), 1), 1) FROM n) = 3),
          |assigned AS (
          |  SELECT vec_id, embedding, cid FROM (
          |    SELECT e.vec_id, e.embedding, c.cid,

@@ -52,41 +52,55 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("rank"), col("cos_e6"))
   }
 
+  /** Number of centroids the IVF coarse quantizer is bounded by. */
+  val IvfMaxCentroids = 4096
+
   /** IVF-Flat approximate cosine top-k (the inverted-file scale path,
-    * complementing the LSH path): a deterministic coarse quantizer —
-    * centroids are the vectors with vec_id % centroidMod == 3, so the
-    * centroid count scales as n/centroidMod without a training pass —
-    * assigns every vector to its nearest centroid (cosine, rounded to
-    * 1e-6, ties by centroid id); a query probes its `nprobe` nearest
-    * centroids and exact cosine reranks the union of those inverted
-    * lists. ANN semantics: queries may return fewer than k rows.
+    * complementing the LSH path). The coarse quantizer is a deterministic
+    * BOUNDED sample: K = min(IvfMaxCentroids, ceil(sqrt(n))) target
+    * centroids selected by vec_id % max(n/K, 1) == 3 — K never exceeds
+    * 4096 no matter the corpus size, so the centroid table is a true O(K)
+    * broadcast and assignment costs n·K cosines (a single map stage), not
+    * the n²/mod of a corpus-proportional centroid set. Every vector joins
+    * its nearest centroid's inverted list (cosine rounded to 1e-6, ties by
+    * centroid id); a query probes its `nprobe` nearest centroids and exact
+    * cosine reranks the union of those lists. ANN semantics: queries may
+    * return fewer than k rows.
     *
-    * Plan shape: the centroid table is tiny by construction and rides a
-    * broadcast nested-loop join; the big side is scanned twice (assign,
-    * rerank) with no all-pairs stage — candidate volume per query is
-    * ~nprobe * centroidMod vectors.
+    * Plan shape: assignment is the native VecNearestCentroids expression
+    * over a broadcast variable — no crossJoin row explosion, no window
+    * shuffle; the only shuffles are the candidate equi-join on cid and the
+    * per-query top-k. Eager cost at plan-construction: one count() (sizes
+    * the quantizer) and one O(K)-row collect (builds the broadcast) —
+    * documented trade-off, same contract as knn's density probe.
     */
   def cosineTopKIvf(emb: DataFrame, queries: DataFrame, k: Int,
-                    centroidMod: Int = 37, nprobe: Int = 4): DataFrame = {
-    val cent = broadcast(emb.filter(col("vec_id") % centroidMod === 3)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
-    def nearest(df: DataFrame, idCol: String, embCol: String, top: Int): DataFrame = {
-      val scored = df.crossJoin(cent)
-        .withColumn("c_e6", round(graft.plans.TextHashExpressions.vecCosine(col(embCol), col("cemb")) * lit(1000000.0), 0)
-          .cast("long"))
-      val w = Window.partitionBy(col(idCol)).orderBy(col("c_e6").desc, col("cid"))
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= top)
-        .drop("cemb", "c_e6", "__rn")
-    }
-    val assigned = nearest(emb, "vec_id", "embedding", 1)
-    val probes = nearest(
-      queries.select(col("vec_id").as("qid"), col("embedding").as("qemb")), "qid", "qemb", nprobe)
+                    maxCentroids: Int = IvfMaxCentroids, nprobe: Int = 4): DataFrame = {
+    import graft.plans.GeomExpressions.vecNearestCentroids
+    val spark = emb.sparkSession
+    val n = math.max(emb.count(), 1L)
+    val kTarget = math.max(1L,
+      math.min(maxCentroids.toLong, math.ceil(math.sqrt(n.toDouble)).toLong))
+    val mod = math.max(n / kTarget, 1L)
+    val cents: graft.plans.CentroidKernel.Cents =
+      emb.filter(col("vec_id") % mod === 3).select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+    require(cents.nonEmpty, s"no vec_id % $mod == 3 in the corpus (n=$n)")
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val assigned = emb.withColumn("cid",
+      element_at(vecNearestCentroids(col("embedding"), 1, bc), 1))
+    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .withColumn("cid", explode(vecNearestCentroids(col("qemb"), nprobe, bc)))
+    // (qid, nid) pairs are unique by construction — each vector is on
+    // exactly one inverted list and a query's probed cids are distinct
     val cand = probes.join(assigned, "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
         round(graft.plans.TextHashExpressions.vecCosine(col("embedding"), col("qemb")) * lit(1000000.0), 0)
           .cast("long").as("cos_e6"))
-      .dropDuplicates("qid", "nid")
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("nid"))
     cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

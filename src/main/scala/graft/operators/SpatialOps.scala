@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{CellId, Planar}
+import graft.core.{CacheScope, CellId, Planar}
 import graft.functions.Fns
 import graft.sources.Synth
 
@@ -81,6 +81,50 @@ object SpatialOps {
       .select(col("pid"), col("poly_id"))
   }
 
+  /** Point-in-polygon join against a polygon CORPUS held as a DataFrame
+    * (poly_id, xs, ys — one CCW ring per row, int64 fix coords): the scale
+    * path when the polygon side is itself large (millions of parcels /
+    * buildings / assembled areas fed back as a join side), where
+    * pipJoinGeneral's driver-built broadcast map has no room.
+    *
+    * Plan shape: the cell cover is computed DISTRIBUTIVELY — two chained
+    * explodes of the bbox cell ranges (pure built-ins, no driver pass) —
+    * and the candidate join is a shuffle equi-join on the cover cell
+    * (shuffle_hash hint: neither side is broadcast, so the plan survives
+    * any polygon count; at 32 partitions AQE handles residual cell skew).
+    * Ring geometry rides the cover rows (~100 B per covered cell for
+    * admin-scale rings), so refinement — the native row-wise ray-cast
+    * expression PointInRings — runs inside the join's codegen stage with
+    * no second join to fetch geometry. Output (pid, poly_id) is distinct
+    * by construction: a point lies in exactly one cover cell and cover
+    * rows are unique per (poly_id, cell).
+    *
+    * Choose coverLevel so a typical polygon spans ~1-4 cells per axis
+    * (cell width = 360/2^level degrees); the broadcast-map variants remain
+    * the right plan for SMALL polygon sets (zero shuffle of the points).
+    */
+  def pipJoinPolygons(points: DataFrame, polys: DataFrame,
+                      coverLevel: Int = CoverLevel): DataFrame = {
+    def cellOf(cx: Column, cy: Column): Column =
+      lit(1L << (2 * coverLevel))
+        .bitwiseOR(Fns.mortonSpread(cx))
+        .bitwiseOR(shiftleft(Fns.mortonSpread(cy), 1))
+    val c1 = polys.select(col("poly_id"), col("xs"), col("ys"),
+      Fns.cellY(array_min(col("ys")), coverLevel).as("cy0"),
+      Fns.cellY(array_max(col("ys")), coverLevel).as("cy1"),
+      explode(sequence(Fns.cellX(array_min(col("xs")), coverLevel),
+        Fns.cellX(array_max(col("xs")), coverLevel))).as("ccx"))
+    val cover = c1.select(col("poly_id"), col("xs"), col("ys"), col("ccx"),
+        explode(sequence(col("cy0"), col("cy1"))).as("ccy"))
+      .select(col("poly_id"), col("xs"), col("ys"),
+        cellOf(col("ccx"), col("ccy")).as("cell"))
+    points.withColumn("cell", Fns.cellId(col("lon_fix"), col("lat_fix"), coverLevel))
+      .join(cover.hint("shuffle_hash"), "cell")
+      .filter(graft.plans.GeomExpressions.pointInRings(
+        col("lon_fix"), col("lat_fix"), col("xs"), col("ys")))
+      .select(col("pid"), col("poly_id"))
+  }
+
   /** Exact brute-force kNN: broadcast the query set, score every point,
     * window top-k. Distance is exact int64 squared euclid on fix coords
     * (lon ±9e8, lat ±6e8 keep dx²+dy² < 2^63); ties broken by pid.
@@ -112,8 +156,13 @@ object SpatialOps {
     * derives the cell level from the point density (~50 points/cell),
     * like knnShuffled — the density probe costs one count() job at
     * plan-construction time; pass an explicit level to stay lazy.
+    *
+    * Persist hygiene: intermediates the returned plan reads twice are
+    * registered in `scope`; the caller releases it after consuming the
+    * result (see [[graft.core.CacheScope]]).
     */
-  def knn(points: DataFrame, queries: DataFrame, k: Int, levelIn: Int = 0): DataFrame = {
+  def knn(points: DataFrame, queries: DataFrame, k: Int, levelIn: Int = 0,
+          scope: CacheScope = CacheScope.global): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val level = if (levelIn > 0) levelIn else {
       val cnt = math.max(points.count(), 1L)
@@ -154,18 +203,17 @@ object SpatialOps {
       .filter(col("pid") =!= col("qid"))
       .withColumn("d2", dx * dx + dy * dy)
     val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))
-    // persisted: feeds both the guarantee stats and the guaranteed output
-    val ranked = cand.withColumn("rank", row_number().over(w).cast("long"))
+    // persisted (scope-released): feeds both the guarantee stats and the
+    // guaranteed output
+    val ranked = scope.persist(cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("pid"), col("rank"), col("d2"))
-      .persist()
+      .select(col("qid"), col("pid"), col("rank"), col("d2")))
 
     // per-query exactness guarantee: k candidates found AND kth within bound
-    val stats = ranked.groupBy("qid")
+    val stats = scope.persist(ranked.groupBy("qid")
       .agg(count(lit(1)).as("cnt"), max("d2").as("maxd2"))
       .filter(col("cnt") === k && col("maxd2") <= bound2)
-      .select(col("qid").as("ok_qid"))
-      .persist()
+      .select(col("qid").as("ok_qid")))
     val guaranteed = ranked.join(broadcast(stats), col("qid") === col("ok_qid"))
       .drop("ok_qid")
     val fallbackQueries = queries.join(
@@ -196,8 +244,14 @@ object SpatialOps {
     * ~50 points per cell (level = log4(n/50)), which minimizes round-0
     * candidate volume while keeping most queries resolvable — measured
     * 3.6x faster than a fixed level on the sf0.1 set.
+    *
+    * Persist hygiene: superseded per-round query frontiers are unpersisted
+    * inside the loop as soon as the next frontier materializes; the
+    * per-round top-k frames feed the returned plan and are registered in
+    * `scope` for the caller to release after consumption.
     */
-  def knnShuffled(points: DataFrame, queries: DataFrame, k: Int, level: Int = 0): DataFrame = {
+  def knnShuffled(points: DataFrame, queries: DataFrame, k: Int, level: Int = 0,
+                  scope: CacheScope = CacheScope.global): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def cellOfAt(lv: Int)(x: Column, y: Column): Column =
       lit(1L << (2 * lv))
@@ -240,25 +294,34 @@ object SpatialOps {
         .filter(col("pid") =!= col("qid"))
         .withColumn("d2", dx * dx + dy * dy)
       val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))
-      // persisted: the round's top-k feeds both the guarantee stats and the
-      // emitted output — without it the heavy join+window runs twice
-      val ranked = cand.withColumn("rank", row_number().over(w).cast("long"))
+      // persisted (scope-released): the round's top-k feeds both the
+      // guarantee stats and the emitted output — without it the heavy
+      // join+window runs twice
+      val ranked = scope.persist(cand.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= k)
-        .select(col("qid"), col("pid"), col("rank"), col("d2"))
-        .persist()
+        .select(col("qid"), col("pid"), col("rank"), col("d2")))
 
       if (terminal) {
         out = if (out == null) ranked else out.unionByName(ranked)
+        // the terminal round's top-k is not materialized until the caller
+        // acts, and it reads this frontier — release with the scope
+        scope.track(remaining)
         done = true
       } else {
-        val ok = ranked.groupBy("qid")
+        val ok = scope.persist(ranked.groupBy("qid")
           .agg(count(lit(1)).as("cnt"), max("d2").as("maxd2"))
           .filter(col("cnt") === k && col("maxd2") <= bound2)
-          .select("qid").persist()
+          .select("qid"))
         val emit = ranked.join(ok, "qid")
         out = if (out == null) emit else out.unionByName(emit)
+        // count() (not isEmpty) fully materializes the next frontier, so the
+        // superseded one can be dropped immediately instead of leaking one
+        // persisted frame per coarsening round
         val next = remaining.join(ok, Seq("qid"), "left_anti").persist()
-        if (next.isEmpty) done = true else { remaining = next; lv -= 1 }
+        val nLeft = next.count()
+        remaining.unpersist(blocking = false)
+        if (nLeft == 0L) { next.unpersist(blocking = false); done = true }
+        else { remaining = next; lv -= 1 }
       }
     }
     out

@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
+
+import graft.core.{Planar, TextHash}
+
+/** Codegen bridge for the row-wise ring-containment kernel. */
+object RingKernel {
+  def contains(x: Long, y: Long, xs: ArrayData, ys: ArrayData): Boolean =
+    Planar.pointInRing(x, y, xs.toLongArray(), ys.toLongArray())
+}
+
+/** Native exact ray-cast point-in-ring test where the RING IS A COLUMN —
+  * the refinement predicate of the DataFrame-native polygon-corpus PIP join
+  * (SpatialOps.pipJoinPolygons). Unlike PointInPolygonSet (whose polygon
+  * set is a broadcast side table, right for small admin sets), the geometry
+  * here rides the joined row, so the polygon corpus can be arbitrarily
+  * large and fully distributed. Boundary-inclusive, exact int64 — on CCW
+  * convex rings it equals the half-plane conjunction the DuckDB oracle
+  * computes. Reference capability: PreparedPolygon::contains,
+  * reference/include/osmium/multipolygon/builder.hpp:707-711.
+  */
+case class PointInRings(first: Expression, second: Expression,
+                        third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "point_in_rings"
+
+  override def nullSafeEval(x: Any, y: Any, xs: Any, ys: Any): Any =
+    RingKernel.contains(x.asInstanceOf[Long], y.asInstanceOf[Long],
+      xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, xs, ys) =>
+      s"graft.plans.RingKernel.contains($x, $y, $xs, $ys)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+/** Broadcast-backed kernel for IVF coarse-quantizer assignment. */
+object CentroidKernel {
+  /** (cid, embedding) pairs sorted by cid ascending. */
+  type Cents = Array[(Long, Array[Float])]
+
+  def unwrap(bc: AnyRef): AnyRef = bc.asInstanceOf[Broadcast[Cents]].value
+
+  /** Decimal HALF_UP at 1e-6, matching Spark's round() (BigDecimal HALF_UP
+    * on the double's shortest decimal form) and DuckDB round() — the
+    * assignment must rank by the SAME rounded score the oracle ranks by.
+    */
+  def roundE6(x: Double): Long =
+    java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  /** Top `top` centroid ids by (round(cos*1e6) desc, cid asc) — a tight
+    * primitive loop over the O(K) broadcast centroid table, so assignment
+    * is one map stage: n·K cosines, zero shuffle, no n×K row explosion.
+    */
+  def nearest(centsRef: AnyRef, vec: ArrayData, top: Int): GenericArrayData = {
+    val cents = centsRef.asInstanceOf[Cents]
+    val v = vec.toFloatArray()
+    val n = math.min(top, cents.length)
+    val bestE6 = new Array[Long](n)
+    val bestId = new Array[Long](n)
+    var filled = 0
+    var i = 0
+    while (i < cents.length) {
+      val e6 = roundE6(TextHash.cosine(cents(i)._2, v))
+      val id = cents(i)._1
+      var pos = if (filled < n) filled else n
+      while (pos > 0 &&
+          (bestE6(pos - 1) < e6 || (bestE6(pos - 1) == e6 && bestId(pos - 1) > id))) {
+        pos -= 1
+      }
+      if (pos < n) {
+        var j = math.min(filled, n - 1)
+        while (j > pos) { bestE6(j) = bestE6(j - 1); bestId(j) = bestId(j - 1); j -= 1 }
+        bestE6(pos) = e6
+        bestId(pos) = id
+        if (filled < n) filled += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestId, filled))
+  }
+}
+
+/** Native IVF coarse-quantizer assignment: `array<long>` of the `top`
+  * nearest centroid ids (cosine rounded to 1e-6 desc, ties by cid asc)
+  * from a BROADCAST centroid table. The centroid table travels as a Spark
+  * broadcast variable (O(K), K bounded — see SimilarityOps.cosineTopKIvf),
+  * and the generated code caches the unwrapped array in a mutable member
+  * so the hot loop never touches the Broadcast lazy val (the contended
+  * volatile read measured 2x at 32 threads on the PIP path).
+  */
+case class VecNearestCentroids(child: Expression, top: Int,
+                               centsBc: Broadcast[CentroidKernel.Cents])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_nearest_centroids"
+
+  override def nullSafeEval(vec: Any): Any =
+    CentroidKernel.nearest(centsBc.value, vec.asInstanceOf[ArrayData], top)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("centsBc", centsBc, "java.lang.Object")
+    val cached = ctx.addMutableState("java.lang.Object", "ivfCents", v => s"$v = null;")
+    nullSafeCodeGen(ctx, ev, vec =>
+      s"""if ($cached == null) { $cached = graft.plans.CentroidKernel.unwrap($bcRef); }
+         |${ev.value} = graft.plans.CentroidKernel.nearest($cached, $vec, $top);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GeomExpressions {
+  def pointInRings(x: Column, y: Column, xs: Column, ys: Column): Column =
+    GraftColumnBridge.column(PointInRings(
+      GraftColumnBridge.expression(x), GraftColumnBridge.expression(y),
+      GraftColumnBridge.expression(xs), GraftColumnBridge.expression(ys)))
+
+  def vecNearestCentroids(vec: Column, top: Int,
+                          bc: Broadcast[CentroidKernel.Cents]): Column =
+    GraftColumnBridge.column(VecNearestCentroids(
+      GraftColumnBridge.expression(vec), top, bc))
+}

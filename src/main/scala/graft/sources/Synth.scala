@@ -82,6 +82,36 @@ object Synth {
     polygonEdges.map { case (p, x1, y1, x2, y2) => s"($p,$x1,$y1,$x2,$y2)" }
       .mkString("(VALUES ", ", ", ") AS pe(poly_id, x1, y1, x2, y2)")
 
+  /** Deterministic LARGE convex-hexagon corpus for the DataFrame-native
+    * polygon PIP join (poly_id, xs, ys — open CCW rings, exact int64): n
+    * hexagons with multiplicative-hash centers (lon ±170°, lat ±55°) and 13
+    * radius classes 0.2°..0.8°. All derived quantities (half-radius h,
+    * apothem-ish s = r·866/1000) are integer-exact closed forms of
+    * id % 13, so the DuckDB twin reproduces every vertex bit-for-bit.
+    */
+  def hexCorpus(spark: SparkSession, n: Int): DataFrame = {
+    val id = col("id")
+    val cx = (id * lit(2654435761L)) % lit(3400000000L) - lit(1700000000L)
+    val cy = (id * lit(2246822519L)) % lit(1100000000L) - lit(550000000L)
+    val m = id % 13
+    val r = lit(2000000L) + m * lit(500000L)
+    val h = lit(1000000L) + m * lit(250000L)
+    val s = lit(1732000L) + m * lit(433000L)
+    spark.range(n).select(id.as("poly_id"),
+      array(cx + r, cx + h, cx - h, cx - r, cx - h, cx + h).as("xs"),
+      array(cy, cy + s, cy + s, cy, cy - s, cy - s).as("ys"))
+  }
+
+  /** DuckDB CTE body twin of hexCorpus: (poly_id, cx, cy, r, h, s). */
+  def hexCorpusSql(n: Int): String =
+    s"""SELECT id AS poly_id,
+       |  (id * 2654435761) % 3400000000 - 1700000000 AS cx,
+       |  (id * 2246822519) % 1100000000 - 550000000 AS cy,
+       |  2000000 + (id % 13) * 500000 AS r,
+       |  1000000 + (id % 13) * 250000 AS h,
+       |  1732000 + (id % 13) * 433000 AS s
+       |FROM (SELECT unnest(range(0, $n)) AS id)""".stripMargin
+
   // ---- corpus with injected duplicates --------------------------------------
 
   /** documents ∪ perturbed copies: every 7th doc gets an exact copy
