@@ -253,6 +253,33 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     }),
 
+    // tag -> string exports (k=v + hstore escaping, to_string.hpp:43-110):
+    // a synthesized tags map whose name value carries a quote AND a
+    // backslash, so the oracle exercises both escape paths
+    "q_tag_string" -> ((s, d) => {
+      val tags = map(
+        lit("lang"), col("lang"),
+        lit("name"), concat(lit("doc \""), col("doc_id").cast("string"), lit("\" \\")),
+        lit("source"), col("source"))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.functions.TagStrings.tagsKeyEqualsValue(tags, ",").as("kv"),
+        graft.functions.TagStrings.tagsHstore(tags).as("hstore"))
+    }),
+
+    // config-compiled first-match rule chain (KeyFilter/RegexFilter
+    // semantics) — each of the four rule types decides some documents
+    "q_tag_rules" -> ((s, d) => {
+      import graft.functions.TagRules._
+      val tags = map(lit("lang"), col("lang"), lit("source"), col("source"))
+      val rules = Seq(
+        KeyValue("lang", "en", verdict = true),
+        KeyIn("source", Seq("src1", "src2", "src3"), verdict = false),
+        KeyValueRegex("lang", "^(de|fr)$", verdict = true),
+        KeyExists("lang", verdict = false))
+      t(s, d, "documents").select(col("doc_id"),
+        firstMatch(tags, rules, default = false).cast("long").as("keep"))
+    }),
+
     "q_timestamp_iso" -> ((s, d) => {
       // Timestamp::to_iso (utils/timestamp.hpp:54-67)
       t(s, d, "events").select(col("event_id"),
@@ -907,6 +934,23 @@ object SparkEntry {
     "q_tag_filter" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE regexp_matches(text, 'the [a-z]+ (slow|fast)') AND lang <> 'zh'""".stripMargin,
+
+    // single-quoted DuckDB strings keep backslashes literal; the kv twin
+    // writes the raw name value, the hstore twin its backslash-escaped form
+    "q_tag_string" ->
+      """SELECT doc_id,
+        |  'lang=' || lang || ',name=doc "' || doc_id || '" \,source=' || source AS kv,
+        |  '"lang"=>"' || lang || '","name"=>"doc \"' || doc_id || '\" \\","source"=>"' || source || '"' AS hstore
+        |FROM documents""".stripMargin,
+
+    "q_tag_rules" ->
+      """SELECT doc_id, CAST(CASE
+        |  WHEN lang = 'en' THEN 1
+        |  WHEN source IN ('src1', 'src2', 'src3') THEN 0
+        |  WHEN regexp_matches(lang, '^(de|fr)$') THEN 1
+        |  WHEN lang IS NOT NULL THEN 0
+        |  ELSE 0 END AS BIGINT) AS keep
+        |FROM documents""".stripMargin,
 
     "q_timestamp_iso" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS iso FROM events""".stripMargin,

@@ -79,6 +79,43 @@ class OsmChangeSpec extends org.scalatest.funsuite.AnyFunSuite {
     val rewritten = OsmChange.changeXml(parsed.map(_._2), "graft-test")
     assert(rewritten === xml)
   }
+
+  test(".osm document writer golden: bounds header, no grouping, history visible attr") {
+    val objs = Seq(
+      ChangeObj("node", 1, 1, visible = true, "2024-01-01T00:00:00Z", 7, "alice", 100,
+        latLon = Some((51.5, -0.1))),
+      ChangeObj("way", 3, 2, visible = true, "2024-01-01T00:01:00Z", 7, "alice", 100,
+        nds = Seq(1, 2), tags = Seq("highway" -> "residential")),
+      ChangeObj("relation", 4, 5, visible = false, "2024-01-01T00:02:00Z", 8, "bob", 101,
+        members = Seq(("way", 3, "outer"))))
+    val xml = OsmChange.osmXml(objs, "graft-test", bounds = Some((-0.5, 51.2, 0.3, 51.7)))
+    val expected =
+      """<?xml version="1.0"?>
+        |<osm version="0.6" generator="graft-test">
+        |  <bounds minlon="-0.5000000" minlat="51.2000000" maxlon="0.3000000" maxlat="51.7000000"/>
+        |  <node id="1" version="1" timestamp="2024-01-01T00:00:00Z" uid="7" user="alice" changeset="100" lat="51.5000000" lon="-0.1000000"/>
+        |  <way id="3" version="2" timestamp="2024-01-01T00:01:00Z" uid="7" user="alice" changeset="100">
+        |    <nd ref="1"/>
+        |    <nd ref="2"/>
+        |    <tag k="highway" v="residential"/>
+        |  </way>
+        |  <relation id="4" version="5" timestamp="2024-01-01T00:02:00Z" uid="8" user="bob" changeset="101">
+        |    <member type="way" ref="3" role="outer"/>
+        |  </relation>
+        |</osm>
+        |""".stripMargin
+    assert(xml === expected)
+    // history files add visible after changeset (xml.hpp:188-190) —
+    // the one meta attribute change files suppress
+    val hist = OsmChange.osmXml(objs, "graft-test", history = true)
+    assert(hist.contains(
+      """<relation id="4" version="5" timestamp="2024-01-01T00:02:00Z" uid="8" user="bob" changeset="101" visible="false">"""))
+    assert(hist.contains("""changeset="100" visible="true" lat="51.5000000""""))
+    // round trip through the history form preserves every field
+    val parsed = OsmChange.parseOsm(hist)
+    assert(parsed === objs)
+    assert(OsmChange.osmXml(parsed, "graft-test", history = true) === hist)
+  }
 }
 
 import org.apache.spark.sql.SparkSession

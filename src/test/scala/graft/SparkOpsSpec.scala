@@ -530,4 +530,100 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getLong(3) > 999000L) // cos > 0.999
     }
   }
+
+  test("IVF quantizer is bounded: centroid count ~ min(4096, sqrt(n))") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count()
+    val kTarget = math.max(1L, math.min(SimilarityOps.IvfMaxCentroids.toLong,
+      math.ceil(math.sqrt(n.toDouble)).toLong))
+    val mod = math.max(n / kTarget, 1L)
+    val nCents = e.filter(col("vec_id") % mod === 3).count()
+    // dense ids → actual count within 2x of the target, never corpus-scale
+    assert(nCents > 0 && nCents <= 2 * kTarget,
+      s"n=$n kTarget=$kTarget mod=$mod -> $nCents centroids")
+  }
+
+  test("VecNearestCentroids kernel matches a brute-force (roundE6 desc, cid) ranking") {
+    import graft.plans.CentroidKernel
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents: CentroidKernel.Cents = e.filter(col("vec_id") % 40 === 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    val got = e.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id"),
+        graft.plans.GeomExpressions.vecNearestCentroids(col("embedding"), 4, bc))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    val vecs = e.filter(col("vec_id") % 25 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(vecs.nonEmpty)
+    vecs.foreach { case (id, v) =>
+      val expect = cents
+        .map { case (cid, c) => (CentroidKernel.roundE6(graft.core.TextHash.cosine(c, v)), cid) }
+        .sortBy { case (e6, cid) => (-e6, cid) }.take(4).map(_._2).toList
+      assert(got(id) === expect, s"vec $id")
+    }
+  }
+
+  test("pipJoinPolygons matches the ray-cast kernel and plans a shuffle join") {
+    val pts = Synth.points(spark, dir)
+    val polys = Synth.hexCorpus(spark, 400)
+    val res = SpatialOps.pipJoinPolygons(pts, polys, 8)
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hexes = polys.collect().map(r =>
+      (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray))
+    val expect = (for {
+      (pid, x, y) <- pts.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      (polyId, xs, ys) <- hexes
+      if graft.core.Planar.pointInRing(x, y, xs, ys)
+    } yield (pid, polyId)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // the polygon corpus must never ride a broadcast: the candidate join is
+    // a shuffle hash join at any corpus size
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.linesIterator.take(20).mkString("\n"))
+    assert(!plan.contains("BroadcastHashJoin"), plan.linesIterator.take(20).mkString("\n"))
+  }
+
+  test("duplicateClusters: deep chain converges in O(log d) rounds, no leaked caches") {
+    val s = spark
+    import s.implicits._
+    graft.core.CacheScope.releaseGlobal()
+    spark.sharedState.cacheManager.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // a 61-node near-dup chain (diameter 60): min-label alone needs 60
+    // rounds; pointer jumping must close it in O(log d)
+    val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val scope = new graft.core.CacheScope
+    val (labels, rounds) = DedupOps.duplicateClustersCounted(pairs, scope)
+    val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 61)
+    assert(out.forall(_._2 === 0L), out.filter(_._2 != 0L).take(5).mkString(","))
+    assert(rounds <= 10, s"rounds=$rounds — pointer jumping not effective")
+    scope.release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(","))
+  }
+
+  test("persist hygiene: operators leave nothing cached after scope release") {
+    graft.core.CacheScope.releaseGlobal()
+    spark.sharedState.cacheManager.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val pts = Synth.points(spark, dir)
+    val corpus = Synth.corpus(spark, dir)
+    val runs: Seq[(String, graft.core.CacheScope => org.apache.spark.sql.DataFrame)] = Seq(
+      ("knn", sc => SpatialOps.knn(pts, pts.filter(col("pid") % 997 === 0), 5, scope = sc)),
+      ("knnShuffled", sc =>
+        SpatialOps.knnShuffled(pts, pts.filter(col("pid") % 101 === 0), 5, scope = sc)),
+      ("minHashLshPairs", sc => DedupOps.minHashLshPairs(corpus, sc)),
+      ("ngramJaccardPairs", sc => DedupOps.ngramJaccardPairs(corpus, 600, sc)),
+      ("duplicateClusters", sc =>
+        DedupOps.duplicateClusters(DedupOps.minHashLshPairs(corpus, sc), sc)))
+    runs.foreach { case (name, run) =>
+      val scope = new graft.core.CacheScope
+      assert(run(scope).count() > 0, name)
+      scope.release()
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty, s"$name leaked caches")
+    }
+  }
 }

@@ -84,4 +84,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ids === Set(1L, 2L, 5L))
     } finally q.stop()
   }
+
+  test("file-source micro-batch e2e: parquet drops flow through windowed counts with a checkpoint") {
+    val ss = spark
+    import ss.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ck").toString
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    Seq((ts(1), "click"), (ts(2), "click"), (ts(11), "view"))
+      .toDF("ts", "event_type").write.mode("append").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType)))
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    assert(stream.isStreaming)
+    val q = StreamingOps.windowedCounts(stream, "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("filewins").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // a later file drop advances the watermark and closes the first windows
+      Seq((ts(60), "click")).toDF("ts", "event_type")
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, count FROM filewins").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows.contains(("click", 2L)))
+      assert(rows.contains(("view", 1L)))
+      // the checkpoint recorded per-batch offsets (restart durability)
+      assert(new java.io.File(s"$ckpt/offsets").list().nonEmpty)
+    } finally q.stop()
+  }
 }
