@@ -239,6 +239,36 @@ object SparkEntry {
         Fns.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
     }),
 
+    // host-level corpus stats over MESSY urls (scheme/host case, default
+    // ports, query strings): normalize then one hash-shuffle groupBy
+    "q_url_hosts" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val url = concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS://"))
+          .when(col("doc_id") % 3 === 1, lit("https://")).otherwise(lit("http://")),
+        lit("Host"), (col("doc_id") % 41).cast("string"), lit(".Example.org"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 7 === 0, lit("?q=x")).otherwise(lit("")))
+      docs.select(Fns.urlNormHost(url).as("host"),
+          length(col("text")).cast("long").as("len"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"), sum("len").as("total_len"))
+    }),
+
+    // repetition quality signal (duplicate-n-gram fraction, the
+    // Gopher-style filter): per-mille share of the most frequent 10-gram
+    "q_rep_ngrams" -> ((s, d) => {
+      val sh = t(s, d, "documents").select(col("doc_id"),
+        explode(graft.plans.TextHashExpressions
+          .shingleHashes(col("text"), DedupOps.ShingleCap, DedupOps.ShingleLen)).as("sh"))
+      val cnts = sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      val num = max("c") * lit(1000L)
+      val tot = sum("c")
+      cnts.groupBy("doc_id")
+        .agg(((num - pmod(num, tot)) / tot).cast("long").as("rep_pm"))
+    }),
+
     // --- pages invariant (north rule per-row checksum) ---
     "q_pages_invariant" -> ((s, d) => {
       Synth.pages(s, d).select(col("url"), sha2(col("text"), 256).as("text_sha"),
@@ -925,6 +955,28 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${Fns.BpeTokenPattern}')) AS BIGINT) AS n_bpe
          |FROM documents""".stripMargin,
+
+    "q_url_hosts" ->
+      """WITH u AS (
+        |  SELECT length(text) AS len,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
+        |          WHEN doc_id % 3 = 1 THEN 'https://' ELSE 'http://' END)
+        |    || 'Host' || (doc_id % 41) || '.Example.org'
+        |    || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+        |    || '/p/' || doc_id
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '?q=x' ELSE '' END) AS url
+        |  FROM documents)
+        |SELECT lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
+        |  count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS total_len
+        |FROM u GROUP BY 1""".stripMargin,
+
+    "q_rep_ngrams" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |sh AS (${shinglesSql(distinct = false)}),
+         |c AS (SELECT doc_id, sh, count(*) AS c FROM sh GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST((max(c) * 1000) // CAST(sum(c) AS BIGINT) AS BIGINT) AS rep_pm
+         |FROM c GROUP BY 1""".stripMargin,
 
     "q_pages_invariant" ->
       """SELECT 'https://example.org/doc/' || doc_id AS url, sha256(text) AS text_sha,

@@ -121,6 +121,14 @@ object Fns {
     "es" -> Seq(" el ", " y ", " de la "),
   )
 
+  /** Canonical host of a URL for host-level corpus statistics: lowercased
+    * authority with port/path/query/fragment stripped. Pure regexp — a
+    * crawl-scale normalization that must stay inside whole-stage codegen
+    * (no parse_url UDF detour) and have an exact DuckDB twin.
+    */
+  def urlNormHost(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z]+://([^/:?#]+)", 1))
+
   /** Heuristic language id: argmax of marker-hit counts, deterministic
     * tie-break by the LangMarkers order, 'und' (undetermined) when all zero.
     */

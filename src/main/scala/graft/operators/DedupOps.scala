@@ -90,6 +90,13 @@ object DedupOps {
   /** Rounds between plan-lineage rebases in duplicateClusters. */
   val ClusterRebaseEvery = 3
 
+  /** Rounds of plain min-label propagation before pointer jumping kicks
+    * in: dup-pair graphs are usually shallow (a handful of near-copies per
+    * component), where the jump's extra self-join per round is pure
+    * overhead — it pays only on deep chains that survive the first rounds.
+    */
+  val ClusterJumpAfter = 3
+
   /** Duplicate-cluster assignment: connected components over the pair
     * graph, cluster id = smallest doc_id in the component — the step a
     * dedup pipeline runs after pair generation to pick one canonical
@@ -101,21 +108,25 @@ object DedupOps {
 
   /** duplicateClusters exposing the round count (spec'd convergence bound).
     *
-    * Min-label propagation WITH POINTER JUMPING: each round every node
-    * first adopts the minimum label over its closed neighborhood, then
-    * shortcuts to its label's label (labels are always node ids, so the
-    * lookup is a complete self-join). The shortcut halves the remaining
-    * distance to the component minimum, so a component of diameter d
-    * converges in O(log d) rounds — a 10^6-link boilerplate chain (common
-    * in crawl data: paginated near-copies) costs ~20 rounds, not 10^6.
+    * Min-label propagation with ADAPTIVE POINTER JUMPING: each round every
+    * node adopts the minimum label over its closed neighborhood; from
+    * round ClusterJumpAfter+1 on, it additionally shortcuts to its label's
+    * label (labels are always node ids, so the lookup is a complete
+    * self-join). The shortcut halves the remaining distance to the
+    * component minimum, so a component of diameter d converges in
+    * O(ClusterJumpAfter + log d) rounds — a 10^6-link boilerplate chain
+    * (common in crawl data: paginated near-copies) costs ~25 rounds, not
+    * 10^6 — while the common shallow graph never pays the jump's extra
+    * self-join. Convergence is detected on the round's own frame (the old
+    * label is carried through), so each round is exactly one materializing
+    * count with no extra comparison join.
     *
     * Scale hygiene (the round-2 verdict's leak): the superseded label
-    * frame is unpersisted as soon as the next round's materializes (the
-    * convergence count is the materializing action), and every
-    * ClusterRebaseEvery rounds the plan is rebased through the cached
-    * RDD, so Catalyst never re-optimizes an ever-deeper join chain. Only
-    * the final label frame survives, registered in `scope` for the caller
-    * to release after consuming the result.
+    * frame is unpersisted as soon as the next round's materializes, and
+    * every ClusterRebaseEvery rounds the plan is rebased through the
+    * cached RDD, so Catalyst never re-optimizes an ever-deeper join chain.
+    * Only the final label frame survives, registered in `scope` for the
+    * caller to release after consuming the result.
     */
   private[graft] def duplicateClustersCounted(pairs: DataFrame,
                                               scope: CacheScope): (DataFrame, Int) = {
@@ -133,27 +144,32 @@ object DedupOps {
       val prop = sym.join(
           labels.select(col("id").as("dst"), col("label").as("nbl")), "dst")
         .groupBy(col("src").as("id")).agg(min("nbl").as("nbr"))
-      // persisted for this round only: the shortcut self-join reads it on
-      // both sides (shuffled by different keys, so exchange reuse can't)
-      val stepped = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .persist()
-      val jumped = stepped.join(
-          stepped.select(col("id").as("lid"), col("label").as("llabel")),
-          col("label") === col("lid"))
-        .select(col("id"), least(col("label"), col("llabel")).as("label"))
-      val next = jumped.persist()
-      changed = next.join(
-          labels.select(col("id").as("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      stepped.unpersist(blocking = false)
+      val stepped = labels.select(col("id"), col("label").as("old"))
+        .join(prop, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("label"))
+      var roundCache: DataFrame = null
+      val roundOut =
+        if (rounds <= ClusterJumpAfter) stepped
+        else {
+          // persisted for this round only: the shortcut self-join reads it
+          // on both sides (shuffled by different keys, no exchange reuse)
+          roundCache = stepped.persist()
+          roundCache.join(
+              roundCache.select(col("id").as("lid"), col("label").as("llabel")),
+              col("label") === col("lid"))
+            .select(col("id"), col("old"), least(col("label"), col("llabel")).as("label"))
+        }
+      val next = roundOut.persist()
+      changed = next.filter(col("label") =!= col("old")).count()
+      if (roundCache != null) roundCache.unpersist(blocking = false)
       if (prev != null) prev.unpersist(blocking = false)
       prev = next
+      val lbl = next.select(col("id"), col("label"))
       labels =
         if (changed > 0 && rounds % ClusterRebaseEvery == 0)
-          spark.createDataFrame(next.toDF().rdd, next.schema)
-        else next
+          spark.createDataFrame(lbl.toDF().rdd, lbl.schema)
+        else lbl
     }
     scope.track(prev)
     (prev.select(col("id").as("doc_id"), col("label").as("cluster_id")), rounds)

@@ -599,7 +599,10 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length === 61)
     assert(out.forall(_._2 === 0L), out.filter(_._2 != 0L).take(5).mkString(","))
-    assert(rounds <= 10, s"rounds=$rounds — pointer jumping not effective")
+    // 3 plain warm-up rounds (ClusterJumpAfter) + O(log 60) jump rounds;
+    // plain min-label alone would need ~60
+    assert(rounds <= DedupOps.ClusterJumpAfter + 11,
+      s"rounds=$rounds — pointer jumping not effective")
     scope.release()
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(","))
