@@ -22,7 +22,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // flagship throughput: points processed through PIP join + tiling per
-    // second of wall clock (north-rule metric), on the 8x-replicated set
+    // second of wall clock, on the ${BenchScale.Rep}x-replicated set. NB:
+    // at this small replication the job is scan/schedule-overhead-bound —
+    // the authoritative north-rule throughput + scaling evidence is
+    // BENCH/BASELINE.md (BenchScale, 2048x replication)
     val flagshipRps = {
       val warm = BenchScale.flagship(spark, sfDir, BenchScale.Rep).count() // warm-up
       val t0 = System.nanoTime()

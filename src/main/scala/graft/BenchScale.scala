@@ -123,10 +123,20 @@ object BenchScale {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** 1-min host load average (-1 if unreadable) — recorded with every
+    * measurement so conclusions can be gated on load < 3 (the sandbox host
+    * carries external spikes that swing wall times 2-4x).
+    */
+  def loadAvg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val outMd = if (args.length > 1) args(1) else "BENCH/BASELINE.md"
+    val loadStart = loadAvg()
 
     // N=2 vs 4N=8 cores: both well below the host's physically available
     // parallelism, so the ratio measures the ENGINE's scaling rather than
@@ -170,6 +180,9 @@ object BenchScale {
          |
          |**Scaling efficiency (t_2 / t_8) / 4 = ${f"$eff%.3f"}** (target >= 0.8).
          |
+         |1-min load average: ${f"$loadStart%.2f"} at start, ${f"${loadAvg()}%.2f"}
+         |at end (conclusions gated on load < 3; re-measure otherwise).
+         |
          |Measurement notes:
          |- N=2 vs 4N=8 keeps both levels below the sandbox's physically
          |  available parallelism (~17 effective cores by a pure-CPU
@@ -188,6 +201,6 @@ object BenchScale {
     val p = java.nio.file.Paths.get(outMd)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(p, md)
-    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","t2":$t2,"t8":$t8,"t32":$t32,"rows":$rows,"sf":"$sfDir"}""")
+    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","t2":$t2,"t8":$t8,"t32":$t32,"rows":$rows,"load":${loadAvg()},"sf":"$sfDir"}""")
   }
 }
