@@ -18,6 +18,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // sampled BEFORE the run: mid/post-run readings measure the benchmark's
+    // own threads. Gate regression conclusions on start load < 3 (the
+    // sandbox host carries external spikes with 2-4x swings).
+    val loadStart = BenchScale.loadAvg()
     val spark = BenchScale.session(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -62,14 +66,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // 1-min host load average: the sandbox host carries external load
-    // (observed 2-4x swings) — conclusions about regressions should be
-    // gated on load < 3 and re-measured otherwise
-    val load = try {
-      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ")(0).toDouble
-    } catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"flagship_rows_per_sec":$flagshipRps,"load":$load,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"flagship_rows_per_sec":$flagshipRps,"load":$loadStart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -180,8 +180,10 @@ object BenchScale {
          |
          |**Scaling efficiency (t_2 / t_8) / 4 = ${f"$eff%.3f"}** (target >= 0.8).
          |
-         |1-min load average: ${f"$loadStart%.2f"} at start, ${f"${loadAvg()}%.2f"}
-         |at end (conclusions gated on load < 3; re-measure otherwise).
+         |1-min load average at START: ${f"$loadStart%.2f"} — the gate:
+         |conclusions require start load < 3 (re-measure otherwise). The
+         |end-of-run reading (${f"${loadAvg()}%.2f"}, informational) measures
+         |the benchmark's own threads, not external contention.
          |
          |Measurement notes:
          |- N=2 vs 4N=8 keeps both levels below the sandbox's physically
@@ -201,6 +203,6 @@ object BenchScale {
     val p = java.nio.file.Paths.get(outMd)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
     java.nio.file.Files.writeString(p, md)
-    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","t2":$t2,"t8":$t8,"t32":$t32,"rows":$rows,"load":${loadAvg()},"sf":"$sfDir"}""")
+    println(s"""{"metric":"scaling_efficiency","value":$eff,"unit":"ratio","t2":$t2,"t8":$t8,"t32":$t32,"rows":$rows,"load":$loadStart,"sf":"$sfDir"}""")
   }
 }

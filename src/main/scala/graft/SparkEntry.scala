@@ -892,13 +892,15 @@ object SparkEntry {
         s"CAST(round($dot / ($na * $nb) * 1000000) AS BIGINT)"
       }
       // bounded coarse quantizer: K = min(IvfMaxCentroids, ceil(sqrt(n)))
-      // target centroids via the mod rule — the EXACT rule cosineTopKIvf
-      // computes from its count() (floor division both sides)
+      // target centroids via the residue rule vec_id % mod == 3 % mod —
+      // the EXACT rule cosineTopKIvf computes from its count() (floor
+      // division both sides; 3 % mod keeps small corpora non-empty)
       s"""WITH n AS (SELECT count(*) AS c FROM embeddings),
+         |md AS (SELECT greatest(c // greatest(least(${SimilarityOps.IvfMaxCentroids},
+         |  CAST(ceil(sqrt(c)) AS BIGINT)), 1), 1) AS m FROM n),
          |cent AS (
-         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
-         |  WHERE vec_id % (SELECT greatest(c // greatest(least(${SimilarityOps.IvfMaxCentroids},
-         |    CAST(ceil(sqrt(c)) AS BIGINT)), 1), 1) FROM n) = 3),
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings, md
+         |  WHERE vec_id % m = 3 % m),
          |assigned AS (
          |  SELECT vec_id, embedding, cid FROM (
          |    SELECT e.vec_id, e.embedding, c.cid,

@@ -94,10 +94,17 @@ object Fns {
   /** Sentinel-bit hierarchical cell id (see graft.core.CellId): parent is a
     * plain >> 2, so interval containment joins need no recursion.
     */
-  def cellId(lonFix: Column, latFix: Column, level: Int): Column =
+  /** Sentinel-bit morton cell id from grid coordinates — the ONE site
+    * encoding the bit layout (level sentinel | spread(cx) | spread(cy)<<1);
+    * every operator that buckets by cell goes through this or cellId.
+    */
+  def cellIdFromXY(cx: Column, cy: Column, level: Int): Column =
     lit(1L << (2 * level))
-      .bitwiseOR(mortonSpread(cellX(lonFix, level)))
-      .bitwiseOR(shiftleft(mortonSpread(cellY(latFix, level)), 1))
+      .bitwiseOR(mortonSpread(cx))
+      .bitwiseOR(shiftleft(mortonSpread(cy), 1))
+
+  def cellId(lonFix: Column, latFix: Column, level: Int): Column =
+    cellIdFromXY(cellX(lonFix, level), cellY(latFix, level), level)
 
   // ---- text analysis --------------------------------------------------------
 

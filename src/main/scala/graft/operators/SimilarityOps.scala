@@ -82,12 +82,21 @@ object SimilarityOps {
     val kTarget = math.max(1L,
       math.min(maxCentroids.toLong, math.ceil(math.sqrt(n.toDouble)).toLong))
     val mod = math.max(n / kTarget, 1L)
+    // residue 3 % mod (not a bare 3) keeps the rule non-empty when a small
+    // corpus makes mod <= 3; the limit+require hard-bound the driver
+    // collect against pathological id distributions concentrated in one
+    // residue class (never silently subsets — parity cases all pass)
+    val cap = 4 * math.max(maxCentroids, 1)
     val cents: graft.plans.CentroidKernel.Cents =
-      emb.filter(col("vec_id") % mod === 3).select(col("vec_id"), col("embedding"))
-        .collect()
+      emb.filter(col("vec_id") % mod === (3L % mod))
+        .select(col("vec_id"), col("embedding"))
+        .limit(cap + 1).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
-    require(cents.nonEmpty, s"no vec_id % $mod == 3 in the corpus (n=$n)")
+    require(cents.nonEmpty, s"no vec_id % $mod == ${3L % mod} in the corpus (n=$n)")
+    require(cents.length <= cap,
+      s"vec_id residue class $mod/${3L % mod} selects > $cap centroids — ids are " +
+        "not near-uniform; pass a larger maxCentroids or reshard ids")
     val bc = spark.sparkContext.broadcast(cents)
 
     val assigned = emb.withColumn("cid",

@@ -105,10 +105,6 @@ object SpatialOps {
     */
   def pipJoinPolygons(points: DataFrame, polys: DataFrame,
                       coverLevel: Int = CoverLevel): DataFrame = {
-    def cellOf(cx: Column, cy: Column): Column =
-      lit(1L << (2 * coverLevel))
-        .bitwiseOR(Fns.mortonSpread(cx))
-        .bitwiseOR(shiftleft(Fns.mortonSpread(cy), 1))
     val c1 = polys.select(col("poly_id"), col("xs"), col("ys"),
       Fns.cellY(array_min(col("ys")), coverLevel).as("cy0"),
       Fns.cellY(array_max(col("ys")), coverLevel).as("cy1"),
@@ -117,7 +113,7 @@ object SpatialOps {
     val cover = c1.select(col("poly_id"), col("xs"), col("ys"), col("ccx"),
         explode(sequence(col("cy0"), col("cy1"))).as("ccy"))
       .select(col("poly_id"), col("xs"), col("ys"),
-        cellOf(col("ccx"), col("ccy")).as("cell"))
+        Fns.cellIdFromXY(col("ccx"), col("ccy"), coverLevel).as("cell"))
     points.withColumn("cell", Fns.cellId(col("lon_fix"), col("lat_fix"), coverLevel))
       .join(cover.hint("shuffle_hash"), "cell")
       .filter(graft.plans.GeomExpressions.pointInRings(
@@ -175,10 +171,7 @@ object SpatialOps {
     val bound = math.min(wMin, hMin)
     val bound2 = bound * bound
 
-    def cellOf(x: Column, y: Column): Column =
-      lit(1L << (2 * level))
-        .bitwiseOR(Fns.mortonSpread(x))
-        .bitwiseOR(shiftleft(Fns.mortonSpread(y), 1))
+    def cellOf(x: Column, y: Column): Column = Fns.cellIdFromXY(x, y, level)
 
     // query side: explode the 3x3 neighborhood (both axes clamp: the
     // distance metric is flat int64 euclid on fix coords, NOT cylindrical,
@@ -253,10 +246,7 @@ object SpatialOps {
   def knnShuffled(points: DataFrame, queries: DataFrame, k: Int, level: Int = 0,
                   scope: CacheScope = CacheScope.global): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def cellOfAt(lv: Int)(x: Column, y: Column): Column =
-      lit(1L << (2 * lv))
-        .bitwiseOR(Fns.mortonSpread(x))
-        .bitwiseOR(shiftleft(Fns.mortonSpread(y), 1))
+    def cellOfAt(lv: Int)(x: Column, y: Column): Column = Fns.cellIdFromXY(x, y, lv)
     val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
 
     var remaining = queries.select(col("pid").as("qid"),

@@ -57,10 +57,16 @@ object CentroidKernel {
   /** Decimal HALF_UP at 1e-6, matching Spark's round() (BigDecimal HALF_UP
     * on the double's shortest decimal form) and DuckDB round() — the
     * assignment must rank by the SAME rounded score the oracle ranks by.
+    * Non-finite cosines (zero-norm embeddings: 0/0) score 0 instead of
+    * crashing the task on BigDecimal.valueOf(NaN); both engines' SQL twins
+    * error on such input downstream, so no passing case diverges.
     */
-  def roundE6(x: Double): Long =
-    java.math.BigDecimal.valueOf(x * 1e6)
+  def roundE6(x: Double): Long = {
+    val scaled = x * 1e6
+    if (java.lang.Double.isNaN(scaled) || java.lang.Double.isInfinite(scaled)) 0L
+    else java.math.BigDecimal.valueOf(scaled)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
 
   /** Top `top` centroid ids by (round(cos*1e6) desc, cid asc) — a tight
     * primitive loop over the O(K) broadcast centroid table, so assignment

@@ -511,7 +511,20 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("IVF cosine: never invents pairs or scores (subset of exact scorer)") {
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = e.filter(col("vec_id") % 25 === 0)
-    val ivf = SimilarityOps.cosineTopKIvf(e, q, 5).collect()
+    val ivfDf = SimilarityOps.cosineTopKIvf(e, q, 5)
+    // assignment is a map stage over the broadcast VARIABLE: no crossJoin
+    // row explosion and exactly ONE window (the per-query rerank top-k)
+    val plan = ivfDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(800))
+    // exactly one Window exec node (WindowGroupLimit partial/final pushdowns
+    // of that same rerank window also print "Window…" lines — exclude them)
+    assert(plan.linesIterator.count(_.contains("Window [")) === 1, plan.take(800))
+    // small corpora make mod <= 3 where a bare residue-3 rule selects
+    // nothing; the 3 % mod rule must keep the quantizer non-empty
+    val small = e.filter(col("vec_id") < 10)
+    assert(SimilarityOps.cosineTopKIvf(small, small.filter(col("vec_id") === 0), 3)
+      .count() > 0)
+    val ivf = ivfDf.collect()
     assert(ivf.nonEmpty)
     val exact = SimilarityOps.cosineTopK(e, q, 1000)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
