@@ -174,6 +174,15 @@ object SparkEntry {
       SpatialOps.pipJoinPolygons(Synth.points(s, d), Synth.hexCorpus(s, PipLargePolys),
         PipLargeLevel)),
 
+    // bbox range join against the hexagon corpus's bounding boxes
+    "q_bbox_join" -> ((s, d) => {
+      val boxes = Synth.hexCorpus(s, PipLargePolys).select(
+        col("poly_id").as("box_id"),
+        array_min(col("xs")).as("minx"), array_min(col("ys")).as("miny"),
+        array_max(col("xs")).as("maxx"), array_max(col("ys")).as("maxy"))
+      SpatialOps.bboxJoin(Synth.points(s, d), boxes, PipLargeLevel)
+    }),
+
     "q_knn" -> ((s, d) => {
       val pts = Synth.points(s, d)
       SpatialOps.knn(pts, pts.filter(col("pid") % 997 === 0), 5)
@@ -722,6 +731,31 @@ object SparkEntry {
          |  ON least(((p.lon_fix + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) = c.ccx
          | AND least(((p.lat_fix + 900000000) * $lvl) // 1800000000, ${lvl - 1}) = c.ccy
          |WHERE $halfPlanes""".stripMargin
+    },
+
+    "q_bbox_join" -> {
+      // same cover prefilter as q_pip_large; refinement is the inclusive
+      // range conjunction over the hexagons' bounding boxes
+      val lvl = 1 << PipLargeLevel
+      s"""WITH p AS ($P),
+         |hexes AS (${Synth.hexCorpusSql(PipLargePolys)}),
+         |bbox AS (SELECT poly_id AS box_id,
+         |  cx - r AS minx, cy - s AS miny, cx + r AS maxx, cy + s AS maxy,
+         |  least(((cx - r + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) AS cx0,
+         |  least(((cx + r + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) AS cx1,
+         |  least(((cy - s + 900000000) * $lvl) // 1800000000, ${lvl - 1}) AS cy0,
+         |  least(((cy + s + 900000000) * $lvl) // 1800000000, ${lvl - 1}) AS cy1
+         |  FROM hexes),
+         |cover1 AS (SELECT box_id, minx, miny, maxx, maxy, cy0, cy1,
+         |  unnest(range(cx0, cx1 + 1)) AS ccx FROM bbox),
+         |cover AS (SELECT box_id, minx, miny, maxx, maxy, ccx,
+         |  unnest(range(cy0, cy1 + 1)) AS ccy FROM cover1)
+         |SELECT p.pid, c.box_id
+         |FROM p JOIN cover c
+         |  ON least(((p.lon_fix + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) = c.ccx
+         | AND least(((p.lat_fix + 900000000) * $lvl) // 1800000000, ${lvl - 1}) = c.ccy
+         |WHERE p.lon_fix >= c.minx AND p.lon_fix <= c.maxx
+         |  AND p.lat_fix >= c.miny AND p.lat_fix <= c.maxy""".stripMargin
     },
 
     "q_knn" ->

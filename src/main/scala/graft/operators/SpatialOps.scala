@@ -121,6 +121,34 @@ object SpatialOps {
       .select(col("pid"), col("poly_id"))
   }
 
+  /** BBox range join: (pid, box_id) for every point inside an axis-aligned
+    * box (boundary-inclusive, exact int64) — the third spatial-join
+    * capability of SURVEY §2.3 alongside PIP and kNN. Same distributed
+    * shape as pipJoinPolygons: the box side is a DataFrame (box_id, minx,
+    * miny, maxx, maxy), its cell cover is computed with chained range
+    * explodes, and the candidate join is a cell shuffle equi-join (no
+    * broadcast of either side), refined by a codegen'd range conjunction.
+    */
+  def bboxJoin(points: DataFrame, boxes: DataFrame,
+               coverLevel: Int = CoverLevel): DataFrame = {
+    val c1 = boxes.select(col("box_id"),
+      col("minx"), col("miny"), col("maxx"), col("maxy"),
+      Fns.cellY(col("miny"), coverLevel).as("cy0"),
+      Fns.cellY(col("maxy"), coverLevel).as("cy1"),
+      explode(sequence(Fns.cellX(col("minx"), coverLevel),
+        Fns.cellX(col("maxx"), coverLevel))).as("ccx"))
+    val cover = c1.select(col("box_id"),
+        col("minx"), col("miny"), col("maxx"), col("maxy"), col("ccx"),
+        explode(sequence(col("cy0"), col("cy1"))).as("ccy"))
+      .select(col("box_id"), col("minx"), col("miny"), col("maxx"), col("maxy"),
+        Fns.cellIdFromXY(col("ccx"), col("ccy"), coverLevel).as("cell"))
+    points.withColumn("cell", Fns.cellId(col("lon_fix"), col("lat_fix"), coverLevel))
+      .join(cover.hint("shuffle_hash"), "cell")
+      .filter(col("lon_fix") >= col("minx") && col("lon_fix") <= col("maxx") &&
+        col("lat_fix") >= col("miny") && col("lat_fix") <= col("maxy"))
+      .select(col("pid"), col("box_id"))
+  }
+
   /** Exact brute-force kNN: broadcast the query set, score every point,
     * window top-k. Distance is exact int64 squared euclid on fix coords
     * (lon ±9e8, lat ±6e8 keep dx²+dy² < 2^63); ties broken by pid.
