@@ -266,16 +266,14 @@ object SparkEntry {
     }),
 
     // repetition quality signal (duplicate-n-gram fraction, the
-    // Gopher-style filter): per-mille share of the most frequent 10-gram
+    // Gopher-style filter): per-mille share of the most frequent 10-gram.
+    // A pure per-row function — the native kernel keeps the query a single
+    // zero-shuffle map stage (the explode + double-groupBy formulation,
+    // which the DuckDB oracle still uses, shuffles rows x shingles rows)
     "q_rep_ngrams" -> ((s, d) => {
-      val sh = t(s, d, "documents").select(col("doc_id"),
-        explode(graft.plans.TextHashExpressions
-          .shingleHashes(col("text"), DedupOps.ShingleCap, DedupOps.ShingleLen)).as("sh"))
-      val cnts = sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
-      val num = max("c") * lit(1000L)
-      val tot = sum("c")
-      cnts.groupBy("doc_id")
-        .agg(((num - pmod(num, tot)) / tot).cast("long").as("rep_pm"))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.plans.TextHashExpressions
+          .repNgramPm(col("text"), DedupOps.ShingleCap, DedupOps.ShingleLen).as("rep_pm"))
     }),
 
     // --- pages invariant (north rule per-row checksum) ---

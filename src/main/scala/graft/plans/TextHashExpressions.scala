@@ -16,6 +16,24 @@ object TextHashKernel {
     new GenericArrayData(TextHash.shingleHashes(s.toString, cap, len))
   def minhash(s: UTF8String, cap: Int, len: Int, k: Int): GenericArrayData =
     new GenericArrayData(TextHash.minHash(s.toString, cap, len, k))
+
+  /** max-run/total per-mille over the row's sorted shingle hashes —
+    * value-identical to the explode + groupBy count formulation (floor
+    * division, total >= 1 because shingleHashes emits >= 1 hash).
+    */
+  def repNgramPm(s: UTF8String, cap: Int, len: Int): Long = {
+    val hs = TextHash.shingleHashes(s.toString, cap, len)
+    java.util.Arrays.sort(hs)
+    var maxRun = 1L
+    var run = 1L
+    var i = 1
+    while (i < hs.length) {
+      if (hs(i) == hs(i - 1)) { run += 1; if (run > maxRun) maxRun = run }
+      else run = 1
+      i += 1
+    }
+    maxRun * 1000L / hs.length
+  }
 }
 
 /** Native `array<long>` of character n-gram shingle hashes. Replaces the
@@ -109,6 +127,29 @@ case class DocFingerprint(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t =>
       s"graft.core.TextHash.docFingerprint($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-mille share of a document's most frequent n-gram shingle — the
+  * duplicate-n-gram repetition quality signal. A PURE PER-ROW function:
+  * computing it with explode + two groupBys shuffles rows*shingles rows
+  * for nothing; this kernel sorts the row's own shingle array and counts
+  * the longest run, so the whole query is one map stage.
+  */
+case class RepNgramPm(child: Expression, cap: Int, len: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rep_ngram_pm"
+
+  override def nullSafeEval(text: Any): Any =
+    TextHashKernel.repNgramPm(text.asInstanceOf[UTF8String], cap, len)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.plans.TextHashKernel.repNgramPm($t, $cap, $len)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -233,4 +274,8 @@ object TextHashExpressions {
   def shingleMinHash(text: Column, cap: Int, len: Int, k: Int): Column =
     GraftColumnBridge.column(
       ShingleMinHash(GraftColumnBridge.expression(text), cap, len, k))
+
+  def repNgramPm(text: Column, cap: Int, len: Int): Column =
+    GraftColumnBridge.column(
+      RepNgramPm(GraftColumnBridge.expression(text), cap, len))
 }

@@ -621,6 +621,24 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(","))
   }
 
+  test("rep-ngram repetition score: zero-shuffle plan, equals the groupBy formulation") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val viaKernel = docs.select(col("doc_id"),
+      graft.plans.TextHashExpressions.repNgramPm(col("text"),
+        DedupOps.ShingleCap, DedupOps.ShingleLen).as("rep_pm"))
+    assert(!viaKernel.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = viaKernel.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val sh = docs.select(col("doc_id"),
+      explode(graft.plans.TextHashExpressions.shingleHashes(col("text"),
+        DedupOps.ShingleCap, DedupOps.ShingleLen)).as("sh"))
+    val expect = sh.groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(((max("c") * 1000L - pmod(max("c") * 1000L, sum("c"))) / sum("c"))
+        .cast("long").as("rep_pm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expect)
+  }
+
   test("persist hygiene: operators leave nothing cached after scope release") {
     graft.core.CacheScope.releaseGlobal()
     spark.sharedState.cacheManager.clearCache()
