@@ -45,10 +45,12 @@ object BenchScale {
     */
   val ScaleRep = 2048
 
-  /** Replication for Bench's flagship throughput metric (kept small so the
-    * full per-round bench stays fast).
+  /** Replication for Bench's flagship throughput metric — large enough
+    * (~140M rows) that compute dominates the ~1.5s fixed per-action
+    * overhead and the reported rows/sec approximates the BASELINE.md
+    * throughput, small enough to add only ~2s per bench run.
     */
-  val Rep = 32
+  val Rep = 256
 
   /** The scaling-measurement job: every replicated point goes through the
     * broadcast cell-cover join (left — non-candidates kept), the native

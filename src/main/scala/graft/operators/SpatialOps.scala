@@ -121,6 +121,21 @@ object SpatialOps {
       .select(col("pid"), col("poly_id"))
   }
 
+  /** Query-count threshold below which knnAuto takes the broadcast path. */
+  val KnnBroadcastMaxQueries = 100000L
+
+  /** kNN facade: picks the physical strategy by query-set size — the
+    * broadcast 3x3-neighborhood path (zero shuffle of the point side) for
+    * small query sets, the cell shuffle equi-join (knnShuffled) when the
+    * query side is too large to ship to every task. One count() of the
+    * query side at plan-construction time (same eager-probe contract as
+    * the level heuristic both paths already use).
+    */
+  def knnAuto(points: DataFrame, queries: DataFrame, k: Int,
+              scope: CacheScope = CacheScope.global): DataFrame =
+    if (queries.count() <= KnnBroadcastMaxQueries) knn(points, queries, k, scope = scope)
+    else knnShuffled(points, queries, k, scope = scope)
+
   /** BBox range join: (pid, box_id) for every point inside an axis-aligned
     * box (boundary-inclusive, exact int64) — the third spatial-join
     * capability of SURVEY §2.3 alongside PIP and kNN. Same distributed

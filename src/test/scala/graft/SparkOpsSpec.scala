@@ -621,6 +621,19 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sparkContext.getPersistentRDDs.values.map(_.name).mkString(","))
   }
 
+  test("knnAuto picks the broadcast path for small query sets and agrees with both variants") {
+    val pts = Synth.points(spark, dir)
+    val q = pts.filter(col("pid") % 997 === 0)
+    val auto = SpatialOps.knnAuto(pts, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = SpatialOps.knn(pts, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto === direct)
+    val shuffled = SpatialOps.knnShuffled(pts, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto === shuffled) // both strategies are EXACT — same answer
+  }
+
   test("rep-ngram repetition score: zero-shuffle plan, equals the groupBy formulation") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val viaKernel = docs.select(col("doc_id"),
