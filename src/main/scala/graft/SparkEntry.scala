@@ -561,6 +561,28 @@ object SparkEntry {
        |bk AS ($bank)""".stripMargin
   }
 
+  /** Shared DuckDB cover CTEs (bbox → cover1 → cover) mirroring
+    * SpatialOps.coverByBBox: per-row bbox cells via two chained unnests.
+    * `carryList` is the projected column list, `minx..maxy` the bbox
+    * expressions over `from`.
+    */
+  private def coverCtesSql(lvl: Int, carryList: String, minx: String,
+                           miny: String, maxx: String, maxy: String,
+                           from: String): String =
+    s"""bbox AS (SELECT $carryList,
+       |  least((($minx + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) AS cx0,
+       |  least((($maxx + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) AS cx1,
+       |  least((($miny + 900000000) * $lvl) // 1800000000, ${lvl - 1}) AS cy0,
+       |  least((($maxy + 900000000) * $lvl) // 1800000000, ${lvl - 1}) AS cy1
+       |  FROM $from),
+       |cover1 AS (SELECT * EXCLUDE (cx0, cx1), unnest(range(cx0, cx1 + 1)) AS ccx FROM bbox),
+       |cover AS (SELECT * EXCLUDE (cy0, cy1), unnest(range(cy0, cy1 + 1)) AS ccy FROM cover1)""".stripMargin
+
+  /** Point-to-cover cell equi-join condition (p = points, c = cover). */
+  private def pointCellJoinSql(lvl: Int): String =
+    s"""ON least(((p.lon_fix + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) = c.ccx
+       | AND least(((p.lat_fix + 900000000) * $lvl) // 1800000000, ${lvl - 1}) = c.ccy""".stripMargin
+
   private def haversineSql(lon1: String, lat1: String, lon2: String, lat2: String): String = {
     val deg = "0.017453292519943295769236907684886"
     s"""(2.0 * 6372797.560856 * asin(sqrt(
@@ -714,20 +736,11 @@ object SparkEntry {
       }.mkString("\n  AND ")
       s"""WITH p AS ($P),
          |hexes AS (${Synth.hexCorpusSql(PipLargePolys)}),
-         |bbox AS (SELECT poly_id, cx, cy, r, h, s,
-         |  least(((cx - r + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) AS cx0,
-         |  least(((cx + r + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) AS cx1,
-         |  least(((cy - s + 900000000) * $lvl) // 1800000000, ${lvl - 1}) AS cy0,
-         |  least(((cy + s + 900000000) * $lvl) // 1800000000, ${lvl - 1}) AS cy1
-         |  FROM hexes),
-         |cover1 AS (SELECT poly_id, cx, cy, r, h, s, cy0, cy1,
-         |  unnest(range(cx0, cx1 + 1)) AS ccx FROM bbox),
-         |cover AS (SELECT poly_id, cx, cy, r, h, s, ccx,
-         |  unnest(range(cy0, cy1 + 1)) AS ccy FROM cover1)
+         |${coverCtesSql(lvl, "poly_id, cx, cy, r, h, s",
+             "cx - r", "cy - s", "cx + r", "cy + s", "hexes")}
          |SELECT p.pid, c.poly_id
          |FROM p JOIN cover c
-         |  ON least(((p.lon_fix + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) = c.ccx
-         | AND least(((p.lat_fix + 900000000) * $lvl) // 1800000000, ${lvl - 1}) = c.ccy
+         |  ${pointCellJoinSql(lvl)}
          |WHERE $halfPlanes""".stripMargin
     },
 
@@ -737,21 +750,12 @@ object SparkEntry {
       val lvl = 1 << PipLargeLevel
       s"""WITH p AS ($P),
          |hexes AS (${Synth.hexCorpusSql(PipLargePolys)}),
-         |bbox AS (SELECT poly_id AS box_id,
-         |  cx - r AS minx, cy - s AS miny, cx + r AS maxx, cy + s AS maxy,
-         |  least(((cx - r + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) AS cx0,
-         |  least(((cx + r + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) AS cx1,
-         |  least(((cy - s + 900000000) * $lvl) // 1800000000, ${lvl - 1}) AS cy0,
-         |  least(((cy + s + 900000000) * $lvl) // 1800000000, ${lvl - 1}) AS cy1
-         |  FROM hexes),
-         |cover1 AS (SELECT box_id, minx, miny, maxx, maxy, cy0, cy1,
-         |  unnest(range(cx0, cx1 + 1)) AS ccx FROM bbox),
-         |cover AS (SELECT box_id, minx, miny, maxx, maxy, ccx,
-         |  unnest(range(cy0, cy1 + 1)) AS ccy FROM cover1)
+         |${coverCtesSql(lvl,
+             "poly_id AS box_id, cx - r AS minx, cy - s AS miny, cx + r AS maxx, cy + s AS maxy",
+             "cx - r", "cy - s", "cx + r", "cy + s", "hexes")}
          |SELECT p.pid, c.box_id
          |FROM p JOIN cover c
-         |  ON least(((p.lon_fix + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) = c.ccx
-         | AND least(((p.lat_fix + 900000000) * $lvl) // 1800000000, ${lvl - 1}) = c.ccy
+         |  ${pointCellJoinSql(lvl)}
          |WHERE p.lon_fix >= c.minx AND p.lon_fix <= c.maxx
          |  AND p.lat_fix >= c.miny AND p.lat_fix <= c.maxy""".stripMargin
     },

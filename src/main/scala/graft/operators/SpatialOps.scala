@@ -103,17 +103,30 @@ object SpatialOps {
     * (cell width = 360/2^level degrees); the broadcast-map variants remain
     * the right plan for SMALL polygon sets (zero shuffle of the points).
     */
+  /** Distributed cell cover of per-row bboxes — two chained range explodes
+    * (pure built-ins, no driver pass), one "cell" column appended to the
+    * `carry` columns. Shared by every distributed-cover join
+    * (pipJoinPolygons, bboxJoin). `carry` must be plain named columns of
+    * `rows`.
+    */
+  private def coverByBBox(rows: DataFrame, minx: Column, miny: Column,
+                          maxx: Column, maxy: Column, coverLevel: Int,
+                          carry: Seq[Column]): DataFrame =
+    rows.select(carry ++ Seq(
+        Fns.cellY(miny, coverLevel).as("cy0"),
+        Fns.cellY(maxy, coverLevel).as("cy1"),
+        explode(sequence(Fns.cellX(minx, coverLevel),
+          Fns.cellX(maxx, coverLevel))).as("ccx")): _*)
+      .select(carry ++ Seq(col("ccx"),
+        explode(sequence(col("cy0"), col("cy1"))).as("ccy")): _*)
+      .select(carry :+ Fns.cellIdFromXY(col("ccx"), col("ccy"), coverLevel).as("cell"): _*)
+
   def pipJoinPolygons(points: DataFrame, polys: DataFrame,
                       coverLevel: Int = CoverLevel): DataFrame = {
-    val c1 = polys.select(col("poly_id"), col("xs"), col("ys"),
-      Fns.cellY(array_min(col("ys")), coverLevel).as("cy0"),
-      Fns.cellY(array_max(col("ys")), coverLevel).as("cy1"),
-      explode(sequence(Fns.cellX(array_min(col("xs")), coverLevel),
-        Fns.cellX(array_max(col("xs")), coverLevel))).as("ccx"))
-    val cover = c1.select(col("poly_id"), col("xs"), col("ys"), col("ccx"),
-        explode(sequence(col("cy0"), col("cy1"))).as("ccy"))
-      .select(col("poly_id"), col("xs"), col("ys"),
-        Fns.cellIdFromXY(col("ccx"), col("ccy"), coverLevel).as("cell"))
+    val cover = coverByBBox(polys,
+      array_min(col("xs")), array_min(col("ys")),
+      array_max(col("xs")), array_max(col("ys")), coverLevel,
+      Seq(col("poly_id"), col("xs"), col("ys")))
     points.withColumn("cell", Fns.cellId(col("lon_fix"), col("lat_fix"), coverLevel))
       .join(cover.hint("shuffle_hash"), "cell")
       .filter(graft.plans.GeomExpressions.pointInRings(
@@ -146,17 +159,9 @@ object SpatialOps {
     */
   def bboxJoin(points: DataFrame, boxes: DataFrame,
                coverLevel: Int = CoverLevel): DataFrame = {
-    val c1 = boxes.select(col("box_id"),
-      col("minx"), col("miny"), col("maxx"), col("maxy"),
-      Fns.cellY(col("miny"), coverLevel).as("cy0"),
-      Fns.cellY(col("maxy"), coverLevel).as("cy1"),
-      explode(sequence(Fns.cellX(col("minx"), coverLevel),
-        Fns.cellX(col("maxx"), coverLevel))).as("ccx"))
-    val cover = c1.select(col("box_id"),
-        col("minx"), col("miny"), col("maxx"), col("maxy"), col("ccx"),
-        explode(sequence(col("cy0"), col("cy1"))).as("ccy"))
-      .select(col("box_id"), col("minx"), col("miny"), col("maxx"), col("maxy"),
-        Fns.cellIdFromXY(col("ccx"), col("ccy"), coverLevel).as("cell"))
+    val cover = coverByBBox(boxes,
+      col("minx"), col("miny"), col("maxx"), col("maxy"), coverLevel,
+      Seq(col("box_id"), col("minx"), col("miny"), col("maxx"), col("maxy")))
     points.withColumn("cell", Fns.cellId(col("lon_fix"), col("lat_fix"), coverLevel))
       .join(cover.hint("shuffle_hash"), "cell")
       .filter(col("lon_fix") >= col("minx") && col("lon_fix") <= col("maxx") &&
