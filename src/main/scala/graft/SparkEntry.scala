@@ -209,6 +209,14 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) =>
       DedupOps.duplicateClusters(DedupOps.minHashLshPairs(Synth.corpus(s, d)))),
 
+    // full pipeline capstone: one survivor per cluster (longest text,
+    // ties by id), unclustered docs survive as singletons
+    "q_dedup_survivors" -> ((s, d) => {
+      val corpus = Synth.corpus(s, d)
+      DedupOps.dedupSurvivors(corpus,
+        DedupOps.duplicateClusters(DedupOps.minHashLshPairs(corpus)))
+    }),
+
     // --- similarity search ---
     "q_sim_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -527,6 +535,26 @@ object SparkEntry {
        |  GROUP BY 1, 2)""".stripMargin
   }
 
+  /** Recursive-CTE connected-components labels over the LSH pair graph
+    * (requires WITH RECURSIVE + a `corpus` CTE in scope) — the independent
+    * oracle for duplicateClusters, shared by the clusters and survivors
+    * queries.
+    */
+  private def clusterCtesSql: String =
+    s"""sh AS (${shinglesSql(distinct = false)}),
+       |$lshCandSql,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM cand
+       |  UNION SELECT doc_b, doc_a FROM cand),
+       |reach AS (
+       |  SELECT src AS a, dst AS b FROM edges
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+       |labels AS (
+       |  SELECT id AS doc_id, least(id, coalesce(min(b), id)) AS cluster_id
+       |  FROM cnodes LEFT JOIN reach ON a = id GROUP BY id)""".stripMargin
+
   /** DuckDB 8-char Horner token hash of expression `e`. */
   private def tokenHashSql(e: String): String =
     (1 to 8).map(k => s"CAST(ascii(substr($e, $k, 1)) AS BIGINT)")
@@ -813,18 +841,20 @@ object SparkEntry {
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS ($C),
-         |sh AS (${shinglesSql(distinct = false)}),
-         |$lshCandSql,
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM cand
-         |  UNION SELECT doc_b, doc_a FROM cand),
-         |reach AS (
-         |  SELECT src AS a, dst AS b FROM edges
-         |  UNION
-         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
-         |nodes AS (SELECT DISTINCT src AS id FROM edges)
-         |SELECT id AS doc_id, least(id, coalesce(min(b), id)) AS cluster_id
-         |FROM nodes LEFT JOIN reach ON a = id GROUP BY id""".stripMargin,
+         |$clusterCtesSql
+         |SELECT doc_id, cluster_id FROM labels""".stripMargin,
+
+    "q_dedup_survivors" ->
+      s"""WITH RECURSIVE corpus AS ($C),
+         |$clusterCtesSql,
+         |withc AS (
+         |  SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS cid,
+         |    CAST(length(c.text) AS BIGINT) AS len
+         |  FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id)
+         |SELECT doc_id, cid AS cluster_id, len AS text_len FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY len DESC, doc_id) AS rn
+         |  FROM withc)
+         |WHERE rn = 1""".stripMargin,
 
     "q_dedup_simhash" -> {
       // 64-bit simhash as 4x16-bit bands (core.TextHash.simHash64 layout):

@@ -175,6 +175,25 @@ object DedupOps {
     (prev.select(col("id").as("doc_id"), col("label").as("cluster_id")), rounds)
   }
 
+  /** Final dedup-pipeline step: one survivor per near-duplicate cluster —
+    * the longest text wins, ties broken by smallest doc_id; documents in
+    * no cluster survive as their own singleton. One left join + one
+    * struct-min aggregation (map-side combinable), so the step scales like
+    * any hash aggregation. Output (doc_id, cluster_id, text_len), one row
+    * per surviving document.
+    */
+  def dedupSurvivors(corpus: DataFrame, clusters: DataFrame): DataFrame = {
+    val withC = corpus.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cid"),
+        length(col("text")).cast("long").as("len"))
+    // survivor per cid = min(struct(-len, doc_id)) — (max len, min id)
+    withC.groupBy("cid")
+      .agg(min(struct((col("len") * -1L).as("nl"), col("doc_id").as("did"))).as("b"))
+      .select(col("b.did").as("doc_id"), col("cid").as("cluster_id"),
+        (col("b.nl") * -1L).as("text_len"))
+  }
+
   /** Exact n-gram Jaccard verification of the LSH candidates (the
     * canonical MinHash-dedup pipeline: candidates from banding, verified
     * exactly): |A∩B| / |A∪B| over distinct shingle hashes, computed with
