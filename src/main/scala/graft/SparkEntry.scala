@@ -387,6 +387,33 @@ object SparkEntry {
       SkewOps.saltedCount(cells, "cell", 16)
     }),
 
+    // gap-based sessionization (30-min inactivity closes a session): the
+    // classic ordered-stream operator — lag gap flag + running sum session
+    // id, then per-session aggregation; scales as per-user windows
+    "q_sessions" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = us(col("ts")) - us(lag(col("ts"), 1).over(w))
+      val rows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("new_sess",
+          when(gapUs.isNull || gapUs > lit(1800000000L), 1L).otherwise(0L))
+        .withColumn("sess_seq", sum("new_sess").over(rows))
+        .groupBy(col("user_id"), col("sess_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          min(us(col("ts"))).as("start_us"), max(us(col("ts"))).as("end_us"))
+    }),
+
+    // per-group top-k (3 best-quality docs per language), rank via
+    // row_number — Spark plans WindowGroupLimit (per-partition partial
+    // top-k before the shuffle), the grouped analog of q3_topk
+    "q_topk_group" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        Fns.qualityScore(col("text")).cast("long").as("score"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
+      docs.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+    }),
+
     // --- change-stream run grouping (osc create/modify/delete) ---
     "q_change_groups" -> ((s, d) => {
       // the osc writer's open_close_op_tag run grouping (xml.hpp:205-227)
@@ -554,6 +581,14 @@ object SparkEntry {
        |labels AS (
        |  SELECT id AS doc_id, least(id, coalesce(min(b), id)) AS cluster_id
        |  FROM cnodes LEFT JOIN reach ON a = id GROUP BY id)""".stripMargin
+
+  /** DuckDB twin of Fns.qualityScore over `text` (shared by q_quality and
+    * q_topk_group).
+    */
+  private val QualityScoreSql: String =
+    """least(length(text), 400) +
+      |  least(len(regexp_extract_all(text, '[^ ]+')) * 4, 400) +
+      |  least(((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5) * 40, 200)""".stripMargin
 
   /** DuckDB 8-char Horner token hash of expression `e`. */
   private def tokenHashSql(e: String): String =
@@ -1004,12 +1039,30 @@ object SparkEntry {
     },
 
     "q_quality" ->
-      """SELECT doc_id,
-        |  least(length(text), 400) +
-        |  least(len(regexp_extract_all(text, '[^ ]+')) * 4, 400) +
-        |  least(((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5) * 40, 200)
-        |  AS score
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id, $QualityScoreSql AS score FROM documents""".stripMargin,
+
+    "q_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |      AS BIGINT) AS sess_seq
+        |  FROM g)
+        |SELECT user_id, sess_seq, count(*) AS n_events,
+        |  min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_topk_group" ->
+      s"""WITH scored AS (SELECT doc_id, lang, $QualityScoreSql AS score FROM documents)
+         |SELECT doc_id, lang, score, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= 3""".stripMargin,
 
     "q_token_stats" ->
       s"""WITH toks AS (
