@@ -403,6 +403,22 @@ object SparkEntry {
           min(us(col("ts"))).as("start_us"), max(us(col("ts"))).as("end_us"))
     }),
 
+    // as-of join: every click picks up the latest prior view per user —
+    // tag + union + one window, a single key shuffle (HistoryOps contract:
+    // (user_id, ts) unique on the right, which the events table satisfies)
+    "q_asof" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      HistoryOps.asofJoin(clicks, views, "user_id", "ts", Seq("value"), "view_")
+        .select(col("event_id"), col("user_id"), us(col("ts")).as("ts_us"),
+          round(col("value") * 1000000, 0).cast("long").as("click_e6"),
+          us(col("view_ts")).as("view_ts_us"),
+          round(col("view_value") * 1000000, 0).cast("long").as("view_e6"))
+    }),
+
     // per-group top-k (3 best-quality docs per language), rank via
     // row_number — Spark plans WindowGroupLimit (per-partition partial
     // top-k before the shuffle), the grouped analog of q3_topk
@@ -1056,6 +1072,15 @@ object SparkEntry {
         |SELECT user_id, sess_seq, count(*) AS n_events,
         |  min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_asof" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        |  CAST(round(l.value * 1000000) AS BIGINT) AS click_e6,
+        |  epoch_us(r.ts) AS view_ts_us,
+        |  CAST(round(r.value * 1000000) AS BIGINT) AS view_e6
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
 
     "q_topk_group" ->
       s"""WITH scored AS (SELECT doc_id, lang, $QualityScoreSql AS score FROM documents)

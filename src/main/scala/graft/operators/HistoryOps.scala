@@ -32,6 +32,46 @@ object HistoryOps {
       (col("endtime").isNull ||
         unix_micros(col("endtime").cast("timestamp")) >= fromMicros))
 
+  /** As-of join: each left row picks up the payload of the LATEST right
+    * row with the same key and right ts <= left ts (inclusive), or nulls
+    * when no prior right row exists — the temporal lookup the reference's
+    * RangeFromHistory answers per-timestamp (handler/range_from_history
+    * .hpp:38-72) generalized to a stream-vs-stream join, and the operator
+    * Spark has no built-in for.
+    *
+    * Plan: tag the sides, unionByName, ONE window pass ordered by
+    * (ts, side) with right rows sorting before left rows at equal ts —
+    * a single hash shuffle of both inputs on the key plus one
+    * per-partition sort. No per-row range scan, no broadcast, no
+    * interval explosion: at 10^12 rows this is exactly two scans + one
+    * exchange, and skewed keys fall under AQE like any other window.
+    * The right payload travels as one struct so `last(ignoreNulls)` skips
+    * left rows but never skips a matched right row whose payload FIELDS
+    * are null (field-wise last() would resurrect older values).
+    *
+    * Contract: (key, ts) must be unique on the right (pre-aggregate
+    * otherwise) — the match at equal (key, ts) is undefined under dupes.
+    * Output: every left column, then `<prefix><tsCol>` (matched right ts)
+    * and `<prefix><payload>` for each payload column.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, payloadCols: Seq[String],
+               prefix: String = "r_"): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select(col(keyCol), col(tsCol),
+        struct(col(tsCol).as("__ts") +: payloadCols.map(col): _*).as("__r"))
+      .withColumn("__side", lit(0))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    payloadCols.foldLeft(matched.withColumn(prefix + tsCol, col("__m.__ts"))) {
+      (d, p) => d.withColumn(prefix + p, col("__m")(p))
+    }.drop("__side", "__r", "__m")
+  }
+
   /** ObjectStore::ApplyHandler merge (storage/objectstore.hpp:171-251):
     * ordered union of a base stream and a change stream, keeping the
     * highest version per key — unionByName + row_number window.

@@ -673,4 +673,40 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(spark.sparkContext.getPersistentRDDs.isEmpty, s"$name leaked caches")
     }
   }
+
+  test("asofJoin equals brute-force latest-prior lookup, inclusive at equal ts") {
+    val s = spark; import s.implicits._
+    // synthetic frame with an equal-ts collision (k=1, ts=20) to pin the
+    // inclusive <= semantics, and a left row before any right row (null)
+    val left = Seq((1L, 10L, "l10"), (1L, 20L, "l20"), (1L, 35L, "l35"),
+      (2L, 5L, "l5")).toDF("k", "ts", "ltag")
+    val right = Seq((1L, 20L, 200L), (1L, 30L, 300L), (2L, 7L, 700L))
+      .toDF("k", "ts", "pay")
+    val got = HistoryOps.asofJoin(left, right, "k", "ts", Seq("pay"))
+      .select("k", "ts", "ltag", "r_ts", "r_pay")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+    assert(got === Set(
+      (1L, 10L, "l10", None, None),
+      (1L, 20L, "l20", Some(20L), Some(200L)),
+      (1L, 35L, "l35", Some(30L), Some(300L)),
+      (2L, 5L, "l5", None, None)))
+
+    // events table vs a driver-side brute force
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tsu"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("tsu"),
+        col("event_id").as("vid"))
+    val gotEv = HistoryOps.asofJoin(clicks, views, "user_id", "tsu", Seq("vid"))
+      .collect().map(r => (r.getLong(0), Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    val vlocal = views.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    clicks.collect().foreach { c =>
+      val expect = vlocal.filter(v => v._1 == c.getLong(1) && v._2 <= c.getLong(2))
+        .sortBy(_._2).lastOption.map(_._3)
+      assert(gotEv(c.getLong(0)) === expect)
+    }
+  }
 }
