@@ -205,6 +205,9 @@ object SparkEntry {
 
     "q_sim_neardup" -> ((s, d) => DedupOps.embeddingNearDups(Synth.embCorpus(s, d), 9000L)),
 
+    // cross-doc boilerplate at chunk granularity (CCNet line-dedup shape)
+    "q_boilerplate" -> ((s, d) => DedupOps.boilerplateChunks(Synth.corpus(s, d))),
+
     // pairs -> canonical clusters (connected components, min-id label)
     "q_dedup_clusters" -> ((s, d) =>
       DedupOps.duplicateClusters(DedupOps.minHashLshPairs(Synth.corpus(s, d)))),
@@ -860,6 +863,24 @@ object SparkEntry {
          |SELECT qid, pid, rank, d2 FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, pid) AS rank FROM d)
          |WHERE rank <= 5""".stripMargin,
+
+    "q_boilerplate" -> {
+      // chunk hash twin of TextHash.wordChunkHashes: mod-chain of 8-char
+      // Horner token hashes over non-overlapping 8-token chunks
+      val chain = (1 to 8).map(k => tokenHashSql(s"ws[c*8 + $k]"))
+        .foldLeft("0")((acc, t) =>
+          s"(($acc * 1000003 + ($t) % 1000000007) % 1000000007)")
+      s"""WITH corpus AS ($C),
+         |toks AS (SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ws FROM corpus),
+         |chunks AS (
+         |  SELECT doc_id, $chain AS ch
+         |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) // 8)) AS c FROM toks)),
+         |boiler AS (SELECT ch FROM chunks GROUP BY ch HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT c.doc_id, count(*) AS n_chunks, count(b.ch) AS n_boiler,
+         |  count(b.ch) * 1000 // count(*) AS boiler_pm
+         |FROM chunks c LEFT JOIN boiler b ON b.ch = c.ch
+         |GROUP BY 1""".stripMargin
+    },
 
     "q_dedup_exact" ->
       s"""WITH corpus AS ($C)

@@ -216,6 +216,38 @@ object TextHash {
     java.lang.Math.floorMod(sum, 2305843009213693951L)
   }
 
+  /** Non-overlapping w-token chunk hashes (the CCNet-style boilerplate
+    * dedup key): tokens = maximal runs of non-space code points; chunk i
+    * covers tokens [i*w, i*w+w); an incomplete tail chunk is dropped.
+    * Chunk hash = mod-chain of the 8-char Horner token hashes,
+    * h = (h * 1000003 + (tokenHash mod P)) mod P — int64-safe
+    * (h < P ~ 1e9, h*1000003 < 2^50).
+    */
+  def wordChunkHashes(s: String, w: Int): Array[Long] = {
+    val cps = new Array[Int](s.length)
+    var i = 0; var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(n) = cp; n += 1
+      i += Character.charCount(cp)
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var h = 0L
+    var inChunk = 0
+    var p = 0
+    while (p < n) {
+      if (cps(p) != ' ') {
+        var q = p
+        while (q < n && cps(q) != ' ') q += 1
+        h = (h * 1000003L + tokenHash(cps, p, q) % P) % P
+        inChunk += 1
+        if (inChunk == w) { out += h; h = 0L; inChunk = 0 }
+        p = q
+      } else p += 1
+    }
+    out.toArray
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double in
     * ascending index order — bit-identical to the Column spec form
     * (Fns.cosineSim: zip_with/aggregate left folds) and to the DuckDB

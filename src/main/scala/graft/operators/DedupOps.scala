@@ -27,6 +27,39 @@ object DedupOps {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n"))
       .filter(col("n") > 1)
 
+  /** Cross-document boilerplate detection at sub-document granularity
+    * (the CCNet/RefinedWeb line-dedup adapted to unbroken text): the doc
+    * is cut into non-overlapping `w`-token chunks (native WordChunkHashes
+    * — one codegen'd pass per row, no word explode), a chunk is
+    * boilerplate when it occurs in >= `minDocs` DISTINCT documents, and
+    * each doc reports how much of it is boilerplate.
+    *
+    * Output: (doc_id, n_chunks, n_boiler, boiler_pm) for every doc with
+    * at least one full chunk; boiler_pm = floor(n_boiler*1000/n_chunks),
+    * the CCNet-style drop-threshold score.
+    *
+    * Scale: explode is narrow (doc_id, hash) pairs; the global chunk
+    * count is one hash-shuffle groupBy with partial aggregation (the
+    * distinct-doc count first collapses (hash, doc) map-side); the
+    * boiler set re-joins on the same hash key so the exchange is reused,
+    * and the final per-doc rollup shuffles one narrow row per chunk
+    * instance. No step is quadratic and no side is broadcast — at 10^12
+    * docs this is the exact CCNet plan.
+    */
+  def boilerplateChunks(corpus: DataFrame, w: Int = 8,
+                        minDocs: Int = 2): DataFrame = {
+    val chunked = corpus.select(col("doc_id"),
+      explode(graft.plans.TextHashExpressions.wordChunkHashes(col("text"), w)).as("ch"))
+    val boiler = chunked.groupBy("ch")
+      .agg(countDistinct("doc_id").as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select(col("ch"), lit(1L).as("__b"))
+    chunked.join(boiler, Seq("ch"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), count(col("__b")).as("n_boiler"))
+      .withColumn("boiler_pm", expr("n_boiler * 1000 DIV n_chunks"))
+  }
+
   val NumMinHashes = 12
   val BandSize = 4
   val ShingleCap = 256

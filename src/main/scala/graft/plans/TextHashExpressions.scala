@@ -34,6 +34,9 @@ object TextHashKernel {
     }
     maxRun * 1000L / hs.length
   }
+
+  def wordChunks(s: UTF8String, w: Int): GenericArrayData =
+    new GenericArrayData(TextHash.wordChunkHashes(s.toString, w))
 }
 
 /** Native `array<long>` of character n-gram shingle hashes. Replaces the
@@ -53,6 +56,26 @@ case class ShingleHashArray(child: Expression, cap: Int, len: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t =>
       s"graft.plans.TextHashKernel.shingles($t, $cap, $len)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native `array<long>` of non-overlapping w-token chunk hashes — the
+  * per-row key array of the CCNet-style cross-document boilerplate dedup
+  * (DedupOps.boilerplateChunks). Kernel: TextHash.wordChunkHashes.
+  */
+case class WordChunkHashes(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_chunk_hashes"
+
+  override def nullSafeEval(text: Any): Any =
+    TextHashKernel.wordChunks(text.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.plans.TextHashKernel.wordChunks($t, $w)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -278,4 +301,8 @@ object TextHashExpressions {
   def repNgramPm(text: Column, cap: Int, len: Int): Column =
     GraftColumnBridge.column(
       RepNgramPm(GraftColumnBridge.expression(text), cap, len))
+
+  def wordChunkHashes(text: Column, w: Int): Column =
+    GraftColumnBridge.column(
+      WordChunkHashes(GraftColumnBridge.expression(text), w))
 }

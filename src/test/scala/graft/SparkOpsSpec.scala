@@ -674,6 +674,36 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("boilerplateChunks: shared chunks across docs are flagged, within-doc repeats are not") {
+    val s = spark; import s.implicits._
+    def words(tag: String, n: Int): String = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val shared = words("boil", 8)
+    // d1: shared + unique; d2: shared + unique; d3: one chunk repeated
+    // twice within the SAME doc only (must not count as boilerplate);
+    // d4: 7 words -> no full chunk -> absent from output
+    val corpus = Seq(
+      (1L, shared + " " + words("a", 8)),
+      (2L, shared + " " + words("b", 16)),
+      (3L, words("c", 8) + " " + words("c", 8)),
+      (4L, words("d", 7))).toDF("doc_id", "text")
+    val got = DedupOps.boilerplateChunks(corpus)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 500L)),
+      2L -> ((3L, 1L, 333L)),
+      3L -> ((2L, 0L, 0L))))
+
+    // kernel chunk hash = mod-chain of token hashes (independent recompute)
+    val P = graft.core.TextHash.P
+    val text = "alpha beta gamma delta eps zeta eta theta iota"
+    val toks = text.split(" ")
+    val expect = toks.take(8).foldLeft(0L) { (h, tok) =>
+      val cps = tok.codePoints().toArray
+      (h * 1000003L + graft.core.TextHash.tokenHash(cps, 0, cps.length) % P) % P
+    }
+    assert(graft.core.TextHash.wordChunkHashes(text, 8).toSeq === Seq(expect))
+  }
+
   test("asofJoin equals brute-force latest-prior lookup, inclusive at equal ts") {
     val s = spark; import s.implicits._
     // synthetic frame with an equal-ts collision (k=1, ts=20) to pin the
