@@ -243,6 +243,23 @@ object SparkEntry {
       SimilarityOps.pqTopK(e, e.filter(col("vec_id") % 25 === 0), 10)
     }),
 
+    // deterministic train/valid/test split + per-source mixture sampling:
+    // both decisions hash the CONTENT (docFingerprint), not the id, so
+    // re-sharding or re-crawling the corpus never migrates a doc across
+    // splits; one linear scan, no shuffle
+    "q_split" -> ((s, d) => {
+      val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
+        graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fp"),
+        substring(col("source"), 4, 10).cast("long").as("srcnum"))
+      scored.select(col("doc_id"), col("source"),
+        (col("fp") % 1000).as("bucket"),
+        when(col("fp") % 1000 < 800, "train")
+          .when(col("fp") % 1000 < 900, "valid")
+          .otherwise("test").as("split"),
+        when(expr("fp DIV 1000") % 1000 < lit(100) + lit(45) * (col("srcnum") % 20), 1L)
+          .otherwise(0L).as("kept"))
+    }),
+
     // --- text analysis ---
     "q_lang_id" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"), Fns.langId(col("text")).as("lang_pred"))
@@ -1152,6 +1169,23 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rank
          |  FROM scored)
          |WHERE rank <= 3""".stripMargin,
+
+    "q_split" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokenHashSql("tok")} AS h FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents)),
+         |fps AS (
+         |  SELECT d.doc_id, d.source,
+         |    coalesce((SELECT CAST(sum(h) AS BIGINT) % 2305843009213693951
+         |      FROM toks WHERE toks.doc_id = d.doc_id), 0) AS fp,
+         |    CAST(substr(d.source, 4) AS BIGINT) AS srcnum
+         |  FROM documents d)
+         |SELECT doc_id, source, fp % 1000 AS bucket,
+         |  CASE WHEN fp % 1000 < 800 THEN 'train'
+         |       WHEN fp % 1000 < 900 THEN 'valid' ELSE 'test' END AS split,
+         |  CASE WHEN (fp // 1000) % 1000 < 100 + 45 * (srcnum % 20)
+         |       THEN 1 ELSE 0 END AS kept
+         |FROM fps""".stripMargin,
 
     "q_token_stats" ->
       s"""WITH toks AS (
