@@ -154,7 +154,15 @@ object SimilarityOps {
       s"embedding dim ${cents.head.length} not divisible by m=$m subspaces")
     val bc = spark.sparkContext.broadcast(graft.plans.PqKernel.Book(cents, m))
 
-    val codes = emb.select(col("vec_id"), pqEncode(col("embedding"), bc).as("codes"))
+    // the RDD rebase is a deliberate codegen BARRIER, not lineage hygiene:
+    // BroadcastNestedLoopJoin's whole-stage codegen defers streamed-side
+    // projections to their point of use INSIDE the per-build-row loop, so
+    // without the barrier pq_encode runs once per PAIR (measured 7x on the
+    // oracle query; at corpus x query scale it re-creates the exact n*d
+    // cost PQ exists to avoid). The rebase materializes codes once per
+    // corpus row — no shuffle, stays fully distributed.
+    val codes0 = emb.select(col("vec_id"), pqEncode(col("embedding"), bc).as("codes"))
+    val codes = spark.createDataFrame(codes0.rdd, codes0.schema)
     val q = broadcast(queries.select(col("vec_id").as("qid"),
       pqDistTable(col("embedding"), bc).as("dtab")))
     val scored = codes.join(q, col("vec_id") =!= col("qid"))
