@@ -40,6 +40,57 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_sha", "text_len")
 
+  case class SessionEvent(userId: Long, ts: java.sql.Timestamp)
+  case class OpenSession(startUs: Long, endUs: Long, n: Long)
+  case class ClosedSession(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
+
+  /** Streaming gap sessionization — the streaming twin of the batch
+    * q_sessions operator (lag-gap + running sum): a session closes when
+    * `gapMinutes` pass with no event for the key. Sessions are emitted two
+    * ways: by a newer event arriving past the gap (same-key close), and by
+    * EVENT-TIME TIMEOUT once the watermark passes end + gap (idle-key
+    * close) — so output needs no same-key successor, unlike a pure window
+    * formulation. State per key = the single open session (three longs),
+    * bounded by key cardinality and reclaimed on timeout; late events
+    * beyond the watermark are dropped by the engine before grouping.
+    */
+  def sessionizeStream(events: Dataset[SessionEvent], gapMinutes: Int,
+                       watermark: String): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (key: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(key, s.startUs, s.endUs, s.n))
+          } else {
+            val sorted = rows.map(_.ts.getTime * 1000L).toArray.sorted
+            val closed = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endUs <= gapUs =>
+                  cur = Some(OpenSession(s.startUs, math.max(s.endUs, t), s.n + 1))
+                case Some(s) =>
+                  closed += ClosedSession(key, s.startUs, s.endUs, s.n)
+                  cur = Some(OpenSession(t, t, 1))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000L + gapUs / 1000L)
+            }
+            closed.result().iterator
+          }
+        })
+  }
+
   case class Versioned(key: Long, version: Long, tsMicros: Long)
   case class EndTimed(key: Long, version: Long, tsMicros: Long, endMicros: Option[Long])
 

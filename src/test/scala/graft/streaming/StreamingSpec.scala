@@ -118,4 +118,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(new java.io.File(s"$ckpt/offsets").list().nonEmpty)
     } finally q.stop()
   }
+
+  test("streaming sessionization closes sessions by gap AND by event-time timeout") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    def ev(user: Long, min: Int) = StreamingOps.SessionEvent(
+      user, new java.sql.Timestamp(1704067200000L + min * 60000L))
+    def us(min: Int) = (1704067200000L + min * 60000L) * 1000L
+    val q = StreamingOps.sessionizeStream(input.toDS(), 30, "0 minutes")
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // user 1: events at 0,5,10 then 120 -> first session closed by the
+      // same-key gap; user 2: one event at 2, then silence -> closed only
+      // by timeout once the watermark (driven by user 1) passes 2 + 30
+      input.addData(ev(1, 0), ev(1, 5), ev(1, 10), ev(2, 2))
+      q.processAllAvailable()
+      input.addData(ev(1, 120))
+      q.processAllAvailable()
+      // one more batch so the watermark from min 120 fires user 2's timeout
+      input.addData(ev(1, 125))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT userId, startUs, endUs, nEvents FROM sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains((1L, us(0), us(10), 3L)), s"gap-closed session missing: $rows")
+      assert(rows.contains((2L, us(2), us(2), 1L)), s"timeout-closed session missing: $rows")
+    } finally q.stop()
+  }
 }
