@@ -220,6 +220,25 @@ object SparkEntry {
         DedupOps.duplicateClusters(DedupOps.minHashLshPairs(corpus)))
     }),
 
+    // end-to-end training-corpus materialization: quality/length gate ->
+    // MinHash near-dedup -> survivor pick -> content-hash split. Every
+    // stage is an operator oracle'd on its own above; this pins the CHAIN
+    // (the filter feeds dedup, the survivor set feeds the split)
+    "q_pipeline" -> ((s, d) => {
+      val corpus = Synth.corpus(s, d)
+      val gated = corpus.filter(
+        Fns.qualityScore(col("text")).cast("long") >= 400 &&
+        Fns.tokenCount(col("text")).cast("long") >= 20)
+      val surv = DedupOps.dedupSurvivors(gated,
+        DedupOps.duplicateClusters(DedupOps.minHashLshPairs(gated)))
+      surv.join(gated.select(col("doc_id"),
+          graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fp")), "doc_id")
+        .select(col("doc_id"), col("cluster_id"), col("text_len"),
+          when(col("fp") % 1000 < 800, "train")
+            .when(col("fp") % 1000 < 900, "valid")
+            .otherwise("test").as("split"))
+    }),
+
     // --- similarity search ---
     "q_sim_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
@@ -1082,6 +1101,34 @@ object SparkEntry {
          |  FROM cand)
          |WHERE rank <= 10""".stripMargin
     },
+
+    "q_pipeline" ->
+      s"""WITH RECURSIVE base AS ($C),
+         |corpus AS (
+         |  SELECT doc_id, text FROM base
+         |  WHERE ($QualityScoreSql) >= 400
+         |    AND len(regexp_extract_all(text, '[^ ]+')) >= 20),
+         |$clusterCtesSql,
+         |withc AS (
+         |  SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS cid,
+         |    CAST(length(c.text) AS BIGINT) AS len
+         |  FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id),
+         |surv AS (
+         |  SELECT doc_id, cid AS cluster_id, len AS text_len FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY len DESC, doc_id) AS rn
+         |    FROM withc) WHERE rn = 1),
+         |toks AS (
+         |  SELECT doc_id, ${tokenHashSql("tok")} AS h FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM corpus)),
+         |fps AS (
+         |  SELECT c.doc_id,
+         |    coalesce((SELECT CAST(sum(h) AS BIGINT) % 2305843009213693951
+         |      FROM toks WHERE toks.doc_id = c.doc_id), 0) AS fp
+         |  FROM corpus c)
+         |SELECT s.doc_id, s.cluster_id, s.text_len,
+         |  CASE WHEN f.fp % 1000 < 800 THEN 'train'
+         |       WHEN f.fp % 1000 < 900 THEN 'valid' ELSE 'test' END AS split
+         |FROM surv s JOIN fps f ON f.doc_id = s.doc_id""".stripMargin,
 
     "q_sim_pq" -> {
       // rounded squared-L2 between subspace j slices (8 dims) of a and b
