@@ -262,6 +262,12 @@ object SparkEntry {
       SimilarityOps.pqTopK(e, e.filter(col("vec_id") % 25 === 0), 10)
     }),
 
+    // IVF-PQ: inverted-list candidate restriction + compressed ADC rerank
+    "q_sim_ivfpq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.pqTopKIvf(e, e.filter(col("vec_id") % 25 === 0), 10)
+    }),
+
     // deterministic train/valid/test split + per-source mixture sampling:
     // both decisions hash the CONTENT (docFingerprint), not the id, so
     // re-sharding or re-crawling the corpus never migrates a doc across
@@ -1160,6 +1166,69 @@ object SparkEntry {
          |  SELECT d.qid, c.vec_id AS nid, CAST(sum(d.dist) AS BIGINT) AS adist_e6
          |  FROM codes c JOIN dtab d ON d.j = c.j AND d.ci = c.code
          |  WHERE c.vec_id <> d.qid
+         |  GROUP BY 1, 2)
+         |SELECT qid, nid, rank, adist_e6 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist_e6 ASC, nid) AS rank
+         |  FROM scored)
+         |WHERE rank <= 10""".stripMargin
+    },
+
+    "q_sim_ivfpq" -> {
+      def cosE6(a: String, b: String): String = {
+        val dot = s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) " +
+          s"FROM unnest(range(1, 1 + len($b))) AS t(i))"
+        val na = s"sqrt((SELECT sum(CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)) FROM unnest(range(1, 1 + len($a))) AS t(i)))"
+        val nb = s"sqrt((SELECT sum(CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM unnest(range(1, 1 + len($b))) AS t(i)))"
+        s"CAST(round($dot / ($na * $nb) * 1000000) AS BIGINT)"
+      }
+      def de6(a: String, b: String): String = {
+        val diff = s"(CAST($a[j*8+i] AS DOUBLE) - CAST($b[j*8+i] AS DOUBLE))"
+        s"CAST(round((SELECT sum($diff * $diff) " +
+          s"FROM unnest(range(1, 9)) AS t(i)) * 1000000) AS BIGINT)"
+      }
+      // coarse quantizer = cosineTopKIvf's rule; PQ codebook = pqTopK's
+      // rule; candidates via coarse lists, scored by summed sub-distances
+      s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+         |cmod AS (SELECT greatest(cnt // greatest(least(${SimilarityOps.IvfMaxCentroids},
+         |  CAST(ceil(sqrt(cnt)) AS BIGINT)), 1), 1) AS cm FROM n),
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings, cmod
+         |  WHERE vec_id % cm = 3 % cm),
+         |pmod AS (SELECT greatest(cnt // ${SimilarityOps.PqKsub}, 1) AS pm FROM n),
+         |samp AS (
+         |  SELECT ci, semb FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS semb
+         |    FROM embeddings, pmod WHERE vec_id % pm = 3 % pm)
+         |  WHERE ci < ${SimilarityOps.PqKsub}),
+         |subs AS (SELECT unnest(range(0, 8)) AS j),
+         |assigned AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosE6("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |    FROM embeddings e, cent c) WHERE rn = 1),
+         |codes AS (
+         |  SELECT vec_id, j, ci AS code FROM (
+         |    SELECT e.vec_id, subs.j, s.ci,
+         |      row_number() OVER (PARTITION BY e.vec_id, subs.j
+         |        ORDER BY ${de6("e.embedding", "s.semb")} ASC, s.ci) AS rn
+         |    FROM embeddings e, subs, samp s) WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, cid FROM (
+         |    SELECT q.vec_id AS qid, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosE6("q.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |    FROM embeddings q, cent c WHERE q.vec_id % 25 = 0) WHERE rn <= 4),
+         |dtab AS (
+         |  SELECT q.vec_id AS qid, subs.j, s.ci, ${de6("q.embedding", "s.semb")} AS dist
+         |  FROM embeddings q, subs, samp s WHERE q.vec_id % 25 = 0),
+         |cands AS (
+         |  SELECT DISTINCT p.qid, a.vec_id AS nid
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+         |scored AS (
+         |  SELECT c.qid, c.nid, CAST(sum(d.dist) AS BIGINT) AS adist_e6
+         |  FROM cands c JOIN codes k ON k.vec_id = c.nid
+         |    JOIN dtab d ON d.qid = c.qid AND d.j = k.j AND d.ci = k.code
          |  GROUP BY 1, 2)
          |SELECT qid, nid, rank, adist_e6 FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist_e6 ASC, nid) AS rank

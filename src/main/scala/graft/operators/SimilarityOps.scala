@@ -74,9 +74,14 @@ object SimilarityOps {
     * the quantizer) and one O(K)-row collect (builds the broadcast) —
     * documented trade-off, same contract as knn's density probe.
     */
-  def cosineTopKIvf(emb: DataFrame, queries: DataFrame, k: Int,
-                    maxCentroids: Int = IvfMaxCentroids, nprobe: Int = 4): DataFrame = {
-    import graft.plans.GeomExpressions.vecNearestCentroids
+  /** Build the bounded coarse quantizer (shared by cosineTopKIvf and
+    * pqTopKIvf): K = min(maxCentroids, ceil(sqrt(n))) target centroids by
+    * the residue rule vec_id % max(n/K,1) == 3 % max(n/K,1), broadcast as
+    * an O(K) table. One count() + one bounded collect — the documented
+    * eager trade-off.
+    */
+  private def coarseQuantizer(emb: DataFrame, maxCentroids: Int)
+      : org.apache.spark.broadcast.Broadcast[graft.plans.CentroidKernel.Cents] = {
     val spark = emb.sparkSession
     val n = math.max(emb.count(), 1L)
     val kTarget = math.max(1L,
@@ -97,7 +102,13 @@ object SimilarityOps {
     require(cents.length <= cap,
       s"vec_id residue class $mod/${3L % mod} selects > $cap centroids — ids are " +
         "not near-uniform; pass a larger maxCentroids or reshard ids")
-    val bc = spark.sparkContext.broadcast(cents)
+    spark.sparkContext.broadcast(cents)
+  }
+
+  def cosineTopKIvf(emb: DataFrame, queries: DataFrame, k: Int,
+                    maxCentroids: Int = IvfMaxCentroids, nprobe: Int = 4): DataFrame = {
+    import graft.plans.GeomExpressions.vecNearestCentroids
+    val bc = coarseQuantizer(emb, maxCentroids)
 
     val assigned = emb.withColumn("cid",
       element_at(vecNearestCentroids(col("embedding"), 1, bc), 1))
@@ -138,9 +149,12 @@ object SimilarityOps {
     * Output: (qid, nid, rank, adist_e6), rank by (adist_e6 asc, nid asc),
     * k rows per query (approximate distances — PQ semantics).
     */
-  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
-             ksub: Int = PqKsub, m: Int = 8): DataFrame = {
-    import graft.plans.GeomExpressions.{pqAdcScore, pqDistTable, pqEncode}
+  /** Build the PQ codebook (shared by pqTopK and pqTopKIvf): the first
+    * `ksub` vectors (by vec_id) of the residue class vec_id % max(n/ksub,1)
+    * == 3 % max(n/ksub,1); entry index IS the code.
+    */
+  private def pqCodebook(emb: DataFrame, ksub: Int, m: Int)
+      : org.apache.spark.broadcast.Broadcast[graft.plans.PqKernel.Book] = {
     val spark = emb.sparkSession
     val n = math.max(emb.count(), 1L)
     val mod = math.max(n / ksub, 1L)
@@ -152,7 +166,14 @@ object SimilarityOps {
     require(cents.nonEmpty, s"no vec_id % $mod == ${3L % mod} in the corpus (n=$n)")
     require(cents.head.length % m == 0,
       s"embedding dim ${cents.head.length} not divisible by m=$m subspaces")
-    val bc = spark.sparkContext.broadcast(graft.plans.PqKernel.Book(cents, m))
+    spark.sparkContext.broadcast(graft.plans.PqKernel.Book(cents, m))
+  }
+
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+             ksub: Int = PqKsub, m: Int = 8): DataFrame = {
+    import graft.plans.GeomExpressions.{pqAdcScore, pqDistTable, pqEncode}
+    val spark = emb.sparkSession
+    val bc = pqCodebook(emb, ksub, m)
 
     // the RDD rebase is a deliberate codegen BARRIER, not lineage hygiene:
     // BroadcastNestedLoopJoin's whole-stage codegen defers streamed-side
@@ -170,6 +191,48 @@ object SimilarityOps {
         pqAdcScore(col("dtab"), col("codes")).as("adist_e6"))
     val w = Window.partitionBy(col("qid")).orderBy(col("adist_e6"), col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("adist_e6"))
+  }
+
+  /** IVF-PQ top-k — the full large-corpus ANN architecture (inverted
+    * lists for CANDIDATE RESTRICTION, product quantization for COMPRESSED
+    * SCORING, the composition used at billion-vector scale): every vector
+    * is stored as (coarse list id, m PQ codes); a query probes its
+    * `nprobe` nearest coarse lists (cosine, like cosineTopKIvf) and ranks
+    * ONLY those candidates by ADC squared-L2 against its per-query
+    * distance table. Per query the scan touches n·nprobe/K candidates at
+    * m lookups each — vs pqTopK's full-corpus ADC scan and
+    * cosineTopKIvf's d-float candidates.
+    *
+    * Plan: both broadcasts are O(K)+O(ksub); the candidate join is a cid
+    * equi-join (shuffle or broadcast-hash by size); the codes side passes
+    * through the same RDD rebase barrier as pqTopK so encode/assignment
+    * run once per corpus row regardless of join strategy. Output:
+    * (qid, nid, rank, adist_e6), ANN semantics (possibly < k rows).
+    */
+  def pqTopKIvf(emb: DataFrame, queries: DataFrame, k: Int,
+                maxCentroids: Int = IvfMaxCentroids, nprobe: Int = 4,
+                ksub: Int = PqKsub, m: Int = 8): DataFrame = {
+    import graft.plans.GeomExpressions.{pqAdcScore, pqDistTable, pqEncode, vecNearestCentroids}
+    val spark = emb.sparkSession
+    val bcCents = coarseQuantizer(emb, maxCentroids)
+    val bcBook = pqCodebook(emb, ksub, m)
+
+    val codes0 = emb.select(col("vec_id"),
+      element_at(vecNearestCentroids(col("embedding"), 1, bcCents), 1).as("cid"),
+      pqEncode(col("embedding"), bcBook).as("codes"))
+    val codes = spark.createDataFrame(codes0.rdd, codes0.schema)
+    val probes = queries.select(col("vec_id").as("qid"),
+        col("embedding").as("qemb"))
+      .withColumn("cid", explode(vecNearestCentroids(col("qemb"), nprobe, bcCents)))
+      .select(col("qid"), col("cid"), pqDistTable(col("qemb"), bcBook).as("dtab"))
+    val cand = probes.join(codes, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        pqAdcScore(col("dtab"), col("codes")).as("adist_e6"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist_e6"), col("nid"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("adist_e6"))
   }

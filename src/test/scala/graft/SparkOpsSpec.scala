@@ -702,6 +702,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF-PQ: ADC scores agree with full-PQ on every emitted pair") {
+    val e = Synth.embCorpus(spark, dir)
+    val qs = e.filter(col("vec_id") % 100 === 0)
+    // k larger than the corpus -> pqTopK ranks EVERY pair; IVF-PQ must
+    // emit a subset of those pairs with identical ADC scores
+    val full = SimilarityOps.pqTopK(e, qs, 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val ivfpq = SimilarityOps.pqTopKIvf(e, qs, 10).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(full.contains(key), s"pair $key not in full PQ scan")
+      assert(full(key) === r.getLong(3), s"ADC score mismatch for $key")
+    }
+  }
+
   test("boilerplateChunks: shared chunks across docs are flagged, within-doc repeats are not") {
     val s = spark; import s.implicits._
     def words(tag: String, n: Int): String = (0 until n).map(i => s"$tag$i").mkString(" ")
