@@ -41,10 +41,13 @@ object DedupOps {
     * Scale: explode is narrow (doc_id, hash) pairs; the global chunk
     * count is one hash-shuffle groupBy with partial aggregation (the
     * distinct-doc count first collapses (hash, doc) map-side); the
-    * boiler set re-joins on the same hash key so the exchange is reused,
-    * and the final per-doc rollup shuffles one narrow row per chunk
-    * instance. No step is quadratic and no side is broadcast — at 10^12
-    * docs this is the exact CCNet plan.
+    * filtered boiler set joins back to the chunk stream — planned as a
+    * broadcast-hash join while the boiler set is small and a shuffle
+    * equi-join (AQE) once it outgrows the threshold — and the final
+    * per-doc rollup shuffles one narrow row per chunk instance. The
+    * chunk stream is recomputed (not cached) on both sides of the join:
+    * a map-only explode is cheaper to replay than to persist at corpus
+    * scale. No step is quadratic.
     */
   def boilerplateChunks(corpus: DataFrame, w: Int = 8,
                         minDocs: Int = 2): DataFrame = {
