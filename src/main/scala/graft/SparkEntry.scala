@@ -481,6 +481,29 @@ object SparkEntry {
         .filter(col("rank") <= 3)
     }),
 
+    // distributed dense renumbering: consecutive ids in (lang, doc_id)
+    // order with NO single-partition window — range-partitioned sort +
+    // per-partition offsets (zipWithIndex), every stage parallel
+    "q_renumber" -> ((s, d) =>
+      IdOps.renumber(t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id")),
+
+    // snapshot diff -> change stream (the inverse of q_merge_upsert's
+    // apply): full-outer key join, content compared by sha256
+    "q_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      // older snapshot: %11 ids absent (-> create), %7 texts truncated
+      // (-> modify), retired +3000000 ids present only there (-> delete)
+      val older = docs.filter(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            expr("substring(text, 1, length(text) - 5)"))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      IdOps.snapshotDiff(older, docs, "doc_id", Seq("text"))
+    }),
+
     // --- change-stream run grouping (osc create/modify/delete) ---
     "q_change_groups" -> ((s, d) => {
       // the osc writer's open_close_op_tag run grouping (xml.hpp:205-227)
@@ -929,6 +952,29 @@ object SparkEntry {
          |FROM chunks c LEFT JOIN boiler b ON b.ch = c.ch
          |GROUP BY 1""".stripMargin
     },
+
+    "q_renumber" ->
+      """SELECT doc_id, lang,
+        |  row_number() OVER (ORDER BY lang, doc_id) AS new_id
+        |FROM documents""".stripMargin,
+
+    "q_diff" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |older AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN substr(text, 1, length(text) - 5) ELSE text END AS text
+        |  FROM docs WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, text FROM docs WHERE doc_id % 13 = 0),
+        |o AS (SELECT doc_id, sha256(text) AS h FROM older),
+        |n AS (SELECT doc_id, sha256(text) AS h FROM docs),
+        |j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'create'
+        |         WHEN n.doc_id IS NULL THEN 'delete'
+        |         WHEN o.h <> n.h THEN 'modify' END AS op
+        |  FROM o FULL JOIN n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, op FROM j WHERE op IS NOT NULL""".stripMargin,
 
     "q_dedup_exact" ->
       s"""WITH corpus AS ($C)

@@ -748,6 +748,21 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.core.TextHash.wordChunkHashes(text, 8).toSeq === Seq(expect))
   }
 
+  test("IdOps: renumber is dense in total order; snapshotDiff classifies multi-column changes") {
+    val s = spark; import s.implicits._
+    val df = Seq((5L, "b"), (1L, "a"), (9L, "a"), (3L, "b"))
+      .toDF("id", "g").repartition(3)
+    val got = IdOps.renumber(df, "g", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got === Map(1L -> 1L, 9L -> 2L, 3L -> 3L, 5L -> 4L))
+
+    val older = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "z", 30L)).toDF("id", "a", "b")
+    val newer = Seq((1L, "x", 10L), (2L, "y", 21L), (4L, "w", 40L)).toDF("id", "a", "b")
+    val ops = IdOps.snapshotDiff(older, newer, "id", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ops === Set((2L, "modify"), (3L, "delete"), (4L, "create")))
+  }
+
   test("asofJoin equals brute-force latest-prior lookup, inclusive at equal ts") {
     val s = spark; import s.implicits._
     // synthetic frame with an equal-ts collision (k=1, ts=20) to pin the
