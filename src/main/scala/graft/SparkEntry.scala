@@ -481,6 +481,24 @@ object SparkEntry {
         .filter(col("rank") <= 3)
     }),
 
+    // region extract with the complete-ways closure (the reference
+    // ecosystem's extract semantics): nodes in the bbox seed their ways,
+    // and kept ways pull back ALL their nodes — including out-of-region
+    // ones — so no kept way dangles. Two semi-join closures, all
+    // hash-shuffle equi-joins on narrow keys
+    "q_extract" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      val refs = pts.select(expr("pid DIV 100").as("way_id"), col("pid"))
+      val inRegion = col("lon_fix").between(0L, 299999999L) &&
+        col("lat_fix").between(0L, 199999999L)
+      val keptWays = refs.join(pts.filter(inRegion).select("pid"), "pid")
+        .select("way_id").distinct()
+      val keptNodes = refs.join(keptWays, "way_id").select("pid").distinct()
+      keptNodes.join(pts, "pid")
+        .select(col("pid"), col("lon_fix"), col("lat_fix"),
+          when(inRegion, 1L).otherwise(0L).as("in_region"))
+    }),
+
     // distributed dense renumbering: consecutive ids in (lang, doc_id)
     // order with NO single-partition window — range-partitioned sort +
     // per-partition offsets (zipWithIndex), every stage parallel
@@ -952,6 +970,21 @@ object SparkEntry {
          |FROM chunks c LEFT JOIN boiler b ON b.ch = c.ch
          |GROUP BY 1""".stripMargin
     },
+
+    "q_extract" ->
+      s"""WITH pts AS ($P),
+         |refs AS (SELECT pid // 100 AS way_id, pid FROM pts),
+         |inr AS (
+         |  SELECT pid FROM pts
+         |  WHERE lon_fix BETWEEN 0 AND 299999999
+         |    AND lat_fix BETWEEN 0 AND 199999999),
+         |kw AS (SELECT DISTINCT way_id FROM refs JOIN inr USING (pid)),
+         |kn AS (SELECT DISTINCT r.pid FROM refs r JOIN kw USING (way_id))
+         |SELECT p.pid, p.lon_fix, p.lat_fix,
+         |  CASE WHEN p.lon_fix BETWEEN 0 AND 299999999
+         |        AND p.lat_fix BETWEEN 0 AND 199999999
+         |       THEN 1 ELSE 0 END AS in_region
+         |FROM pts p JOIN kn USING (pid)""".stripMargin,
 
     "q_renumber" ->
       """SELECT doc_id, lang,
