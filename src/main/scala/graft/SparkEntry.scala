@@ -275,7 +275,7 @@ object SparkEntry {
     "q_split" -> ((s, d) => {
       val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
         graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fp"),
-        substring(col("source"), 4, 10).cast("long").as("srcnum"))
+        expr("substring(source, 4)").cast("long").as("srcnum"))
       scored.select(col("doc_id"), col("source"),
         (col("fp") % 1000).as("bucket"),
         when(col("fp") % 1000 < 800, "train")
@@ -690,6 +690,40 @@ object SparkEntry {
        |  SELECT id AS doc_id, least(id, coalesce(min(b), id)) AS cluster_id
        |  FROM cnodes LEFT JOIN reach ON a = id GROUP BY id)""".stripMargin
 
+  /** DuckDB twin of CentroidKernel.roundE6(cosine) — shared by the IVF
+    * oracles.
+    */
+  private def cosE6Sql(a: String, b: String): String = {
+    val dot = s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) " +
+      s"FROM unnest(range(1, 1 + len($b))) AS t(i))"
+    val na = s"sqrt((SELECT sum(CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)) FROM unnest(range(1, 1 + len($a))) AS t(i)))"
+    val nb = s"sqrt((SELECT sum(CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM unnest(range(1, 1 + len($b))) AS t(i)))"
+    s"CAST(round($dot / ($na * $nb) * 1000000) AS BIGINT)"
+  }
+
+  /** DuckDB twin of PqKernel's rounded squared-L2 between 8-dim subspace
+    * j slices of `a` and `b` — shared by the PQ oracles.
+    */
+  private def pqSubDistSql(a: String, b: String): String = {
+    val diff = s"(CAST($a[j*8+i] AS DOUBLE) - CAST($b[j*8+i] AS DOUBLE))"
+    s"CAST(round((SELECT sum($diff * $diff) " +
+      s"FROM unnest(range(1, 9)) AS t(i)) * 1000000) AS BIGINT)"
+  }
+
+  /** Survivor-selection CTEs over `corpus` + `labels` (shared by
+    * q_dedup_survivors and q_pipeline): one survivor per cluster, longest
+    * text, ties by doc_id; unclustered docs survive as singletons.
+    */
+  private val SurvivorCtesSql: String =
+    """withc AS (
+      |  SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS cid,
+      |    CAST(length(c.text) AS BIGINT) AS len
+      |  FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id),
+      |surv AS (
+      |  SELECT doc_id, cid AS cluster_id, len AS text_len FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY len DESC, doc_id) AS rn
+      |    FROM withc) WHERE rn = 1)""".stripMargin
+
   /** DuckDB twin of Fns.qualityScore over `text` (shared by q_quality and
     * q_topk_group).
     */
@@ -1046,14 +1080,8 @@ object SparkEntry {
     "q_dedup_survivors" ->
       s"""WITH RECURSIVE corpus AS ($C),
          |$clusterCtesSql,
-         |withc AS (
-         |  SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS cid,
-         |    CAST(length(c.text) AS BIGINT) AS len
-         |  FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id)
-         |SELECT doc_id, cid AS cluster_id, len AS text_len FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY len DESC, doc_id) AS rn
-         |  FROM withc)
-         |WHERE rn = 1""".stripMargin,
+         |$SurvivorCtesSql
+         |SELECT doc_id, cluster_id, text_len FROM surv""".stripMargin,
 
     "q_dedup_simhash" -> {
       // 64-bit simhash as 4x16-bit bands (core.TextHash.simHash64 layout):
@@ -1149,13 +1177,7 @@ object SparkEntry {
     },
 
     "q_sim_ivf" -> {
-      def cosE6(a: String, b: String): String = {
-        val dot = s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) " +
-          s"FROM unnest(range(1, 1 + len($b))) AS t(i))"
-        val na = s"sqrt((SELECT sum(CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)) FROM unnest(range(1, 1 + len($a))) AS t(i)))"
-        val nb = s"sqrt((SELECT sum(CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM unnest(range(1, 1 + len($b))) AS t(i)))"
-        s"CAST(round($dot / ($na * $nb) * 1000000) AS BIGINT)"
-      }
+      def cosE6(a: String, b: String): String = cosE6Sql(a, b)
       // bounded coarse quantizer: K = min(IvfMaxCentroids, ceil(sqrt(n)))
       // target centroids via the residue rule vec_id % mod == 3 % mod —
       // the EXACT rule cosineTopKIvf computes from its count() (floor
@@ -1194,14 +1216,7 @@ object SparkEntry {
          |  WHERE ($QualityScoreSql) >= 400
          |    AND len(regexp_extract_all(text, '[^ ]+')) >= 20),
          |$clusterCtesSql,
-         |withc AS (
-         |  SELECT c.doc_id, coalesce(l.cluster_id, c.doc_id) AS cid,
-         |    CAST(length(c.text) AS BIGINT) AS len
-         |  FROM corpus c LEFT JOIN labels l ON l.doc_id = c.doc_id),
-         |surv AS (
-         |  SELECT doc_id, cid AS cluster_id, len AS text_len FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY len DESC, doc_id) AS rn
-         |    FROM withc) WHERE rn = 1),
+         |$SurvivorCtesSql,
          |toks AS (
          |  SELECT doc_id, ${tokenHashSql("tok")} AS h FROM (
          |    SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM corpus)),
@@ -1216,12 +1231,7 @@ object SparkEntry {
          |FROM surv s JOIN fps f ON f.doc_id = s.doc_id""".stripMargin,
 
     "q_sim_pq" -> {
-      // rounded squared-L2 between subspace j slices (8 dims) of a and b
-      def de6(a: String, b: String): String = {
-        val diff = s"(CAST($a[j*8+i] AS DOUBLE) - CAST($b[j*8+i] AS DOUBLE))"
-        s"CAST(round((SELECT sum($diff * $diff) " +
-          s"FROM unnest(range(1, 9)) AS t(i)) * 1000000) AS BIGINT)"
-      }
+      def de6(a: String, b: String): String = pqSubDistSql(a, b)
       // codebook = first 16 vectors (by vec_id) of the residue class —
       // the EXACT rule pqTopK computes from its count(); ci is the code
       s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
@@ -1253,18 +1263,8 @@ object SparkEntry {
     },
 
     "q_sim_ivfpq" -> {
-      def cosE6(a: String, b: String): String = {
-        val dot = s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) " +
-          s"FROM unnest(range(1, 1 + len($b))) AS t(i))"
-        val na = s"sqrt((SELECT sum(CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)) FROM unnest(range(1, 1 + len($a))) AS t(i)))"
-        val nb = s"sqrt((SELECT sum(CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM unnest(range(1, 1 + len($b))) AS t(i)))"
-        s"CAST(round($dot / ($na * $nb) * 1000000) AS BIGINT)"
-      }
-      def de6(a: String, b: String): String = {
-        val diff = s"(CAST($a[j*8+i] AS DOUBLE) - CAST($b[j*8+i] AS DOUBLE))"
-        s"CAST(round((SELECT sum($diff * $diff) " +
-          s"FROM unnest(range(1, 9)) AS t(i)) * 1000000) AS BIGINT)"
-      }
+      def cosE6(a: String, b: String): String = cosE6Sql(a, b)
+      def de6(a: String, b: String): String = pqSubDistSql(a, b)
       // coarse quantizer = cosineTopKIvf's rule; PQ codebook = pqTopK's
       // rule; candidates via coarse lists, scored by summed sub-distances
       s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),

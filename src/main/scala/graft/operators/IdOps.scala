@@ -42,10 +42,13 @@ object IdOps {
     */
   def snapshotDiff(older: DataFrame, newer: DataFrame, keyCol: String,
                    hashCols: Seq[String]): DataFrame = {
-    // \u0001-separated so ("ab","c") and ("a","bc") hash differently
+    // \u0001-separated so ("ab","c") and ("a","bc") hash differently, and
+    // nulls encoded explicitly (concat_ws SKIPS nulls, which would make
+    // (x, null) and (null, x) collide and a null->value change invisible)
     def sig(df: DataFrame, as: String): DataFrame =
       df.select(col(keyCol),
-        sha2(concat_ws("\u0001", hashCols.map(col): _*), 256).as(as))
+        sha2(concat_ws("\u0001", hashCols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0002"))): _*), 256).as(as))
     sig(older, "__old").join(sig(newer, "__new"), Seq(keyCol), "full_outer")
       .withColumn("op",
         when(col("__old").isNull, "create")

@@ -223,10 +223,12 @@ object SimilarityOps {
       element_at(vecNearestCentroids(col("embedding"), 1, bcCents), 1).as("cid"),
       pqEncode(col("embedding"), bcBook).as("codes"))
     val codes = spark.createDataFrame(codes0.rdd, codes0.schema)
+    // dtab and the probe list are computed BEFORE the explode so the
+    // O(m*ksub*d) table is built once per query, not once per probe
     val probes = queries.select(col("vec_id").as("qid"),
-        col("embedding").as("qemb"))
-      .withColumn("cid", explode(vecNearestCentroids(col("qemb"), nprobe, bcCents)))
-      .select(col("qid"), col("cid"), pqDistTable(col("qemb"), bcBook).as("dtab"))
+        pqDistTable(col("embedding"), bcBook).as("dtab"),
+        vecNearestCentroids(col("embedding"), nprobe, bcCents).as("cids"))
+      .select(col("qid"), col("dtab"), explode(col("cids")).as("cid"))
     val cand = probes.join(codes, "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),

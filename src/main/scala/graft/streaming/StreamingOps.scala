@@ -42,17 +42,22 @@ object StreamingOps {
 
   case class SessionEvent(userId: Long, ts: java.sql.Timestamp)
   case class OpenSession(startUs: Long, endUs: Long, n: Long)
+  case class SessionsState(open: Seq[OpenSession])
   case class ClosedSession(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
 
   /** Streaming gap sessionization — the streaming twin of the batch
     * q_sessions operator (lag-gap + running sum): a session closes when
-    * `gapMinutes` pass with no event for the key. Sessions are emitted two
-    * ways: by a newer event arriving past the gap (same-key close), and by
-    * EVENT-TIME TIMEOUT once the watermark passes end + gap (idle-key
-    * close) — so output needs no same-key successor, unlike a pure window
-    * formulation. State per key = the single open session (three longs),
-    * bounded by key cardinality and reclaimed on timeout; late events
-    * beyond the watermark are dropped by the engine before grouping.
+    * `gapMinutes` pass with no event for the key. State per key = the
+    * OPEN session intervals (plural: a late-but-in-watermark event may
+    * start, extend backwards, or BRIDGE sessions, so a single-interval
+    * state would silently mis-merge out-of-order input); each invocation
+    * sweep-merges state intervals with the batch's events and finalizes
+    * every interval whose end + gap is behind the watermark — a session
+    * is emitted only once nothing can still touch it, via a same-key
+    * batch or via EVENT-TIME TIMEOUT for idle keys. Event times are
+    * carried at microsecond precision (matching the batch twin's
+    * unix_micros); state is bounded by key cardinality times the handful
+    * of in-flight intervals inside the watermark horizon.
     */
   def sessionizeStream(events: Dataset[SessionEvent], gapMinutes: Int,
                        watermark: String): Dataset[ClosedSession] = {
@@ -62,32 +67,31 @@ object StreamingOps {
       .groupByKey(_.userId)
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        (key: Long, rows: Iterator[SessionEvent], state: GroupState[OpenSession]) => {
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(key, s.startUs, s.endUs, s.n))
-          } else {
-            val sorted = rows.map(_.ts.getTime * 1000L).toArray.sorted
-            val closed = Seq.newBuilder[ClosedSession]
-            var cur = state.getOption
-            sorted.foreach { t =>
-              cur match {
-                case Some(s) if t - s.endUs <= gapUs =>
-                  cur = Some(OpenSession(s.startUs, math.max(s.endUs, t), s.n + 1))
-                case Some(s) =>
-                  closed += ClosedSession(key, s.startUs, s.endUs, s.n)
-                  cur = Some(OpenSession(t, t, 1))
-                case None =>
-                  cur = Some(OpenSession(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.endUs / 1000L + gapUs / 1000L)
-            }
-            closed.result().iterator
+        (key: Long, rows: Iterator[SessionEvent],
+         state: GroupState[SessionsState]) => {
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val prior = state.getOption.map(_.open).getOrElse(Seq.empty)
+          val incoming = rows.map { e =>
+            val us = (e.ts.getTime / 1000L) * 1000000L + (e.ts.getNanos / 1000L)
+            OpenSession(us, us, 1)
+          }.toSeq
+          val merged = (prior ++ incoming).sortBy(s => (s.startUs, s.endUs))
+            .foldLeft(List.empty[OpenSession]) {
+              case (cur :: rest, s) if s.startUs - cur.endUs <= gapUs =>
+                OpenSession(cur.startUs, math.max(cur.endUs, s.endUs),
+                  cur.n + s.n) :: rest
+              case (acc, s) => s :: acc
+            }.reverse
+          val (done, open) = merged.partition(_.endUs + gapUs <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(open))
+            // ms-floor can land exactly on the watermark -> clamp forward
+            state.setTimeoutTimestamp(math.max(
+              open.map(_.endUs + gapUs).min / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
           }
+          done.iterator.map(s => ClosedSession(key, s.startUs, s.endUs, s.n))
         })
   }
 

@@ -146,4 +146,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows.contains((2L, us(2), us(2), 1L)), s"timeout-closed session missing: $rows")
     } finally q.stop()
   }
+
+  test("streaming sessionization merges out-of-order and session-bridging late events") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    def ev(user: Long, min: Int) = StreamingOps.SessionEvent(
+      user, new java.sql.Timestamp(1704067200000L + min * 60000L))
+    def us(min: Int) = (1704067200000L + min * 60000L) * 1000L
+    val q = StreamingOps.sessionizeStream(input.toDS(), 30, "3 hours")
+      .writeStream.format("memory").queryName("oos").outputMode("append").start()
+    try {
+      // user 3: 100 then LATE 95 (extends start backwards) then 60
+      // (> gap before 95 -> its own session); user 4: 0 and 50 are two
+      // open sessions until late 25 BRIDGES them into one
+      input.addData(ev(3, 100), ev(4, 0), ev(4, 50))
+      q.processAllAvailable()
+      input.addData(ev(3, 95), ev(4, 25))
+      q.processAllAvailable()
+      input.addData(ev(3, 60))
+      q.processAllAvailable()
+      // drive the watermark (3h delay) far enough to finalize everything
+      input.addData(ev(9, 500))
+      q.processAllAvailable()
+      input.addData(ev(9, 501))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT userId, startUs, endUs, nEvents FROM oos WHERE userId IN (3,4)")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows === Set(
+        (3L, us(60), us(60), 1L),
+        (3L, us(95), us(100), 2L),
+        (4L, us(0), us(50), 3L)), s"got: $rows")
+    } finally q.stop()
+  }
 }
