@@ -481,6 +481,13 @@ object SparkEntry {
         .filter(col("rank") <= 3)
     }),
 
+    // exact ring area/orientation scalar (the assembler's per-ring CCW
+    // test as a standalone): BigInt-accumulated shoelace vs the hexagon
+    // family's closed form 2A = 4s(r+h)
+    "q_poly_area" -> ((s, d) =>
+      Synth.hexCorpus(s, PipLargePolys).select(col("poly_id"),
+        graft.plans.GeomExpressions.ringArea2(col("xs"), col("ys")).as("area2"))),
+
     // region extract with the complete-ways closure (the reference
     // ecosystem's extract semantics): nodes in the bbox seed their ways,
     // and kept ways pull back ALL their nodes — including out-of-region
@@ -1004,6 +1011,10 @@ object SparkEntry {
          |FROM chunks c LEFT JOIN boiler b ON b.ch = c.ch
          |GROUP BY 1""".stripMargin
     },
+
+    "q_poly_area" ->
+      s"""WITH hx AS (${Synth.hexCorpusSql(PipLargePolys)})
+         |SELECT poly_id, 4 * s * (r + h) AS area2 FROM hx""".stripMargin,
 
     "q_extract" ->
       s"""WITH pts AS ($P),

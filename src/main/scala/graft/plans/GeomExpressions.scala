@@ -14,6 +14,39 @@ import graft.core.{Planar, TextHash}
 object RingKernel {
   def contains(x: Long, y: Long, xs: ArrayData, ys: ArrayData): Boolean =
     Planar.pointInRing(x, y, xs.toLongArray(), ys.toLongArray())
+
+  /** Twice the signed shoelace area in fix^2 units (positive = CCW) —
+    * exact: the kernel accumulates in BigInt, so absolute coords never
+    * overflow mid-sum; the RESULT must fit int64 (any sub-hemisphere
+    * ring does — a near-world-bbox ring is rejected, not wrapped).
+    */
+  def area2(xs: ArrayData, ys: ArrayData): Long = {
+    val a = Planar.signedArea2(xs.toLongArray(), ys.toLongArray())
+    require(a.isValidLong, "ring area2 overflows int64 (near-world-size ring)")
+    a.longValue
+  }
+}
+
+/** Native exact 2x-signed-area of a fixed-point ring column (shoelace,
+  * BigInt-accumulated). Reference capability: the ring-orientation test
+  * the assembler runs per ring, reference/include/osmium/multipolygon/
+  * builder.hpp (CCW/CW classification), exposed as a scalar.
+  */
+case class RingArea2(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ring_area2"
+
+  override def nullSafeEval(xs: Any, ys: Any): Any =
+    RingKernel.area2(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (xs, ys) => s"graft.plans.RingKernel.area2($xs, $ys)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native exact ray-cast point-in-ring test where the RING IS A COLUMN —
@@ -294,6 +327,10 @@ object GeomExpressions {
                           bc: Broadcast[CentroidKernel.Cents]): Column =
     GraftColumnBridge.column(VecNearestCentroids(
       GraftColumnBridge.expression(vec), top, bc))
+
+  def ringArea2(xs: Column, ys: Column): Column =
+    GraftColumnBridge.column(RingArea2(
+      GraftColumnBridge.expression(xs), GraftColumnBridge.expression(ys)))
 
   def pqEncode(vec: Column, bc: Broadcast[PqKernel.Book]): Column =
     GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(vec), bc))

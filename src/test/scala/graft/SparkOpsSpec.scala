@@ -748,6 +748,20 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.core.TextHash.wordChunkHashes(text, 8).toSeq === Seq(expect))
   }
 
+  test("asofJoin plans exactly one exchange and one window (no range explosion)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+    val plan = HistoryOps.asofJoin(clicks, views, "user_id", "ts", Seq("value"))
+      .queryExecution.executedPlan.toString
+    def count(node: String): Int = node.r.findAllIn(plan).length
+    assert(count("Exchange hashpartitioning") === 1, s"expected 1 hash exchange:\n$plan")
+    assert(count("Window \\[") === 1, s"expected 1 window:\n$plan")
+    assert(!plan.contains("Join"), s"asof must not plan a join:\n$plan")
+  }
+
   test("IdOps: renumber is dense in total order; snapshotDiff classifies multi-column changes") {
     val s = spark; import s.implicits._
     val df = Seq((5L, "b"), (1L, "a"), (9L, "a"), (3L, "b"))
