@@ -180,4 +180,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         (4L, us(0), us(50), 3L)), s"got: $rows")
     } finally q.stop()
   }
+
+  test("streaming sessionization == batch gap rule on randomized arrival order") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val rnd = new scala.util.Random(20260817L)
+    val base = 1704067200000L
+    val events = (0 until 200).map { _ =>
+      (rnd.nextInt(10).toLong, base + rnd.nextInt(2000) * 60000L)
+    }.distinct
+    // batch truth: per user, sorted, split on gaps > 30 min
+    val expected = events.groupBy(_._1).flatMap { case (u, evs) =>
+      val ts = evs.map(_._2 * 1000L).sorted
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var start = ts.head; var end = ts.head; var n = 1L
+      ts.tail.foreach { t =>
+        if (t - end > 1800000000L) { sessions += ((start, end, n)); start = t; end = t; n = 1 }
+        else { end = t; n += 1 }
+      }
+      sessions += ((start, end, n))
+      sessions.map { case (st, en, k) => (u, st, en, k) }
+    }.toSet
+
+    // stream the SAME events in random order across batches; the
+    // watermark delay exceeds the whole span so nothing is late-dropped
+    val shuffled = rnd.shuffle(events)
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val q = StreamingOps.sessionizeStream(input.toDS(), 30, "3000 minutes")
+      .writeStream.format("memory").queryName("rndsess").outputMode("append").start()
+    try {
+      shuffled.grouped(37).foreach { batch =>
+        input.addData(batch.map { case (u, ms) =>
+          StreamingOps.SessionEvent(u, new java.sql.Timestamp(ms)) }: _*)
+        q.processAllAvailable()
+      }
+      // sentinel far-future events flush every session past end + gap
+      input.addData(StreamingOps.SessionEvent(99L,
+        new java.sql.Timestamp(base + 10000L * 60000L)))
+      q.processAllAvailable()
+      input.addData(StreamingOps.SessionEvent(99L,
+        new java.sql.Timestamp(base + 10001L * 60000L)))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT userId, startUs, endUs, nEvents FROM rndsess WHERE userId < 10")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === expected,
+        s"missing: ${expected -- got}\nextra: ${got -- expected}")
+    } finally q.stop()
+  }
 }
