@@ -268,6 +268,18 @@ object SparkEntry {
       SimilarityOps.pqTopKIvf(e, e.filter(col("vec_id") % 25 === 0), 10)
     }),
 
+    // HyperLogLog distinct-count sketch per language — DETERMINISTIC
+    // registers (pure integer function of the oracle-twinned fingerprint,
+    // harmonic sum kept in exact int64), so the oracle compares the
+    // SKETCH, not a tolerance; exact distinct joined alongside for error
+    // visibility. Map-side partial MAX collapses registers pre-shuffle
+    "q_hll" -> ((s, d) => {
+      val withFp = t(s, d, "documents").select(col("lang"),
+        graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fp"))
+      SketchOps.hllDistinct(withFp, "lang", col("fp"))
+        .join(withFp.groupBy("lang").agg(countDistinct("fp").as("n_exact")), "lang")
+    }),
+
     // deterministic train/valid/test split + per-source mixture sampling:
     // both decisions hash the CONTENT (docFingerprint), not the id, so
     // re-sharding or re-crawling the corpus never migrates a doc across
@@ -1375,6 +1387,33 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rank
          |  FROM scored)
          |WHERE rank <= 3""".stripMargin,
+
+    "q_hll" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokenHashSql("tok")} AS h FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents)),
+         |fps AS (
+         |  SELECT d.doc_id, d.lang,
+         |    coalesce((SELECT CAST(sum(h) AS BIGINT) % 2305843009213693951
+         |      FROM toks WHERE toks.doc_id = d.doc_id), 0) AS fp
+         |  FROM documents d),
+         |rr AS (
+         |  SELECT lang, fp % 64 AS reg,
+         |    least(bit_count((((fp >> 6) & (-(fp >> 6))) - 1)) + 1, 44) AS rho
+         |  FROM fps),
+         |regs AS (SELECT lang, reg, max(rho) AS mrho FROM rr GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT lang, count(*) AS n_regs,
+         |    CAST(sum(CAST(1 AS BIGINT) << (44 - mrho)) AS BIGINT) AS pop_sum
+         |  FROM regs GROUP BY 1),
+         |ex AS (SELECT lang, count(DISTINCT fp) AS n_exact FROM fps GROUP BY 1)
+         |SELECT a.lang, a.n_regs,
+         |  a.pop_sum + (64 - a.n_regs) * (CAST(1 AS BIGINT) << 44) AS reg_sum,
+         |  CAST(round((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * 17592186044416.0
+         |    / (a.pop_sum + (64 - a.n_regs) * (CAST(1 AS BIGINT) << 44)) * 1000.0)
+         |    AS BIGINT) AS est_e3,
+         |  e.n_exact
+         |FROM agg a JOIN ex e ON e.lang = a.lang""".stripMargin,
 
     "q_split" ->
       s"""WITH toks AS (

@@ -748,6 +748,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.core.TextHash.wordChunkHashes(text, 8).toSeq === Seq(expect))
   }
 
+  test("HLL sketch: registers bounded, estimate within the standard error envelope") {
+    val s = spark; import s.implicits._
+    // 20000 seeded-uniform distinct hashes in the 61-bit fingerprint range
+    // (i * constant would carry i's trailing zeros into the rank and skew
+    // the registers — the sketch needs hash-uniform input, which
+    // docFingerprint provides in production)
+    val rnd = new scala.util.Random(42)
+    val hashes = Iterator.continually(rnd.nextLong() & ((1L << 61) - 1))
+      .distinct.take(20000).map(("g", _)).toSeq.toDF("g", "fp")
+    val r = SketchOps.hllDistinct(hashes, "g", col("fp")).collect()(0)
+    val est = r.getLong(3) / 1000.0
+    assert(r.getLong(1) === 64L, "all 64 registers should be populated at n=20000")
+    // raw HLL at m=64: sigma ~ 13%; assert within 3 sigma
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.4, s"estimate $est too far from 20000")
+  }
+
   test("asofJoin plans exactly one exchange and one window (no range explosion)") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val clicks = ev.filter(col("event_type") === "click")
