@@ -181,6 +181,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("micro-batch ANN serving: streaming query vectors against a static corpus via foreachBatch") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Synth.embCorpus(ss, dir)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val input = MemoryStream[Long]
+    val q = input.toDS().toDF("qv")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val qids = batch.collect().map(_.getLong(0))
+        if (qids.nonEmpty) {
+          val queries = corpus.filter(corpus("vec_id").isin(qids: _*))
+          val top = graft.operators.SimilarityOps.cosineTopK(corpus, queries, 1)
+          results.synchronized {
+            results ++= top.collect().map(r => (r.getLong(0), r.getLong(1)))
+          }
+        }
+        ()
+      }
+      .start()
+    try {
+      // injected near-dups (vec_id >= 1000000): nearest neighbor is the source
+      input.addData(1000000L, 1000010L)
+      q.processAllAvailable()
+      input.addData(1000020L)
+      q.processAllAvailable()
+      val got = results.synchronized(results.toMap)
+      assert(got === Map(1000000L -> 0L, 1000010L -> 10L, 1000020L -> 20L), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming sessionization == batch gap rule on randomized arrival order") {
     val ss = spark
     import ss.implicits._
