@@ -181,6 +181,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming HLL == batch SketchOps sketch after the same rows") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7L)
+    val rows = (1 to 600).map { _ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextLong() & ((1L << 61) - 1)) }.distinct
+    val expected = graft.operators.SketchOps
+      .hllDistinct(rows.toDF("g", "fp"), "g", col("fp"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingOps.hllStream(input.toDS())
+      .writeStream.format("memory").queryName("hll").outputMode("update").start()
+    try {
+      rows.grouped(97).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      // last update per group is the final sketch
+      val got = spark.sql(
+        """SELECT group, nRegs, regSum, estE3 FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY group ORDER BY regSum ASC) AS rn
+          |  FROM hll) WHERE rn = 1""".stripMargin)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(got === expected, s"streaming sketch != batch sketch\n$got\n$expected")
+    } finally q.stop()
+  }
+
   test("micro-batch ANN serving: streaming query vectors against a static corpus via foreachBatch") {
     val ss = spark
     import ss.implicits._
