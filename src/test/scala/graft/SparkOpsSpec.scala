@@ -748,6 +748,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.core.TextHash.wordChunkHashes(text, 8).toSeq === Seq(expect))
   }
 
+  test("pages invariant: extracted text is byte-identical to the html payload per url") {
+    // the north-rule checksum contract: for every url, the text column is
+    // exactly the html body bytes (extraction is lossless), enforced by
+    // comparing sha256 over the DISTRIBUTED frame, not a sampled subset
+    val mismatches = Synth.pages(spark, dir)
+      .select(col("url"),
+        sha2(col("text"), 256).as("text_sha"),
+        sha2(decode(expr(
+          "substring(html, 13, length(html) - 26)"), "UTF-8"), 256).as("body_sha"))
+      .filter(col("text_sha") =!= col("body_sha"))
+      .count()
+    assert(mismatches === 0L)
+    assert(Synth.pages(spark, dir).select("url").distinct().count() ===
+      Synth.pages(spark, dir).count(), "url must be unique per page")
+  }
+
   test("HLL sketch: registers bounded, estimate within the standard error envelope") {
     val s = spark; import s.implicits._
     // 20000 seeded-uniform distinct hashes in the 61-bit fingerprint range
