@@ -276,8 +276,7 @@ object SparkEntry {
     "q_hll" -> ((s, d) => {
       val withFp = t(s, d, "documents").select(col("lang"),
         graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fp"))
-      SketchOps.hllDistinct(withFp, "lang", col("fp"))
-        .join(withFp.groupBy("lang").agg(countDistinct("fp").as("n_exact")), "lang")
+      SketchOps.hllDistinctWithExact(withFp, "lang", col("fp"))
     }),
 
     // deterministic train/valid/test split + per-source mixture sampling:
@@ -1398,22 +1397,27 @@ object SparkEntry {
          |      FROM toks WHERE toks.doc_id = d.doc_id), 0) AS fp
          |  FROM documents d),
          |rr AS (
-         |  SELECT lang, fp % 64 AS reg,
-         |    least(bit_count((((fp >> 6) & (-(fp >> 6))) - 1)) + 1, 44) AS rho
+         |  SELECT lang, fp,
+         |    fp % ${graft.core.Hll.M} AS reg,
+         |    least(bit_count((((fp >> 6) & (-(fp >> 6))) - 1)) + 1,
+         |      ${graft.core.Hll.RhoCap}) AS rho
          |  FROM fps),
-         |regs AS (SELECT lang, reg, max(rho) AS mrho FROM rr GROUP BY 1, 2),
+         |regs AS (
+         |  SELECT lang, reg, max(rho) AS mrho, count(DISTINCT fp) AS nd
+         |  FROM rr GROUP BY 1, 2),
          |agg AS (
          |  SELECT lang, count(*) AS n_regs,
-         |    CAST(sum(CAST(1 AS BIGINT) << (44 - mrho)) AS BIGINT) AS pop_sum
-         |  FROM regs GROUP BY 1),
-         |ex AS (SELECT lang, count(DISTINCT fp) AS n_exact FROM fps GROUP BY 1)
-         |SELECT a.lang, a.n_regs,
-         |  a.pop_sum + (64 - a.n_regs) * (CAST(1 AS BIGINT) << 44) AS reg_sum,
-         |  CAST(round((0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 * 17592186044416.0
-         |    / (a.pop_sum + (64 - a.n_regs) * (CAST(1 AS BIGINT) << 44)) * 1000.0)
-         |    AS BIGINT) AS est_e3,
-         |  e.n_exact
-         |FROM agg a JOIN ex e ON e.lang = a.lang""".stripMargin,
+         |    CAST(sum(CAST(1 AS BIGINT) << (${graft.core.Hll.RhoCap} - mrho))
+         |      AS BIGINT) AS pop_sum,
+         |    CAST(sum(nd) AS BIGINT) AS n_exact
+         |  FROM regs GROUP BY 1)
+         |SELECT lang, n_regs,
+         |  pop_sum + (${graft.core.Hll.M} - n_regs) * ${graft.core.Hll.Scale} AS reg_sum,
+         |  CAST(round(${graft.core.Hll.EstNumerator}
+         |    / (pop_sum + (${graft.core.Hll.M} - n_regs) * ${graft.core.Hll.Scale})
+         |    * 1000.0) AS BIGINT) AS est_e3,
+         |  n_exact
+         |FROM agg""".stripMargin,
 
     "q_split" ->
       s"""WITH toks AS (

@@ -2,23 +2,55 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Hll
 
 /** Distributed sketches with DETERMINISTIC parity: every register value is
   * a pure integer function of the (already oracle-twinned) row hash, so
   * the same sketch — not merely a similar estimate — is computable in the
-  * DuckDB oracle and hash-compared.
+  * DuckDB oracle and hash-compared. Constants and estimator math live in
+  * graft.core.Hll (shared with the streaming twin and the oracle SQL).
   */
 object SketchOps {
 
-  /** HyperLogLog registers/estimate per group over a 61-bit row hash
+  /** (group, reg, rho, __h) register stream — the map side both variants
+    * share. Hash contract per Hll: NONNEGATIVE values (docFingerprint).
+    */
+  private def registers(df: DataFrame, groupCol: String,
+                        hashCol: Column): DataFrame = {
+    val w = shiftright(hashCol, 6) // hash div 64, exact (hash >= 0)
+    val rho = least(
+      bit_count((w.bitwiseAND(-w) - lit(1L))) + lit(1), lit(Hll.RhoCap))
+    df.select(col(groupCol), (hashCol % Hll.M).as("reg"), rho.as("rho"),
+      hashCol.as("__h"))
+  }
+
+  /** Per-group rollup of the aggregated (group, reg, mrho, ...) frame:
+    * n_regs, exact-int64 harmonic reg_sum (absent registers contribute
+    * 2^RhoCap each), e3-rounded raw estimate.
+    */
+  private def finish(regAgg: DataFrame, groupCol: String,
+                     extraAggs: Seq[Column]): DataFrame =
+    regAgg.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_regs"),
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Hll.RhoCap} - mrho)"))
+          .as("__pop") +: extraAggs): _*)
+      .withColumn("reg_sum",
+        col("__pop") + (lit(Hll.M.toLong) - col("n_regs")) * lit(Hll.Scale))
+      .withColumn("est_e3",
+        round(lit(Hll.EstNumerator) / col("reg_sum") * lit(1000.0), 0)
+          .cast("long"))
+      .drop("__pop")
+
+  /** HyperLogLog registers/estimate per group over a nonnegative row hash
     * column (e.g. Fns.docFingerprint).
     *
-    * Layout: m=64 registers; register index = hash mod 64; rank rho =
-    * trailing zeros of (hash div 64) + 1, capped at 44 (cap keeps the
-    * harmonic sum in exact integer arithmetic: sum of 1/2^rho scaled by
-    * 2^44 is a sum of int64 powers of two, max 64·2^44 << 2^63 — no
-    * floating-point accumulation order anywhere). Estimate =
-    * alpha_64·m²·2^44 / regSum, one exact double division rounded to e3.
+    * Layout (constants in graft.core.Hll): m=64 registers; register index
+    * = hash mod 64; rank rho = trailing zeros of (hash div 64) + 1,
+    * capped at 44 (cap keeps the harmonic sum in exact integer
+    * arithmetic: sum of 1/2^rho scaled by 2^44 is a sum of int64 powers
+    * of two, max 64·2^44 << 2^63 — no floating-point accumulation order
+    * anywhere). Estimate = alpha_64·m²·2^44 / regSum, one exact double
+    * division rounded to e3.
     *
     * Plan: groupBy(group, register) MAX — map-side partial max collapses
     * each register before the shuffle, so the exchange carries at most
@@ -27,8 +59,7 @@ object SketchOps {
     * cardinality pass wants: two narrow shuffles, no distinct.
     *
     * Output: (group, n_regs, reg_sum, est_e3) — n_regs = populated
-    * registers (empty ones contribute 2^44 each to the harmonic sum,
-    * added as (m - n_regs)·2^44 instead of materializing them).
+    * registers.
     *
     * This is the RAW HLL estimator (no small-range linear-counting
     * branch): the correction uses ln(), whose last-ulp behaviour is
@@ -36,21 +67,26 @@ object SketchOps {
     * the standard ~1.04/sqrt(64) ~ 13% relative error at cardinalities
     * above ~2.5m, more below.
     */
-  def hllDistinct(df: DataFrame, groupCol: String, hashCol: Column): DataFrame = {
-    val m = 64
-    val w = shiftright(hashCol, 6) // hash div 64, exact (hash >= 0)
-    val rho = least(
-      bit_count((w.bitwiseAND(-w) - lit(1L))) + lit(1), lit(44))
-    val regs = df.select(col(groupCol), (hashCol % m).as("reg"), rho.as("rho"))
-      .groupBy(col(groupCol), col("reg"))
-      .agg(max("rho").as("mrho"))
-    regs.groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_regs"),
-        sum(expr("shiftleft(CAST(1 AS BIGINT), 44 - mrho)")).as("pop_sum"))
-      .select(col(groupCol), col("n_regs"),
-        (col("pop_sum") + (lit(64L) - col("n_regs")) * lit(1L << 44)).as("reg_sum"))
-      .withColumn("est_e3",
-        round(lit(0.7213 / (1.0 + 1.079 / 64.0)) * lit(64.0 * 64.0) *
-          lit((1L << 44).toDouble) / col("reg_sum") * lit(1000.0), 0).cast("long"))
-  }
+  def hllDistinct(df: DataFrame, groupCol: String, hashCol: Column): DataFrame =
+    finish(
+      registers(df, groupCol, hashCol)
+        .groupBy(col(groupCol), col("reg")).agg(max("rho").as("mrho")),
+      groupCol, Nil)
+      .select(col(groupCol), col("n_regs"), col("reg_sum"), col("est_e3"))
+
+  /** hllDistinct plus the EXACT per-group distinct count, in the SAME
+    * single pass: the register index is a pure function of the hash, so
+    * distinct hashes partition by register and the per-(group, reg)
+    * distinct counts SUM to the group's exact distinct — no second scan,
+    * no join, and the hash column is evaluated once per row.
+    */
+  def hllDistinctWithExact(df: DataFrame, groupCol: String,
+                           hashCol: Column): DataFrame =
+    finish(
+      registers(df, groupCol, hashCol)
+        .groupBy(col(groupCol), col("reg"))
+        .agg(max("rho").as("mrho"), countDistinct(col("__h")).as("__nd")),
+      groupCol, Seq(sum("__nd").as("n_exact")))
+      .select(col(groupCol), col("n_regs"), col("reg_sum"), col("est_e3"),
+        col("n_exact"))
 }

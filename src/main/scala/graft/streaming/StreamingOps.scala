@@ -100,36 +100,35 @@ object StreamingOps {
 
   /** Incremental HyperLogLog per group — the streaming face of
     * SketchOps.hllDistinct, value-identical by construction: the state is
-    * the 64-byte register array, rank/estimate use the same integer
-    * arithmetic (rho = trailing zeros + 1 capped at 44; harmonic sum
-    * scaled by 2^44 in int64; one double division rounded HALF_UP), so
-    * after any prefix of the stream the emitted sketch equals the batch
-    * operator run on the same rows. Update-mode output: every batch
-    * re-emits the groups it touched.
+    * the 64-byte register array, and rank/estimate come from the SAME
+    * core kernel (graft.core.Hll) the batch operator and the DuckDB
+    * oracle constants derive from, so after any prefix of the stream the
+    * emitted sketch equals the batch operator run on the same rows.
+    * Update-mode output: every batch re-emits the groups it touched.
+    * Hash contract per Hll: NONNEGATIVE values — floorMod guards the
+    * register index so an out-of-contract negative hash degrades (like
+    * the batch form) instead of killing the streaming query.
     */
   def hllStream(hashes: Dataset[(String, Long)]): Dataset[HllEstimate] = {
     import hashes.sparkSession.implicits._
+    import graft.core.Hll
     hashes.groupByKey(_._1).mapGroupsWithState(
       GroupStateTimeout.NoTimeout())(
       (group: String, rows: Iterator[(String, Long)], state: GroupState[HllState]) => {
-        val regs = state.getOption.map(_.regs).getOrElse(new Array[Byte](64))
+        val regs = state.getOption.map(_.regs).getOrElse(new Array[Byte](Hll.M))
         rows.foreach { case (_, h) =>
-          val reg = (h % 64).toInt
-          val rho = math.min(java.lang.Long.numberOfTrailingZeros(h >>> 6) + 1, 44)
+          val reg = java.lang.Math.floorMod(h, Hll.M.toLong).toInt
+          val rho = Hll.rho(h)
           if (rho > regs(reg)) regs(reg) = rho.toByte
         }
         state.update(HllState(regs))
         var nRegs = 0L
         var regSum = 0L
         regs.foreach { r =>
-          if (r > 0) { nRegs += 1; regSum += 1L << (44 - r) }
-          else regSum += 1L << 44
+          if (r > 0) { nRegs += 1; regSum += 1L << (Hll.RhoCap - r) }
+          else regSum += Hll.Scale
         }
-        val est = 0.7213 / (1.0 + 1.079 / 64.0) * 4096.0 *
-          (1L << 44).toDouble / regSum * 1000.0
-        HllEstimate(group, nRegs, regSum,
-          java.math.BigDecimal.valueOf(est)
-            .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+        HllEstimate(group, nRegs, regSum, Hll.estE3(regSum))
       })
   }
 
