@@ -1131,9 +1131,11 @@ object SparkEntry {
          |hj AS (SELECT doc_id, $hjs FROM toks),
          |votes AS (SELECT doc_id, $votes FROM hj GROUP BY doc_id),
          |sims AS (SELECT doc_id, $sims FROM votes),
-         |bank AS ($bank)
+         |bank AS ($bank),
+         |kept AS (SELECT * FROM bank QUALIFY
+         |  count(*) OVER (PARTITION BY band, band_key) <= ${DedupOps.MaxBandBucket})
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST($ham AS BIGINT) AS dist
-         |FROM bank a JOIN bank b
+         |FROM kept a JOIN kept b
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |WHERE ($ham) <= 3""".stripMargin
     },
@@ -1145,9 +1147,11 @@ object SparkEntry {
       val nb = "sqrt((SELECT sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) FROM unnest(range(1, 1 + len(b.embedding))) AS t(i)))"
       s"""WITH src AS ($E),
          |$lshBankSql,
+         |bkept AS (SELECT * FROM bk QUALIFY
+         |  count(*) OVER (PARTITION BY tbl, bucket) <= ${DedupOps.MaxBandBucket}),
          |cand AS (
          |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
-         |  FROM bk x JOIN bk y
+         |  FROM bkept x JOIN bkept y
          |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |SELECT c.va AS vec_a, c.vb AS vec_b,
          |  CAST(round($dot / ($na * $nb) * 10000) AS BIGINT) AS cos_e4

@@ -264,20 +264,32 @@ object DedupOps {
     * LSH), pairs at hamming distance <= maxDist. Candidates = docs sharing
     * at least one full band; by pigeonhole this is recall-COMPLETE for
     * maxDist <= SimHashBands - 1 = 3 (require it). Each band key is 16
-    * bits -> 65536 buckets per band, so the per-bucket self-join stays
-    * bounded at large corpus sizes (the old 16-bit/8-bit-half form
-    * saturated its 256 buckets and emitted O(n^2/256) pairs).
+    * bits -> 65536 buckets per band, which bounds bucket sizes
+    * statistically — but a degenerate corpus (millions of near-empty docs
+    * whose simhash collapses to one value) still concentrates one bucket,
+    * so band buckets larger than MaxBandBucket are skipped exactly like
+    * the MinHash path: one such bucket of size s would emit s^2/2 pairs
+    * and dominate the whole job at crawl scale. Docs sheared off this way
+    * are (near-)identical — the exact-dedup pipeline's job.
     */
-  def simHashPairs(corpus: DataFrame, maxDist: Int): DataFrame = {
+  def simHashPairs(corpus: DataFrame, maxDist: Int,
+                   scope: CacheScope = CacheScope.global): DataFrame = {
     require(maxDist <= SimHashBands - 1,
       s"band bucketing is recall-complete only for maxDist <= ${SimHashBands - 1}")
     val sh = corpus.select(col("doc_id"),
       graft.plans.TextHashExpressions.simHash64(col("text")).as("sh"))
-    val banded = sh.select(col("doc_id"), col("sh"),
+    // persisted (scope-released): feeds the bucket-size filter and both
+    // sides of the candidate self-join
+    val banded = scope.persist(sh.select(col("doc_id"), col("sh"),
       posexplode(array((0 until SimHashBands).map(j =>
         shiftright(col("sh"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band", "band_key")))
-    val a = banded.as("a"); val b = banded.as("b")
+        .as(Seq("band", "band_key"))))
+    val smallBuckets = banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= MaxBandBucket)
+      .select("band", "band_key")
+    val kept = banded.join(smallBuckets, Seq("band", "band_key"))
+    val a = kept.as("a"); val b = kept.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -298,13 +310,27 @@ object DedupOps {
     * old 8-sign-bit form had 256 buckets total and went quadratic);
     * near-identical vectors agree on nearly every hyperplane, so
     * multi-table agreement is near-certain. Exact cosine verifies.
+    *
+    * Buckets larger than MaxBandBucket are skipped (same cap as the
+    * MinHash/SimHash paths): 4096 buckets per table bound sizes only
+    * statistically, and a crawl-scale corpus WILL have a degenerate
+    * bucket (e.g. near-zero embeddings all hashing alike) whose s^2/2
+    * pair blowup would dominate the job.
     */
-  def embeddingNearDups(emb: DataFrame, thresholdE4: Long): DataFrame = {
-    val e = emb.select(col("vec_id"), col("embedding"),
+  def embeddingNearDups(emb: DataFrame, thresholdE4: Long,
+                        scope: CacheScope = CacheScope.global): DataFrame = {
+    // persisted (scope-released): feeds the bucket-size filter and both
+    // sides of the candidate self-join
+    val e = scope.persist(emb.select(col("vec_id"), col("embedding"),
       posexplode(graft.plans.TextHashExpressions
         .vecLshBuckets(col("embedding"), NearDupTables, NearDupBits))
-        .as(Seq("table", "bucket")))
-    val a = e.as("a"); val b = e.as("b")
+        .as(Seq("table", "bucket"))))
+    val smallBuckets = e.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= MaxBandBucket)
+      .select("table", "bucket")
+    val kept = e.join(smallBuckets, Seq("table", "bucket"))
+    val a = kept.as("a"); val b = kept.as("b")
     a.join(b, col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -482,6 +482,36 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "mega-bucket boilerplate must not emit quadratic pairs")
   }
 
+  test("simhash LSH skips degenerate mega-buckets but keeps normal near-dup pairs") {
+    val ss = spark; import ss.implicits._
+    // 200 identical docs: every band bucket they land in has size 200 > cap
+    val boiler = (0 until 200).map(i => (i.toLong, "common boilerplate text shared by every page of this mirror site"))
+    // long doc so one appended token shifts few vote sums past zero
+    val uniq = Seq.fill(20)("a genuinely unique document about banded hamming lsh over crawl text").mkString(" ")
+    val rows = boiler ++ Seq((1000L, uniq), (1001L, uniq + " y"))
+    val pairs = DedupOps.simHashPairs(rows.toDF("doc_id", "text"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1000L, 1001L)), "near-dup pair must survive the cap")
+    assert(!pairs.exists { case (a, b) => a < 200 && b < 200 },
+      "mega-bucket boilerplate must not emit quadratic pairs")
+  }
+
+  test("embedding near-dup LSH skips degenerate mega-buckets but keeps normal pairs") {
+    val ss = spark; import ss.implicits._
+    val d = 16
+    // 200 identical vectors: same bucket in every table, size 200 > cap
+    val common = Array.tabulate(d)(i => (0.1f * (i % 7)) - 0.3f)
+    val base = Array.tabulate(d)(i => math.sin(i + 1.0).toFloat)
+    val near = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 1e-4f else v }
+    val rows = (0 until 200).map(i => (i.toLong, common)) ++
+      Seq((1000L, base), (1001L, near))
+    val pairs = DedupOps.embeddingNearDups(rows.toDF("vec_id", "embedding"), 9000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1000L, 1001L)), "near-identical pair must survive the cap")
+    assert(!pairs.exists { case (a, b) => a < 200 && b < 200 },
+      "mega-bucket identical vectors must not emit quadratic pairs")
+  }
+
   test("native DocFingerprint matches the Column-composed spec form") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").limit(100)
     val both = docs.select(
