@@ -708,6 +708,18 @@ object SparkEntry {
        |  SELECT id AS doc_id, least(id, coalesce(min(b), id)) AS cluster_id
        |  FROM cnodes LEFT JOIN reach ON a = id GROUP BY id)""".stripMargin
 
+  /** DuckDB twin of core.TextHash.mixId / Fns.mixId (BIGINT-safe id
+    * scatter; every intermediate < 2^62 so DuckDB's non-wrapping BIGINT
+    * arithmetic never overflows) — shared by the IVF/PQ sampler oracles.
+    */
+  private def mixIdSql(e: String): String = {
+    val M = "2147483647"
+    def xs(z: String) = s"xor(($z), (($z) >> 16))"
+    val z0 = s"((($e) % $M + $M) % $M)"
+    val z1 = xs(s"(($z0 * 1103515245 + 12345) % $M)")
+    xs(s"(($z1 * 69069 + 1) % $M)")
+  }
+
   /** DuckDB twin of CentroidKernel.roundE6(cosine) — shared by the IVF
     * oracles.
     */
@@ -1205,7 +1217,7 @@ object SparkEntry {
     "q_sim_ivf" -> {
       def cosE6(a: String, b: String): String = cosE6Sql(a, b)
       // bounded coarse quantizer: K = min(IvfMaxCentroids, ceil(sqrt(n)))
-      // target centroids via the residue rule vec_id % mod == 3 % mod —
+      // target centroids via the residue rule mixId(vec_id) % mod == 3 % mod —
       // the EXACT rule cosineTopKIvf computes from its count() (floor
       // division both sides; 3 % mod keeps small corpora non-empty)
       s"""WITH n AS (SELECT count(*) AS c FROM embeddings),
@@ -1213,7 +1225,7 @@ object SparkEntry {
          |  CAST(ceil(sqrt(c)) AS BIGINT)), 1), 1) AS m FROM n),
          |cent AS (
          |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings, md
-         |  WHERE vec_id % m = 3 % m),
+         |  WHERE ${mixIdSql("vec_id")} % m = 3 % m),
          |assigned AS (
          |  SELECT vec_id, embedding, cid FROM (
          |    SELECT e.vec_id, e.embedding, c.cid,
@@ -1265,7 +1277,7 @@ object SparkEntry {
          |samp AS (
          |  SELECT ci, cemb FROM (
          |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS cemb
-         |    FROM embeddings, p WHERE vec_id % md = 3 % md)
+         |    FROM embeddings, p WHERE ${mixIdSql("vec_id")} % md = 3 % md)
          |  WHERE ci < ${SimilarityOps.PqKsub}),
          |subs AS (SELECT unnest(range(0, 8)) AS j),
          |codes AS (
@@ -1298,12 +1310,12 @@ object SparkEntry {
          |  CAST(ceil(sqrt(cnt)) AS BIGINT)), 1), 1) AS cm FROM n),
          |cent AS (
          |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings, cmod
-         |  WHERE vec_id % cm = 3 % cm),
+         |  WHERE ${mixIdSql("vec_id")} % cm = 3 % cm),
          |pmod AS (SELECT greatest(cnt // ${SimilarityOps.PqKsub}, 1) AS pm FROM n),
          |samp AS (
          |  SELECT ci, semb FROM (
          |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS semb
-         |    FROM embeddings, pmod WHERE vec_id % pm = 3 % pm)
+         |    FROM embeddings, pmod WHERE ${mixIdSql("vec_id")} % pm = 3 % pm)
          |  WHERE ci < ${SimilarityOps.PqKsub}),
          |subs AS (SELECT unnest(range(0, 8)) AS j),
          |assigned AS (

@@ -27,6 +27,23 @@ object TextHash {
     z ^ (z >>> 31)
   }
 
+  /** BIGINT-safe id mixer shared bit-for-bit with the DuckDB oracle
+    * (mix64's wrapping 64-bit multiplies can't be written in DuckDB SQL —
+    * BIGINT overflow raises). Two rounds of LCG-mod-(2^31-1) + xor-shift;
+    * every intermediate stays under 2^62, output in [0, 2^31). Used to
+    * scatter vec_ids before residue sampling so a clustered id space
+    * (snowflake ids, all ids = r mod 1000) still yields a near-uniform
+    * sample.
+    */
+  def mixId(v: Long): Long = {
+    val M = 2147483647L
+    var z = (v % M + M) % M
+    z = (z * 1103515245L + 12345L) % M
+    z = z ^ (z >>> 16)
+    z = (z * 69069L + 1L) % M
+    z ^ (z >>> 16)
+  }
+
   /** Deterministic hyperplane weight in (-0.5, 0.5) for (table, bit, dim). */
   def lshWeight(table: Int, bit: Int, dim: Int): Double = {
     val h = mix64(table.toLong * 1000003L + bit.toLong * 8191L + dim.toLong)

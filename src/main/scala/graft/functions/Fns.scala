@@ -215,6 +215,22 @@ object Fns {
     array_min(transform(shingles, h => (h * lit(a) + lit(b)) % lit(1000000007L)))
   }
 
+  /** Column twin of core.TextHash.mixId — the BIGINT-safe id scatter used
+    * by the IVF/PQ residue samplers (and their DuckDB oracles) so that
+    * clustered id spaces still sample uniformly. Bit-for-bit the kernel:
+    * two LCG-mod-(2^31-1) rounds with xor-shift folds.
+    */
+  def mixId(c: Column): Column = {
+    // plain subtree duplication (no bindOnce): every piece is a handful of
+    // codegen'd integer ops, and interpreted HOF lambdas cost far more
+    // than re-evaluating them
+    def xs16(z: Column): Column = z.bitwiseXOR(shiftright(z, 16))
+    val z0 = (c % MixM + MixM) % MixM
+    val z1 = xs16((z0 * lit(1103515245L) + lit(12345L)) % MixM)
+    xs16((z1 * lit(69069L) + lit(1L)) % MixM)
+  }
+  private val MixM = lit(2147483647L)
+
   /** Let-binding for collection expressions: evaluates `v` exactly once and
     * exposes it to `body` as a lambda variable. Without this, k references
     * to the same Column re-evaluate its whole subtree k times (Catalyst

@@ -58,7 +58,7 @@ object SimilarityOps {
   /** IVF-Flat approximate cosine top-k (the inverted-file scale path,
     * complementing the LSH path). The coarse quantizer is a deterministic
     * BOUNDED sample: K = min(IvfMaxCentroids, ceil(sqrt(n))) target
-    * centroids selected by vec_id % max(n/K, 1) == 3 — K never exceeds
+    * centroids selected by mixId(vec_id) % max(n/K, 1) == 3 % max(n/K, 1) — K never exceeds
     * 4096 no matter the corpus size, so the centroid table is a true O(K)
     * broadcast and assignment costs n·K cosines (a single map stage), not
     * the n²/mod of a corpus-proportional centroid set. Every vector joins
@@ -76,9 +76,9 @@ object SimilarityOps {
     */
   /** Build the bounded coarse quantizer (shared by cosineTopKIvf and
     * pqTopKIvf): K = min(maxCentroids, ceil(sqrt(n))) target centroids by
-    * the residue rule vec_id % max(n/K,1) == 3 % max(n/K,1), broadcast as
-    * an O(K) table. One count() + one bounded collect — the documented
-    * eager trade-off.
+    * the residue rule mixId(vec_id) % max(n/K,1) == 3 % max(n/K,1),
+    * broadcast as an O(K) table. One count() + one bounded collect — the
+    * documented eager trade-off.
     */
   private def coarseQuantizer(emb: DataFrame, maxCentroids: Int)
       : org.apache.spark.broadcast.Broadcast[graft.plans.CentroidKernel.Cents] = {
@@ -87,21 +87,24 @@ object SimilarityOps {
     val kTarget = math.max(1L,
       math.min(maxCentroids.toLong, math.ceil(math.sqrt(n.toDouble)).toLong))
     val mod = math.max(n / kTarget, 1L)
-    // residue 3 % mod (not a bare 3) keeps the rule non-empty when a small
-    // corpus makes mod <= 3; the limit+require hard-bound the driver
-    // collect against pathological id distributions concentrated in one
-    // residue class (never silently subsets — parity cases all pass)
+    // the residue is taken of mixId(vec_id), not the raw id: a clustered
+    // id space (snowflake ids; all ids = r mod 1000) would otherwise make
+    // one residue class hold most of the corpus and abort the build. The
+    // mixer scatters any id distribution near-uniformly, so the cap below
+    // is a genuine never-hit safety bound (it still never silently
+    // subsets). 3 % mod (not a bare 3) keeps the rule non-empty when a
+    // small corpus makes mod <= 3.
     val cap = 4 * math.max(maxCentroids, 1)
     val cents: graft.plans.CentroidKernel.Cents =
-      emb.filter(col("vec_id") % mod === (3L % mod))
+      emb.filter(Fns.mixId(col("vec_id")) % mod === (3L % mod))
         .select(col("vec_id"), col("embedding"))
         .limit(cap + 1).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
-    require(cents.nonEmpty, s"no vec_id % $mod == ${3L % mod} in the corpus (n=$n)")
+    require(cents.nonEmpty, s"no mixId(vec_id) % $mod == ${3L % mod} in the corpus (n=$n)")
     require(cents.length <= cap,
-      s"vec_id residue class $mod/${3L % mod} selects > $cap centroids — ids are " +
-        "not near-uniform; pass a larger maxCentroids or reshard ids")
+      s"mixId(vec_id) residue class $mod/${3L % mod} selects > $cap centroids " +
+        "(statistically impossible for the uniform mixer; indicates duplicate vec_ids)")
     spark.sparkContext.broadcast(cents)
   }
 
@@ -139,8 +142,8 @@ object SimilarityOps {
     * plus m adds per candidate.
     *
     * Codebook: deterministic bounded sample — the first `ksub` vectors
-    * (by vec_id) of the residue class vec_id % max(n/ksub,1) == 3 %
-    * max(n/ksub,1); entry index IS the code. Sub-distances are rounded to
+    * (by vec_id) of the residue class mixId(vec_id) % max(n/ksub,1) ==
+    * 3 % max(n/ksub,1); entry index IS the code. Sub-distances are rounded to
     * 1e-6 BEFORE argmin/summing, so encode ties and ADC totals are exact
     * integer arithmetic (oracle-parity by construction). Eager cost at
     * plan time: one count() + one O(ksub)-row collect, the same
@@ -150,8 +153,8 @@ object SimilarityOps {
     * k rows per query (approximate distances — PQ semantics).
     */
   /** Build the PQ codebook (shared by pqTopK and pqTopKIvf): the first
-    * `ksub` vectors (by vec_id) of the residue class vec_id % max(n/ksub,1)
-    * == 3 % max(n/ksub,1); entry index IS the code.
+    * `ksub` vectors (by vec_id) of the residue class mixId(vec_id) %
+    * max(n/ksub,1) == 3 % max(n/ksub,1); entry index IS the code.
     */
   private def pqCodebook(emb: DataFrame, ksub: Int, m: Int)
       : org.apache.spark.broadcast.Broadcast[graft.plans.PqKernel.Book] = {
@@ -159,11 +162,11 @@ object SimilarityOps {
     val n = math.max(emb.count(), 1L)
     val mod = math.max(n / ksub, 1L)
     val cents: Array[Array[Float]] =
-      emb.filter(col("vec_id") % mod === (3L % mod))
+      emb.filter(Fns.mixId(col("vec_id")) % mod === (3L % mod))
         .select(col("vec_id"), col("embedding"))
         .orderBy(col("vec_id")).limit(ksub).collect()
         .map(_.getSeq[Float](1).toArray)
-    require(cents.nonEmpty, s"no vec_id % $mod == ${3L % mod} in the corpus (n=$n)")
+    require(cents.nonEmpty, s"no mixId(vec_id) % $mod == ${3L % mod} in the corpus (n=$n)")
     require(cents.head.length % m == 0,
       s"embedding dim ${cents.head.length} not divisible by m=$m subspaces")
     spark.sparkContext.broadcast(graft.plans.PqKernel.Book(cents, m))

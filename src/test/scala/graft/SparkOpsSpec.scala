@@ -580,10 +580,32 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val kTarget = math.max(1L, math.min(SimilarityOps.IvfMaxCentroids.toLong,
       math.ceil(math.sqrt(n.toDouble)).toLong))
     val mod = math.max(n / kTarget, 1L)
-    val nCents = e.filter(col("vec_id") % mod === 3).count()
-    // dense ids → actual count within 2x of the target, never corpus-scale
+    val nCents = e.filter(Fns.mixId(col("vec_id")) % mod === (3L % mod)).count()
+    // uniform mixed hash → actual count within 2x of the target, never
+    // corpus-scale
     assert(nCents > 0 && nCents <= 2 * kTarget,
       s"n=$n kTarget=$kTarget mod=$mod -> $nCents centroids")
+  }
+
+  test("Fns.mixId (Column) agrees with TextHash.mixId (kernel) incl. negatives") {
+    val ss = spark; import ss.implicits._
+    val ids = Seq(0L, 1L, 3L, -1L, -17L, 1000003L, Long.MaxValue, Long.MinValue + 1,
+      987654321098L) ++ (0 until 50).map(i => 3L + 1000L * i)
+    val rows = ids.toDF("id").select(col("id"), Fns.mixId(col("id"))).collect()
+    rows.foreach(r => assert(r.getLong(1) === graft.core.TextHash.mixId(r.getLong(0))))
+  }
+
+  test("IVF quantizer survives clustered id spaces (all ids = 3 mod 1000)") {
+    // raw-residue sampling would put EVERY id in one residue class and
+    // abort the build; the mixed hash scatters them
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .withColumn("vec_id", col("vec_id") * 1000L + 3L)
+    val q = e.filter(col("vec_id") % 25000 === 3)
+    val got = SimilarityOps.cosineTopKIvf(e, q, 5).collect()
+    assert(got.nonEmpty)
+    assert(got.groupBy(_.getLong(0)).forall(_._2.length <= 5))
+    // and the PQ codebook path too
+    assert(SimilarityOps.pqTopK(e, q.limit(3), 5).count() > 0)
   }
 
   test("VecNearestCentroids kernel matches a brute-force (roundE6 desc, cid) ranking") {
