@@ -194,6 +194,17 @@ object SparkEntry {
       SpatialOps.knnShuffled(pts, pts.filter(col("pid") % 101 === 0), 5)
     }),
 
+    // geodesic kNN: haversine-ranked, lon cells wrap the antimeridian
+    "q_knn_geo" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      SpatialOps.knnGeo(pts, pts.filter(col("pid") % 997 === 0), 5)
+    }),
+
+    "q_knn_geo_large" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      SpatialOps.knnGeoShuffled(pts, pts.filter(col("pid") % 101 === 0), 5)
+    }),
+
     // --- dedup suite ---
     "q_dedup_exact" -> ((s, d) => DedupOps.exactDuplicates(Synth.corpus(s, d))),
 
@@ -818,6 +829,22 @@ object SparkEntry {
     s"""ON least(((p.lon_fix + 1800000000) * $lvl) // 3600000000, ${lvl - 1}) = c.ccx
        | AND least(((p.lat_fix + 900000000) * $lvl) // 1800000000, ${lvl - 1}) = c.ccy""".stripMargin
 
+  /** Brute-force geodesic kNN oracle (haversine millimetres, ties by pid)
+    * for the query set pid % m == 0 — twin of knnGeo/knnGeoShuffled.
+    */
+  private def knnGeoSql(m: Int): String = {
+    val dist = haversineSql("p.lon_fix / 10000000.0", "p.lat_fix / 10000000.0",
+      "q.lon_fix / 10000000.0", "q.lat_fix / 10000000.0")
+    s"""WITH p AS ($P), q AS (SELECT * FROM p WHERE pid % $m = 0),
+       |d AS (
+       |  SELECT q.pid AS qid, p.pid AS pid,
+       |    CAST(round(($dist) * 1000) AS BIGINT) AS dist_e3
+       |  FROM p, q WHERE p.pid <> q.pid)
+       |SELECT qid, pid, rank, dist_e3 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY dist_e3, pid) AS rank FROM d)
+       |WHERE rank <= 5""".stripMargin
+  }
+
   private def haversineSql(lon1: String, lat1: String, lon2: String, lat2: String): String = {
     val deg = "0.017453292519943295769236907684886"
     s"""(2.0 * 6372797.560856 * asin(sqrt(
@@ -1016,6 +1043,10 @@ object SparkEntry {
          |SELECT qid, pid, rank, d2 FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, pid) AS rank FROM d)
          |WHERE rank <= 5""".stripMargin,
+
+    "q_knn_geo" -> knnGeoSql(997),
+
+    "q_knn_geo_large" -> knnGeoSql(101),
 
     "q_boilerplate" -> {
       // chunk hash twin of TextHash.wordChunkHashes: mod-chain of 8-char

@@ -365,6 +365,191 @@ object SpatialOps {
     out
   }
 
+  // ---- geodesic (haversine-metric) kNN --------------------------------------
+  //
+  // The flat-metric kNN above ranks by int64 squared euclid on fix coords —
+  // exact arithmetic, but at |lat| > 60 the metric itself distorts and near
+  // the antimeridian it is simply wrong (the reference's only distance is
+  // great-circle haversine, reference/include/osmium/geometry/
+  // haversine.hpp:40-77). The geo variants rank by round(haversine * 1000)
+  // (integer millimetres — deterministic ranking, DuckDB-parity) and differ
+  // structurally in two ways: the lon cell neighborhood WRAPS across the
+  // antimeridian instead of clamping, and the per-query exactness bound is
+  // latitude-aware — the meridian bound R*s_lat always holds, while the
+  // longitude bound shrinks with cos(lat) and vanishes near the poles,
+  // where the queries correctly fall back / coarsen.
+
+  private val EarthR = 6372797.560856 // reference haversine.hpp:43
+  private val DegToRad = 0.017453292519943295769236907684886
+
+  /** round(haversine(p, q) * 1000) as an integer-millimetre Column. */
+  private def geoDistE3(px: Column, py: Column, qx: Column, qy: Column): Column =
+    round(Fns.haversineMeters(px / lit(1.0e7), py / lit(1.0e7),
+      qx / lit(1.0e7), qy / lit(1.0e7)) * lit(1000.0), 0).cast("long")
+
+  /** Per-query exactness bound in integer millimetres for a 3x3 cell
+    * neighborhood at grid size n: anything outside the neighborhood is
+    * separated from the query by >= one full cell in lat (distance >=
+    * R * s_lat) or >= one full cell in lon while staying within +-2 cells
+    * of the query's latitude (distance >= 2R asin(sqrt(cos(lat) *
+    * cos(latcap)) * sin(s_lon/2)), latcap = min(|lat| + 2 s_lat, 90)).
+    * One fix unit of margin absorbs integer cell-boundary jitter; -1 mm
+    * makes the comparison strict under the output rounding.
+    */
+  private def geoBoundE3(qlatFix: Column, n: Long): Column = {
+    val sLatRad = (1800000000.0 / n - 1) / 1.0e7 * DegToRad
+    val sLonRad = (3600000000.0 / n - 1) / 1.0e7 * DegToRad
+    val phi = abs(qlatFix) / lit(1.0e7) * lit(DegToRad)
+    val phiCap = least(phi + lit(2 * sLatRad), lit(math.Pi / 2))
+    val latBound = lit(EarthR * sLatRad)
+    val lonBound = lit(2 * EarthR) *
+      asin(sqrt(cos(phi) * greatest(cos(phiCap), lit(0.0))) * lit(math.sin(sLonRad / 2)))
+    (floor(least(latBound, lonBound) * lit(1000.0)) - lit(1L)).cast("long")
+  }
+
+  /** Exact geodesic brute force: broadcast query set, haversine-score every
+    * point, window top-k. Ties broken by pid. Output (qid, pid, rank,
+    * dist_e3).
+    */
+  def knnGeoBruteForce(points: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col("pid").as("qid"),
+      col("lon_fix").as("qx"), col("lat_fix").as("qy")))
+    val joined = points.join(q, col("pid") =!= col("qid"))
+      .withColumn("dist_e3", geoDistE3(col("lon_fix"), col("lat_fix"), col("qx"), col("qy")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist_e3"), col("pid"))
+    joined.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("pid"), col("rank"), col("dist_e3"))
+  }
+
+  /** Exact geodesic kNN for small query sets: same 3x3-cell candidate
+    * pruning as [[knn]] but with the lon neighborhood WRAPPED across the
+    * antimeridian and the latitude-aware guarantee bound; queries the
+    * guarantee cannot resolve (sparse regions, polar caps) fall back to
+    * the geodesic brute force, so the output is always the exact
+    * haversine kNN.
+    */
+  def knnGeo(points: DataFrame, queries: DataFrame, k: Int, levelIn: Int = 0,
+             scope: CacheScope = CacheScope.global): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val level = if (levelIn > 0) levelIn else {
+      val cnt = math.max(points.count(), 1L)
+      math.max(1, math.min(12,
+        math.round(math.log(cnt / 50.0) / math.log(4.0)).toInt))
+    }
+    val n = 1L << level
+    def cellOf(x: Column, y: Column): Column = Fns.cellIdFromXY(x, y, level)
+
+    val q = queries.select(col("pid").as("qid"),
+      col("lon_fix").as("qx"), col("lat_fix").as("qy"),
+      Fns.cellX(col("lon_fix"), level).as("qcx"),
+      Fns.cellY(col("lat_fix"), level).as("qcy"))
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
+    val qcells = q.withColumn("cell", explode(array(offsets.map { case (dx, dy) =>
+        val nx = pmod(col("qcx") + dx, lit(n)) // lon wraps; lat clamps
+        val ny = least(greatest(col("qcy") + dy, lit(0L)), lit(n - 1))
+        cellOf(nx, ny)
+      }: _*))).dropDuplicates("qid", "cell")
+
+    val pts = points.withColumn("cell",
+      cellOf(Fns.cellX(col("lon_fix"), level), Fns.cellY(col("lat_fix"), level)))
+    val cand = pts.join(broadcast(qcells), "cell")
+      .filter(col("pid") =!= col("qid"))
+      .withColumn("dist_e3", geoDistE3(col("lon_fix"), col("lat_fix"), col("qx"), col("qy")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist_e3"), col("pid"))
+    // persisted (scope-released): feeds both the guarantee stats and the
+    // guaranteed output
+    val ranked = scope.persist(cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("pid"), col("rank"), col("dist_e3"), col("qy")))
+
+    val stats = scope.persist(ranked.groupBy("qid")
+      .agg(count(lit(1)).as("cnt"), max("dist_e3").as("maxd"),
+        first("qy").as("sqy"))
+      .filter(col("cnt") === k && col("maxd") <= geoBoundE3(col("sqy"), n))
+      .select(col("qid").as("ok_qid")))
+    val guaranteed = ranked.drop("qy")
+      .join(broadcast(stats), col("qid") === col("ok_qid")).drop("ok_qid")
+    val fallbackQueries = queries.join(
+      broadcast(stats.withColumnRenamed("ok_qid", "pid")), Seq("pid"), "left_anti")
+    if (fallbackQueries.isEmpty) guaranteed
+    else guaranteed.unionByName(knnGeoBruteForce(points, fallbackQueries, k))
+  }
+
+  /** Exact geodesic kNN for LARGE query sets: the [[knnShuffled]] shape
+    * (cell-bucket shuffle equi-join, query side never broadcast, level
+    * coarsening for the unresolved tail) with the wrapped lon neighborhood
+    * and latitude-aware bound of [[knnGeo]]. At the terminal level the 3x3
+    * wrapped neighborhood covers the whole grid, so every query gets its
+    * exact haversine answer unconditionally.
+    */
+  def knnGeoShuffled(points: DataFrame, queries: DataFrame, k: Int, level: Int = 0,
+                     scope: CacheScope = CacheScope.global): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def cellOfAt(lv: Int)(x: Column, y: Column): Column = Fns.cellIdFromXY(x, y, lv)
+    val offsets = for (dx <- -1 to 1; dy <- -1 to 1) yield (dx, dy)
+
+    var remaining = queries.select(col("pid").as("qid"),
+      col("lon_fix").as("qx"), col("lat_fix").as("qy")).persist()
+    var out: DataFrame = null
+    var lv = if (level > 0) level else {
+      val n = math.max(points.count(), 1L)
+      math.max(1, math.min(12,
+        math.round(math.log(n / 50.0) / math.log(4.0)).toInt))
+    }
+    var done = false
+    while (!done) {
+      val terminal = lv <= 1
+      val n = 1L << lv
+      val qcells = remaining
+        .withColumn("qcx", Fns.cellX(col("qx"), lv))
+        .withColumn("qcy", Fns.cellY(col("qy"), lv))
+        .withColumn("cell", explode(array(offsets.map { case (dx, dy) =>
+          val nx = pmod(col("qcx") + dx, lit(n)) // lon wraps; lat clamps
+          val ny = least(greatest(col("qcy") + dy, lit(0L)), lit(n - 1))
+          cellOfAt(lv)(nx, ny)
+        }: _*)))
+        .dropDuplicates("qid", "cell")
+        .select("qid", "qx", "qy", "cell")
+      val pts = points.withColumn("cell",
+        cellOfAt(lv)(Fns.cellX(col("lon_fix"), lv), Fns.cellY(col("lat_fix"), lv)))
+      val cand = pts.join(qcells, "cell") // shuffle join — no broadcast hint
+        .filter(col("pid") =!= col("qid"))
+        .withColumn("dist_e3", geoDistE3(col("lon_fix"), col("lat_fix"), col("qx"), col("qy")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist_e3"), col("pid"))
+      val ranked = scope.persist(cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("qid"), col("pid"), col("rank"), col("dist_e3"), col("qy")))
+
+      if (terminal) {
+        out = if (out == null) ranked.drop("qy") else out.unionByName(ranked.drop("qy"))
+        scope.track(remaining)
+        done = true
+      } else {
+        val ok = scope.persist(ranked.groupBy("qid")
+          .agg(count(lit(1)).as("cnt"), max("dist_e3").as("maxd"),
+            first("qy").as("sqy"))
+          .filter(col("cnt") === k && col("maxd") <= geoBoundE3(col("sqy"), n))
+          .select("qid"))
+        val emit = ranked.drop("qy").join(ok, "qid")
+        out = if (out == null) emit else out.unionByName(emit)
+        val next = remaining.join(ok, Seq("qid"), "left_anti").persist()
+        val nLeft = next.count()
+        remaining.unpersist(blocking = false)
+        if (nLeft == 0L) { next.unpersist(blocking = false); done = true }
+        else { remaining = next; lv -= 1 }
+      }
+    }
+    out
+  }
+
+  /** Geodesic kNN facade: strategy by query-set size, like [[knnAuto]]. */
+  def knnGeoAuto(points: DataFrame, queries: DataFrame, k: Int,
+                 scope: CacheScope = CacheScope.global): DataFrame =
+    if (queries.count() <= KnnBroadcastMaxQueries) knnGeo(points, queries, k, scope = scope)
+    else knnGeoShuffled(points, queries, k, scope = scope)
+
   /** Web-mercator z/x/y tile density (generalizes the reference's
     * equirectangular node-density raster, examples/nodedensity.cpp:47-61,
     * including its uint16 saturating counts).

@@ -347,6 +347,59 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("geodesic kNN: exact vs brute force at high latitude and across the antimeridian") {
+    val ss = spark; import ss.implicits._
+    // polar cluster: lons spread over the full circle at lat 89.9 deg are
+    // all geodesically close; antimeridian pair at +-179.9999 deg; plus a
+    // mid-lat band. Flat-metric kNN is WRONG on both degenerate regions.
+    val polar = (0 until 24).map(i => (100L + i, (i * 150000000L) - 1790000000L, 899000000L + i * 1000))
+    val seam = Seq((200L, 1799999000L, 100000000L), (201L, -1799999000L, 100100000L),
+      (202L, 1799000000L, 100200000L), (203L, -1799000000L, 99900000L))
+    val mid = (0 until 40).map(i => (300L + i, i * 40000000L - 800000000L, (i % 7) * 90000000L - 300000000L))
+    val pts = (polar ++ seam ++ mid).toDF("pid", "lon_fix", "lat_fix").persist()
+    val queries = pts.filter(col("pid").isin(100L, 101L, 200L, 201L, 310L))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exact = key(SpatialOps.knnGeoBruteForce(pts, queries, 3))
+    assert(key(SpatialOps.knnGeo(pts, queries, 3, levelIn = 4)) === exact)
+    assert(key(SpatialOps.knnGeoShuffled(pts, queries, 3, level = 4)) === exact)
+    // the seam pair must be each other's nearest geodesic neighbor — the
+    // flat metric would rank the whole mid-lat band closer
+    val top1 = SpatialOps.knnGeoBruteForce(pts, pts.filter(col("pid") === 200L), 1).collect()
+    assert(top1.head.getLong(1) === 201L)
+    pts.unpersist()
+  }
+
+  test("geodesic shuffled kNN: no broadcast of the query side, agrees with brute force") {
+    val pts = Synth.points(spark, dir).limit(400).persist()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val got = SpatialOps.knnGeoShuffled(pts, pts, 3)
+      assert(!got.queryExecution.sparkPlan.toString.contains("BroadcastExchange"),
+        "query side must not be broadcast in the geodesic shuffled kNN plan")
+      val gotSet = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val exact = SpatialOps.knnGeoBruteForce(pts, pts, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(gotSet === exact)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      pts.unpersist()
+    }
+  }
+
+  test("knnGeoAuto picks by query-set size and agrees with both variants") {
+    val pts = Synth.points(spark, dir)
+    val q = pts.filter(col("pid") % 997 === 0)
+    val auto = SpatialOps.knnGeoAuto(pts, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val small = SpatialOps.knnGeo(pts, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val shuffled = SpatialOps.knnGeoShuffled(pts, q, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto === small && auto === shuffled)
+  }
+
   test("PointInPolygonSet plan size is O(1) in the polygon corpus (broadcast-backed)") {
     def serializedExprSize(nPolys: Int): Int = {
       val polys: graft.plans.PipKernel.Polys = (0 until nPolys).map { k =>
