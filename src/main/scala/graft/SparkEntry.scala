@@ -602,12 +602,16 @@ object SparkEntry {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val o = t(s, d, "orders"); val c = t(s, d, "customer"); val li = t(s, d, "lineitem")
     val wayKey = col("l_orderkey") * lit(10L) + col("l_linenumber")
+    // member order: customer node at pos 0, way members at their
+    // linenumber (1..7), the derived relation member last at pos 9
     val members =
-      o.select(col("o_orderkey").as("rel_id"), lit("n").as("mtype"), col("o_custkey").as("ref"))
-        .unionByName(li.select(col("l_orderkey").as("rel_id"), lit("w").as("mtype"),
+      o.select(col("o_orderkey").as("rel_id"), lit(0L).as("member_pos"),
+          lit("n").as("mtype"), col("o_custkey").as("ref"))
+        .unionByName(li.select(col("l_orderkey").as("rel_id"),
+          col("l_linenumber").cast("long").as("member_pos"), lit("w").as("mtype"),
           wayKey.as("ref")).distinct())
-        .unionByName(o.select(col("o_orderkey").as("rel_id"), lit("r").as("mtype"),
-          ((col("o_orderkey") % 1000L) * 7L + 1L).as("ref")))
+        .unionByName(o.select(col("o_orderkey").as("rel_id"), lit(9L).as("member_pos"),
+          lit("r").as("mtype"), ((col("o_orderkey") % 1000L) * 7L + 1L).as("ref")))
     val nodes = c.select(col("c_custkey").as("id"), col("c_nationkey").cast("long").as("payload"))
     // (l_orderkey, l_linenumber) is not unique in the synthetic data —
     // aggregate to one deterministic payload per way id
@@ -652,11 +656,13 @@ object SparkEntry {
   /** SQL twin of routeInput (members/nodes/ways/rels CTE bodies). */
   private val routeSql: String =
     """members AS (
-      |  SELECT o_orderkey AS rel_id, 'n' AS mtype, o_custkey AS ref FROM orders
+      |  SELECT o_orderkey AS rel_id, CAST(0 AS BIGINT) AS member_pos, 'n' AS mtype,
+      |    o_custkey AS ref FROM orders
       |  UNION ALL
-      |  SELECT DISTINCT l_orderkey, 'w', l_orderkey*10 + l_linenumber FROM lineitem
+      |  SELECT DISTINCT l_orderkey, CAST(l_linenumber AS BIGINT), 'w',
+      |    l_orderkey*10 + l_linenumber FROM lineitem
       |  UNION ALL
-      |  SELECT o_orderkey, 'r', (o_orderkey % 1000) * 7 + 1 FROM orders),
+      |  SELECT o_orderkey, CAST(9 AS BIGINT), 'r', (o_orderkey % 1000) * 7 + 1 FROM orders),
       |nodes AS (SELECT c_custkey AS id, CAST(c_nationkey AS BIGINT) AS payload FROM customer),
       |ways AS (SELECT l_orderkey*10 + l_linenumber AS id,
       |  CAST(min(l_quantity) AS BIGINT) AS payload FROM lineitem GROUP BY 1),
@@ -1595,7 +1601,7 @@ object SparkEntry {
     "q_route_assembly" ->
       s"""WITH $routeSql,
          |resolved AS (
-         |  SELECT m.rel_id, m.mtype, e.payload, e.found
+         |  SELECT m.rel_id, m.member_pos, m.mtype, m.ref, e.payload, e.found
          |  FROM members m LEFT JOIN (
          |    SELECT 'n' AS t, id, payload, 1 AS found FROM nodes
          |    UNION ALL SELECT 'w', id, payload, 1 FROM ways
@@ -1605,6 +1611,8 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN mtype = 'n' AND found IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nodes,
          |  CAST(sum(CASE WHEN mtype = 'w' AND found IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ways,
          |  CAST(sum(CASE WHEN mtype = 'r' AND found IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rels,
+         |  list_sort(list(struct_pack(member_pos := member_pos, mtype := mtype,
+         |    ref := ref, payload := payload))) AS members,
          |  CAST(sum(payload) AS BIGINT) AS payload_sum
          |FROM resolved GROUP BY 1
          |HAVING count(*) = count(found)""".stripMargin,

@@ -88,10 +88,20 @@ object AssemblyOps {
     * need_members reaches 0, i.e. every kept member resolved — incomplete
     * relations never reach the output, exactly as in the reference.
     *
-    * Inputs: members(rel_id, mtype in 'n'/'w'/'r', ref); each entity table
-    * as (id, payload). The N/W/R template flags become keep-member
-    * booleans. Output per complete relation: member counts per type and
-    * the payload sum (evidence the member data actually attached).
+    * Inputs: members(rel_id, member_pos, mtype in 'n'/'w'/'r', ref); each
+    * entity table as (id, payload). The N/W/R template flags become
+    * keep-member booleans. Output per complete relation: member counts per
+    * type, the ORDERED member list, and the payload sum (evidence the
+    * member data actually attached).
+    *
+    * Member ORDER is semantic, not incidental — a route relation's member
+    * sequence IS the route (the reference threads member_pos through
+    * assembly for exactly this reason, relations/relation_info.hpp:45-123)
+    * — so the output carries members as
+    * array<struct<member_pos, mtype, ref, payload>> sorted by member_pos.
+    * The sort happens per-group inside the one rel_id shuffle the
+    * aggregation already pays (sort_array over collect_list); no extra
+    * shuffle, no window.
     */
   def assembleGeneric(members: DataFrame,
                       nodes: DataFrame, ways: DataFrame, rels: DataFrame,
@@ -102,7 +112,8 @@ object AssemblyOps {
       members.filter(col("mtype") === t)
         .join(e.select(col("id").as("ref"), col("payload"), lit(1).as("__found")),
           Seq("ref"), "left")
-        .select(col("rel_id"), col("mtype"), col("payload"), col("__found"))
+        .select(col("rel_id"), col("member_pos"), col("mtype"), col("ref"),
+          col("payload"), col("__found"))
     }.reduce(_ unionByName _)
     // resolution is keyed on the join MATCH (__found), not on the payload —
     // an entity with a legitimately null payload still resolves its member
@@ -112,6 +123,8 @@ object AssemblyOps {
         sum(when(col("mtype") === "n" && col("__found").isNotNull, 1L).otherwise(0L)).as("n_nodes"),
         sum(when(col("mtype") === "w" && col("__found").isNotNull, 1L).otherwise(0L)).as("n_ways"),
         sum(when(col("mtype") === "r" && col("__found").isNotNull, 1L).otherwise(0L)).as("n_rels"),
+        sort_array(collect_list(struct(col("member_pos"), col("mtype"),
+          col("ref"), col("payload")))).as("members"),
         sum(col("payload")).as("payload_sum"))
       .filter(col("n_members") === col("n_resolved"))
       .drop("n_resolved")

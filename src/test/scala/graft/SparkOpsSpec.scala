@@ -427,21 +427,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("generic assembler: only complete relations emit; type flags drop members") {
     val ss = spark; import ss.implicits._
+    // member_pos values are deliberately NOT in input row order for rel 1 —
+    // the emitted list must come back sorted by member_pos
     val members = Seq(
-      (1L, "n", 10L), (1L, "w", 20L), (1L, "r", 30L),   // complete
-      (2L, "n", 10L), (2L, "w", 999L),                  // way 999 missing -> incomplete
-      (3L, "r", 777L),                                  // rel 777 missing -> incomplete
-      (4L, "n", 11L)                                    // found entity, null payload -> complete
-    ).toDF("rel_id", "mtype", "ref")
+      (1L, 2L, "r", 30L), (1L, 0L, "n", 10L), (1L, 1L, "w", 20L), // complete
+      (2L, 0L, "n", 10L), (2L, 1L, "w", 999L),    // way 999 missing -> incomplete
+      (3L, 0L, "r", 777L),                        // rel 777 missing -> incomplete
+      (4L, 0L, "n", 11L)                // found entity, null payload -> complete
+    ).toDF("rel_id", "member_pos", "mtype", "ref")
     val nodes = Seq((10L, Some(5L)), (11L, None)).toDF("id", "payload")
     val ways = Seq((20L, 7L)).toDF("id", "payload")
     val rels = Seq((30L, 11L)).toDF("id", "payload")
-    val out = AssemblyOps.assembleGeneric(members, nodes, ways, rels)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5))).sortBy(_._1)
+    val rows = AssemblyOps.assembleGeneric(members, nodes, ways, rels)
+      .collect().sortBy(_.getLong(0))
+    val out = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), if (r.isNullAt(6)) -1L else r.getLong(6))).toSeq
     // relation 4's member matched an entity whose payload is null: it
     // resolves (completeness keys on the join match, not the payload)
-    assert(out.toSeq === Seq((1L, 3L, 1L, 1L, 1L, 23L), (4L, 1L, 1L, 0L, 0L, -1L)))
+    assert(out === Seq((1L, 3L, 1L, 1L, 1L, 23L), (4L, 1L, 1L, 0L, 0L, -1L)))
+    // ordered member list: sorted by member_pos, carrying (mtype, ref,
+    // payload) — the route sequence survives assembly
+    val m1 = rows.head.getSeq[org.apache.spark.sql.Row](5)
+      .map(m => (m.getLong(0), m.getString(1), m.getLong(2),
+        if (m.isNullAt(3)) -1L else m.getLong(3)))
+    assert(m1 === Seq((0L, "n", 10L, 5L), (1L, "w", 20L, 7L), (2L, "r", 30L, 11L)))
     // with relation members not kept (R flag off), relation 3 has no kept
     // members at all and relation 2 is still missing its way
     val noR = AssemblyOps.assembleGeneric(members, nodes, ways, rels, wantR = false)
