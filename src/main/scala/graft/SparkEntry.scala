@@ -737,6 +737,29 @@ object SparkEntry {
     xs(s"(($z1 * 69069 + 1) % $M)")
   }
 
+  /** DuckDB twin of core.Hll.lnDet as CTE stages over `est0` (must expose
+    * vz = zero-register count): each stage binds one subexpression so the
+    * op sequence is exactly the kernel's — x = m/max(vz,1), indicator-sum
+    * k, exact power-of-two scaling t, atanh-series srs, kl = k·ln2. The
+    * estimate m·(kl + srs) is then bit-identical to the Column/kernel
+    * forms because every op is a basic IEEE double op.
+    */
+  private def lnDetCtesSql: String = {
+    import graft.core.Hll
+    val md = Hll.M.toDouble
+    val kSum = (1 to 20).map(j =>
+      s"(CASE WHEN x >= ${(1L << j).toDouble} THEN 1 ELSE 0 END)").mkString(" + ")
+    val tCase = (0 to 20).map(j => s"WHEN $j THEN ${1.0 / (1L << j)}").mkString(" ")
+    s"""lc1 AS (SELECT *, $md / CAST(greatest(vz, 1) AS DOUBLE) AS x FROM est0),
+       |lc2 AS (SELECT *, ($kSum) AS k FROM lc1),
+       |lc3 AS (SELECT *, x * (CASE k $tCase END) AS t FROM lc2),
+       |lc4 AS (SELECT *, (t - 1.0) / (t + 1.0) AS u FROM lc3),
+       |lc5 AS (SELECT *, k * ${Hll.Ln2} AS kl,
+       |  2.0 * u * (1.0 + (u*u) * (${Hll.C3} + (u*u) * (${Hll.C5} + (u*u) * (${Hll.C7} +
+       |    (u*u) * (${Hll.C9} + (u*u) * (${Hll.C11} + (u*u) * ${Hll.C13})))))) AS srs
+       |  FROM lc4)""".stripMargin
+  }
+
   /** DuckDB twin of CentroidKernel.roundE6(cosine) — shared by the IVF
     * oracles.
     */
@@ -1463,14 +1486,19 @@ object SparkEntry {
          |    CAST(sum(CAST(1 AS BIGINT) << (${graft.core.Hll.RhoCap} - mrho))
          |      AS BIGINT) AS pop_sum,
          |    CAST(sum(nd) AS BIGINT) AS n_exact
-         |  FROM regs GROUP BY 1)
-         |SELECT lang, n_regs,
-         |  pop_sum + (${graft.core.Hll.M} - n_regs) * ${graft.core.Hll.Scale} AS reg_sum,
-         |  CAST(round(${graft.core.Hll.EstNumerator}
-         |    / (pop_sum + (${graft.core.Hll.M} - n_regs) * ${graft.core.Hll.Scale})
-         |    * 1000.0) AS BIGINT) AS est_e3,
+         |  FROM regs GROUP BY 1),
+         |est0 AS (
+         |  SELECT lang, n_regs, n_exact,
+         |    pop_sum + (${graft.core.Hll.M} - n_regs) * ${graft.core.Hll.Scale} AS reg_sum,
+         |    ${graft.core.Hll.M} - n_regs AS vz FROM agg),
+         |$lnDetCtesSql
+         |SELECT lang, n_regs, reg_sum,
+         |  CASE WHEN vz > 0 AND reg_sum >= ${graft.core.Hll.lcThreshold(graft.core.Hll.M)}
+         |    THEN CAST(round((${graft.core.Hll.M.toDouble} * (kl + srs)) * 1000.0) AS BIGINT)
+         |    ELSE CAST(round((${graft.core.Hll.EstNumerator} / reg_sum) * 1000.0) AS BIGINT)
+         |  END AS est_e3,
          |  n_exact
-         |FROM agg""".stripMargin,
+         |FROM lc5""".stripMargin,
 
     "q_split" ->
       s"""WITH toks AS (

@@ -16,11 +16,11 @@ object SketchOps {
     * share. Hash contract per Hll: NONNEGATIVE values (docFingerprint).
     */
   private def registers(df: DataFrame, groupCol: String,
-                        hashCol: Column): DataFrame = {
-    val w = shiftright(hashCol, 6) // hash div 64, exact (hash >= 0)
+                        hashCol: Column, m: Int): DataFrame = {
+    val w = shiftright(hashCol, Hll.log2m(m)) // hash div m, exact (hash >= 0)
     val rho = least(
       bit_count((w.bitwiseAND(-w) - lit(1L))) + lit(1), lit(Hll.RhoCap))
-    df.select(col(groupCol), (hashCol % Hll.M).as("reg"), rho.as("rho"),
+    df.select(col(groupCol), (hashCol % m).as("reg"), rho.as("rho"),
       hashCol.as("__h"))
   }
 
@@ -29,16 +29,15 @@ object SketchOps {
     * 2^RhoCap each), e3-rounded raw estimate.
     */
   private def finish(regAgg: DataFrame, groupCol: String,
-                     extraAggs: Seq[Column]): DataFrame =
+                     extraAggs: Seq[Column], m: Int): DataFrame =
     regAgg.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_regs"),
         (sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${Hll.RhoCap} - mrho)"))
           .as("__pop") +: extraAggs): _*)
       .withColumn("reg_sum",
-        col("__pop") + (lit(Hll.M.toLong) - col("n_regs")) * lit(Hll.Scale))
+        col("__pop") + (lit(m.toLong) - col("n_regs")) * lit(Hll.Scale))
       .withColumn("est_e3",
-        round(lit(Hll.EstNumerator) / col("reg_sum") * lit(1000.0), 0)
-          .cast("long"))
+        graft.plans.HllExpressions.hllEstE3(col("reg_sum"), col("n_regs"), m))
       .drop("__pop")
 
   /** HyperLogLog registers/estimate per group over a nonnegative row hash
@@ -61,17 +60,17 @@ object SketchOps {
     * Output: (group, n_regs, reg_sum, est_e3) — n_regs = populated
     * registers.
     *
-    * This is the RAW HLL estimator (no small-range linear-counting
-    * branch): the correction uses ln(), whose last-ulp behaviour is
-    * libm-dependent and would break exact cross-engine parity. Expect
-    * the standard ~1.04/sqrt(64) ~ 13% relative error at cardinalities
-    * above ~2.5m, more below.
+    * Estimator: raw HLL above 2.5m cardinality (standard ~1.04/sqrt(m)
+    * relative error), linear counting m·ln(m/zeroRegs) below — the ln is
+    * Hll.lnDet, a fixed-op-order IEEE polynomial, so the branch keeps
+    * exact cross-engine parity (libm ln would not).
     */
-  def hllDistinct(df: DataFrame, groupCol: String, hashCol: Column): DataFrame =
+  def hllDistinct(df: DataFrame, groupCol: String, hashCol: Column,
+                  m: Int = Hll.M): DataFrame =
     finish(
-      registers(df, groupCol, hashCol)
+      registers(df, groupCol, hashCol, m)
         .groupBy(col(groupCol), col("reg")).agg(max("rho").as("mrho")),
-      groupCol, Nil)
+      groupCol, Nil, m)
       .select(col(groupCol), col("n_regs"), col("reg_sum"), col("est_e3"))
 
   /** hllDistinct plus the EXACT per-group distinct count, in the SAME
@@ -81,12 +80,12 @@ object SketchOps {
     * no join, and the hash column is evaluated once per row.
     */
   def hllDistinctWithExact(df: DataFrame, groupCol: String,
-                           hashCol: Column): DataFrame =
+                           hashCol: Column, m: Int = Hll.M): DataFrame =
     finish(
-      registers(df, groupCol, hashCol)
+      registers(df, groupCol, hashCol, m)
         .groupBy(col(groupCol), col("reg"))
         .agg(max("rho").as("mrho"), countDistinct(col("__h")).as("__nd")),
-      groupCol, Seq(sum("__nd").as("n_exact")))
+      groupCol, Seq(sum("__nd").as("n_exact")), m)
       .select(col(groupCol), col("n_regs"), col("reg_sum"), col("est_e3"),
         col("n_exact"))
 }
