@@ -780,6 +780,17 @@ object SparkEntry {
       s"FROM unnest(range(1, 9)) AS t(i)) * 1000000) AS BIGINT)"
   }
 
+  /** DuckDB twin of PqKernel.subDistE6Res — rounded squared-L2 between
+    * 8-dim subspace-j slices of RESIDUALS (a − ca) and (b − cb), every
+    * subtraction in double exactly as the kernel computes it.
+    */
+  private def pqResSubDistSql(a: String, ca: String, b: String, cb: String): String = {
+    val diff = s"((CAST($a[j*8+i] AS DOUBLE) - CAST($ca[j*8+i] AS DOUBLE)) - " +
+      s"(CAST($b[j*8+i] AS DOUBLE) - CAST($cb[j*8+i] AS DOUBLE)))"
+    s"CAST(round((SELECT sum($diff * $diff) " +
+      s"FROM unnest(range(1, 9)) AS t(i)) * 1000000) AS BIGINT)"
+  }
+
   /** Survivor-selection CTEs over `corpus` + `labels` (shared by
     * q_dedup_survivors and q_pipeline): one survivor per cluster, longest
     * text, ties by doc_id; unclustered docs survive as singletons.
@@ -1362,9 +1373,12 @@ object SparkEntry {
 
     "q_sim_ivfpq" -> {
       def cosE6(a: String, b: String): String = cosE6Sql(a, b)
-      def de6(a: String, b: String): String = pqSubDistSql(a, b)
-      // coarse quantizer = cosineTopKIvf's rule; PQ codebook = pqTopK's
-      // rule; candidates via coarse lists, scored by summed sub-distances
+      def rde6(a: String, ca: String, b: String, cb: String): String =
+        pqResSubDistSql(a, ca, b, cb)
+      // coarse quantizer = cosineTopKIvf's rule; codebook = RESIDUALS of
+      // the sampled vectors against their own assigned centroid; codes and
+      // the per-(query, probed-list) distance tables are residual
+      // sub-distances — exactly pqTopKIvf's residual encoding
       s"""WITH n AS (SELECT count(*) AS cnt FROM embeddings),
          |cmod AS (SELECT greatest(cnt // greatest(least(${SimilarityOps.IvfMaxCentroids},
          |  CAST(ceil(sqrt(cnt)) AS BIGINT)), 1), 1) AS cm FROM n),
@@ -1373,8 +1387,9 @@ object SparkEntry {
          |  WHERE ${mixIdSql("vec_id")} % cm = 3 % cm),
          |pmod AS (SELECT greatest(cnt // ${SimilarityOps.PqKsub}, 1) AS pm FROM n),
          |samp AS (
-         |  SELECT ci, semb FROM (
-         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, embedding AS semb
+         |  SELECT ci, sid, semb FROM (
+         |    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, vec_id AS sid,
+         |      embedding AS semb
          |    FROM embeddings, pmod WHERE ${mixIdSql("vec_id")} % pm = 3 % pm)
          |  WHERE ci < ${SimilarityOps.PqKsub}),
          |subs AS (SELECT unnest(range(0, 8)) AS j),
@@ -1384,12 +1399,17 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${cosE6("e.embedding", "c.cemb")} DESC, c.cid) AS rn
          |    FROM embeddings e, cent c) WHERE rn = 1),
+         |sampc AS (
+         |  SELECT s.ci, s.semb, c.cemb AS scent
+         |  FROM samp s JOIN assigned a ON a.vec_id = s.sid
+         |    JOIN cent c ON c.cid = a.cid),
          |codes AS (
          |  SELECT vec_id, j, ci AS code FROM (
          |    SELECT e.vec_id, subs.j, s.ci,
          |      row_number() OVER (PARTITION BY e.vec_id, subs.j
-         |        ORDER BY ${de6("e.embedding", "s.semb")} ASC, s.ci) AS rn
-         |    FROM embeddings e, subs, samp s) WHERE rn = 1),
+         |        ORDER BY ${rde6("e.embedding", "ce.cemb", "s.semb", "s.scent")} ASC, s.ci) AS rn
+         |    FROM embeddings e JOIN assigned ae ON ae.vec_id = e.vec_id
+         |      JOIN cent ce ON ce.cid = ae.cid, subs, sampc s) WHERE rn = 1),
          |probes AS (
          |  SELECT qid, cid FROM (
          |    SELECT q.vec_id AS qid, c.cid,
@@ -1397,15 +1417,19 @@ object SparkEntry {
          |        ORDER BY ${cosE6("q.embedding", "c.cemb")} DESC, c.cid) AS rn
          |    FROM embeddings q, cent c WHERE q.vec_id % 25 = 0) WHERE rn <= 4),
          |dtab AS (
-         |  SELECT q.vec_id AS qid, subs.j, s.ci, ${de6("q.embedding", "s.semb")} AS dist
-         |  FROM embeddings q, subs, samp s WHERE q.vec_id % 25 = 0),
+         |  SELECT p.qid, p.cid, subs.j, s.ci,
+         |    ${rde6("q.embedding", "pc.cemb", "s.semb", "s.scent")} AS dist
+         |  FROM probes p JOIN embeddings q ON q.vec_id = p.qid
+         |    JOIN cent pc ON pc.cid = p.cid, subs, sampc s),
          |cands AS (
          |  SELECT DISTINCT p.qid, a.vec_id AS nid
          |  FROM probes p JOIN assigned a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
          |scored AS (
          |  SELECT c.qid, c.nid, CAST(sum(d.dist) AS BIGINT) AS adist_e6
-         |  FROM cands c JOIN codes k ON k.vec_id = c.nid
-         |    JOIN dtab d ON d.qid = c.qid AND d.j = k.j AND d.ci = k.code
+         |  FROM cands c JOIN assigned an ON an.vec_id = c.nid
+         |    JOIN codes k ON k.vec_id = c.nid
+         |    JOIN dtab d ON d.qid = c.qid AND d.cid = an.cid
+         |      AND d.j = k.j AND d.ci = k.code
          |  GROUP BY 1, 2)
          |SELECT qid, nid, rank, adist_e6 FROM (
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist_e6 ASC, nid) AS rank

@@ -198,40 +198,80 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("rank"), col("adist_e6"))
   }
 
+  /** Build the RESIDUAL PQ codebook (pqTopKIvf): the deterministic
+    * mixId-residue sample of ksub vectors, each encoded as its residual
+    * v − centroid (the sample vector's own nearest coarse centroid, same
+    * rank rule as the distributed assignment). Residual training is where
+    * IVF-PQ earns its recall at high compression: within an inverted list
+    * vectors share a centroid, so the codewords quantize the small
+    * differences that actually rank the list instead of the common offset.
+    * Driver cost: one O(ksub)-row collect + ksub·K kernel cosines.
+    */
+  private def pqResCodebook(emb: DataFrame,
+                            centsBc: org.apache.spark.broadcast.Broadcast[graft.plans.CentroidKernel.Cents],
+                            ksub: Int, m: Int)
+      : org.apache.spark.broadcast.Broadcast[graft.plans.PqKernel.ResBook] = {
+    import graft.plans.{CentroidKernel, PqKernel}
+    val spark = emb.sparkSession
+    val n = math.max(emb.count(), 1L)
+    val mod = math.max(n / ksub, 1L)
+    val rows = emb.filter(Fns.mixId(col("vec_id")) % mod === (3L % mod))
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(ksub).collect()
+    require(rows.nonEmpty, s"no mixId(vec_id) % $mod == ${3L % mod} in the corpus (n=$n)")
+    val cents = centsBc.value
+    val res: Array[Array[Double]] = rows.map { r =>
+      val v = r.getSeq[Float](1).toArray
+      PqKernel.residual(v, CentroidKernel.byId(cents, CentroidKernel.nearestId(cents, v)))
+    }
+    require(res.head.length % m == 0,
+      s"embedding dim ${res.head.length} not divisible by m=$m subspaces")
+    spark.sparkContext.broadcast(PqKernel.ResBook(res, m))
+  }
+
   /** IVF-PQ top-k — the full large-corpus ANN architecture (inverted
     * lists for CANDIDATE RESTRICTION, product quantization for COMPRESSED
     * SCORING, the composition used at billion-vector scale): every vector
-    * is stored as (coarse list id, m PQ codes); a query probes its
+    * is stored as (coarse list id, m RESIDUAL PQ codes — codes of
+    * v − centroid, the production IVF-PQ encoding); a query probes its
     * `nprobe` nearest coarse lists (cosine, like cosineTopKIvf) and ranks
-    * ONLY those candidates by ADC squared-L2 against its per-query
-    * distance table. Per query the scan touches n·nprobe/K candidates at
-    * m lookups each — vs pqTopK's full-corpus ADC scan and
-    * cosineTopKIvf's d-float candidates.
+    * ONLY those candidates by residual ADC squared-L2. Because residuals
+    * are taken against the PROBED list's centroid, the query builds one
+    * small distance table per probe (nprobe·m·ksub subdists) instead of
+    * one per query — the structural cost of residual quantization, still
+    * independent of candidate count. Per query the scan touches
+    * n·nprobe/K candidates at m lookups each.
     *
     * Plan: both broadcasts are O(K)+O(ksub); the candidate join is a cid
-    * equi-join (shuffle or broadcast-hash by size); the codes side passes
-    * through the same RDD rebase barrier as pqTopK so encode/assignment
-    * run once per corpus row regardless of join strategy. Output:
-    * (qid, nid, rank, adist_e6), ANN semantics (possibly < k rows).
+    * equi-join (shuffle or broadcast-hash by size); assignment passes
+    * through an RDD rebase barrier so the n·K nearest-centroid scan runs
+    * once per corpus row (not re-inlined into both its consumers by
+    * CollapseProject), and the codes side through a second barrier like
+    * pqTopK. Output: (qid, nid, rank, adist_e6), ANN semantics (possibly
+    * < k rows).
     */
   def pqTopKIvf(emb: DataFrame, queries: DataFrame, k: Int,
                 maxCentroids: Int = IvfMaxCentroids, nprobe: Int = 4,
                 ksub: Int = PqKsub, m: Int = 8): DataFrame = {
-    import graft.plans.GeomExpressions.{pqAdcScore, pqDistTable, pqEncode, vecNearestCentroids}
+    import graft.plans.GeomExpressions.{pqAdcScore, pqDistTableRes, pqEncodeRes, vecNearestCentroids}
     val spark = emb.sparkSession
     val bcCents = coarseQuantizer(emb, maxCentroids)
-    val bcBook = pqCodebook(emb, ksub, m)
+    val bcBook = pqResCodebook(emb, bcCents, ksub, m)
 
-    val codes0 = emb.select(col("vec_id"),
-      element_at(vecNearestCentroids(col("embedding"), 1, bcCents), 1).as("cid"),
-      pqEncode(col("embedding"), bcBook).as("codes"))
+    val assigned0 = emb.select(col("vec_id"), col("embedding"),
+      element_at(vecNearestCentroids(col("embedding"), 1, bcCents), 1).as("cid"))
+    val assigned = spark.createDataFrame(assigned0.rdd, assigned0.schema)
+    val codes0 = assigned.select(col("vec_id"), col("cid"),
+      pqEncodeRes(col("embedding"), col("cid"), bcCents, bcBook).as("codes"))
     val codes = spark.createDataFrame(codes0.rdd, codes0.schema)
-    // dtab and the probe list are computed BEFORE the explode so the
-    // O(m*ksub*d) table is built once per query, not once per probe
-    val probes = queries.select(col("vec_id").as("qid"),
-        pqDistTable(col("embedding"), bcBook).as("dtab"),
-        vecNearestCentroids(col("embedding"), nprobe, bcCents).as("cids"))
-      .select(col("qid"), col("dtab"), explode(col("cids")).as("cid"))
+    // the probe list is computed BEFORE the explode (once per query); the
+    // residual dtab is per (query, probe) BY DESIGN — see scaladoc
+    val probes0 = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"),
+      vecNearestCentroids(col("embedding"), nprobe, bcCents).as("cids"))
+    val probes = spark.createDataFrame(probes0.rdd, probes0.schema)
+      .select(col("qid"), col("qemb"), explode(col("cids")).as("cid"))
+      .select(col("qid"), col("cid"),
+        pqDistTableRes(col("qemb"), col("cid"), bcCents, bcBook).as("dtab"))
     val cand = probes.join(codes, "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),

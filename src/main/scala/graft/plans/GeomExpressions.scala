@@ -101,6 +101,39 @@ object CentroidKernel {
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
   }
 
+  /** Centroid vector by id (cents sorted by id — binary search). */
+  def byId(centsRef: AnyRef, cid: Long): Array[Float] = {
+    val cents = centsRef.asInstanceOf[Cents]
+    var lo = 0
+    var hi = cents.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = cents(mid)._1
+      if (c == cid) return cents(mid)._2
+      else if (c < cid) lo = mid + 1
+      else hi = mid - 1
+    }
+    throw new NoSuchElementException(s"centroid id $cid not in quantizer")
+  }
+
+  /** Nearest single centroid id — the driver-side twin of nearest(top=1)
+    * used when training the residual codebook (same rank rule: rounded
+    * cosine desc, cid asc).
+    */
+  def nearestId(cents: Cents, v: Array[Float]): Long = {
+    var bestE6 = Long.MinValue
+    var bestId = Long.MaxValue
+    var i = 0
+    while (i < cents.length) {
+      val e6 = roundE6(TextHash.cosine(cents(i)._2, v))
+      if (e6 > bestE6 || (e6 == bestE6 && cents(i)._1 < bestId)) {
+        bestE6 = e6; bestId = cents(i)._1
+      }
+      i += 1
+    }
+    bestId
+  }
+
   /** Top `top` centroid ids by (round(cos*1e6) desc, cid asc) — a tight
     * primitive loop over the O(K) broadcast centroid table, so assignment
     * is one map stage: n·K cosines, zero shuffle, no n×K row explosion.
@@ -206,6 +239,86 @@ object PqKernel {
     new GenericArrayData(out)
   }
 
+  /** Residual codebook — entry i is sample i's residual (v − coarse
+    * centroid) as EXACT doubles (float-to-double widening is exact; the
+    * double subtraction is the op both engines evaluate). Production
+    * IVF-PQ encodes residuals, not raw vectors: within one inverted list
+    * the vectors share a centroid, so residual magnitudes are small and
+    * the ksub codewords spend their resolution on the differences that
+    * rank the list — most of the recall at high compression.
+    */
+  case class ResBook(cents: Array[Array[Double]], m: Int) {
+    val subDim: Int = if (cents.isEmpty) 0 else cents(0).length / m
+  }
+
+  def unwrapRes(bc: AnyRef): AnyRef = bc.asInstanceOf[Broadcast[ResBook]].value
+
+  /** v − c in double (the oracle's CAST(... AS DOUBLE) subtraction). */
+  def residual(v: Array[Float], c: Array[Float]): Array[Double] = {
+    val out = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = v(i).toDouble - c(i).toDouble; i += 1 }
+    out
+  }
+
+  private def subDistE6Res(r: Array[Double], cent: Array[Double],
+                           off: Int, subDim: Int): Long = {
+    var s = 0.0
+    var i = 0
+    while (i < subDim) {
+      val d = r(off + i) - cent(off + i)
+      s += d * d
+      i += 1
+    }
+    CentroidKernel.roundE6(s)
+  }
+
+  /** Residual PQ code of `vec` given its coarse centroid id. */
+  def encodeRes(centsRef: AnyRef, bookRef: AnyRef, vec: ArrayData,
+                cid: Long): GenericArrayData = {
+    val book = bookRef.asInstanceOf[ResBook]
+    val r = residual(vec.toFloatArray(), CentroidKernel.byId(centsRef, cid))
+    val out = new Array[Int](book.m)
+    var j = 0
+    while (j < book.m) {
+      var best = Long.MaxValue
+      var bi = 0
+      var ci = 0
+      while (ci < book.cents.length) {
+        val d = subDistE6Res(r, book.cents(ci), j * book.subDim, book.subDim)
+        if (d < best) { best = d; bi = ci }
+        ci += 1
+      }
+      out(j) = bi
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Residual ADC table of a query against ONE probed list: the query's
+    * residual is taken against that list's centroid, so the table is per
+    * (query, probe) — the structural cost of residual quantization
+    * (nprobe small tables instead of one), paid once per probe, not per
+    * candidate.
+    */
+  def distTableRes(centsRef: AnyRef, bookRef: AnyRef, vec: ArrayData,
+                   cid: Long): GenericArrayData = {
+    val book = bookRef.asInstanceOf[ResBook]
+    val r = residual(vec.toFloatArray(), CentroidKernel.byId(centsRef, cid))
+    val ksub = book.cents.length
+    val out = new Array[Long](book.m * ksub)
+    var j = 0
+    while (j < book.m) {
+      var ci = 0
+      while (ci < ksub) {
+        out(j * ksub + ci) = subDistE6Res(r, book.cents(ci), j * book.subDim, book.subDim)
+        ci += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ADC score: integer sum of the code's table entries. */
   def adc(dtab: ArrayData, codes: ArrayData): Long = {
     val m = codes.numElements()
@@ -265,6 +378,67 @@ case class PqDistTable(child: Expression, bookBc: Broadcast[PqKernel.Book])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Native residual-PQ encode: codes of (vec − centroid[cid]) against the
+  * broadcast residual codebook. Children are (vec, cid); both broadcasts
+  * ride the expression with the same unwrap-cache pattern.
+  */
+case class PqEncodeRes(left: Expression, right: Expression,
+                       centsBc: Broadcast[CentroidKernel.Cents],
+                       bookBc: Broadcast[PqKernel.ResBook])
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode_res"
+
+  override def nullSafeEval(vec: Any, cid: Any): Any =
+    PqKernel.encodeRes(centsBc.value, bookBc.value,
+      vec.asInstanceOf[ArrayData], cid.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ivfCentsBc", centsBc, "java.lang.Object")
+    val bookRef = ctx.addReferenceObj("pqResBookBc", bookBc, "java.lang.Object")
+    val cCents = ctx.addMutableState("java.lang.Object", "ivfCentsER", v => s"$v = null;")
+    val cBook = ctx.addMutableState("java.lang.Object", "pqResBookER", v => s"$v = null;")
+    nullSafeCodeGen(ctx, ev, (vec, cid) =>
+      s"""if ($cCents == null) { $cCents = graft.plans.CentroidKernel.unwrap($centsRef); }
+         |if ($cBook == null) { $cBook = graft.plans.PqKernel.unwrapRes($bookRef); }
+         |${ev.value} = graft.plans.PqKernel.encodeRes($cCents, $cBook, $vec, $cid);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native residual ADC table of (query vec, probed cid). */
+case class PqDistTableRes(left: Expression, right: Expression,
+                          centsBc: Broadcast[CentroidKernel.Cents],
+                          bookBc: Broadcast[PqKernel.ResBook])
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_dist_table_res"
+
+  override def nullSafeEval(vec: Any, cid: Any): Any =
+    PqKernel.distTableRes(centsBc.value, bookBc.value,
+      vec.asInstanceOf[ArrayData], cid.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ivfCentsBc", centsBc, "java.lang.Object")
+    val bookRef = ctx.addReferenceObj("pqResBookBc", bookBc, "java.lang.Object")
+    val cCents = ctx.addMutableState("java.lang.Object", "ivfCentsDR", v => s"$v = null;")
+    val cBook = ctx.addMutableState("java.lang.Object", "pqResBookDR", v => s"$v = null;")
+    nullSafeCodeGen(ctx, ev, (vec, cid) =>
+      s"""if ($cCents == null) { $cCents = graft.plans.CentroidKernel.unwrap($centsRef); }
+         |if ($cBook == null) { $cBook = graft.plans.PqKernel.unwrapRes($bookRef); }
+         |${ev.value} = graft.plans.PqKernel.distTableRes($cCents, $cBook, $vec, $cid);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native ADC lookup-sum: long score of (distTable, codes) — pure, no
@@ -341,4 +515,16 @@ object GeomExpressions {
   def pqAdcScore(dtab: Column, codes: Column): Column =
     GraftColumnBridge.column(PqAdcScore(
       GraftColumnBridge.expression(dtab), GraftColumnBridge.expression(codes)))
+
+  def pqEncodeRes(vec: Column, cid: Column,
+                  centsBc: Broadcast[CentroidKernel.Cents],
+                  bookBc: Broadcast[PqKernel.ResBook]): Column =
+    GraftColumnBridge.column(PqEncodeRes(GraftColumnBridge.expression(vec),
+      GraftColumnBridge.expression(cid), centsBc, bookBc))
+
+  def pqDistTableRes(vec: Column, cid: Column,
+                     centsBc: Broadcast[CentroidKernel.Cents],
+                     bookBc: Broadcast[PqKernel.ResBook]): Column =
+    GraftColumnBridge.column(PqDistTableRes(GraftColumnBridge.expression(vec),
+      GraftColumnBridge.expression(cid), centsBc, bookBc))
 }

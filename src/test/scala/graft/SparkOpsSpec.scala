@@ -816,20 +816,41 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("IVF-PQ: ADC scores agree with full-PQ on every emitted pair") {
+  test("IVF-PQ residual encoding: recall vs exact L2 at least raw-PQ full-scan parity") {
     val e = Synth.embCorpus(spark, dir)
     val qs = e.filter(col("vec_id") % 100 === 0)
-    // k larger than the corpus -> pqTopK ranks EVERY pair; IVF-PQ must
-    // emit a subset of those pairs with identical ADC scores
-    val full = SimilarityOps.pqTopK(e, qs, 100000)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
-    val ivfpq = SimilarityOps.pqTopKIvf(e, qs, 10).collect()
-    assert(ivfpq.nonEmpty)
-    ivfpq.foreach { r =>
-      val key = (r.getLong(0), r.getLong(1))
-      assert(full.contains(key), s"pair $key not in full PQ scan")
-      assert(full(key) === r.getLong(3), s"ADC score mismatch for $key")
+    val k = 10
+    // exact squared-L2 ground truth on the driver (test-scale corpus)
+    val vecs = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qids = qs.collect().map(_.getLong(0))
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+      s
     }
+    val truth: Map[Long, Set[Long]] = qids.map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (l2(vecs(q), v), id) }.sortBy(t => (t._1, t._2))
+        .take(k).map(_._2).toSet
+    }.toMap
+    def recall(got: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = got.groupBy(_.getLong(0))
+      qids.map { q =>
+        byQ.getOrElse(q, Array.empty).map(_.getLong(1)).toSet
+          .intersect(truth(q)).size.toDouble / k
+      }.sum / qids.length
+    }
+    val rIvfpq = recall(SimilarityOps.pqTopKIvf(e, qs, k).collect())
+    val rRawPq = recall(SimilarityOps.pqTopK(e, qs, k).collect())
+    info(f"recall: residual IVF-PQ $rIvfpq%.3f vs raw full-scan PQ $rRawPq%.3f")
+    // residual codewords quantize within-list differences, which buys back
+    // (and here exceeds) what the nprobe/K list restriction costs vs a
+    // FULL corpus scan with the raw codebook
+    assert(rIvfpq >= rRawPq,
+      f"residual IVF-PQ recall $rIvfpq%.3f below raw-PQ full-scan $rRawPq%.3f")
+    // absolute floor: ksub=16 codewords over 8 subspaces is deliberately
+    // coarse (32x compression); ~0.19 measured at this corpus/k
+    assert(rIvfpq > 0.1, f"residual IVF-PQ recall $rIvfpq%.3f implausibly low")
   }
 
   test("boilerplateChunks: shared chunks across docs are flagged, within-doc repeats are not") {
