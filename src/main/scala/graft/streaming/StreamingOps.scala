@@ -26,6 +26,23 @@ object StreamingOps {
       .count()
       .select(col("window.start").as("win_start"), col("event_type"), col("count"))
 
+  /** Streaming tile density — the watermarked twin of the batch
+    * SpatialOps.tileDensity (web-mercator z/x/y assignment with uint16
+    * saturating counts): per event-time window, per tile. This covers the
+    * north-rule spatial aggregation in streaming form — a live ingest of
+    * geo-tagged pages keeps per-tile densities current without a batch
+    * rescan; state is one count per (window, tile) inside the watermark
+    * horizon, and late rows beyond it are dropped (bounded state).
+    */
+  def tileDensityStream(points: DataFrame, tsCol: String, z: Int,
+                        windowLen: String, watermark: String): DataFrame =
+    points.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen),
+        graft.functions.Fns.tileX(z, graft.functions.Fns.fixToDeg(col("lon_fix"))).as("tx"),
+        graft.functions.Fns.tileY(z, graft.functions.Fns.fixToDeg(col("lat_fix"))).as("ty"))
+      .agg(least(count(lit(1)), lit(65535L)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("tx"), col("ty"), col("cnt"))
+
   /** Streaming exact dedup for an ingest pipeline: keep the first
     * occurrence of each text (keyed by sha256 + length, like the batch
     * exactDuplicates), with the dedup state bounded by a watermark —

@@ -119,6 +119,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming tile density == batch tileDensity per closed window (file-source micro-batches)") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_tiles_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_tiles_ck").toString
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    // geo-tagged page events: deterministic spread incl. tile-edge coords
+    val batch1 = (0 until 40).map(i =>
+      (ts(i % 8), (i * 97000000L) % 1800000000L - 900000000L,
+        (i * 53000000L) % 1200000000L - 600000000L))
+    val batch2 = (40 until 60).map(i =>
+      (ts(i % 8), (i * 97000000L) % 1800000000L - 900000000L,
+        (i * 53000000L) % 1200000000L - 600000000L))
+    batch1.toDF("ts", "lon_fix", "lat_fix").write.mode("append").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("lon_fix",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lat_fix",
+        org.apache.spark.sql.types.LongType)))
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamingOps.tileDensityStream(stream, "ts", 7, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("tilewins").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      batch2.toDF("ts", "lon_fix", "lat_fix").write.mode("append").parquet(inDir)
+      // a far-future drop advances the watermark and closes all windows
+      Seq((ts(600), 0L, 0L)).toDF("ts", "lon_fix", "lat_fix")
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT tx, ty, cnt FROM tilewins").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sum).toMap
+      // batch twin over the same closed-window rows (all of batch1+batch2
+      // fall in windows the watermark closed; the sentinel's window stays
+      // open and is excluded from both sides)
+      val expect = graft.operators.SpatialOps.tileDensity(
+        (batch1 ++ batch2).toDF("ts", "lon_fix", "lat_fix"), 7)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got === expect)
+      assert(new java.io.File(s"$ckpt/offsets").list().nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions by gap AND by event-time timeout") {
     val ss = spark
     import ss.implicits._
