@@ -297,7 +297,9 @@ object SparkEntry {
     "q_split" -> ((s, d) => {
       val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
         graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fp"),
-        expr("substring(source, 4)").cast("long").as("srcnum"))
+        // try_cast (both engines): a malformed source id degrades to null
+        // -> kept=0 instead of failing the scan under ANSI mode
+        expr("try_cast(substring(source, 4) AS BIGINT)").as("srcnum"))
       scored.select(col("doc_id"), col("source"),
         (col("fp") % 1000).as("bucket"),
         when(col("fp") % 1000 < 800, "train")
@@ -1134,7 +1136,7 @@ object SparkEntry {
       """WITH docs AS (SELECT doc_id, text FROM documents),
         |older AS (
         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
-        |    THEN substr(text, 1, length(text) - 5) ELSE text END AS text
+        |    THEN substr(text, 1, greatest(length(text) - 5, 0)) ELSE text END AS text
         |  FROM docs WHERE doc_id % 11 <> 0
         |  UNION ALL
         |  SELECT doc_id + 3000000, text FROM docs WHERE doc_id % 13 = 0),
@@ -1532,7 +1534,7 @@ object SparkEntry {
          |  SELECT d.doc_id, d.source,
          |    coalesce((SELECT CAST(sum(h) AS BIGINT) % 2305843009213693951
          |      FROM toks WHERE toks.doc_id = d.doc_id), 0) AS fp,
-         |    CAST(substr(d.source, 4) AS BIGINT) AS srcnum
+         |    TRY_CAST(substr(d.source, 4) AS BIGINT) AS srcnum
          |  FROM documents d)
          |SELECT doc_id, source, fp % 1000 AS bucket,
          |  CASE WHEN fp % 1000 < 800 THEN 'train'
@@ -1564,7 +1566,7 @@ object SparkEntry {
         |    || '/p/' || doc_id
         |    || (CASE WHEN doc_id % 7 = 0 THEN '?q=x' ELSE '' END) AS url
         |  FROM documents)
-        |SELECT lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)) AS host,
+        |SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
         |  count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS total_len
         |FROM u GROUP BY 1""".stripMargin,
 

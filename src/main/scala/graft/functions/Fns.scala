@@ -91,12 +91,11 @@ object Fns {
     s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x5555555555555555L))
   }
 
-  /** Sentinel-bit hierarchical cell id (see graft.core.CellId): parent is a
-    * plain >> 2, so interval containment joins need no recursion.
-    */
   /** Sentinel-bit morton cell id from grid coordinates — the ONE site
     * encoding the bit layout (level sentinel | spread(cx) | spread(cy)<<1);
-    * every operator that buckets by cell goes through this or cellId.
+    * every operator that buckets by cell goes through this or cellId
+    * (the from-fix-coords form below; see graft.core.CellId — parent is a
+    * plain >> 2, so interval containment joins need no recursion).
     */
   def cellIdFromXY(cx: Column, cy: Column, level: Int): Column =
     lit(1L << (2 * level))
@@ -129,12 +128,16 @@ object Fns {
   )
 
   /** Canonical host of a URL for host-level corpus statistics: lowercased
-    * authority with port/path/query/fragment stripped. Pure regexp — a
-    * crawl-scale normalization that must stay inside whole-stage codegen
-    * (no parse_url UDF detour) and have an exact DuckDB twin.
+    * host with userinfo/port/path/query/fragment stripped; the scheme
+    * class covers RFC 3986 (letters, digits, +.-: svn+ssh://,
+    * chrome-extension://). Scheme-less strings normalize to '' (one
+    * merged bucket — documented contract). Pure regexp — a crawl-scale
+    * normalization that must stay inside whole-stage codegen (no
+    * parse_url UDF detour) and have an exact DuckDB twin.
     */
   def urlNormHost(url: Column): Column =
-    lower(regexp_extract(url, "^[a-zA-Z]+://([^/:?#]+)", 1))
+    lower(regexp_extract(url,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
 
   /** Heuristic language id: argmax of marker-hit counts, deterministic
     * tie-break by the LangMarkers order, 'und' (undetermined) when all zero.

@@ -49,8 +49,12 @@ object HistoryOps {
     * left rows but never skips a matched right row whose payload FIELDS
     * are null (field-wise last() would resurrect older values).
     *
-    * Contract: (key, ts) must be unique on the right (pre-aggregate
-    * otherwise) — the match at equal (key, ts) is undefined under dupes.
+    * Duplicate right rows at equal (key, ts) resolve DETERMINISTICALLY to
+    * the max payload struct: the window sort includes `__r` as a final
+    * key, so among equal-ts right rows the last (and thus matched) one is
+    * the struct-lexicographic maximum — same sort, same single exchange,
+    * no pre-aggregation pass. (DuckDB's native ASOF JOIN leaves the pick
+    * arbitrary under such dupes; the oracle data keeps (key, ts) unique.)
     * Output: every left column, then `<prefix><tsCol>` (matched right ts)
     * and `<prefix><payload>` for each payload column.
     */
@@ -62,7 +66,7 @@ object HistoryOps {
         struct(col(tsCol).as("__ts") +: payloadCols.map(col): _*).as("__r"))
       .withColumn("__side", lit(0))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r, allowMissingColumns = true)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

@@ -99,7 +99,12 @@ object StreamingOps {
                   cur.n + s.n) :: rest
               case (acc, s) => s :: acc
             }.reverse
-          val (done, open) = merged.partition(_.endUs + gapUs <= wmUs)
+          // strictly behind the watermark: Spark still ADMITS events whose
+          // event time equals the watermark, and a boundary-timed event at
+          // gap exactly == threshold merges (<= rule) into a session that
+          // a <= finalize would already have emitted — duplicate output in
+          // Append mode. < keeps such a session open one more beat.
+          val (done, open) = merged.partition(_.endUs + gapUs < wmUs)
           if (open.isEmpty) state.remove()
           else {
             state.update(SessionsState(open))

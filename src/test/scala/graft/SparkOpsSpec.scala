@@ -953,6 +953,32 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("asofJoin resolves duplicate right rows at equal (key, ts) to the max payload") {
+    val s = spark; import s.implicits._
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val left = Seq((1L, ts(5000000), "L")).toDF("k", "ts", "tag")
+    // three right rows at the SAME (key, ts): the matched payload must be
+    // the struct-lexicographic max (7), not an arbitrary survivor
+    val right = Seq((1L, ts(4000000), 3L), (1L, ts(4000000), 7L), (1L, ts(4000000), 5L))
+      .toDF("k", "ts", "v")
+    val out = (1 to 5).map { _ =>
+      HistoryOps.asofJoin(left, right.repartition(4), "k", "ts", Seq("v"))
+        .collect().map(r => r.getLong(r.fieldIndex("r_v"))).toSeq
+    }
+    assert(out.forall(_ === Seq(7L)), s"nondeterministic asof match: $out")
+  }
+
+  test("urlNormHost strips userinfo and accepts RFC-3986 scheme characters") {
+    val s = spark; import s.implicits._
+    val got = Seq(
+      "http://user@Host.Example.org/p",
+      "svn+ssh://u:pw@Repo.example.COM:22/trunk",
+      "chrome-extension://abcdef/page",
+      "no-scheme.example.org/x").toDF("u")
+      .select(Fns.urlNormHost(col("u"))).collect().map(_.getString(0)).toSeq
+    assert(got === Seq("host.example.org", "repo.example.com", "abcdef", ""))
+  }
+
   test("asofJoin plans exactly one exchange and one window (no range explosion)") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val clicks = ev.filter(col("event_type") === "click")
