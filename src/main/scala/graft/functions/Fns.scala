@@ -135,9 +135,9 @@ object Fns {
     * normalization that must stay inside whole-stage codegen (no
     * parse_url UDF detour) and have an exact DuckDB twin.
     */
+  val UrlHostRegex = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
   def urlNormHost(url: Column): Column =
-    lower(regexp_extract(url,
-      "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
+    lower(regexp_extract(url, UrlHostRegex, 1))
 
   /** Heuristic language id: argmax of marker-hit counts, deterministic
     * tie-break by the LangMarkers order, 'und' (undetermined) when all zero.

@@ -50,5 +50,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecLshBuckets].getName, "vec_lsh_buckets"),
       (args: Seq[Expression]) =>
         VecLshBuckets(args(0), intArg(args(1), "tables"), intArg(args(2), "bits"))))
+
+    // Column-composed catalog functions (TagStrings / URL normalization)
+    // register as the UNRESOLVED trees the SQL parser itself would build
+    // for the equivalent composition — the analyzer resolves the nested
+    // builtins and lambda variables like any parsed query, so SQL users
+    // get the exact codegen'd composition the Scala surface has (the
+    // Column->Expression bridge can't be used here: it yields opaque
+    // ColumnNode wrappers the analyzer never resolves).
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.{LambdaFunction, UnresolvedNamedLambdaVariable}
+    def fn(name: String, args: Expression*): Expression =
+      UnresolvedFunction(Seq(name), args, isDistinct = false)
+    def str(s: String): Expression = Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType)
+    def lam(body: Expression => Expression): Expression = {
+      val v = UnresolvedNamedLambdaVariable(Seq("e"))
+      LambdaFunction(body(v), Seq(v))
+    }
+    def escaped(c: Expression, escape: String): Expression =
+      escape.distinct.sortBy(ch => if (ch == '\\') 0 else 1).foldLeft(c) {
+        (acc, ch) => fn("replace", acc, str(ch.toString), str("\\" + ch))
+      }
+    // TagStrings.tagsToString as a parser-shaped tree
+    def tagsToString(tags: Expression, escape: String, prefix: String,
+                     infix: String, suffix: String, join: String): Expression =
+      fn("concat_ws", str(join),
+        fn("transform", fn("array_sort", fn("map_entries", tags)), lam(e =>
+          fn("concat", str(prefix),
+            escaped(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(e, str("key")), escape),
+            str(infix),
+            escaped(org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(e, str("value")), escape),
+            str(suffix)))))
+    def strArg(e: Expression, name: String): String = e match {
+      case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal string, got $other")
+    }
+
+    ext.injectFunction((
+      new FunctionIdentifier("tags_kv"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "tags_kv"),
+      (args: Seq[Expression]) =>
+        tagsToString(args(0), "", "", "=", "", strArg(args(1), "join"))))
+
+    ext.injectFunction((
+      new FunctionIdentifier("tags_hstore"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "tags_hstore"),
+      (args: Seq[Expression]) =>
+        tagsToString(args(0), "\\\"", "\"", "\"=>\"", "\"", ",")))
+
+    ext.injectFunction((
+      new FunctionIdentifier("url_norm_host"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "url_norm_host"),
+      (args: Seq[Expression]) => fn("lower", fn("regexp_extract", args(0),
+        str(graft.functions.Fns.UrlHostRegex), Literal(1)))))
   }
 }

@@ -36,6 +36,15 @@ class ExtensionsSpec extends AnyFunSuite {
         """SELECT vec_lsh_buckets(CAST(array(0.5, -0.25) AS array<float>), 4, 8) AS b""")
         .collect()(0).getSeq[Long](0)
       assert(emb === graft.core.TextHash.lshBuckets(Array(0.5f, -0.25f), 4, 8).toSeq)
+      // Column-composed registrations: TagStrings formatters + URL host
+      val tagRow = spark.sql(
+        """SELECT tags_kv(map('b', 'y', 'a', 'x'), ',') AS kv,
+          |  tags_hstore(map('k', 'say "hi" \\ bye')) AS hs,
+          |  url_norm_host('svn+ssh://u@Repo.Example.COM:22/t') AS host""".stripMargin)
+        .collect()(0)
+      assert(tagRow.getString(0) === "a=x,b=y")
+      assert(tagRow.getString(1) === "\"k\"=>\"say \\\"hi\\\" \\\\ bye\"")
+      assert(tagRow.getString(2) === "repo.example.com")
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
