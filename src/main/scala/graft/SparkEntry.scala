@@ -205,6 +205,12 @@ object SparkEntry {
       SpatialOps.knnGeoShuffled(pts, pts.filter(col("pid") % 101 === 0), 5)
     }),
 
+    // geodesic radius join: everything within 120 km, haversine-exact
+    "q_radius_geo" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      SpatialOps.withinRadiusGeo(pts, pts.filter(col("pid") % 199 === 0), 120000.0)
+    }),
+
     // --- dedup suite ---
     "q_dedup_exact" -> ((s, d) => DedupOps.exactDuplicates(Synth.corpus(s, d))),
 
@@ -1087,6 +1093,16 @@ object SparkEntry {
          |WHERE rank <= 5""".stripMargin,
 
     "q_knn_geo" -> knnGeoSql(997),
+
+    "q_radius_geo" -> {
+      val dist = haversineSql("p.lon_fix / 10000000.0", "p.lat_fix / 10000000.0",
+        "q.lon_fix / 10000000.0", "q.lat_fix / 10000000.0")
+      s"""WITH p AS ($P), q AS (SELECT * FROM p WHERE pid % 199 = 0)
+         |SELECT q.pid AS qid, p.pid AS pid,
+         |  CAST(round(($dist) * 1000) AS BIGINT) AS dist_e3
+         |FROM p, q WHERE p.pid <> q.pid
+         |  AND CAST(round(($dist) * 1000) AS BIGINT) <= 120000000""".stripMargin
+    },
 
     "q_knn_geo_large" -> knnGeoSql(101),
 

@@ -544,6 +544,65 @@ object SpatialOps {
     out
   }
 
+  /** Geodesic radius join: every (qid, pid) pair within `radiusMeters`
+    * great-circle distance (boundary-inclusive on the rounded-millimetre
+    * distance, so the DuckDB twin is an integer compare). The spatial
+    * sibling of [[knnGeo]] for "everything near X" workloads.
+    *
+    * Shape: the cell level derives from the radius (cell height ≈ the
+    * radius' lat span, so a typical cover is ~3x3); each query explodes
+    * its cover — y cells clamped over the lat band, x offsets wrapped
+    * over ±k where k = ceil(Δλmax / cellWidth) from the exact per-query
+    * bound sin(Δλmax/2) = sin(r/2R)/cos(φcap) (k saturates to the full
+    * circle when the cap nears a pole — correct, and only polar queries
+    * pay it); candidates ride a cell shuffle equi-join (no broadcast of
+    * either side), refined by one haversine per candidate. Scales to
+    * corpus-vs-corpus query sets like knnGeoShuffled.
+    */
+  def withinRadiusGeo(points: DataFrame, queries: DataFrame,
+                      radiusMeters: Double): DataFrame = {
+    // cover from radius + 1mm: the emitted predicate is on the ROUNDED
+    // millimetre distance, so a point a hair beyond R can still round in
+    val rCover = radiusMeters + 0.001
+    val latSpanDeg = rCover / (EarthR * DegToRad)
+    val level = math.max(1, math.min(12,
+      math.floor(math.log(180.0 / latSpanDeg) / math.log(2.0)).toInt))
+    val n = 1L << level
+    val latSpanFix = math.ceil(latSpanDeg * 1e7).toLong + 1 // +1 fix-unit margin
+    val cellWDeg = 360.0 / n
+
+    // per-query max lon offset (radians -> degrees): exact bound over the
+    // query's lat band, saturating to the full circle near the poles
+    val phiCap = least(
+      (abs(col("qy")) + lit(latSpanFix)).cast("double") / lit(1.0e7) * lit(DegToRad),
+      lit(math.Pi / 2))
+    val sinHalf = lit(math.sin(rCover / (2.0 * EarthR))) /
+      greatest(cos(phiCap), lit(1e-12))
+    val dLamDeg = when(sinHalf >= 1.0, lit(180.0))
+      .otherwise(asin(sinHalf) * lit(2.0 / DegToRad))
+    val k = least(ceil(dLamDeg / lit(cellWDeg)).cast("long"), lit(n / 2))
+
+    val q = queries.select(col("pid").as("qid"),
+      col("lon_fix").as("qx"), col("lat_fix").as("qy"))
+    val qcells = q
+      .withColumn("qcx", Fns.cellX(col("qx"), level))
+      .withColumn("__k", k)
+      .withColumn("ylo", Fns.cellY(greatest(col("qy") - latSpanFix, lit(-900000000L)), level))
+      .withColumn("yhi", Fns.cellY(least(col("qy") + latSpanFix, lit(900000000L)), level))
+      .withColumn("cy", explode(sequence(col("ylo"), col("yhi"))))
+      .withColumn("dx", explode(sequence(-col("__k"), col("__k"))))
+      .withColumn("cell", Fns.cellIdFromXY(pmod(col("qcx") + col("dx"), lit(n)), col("cy"), level))
+      .dropDuplicates("qid", "cell")
+      .select("qid", "qx", "qy", "cell")
+    val pts = points.withColumn("cell",
+      Fns.cellId(col("lon_fix"), col("lat_fix"), level))
+    pts.join(qcells, "cell") // shuffle equi-join — no broadcast hint
+      .filter(col("pid") =!= col("qid"))
+      .withColumn("dist_e3", geoDistE3(col("lon_fix"), col("lat_fix"), col("qx"), col("qy")))
+      .filter(col("dist_e3") <= lit(math.round(radiusMeters * 1000.0)))
+      .select(col("qid"), col("pid"), col("dist_e3"))
+  }
+
   /** Geodesic kNN facade: strategy by query-set size, like [[knnAuto]]. */
   def knnGeoAuto(points: DataFrame, queries: DataFrame, k: Int,
                  scope: CacheScope = CacheScope.global): DataFrame =

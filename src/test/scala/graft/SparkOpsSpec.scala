@@ -370,6 +370,48 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     pts.unpersist()
   }
 
+  test("geodesic radius join: brute-force equality at high latitude, across the seam, no broadcast") {
+    val ss = spark; import ss.implicits._
+    val polar = (0 until 24).map(i => (100L + i, (i * 150000000L) - 1790000000L, 899000000L + i * 1000))
+    val seam = Seq((200L, 1799999000L, 100000000L), (201L, -1799999000L, 100100000L),
+      (202L, 1799000000L, 100200000L), (203L, -1799000000L, 99900000L))
+    val mid = (0 until 40).map(i => (300L + i, i * 40000000L - 800000000L, (i % 7) * 90000000L - 300000000L))
+    val pts = (polar ++ seam ++ mid).toDF("pid", "lon_fix", "lat_fix").persist()
+    val queries = pts.filter(col("pid").isin(100L, 101L, 200L, 201L, 310L))
+    val r = 300000.0 // 300 km: catches the seam pair and parts of the polar ring
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = SpatialOps.withinRadiusGeo(pts, queries, r)
+      assert(!joined.queryExecution.sparkPlan.toString.contains("BroadcastExchange"),
+        "radius join must not broadcast either side")
+      val got = joined.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      val local = pts.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      val qs = local.filter(t => Set(100L, 101L, 200L, 201L, 310L)(t._1))
+      def hav(ax: Long, ay: Long, bx: Long, by: Long): Double = {
+        val d = 0.017453292519943295769236907684886
+        val lonh = math.sin((ax - bx) / 1.0e7 * d * 0.5)
+        val lath = math.sin((ay - by) / 1.0e7 * d * 0.5)
+        2.0 * 6372797.560856 * math.asin(math.sqrt(
+          lath * lath + math.cos(ay / 1.0e7 * d) * math.cos(by / 1.0e7 * d) * lonh * lonh))
+      }
+      val expect = (for {
+        (qid, qx, qy) <- qs
+        (pid, x, y) <- local if pid != qid
+        d3 = math.round(hav(x, y, qx, qy) * 1000.0)
+        if d3 <= math.round(r * 1000.0)
+      } yield (qid, pid, d3)).toSet
+      assert(got === expect)
+      // the seam pair finds each other across the antimeridian
+      assert(got.exists(t => t._1 == 200L && t._2 == 201L))
+      // a polar query finds ring members on far-away longitudes
+      assert(got.count(t => t._1 == 100L && t._2 >= 100L && t._2 < 124L) > 3)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      pts.unpersist()
+    }
+  }
+
   test("geodesic shuffled kNN: no broadcast of the query side, agrees with brute force") {
     val pts = Synth.points(spark, dir).limit(400).persist()
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
