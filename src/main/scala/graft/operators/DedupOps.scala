@@ -97,8 +97,11 @@ object DedupOps {
     * shuffle cost is O(bands·rows) narrow rows; never all-pairs, and
     * per-bucket pair count is bounded by MaxBandBucket^2.
     */
-  def minHashLshPairs(corpus: DataFrame,
-                      scope: CacheScope = CacheScope.global): DataFrame = {
+  /** (doc_id, band, band_key) banded rows — the LSH bucketing both the
+    * batch self-join and the streaming candidate operator share (one
+    * stateless narrow pass: signature + posexplode of the band keys).
+    */
+  def bandedRows(corpus: DataFrame): DataFrame = {
     val nBands = NumMinHashes / BandSize
     val bandKeys = Fns.bindOnce(col("mh")) { mh =>
       transform(sequence(lit(0), lit(nBands - 1)), b => {
@@ -106,10 +109,15 @@ object DedupOps {
           .reduceLeft((acc, c) => (acc * lit(1000003L) + c) % lit(1000000007L))
       })
     }
+    minHashSignatures(corpus)
+      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+  }
+
+  def minHashLshPairs(corpus: DataFrame,
+                      scope: CacheScope = CacheScope.global): DataFrame = {
     // persisted (scope-released): feeds the bucket-size filter and both
     // sides of the candidate self-join
-    val banded = scope.persist(minHashSignatures(corpus)
-      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key"))))
+    val banded = scope.persist(bandedRows(corpus))
     val smallBuckets = banded.groupBy("band", "band_key")
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= MaxBandBucket)

@@ -57,6 +57,63 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_sha", "text_len")
 
+  case class LshBucketState(ids: Vector[Long], saturated: Boolean)
+  case class LshCandidate(docA: Long, docB: Long)
+
+  /** Streaming MinHash-LSH near-duplicate candidates for an ingest
+    * pipeline: each arriving doc is banded exactly like the batch operator
+    * (DedupOps.bandedRows — same signatures, same band keys), and a
+    * stateful pass keyed by (band, band_key) emits a candidate pair for
+    * every already-seen doc in the same bucket. Output pairs are
+    * normalized (docA < docB) and may repeat across bands/batches —
+    * downstream dedups (exactly like the batch self-join's distinct).
+    *
+    * Mega-bucket semantics, streaming-adapted: a bucket whose population
+    * exceeds `maxBucket` stops emitting and DROPS its id list (state for
+    * a degenerate bucket is O(1) forever, the streaming analog of the
+    * batch cap — already-emitted pairs cannot be retracted, so the two
+    * forms agree exactly on corpora whose buckets stay within the cap,
+    * and both refuse the O(s²) blowup beyond it). State per live bucket
+    * is at most maxBucket ids.
+    */
+  def lshCandidateStream(docs: DataFrame,
+                         maxBucket: Int = graft.operators.DedupOps.MaxBandBucket)
+      : Dataset[LshCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.operators.DedupOps.bandedRows(docs)
+      .select(col("doc_id").cast("long"), col("band").cast("int"),
+        col("band_key").cast("long"))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, key) => (band, key) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
+         state: GroupState[LshBucketState]) => {
+          val st = state.getOption.getOrElse(LshBucketState(Vector.empty, saturated = false))
+          if (st.saturated) { rows.foreach(_ => ()); Iterator.empty }
+          else {
+            // batch-internal order is nondeterministic — sort for stable output
+            val incoming = rows.map(_._1).toArray.sorted
+            var ids = st.ids
+            var saturated = false
+            val out = Vector.newBuilder[LshCandidate]
+            incoming.foreach { id =>
+              if (!saturated && !ids.contains(id)) {
+                if (ids.length >= maxBucket) saturated = true
+                else {
+                  ids.foreach(prev => out += LshCandidate(math.min(prev, id), math.max(prev, id)))
+                  ids = ids :+ id
+                }
+              }
+            }
+            state.update(
+              if (saturated) LshBucketState(Vector.empty, saturated = true)
+              else LshBucketState(ids, saturated = false))
+            out.result().iterator
+          }
+        })
+  }
+
   case class SessionEvent(userId: Long, ts: java.sql.Timestamp)
   case class OpenSession(startUs: Long, endUs: Long, n: Long)
   case class SessionsState(open: Seq[OpenSession])

@@ -167,6 +167,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming MinHash-LSH candidates == batch pair set; mega-buckets saturate with O(1) state") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val base = "a genuinely distinctive document about streaming lsh candidate generation over web text "
+    val nearDups = Seq(
+      (1L, base + "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, base + "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, base + "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val unrelated = (10L until 20L).map(i =>
+      (i, s"completely different page number $i talking about ${"x" * (i % 5).toInt} tiles and cells $i"))
+    val rows = nearDups ++ unrelated
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.lshCandidateStream(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lshcand").outputMode("append").start()
+    try {
+      // split across two micro-batches: cross-batch pairs must still emerge
+      input.addData(rows.take(5))
+      q.processAllAvailable()
+      input.addData(rows.drop(5))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT docA, docB FROM lshcand").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.DedupOps.minHashLshPairs(rows.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === batch, s"stream $got vs batch $batch")
+      assert(batch.nonEmpty && batch.contains((1L, 2L)))
+    } finally q.stop()
+
+    // saturation: identical docs beyond the cap emit at most C(cap, 2)
+    // pairs per band and the bucket state collapses to a sentinel
+    val cap = 4
+    val many = (0L until 50L).map(i => (i, "same boilerplate everywhere on this mirror"))
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = StreamingOps.lshCandidateStream(input2.toDS().toDF("doc_id", "text"), maxBucket = cap)
+      .writeStream.format("memory").queryName("lshsat").outputMode("append").start()
+    try {
+      input2.addData(many.take(25)); q2.processAllAvailable()
+      input2.addData(many.drop(25)); q2.processAllAvailable()
+      val n = spark.sql("SELECT DISTINCT docA, docB FROM lshsat").count()
+      assert(n <= cap.toLong * (cap - 1) / 2,
+        s"saturated bucket leaked $n distinct pairs (cap $cap)")
+    } finally q2.stop()
+  }
+
   test("streaming sessionization closes sessions by gap AND by event-time timeout") {
     val ss = spark
     import ss.implicits._
