@@ -536,6 +536,35 @@ object SparkEntry {
           when(inRegion, 1L).otherwise(0L).as("in_region"))
     }),
 
+    // region extract with LEVEL-2 RELATION closure (complete-relations
+    // semantics layered on complete-ways): in-region nodes seed ways,
+    // ways seed their relations, relations seed their SUPER-relations
+    // (relation-in-relation membership, one nesting level like the
+    // reference's generic assembler); then completion runs DOWNWARD —
+    // kept super-relations pull all their relations, kept relations all
+    // their ways, kept ways all their nodes. Every step is a distinct
+    // semi-join on a narrow key; nothing is broadcast-dependent.
+    "q_extract_rels" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      val refs = pts.select(expr("pid DIV 100").as("way_id"), col("pid"))
+      val relMem = refs.select(expr("way_id DIV 10").as("rel_id"), col("way_id")).distinct()
+      val srelMem = relMem.select(expr("rel_id DIV 10").as("srel_id"), col("rel_id")).distinct()
+      val inRegion = col("lon_fix").between(0L, 299999999L) &&
+        col("lat_fix").between(0L, 199999999L)
+      // upward seeding
+      val seedWays = refs.join(pts.filter(inRegion).select("pid"), "pid")
+        .select("way_id").distinct()
+      val seedRels = relMem.join(seedWays, "way_id").select("rel_id").distinct()
+      val seedSrels = srelMem.join(seedRels, "rel_id").select("srel_id").distinct()
+      // downward completion
+      val keptRels = srelMem.join(seedSrels, "srel_id").select("rel_id").distinct()
+      val keptWays = relMem.join(keptRels, "rel_id").select("way_id").distinct()
+      val keptNodes = refs.join(keptWays, "way_id").select("pid").distinct()
+      keptNodes.join(pts, "pid")
+        .select(col("pid"), col("lon_fix"), col("lat_fix"),
+          when(inRegion, 1L).otherwise(0L).as("in_region"))
+    }),
+
     // distributed dense renumbering: consecutive ids in (lang, doc_id)
     // order with NO single-partition window — range-partitioned sort +
     // per-partition offsets (zipWithIndex), every stage parallel
@@ -1142,6 +1171,24 @@ object SparkEntry {
          |        AND p.lat_fix BETWEEN 0 AND 199999999
          |       THEN 1 ELSE 0 END AS in_region
          |FROM pts p JOIN kn USING (pid)""".stripMargin,
+
+    "q_extract_rels" ->
+      s"""WITH p AS ($P),
+         |refs AS (SELECT pid // 100 AS way_id, pid FROM p),
+         |relmem AS (SELECT DISTINCT way_id // 10 AS rel_id, way_id FROM refs),
+         |srelmem AS (SELECT DISTINCT rel_id // 10 AS srel_id, rel_id FROM relmem),
+         |region AS (SELECT pid FROM p
+         |  WHERE lon_fix BETWEEN 0 AND 299999999 AND lat_fix BETWEEN 0 AND 199999999),
+         |seedw AS (SELECT DISTINCT way_id FROM refs JOIN region USING (pid)),
+         |seedr AS (SELECT DISTINCT rel_id FROM relmem JOIN seedw USING (way_id)),
+         |seeds AS (SELECT DISTINCT srel_id FROM srelmem JOIN seedr USING (rel_id)),
+         |keptr AS (SELECT DISTINCT rel_id FROM srelmem JOIN seeds USING (srel_id)),
+         |keptw AS (SELECT DISTINCT way_id FROM relmem JOIN keptr USING (rel_id)),
+         |keptn AS (SELECT DISTINCT pid FROM refs JOIN keptw USING (way_id))
+         |SELECT p.pid, p.lon_fix, p.lat_fix,
+         |  CASE WHEN p.lon_fix BETWEEN 0 AND 299999999
+         |    AND p.lat_fix BETWEEN 0 AND 199999999 THEN 1 ELSE 0 END AS in_region
+         |FROM p JOIN keptn ON keptn.pid = p.pid""".stripMargin,
 
     "q_renumber" ->
       """SELECT doc_id, lang,

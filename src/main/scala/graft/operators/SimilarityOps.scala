@@ -80,10 +80,11 @@ object SimilarityOps {
     * broadcast as an O(K) table. One count() + one bounded collect — the
     * documented eager trade-off.
     */
-  private def coarseQuantizer(emb: DataFrame, maxCentroids: Int)
+  private def coarseQuantizer(emb: DataFrame, maxCentroids: Int,
+                              nKnown: Long = -1L)
       : org.apache.spark.broadcast.Broadcast[graft.plans.CentroidKernel.Cents] = {
     val spark = emb.sparkSession
-    val n = math.max(emb.count(), 1L)
+    val n = math.max(if (nKnown >= 0L) nKnown else emb.count(), 1L)
     val kTarget = math.max(1L,
       math.min(maxCentroids.toLong, math.ceil(math.sqrt(n.toDouble)).toLong))
     val mod = math.max(n / kTarget, 1L)
@@ -209,11 +210,11 @@ object SimilarityOps {
     */
   private def pqResCodebook(emb: DataFrame,
                             centsBc: org.apache.spark.broadcast.Broadcast[graft.plans.CentroidKernel.Cents],
-                            ksub: Int, m: Int)
+                            ksub: Int, m: Int, nKnown: Long = -1L)
       : org.apache.spark.broadcast.Broadcast[graft.plans.PqKernel.ResBook] = {
     import graft.plans.{CentroidKernel, PqKernel}
     val spark = emb.sparkSession
-    val n = math.max(emb.count(), 1L)
+    val n = math.max(if (nKnown >= 0L) nKnown else emb.count(), 1L)
     val mod = math.max(n / ksub, 1L)
     val rows = emb.filter(Fns.mixId(col("vec_id")) % mod === (3L % mod))
       .select(col("vec_id"), col("embedding"))
@@ -255,8 +256,10 @@ object SimilarityOps {
                 ksub: Int = PqKsub, m: Int = 8): DataFrame = {
     import graft.plans.GeomExpressions.{pqAdcScore, pqDistTableRes, pqEncodeRes, vecNearestCentroids}
     val spark = emb.sparkSession
-    val bcCents = coarseQuantizer(emb, maxCentroids)
-    val bcBook = pqResCodebook(emb, bcCents, ksub, m)
+    // one count() sizes both builders (the documented eager probe, paid once)
+    val n = emb.count()
+    val bcCents = coarseQuantizer(emb, maxCentroids, n)
+    val bcBook = pqResCodebook(emb, bcCents, ksub, m, n)
 
     val assigned0 = emb.select(col("vec_id"), col("embedding"),
       element_at(vecNearestCentroids(col("embedding"), 1, bcCents), 1).as("cid"))

@@ -370,6 +370,16 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     pts.unpersist()
   }
 
+  test("relation-closure extract strictly widens the complete-ways extract") {
+    def pids(q: String): Set[Long] =
+      SparkEntry.queries(q)(spark, dir).collect().map(_.getLong(0)).toSet
+    val waysOnly = pids("q_extract")
+    val withRels = pids("q_extract_rels")
+    assert(waysOnly.subsetOf(withRels), "relation closure must contain the ways-only extract")
+    assert(withRels.size > waysOnly.size,
+      "level-2 relation membership must pull nodes the ways-only closure misses")
+  }
+
   test("geodesic radius join: brute-force equality at high latitude, across the seam, no broadcast") {
     val ss = spark; import ss.implicits._
     val polar = (0 until 24).map(i => (100L + i, (i * 150000000L) - 1790000000L, 899000000L + i * 1000))
