@@ -296,6 +296,13 @@ object SparkEntry {
       SketchOps.hllDistinctWithExact(withFp, "lang", col("fp"))
     }),
 
+    // same sketch at m=256 — gates the configurable-m path end-to-end
+    "q_hll_m256" -> ((s, d) => {
+      val withFp = t(s, d, "documents").select(col("lang"),
+        graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fp"))
+      SketchOps.hllDistinctWithExact(withFp, "lang", col("fp"), m = 256)
+    }),
+
     // deterministic train/valid/test split + per-source mixture sampling:
     // both decisions hash the CONTENT (docFingerprint), not the id, so
     // re-sharding or re-crawling the corpus never migrates a doc across
@@ -781,9 +788,51 @@ object SparkEntry {
     * estimate m·(kl + srs) is then bit-identical to the Column/kernel
     * forms because every op is a basic IEEE double op.
     */
-  private def lnDetCtesSql: String = {
+  /** Full q_hll oracle at register count m — every constant derives from
+    * core.Hll so a parameter change cannot drift between the engines.
+    */
+  private def hllSql(m: Int): String = {
     import graft.core.Hll
-    val md = Hll.M.toDouble
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokenHashSql("tok")} AS h FROM (
+       |    SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents)),
+       |fps AS (
+       |  SELECT d.doc_id, d.lang,
+       |    coalesce((SELECT CAST(sum(h) AS BIGINT) % 2305843009213693951
+       |      FROM toks WHERE toks.doc_id = d.doc_id), 0) AS fp
+       |  FROM documents d),
+       |rr AS (
+       |  SELECT lang, fp,
+       |    fp % $m AS reg,
+       |    least(bit_count((((fp >> ${Hll.log2m(m)}) & (-(fp >> ${Hll.log2m(m)}))) - 1)) + 1,
+       |      ${Hll.RhoCap}) AS rho
+       |  FROM fps),
+       |regs AS (
+       |  SELECT lang, reg, max(rho) AS mrho, count(DISTINCT fp) AS nd
+       |  FROM rr GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT lang, count(*) AS n_regs,
+       |    CAST(sum(CAST(1 AS BIGINT) << (${Hll.RhoCap} - mrho))
+       |      AS BIGINT) AS pop_sum,
+       |    CAST(sum(nd) AS BIGINT) AS n_exact
+       |  FROM regs GROUP BY 1),
+       |est0 AS (
+       |  SELECT lang, n_regs, n_exact,
+       |    pop_sum + ($m - n_regs) * ${Hll.Scale} AS reg_sum,
+       |    $m - n_regs AS vz FROM agg),
+       |${lnDetCtesSql(m)}
+       |SELECT lang, n_regs, reg_sum,
+       |  CASE WHEN vz > 0 AND reg_sum >= ${Hll.lcThreshold(m)}
+       |    THEN CAST(round((${m.toDouble} * (kl + srs)) * 1000.0) AS BIGINT)
+       |    ELSE CAST(round((${Hll.estNumerator(m)} / reg_sum) * 1000.0) AS BIGINT)
+       |  END AS est_e3,
+       |  n_exact
+       |FROM lc5""".stripMargin
+  }
+
+  private def lnDetCtesSql(m: Int): String = {
+    import graft.core.Hll
+    val md = m.toDouble
     val kSum = (1 to 20).map(j =>
       s"(CASE WHEN x >= ${(1L << j).toDouble} THEN 1 ELSE 0 END)").mkString(" + ")
     val tCase = (0 to 20).map(j => s"WHEN $j THEN ${1.0 / (1L << j)}").mkString(" ")
@@ -1552,42 +1601,9 @@ object SparkEntry {
          |  FROM scored)
          |WHERE rank <= 3""".stripMargin,
 
-    "q_hll" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, ${tokenHashSql("tok")} AS h FROM (
-         |    SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents)),
-         |fps AS (
-         |  SELECT d.doc_id, d.lang,
-         |    coalesce((SELECT CAST(sum(h) AS BIGINT) % 2305843009213693951
-         |      FROM toks WHERE toks.doc_id = d.doc_id), 0) AS fp
-         |  FROM documents d),
-         |rr AS (
-         |  SELECT lang, fp,
-         |    fp % ${graft.core.Hll.M} AS reg,
-         |    least(bit_count((((fp >> 6) & (-(fp >> 6))) - 1)) + 1,
-         |      ${graft.core.Hll.RhoCap}) AS rho
-         |  FROM fps),
-         |regs AS (
-         |  SELECT lang, reg, max(rho) AS mrho, count(DISTINCT fp) AS nd
-         |  FROM rr GROUP BY 1, 2),
-         |agg AS (
-         |  SELECT lang, count(*) AS n_regs,
-         |    CAST(sum(CAST(1 AS BIGINT) << (${graft.core.Hll.RhoCap} - mrho))
-         |      AS BIGINT) AS pop_sum,
-         |    CAST(sum(nd) AS BIGINT) AS n_exact
-         |  FROM regs GROUP BY 1),
-         |est0 AS (
-         |  SELECT lang, n_regs, n_exact,
-         |    pop_sum + (${graft.core.Hll.M} - n_regs) * ${graft.core.Hll.Scale} AS reg_sum,
-         |    ${graft.core.Hll.M} - n_regs AS vz FROM agg),
-         |$lnDetCtesSql
-         |SELECT lang, n_regs, reg_sum,
-         |  CASE WHEN vz > 0 AND reg_sum >= ${graft.core.Hll.lcThreshold(graft.core.Hll.M)}
-         |    THEN CAST(round((${graft.core.Hll.M.toDouble} * (kl + srs)) * 1000.0) AS BIGINT)
-         |    ELSE CAST(round((${graft.core.Hll.EstNumerator} / reg_sum) * 1000.0) AS BIGINT)
-         |  END AS est_e3,
-         |  n_exact
-         |FROM lc5""".stripMargin,
+    "q_hll" -> hllSql(graft.core.Hll.M),
+
+    "q_hll_m256" -> hllSql(256),
 
     "q_split" ->
       s"""WITH toks AS (
