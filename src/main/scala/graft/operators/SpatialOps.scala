@@ -44,7 +44,8 @@ object SpatialOps {
     * conjunction bool_and(cross >= 0), which is what the DuckDB oracle
     * computes (property-tested in SparkOpsSpec).
     */
-  def pipJoinConvexTagged(spark: SparkSession, points: DataFrame): DataFrame = {
+  def pipJoinConvexTagged(spark: SparkSession, points: DataFrame,
+                          carryCols: Seq[Column] = Nil): DataFrame = {
     import spark.implicits._
     val cover = Synth.hexagons.flatMap { h =>
       CellId.coverBBox(h.xs.min, h.ys.min, h.xs.max, h.ys.max, CoverLevel)
@@ -57,7 +58,8 @@ object SpatialOps {
       .join(broadcast(cover), "cell")
       .filter(graft.plans.PointInPolygonSet(
         spark, col("poly_id"), col("lon_fix"), col("lat_fix"), polyMap))
-      .select(col("pid"), col("poly_id"), col("lon_fix"), col("lat_fix"))
+      .select(Seq(col("pid"), col("poly_id"), col("lon_fix"), col("lat_fix"))
+        ++ carryCols: _*)
   }
 
   /** General-polygon PIP via the exact ray-cast kernel (concave rings,

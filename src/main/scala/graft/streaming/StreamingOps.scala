@@ -43,6 +43,22 @@ object StreamingOps {
       .agg(least(count(lit(1)), lit(65535L)).as("cnt"))
       .select(col("window.start").as("win_start"), col("tx"), col("ty"), col("cnt"))
 
+  /** Streaming point-in-polygon counts — the watermarked twin of the
+    * batch PIP join + per-polygon rollup (the other north-rule spatial
+    * aggregation in streaming form): the broadcast cell-cover join and
+    * native ray-cast refinement are STATELESS against the static polygon
+    * side, so they run per micro-batch unchanged, and only the tiny
+    * (window, poly_id) counts are stateful inside the watermark horizon.
+    */
+  def pipCountsStream(points: DataFrame, tsCol: String,
+                      windowLen: String, watermark: String): DataFrame =
+    graft.operators.SpatialOps
+      .pipJoinConvexTagged(points.sparkSession,
+        points.withWatermark(tsCol, watermark), carryCols = Seq(col(tsCol)))
+      .groupBy(window(col(tsCol), windowLen), col("poly_id"))
+      .count()
+      .select(col("window.start").as("win_start"), col("poly_id"), col("count"))
+
   /** Streaming exact dedup for an ingest pipeline: keep the first
     * occurrence of each text (keyed by sha256 + length, like the batch
     * exactDuplicates), with the dedup state bounded by a watermark —

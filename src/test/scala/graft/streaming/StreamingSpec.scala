@@ -212,6 +212,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("streaming PIP counts == batch pipJoin rollup per closed window") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_pip_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pip_ck").toString
+    def ts(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    // real sf0.001 points (they actually land in the hexagons), timestamped
+    val base = graft.sources.Synth.points(spark, "/root/testdata/sf0.001")
+      .limit(3000).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val stamped = base.zipWithIndex.map { case ((pid, x, y), i) => (ts(i % 8), pid, x, y) }
+    stamped.take(2000).toSeq.toDF("ts", "pid", "lon_fix", "lat_fix")
+      .write.mode("append").parquet(inDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("pid", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lon_fix", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lat_fix", org.apache.spark.sql.types.LongType)))
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    val q = StreamingOps.pipCountsStream(stream, "ts", "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("pipwins").outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      stamped.drop(2000).toSeq.toDF("ts", "pid", "lon_fix", "lat_fix")
+        .write.mode("append").parquet(inDir)
+      Seq((ts(600), -1L, 0L, 0L)).toDF("ts", "pid", "lon_fix", "lat_fix")
+        .write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT poly_id, count FROM pipwins").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).sum).toMap
+      val expect = graft.operators.SpatialOps.pipJoinConvex(spark,
+          stamped.toSeq.toDF("ts", "pid", "lon_fix", "lat_fix"))
+        .groupBy("poly_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // the sentinel point (0,0) may itself fall in a hexagon, but its
+      // window never closes, so both sides count only the stamped rows
+      assert(got === expect)
+      assert(got.values.sum > 0)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions by gap AND by event-time timeout") {
     val ss = spark
     import ss.implicits._
