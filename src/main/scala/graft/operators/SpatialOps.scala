@@ -468,7 +468,7 @@ object SpatialOps {
 
     val stats = scope.persist(ranked.groupBy("qid")
       .agg(count(lit(1)).as("cnt"), max("dist_e3").as("maxd"),
-        first("qy").as("sqy"))
+        max("qy").as("sqy"))
       .filter(col("cnt") === k && col("maxd") <= geoBoundE3(col("sqy"), n))
       .select(col("qid").as("ok_qid")))
     val guaranteed = ranked.drop("qy")
@@ -531,7 +531,7 @@ object SpatialOps {
       } else {
         val ok = scope.persist(ranked.groupBy("qid")
           .agg(count(lit(1)).as("cnt"), max("dist_e3").as("maxd"),
-            first("qy").as("sqy"))
+            max("qy").as("sqy"))
           .filter(col("cnt") === k && col("maxd") <= geoBoundE3(col("sqy"), n))
           .select("qid"))
         val emit = ranked.drop("qy").join(ok, "qid")
