@@ -572,6 +572,16 @@ object SparkEntry {
           when(inRegion, 1L).otherwise(0L).as("in_region"))
     }),
 
+    // vector->raster: cells whose center lies inside each polygon
+    "q_rasterize" -> ((s, d) =>
+      SpatialOps.rasterizePolygons(Synth.hexCorpus(s, 1000), RasterizeLevel)),
+
+    // raster->vector: connected occupied-cell regions as component bboxes
+    "q_vectorize" -> ((s, d) =>
+      SpatialOps.vectorizeRaster(
+        SpatialOps.equirectDensity(Synth.points(s, d), VectorizeLevel)
+          .filter(col("cnt") >= 3))),
+
     // distributed dense renumbering: consecutive ids in (lang, doc_id)
     // order with NO single-partition window — range-partitioned sort +
     // per-partition offsets (zipWithIndex), every stage parallel
@@ -635,6 +645,13 @@ object SparkEntry {
     */
   val PipLargePolys = 10000
   val PipLargeLevel = 8
+
+  /** q_rasterize grid (1024x1024: several cells per hexagon) and
+    * q_vectorize occupancy grid (256x256, threshold cnt>=3 keeps the
+    * occupied set sparse so components stay small).
+    */
+  val RasterizeLevel = 10
+  val VectorizeLevel = 8
 
   /** Route-relation-style typed-member input derived from the TPC-H-ish
     * tables: each order is a relation with its customer as a node member,
@@ -1132,7 +1149,59 @@ object SparkEntry {
          |WHERE $halfPlanes""".stripMargin
     },
 
-    "q_bbox_join" -> {
+        "q_rasterize" -> {
+      val lvl = 1 << RasterizeLevel
+      val verts = Seq(("cx + r", "cy"), ("cx + h", "cy + s"), ("cx - h", "cy + s"),
+        ("cx - r", "cy"), ("cx - h", "cy - s"), ("cx + h", "cy - s"))
+      val halfPlanes = verts.indices.map { i =>
+        val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.length)
+        s"(((($x2) - ($x1)) * (py - ($y1)) - (($y2) - ($y1)) * (px - ($x1))) >= 0)"
+      }.mkString("\n  AND ")
+      s"""WITH hexes AS (${Synth.hexCorpusSql(1000)}),
+         |${coverCtesSql(lvl, "poly_id, cx, cy, r, h, s",
+             "cx - r", "cy - s", "cx + r", "cy + s", "hexes")},
+         |ctr AS (SELECT *,
+         |  ((ccx * 2 + 1) * 3600000000) // ${2L * lvl} - 1800000000 AS px,
+         |  ((ccy * 2 + 1) * 1800000000) // ${2L * lvl} - 900000000 AS py
+         |  FROM cover)
+         |SELECT poly_id, ccx AS cell_x, ccy AS cell_y FROM ctr
+         |WHERE $halfPlanes""".stripMargin
+    },
+
+    "q_vectorize" -> {
+      val lvl = 1 << VectorizeLevel
+      s"""WITH RECURSIVE p AS ($P),
+         |occ AS (
+         |  SELECT bx, by FROM (
+         |    SELECT least((lon_fix + 1800000000) * $lvl // 3600000000, ${lvl - 1}) AS bx,
+         |      least((lat_fix + 900000000) * $lvl // 1800000000, ${lvl - 1}) AS by,
+         |      count(*) AS c
+         |    FROM p GROUP BY 1, 2) WHERE c >= 3),
+         |cells AS (SELECT bx, by, bx * 4194304 + by AS k FROM occ),
+         |edges0 AS (
+         |  SELECT a.k AS src, b.k AS dst FROM cells a JOIN cells b
+         |    ON b.bx = a.bx + 1 AND b.by = a.by
+         |  UNION ALL
+         |  SELECT a.k, b.k FROM cells a JOIN cells b
+         |    ON b.bx = a.bx AND b.by = a.by + 1),
+         |edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+         |reach AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |cnodes AS (SELECT DISTINCT src AS id FROM edges),
+         |labels AS (
+         |  SELECT id AS k, least(id, coalesce(min(b), id)) AS cluster_id
+         |  FROM cnodes LEFT JOIN reach ON a = id GROUP BY id)
+         |SELECT coalesce(l.cluster_id, c.k) AS component_id,
+         |  min(c.bx) AS min_bx, min(c.by) AS min_by,
+         |  max(c.bx) AS max_bx, max(c.by) AS max_by,
+         |  CAST(count(*) AS BIGINT) AS n_cells
+         |FROM cells c LEFT JOIN labels l ON l.k = c.k
+         |GROUP BY 1""".stripMargin
+    },
+
+"q_bbox_join" -> {
       // same cover prefilter as q_pip_large; refinement is the inclusive
       // range conjunction over the hexagons' bounding boxes
       val lvl = 1 << PipLargeLevel

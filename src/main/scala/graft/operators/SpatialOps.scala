@@ -630,6 +630,64 @@ object SpatialOps {
       .groupBy("bx", "by")
       .agg(least(count(lit(1)), lit(65535L)).as("cnt"))
 
+  /** Vector→raster: polygon rasterization onto the equirect grid — every
+    * cell whose CENTER lies inside the polygon (boundary-inclusive ray
+    * cast), the accurate counterpart of the bbox cell cover. Shape: the
+    * candidate set is the distributed bbox cover (two chained explodes,
+    * ring geometry riding the rows), refined by one exact integer PIP per
+    * candidate cell — fully distributed, no driver pass, no broadcast.
+    * Cell centers are exact integer arithmetic (floor((2c+1)·span/2n)),
+    * so the DuckDB twin matches bit-for-bit. Output (poly_id, cell_x,
+    * cell_y).
+    */
+  def rasterizePolygons(polys: DataFrame, level: Int): DataFrame = {
+    val n = 1L << level
+    val withCells = polys.select(col("poly_id"), col("xs"), col("ys"),
+        Fns.cellY(array_min(col("ys")), level).as("cy0"),
+        Fns.cellY(array_max(col("ys")), level).as("cy1"),
+        explode(sequence(Fns.cellX(array_min(col("xs")), level),
+          Fns.cellX(array_max(col("xs")), level))).as("cell_x"))
+      .select(col("poly_id"), col("xs"), col("ys"), col("cell_x"),
+        explode(sequence(col("cy0"), col("cy1"))).as("cell_y"))
+    val px = Fns.idiv((col("cell_x") * 2 + 1) * lit(3600000000L), 2 * n) - lit(1800000000L)
+    val py = Fns.idiv((col("cell_y") * 2 + 1) * lit(1800000000L), 2 * n) - lit(900000000L)
+    withCells
+      .filter(graft.plans.GeomExpressions.pointInRings(px, py, col("xs"), col("ys")))
+      .select(col("poly_id"), col("cell_x"), col("cell_y"))
+  }
+
+  /** Raster→vector: connected components of occupied raster cells
+    * (4-adjacency) emitted as per-component bboxes — the vectorization
+    * direction of the north rule's raster↔vector tiling. Reuses the
+    * dedup engine's label-propagation connected components
+    * ([[DedupOps.duplicateClusters]]: adaptive pointer jumping,
+    * O(3+log d) rounds) over the cell-adjacency edge list; adjacency is
+    * two shifted self-equi-joins on narrow keys, and isolated cells
+    * become their own single-cell components. Input (bx, by); output
+    * (component_id = smallest cell key in the component, min/max bbox,
+    * n_cells).
+    */
+  def vectorizeRaster(cells: DataFrame,
+                      scope: CacheScope = CacheScope.global): DataFrame = {
+    // linear key (injective for any level <= 21): bx * 2^22 + by
+    val c = scope.persist(cells.select(col("bx"), col("by"),
+      (col("bx") * lit(4194304L) + col("by")).as("k")))
+    val edges = Seq((1, 0), (0, 1)).map { case (dx, dy) =>
+      c.join(c.select((col("bx") - dx).as("bx"), (col("by") - dy).as("by"),
+          col("k").as("nk")), Seq("bx", "by"))
+        .select(col("k").as("doc_a"), col("nk").as("doc_b"))
+    }.reduce(_ unionByName _)
+    val labels = DedupOps.duplicateClusters(edges, scope)
+    c.join(labels.withColumnRenamed("doc_id", "k"), Seq("k"), "left")
+      .withColumn("comp", coalesce(col("cluster_id"), col("k")))
+      .groupBy("comp")
+      .agg(min("bx").as("min_bx"), min("by").as("min_by"),
+        max("bx").as("max_bx"), max("by").as("max_by"),
+        count(lit(1)).as("n_cells"))
+      .select(col("comp").as("component_id"), col("min_bx"), col("min_by"),
+        col("max_bx"), col("max_by"), col("n_cells"))
+  }
+
   /** Equirect density rendered to a grayscale PNG (the full nodedensity
     * pipeline, examples/nodedensity.cpp:16-86): distributed saturating
     * aggregation, then the raster-sized result renders on the driver.

@@ -370,6 +370,45 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     pts.unpersist()
   }
 
+  test("rasterizePolygons: emitted centers are inside, omitted candidates outside (kernel check)") {
+    val polys = Synth.hexCorpus(spark, 20)
+    val level = SparkEntry.RasterizeLevel
+    val n = 1L << level
+    val got = SpatialOps.rasterizePolygons(polys, level)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.nonEmpty)
+    val hexes = polys.collect().map(r =>
+      (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray))
+    // brute force over each polygon's full candidate cell range
+    val expect = (for {
+      (pid, xs, ys) <- hexes
+      cx <- (xs.min + 1800000000L) * n / 3600000000L to
+        math.min((xs.max + 1800000000L) * n / 3600000000L, n - 1)
+      cy <- (ys.min + 900000000L) * n / 1800000000L to
+        math.min((ys.max + 900000000L) * n / 1800000000L, n - 1)
+      px = (cx * 2 + 1) * 3600000000L / (2 * n) - 1800000000L
+      py = (cy * 2 + 1) * 1800000000L / (2 * n) - 900000000L
+      if graft.core.Planar.pointInRing(px, py, xs, ys)
+    } yield (pid, cx, cy)).toSet
+    assert(got === expect)
+  }
+
+  test("vectorizeRaster: exact components on a hand-built raster") {
+    val ss = spark; import ss.implicits._
+    // L-shaped component, a 2-cell bar, and a singleton; diagonal does NOT connect
+    val cells = Seq((0L, 0L), (0L, 1L), (1L, 1L), (3L, 0L), (3L, 1L), (5L, 5L),
+      (6L, 6L)).toDF("bx", "by")
+    val got = SpatialOps.vectorizeRaster(cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    def k(bx: Long, by: Long) = bx * 4194304L + by
+    assert(got === Set(
+      (k(0, 0), 0L, 0L, 1L, 1L, 3L),   // L-shape
+      (k(3, 0), 3L, 0L, 3L, 1L, 2L),   // vertical bar
+      (k(5, 5), 5L, 5L, 5L, 5L, 1L),   // singleton (diagonal is not adjacency)
+      (k(6, 6), 6L, 6L, 6L, 6L, 1L)))
+  }
+
   test("relation-closure extract strictly widens the complete-ways extract") {
     def pids(q: String): Set[Long] =
       SparkEntry.queries(q)(spark, dir).collect().map(_.getLong(0)).toSet
