@@ -89,14 +89,17 @@ object Bench {
       case (name, (_, sec)) if sec > 0 && prior.get(name).exists(p => p >= 0.2 && sec > 2 * p) =>
         name -> (sec / prior(name))
     }
+    def ratioStr(r: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(r))
     flagged.foreach { case (n, ratio) =>
-      System.err.println(f"[bench] FLAGGED $n: ${ratio}%.1fx its previous-run time") }
+      System.err.println(s"[bench] FLAGGED $n: ${ratioStr(ratio)}x its previous-run time") }
 
     val qs = results.map { case (k, (_, v)) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val passes = results.map { case (k, (ps, _)) =>
       "\"" + k + "\":" + ps.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON
     val flaggedJson = flagged.map { case (k, r) =>
-      "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+      "\"" + k + "\":" + ratioStr(r) }.mkString("{", ",", "}")
     val total = results.map(_._2._2).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$passes,"flagged":$flaggedJson,"flagship_rows_per_sec":$flagshipRps,"load":$loadStart,"sf":"$sfDir"}"""
     // the bare-JSON artifact: sbt buries the stdout line under [info]

@@ -995,10 +995,10 @@ object SparkEntry {
 
   private def haversineSql(lon1: String, lat1: String, lon2: String, lat2: String): String = {
     val deg = "0.017453292519943295769236907684886"
-    s"""(2.0 * 6372797.560856 * asin(sqrt(
+    s"""(2.0 * 6372797.560856 * asin(sqrt(least(
        |  sin(($lat1 - $lat2) * $deg * 0.5) * sin(($lat1 - $lat2) * $deg * 0.5) +
        |  cos($lat1 * $deg) * cos($lat2 * $deg) *
-       |  sin(($lon1 - $lon2) * $deg * 0.5) * sin(($lon1 - $lon2) * $deg * 0.5))))""".stripMargin
+       |  sin(($lon1 - $lon2) * $deg * 0.5) * sin(($lon1 - $lon2) * $deg * 0.5), 1.0))))""".stripMargin
   }
 
   /** Morton spread of expression `v` (low 16 bits) as DuckDB bit arithmetic. */
@@ -1715,7 +1715,7 @@ object SparkEntry {
          |FROM documents""".stripMargin,
 
     "q_url_hosts" ->
-      """WITH u AS (
+      s"""WITH u AS (
         |  SELECT length(text) AS len,
         |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
         |          WHEN doc_id % 3 = 1 THEN 'https://' ELSE 'http://' END)
@@ -1724,7 +1724,7 @@ object SparkEntry {
         |    || '/p/' || doc_id
         |    || (CASE WHEN doc_id % 7 = 0 THEN '?q=x' ELSE '' END) AS url
         |  FROM documents)
-        |SELECT lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
+        |SELECT lower(regexp_extract(url, '${Fns.UrlHostRegex}', 1)) AS host,
         |  count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS total_len
         |FROM u GROUP BY 1""".stripMargin,
 

@@ -45,9 +45,13 @@ object Hll {
     */
   def lcThreshold(m: Int): Long = math.ceil(estNumerator(m) / (2.5 * m)).toLong
 
-  /** log2 of the register count (m must be a power of two). */
+  /** log2 of the register count. Enforces the documented contract
+    * (power of two, 16..4096): beyond 2^18 the reg_sum accumulator
+    * m·2^RhoCap would silently overflow int64.
+    */
   def log2m(m: Int): Int = {
-    require(m >= 2 && (m & (m - 1)) == 0, s"m must be a power of two: $m")
+    require(m >= 16 && m <= 4096 && (m & (m - 1)) == 0,
+      s"m must be a power of two in [16, 4096]: $m")
     java.lang.Integer.numberOfTrailingZeros(m)
   }
 

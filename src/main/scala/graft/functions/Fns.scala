@@ -47,7 +47,9 @@ object Fns {
     val lonh = sin((lon1 - lon2) * degToRad * lit(0.5))
     val lath = sin((lat1 - lat2) * degToRad * lit(0.5))
     val tmp = cos(lat1 * degToRad) * cos(lat2 * degToRad)
-    lit(2.0) * r * asin(sqrt(lath * lath + tmp * lonh * lonh))
+    // clamp: near-antipodal pairs can push the sum a 1-ulp past 1.0,
+    // where asin(sqrt(>1)) = NaN and a long cast would silently yield 0
+    lit(2.0) * r * asin(sqrt(least(lath * lath + tmp * lonh * lonh, lit(1.0))))
   }
 
   // ---- tiling ---------------------------------------------------------------
@@ -135,7 +137,10 @@ object Fns {
     * normalization that must stay inside whole-stage codegen (no
     * parse_url UDF detour) and have an exact DuckDB twin.
     */
-  val UrlHostRegex = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+  // userinfo may itself contain '@' (RFC 3986 delimits at the LAST '@'
+  // before the path), so the optional userinfo class allows it and the
+  // host class forbids it
+  val UrlHostRegex = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/:?#@]+)"
   def urlNormHost(url: Column): Column =
     lower(regexp_extract(url, UrlHostRegex, 1))
 

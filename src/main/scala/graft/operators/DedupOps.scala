@@ -113,16 +113,24 @@ object DedupOps {
       .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
   }
 
+  /** Drop every row of a bucket larger than MaxBandBucket: the one
+    * guard all three LSH candidate generators (and their QUALIFY oracle
+    * twins) share. `keys` identify the bucket.
+    */
+  private def capBuckets(rows: DataFrame, keys: Seq[String]): DataFrame = {
+    val small = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= MaxBandBucket)
+      .select(keys.map(col): _*)
+    rows.join(small, keys)
+  }
+
   def minHashLshPairs(corpus: DataFrame,
                       scope: CacheScope = CacheScope.global): DataFrame = {
     // persisted (scope-released): feeds the bucket-size filter and both
     // sides of the candidate self-join
     val banded = scope.persist(bandedRows(corpus))
-    val smallBuckets = banded.groupBy("band", "band_key")
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") <= MaxBandBucket)
-      .select("band", "band_key")
-    val kept = banded.join(smallBuckets, Seq("band", "band_key"))
+    val kept = capBuckets(banded, Seq("band", "band_key"))
     val a = kept.as("a"); val b = kept.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
@@ -300,11 +308,7 @@ object DedupOps {
       posexplode(array((0 until SimHashBands).map(j =>
         shiftright(col("sh"), 16 * j).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "band_key"))))
-    val smallBuckets = banded.groupBy("band", "band_key")
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") <= MaxBandBucket)
-      .select("band", "band_key")
-    val kept = banded.join(smallBuckets, Seq("band", "band_key"))
+    val kept = capBuckets(banded, Seq("band", "band_key"))
     val a = kept.as("a"); val b = kept.as("b")
     a.join(b, col("a.band") === col("b.band") &&
         col("a.band_key") === col("b.band_key") &&
@@ -341,11 +345,7 @@ object DedupOps {
       posexplode(graft.plans.TextHashExpressions
         .vecLshBuckets(col("embedding"), NearDupTables, NearDupBits))
         .as(Seq("table", "bucket"))))
-    val smallBuckets = e.groupBy("table", "bucket")
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") <= MaxBandBucket)
-      .select("table", "bucket")
-    val kept = e.join(smallBuckets, Seq("table", "bucket"))
+    val kept = capBuckets(e, Seq("table", "bucket"))
     val a = kept.as("a"); val b = kept.as("b")
     a.join(b, col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))

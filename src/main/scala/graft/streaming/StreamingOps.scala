@@ -91,41 +91,58 @@ object StreamingOps {
     * forms agree exactly on corpora whose buckets stay within the cap,
     * and both refuse the O(s²) blowup beyond it). State per live bucket
     * is at most maxBucket ids.
+    *
+    * TOTAL state is one entry per distinct live (band, band_key): a
+    * perpetual ingest creates buckets indefinitely, so long-running
+    * deployments pass `stateTtlMs` — a bucket idle that long is evicted
+    * (processing-time timeout), trading recall against docs older than
+    * the horizon for bounded state, exactly dedupStream's watermark
+    * trade-off. The default (0 = keep forever) matches the batch
+    * operator's semantics for bounded replays.
     */
   def lshCandidateStream(docs: DataFrame,
-                         maxBucket: Int = graft.operators.DedupOps.MaxBandBucket)
-      : Dataset[LshCandidate] = {
+                         maxBucket: Int = graft.operators.DedupOps.MaxBandBucket,
+                         stateTtlMs: Long = 0L): Dataset[LshCandidate] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     graft.operators.DedupOps.bandedRows(docs)
       .select(col("doc_id").cast("long"), col("band").cast("int"),
         col("band_key").cast("long"))
       .as[(Long, Int, Long)]
       .groupByKey { case (_, band, key) => (band, key) }
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         (_: (Int, Long), rows: Iterator[(Long, Int, Long)],
          state: GroupState[LshBucketState]) => {
-          val st = state.getOption.getOrElse(LshBucketState(Vector.empty, saturated = false))
-          if (st.saturated) { rows.foreach(_ => ()); Iterator.empty }
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
-            // batch-internal order is nondeterministic — sort for stable output
-            val incoming = rows.map(_._1).toArray.sorted
-            var ids = st.ids
-            var saturated = false
-            val out = Vector.newBuilder[LshCandidate]
-            incoming.foreach { id =>
-              if (!saturated && !ids.contains(id)) {
-                if (ids.length >= maxBucket) saturated = true
-                else {
-                  ids.foreach(prev => out += LshCandidate(math.min(prev, id), math.max(prev, id)))
-                  ids = ids :+ id
+            val st = state.getOption.getOrElse(LshBucketState(Vector.empty, saturated = false))
+            val out =
+              if (st.saturated) { rows.foreach(_ => ()); Iterator.empty[LshCandidate] }
+              else {
+                // batch-internal order is nondeterministic — sort for stable output
+                val incoming = rows.map(_._1).toArray.sorted
+                var ids = st.ids
+                var saturated = false
+                val b = Vector.newBuilder[LshCandidate]
+                incoming.foreach { id =>
+                  if (!saturated && !ids.contains(id)) {
+                    if (ids.length >= maxBucket) saturated = true
+                    else {
+                      ids.foreach(prev => b += LshCandidate(math.min(prev, id), math.max(prev, id)))
+                      ids = ids :+ id
+                    }
+                  }
                 }
+                state.update(
+                  if (saturated) LshBucketState(Vector.empty, saturated = true)
+                  else LshBucketState(ids, saturated = false))
+                b.result().iterator
               }
-            }
-            state.update(
-              if (saturated) LshBucketState(Vector.empty, saturated = true)
-              else LshBucketState(ids, saturated = false))
-            out.result().iterator
+            if (stateTtlMs > 0 && state.exists) state.setTimeoutDuration(stateTtlMs)
+            out
           }
         })
   }

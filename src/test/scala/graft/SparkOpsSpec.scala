@@ -441,8 +441,8 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         val d = 0.017453292519943295769236907684886
         val lonh = math.sin((ax - bx) / 1.0e7 * d * 0.5)
         val lath = math.sin((ay - by) / 1.0e7 * d * 0.5)
-        2.0 * 6372797.560856 * math.asin(math.sqrt(
-          lath * lath + math.cos(ay / 1.0e7 * d) * math.cos(by / 1.0e7 * d) * lonh * lonh))
+        2.0 * 6372797.560856 * math.asin(math.sqrt(math.min(
+          lath * lath + math.cos(ay / 1.0e7 * d) * math.cos(by / 1.0e7 * d) * lonh * lonh, 1.0)))
       }
       val expect = (for {
         (qid, qx, qy) <- qs
@@ -1037,6 +1037,10 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val est = r.getLong(3) / 1000.0
     assert(math.abs(est - 5000.0) / 5000.0 < 0.2, s"m=256 estimate $est vs 5000")
     assert(r.getLong(3) === graft.core.Hll.estE3(r.getLong(2), r.getLong(1).toInt, 256))
+    // out-of-contract m fails loudly at the single chokepoint (beyond
+    // 2^18 the reg_sum accumulator would silently overflow int64)
+    intercept[IllegalArgumentException](graft.core.Hll.log2m(1 << 20))
+    intercept[IllegalArgumentException](graft.core.Hll.log2m(8))
     // deterministic ln: close to libm ln everywhere in its domain
     (1 to 400).foreach { i =>
       val x = 1.0 + i * 2.5
@@ -1065,9 +1069,11 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "http://user@Host.Example.org/p",
       "svn+ssh://u:pw@Repo.example.COM:22/trunk",
       "chrome-extension://abcdef/page",
+      "http://u@p@Evil.example.net/x", // userinfo delimits at the LAST @
       "no-scheme.example.org/x").toDF("u")
       .select(Fns.urlNormHost(col("u"))).collect().map(_.getString(0)).toSeq
-    assert(got === Seq("host.example.org", "repo.example.com", "abcdef", ""))
+    assert(got === Seq("host.example.org", "repo.example.com", "abcdef",
+      "evil.example.net", ""))
   }
 
   test("asofJoin plans exactly one exchange and one window (no range explosion)") {

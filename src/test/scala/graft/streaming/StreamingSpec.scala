@@ -196,6 +196,26 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(batch.nonEmpty && batch.contains((1L, 2L)))
     } finally q.stop()
 
+    // TTL path (ProcessingTimeTimeout wiring): same pairs while state is
+    // live. NB a TTL query never quiesces (the timeout keeps scheduling
+    // batches, defeating both processAllAvailable and AvailableNow), so
+    // poll the sink for the expected pair set with a bounded deadline.
+    val batchPairs = graft.operators.DedupOps.minHashLshPairs(rows.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inputTtl = MemoryStream[(Long, String)]
+    inputTtl.addData(rows)
+    val qt = StreamingOps.lshCandidateStream(inputTtl.toDS().toDF("doc_id", "text"),
+        stateTtlMs = 3600000L)
+      .writeStream.format("memory").queryName("lshttl").outputMode("append").start()
+    try {
+      def sinkPairs() = spark.sql("SELECT DISTINCT docA, docB FROM lshttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val deadline = System.nanoTime() + 120e9.toLong
+      while (sinkPairs() != batchPairs && System.nanoTime() < deadline)
+        Thread.sleep(250)
+      assert(sinkPairs() === batchPairs)
+    } finally qt.stop()
+
     // saturation: identical docs beyond the cap emit at most C(cap, 2)
     // pairs per band and the bucket state collapses to a sentinel
     val cap = 4
