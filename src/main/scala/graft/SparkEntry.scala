@@ -145,6 +145,9 @@ object SparkEntry {
 
     "q_tiles" -> ((s, d) => SpatialOps.tileDensity(Synth.points(s, d), 7)),
 
+    // z/x/y tiles re-keyed as Bing quadkeys (prefix = parent tile)
+    "q_quadkey" -> ((s, d) => SpatialOps.quadkeyDensity(Synth.points(s, d), 7)),
+
     "q_cells" -> ((s, d) => {
       Synth.points(s, d)
         .select(Fns.cellId(col("lon_fix"), col("lat_fix"), 12).as("cell"))
@@ -224,6 +227,18 @@ object SparkEntry {
 
     // cross-doc boilerplate at chunk granularity (CCNet line-dedup shape)
     "q_boilerplate" -> ((s, d) => DedupOps.boilerplateChunks(Synth.corpus(s, d))),
+
+    // incremental-crawl dedup: broadcast Bloom prefilter over the "seen"
+    // corpus two-thirds, exact-confirm join for the flagged sliver of the
+    // "fresh" third — false positives are deterministic, so the oracle
+    // reproduces them bit-for-bit
+    "q_dedup_bloom" -> ((s, d) => {
+      val keyed = Synth.corpus(s, d).select(col("doc_id"),
+        graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fp"))
+      DedupOps.bloomIncrementalDedup(
+        keyed.filter(col("doc_id") % 3 =!= 0),
+        keyed.filter(col("doc_id") % 3 === 0), "fp")
+    }),
 
     // pairs -> canonical clusters (connected components, min-id label)
     "q_dedup_clusters" -> ((s, d) =>
@@ -342,6 +357,18 @@ object SparkEntry {
     "q_token_bpe" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
         Fns.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+    }),
+
+    // corpus vocabulary: token-frequency dictionary over the BPE-ish
+    // pre-tokens, top-50 by (count, token) — map-side-combined groupBy
+    // into a window-free TakeOrderedAndProject
+    "q_vocab" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit(Fns.BpeTokenPattern), lit(0))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(50)
     }),
 
     // host-level corpus stats over MESSY urls (scheme/host case, default
@@ -1102,6 +1129,21 @@ object SparkEntry {
          |  least(count(*), 65535) AS cnt
          |FROM deg GROUP BY 1, 2""".stripMargin,
 
+    "q_quadkey" -> {
+      val digits = (6 to 0 by -1).map(b =>
+        s"CAST((((ty >> $b) & 1) * 2) + ((tx >> $b) & 1) AS VARCHAR)").mkString(" || ")
+      s"""WITH p AS ($P), deg AS (
+         |  SELECT lon_fix / 10000000.0 AS lon,
+         |    least(greatest(lat_fix / 10000000.0, -85.05112877980659), 85.05112877980659) AS lat
+         |  FROM p),
+         |txy AS (
+         |  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 128.0) AS BIGINT), 0), 127) AS tx,
+         |    least(greatest(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 128.0) AS BIGINT), 0), 127) AS ty
+         |  FROM deg)
+         |SELECT $digits AS quadkey, least(count(*), 65535) AS cnt
+         |FROM txy GROUP BY 1""".stripMargin
+    },
+
     "q_cells" ->
       s"""WITH p AS ($P), xy AS (
          |  SELECT least(((lon_fix + 1800000000) * 4096) // 3600000000, 4095) AS cx,
@@ -1279,6 +1321,41 @@ object SparkEntry {
          |  count(b.ch) * 1000 // count(*) AS boiler_pm
          |FROM chunks c LEFT JOIN boiler b ON b.ch = c.ch
          |GROUP BY 1""".stripMargin
+    },
+
+    "q_dedup_bloom" -> {
+      val m = 1L << DedupOps.BloomLogM
+      s"""WITH corpus AS ($C),
+         |toks AS (
+         |  SELECT doc_id, ${tokenHashSql("tok")} AS h FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM corpus)),
+         |fps AS (
+         |  SELECT c.doc_id,
+         |    coalesce((SELECT CAST(sum(h) AS BIGINT) % 2305843009213693951
+         |      FROM toks WHERE toks.doc_id = c.doc_id), 0) AS fp
+         |  FROM corpus c),
+         |seen AS (SELECT fp FROM fps WHERE doc_id % 3 <> 0),
+         |fresh AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 0),
+         |js AS (SELECT unnest(range(${DedupOps.BloomK})) AS j),
+         |bloom AS (
+         |  SELECT p // 32 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+         |  FROM (SELECT ${mixIdSql(s"fp + j * ${DedupOps.BloomSeed}")} % $m AS p
+         |        FROM seen, js)
+         |  GROUP BY 1),
+         |probe AS (
+         |  SELECT doc_id,
+         |    CAST(min(CASE WHEN ((coalesce(bits, 0) >> CAST(p % 32 AS INT)) & 1) = 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS bloom_hit
+         |  FROM (SELECT doc_id, ${mixIdSql(s"fp + j * ${DedupOps.BloomSeed}")} % $m AS p
+         |        FROM fresh, js) fq
+         |  LEFT JOIN bloom ON bloom.word = fq.p // 32
+         |  GROUP BY 1)
+         |SELECT f.doc_id, pr.bloom_hit,
+         |  CAST(CASE WHEN pr.bloom_hit = 1
+         |    AND EXISTS (SELECT 1 FROM seen s WHERE s.fp = f.fp)
+         |  THEN 1 ELSE 0 END AS BIGINT) AS confirmed
+         |FROM fresh f JOIN probe pr USING (doc_id)""".stripMargin
     },
 
     "q_poly_area" ->
@@ -1713,6 +1790,14 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${Fns.BpeTokenPattern}')) AS BIGINT) AS n_bpe
          |FROM documents""".stripMargin,
+
+    "q_vocab" ->
+      s"""SELECT tok, n FROM (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '${Fns.BpeTokenPattern}')) AS tok
+         |    FROM documents)
+         |  GROUP BY tok)
+         |ORDER BY n DESC, tok LIMIT 50""".stripMargin,
 
     "q_url_hosts" ->
       s"""WITH u AS (

@@ -355,4 +355,74 @@ object DedupOps {
       .distinct()
       .filter(col("cos_e4") >= thresholdE4)
   }
+
+  // ---- incremental (cross-batch) dedup --------------------------------------
+
+  /** Bloom-filter words over a long key column: `k` probe positions per
+    * key in an m = 2^logM bit space, packed into m/32 (word, bits) rows.
+    * Positions derive from [[Fns.mixId]] (BIGINT-safe, oracle-exact), and
+    * the whole filter is ONE map-side-combinable bit_or aggregation over
+    * at most m/32 groups — for the default logM=16 that is a 2048-row
+    * table, broadcastable no matter how large the seen corpus is. Words
+    * are 32-bit (bit index < 32) so neither engine ever shifts into the
+    * sign bit.
+    */
+  def bloomBits(keys: DataFrame, keyCol: String, logM: Int = BloomLogM,
+                k: Int = BloomK): DataFrame = {
+    val m = 1L << logM
+    keys.select(explode(array((0 until k).map(j =>
+        Fns.mixId(col(keyCol) + lit(j * BloomSeed)) % lit(m)): _*)).as("p"))
+      .select(Fns.idiv(col("p"), 32).as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))").as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Incremental-crawl dedup: flag every document of a `fresh` batch whose
+    * key (content fingerprint) may already exist in the `seen` corpus —
+    * Bloom probe first, exact confirmation join second. This is the
+    * cross-batch companion of [[exactDuplicates]]: a daily 10^9-page crawl
+    * increment must not shuffle-join the full 10^12-page history, so the
+    * broadcast Bloom table (built from `seen` in one aggregation) kills
+    * the non-duplicate bulk map-side, and only the bloom-hit sliver —
+    * true duplicates plus the deterministic false-positive residue — pays
+    * the exact key join. Both stages are deterministic (mixId positions),
+    * so the DuckDB oracle reproduces the exact flag pattern, false
+    * positives included.
+    *
+    * Output: (doc_id, bloom_hit, confirmed) for every fresh doc, 1/0
+    * longs; bloom_hit >= confirmed always, and the gap is the measured
+    * false-positive count of the filter configuration.
+    */
+  def bloomIncrementalDedup(seen: DataFrame, fresh: DataFrame, keyCol: String,
+                            logM: Int = BloomLogM, k: Int = BloomK): DataFrame = {
+    val m = 1L << logM
+    val bloom = broadcast(bloomBits(seen.select(keyCol), keyCol, logM, k))
+    val probes = fresh.select(col("doc_id"), col(keyCol))
+      .withColumn("p", explode(array((0 until k).map(j =>
+        Fns.mixId(col(keyCol) + lit(j * BloomSeed)) % lit(m)): _*)))
+      .withColumn("word", Fns.idiv(col("p"), 32))
+      .withColumn("mask", expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))"))
+    val hits = probes.join(bloom, Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(min(when(coalesce(col("bits"), lit(0L))
+        .bitwiseAND(col("mask")) === col("mask"), 1L).otherwise(0L)).as("bloom_hit"))
+    val confirmed = fresh.join(hits, "doc_id").filter(col("bloom_hit") === 1L)
+      .join(seen.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .select(col("doc_id"), lit(1L).as("__c"))
+    hits.join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        coalesce(col("__c"), lit(0L)).as("confirmed"))
+  }
+
+  /** Bloom defaults: m = 2^16 bits / k = 4 probes — ~0.2% false-positive
+    * rate at 4k keys; at crawl scale callers raise logM (the word table
+    * stays broadcastable through logM≈33: 2^28 rows — shard the filter by
+    * key range beyond that).
+    */
+  val BloomLogM = 16
+  val BloomK = 4
+  /** Probe-position seed spacing (Knuth multiplicative constant); keeps
+    * mixId inputs < 2^62 for any fingerprint < 2^61.
+    */
+  val BloomSeed = 2654435761L
 }

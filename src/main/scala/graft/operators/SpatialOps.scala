@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{CacheScope, CellId, Planar}
 import graft.functions.Fns
@@ -384,8 +385,10 @@ object SpatialOps {
   private val EarthR = 6372797.560856 // reference haversine.hpp:43
   private val DegToRad = 0.017453292519943295769236907684886
 
-  /** round(haversine(p, q) * 1000) as an integer-millimetre Column. */
-  private def geoDistE3(px: Column, py: Column, qx: Column, qy: Column): Column =
+  /** round(haversine(p, q) * 1000) as an integer-millimetre Column (shared
+    * with the streaming radius join's refinement).
+    */
+  private[graft] def geoDistE3(px: Column, py: Column, qx: Column, qy: Column): Column =
     round(Fns.haversineMeters(px / lit(1.0e7), py / lit(1.0e7),
       qx / lit(1.0e7), qy / lit(1.0e7)) * lit(1000.0), 0).cast("long")
 
@@ -563,6 +566,22 @@ object SpatialOps {
     */
   def withinRadiusGeo(points: DataFrame, queries: DataFrame,
                       radiusMeters: Double): DataFrame = {
+    val (qcells, level) = radiusCover(queries, radiusMeters)
+    val pts = points.withColumn("cell",
+      Fns.cellId(col("lon_fix"), col("lat_fix"), level))
+    pts.join(qcells, "cell") // shuffle equi-join — no broadcast hint
+      .filter(col("pid") =!= col("qid"))
+      .withColumn("dist_e3", geoDistE3(col("lon_fix"), col("lat_fix"), col("qx"), col("qy")))
+      .filter(col("dist_e3") <= lit(math.round(radiusMeters * 1000.0)))
+      .select(col("qid"), col("pid"), col("dist_e3"))
+  }
+
+  /** The radius join's query-side cover — (qid, qx, qy, cell) rows plus
+    * the radius-derived cell level — shared by the batch join above and
+    * the stream-static twin ([[graft.streaming.StreamingOps]]).
+    */
+  private[graft] def radiusCover(queries: DataFrame,
+                                 radiusMeters: Double): (DataFrame, Int) = {
     // cover from radius + 1mm: the emitted predicate is on the ROUNDED
     // millimetre distance, so a point a hair beyond R can still round in
     val rCover = radiusMeters + 0.001
@@ -596,14 +615,9 @@ object SpatialOps {
       .withColumn("cell", Fns.cellIdFromXY(pmod(col("qcx") + col("dx"), lit(n)), col("cy"), level))
       .dropDuplicates("qid", "cell")
       .select("qid", "qx", "qy", "cell")
-    val pts = points.withColumn("cell",
-      Fns.cellId(col("lon_fix"), col("lat_fix"), level))
-    pts.join(qcells, "cell") // shuffle equi-join — no broadcast hint
-      .filter(col("pid") =!= col("qid"))
-      .withColumn("dist_e3", geoDistE3(col("lon_fix"), col("lat_fix"), col("qx"), col("qy")))
-      .filter(col("dist_e3") <= lit(math.round(radiusMeters * 1000.0)))
-      .select(col("qid"), col("pid"), col("dist_e3"))
+    (qcells, level)
   }
+
 
   /** Geodesic kNN facade: strategy by query-set size, like [[knnAuto]]. */
   def knnGeoAuto(points: DataFrame, queries: DataFrame, k: Int,
@@ -621,6 +635,27 @@ object SpatialOps {
         Fns.tileY(z, Fns.fixToDeg(col("lat_fix"))).as("ty"))
       .groupBy("tx", "ty")
       .agg(least(count(lit(1)), lit(65535L)).as("cnt"))
+
+  /** Bing-style quadkey density at zoom z: the web-mercator z/x/y tile
+    * assignment of [[tileDensity]] re-keyed as the interleaved base-4
+    * string used by tile pyramids (digit i from the MSB is
+    * 2·bit_i(ty) + bit_i(tx), so a quadkey PREFIX is a parent tile —
+    * prefix range scans give pyramid rollups for free). The expansion is
+    * a fixed z-term concat of integer bit ops — codegen'd, and exact in
+    * any engine given the same tx/ty.
+    */
+  def quadkeyDensity(points: DataFrame, z: Int): DataFrame = {
+    val tx = Fns.tileX(z, Fns.fixToDeg(col("lon_fix")))
+    val ty = Fns.tileY(z, Fns.fixToDeg(col("lat_fix")))
+    val digits = ((z - 1) to 0 by -1).map { b =>
+      (shiftright(col("ty"), b).bitwiseAND(lit(1L)) * lit(2L) +
+        shiftright(col("tx"), b).bitwiseAND(lit(1L))).cast("string")
+    }
+    points.select(tx.as("tx"), ty.as("ty"))
+      .select(concat(digits: _*).as("quadkey"))
+      .groupBy("quadkey")
+      .agg(least(count(lit(1)), lit(65535L)).as("cnt"))
+  }
 
   /** Equirect integer raster — exact int64 twin of nodedensity binning. */
   def equirectDensity(points: DataFrame, level: Int): DataFrame =
@@ -658,28 +693,45 @@ object SpatialOps {
 
   /** Raster→vector: connected components of occupied raster cells
     * (4-adjacency) emitted as per-component bboxes — the vectorization
-    * direction of the north rule's raster↔vector tiling. Reuses the
-    * dedup engine's label-propagation connected components
+    * direction of the north rule's raster↔vector tiling.
+    *
+    * Run compression: cells first collapse into maximal horizontal RUNS
+    * (gaps-and-islands per row — `bx - row_number()` is constant along a
+    * consecutive strip), keyed by the run's smallest cell key. Horizontal
+    * adjacency is then within-run by construction, so the component graph
+    * that feeds the dedup engine's label propagation
     * ([[DedupOps.duplicateClusters]]: adaptive pointer jumping,
-    * O(3+log d) rounds) over the cell-adjacency edge list; adjacency is
-    * two shifted self-equi-joins on narrow keys, and isolated cells
-    * become their own single-cell components. Input (bx, by); output
-    * (component_id = smallest cell key in the component, min/max bbox,
-    * n_cells).
+    * O(3+log d) rounds) has ONE node per run, not per cell: a filled
+    * w-cell row is a single node, blob diameters — and with them the
+    * pointer-jump round count, the cost floor of the loop — shrink by the
+    * mean run length, and every round's joins shuffle runs, not cells.
+    * Vertical adjacency is one shifted self-equi-join on cell keys mapped
+    * to run keys (deduplicated: overlapping runs touch along their whole
+    * width). The per-row window partitions by `by` — bounded fan-in, a
+    * row holds at most 2^level cells. Isolated runs become their own
+    * components. Input (bx, by); output (component_id = smallest cell key
+    * in the component, min/max bbox, n_cells) — run keys are min cell
+    * keys, so component labels are identical to cell-graph labels.
     */
   def vectorizeRaster(cells: DataFrame,
                       scope: CacheScope = CacheScope.global): DataFrame = {
     // linear key (injective for any level <= 21): bx * 2^22 + by
-    val c = scope.persist(cells.select(col("bx"), col("by"),
-      (col("bx") * lit(4194304L) + col("by")).as("k")))
-    val edges = Seq((1, 0), (0, 1)).map { case (dx, dy) =>
-      c.join(c.select((col("bx") - dx).as("bx"), (col("by") - dy).as("by"),
-          col("k").as("nk")), Seq("bx", "by"))
-        .select(col("k").as("doc_a"), col("nk").as("doc_b"))
-    }.reduce(_ unionByName _)
+    val rowW = Window.partitionBy("by").orderBy("bx")
+    val c = scope.persist(cells
+      .select(col("bx"), col("by"), (col("bx") * lit(4194304L) + col("by")).as("k"))
+      .withColumn("grp", col("bx") - row_number().over(rowW))
+      .withColumn("rk", min("k").over(Window.partitionBy("by", "grp")))
+      .drop("grp"))
+    // run keys embed `by` in the low bits, so runs in adjacent rows never
+    // share a key — no self-edges to filter
+    val edges = c.join(
+        c.select(col("bx"), (col("by") - 1).as("by"), col("rk").as("nrk")),
+        Seq("bx", "by"))
+      .select(col("rk").as("doc_a"), col("nrk").as("doc_b"))
+      .distinct()
     val labels = DedupOps.duplicateClusters(edges, scope)
-    c.join(labels.withColumnRenamed("doc_id", "k"), Seq("k"), "left")
-      .withColumn("comp", coalesce(col("cluster_id"), col("k")))
+    c.join(labels.withColumnRenamed("doc_id", "rk"), Seq("rk"), "left")
+      .withColumn("comp", coalesce(col("cluster_id"), col("rk")))
       .groupBy("comp")
       .agg(min("bx").as("min_bx"), min("by").as("min_by"),
         max("bx").as("max_bx"), max("by").as("max_by"),

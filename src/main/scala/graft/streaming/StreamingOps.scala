@@ -59,6 +59,30 @@ object StreamingOps {
       .count()
       .select(col("window.start").as("win_start"), col("poly_id"), col("count"))
 
+  /** Streaming geodesic radius join — the stream-static twin of the batch
+    * SpatialOps.withinRadiusGeo: every streamed point is matched to the
+    * static query centers within `radiusMeters` great-circle distance
+    * (rounded-mm inclusive, identical refinement Column). The query
+    * side's wrapped cell cover is the SAME radius-derived construction
+    * as the batch join (shared radiusCover), computed once per plan; each
+    * micro-batch then runs one narrow cell equi-join + haversine refine.
+    * The join is STATELESS (static right side), so no watermark is
+    * required and late points still match exactly — the geofencing /
+    * "alert when a page geotag lands near X" serving shape.
+    */
+  def radiusJoinStream(points: DataFrame, queries: DataFrame,
+                       radiusMeters: Double): DataFrame = {
+    val (qcells, level) = graft.operators.SpatialOps.radiusCover(queries, radiusMeters)
+    points
+      .withColumn("cell", graft.functions.Fns.cellId(col("lon_fix"), col("lat_fix"), level))
+      .join(qcells, "cell")
+      .filter(col("pid") =!= col("qid"))
+      .withColumn("dist_e3", graft.operators.SpatialOps.geoDistE3(
+        col("lon_fix"), col("lat_fix"), col("qx"), col("qy")))
+      .filter(col("dist_e3") <= lit(math.round(radiusMeters * 1000.0)))
+      .select(col("qid"), col("pid"), col("dist_e3"))
+  }
+
   /** Streaming exact dedup for an ingest pipeline: keep the first
     * occurrence of each text (keyed by sha256 + length, like the batch
     * exactDuplicates), with the dedup state bounded by a watermark —

@@ -1140,4 +1140,59 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(gotEv(c.getLong(0)) === expect)
     }
   }
+
+  test("bloom incremental dedup: confirmed == exact ground truth, bloom_hit superset, word table bounded") {
+    val ss = spark; import ss.implicits._
+    // seen keys 0..199 (×13 scatter), fresh = 30 true dups + 170 novel keys
+    val seen = (0L until 200L).map(_ * 13L).toDF("fp")
+    val freshKeys = (0L until 30L).map(_ * 13L) ++ (1000L until 1170L).map(_ * 7919L + 3L)
+    val fresh = freshKeys.zipWithIndex.map { case (fp, i) => (i.toLong, fp) }.toDF("doc_id", "fp")
+    val bloom = DedupOps.bloomBits(seen, "fp")
+    assert(bloom.count() <= (1L << DedupOps.BloomLogM) / 32, "word table must stay tiny")
+    val got = DedupOps.bloomIncrementalDedup(seen, fresh, "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.size === freshKeys.size, "one verdict row per fresh doc")
+    val seenSet = (0L until 200L).map(_ * 13L).toSet
+    got.foreach { case (id, hit, confirmed) =>
+      val truly = seenSet.contains(freshKeys(id.toInt))
+      assert(confirmed === (if (truly) 1L else 0L), s"doc $id exact verdict")
+      if (truly) assert(hit === 1L, "a bloom filter can never false-negative")
+      assert(hit >= confirmed)
+    }
+    // determinism: a second evaluation flags the identical set (fp-derived
+    // positions, no RNG)
+    val again = DedupOps.bloomIncrementalDedup(seen, fresh, "fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === got)
+  }
+
+  test("quadkey density: keys decode back to tileDensity's z/x/y cells") {
+    val pts = Synth.points(spark, dir)
+    val viaQuadkey = SpatialOps.quadkeyDensity(pts, 7).collect().map { r =>
+      val qk = r.getString(0)
+      assert(qk.length === 7 && qk.forall(c => c >= '0' && c <= '3'))
+      val (tx, ty) = qk.foldLeft((0L, 0L)) { case ((x, y), c) =>
+        val d = c - '0'; (x * 2 + (d & 1), y * 2 + (d >> 1))
+      }
+      ((tx, ty), r.getLong(1))
+    }.toMap
+    val viaTiles = SpatialOps.tileDensity(pts, 7).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(viaQuadkey === viaTiles)
+  }
+
+  test("vectorizeRaster run compression: a horizontal bar is one run (zero cluster edges)") {
+    val ss = spark; import ss.implicits._
+    // a 20-cell bar plus a disjoint 3x2 blob: the bar must collapse to a
+    // single run-node with NO vertical edges, the blob to two runs
+    val bar = (0L until 20L).map(x => (x, 5L))
+    val blob = for { x <- 30L until 33L; y <- 0L until 2L } yield (x, y)
+    val got = SpatialOps.vectorizeRaster((bar ++ blob).toDF("bx", "by"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    def k(bx: Long, by: Long) = bx * 4194304L + by
+    assert(got === Set(
+      (k(0, 5), 0L, 5L, 19L, 5L, 20L),
+      (k(30, 0), 30L, 0L, 32L, 1L, 6L)))
+  }
 }

@@ -276,6 +276,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming radius join == batch withinRadiusGeo across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = ss.sqlContext
+    // high-latitude ring + antimeridian seam + mid-lat scatter — the same
+    // geometry classes the batch spec proves exact
+    val polar = (0 until 24).map(i => (100L + i, (i * 150000000L) - 1790000000L, 899000000L + i * 1000))
+    val seam = Seq((200L, 1799999000L, 100000000L), (201L, -1799999000L, 100100000L),
+      (202L, 1799000000L, 100200000L), (203L, -1799000000L, 99900000L))
+    val mid = (0 until 40).map(i => (300L + i, i * 40000000L - 800000000L, (i % 7) * 90000000L - 300000000L))
+    val all = polar ++ seam ++ mid
+    val queries = all.filter(p => Set(100L, 101L, 200L, 201L, 310L).contains(p._1))
+      .toDF("pid", "lon_fix", "lat_fix")
+    val input = MemoryStream[(Long, Long, Long)]
+    val sdf = input.toDF().toDF("pid", "lon_fix", "lat_fix")
+    val q = StreamingOps.radiusJoinStream(sdf, queries, 120000.0)
+      .writeStream.format("memory").queryName("radiusj").outputMode("append").start()
+    try {
+      val (b1, b2) = all.splitAt(all.size / 2)
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT qid, pid, dist_e3 FROM radiusj").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = graft.operators.SpatialOps.withinRadiusGeo(
+          all.toDF("pid", "lon_fix", "lat_fix"), queries, 120000.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions by gap AND by event-time timeout") {
     val ss = spark
     import ss.implicits._
