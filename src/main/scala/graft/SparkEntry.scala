@@ -658,6 +658,40 @@ object SparkEntry {
         .select("user_id", "op", "run_len", "min_event")
     }),
 
+    // --- spatial flagship capstone: PIP tag -> web-mercator tile rollup
+    // -> hottest tile per polygon (the geo twin of q_pipeline: each stage
+    // is oracle'd on its own above; this pins the CHAIN). One window
+    // shuffle on poly_id serves both the per-polygon total and the
+    // deterministic top-1 tile
+    "q_geo_pipeline" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      val hits = SpatialOps.pipJoinPolygons(pts, Synth.hexCorpus(s, 1000), PipLargeLevel)
+      val tiled = hits.join(pts, "pid")
+        .select(col("poly_id"),
+          Fns.tileX(7, Fns.fixToDeg(col("lon_fix"))).as("tx"),
+          Fns.tileY(7, Fns.fixToDeg(col("lat_fix"))).as("ty"))
+        .groupBy("poly_id", "tx", "ty").agg(count(lit(1)).as("n"))
+      val byPoly = Window.partitionBy("poly_id")
+      val ord = byPoly.orderBy(col("n").desc, col("tx").asc, col("ty").asc)
+      tiled
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("n_points", sum("n").over(byPoly))
+        .filter(col("rn") === 1)
+        .select(col("poly_id"), col("n_points"), col("tx").as("hot_tx"),
+          col("ty").as("hot_ty"), col("n").as("hot_n"))
+    }),
+
+    // deterministic stratified sampling: per-lang keep rates (training-
+    // mixture weighting) decided by the mixId scatter of doc_id —
+    // re-shard-stable, RNG-free, one map stage
+    "q_sample" -> ((s, d) => {
+      val rate = when(col("lang") === "en", 800L)
+        .when(col("lang") === "de", 500L)
+        .when(col("lang") === "fr", 250L).otherwise(100L)
+      t(s, d, "documents").select(col("doc_id"), col("lang"),
+        when(Fns.mixId(col("doc_id")) % 1000 < rate, 1L).otherwise(0L).as("kept"))
+    }),
+
     // --- generic relation assembly (node + way + relation members) ---
     "q_route_assembly" -> ((s, d) => {
       val (members, nodes, ways, rels) = routeInput(s, d)
@@ -1322,6 +1356,46 @@ object SparkEntry {
          |FROM chunks c LEFT JOIN boiler b ON b.ch = c.ch
          |GROUP BY 1""".stripMargin
     },
+
+    "q_geo_pipeline" -> {
+      val lvl = 1 << PipLargeLevel
+      val verts = Seq(("cx + r", "cy"), ("cx + h", "cy + s"), ("cx - h", "cy + s"),
+        ("cx - r", "cy"), ("cx - h", "cy - s"), ("cx + h", "cy - s"))
+      val halfPlanes = verts.indices.map { i =>
+        val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.length)
+        s"((($x2) - ($x1)) * (p.lat_fix - ($y1)) - (($y2) - ($y1)) * (p.lon_fix - ($x1)) >= 0)"
+      }.mkString("\n  AND ")
+      s"""WITH p AS ($P),
+         |hexes AS (${Synth.hexCorpusSql(1000)}),
+         |${coverCtesSql(lvl, "poly_id, cx, cy, r, h, s",
+             "cx - r", "cy - s", "cx + r", "cy + s", "hexes")},
+         |hits AS (
+         |  SELECT p.pid, c.poly_id, p.lon_fix, p.lat_fix
+         |  FROM p JOIN cover c
+         |    ${pointCellJoinSql(lvl)}
+         |  WHERE $halfPlanes),
+         |tiles AS (
+         |  SELECT poly_id,
+         |    least(greatest(CAST(floor((lon_fix / 10000000.0 + 180.0) / 360.0 * 128.0) AS BIGINT), 0), 127) AS tx,
+         |    least(greatest(CAST(floor((1.0 - ln(tan(radians(latc)) + 1.0 / cos(radians(latc))) / pi()) / 2.0 * 128.0) AS BIGINT), 0), 127) AS ty
+         |  FROM (SELECT poly_id, lon_fix,
+         |          least(greatest(lat_fix / 10000000.0, -85.05112877980659), 85.05112877980659) AS latc
+         |        FROM hits)),
+         |tc AS (SELECT poly_id, tx, ty, count(*) AS n FROM tiles GROUP BY 1, 2, 3)
+         |SELECT poly_id, n_points, tx AS hot_tx, ty AS hot_ty, n AS hot_n FROM (
+         |  SELECT poly_id, tx, ty, n,
+         |    CAST(sum(n) OVER (PARTITION BY poly_id) AS BIGINT) AS n_points,
+         |    row_number() OVER (PARTITION BY poly_id ORDER BY n DESC, tx, ty) AS rn
+         |  FROM tc) WHERE rn = 1""".stripMargin
+    },
+
+    "q_sample" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(CASE WHEN ${mixIdSql("doc_id")} % 1000 <
+         |    (CASE WHEN lang = 'en' THEN 800 WHEN lang = 'de' THEN 500
+         |          WHEN lang = 'fr' THEN 250 ELSE 100 END)
+         |  THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM documents""".stripMargin,
 
     "q_dedup_bloom" -> {
       val m = 1L << DedupOps.BloomLogM

@@ -56,4 +56,73 @@ object CheckpointOps {
     }
     todo.size
   }
+
+  /** The iterative companion of [[runResumable]]: a convergence loop
+    * (label propagation, pointer jumping, any fixed-point refinement)
+    * whose per-round state is durable, so a pre-empted job restarts from
+    * its last completed ROUND instead of round zero — on a 1000-executor
+    * cluster where pre-emption is routine, an O(log d)-round job must
+    * never pay O(rounds²) in replays.
+    *
+    * Protocol: round r's full state frame commits to stateDir/round=<r>
+    * BEFORE its lineage row (round, rows, checksum, changed, wall_ms)
+    * appends — a crash between the two replays exactly one round
+    * (idempotent overwrite), never loses one. Resume reads the lineage
+    * table, reloads the newest durable round, and continues counting
+    * from it; a round recorded with changed = 0 short-circuits to done.
+    * Because every round re-reads parquet, the logical plan is reborn
+    * each round — the iterative-loop plan-explosion hazard (see
+    * DedupOps.duplicateClustersCounted) cannot arise, which is exactly
+    * the trade: one write+read barrier of round latency buys exact
+    * resumability AND a flat analyzer cost.
+    *
+    * `step(state, round)` returns (next state, changed-count); the loop
+    * stops when changed == 0 or after `maxRounds` rounds THIS invocation
+    * (a cap for tests/budgeted runs — call again to continue). Returns
+    * (final durable state, total completed rounds across invocations).
+    */
+  def iterateResumable(spark: SparkSession, init: => DataFrame, stateDir: String,
+                       maxRounds: Int = Int.MaxValue)
+                      (step: (DataFrame, Int) => (DataFrame, Long)): (DataFrame, Int) = {
+    import spark.implicits._
+    val lineageDir = s"$stateDir/lineage"
+    val prior =
+      try spark.read.parquet(lineageDir).select("round", "changed")
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      catch { case _: Throwable => Array.empty[(Int, Long)] }
+    var round = if (prior.isEmpty) 0 else prior.map(_._1).max
+    var changed = if (prior.isEmpty) Long.MaxValue
+      else prior.filter(_._1 == round).map(_._2).min
+    if (round == 0) {
+      // round 0 = the initial state, durable like any other round
+      init.write.mode("overwrite").parquet(s"$stateDir/round=0")
+      recordRound(spark, lineageDir, s"$stateDir/round=0", 0, Long.MaxValue, 0L)
+    }
+    var executed = 0
+    while (changed != 0L && executed < maxRounds) {
+      val t0 = System.nanoTime()
+      val state = spark.read.parquet(s"$stateDir/round=$round")
+      val (next, ch) = step(state, round + 1)
+      next.write.mode("overwrite").parquet(s"$stateDir/round=${round + 1}")
+      recordRound(spark, lineageDir, s"$stateDir/round=${round + 1}",
+        round + 1, ch, (System.nanoTime() - t0) / 1000000)
+      round += 1; executed += 1; changed = ch
+    }
+    (spark.read.parquet(s"$stateDir/round=$round"), round)
+  }
+
+  private def recordRound(spark: SparkSession, lineageDir: String,
+                          roundDir: String, round: Int, changed: Long,
+                          wallMs: Long): Unit = {
+    import spark.implicits._
+    val written = spark.read.parquet(roundDir)
+    val stats = written
+      .select(xxhash64(struct(written.columns.map(col): _*)).as("__h"))
+      .agg(count(lit(1)).as("rows"),
+        coalesce(expr("bit_xor(__h)"), lit(0L)).as("checksum"))
+      .collect()(0)
+    Seq((round, stats.getLong(0), stats.getLong(1), changed, wallMs))
+      .toDF("round", "rows", "checksum", "changed", "wall_ms")
+      .write.mode("append").parquet(lineageDir)
+  }
 }

@@ -235,6 +235,52 @@ object DedupOps {
     (prev.select(col("id").as("doc_id"), col("label").as("cluster_id")), rounds)
   }
 
+  /** Durable, resumable duplicate clustering — the same min-label
+    * propagation with adaptive pointer jumping as
+    * [[duplicateClustersCounted]], but every round's label frame commits
+    * to `stateDir` through [[CheckpointOps.iterateResumable]]: a
+    * pre-empted clustering job over a 10^12-doc candidate graph restarts
+    * from its last durable round, not from scratch. The parquet
+    * round-trip doubles as the plan-lineage rebase (each round's plan is
+    * reborn from a scan), so this variant needs none of the in-memory
+    * loop's unpersist/rebase hygiene; its cost is one write+read barrier
+    * per round, plus one re-evaluation of the round for the durable
+    * write after the convergence count (bounded: each evaluation is the
+    * round's two joins over the previous DURABLE frame). Use the
+    * in-memory loop for latency, this one for long jobs on pre-emptible
+    * capacity. Returns (labels like duplicateClusters, total completed
+    * rounds); pass `maxRounds` to budget an invocation and call again to
+    * continue.
+    */
+  def duplicateClustersResumable(pairs: DataFrame, stateDir: String,
+                                 maxRounds: Int = Int.MaxValue): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val sym = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
+    val init = sym.select(col("src").as("id")).distinct()
+      .withColumn("old", col("id")).withColumn("label", col("id"))
+    val (state, rounds) = CheckpointOps.iterateResumable(spark, init, stateDir,
+      maxRounds) { (labels, round) =>
+      val prop = sym.join(
+          labels.select(col("id").as("dst"), col("label").as("nbl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nbl").as("nbr"))
+      val stepped = labels.select(col("id"), col("label").as("old"))
+        .join(prop, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("label"))
+      val out =
+        if (round <= ClusterJumpAfter) stepped
+        else stepped.join(
+            stepped.select(col("id").as("lid"), col("label").as("llabel")),
+            col("label") === col("lid"))
+          .select(col("id"), col("old"), least(col("label"), col("llabel")).as("label"))
+      (out, out.filter(col("label") =!= col("old")).count())
+    }
+    sym.unpersist(blocking = false)
+    (state.select(col("id").as("doc_id"), col("label").as("cluster_id")), rounds)
+  }
+
   /** Final dedup-pipeline step: one survivor per near-duplicate cluster —
     * the longest text wins, ties broken by smallest doc_id; documents in
     * no cluster survive as their own singleton. One left join + one

@@ -1181,6 +1181,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaQuadkey === viaTiles)
   }
 
+  test("resumable clustering: budgeted run leaves durable rounds, resume completes and matches the in-memory loop") {
+    val ss = spark; import ss.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ck").toString
+    // a 12-link chain (forces multiple propagation rounds) + a triangle
+    val pairs = ((1L to 11L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (101L, 102L), (100L, 102L)))
+      .toDF("doc_a", "doc_b")
+    val (_, r1) = DedupOps.duplicateClustersResumable(pairs, dir, maxRounds = 2)
+    assert(r1 === 2, "the budgeted invocation stops at its round cap")
+    val lineageAfterBudget = spark.read.parquet(s"$dir/lineage").count()
+    val (labels, total) = DedupOps.duplicateClustersResumable(pairs, dir)
+    assert(total > 2, "the chain needs more rounds than the budget")
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = DedupOps.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want, "durable loop must reproduce the in-memory labels")
+    // resume continued from the durable state: rounds 1..2 were not redone
+    val lineage = spark.read.parquet(s"$dir/lineage")
+      .select("round").collect().map(_.getInt(0))
+    assert(lineage.length === lineageAfterBudget + (total - 2),
+      "each resumed round records exactly one new lineage row")
+    assert(lineage.distinct.length === lineage.length, "no round is replayed")
+    assert(lineage.max === total)
+  }
+
   test("vectorizeRaster run compression: a horizontal bar is one run (zero cluster edges)") {
     val ss = spark; import ss.implicits._
     // a 20-cell bar plus a disjoint 3x2 blob: the bar must collapse to a
