@@ -740,6 +740,25 @@ object SpatialOps {
         col("max_bx"), col("max_by"), col("n_cells"))
   }
 
+  /** Z-order data layout: range-partition and locally sort by the
+    * sentinel-bit Morton cell key, so spatially close rows land in the
+    * same output files and row groups. This is the WRITE-side half of the
+    * engine's locality story: cell-cover joins and per-cell aggregations
+    * then read mostly-contiguous key ranges, and parquet min/max stats on
+    * `zkey` prune whole files for bbox predicates (zkey range containment
+    * is a plain integer interval per cell at any level — CellId's parent
+    * is `>> 2`). repartitionByRange samples key quantiles, so the layout
+    * stays balanced under arbitrary spatial skew — the hot-cell problem
+    * moves from one reducer to one key RANGE split across writers.
+    * Returns the laid-out frame (callers `.write.parquet(...)` it); the
+    * partition contract (disjoint sorted zkey ranges) is spec-asserted.
+    */
+  def zorderLayout(points: DataFrame, level: Int, partitions: Int): DataFrame =
+    points
+      .withColumn("zkey", Fns.cellId(col("lon_fix"), col("lat_fix"), level))
+      .repartitionByRange(partitions, col("zkey"))
+      .sortWithinPartitions("zkey")
+
   /** Equirect density rendered to a grayscale PNG (the full nodedensity
     * pipeline, examples/nodedensity.cpp:16-86): distributed saturating
     * aggregation, then the raster-sized result renders on the driver.

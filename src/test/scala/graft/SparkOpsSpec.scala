@@ -1181,6 +1181,22 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaQuadkey === viaTiles)
   }
 
+  test("zorderLayout: disjoint sorted zkey ranges per partition, rows preserved") {
+    val pts = Synth.points(spark, dir)
+    val laid = SpatialOps.zorderLayout(pts, 12, 8)
+    assert(laid.count() === pts.count(), "layout must not drop or duplicate rows")
+    val perPart = laid.select("zkey").rdd.mapPartitionsWithIndex { (i, it) =>
+      val keys = it.map(_.getLong(0)).toArray
+      if (keys.isEmpty) Iterator.empty
+      else Iterator((i, keys.head, keys.last, keys.zip(keys.tail).forall { case (a, b) => a <= b }))
+    }.collect().sortBy(_._1)
+    assert(perPart.nonEmpty && perPart.forall(_._4), "each partition must be zkey-sorted")
+    perPart.zip(perPart.tail).foreach { case ((_, _, max1, _), (_, min2, _, _)) =>
+      assert(max1 <= min2, "partition key ranges must be disjoint and ordered")
+    }
+    assert(perPart.length > 1, "range partitioner must actually split the data")
+  }
+
   test("resumable clustering: budgeted run leaves durable rounds, resume completes and matches the in-memory loop") {
     val ss = spark; import ss.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_cc_ck").toString
