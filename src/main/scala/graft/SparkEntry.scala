@@ -154,6 +154,22 @@ object SparkEntry {
         .groupBy("cell").agg(count(lit(1)).as("n"))
     }),
 
+    // tile-pyramid rollup: z9 tile counts summed into their z7 parents by
+    // pure integer arithmetic (tx >> 2). Floor alignment across zooms
+    // (fl(x*128) = fl(x*512)/4 exactly — power-of-2 scaling commutes with
+    // rounding) makes the rollup EXACTLY the direct z7 histogram, which
+    // is what the oracle computes — a different formulation pinning the
+    // pyramid-consistency invariant
+    "q_pyramid" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      pts.select(
+          Fns.tileX(9, Fns.fixToDeg(col("lon_fix"))).as("tx9"),
+          Fns.tileY(9, Fns.fixToDeg(col("lat_fix"))).as("ty9"))
+        .groupBy("tx9", "ty9").agg(count(lit(1)).as("n"))
+        .groupBy(shiftright(col("tx9"), 2).as("tx"), shiftright(col("ty9"), 2).as("ty"))
+        .agg(sum("n").as("cnt"))
+    }),
+
     "q_haversine_way" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val key = col("l_orderkey") * lit(10L) + col("l_linenumber")
@@ -222,6 +238,10 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) => DedupOps.minHashLshPairs(Synth.corpus(s, d))),
 
     "q_dedup_simhash" -> ((s, d) => DedupOps.simHashPairs(Synth.corpus(s, d), 3)),
+
+    // edit-distance confirm stage over the capped LSH candidates (the
+    // levenshtein sibling of the Jaccard verify — never all-pairs)
+    "q_dedup_edit" -> ((s, d) => DedupOps.editDistancePairs(Synth.corpus(s, d), 10)),
 
     "q_sim_neardup" -> ((s, d) => DedupOps.embeddingNearDups(Synth.embCorpus(s, d), 9000L)),
 
@@ -1163,6 +1183,16 @@ object SparkEntry {
          |  least(count(*), 65535) AS cnt
          |FROM deg GROUP BY 1, 2""".stripMargin,
 
+    "q_pyramid" ->
+      s"""WITH p AS ($P), deg AS (
+         |  SELECT lon_fix / 10000000.0 AS lon,
+         |    least(greatest(lat_fix / 10000000.0, -85.05112877980659), 85.05112877980659) AS lat
+         |  FROM p)
+         |SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 128.0) AS BIGINT), 0), 127) AS tx,
+         |  least(greatest(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 128.0) AS BIGINT), 0), 127) AS ty,
+         |  CAST(count(*) AS BIGINT) AS cnt
+         |FROM deg GROUP BY 1, 2""".stripMargin,
+
     "q_quadkey" -> {
       val digits = (6 to 0 by -1).map(b =>
         s"CAST((((ty >> $b) & 1) * 2) + ((tx >> $b) & 1) AS VARCHAR)").mkString(" || ")
@@ -1520,6 +1550,17 @@ object SparkEntry {
          |sh AS (${shinglesSql(distinct = false)}),
          |$lshCandSql
          |SELECT doc_a, doc_b, n_bands FROM cand""".stripMargin,
+
+    "q_dedup_edit" ->
+      s"""WITH corpus AS ($C),
+         |sh AS (${shinglesSql(distinct = false)}),
+         |$lshCandSql
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edist
+         |FROM cand c
+         |JOIN corpus a ON a.doc_id = c.doc_a
+         |JOIN corpus b ON b.doc_id = c.doc_b
+         |WHERE levenshtein(a.text, b.text) <= 10""".stripMargin,
 
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE corpus AS ($C),

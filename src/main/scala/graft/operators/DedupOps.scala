@@ -402,6 +402,24 @@ object DedupOps {
       .filter(col("cos_e4") >= thresholdE4)
   }
 
+  /** Edit-distance verification of LSH candidates — the classic near-dup
+    * confirm stage alongside [[ngramJaccardPairs]]: levenshtein over the
+    * CANDIDATE pairs only (the capped banded self-join of
+    * [[minHashLshPairs]] — never all-pairs). Texts join back by id (two
+    * hash joins), so the O(len²) DP kernel runs exactly once per
+    * candidate; output (doc_a, doc_b, edist) for pairs within `maxDist`.
+    */
+  def editDistancePairs(corpus: DataFrame, maxDist: Int,
+                        scope: CacheScope = CacheScope.global): DataFrame = {
+    val cand = minHashLshPairs(corpus, scope).select("doc_a", "doc_b")
+    val ta = corpus.select(col("doc_id").as("doc_a"), col("text").as("__ta"))
+    val tb = corpus.select(col("doc_id").as("doc_b"), col("text").as("__tb"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("edist"))
+      .filter(col("edist") <= maxDist)
+  }
+
   // ---- incremental (cross-batch) dedup --------------------------------------
 
   /** Bloom-filter words over a long key column: `k` probe positions per
