@@ -185,6 +185,26 @@ object SparkEntry {
         .filter(col("n_segs") >= 1)
     }),
 
+    // polyline rasterization: locally-dense synthetic ways -> every cell
+    // their segments cross (the way->tile assignment of a vector-tile
+    // cut); segments via the same lag-window shape as q_haversine_way
+    "q_way_tiles" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val key = col("l_orderkey") * lit(10L) + col("l_linenumber")
+      val x = (col("l_orderkey") * lit(2654435761L)) % lit(3400000000L) - lit(1700000000L) +
+        ((key * lit(1103515245L)) % lit(20000000L) - lit(10000000L))
+      val y = (col("l_orderkey") * lit(2246822519L)) % lit(1600000000L) - lit(800000000L) +
+        ((key * lit(69069L)) % lit(20000000L) - lit(10000000L))
+      val pts = li.select(col("l_orderkey").as("way_id"),
+        col("l_linenumber").as("seq"), x.as("x"), y.as("y"))
+      val w = Window.partitionBy("way_id").orderBy("seq")
+      val segs = pts.select(col("way_id"), col("seq"),
+          lag(col("x"), 1).over(w).as("x0"), lag(col("y"), 1).over(w).as("y0"),
+          col("x").as("x1"), col("y").as("y1"))
+        .filter(col("x0").isNotNull)
+      SpatialOps.segmentCellCover(segs, 8, 20000000L)
+    }),
+
     "q_pip_join" -> ((s, d) => SpatialOps.pipJoinConvex(s, Synth.points(s, d))),
 
     // polygon-CORPUS PIP: 10k-hexagon DataFrame side, distributed cell
@@ -1182,6 +1202,46 @@ object SparkEntry {
          |  least(greatest(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 128.0) AS BIGINT), 0), 127) AS ty,
          |  least(count(*), 65535) AS cnt
          |FROM deg GROUP BY 1, 2""".stripMargin,
+
+    "q_way_tiles" -> {
+      def loSqlX(c: String) = s"((($c) * 3600000000 + 255) // 256 - 1800000000)"
+      def loSqlY(c: String) = s"((($c) * 1800000000 + 255) // 256 - 900000000)"
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS way_id, l_linenumber AS seq,
+         |    ((l_orderkey * 2654435761) % 3400000000 - 1700000000)
+         |      + (((l_orderkey*10 + l_linenumber) * 1103515245) % 20000000 - 10000000) AS x,
+         |    ((l_orderkey * 2246822519) % 1600000000 - 800000000)
+         |      + (((l_orderkey*10 + l_linenumber) * 69069) % 20000000 - 10000000) AS y
+         |  FROM lineitem),
+         |segs AS (
+         |  SELECT way_id, seq,
+         |    lag(x) OVER (PARTITION BY way_id ORDER BY seq) AS x0,
+         |    lag(y) OVER (PARTITION BY way_id ORDER BY seq) AS y0,
+         |    x AS x1, y AS y1
+         |  FROM li),
+         |loc AS (SELECT * FROM segs
+         |  WHERE x0 IS NOT NULL AND abs(x1 - x0) <= 20000000 AND abs(y1 - y0) <= 20000000),
+         |cx AS (SELECT *, unnest(range(
+         |    least(((least(x0, x1) + 1800000000) * 256) // 3600000000, 255),
+         |    least(((greatest(x0, x1) + 1800000000) * 256) // 3600000000, 255) + 1)) AS cell_x
+         |  FROM loc),
+         |cc AS (SELECT *, unnest(range(
+         |    least(((least(y0, y1) + 900000000) * 256) // 1800000000, 255),
+         |    least(((greatest(y0, y1) + 900000000) * 256) // 1800000000, 255) + 1)) AS cell_y
+         |  FROM cx),
+         |rect AS (SELECT *,
+         |    ${loSqlX("cell_x")} AS rx0, ${loSqlX("cell_x + 1")} - 1 AS rx1,
+         |    ${loSqlY("cell_y")} AS ry0, ${loSqlY("cell_y + 1")} - 1 AS ry1
+         |  FROM cc),
+         |sided AS (SELECT way_id, seq, cell_x, cell_y,
+         |    (x1 - x0) * (ry0 - y0) - (y1 - y0) * (rx0 - x0) AS s1,
+         |    (x1 - x0) * (ry0 - y0) - (y1 - y0) * (rx1 - x0) AS s2,
+         |    (x1 - x0) * (ry1 - y0) - (y1 - y0) * (rx0 - x0) AS s3,
+         |    (x1 - x0) * (ry1 - y0) - (y1 - y0) * (rx1 - x0) AS s4
+         |  FROM rect)
+         |SELECT way_id, seq, cell_x, cell_y FROM sided
+         |WHERE least(s1, s2, s3, s4) <= 0 AND greatest(s1, s2, s3, s4) >= 0""".stripMargin
+    },
 
     "q_pyramid" ->
       s"""WITH p AS ($P), deg AS (

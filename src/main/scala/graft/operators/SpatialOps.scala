@@ -691,6 +691,59 @@ object SpatialOps {
       .select(col("poly_id"), col("cell_x"), col("cell_y"))
   }
 
+  /** Cells crossed by each way SEGMENT — polyline rasterization onto the
+    * equirect grid, the operator that assigns ways (not just points) to
+    * tiles for a vector-tile cut. Candidates are the segment's bbox cell
+    * range (two chained explodes, like every distributed cover here);
+    * bbox overlap then holds by construction, so the exact refinement is
+    * the remaining SAT axis: the segment crosses the cell iff its
+    * supporting line does not leave all four cell corners strictly on one
+    * side (inclusive — touching counts; a degenerate zero-length segment
+    * keeps exactly its own cell). All arithmetic is int64, exact under
+    * the span contract below, so the DuckDB twin matches bit-for-bit.
+    *
+    * Span contract: segments whose bbox exceeds `maxSpanFix` on either
+    * axis are dropped — the locally-dense-way contract (an OSM way
+    * segment spans metres to km, not continents; pipelines split longer
+    * hops upstream). The bound keeps every cross product far inside
+    * int64 (|d| · (span + cell) ≲ 2^54 at the defaults) AND bounds the
+    * candidate set per segment: the bbox over-generation for a diagonal
+    * is (span/cell)² candidates — constant under the contract, and the
+    * bounded explode keeps whole-stage codegen where a supercover walk
+    * would need an iterative kernel.
+    *
+    * Input (way_id, seq, x0, y0, x1, y1) fix coords; output (way_id,
+    * seq, cell_x, cell_y), one row per crossed cell.
+    */
+  def segmentCellCover(segs: DataFrame, level: Int, maxSpanFix: Long): DataFrame = {
+    val n = 1L << level
+    // exact inclusive cell bounds: lo(c) = ceil(c·S/n) (the smallest fix
+    // coordinate binning into c), hi(c) = lo(c+1) - 1
+    def lo(c: Column, span: Long, half: Long) =
+      Fns.idiv(c * lit(span) + lit(n - 1), n) - lit(half)
+    val local = segs.filter(
+      abs(col("x1") - col("x0")) <= maxSpanFix &&
+      abs(col("y1") - col("y0")) <= maxSpanFix)
+    val cand = local
+      .withColumn("cy0", Fns.cellY(least(col("y0"), col("y1")), level))
+      .withColumn("cy1", Fns.cellY(greatest(col("y0"), col("y1")), level))
+      .withColumn("cell_x", explode(sequence(
+        Fns.cellX(least(col("x0"), col("x1")), level),
+        Fns.cellX(greatest(col("x0"), col("x1")), level))))
+      .withColumn("cell_y", explode(sequence(col("cy0"), col("cy1"))))
+    val rx0 = lo(col("cell_x"), 3600000000L, 1800000000L)
+    val rx1 = lo(col("cell_x") + 1, 3600000000L, 1800000000L) - 1
+    val ry0 = lo(col("cell_y"), 1800000000L, 900000000L)
+    val ry1 = lo(col("cell_y") + 1, 1800000000L, 900000000L) - 1
+    val dx = col("x1") - col("x0")
+    val dy = col("y1") - col("y0")
+    def side(cx: Column, cy: Column) = dx * (cy - col("y0")) - dy * (cx - col("x0"))
+    val sides = Seq(side(rx0, ry0), side(rx1, ry0), side(rx0, ry1), side(rx1, ry1))
+    cand
+      .filter(least(sides: _*) <= 0 && greatest(sides: _*) >= 0)
+      .select(col("way_id"), col("seq"), col("cell_x"), col("cell_y"))
+  }
+
   /** Raster→vector: connected components of occupied raster cells
     * (4-adjacency) emitted as per-component bboxes — the vectorization
     * direction of the north rule's raster↔vector tiling.

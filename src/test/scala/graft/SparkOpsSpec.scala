@@ -1181,6 +1181,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaQuadkey === viaTiles)
   }
 
+  test("segmentCellCover: sampled path cells covered, degenerate keeps its cell, long hops dropped") {
+    val ss = spark; import ss.implicits._
+    val segs = Seq(
+      (1L, 1L, 0L, 0L, 40000000L, 21000000L),              // diagonal across cells
+      (2L, 1L, -5000000L, 3000000L, -5000000L, 3000000L),  // zero-length
+      (3L, 1L, 0L, 0L, 900000000L, 0L))                    // continental hop
+      .toDF("way_id", "seq", "x0", "y0", "x1", "y1")
+    val got = SpatialOps.segmentCellCover(segs, 8, 50000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    def cellOf(x: Long, y: Long) =
+      (math.min((x + 1800000000L) * 256 / 3600000000L, 255L),
+       math.min((y + 900000000L) * 256 / 1800000000L, 255L))
+    // no false negatives: every finely sampled point's cell is emitted
+    val sampled = (0 to 4000).map { i =>
+      cellOf(40000000L * i / 4000, 21000000L * i / 4000)
+    }.toSet
+    assert(sampled.subsetOf(got(1L)), "diagonal must cover every cell its points land in")
+    assert(got(1L).size <= 4 * 7, "bounded by the bbox candidate set")
+    assert(got(2L) === Set(cellOf(-5000000L, 3000000L)), "degenerate segment keeps exactly its cell")
+    assert(!got.contains(3L), "a segment beyond the span contract is dropped")
+  }
+
   test("zorderLayout: disjoint sorted zkey ranges per partition, rows preserved") {
     val pts = Synth.points(spark, dir)
     val laid = SpatialOps.zorderLayout(pts, 12, 8)
