@@ -273,8 +273,12 @@ object SparkEntry {
     // "fresh" third — false positives are deterministic, so the oracle
     // reproduces them bit-for-bit
     "q_dedup_bloom" -> ((s, d) => {
-      val keyed = Synth.corpus(s, d).select(col("doc_id"),
-        graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fp"))
+      // persisted (Verify/Bench release the global scope per query): the
+      // fingerprint kernel + corpus union feed the bloom build, the probe
+      // explode AND both sides of the confirm join
+      val keyed = graft.core.CacheScope.global.persist(
+        Synth.corpus(s, d).select(col("doc_id"),
+          graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fp")))
       DedupOps.bloomIncrementalDedup(
         keyed.filter(col("doc_id") % 3 =!= 0),
         keyed.filter(col("doc_id") % 3 === 0), "fp")
@@ -1230,8 +1234,12 @@ object SparkEntry {
          |    least(((greatest(y0, y1) + 900000000) * 256) // 1800000000, 255) + 1)) AS cell_y
          |  FROM cx),
          |rect AS (SELECT *,
-         |    ${loSqlX("cell_x")} AS rx0, ${loSqlX("cell_x + 1")} - 1 AS rx1,
-         |    ${loSqlY("cell_y")} AS ry0, ${loSqlY("cell_y + 1")} - 1 AS ry1
+         |    ${loSqlX("cell_x")} AS rx0,
+         |    CASE WHEN cell_x = 255 THEN 1800000000
+         |         ELSE ${loSqlX("cell_x + 1")} - 1 END AS rx1,
+         |    ${loSqlY("cell_y")} AS ry0,
+         |    CASE WHEN cell_y = 255 THEN 900000000
+         |         ELSE ${loSqlY("cell_y + 1")} - 1 END AS ry1
          |  FROM cc),
          |sided AS (SELECT way_id, seq, cell_x, cell_y,
          |    (x1 - x0) * (ry0 - y0) - (y1 - y0) * (rx0 - x0) AS s1,

@@ -19,11 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object CheckpointOps {
 
-  /** Buckets already recorded in the lineage table (empty on first run). */
+  /** Buckets already recorded in the lineage table (empty on first run —
+    * only a missing table maps to "nothing done"; other read failures
+    * surface instead of silently forcing a full recompute).
+    */
   def completedBuckets(spark: SparkSession, lineageDir: String): Set[Int] =
     try spark.read.parquet(lineageDir).select("bucket").distinct()
       .collect().map(_.getInt(0)).toSet
-    catch { case _: Throwable => Set.empty }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("PATH_NOT_FOUND") ||
+             e.getMessage.toLowerCase.contains("path does not exist") =>
+        Set.empty
+    }
 
   /** Run `job` over every not-yet-completed bucket of `input` keyed by
     * pmod(keyCol, numBuckets). Returns the number of buckets executed.
@@ -86,15 +94,26 @@ object CheckpointOps {
                       (step: (DataFrame, Int) => (DataFrame, Long)): (DataFrame, Int) = {
     import spark.implicits._
     val lineageDir = s"$stateDir/lineage"
+    // only a MISSING lineage table means "fresh start" — any other read
+    // failure (IO, permissions, corrupt footer) must surface rather than
+    // silently discarding completed rounds and appending a second history
     val prior =
       try spark.read.parquet(lineageDir).select("round", "changed")
         .collect().map(r => (r.getInt(0), r.getLong(1)))
-      catch { case _: Throwable => Array.empty[(Int, Long)] }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+               e.getMessage.toLowerCase.contains("path does not exist") =>
+          Array.empty[(Int, Long)]
+      }
     var round = if (prior.isEmpty) 0 else prior.map(_._1).max
     var changed = if (prior.isEmpty) Long.MaxValue
       else prior.filter(_._1 == round).map(_._2).min
-    if (round == 0) {
-      // round 0 = the initial state, durable like any other round
+    if (prior.isEmpty) {
+      // round 0 = the initial state, durable like any other round. Guarded
+      // on the LINEAGE being empty, not round == 0: a resume whose newest
+      // durable round is 0 (pre-empted during round 1) must not re-run
+      // init or append a duplicate round-0 lineage row
       init.write.mode("overwrite").parquet(s"$stateDir/round=0")
       recordRound(spark, lineageDir, s"$stateDir/round=0", 0, Long.MaxValue, 0L)
     }

@@ -412,8 +412,10 @@ object DedupOps {
   def editDistancePairs(corpus: DataFrame, maxDist: Int,
                         scope: CacheScope = CacheScope.global): DataFrame = {
     val cand = minHashLshPairs(corpus, scope).select("doc_a", "doc_b")
-    val ta = corpus.select(col("doc_id").as("doc_a"), col("text").as("__ta"))
-    val tb = corpus.select(col("doc_id").as("doc_b"), col("text").as("__tb"))
+    // persisted (scope-released): joined twice — doc_a side and doc_b side
+    val texts = scope.persist(corpus.select(col("doc_id"), col("text")))
+    val ta = texts.select(col("doc_id").as("doc_a"), col("text").as("__ta"))
+    val tb = texts.select(col("doc_id").as("doc_b"), col("text").as("__tb"))
     cand.join(ta, "doc_a").join(tb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("__ta"), col("__tb")).cast("long").as("edist"))
@@ -433,6 +435,8 @@ object DedupOps {
     */
   def bloomBits(keys: DataFrame, keyCol: String, logM: Int = BloomLogM,
                 k: Int = BloomK): DataFrame = {
+    require(logM >= 1 && logM <= 31,
+      s"logM must be in [1, 31] (mixId positions are < 2^31): $logM")
     val m = 1L << logM
     keys.select(explode(array((0 until k).map(j =>
         Fns.mixId(col(keyCol) + lit(j * BloomSeed)) % lit(m)): _*)).as("p"))
@@ -479,9 +483,10 @@ object DedupOps {
   }
 
   /** Bloom defaults: m = 2^16 bits / k = 4 probes — ~0.2% false-positive
-    * rate at 4k keys; at crawl scale callers raise logM (the word table
-    * stays broadcastable through logM≈33: 2^28 rows — shard the filter by
-    * key range beyond that).
+    * rate at 4k keys; at crawl scale callers raise logM up to the hard
+    * cap of 31 (mixId positions are < 2^31; the 2^26-row word table is
+    * still broadcastable) — beyond ~10^9 keys, shard the filter by key
+    * range instead.
     */
   val BloomLogM = 16
   val BloomK = 4

@@ -731,10 +731,17 @@ object SpatialOps {
         Fns.cellX(least(col("x0"), col("x1")), level),
         Fns.cellX(greatest(col("x0"), col("x1")), level))))
       .withColumn("cell_y", explode(sequence(col("cy0"), col("cy1"))))
+    // the LAST cell absorbs the clamped domain edge (cellX/cellY bin
+    // x = +half into cell n-1), so its inclusive hi bound is the domain
+    // max — otherwise a segment lying exactly on the edge binned into
+    // cell n-1 would sit one fix unit beyond every candidate rect and
+    // the side test would emit nothing
     val rx0 = lo(col("cell_x"), 3600000000L, 1800000000L)
-    val rx1 = lo(col("cell_x") + 1, 3600000000L, 1800000000L) - 1
+    val rx1 = when(col("cell_x") === (n - 1), lit(1800000000L))
+      .otherwise(lo(col("cell_x") + 1, 3600000000L, 1800000000L) - 1)
     val ry0 = lo(col("cell_y"), 1800000000L, 900000000L)
-    val ry1 = lo(col("cell_y") + 1, 1800000000L, 900000000L) - 1
+    val ry1 = when(col("cell_y") === (n - 1), lit(900000000L))
+      .otherwise(lo(col("cell_y") + 1, 1800000000L, 900000000L) - 1)
     val dx = col("x1") - col("x0")
     val dy = col("y1") - col("y0")
     def side(cx: Column, cy: Column) = dx * (cy - col("y0")) - dy * (cx - col("x0"))

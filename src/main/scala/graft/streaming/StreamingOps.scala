@@ -72,7 +72,11 @@ object StreamingOps {
     */
   def radiusJoinStream(points: DataFrame, queries: DataFrame,
                        radiusMeters: Double): DataFrame = {
-    val (qcells, level) = graft.operators.SpatialOps.radiusCover(queries, radiusMeters)
+    val (qcellsRaw, level) = graft.operators.SpatialOps.radiusCover(queries, radiusMeters)
+    // the static cover (explode + dropDuplicates) would otherwise re-run
+    // every micro-batch; it stays cached for the stream's lifetime (the
+    // caller unpersists via the returned plan's lineage or session stop)
+    val qcells = qcellsRaw.persist()
     points
       .withColumn("cell", graft.functions.Fns.cellId(col("lon_fix"), col("lat_fix"), level))
       .join(qcells, "cell")

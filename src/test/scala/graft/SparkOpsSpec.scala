@@ -1202,6 +1202,14 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L).size <= 4 * 7, "bounded by the bbox candidate set")
     assert(got(2L) === Set(cellOf(-5000000L, 3000000L)), "degenerate segment keeps exactly its cell")
     assert(!got.contains(3L), "a segment beyond the span contract is dropped")
+    // clamped domain edge: a segment lying exactly on x = +180 deg bins
+    // into the last cell, whose rect must absorb the clamp (inclusive hi)
+    val edge = Seq((9L, 1L, 1800000000L, 0L, 1800000000L, 10000000L))
+      .toDF("way_id", "seq", "x0", "y0", "x1", "y1")
+    val gotEdge = SpatialOps.segmentCellCover(edge, 8, 50000000L)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSet
+    assert(gotEdge === Set((255L, cellOf(0L, 0L)._2), (255L, cellOf(0L, 10000000L)._2)),
+      "edge-clamped segment must keep the last-column cells its points bin into")
   }
 
   test("zorderLayout: disjoint sorted zkey ranges per partition, rows preserved") {
@@ -1226,6 +1234,13 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // a 12-link chain (forces multiple propagation rounds) + a triangle
     val pairs = ((1L to 11L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (101L, 102L), (100L, 102L)))
       .toDF("doc_a", "doc_b")
+    // pre-emption right after round 0 committed: the resume must NOT
+    // re-run init or append a duplicate round-0 lineage row
+    val (_, r0) = DedupOps.duplicateClustersResumable(pairs, dir, maxRounds = 0)
+    assert(r0 === 0)
+    DedupOps.duplicateClustersResumable(pairs, dir, maxRounds = 0)
+    assert(spark.read.parquet(s"$dir/lineage").count() === 1L,
+      "a resume whose newest durable round is 0 must not rewrite round 0")
     val (_, r1) = DedupOps.duplicateClustersResumable(pairs, dir, maxRounds = 2)
     assert(r1 === 2, "the budgeted invocation stops at its round cap")
     val lineageAfterBudget = spark.read.parquet(s"$dir/lineage").count()
