@@ -235,6 +235,51 @@ object StreamingOps {
         })
   }
 
+  /** Streaming change application — the .osc apply loop as a live
+    * pipeline: each micro-batch of change rows merges into a durable
+    * parquet snapshot via the SAME ObjectStore semantics as the batch
+    * operator (HistoryOps.mergeUpsert: highest version per key wins),
+    * so after any prefix of the stream the snapshot equals the batch
+    * merge of the same rows. foreachBatch is the right surface — the
+    * merge needs the CURRENT snapshot as a join side, which no stateful
+    * streaming operator exposes; the read-merge-overwrite round trip is
+    * what table formats (Iceberg MERGE INTO) package as one atomic
+    * commit, expressed here against plain parquet via a temp-dir swap:
+    * the merge fully materializes into `.tmp` (reading the live snapshot)
+    * BEFORE the delete+rename, so a crash mid-write leaves the live
+    * snapshot untouched, and a crash between delete and rename leaves
+    * the complete `.tmp` for recovery — never a half-written live dir.
+    * Returns the started StreamingQuery.
+    */
+  def applyChangesStream(changes: DataFrame, snapshotDir: String,
+                         keyCol: String, versionCol: String,
+                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val merged =
+          try {
+            val base = spark.read.parquet(snapshotDir)
+            graft.operators.HistoryOps.mergeUpsert(base, batch.toDF(), keyCol, versionCol)
+          } catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("PATH_NOT_FOUND") ||
+                   e.getMessage.toLowerCase.contains("path does not exist") =>
+              // first batch: the change set IS the snapshot (dedup within)
+              graft.operators.HistoryOps.mergeUpsert(
+                batch.toDF().limit(0), batch.toDF(), keyCol, versionCol)
+          }
+        val tmp = snapshotDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = new org.apache.hadoop.fs.Path(snapshotDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(snapshotDir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(snapshotDir))
+        ()
+      }
+      .start()
+
   case class HllState(regs: Array[Byte])
   case class HllEstimate(group: String, nRegs: Long, regSum: Long, estE3: Long)
 

@@ -310,6 +310,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming change application: snapshot after N micro-batches == batch mergeUpsert of the same rows") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_snap").toString + "/live"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_snap_ck").toString
+    val input = MemoryStream[(Long, Long, String)]
+    val changes = input.toDF().toDF("key", "version", "payload")
+    val q = StreamingOps.applyChangesStream(changes, snapDir, "key", "version", ckpt)
+    try {
+      val b1 = Seq((1L, 1L, "a1"), (2L, 1L, "b1"), (3L, 1L, "c1"))
+      val b2 = Seq((1L, 3L, "a3"), (2L, 2L, "b2"), (4L, 1L, "d1"))
+      val b3 = Seq((1L, 2L, "a2-late"), (5L, 1L, "e1")) // stale version must lose
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+      val got = spark.read.parquet(snapDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val all = (b1 ++ b2 ++ b3).toDF("key", "version", "payload")
+      val want = graft.operators.HistoryOps.mergeUpsert(
+          all.limit(0), all, "key", "version")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got === want)
+      assert(got.contains((1L, 3L, "a3")), "stale late version must not overwrite a newer one")
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions by gap AND by event-time timeout") {
     val ss = spark
     import ss.implicits._
