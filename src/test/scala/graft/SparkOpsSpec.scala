@@ -1181,6 +1181,47 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaQuadkey === viaTiles)
   }
 
+  test("residual IVF-PQ beats raw full-scan PQ on clustered embeddings") {
+    val ss = spark; import ss.implicits._
+    // 512 vectors in 16 well-separated clusters (dim 64): centroid spread
+    // O(1), within-cluster noise 0.05 — the regime residual quantization
+    // exists for (raw codewords collapse a whole cluster to one point;
+    // residual codewords resolve the within-cluster structure)
+    val dim = 64; val nClusters = 16; val nVecs = 512
+    def cent(c: Int, j: Int): Float =
+      (((c * dim + j) * 2654435761L % 1000L) / 500.0 - 1.0).toFloat
+    def noise(i: Int, j: Int): Float =
+      (((i.toLong * dim + j) * 69069L % 100L) / 1000.0 - 0.05).toFloat
+    val vecs = (0 until nVecs).map { i =>
+      val c = i % nClusters
+      (i.toLong, (0 until dim).map(j => cent(c, j) + noise(i, j)).toArray)
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+    val qs = e.filter(col("vec_id") % 50 === 0)
+    val k = 10
+    val lookup = vecs.toMap
+    val qids = vecs.map(_._1).filter(_ % 50 == 0)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0)((s, i) => { val d = a(i).toDouble - b(i).toDouble; s + d * d })
+    val truth = qids.map { q =>
+      q -> vecs.filter(_._1 != q).map { case (id, v) => (l2(lookup(q), v), id) }
+        .sortBy(t => (t._1, t._2)).take(k).map(_._2).toSet
+    }.toMap
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = rows.groupBy(_.getLong(0))
+      qids.map { q =>
+        byQ.getOrElse(q, Array.empty).map(_.getLong(1)).toSet
+          .intersect(truth(q)).size.toDouble / k
+      }.sum / qids.length
+    }
+    val rRes = recall(SimilarityOps.pqTopKIvf(e, qs, k).collect())
+    val rRaw = recall(SimilarityOps.pqTopK(e, qs, k).collect())
+    info(f"clustered recall: residual IVF-PQ $rRes%.3f vs raw full-scan PQ $rRaw%.3f")
+    assert(rRes > rRaw,
+      f"residuals must beat raw PQ on clustered data ($rRes%.3f vs $rRaw%.3f)")
+    assert(rRes >= 0.5, f"residual recall $rRes%.3f too low for separated clusters")
+  }
+
   test("segmentCellCover: sampled path cells covered, degenerate keeps its cell, long hops dropped") {
     val ss = spark; import ss.implicits._
     val segs = Seq(
