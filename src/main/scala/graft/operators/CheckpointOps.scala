@@ -87,11 +87,12 @@ object CheckpointOps {
     * `step(state, round)` returns (next state, changed-count); the loop
     * stops when changed == 0 or after `maxRounds` rounds THIS invocation
     * (a cap for tests/budgeted runs — call again to continue). Returns
-    * (final durable state, total completed rounds across invocations).
+    * (final durable state, total completed rounds across invocations,
+    * rounds executed by THIS invocation — 0 for a fully resumed loop).
     */
   def iterateResumable(spark: SparkSession, init: => DataFrame, stateDir: String,
                        maxRounds: Int = Int.MaxValue)
-                      (step: (DataFrame, Int) => (DataFrame, Long)): (DataFrame, Int) = {
+                      (step: (DataFrame, Int) => (DataFrame, Long)): (DataFrame, Int, Int) = {
     import spark.implicits._
     val lineageDir = s"$stateDir/lineage"
     // only a MISSING lineage table means "fresh start" — any other read
@@ -127,7 +128,7 @@ object CheckpointOps {
         round + 1, ch, (System.nanoTime() - t0) / 1000000)
       round += 1; executed += 1; changed = ch
     }
-    (spark.read.parquet(s"$stateDir/round=$round"), round)
+    (spark.read.parquet(s"$stateDir/round=$round"), round, executed)
   }
 
   private def recordRound(spark: SparkSession, lineageDir: String,

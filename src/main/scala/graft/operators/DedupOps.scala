@@ -249,18 +249,18 @@ object DedupOps {
     * round's two joins over the previous DURABLE frame). Use the
     * in-memory loop for latency, this one for long jobs on pre-emptible
     * capacity. Returns (labels like duplicateClusters, total completed
-    * rounds); pass `maxRounds` to budget an invocation and call again to
-    * continue.
+    * rounds, rounds executed this invocation — 0 on a full resume); pass
+    * `maxRounds` to budget an invocation and call again to continue.
     */
   def duplicateClustersResumable(pairs: DataFrame, stateDir: String,
-                                 maxRounds: Int = Int.MaxValue): (DataFrame, Int) = {
+                                 maxRounds: Int = Int.MaxValue): (DataFrame, Int, Int) = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val sym = edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"))).persist()
     val init = sym.select(col("src").as("id")).distinct()
       .withColumn("old", col("id")).withColumn("label", col("id"))
-    val (state, rounds) = CheckpointOps.iterateResumable(spark, init, stateDir,
+    val (state, rounds, executed) = CheckpointOps.iterateResumable(spark, init, stateDir,
       maxRounds) { (labels, round) =>
       val prop = sym.join(
           labels.select(col("id").as("dst"), col("label").as("nbl")), "dst")
@@ -278,7 +278,7 @@ object DedupOps {
       (out, out.filter(col("label") =!= col("old")).count())
     }
     sym.unpersist(blocking = false)
-    (state.select(col("id").as("doc_id"), col("label").as("cluster_id")), rounds)
+    (state.select(col("id").as("doc_id"), col("label").as("cluster_id")), rounds, executed)
   }
 
   /** Final dedup-pipeline step: one survivor per near-duplicate cluster —

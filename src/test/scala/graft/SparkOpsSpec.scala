@@ -1181,6 +1181,31 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaQuadkey === viaTiles)
   }
 
+  test("RunPipeline: end-to-end stages are durable; a second run executes nothing") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    val first = RunPipeline.run(spark, dir, out)
+    assert(first("gate") === RunPipeline.GateBuckets, "fresh run executes every gate bucket")
+    assert(first("tiles") === RunPipeline.TileBuckets)
+    assert(first("clusterRounds") > 0, "the clustering loop must actually run")
+    val survivors = spark.read.parquet(s"$out/survivors")
+    val tiles = spark.read.parquet(s"$out/tilesum")
+    assert(survivors.count() > 0 && tiles.count() > 0)
+    // full resume: every stage finds its lineage complete
+    val second = RunPipeline.run(spark, dir, out)
+    assert(second.values.forall(_ === 0), s"resumed pipeline must be a no-op: $second")
+    assert(spark.read.parquet(s"$out/survivors").count() === survivors.count())
+    // the capstone invariant: pipeline survivors == the oracle'd operator
+    // chain run in one shot
+    val corpus = Synth.corpus(spark, dir)
+    val gated = corpus.filter(Fns.qualityScore(col("text")).cast("long") >= 400 &&
+      Fns.tokenCount(col("text")).cast("long") >= 20)
+    val expect = DedupOps.dedupSurvivors(gated,
+      DedupOps.duplicateClusters(DedupOps.minHashLshPairs(gated)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = survivors.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect, "durable staged pipeline must equal the in-memory chain")
+  }
+
   test("residual IVF-PQ beats raw full-scan PQ on clustered embeddings") {
     val ss = spark; import ss.implicits._
     // 512 vectors in 16 well-separated clusters (dim 64): centroid spread
@@ -1277,15 +1302,15 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_a", "doc_b")
     // pre-emption right after round 0 committed: the resume must NOT
     // re-run init or append a duplicate round-0 lineage row
-    val (_, r0) = DedupOps.duplicateClustersResumable(pairs, dir, maxRounds = 0)
-    assert(r0 === 0)
+    val (_, r0, e0) = DedupOps.duplicateClustersResumable(pairs, dir, maxRounds = 0)
+    assert(r0 === 0 && e0 === 0)
     DedupOps.duplicateClustersResumable(pairs, dir, maxRounds = 0)
     assert(spark.read.parquet(s"$dir/lineage").count() === 1L,
       "a resume whose newest durable round is 0 must not rewrite round 0")
-    val (_, r1) = DedupOps.duplicateClustersResumable(pairs, dir, maxRounds = 2)
-    assert(r1 === 2, "the budgeted invocation stops at its round cap")
+    val (_, r1, e1) = DedupOps.duplicateClustersResumable(pairs, dir, maxRounds = 2)
+    assert(r1 === 2 && e1 === 2, "the budgeted invocation stops at its round cap")
     val lineageAfterBudget = spark.read.parquet(s"$dir/lineage").count()
-    val (labels, total) = DedupOps.duplicateClustersResumable(pairs, dir)
+    val (labels, total, _) = DedupOps.duplicateClustersResumable(pairs, dir)
     assert(total > 2, "the chain needs more rounds than the budget")
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = DedupOps.duplicateClusters(pairs)
