@@ -403,6 +403,23 @@ object SparkEntry {
         Fns.bpeTokenCount(col("text")).cast("long").as("n_bpe"))
     }),
 
+    // Count-Min heavy hitters: one d*w-counter sketch over every token
+    // occurrence (the frequency pass that never shuffles per key), then
+    // point estimates for the top-20 true heavy hitters — emitted with
+    // their exact counts so the oracle pins BOTH the sketch arithmetic
+    // and the never-underestimates bound row by row
+    "q_cms" -> ((s, d) => {
+      val th = graft.core.CacheScope.global.persist(
+        t(s, d, "documents")
+          .select(explode(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("tok"))
+          .select(col("tok"), Fns.tokenHash(col("tok")).as("h")))
+      val cms = SketchOps.cmsSketch(th, col("h"))
+      val top = th.groupBy("tok", "h").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("tok").asc).limit(20)
+      SketchOps.cmsEstimate(top, col("h"), cms)
+        .select(col("tok"), col("n_true"), col("n_est"))
+    }),
+
     // corpus vocabulary: token-frequency dictionary over the BPE-ish
     // pre-tokens, top-50 by (count, token) — map-side-combined groupBy
     // into a window-free TakeOrderedAndProject
@@ -1973,6 +1990,31 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${Fns.BpeTokenPattern}')) AS BIGINT) AS n_bpe
          |FROM documents""".stripMargin,
+
+    "q_cms" -> {
+      import graft.operators.SketchOps.{CmsD, CmsSeed, CmsW}
+      s"""WITH th AS (
+         |  SELECT tok, ${tokenHashSql("tok")} AS h FROM (
+         |    SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents)),
+         |js AS (SELECT unnest(range($CmsD)) AS j),
+         |cms AS (
+         |  SELECT j AS row_j, ${mixIdSql(s"h + j * $CmsSeed")} % $CmsW AS col_w,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM th, js GROUP BY 1, 2),
+         |top AS (
+         |  SELECT tok, h, CAST(count(*) AS BIGINT) AS n_true
+         |  FROM th GROUP BY 1, 2
+         |  ORDER BY n_true DESC, tok LIMIT 20),
+         |probes AS (
+         |  SELECT tok, n_true, j AS row_j,
+         |    ${mixIdSql(s"h + j * $CmsSeed")} % $CmsW AS col_w
+         |  FROM top, js)
+         |SELECT p.tok, p.n_true,
+         |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS n_est
+         |FROM probes p LEFT JOIN cms c
+         |  ON c.row_j = p.row_j AND c.col_w = p.col_w
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     "q_vocab" ->
       s"""SELECT tok, n FROM (

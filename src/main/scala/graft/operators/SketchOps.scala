@@ -88,4 +88,47 @@ object SketchOps {
       groupCol, Seq(sum("__nd").as("n_exact")), m)
       .select(col(groupCol), col("n_regs"), col("reg_sum"), col("est_e3"),
         col("n_exact"))
+
+  /** Count-Min sketch defaults: d=4 rows of w=1024 counters — at N total
+    * occurrences the point-estimate over-count is <= e·N/w with
+    * probability 1 - e^-d per lookup. Positions derive from
+    * [[graft.functions.Fns.mixId]] (BIGINT-safe), so the sketch is
+    * oracle-exact; w is capped only by mixId's 2^31 range.
+    */
+  val CmsW = 1024
+  val CmsD = 4
+  val CmsSeed = 2654435761L
+
+  /** Count-Min sketch over a nonnegative item-hash column: counter
+    * (j, mixId(h + j·seed) mod w) accumulates every occurrence, j < d.
+    * The WHOLE sketch is one map-side-combinable groupBy over at most
+    * d·w keys — the heavy-hitter frequency pass at 10^12 rows (top
+    * hosts / tokens / URLs without an exact per-key shuffle: the
+    * exchange carries d·w partial counters per input partition no matter
+    * the key cardinality). Deterministic, so the SKETCH ITSELF — not
+    * just its estimates — hash-compares against the DuckDB twin.
+    * Output (row_j, col_w, cnt).
+    */
+  def cmsSketch(df: DataFrame, hashCol: Column,
+                w: Int = CmsW, d: Int = CmsD): DataFrame =
+    df.select(posexplode(array((0 until d).map(j =>
+        graft.functions.Fns.mixId(hashCol + lit(j * CmsSeed)) % w): _*))
+        .as(Seq("row_j", "col_w")))
+      .groupBy("row_j", "col_w").agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate lookup: min over the d counters (coalesced to 0 for
+    * never-touched cells) — a CMS never underestimates. `items` keeps all
+    * its columns and gains `n_est`; the sketch side is broadcast (it is
+    * at most d·w rows by construction).
+    */
+  def cmsEstimate(items: DataFrame, hashCol: Column, cms: DataFrame,
+                  w: Int = CmsW, d: Int = CmsD): DataFrame = {
+    val itemCols = items.columns.map(col)
+    items.select(itemCols :+ posexplode(array((0 until d).map(j =>
+        graft.functions.Fns.mixId(hashCol + lit(j * CmsSeed)) % w): _*))
+        .as(Seq("row_j", "col_w")): _*)
+      .join(broadcast(cms), Seq("row_j", "col_w"), "left")
+      .groupBy(itemCols: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
+  }
 }

@@ -1181,6 +1181,23 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaQuadkey === viaTiles)
   }
 
+  test("Count-Min sketch: bounded size, never underestimates, over-count within the CMS envelope") {
+    val ss = spark; import ss.implicits._
+    // zipf-ish skewed stream over 200 keys
+    val rows = (1 to 200).flatMap(i => Seq.fill(200 / i + 1)(i.toLong * 31L + 7L))
+    val df = rows.toDF("h")
+    val cms = SketchOps.cmsSketch(df, col("h"))
+    assert(cms.count() <= SketchOps.CmsD.toLong * SketchOps.CmsW)
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val est = SketchOps.cmsEstimate(truth.keys.toSeq.toDF("h"), col("h"), cms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val envelope = math.ceil(math.E * rows.size / SketchOps.CmsW).toLong * 3
+    truth.foreach { case (h, t) =>
+      assert(est(h) >= t, s"CMS must never underestimate (key $h)")
+      assert(est(h) <= t + envelope, s"over-count ${est(h) - t} beyond the CMS envelope $envelope")
+    }
+  }
+
   test("RunPipeline: end-to-end stages are durable; a second run executes nothing") {
     val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString
     val first = RunPipeline.run(spark, dir, out)
