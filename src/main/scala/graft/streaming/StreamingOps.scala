@@ -280,6 +280,23 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming Count-Min sketch — the live face of SketchOps.cmsSketch,
+    * value-identical by construction: the same mixId counter positions,
+    * kept current by a plain streaming aggregation in Update mode. State
+    * is bounded at d·w counters NO MATTER the key cardinality of the
+    * stream — the property that makes CMS the right heavy-hitter pass
+    * for an unbounded ingest where exact per-key state would grow
+    * forever. After any prefix of the stream the emitted counters equal
+    * the batch sketch over the same rows (parity spec).
+    */
+  def cmsStream(hashes: DataFrame, hashCol: String,
+                w: Int = graft.operators.SketchOps.CmsW,
+                d: Int = graft.operators.SketchOps.CmsD): DataFrame =
+    hashes.select(posexplode(array((0 until d).map(j =>
+        graft.functions.Fns.mixId(col(hashCol) + lit(j * graft.operators.SketchOps.CmsSeed)) % w): _*))
+        .as(Seq("row_j", "col_w")))
+      .groupBy("row_j", "col_w").agg(count(lit(1)).as("cnt"))
+
   case class HllState(regs: Array[Byte])
   case class HllEstimate(group: String, nRegs: Long, regSum: Long, estE3: Long)
 

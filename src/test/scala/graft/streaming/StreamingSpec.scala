@@ -399,6 +399,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming CMS == batch sketch after the same rows; state bounded at d*w") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = ss.sqlContext
+    val input = MemoryStream[Long]
+    val q = StreamingOps.cmsStream(input.toDF().toDF("h"), "h")
+      .writeStream.format("memory").queryName("cms").outputMode("update").start()
+    try {
+      val rows1 = (1 to 120).map(i => (i % 13).toLong * 31L + 7L)
+      val rows2 = (1 to 80).map(i => (i % 7).toLong * 131L + 11L)
+      input.addData(rows1); q.processAllAvailable()
+      input.addData(rows2); q.processAllAvailable()
+      // update mode re-emits touched counters: latest row per key wins
+      val got = spark.sql("SELECT row_j, col_w, cnt FROM cms").collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val want = graft.operators.SketchOps.cmsSketch((rows1 ++ rows2).toDF("h"), col("h"))
+        .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(got === want)
+      assert(got.size <= graft.operators.SketchOps.CmsD * graft.operators.SketchOps.CmsW)
+    } finally q.stop()
+  }
+
   test("streaming HLL == batch SketchOps sketch after the same rows") {
     val ss = spark
     import ss.implicits._
