@@ -399,6 +399,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("segmentCellCover is streaming-ready: stateless way->tile assignment on a live segment stream") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = ss.sqlContext
+    val segs = Seq(
+      (1L, 1L, 0L, 0L, 40000000L, 21000000L),
+      (2L, 1L, -5000000L, 3000000L, -5000000L, 3000000L),
+      (7L, 2L, 100000000L, -50000000L, 110000000L, -43000000L))
+    val input = MemoryStream[(Long, Long, Long, Long, Long, Long)]
+    val sdf = input.toDF().toDF("way_id", "seq", "x0", "y0", "x1", "y1")
+    // the operator is pure explode+filter, so the SAME code plans as a
+    // stateless streaming map — no watermark, late segments still correct
+    val q = graft.operators.SpatialOps.segmentCellCover(sdf, 8, 50000000L)
+      .writeStream.format("memory").queryName("segtiles").outputMode("append").start()
+    try {
+      input.addData(segs.take(2)); q.processAllAvailable()
+      input.addData(segs.drop(2)); q.processAllAvailable()
+      val got = spark.sql("SELECT way_id, seq, cell_x, cell_y FROM segtiles").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = graft.operators.SpatialOps.segmentCellCover(
+          segs.toDF("way_id", "seq", "x0", "y0", "x1", "y1"), 8, 50000000L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming CMS == batch sketch after the same rows; state bounded at d*w") {
     val ss = spark
     import ss.implicits._
