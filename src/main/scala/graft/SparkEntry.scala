@@ -769,6 +769,65 @@ object SparkEntry {
 
     // --- assembly flagship (golden-parquet oracle) ---
     "q_area_assembly" -> ((s, d) => areaAssembly(s)),
+
+    // --- geodesic kNN facade: strategy picked by query-set size ---
+    "q_knn_geo_auto" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      SpatialOps.knnGeoAuto(pts, pts.filter(col("pid") % 499 === 0), 5)
+    }),
+
+    // --- link-graph rank (fixed-point integer PageRank, 5 rounds) ---
+    "q_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count() // doc_ids are dense 0..n-1 (TESTDATA contract)
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(0L), col("doc_id") % 4)).as("j"))
+        .withColumn("dst",
+          Fns.mixId(col("src") * 53 + col("j") * 17 + 1) % lit(n))
+        .filter(col("dst") =!= col("src"))
+      GraphOps.pageRank(edges, 5)
+    }),
+
+    // --- exact per-group discrete quantiles (histogram + cumsum) ---
+    "q_quantiles" -> ((s, d) =>
+      StatsOps.exactQuantiles(t(s, d, "documents"), "lang", "n_chars",
+        Seq(500, 900, 990))),
+
+    // --- interval overlap join (bucketized 1-D range join) ---
+    "q_interval_join" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      def iv(typ: String, modDur: Int, idCol: String) =
+        ev.filter(col("event_type") === typ)
+          .select(col("event_id").as(idCol), col("user_id").as("key"),
+            us(col("ts")).as("start_us"),
+            (us(col("ts")) +
+              (col("event_id") % modDur + 1) * lit(3600000000L)).as("end_us"))
+      HistoryOps.intervalJoin(
+        iv("error", 48, "lid"), iv("purchase", 36, "rid"),
+        bucketUs = 86400000000L, maxSpanUs = 3 * 86400000000L)
+    }),
+
+    // --- inverted index (per-term df + capped sorted posting list) ---
+    "q_postings" -> ((s, d) =>
+      SearchOps.postings(t(s, d, "documents"), minDf = 3, maxPostings = 20)),
+
+    // --- BM25 ranked retrieval (deterministic-ln idf, e6 fixed point) ---
+    "q_bm25" -> ((s, d) =>
+      SearchOps.bm25(t(s, d, "documents"), Seq("spark", "merge", "window"))),
+
+    // --- SQL registry round trip: the injected catalog functions reached
+    // through spark.sql on a live session (GraftRegistryBridge) ---
+    "q_sql_fns" -> ((s, d) => {
+      org.apache.spark.sql.GraftRegistryBridge.install(s)
+      t(s, d, "documents").createOrReplaceTempView("graft_docs")
+      s.sql("""SELECT doc_id,
+        |  tags_kv(map('lang', lang, 'source', source), ',') AS kv,
+        |  tags_hstore(map('lang', lang, 'source', source)) AS hs,
+        |  url_norm_host(concat('HTTPS://u@Host',
+        |    cast(doc_id % 7 AS string), '.Example.ORG:443/p')) AS host
+        |FROM graft_docs""".stripMargin)
+    }),
   )
 
   /** q_pip_large parameters: polygon-corpus size and cover level (256x256
@@ -975,19 +1034,28 @@ object SparkEntry {
   }
 
   private def lnDetCtesSql(m: Int): String = {
-    import graft.core.Hll
     val md = m.toDouble
+    s"""lc1 AS (SELECT *, $md / CAST(greatest(vz, 1) AS DOUBLE) AS x FROM est0),
+       |${lnStagesSql("lc", "lc1")}""".stripMargin
+  }
+
+  /** Hll.lnDet stages over a CTE `src` exposing a DOUBLE column `x` in
+    * [1, 2^20): emits `${p}2`..`${p}5`, where `${p}5` carries `kl` and
+    * `srs` with ln(x) = kl + srs, each stage one bound subexpression so
+    * the IEEE op sequence is exactly the kernel's (see hllSql doc).
+    */
+  private def lnStagesSql(p: String, src: String): String = {
+    import graft.core.Hll
     val kSum = (1 to 20).map(j =>
       s"(CASE WHEN x >= ${(1L << j).toDouble} THEN 1 ELSE 0 END)").mkString(" + ")
     val tCase = (0 to 20).map(j => s"WHEN $j THEN ${1.0 / (1L << j)}").mkString(" ")
-    s"""lc1 AS (SELECT *, $md / CAST(greatest(vz, 1) AS DOUBLE) AS x FROM est0),
-       |lc2 AS (SELECT *, ($kSum) AS k FROM lc1),
-       |lc3 AS (SELECT *, x * (CASE k $tCase END) AS t FROM lc2),
-       |lc4 AS (SELECT *, (t - 1.0) / (t + 1.0) AS u FROM lc3),
-       |lc5 AS (SELECT *, k * ${Hll.Ln2} AS kl,
+    s"""${p}2 AS (SELECT *, ($kSum) AS k FROM $src),
+       |${p}3 AS (SELECT *, x * (CASE k $tCase END) AS t FROM ${p}2),
+       |${p}4 AS (SELECT *, (t - 1.0) / (t + 1.0) AS u FROM ${p}3),
+       |${p}5 AS (SELECT *, k * ${Hll.Ln2} AS kl,
        |  2.0 * u * (1.0 + (u*u) * (${Hll.C3} + (u*u) * (${Hll.C5} + (u*u) * (${Hll.C7} +
        |    (u*u) * (${Hll.C9} + (u*u) * (${Hll.C11} + (u*u) * ${Hll.C13})))))) AS srs
-       |  FROM lc4)""".stripMargin
+       |  FROM ${p}4)""".stripMargin
   }
 
   /** DuckDB twin of CentroidKernel.roundE6(cosine) — shared by the IVF
@@ -1134,6 +1202,79 @@ object SparkEntry {
   private def minHashAgg(j: Int): String = {
     val a = 1000003L + 2L * j; val b = 12345L + 7919L * j
     s"min((sh * $a + $b) % 1000000007) AS mh$j"
+  }
+
+  /** Chained-CTE twin of GraphOps.pageRank over the deterministic doc link
+    * graph (every constant derives from GraphOps so a parameter change
+    * cannot drift; `pr` not `rank` as the column name — DuckDB keyword).
+    */
+  private def pageRankSql(iters: Int): String = {
+    import graft.operators.GraphOps.{DampingPct, RankScale}
+    val base = (100 - DampingPct) * (RankScale / 100)
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node_id,
+         |    CAST(sum(r.pr // d.outdeg) AS BIGINT) AS in_sum
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node_id
+         |  JOIN deg d ON e.src = d.src GROUP BY 1),
+         |r$i AS (
+         |  SELECT nd.node_id,
+         |    $base + ($DampingPct * coalesce(c.in_sum, 0)) // 100 AS pr
+         |  FROM nodes nd LEFT JOIN c$i c USING (node_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (
+       |  SELECT doc_id AS src, unnest(range(0, doc_id % 4 + 1)) AS j
+       |  FROM documents),
+       |edges AS (
+       |  SELECT DISTINCT src,
+       |    ${mixIdSql("src * 53 + j * 17 + 1")} %
+       |      (SELECT count(*) FROM documents) AS dst
+       |  FROM e0 WHERE ${mixIdSql("src * 53 + j * 17 + 1")} %
+       |      (SELECT count(*) FROM documents) <> src),
+       |nodes AS (SELECT src AS node_id FROM edges
+       |  UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY 1),
+       |r0 AS (SELECT node_id, CAST($RankScale AS BIGINT) AS pr FROM nodes),
+       |$rounds
+       |SELECT node_id, pr AS rank_e6 FROM r$iters""".stripMargin
+  }
+
+  /** SearchOps.bm25 twin: same whitespace tokens, the idf ln through the
+    * lnStagesSql fixed-IEEE chain, per-term scores rounded to e6 BEFORE
+    * the per-doc integer sum — every double op in the same order as the
+    * Scala side, so scores are bit-identical.
+    */
+  private def bm25Sql(terms: Seq[String]): String = {
+    import graft.operators.SearchOps.{B, K1, K1Plus1, OneMinusB}
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok
+       |  FROM documents),
+       |dls AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       |  FROM toks GROUP BY 1),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) /
+       |    CAST(count(*) AS DOUBLE) AS avgdl FROM dls),
+       |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks WHERE tok IN ($termList) GROUP BY 1, 2),
+       |dfs AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |ix AS (SELECT tok,
+       |  (CAST((SELECT n FROM stats) - df AS DOUBLE) + 0.5) /
+       |    (CAST(df AS DOUBLE) + 0.5) + 1.0 AS x FROM dfs),
+       |${lnStagesSql("ib", "ix")},
+       |idf AS (SELECT tok, kl + srs AS idf FROM ib5),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(round((i.idf * ((CAST(t.tf AS DOUBLE) * $K1Plus1) /
+       |      (CAST(t.tf AS DOUBLE) + $K1 * ($OneMinusB + $B *
+       |        (CAST(d.dl AS DOUBLE) / (SELECT avgdl FROM stats))))))
+       |      * 1000000.0) AS BIGINT) AS term_e6
+       |  FROM tf t JOIN idf i ON t.tok = i.tok
+       |  JOIN dls d ON t.doc_id = d.doc_id)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  CAST(sum(term_e6) AS BIGINT) AS score_e6
+       |FROM scored GROUP BY 1""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2177,5 +2318,57 @@ object SparkEntry {
          |SELECT (65536 | $spread | ($spready << 1)) AS cell, count(*) AS cnt
          |FROM xy GROUP BY 1""".stripMargin
     },
+
+    "q_knn_geo_auto" -> knnGeoSql(499),
+
+    "q_pagerank" -> pageRankSql(5),
+
+    "q_quantiles" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v, CAST(cnt AS BIGINT) AS cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM hist),
+        |q AS (SELECT *, unnest([500, 900, 990]) AS q_pm FROM cum)
+        |SELECT lang, q_pm, v AS value, n FROM q
+        |WHERE cum >= (n * q_pm + 999) // 1000
+        |  AND cum - cnt < (n * q_pm + 999) // 1000""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH l AS (
+        |  SELECT event_id AS lid, user_id AS key, epoch_us(ts) AS ls,
+        |    epoch_us(ts) + (event_id % 48 + 1) * 3600000000 AS le
+        |  FROM events WHERE event_type = 'error'),
+        |r AS (
+        |  SELECT event_id AS rid, user_id AS key, epoch_us(ts) AS rs,
+        |    epoch_us(ts) + (event_id % 36 + 1) * 3600000000 AS re
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT lid, rid, l.key AS key,
+        |  least(le, re) - greatest(ls, rs) AS overlap_us
+        |FROM l JOIN r ON l.key = r.key
+        |WHERE ls <= re AND rs <= le""".stripMargin,
+
+    "q_postings" ->
+      """WITH tf AS (
+        |  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT tok, df, postings FROM (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+        |    list_sort(list(struct_pack(doc_id := doc_id, tf := tf)))[1:20] AS postings
+        |  FROM tf GROUP BY 1)
+        |WHERE df >= 3""".stripMargin,
+
+    "q_bm25" -> bm25Sql(Seq("spark", "merge", "window")),
+
+    "q_sql_fns" ->
+      """SELECT doc_id,
+        |  'lang=' || lang || ',source=' || source AS kv,
+        |  '"lang"=>"' || lang || '","source"=>"' || source || '"' AS hs,
+        |  'host' || (doc_id % 7) || '.example.org' AS host
+        |FROM documents""".stripMargin,
   )
 }

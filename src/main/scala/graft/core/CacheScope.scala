@@ -34,9 +34,18 @@ final class CacheScope {
     */
   def track[T](ds: Dataset[T]): Dataset[T] = synchronized { tracked += ds; ds }
 
-  /** Unpersist everything registered since the last release. */
+  /** Unpersist everything registered since the last release. A frame whose
+    * SparkContext has since stopped is skipped — releasing storage on a
+    * dead context is a no-op, not an error (a short-lived session that
+    * stops before releasing its scope must not poison the next session
+    * that shares the global scope).
+    */
   def release(): Unit = synchronized {
-    tracked.foreach(_.unpersist(blocking = false))
+    tracked.foreach { ds =>
+      try {
+        if (!ds.sparkSession.sparkContext.isStopped) ds.unpersist(blocking = false)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     tracked.clear()
   }
 }

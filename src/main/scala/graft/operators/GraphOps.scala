@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.CacheScope
+
+/** Link-graph analytics over crawl-scale edge lists — the rank side of a
+  * web-corpus pipeline (page importance feeds crawl scheduling and
+  * training-data quality weights).
+  */
+object GraphOps {
+
+  /** Initial rank mass per node, in micro-units (fixed point). */
+  val RankScale: Long = 1000000L
+  /** Damping factor as an exact integer percentage (85 / 100 = 0.85). */
+  val DampingPct: Long = 85L
+
+  /** PageRank with FIXED-POINT integer arithmetic: every node starts at
+    * [[RankScale]] micro-units; each iteration a node keeps
+    * `(1-d)·RankScale + d·Σ contrib` where an out-degree-`g` node
+    * contributes `rank / g` (floor division) along each out-edge and
+    * d = [[DampingPct]]/100 (dangling mass is dropped — the documented
+    * variant; re-injecting it needs a global agg per round for no ranking
+    * benefit at this use). All arithmetic is int64, so the result is
+    * bit-identical in any engine — float PageRank can NOT be
+    * oracle-compared because distributed sum order is nondeterministic.
+    *
+    * Scale posture: per iteration exactly one shuffle join of the edge
+    * list with the rank frame on `src` plus one aggregation shuffle on
+    * `dst` — the canonical distributed PageRank shape. The degree-joined
+    * edge list is computed once and persisted; the rank frame is
+    * persisted per round, the superseded round unpersisted, and the plan
+    * is REBASED through the cached RDD every round so the analyzer never
+    * walks a depth-`iterations` join chain (the pointer-jumping lesson
+    * from [[DedupOps.duplicateClusters]]). Overflow headroom: total mass
+    * is n·RankScale ≤ 2^63 for n up to ~9·10^12 nodes; the damping
+    * product multiplies a per-node in-sum by 85, ANSI mode fails loudly
+    * (not silently wraps) if a single node ever concentrates > 2^63/85
+    * micro-units.
+    *
+    * Input: (src, dst) long edge ids (parallel edges collapse — the rank
+    * contract is over the simple graph). Output: (node_id, rank_e6).
+    */
+  def pageRank(edges: DataFrame, iterations: Int,
+               scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    val simple = edges.select(col("src"), col("dst")).distinct()
+    val nodes = scope.persist(
+      simple.select(col("src").as("node_id"))
+        .unionByName(simple.select(col("dst").as("node_id"))).distinct())
+    val deg = simple.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // degree-annotated edges: the loop's only join input, persisted once
+    val e = scope.persist(simple.join(deg, "src"))
+
+    var cached = nodes.withColumn("rank", lit(RankScale)).persist()
+    var ranks: DataFrame = cached
+    val base = (100L - DampingPct) * (RankScale / 100L)
+    var round = 0
+    while (round < iterations) {
+      round += 1
+      // `div` = IntegralDivide: exact long division at full int64 range
+      // (Column./ on longs routes through doubles, inexact past 2^53)
+      val contrib = e.join(ranks, col("src") === col("node_id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank div outdeg")).cast("long").as("in_sum"))
+      val stepped = nodes.join(contrib, col("node_id") === col("dst"), "left")
+        .select(col("node_id"), coalesce(col("in_sum"), lit(0L)).as("in_sum"))
+        .selectExpr("node_id",
+          s"$base + ($DampingPct * in_sum) div 100 AS rank")
+      val next = stepped.persist()
+      next.count() // materialize before dropping the previous round
+      cached.unpersist(blocking = false)
+      cached = next
+      // rebase: cut the logical plan to the cached RDD every round
+      ranks = spark.createDataFrame(next.toDF().rdd, next.schema)
+    }
+    scope.track(cached)
+    ranks.select(col("node_id"), col("rank").as("rank_e6"))
+  }
+}

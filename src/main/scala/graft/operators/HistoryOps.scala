@@ -88,4 +88,42 @@ object HistoryOps {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Interval overlap join — the 1-D range join Spark has no native
+    * operator for, as a BUCKETIZED equi-join: each interval explodes to
+    * the fixed-width time buckets it covers, sides equi-join on
+    * (key, bucket), and the true-overlap predicate filters the bucket
+    * collisions. Duplicate elimination is FREE (no distinct): a pair is
+    * kept only in the overlap's ANCHOR bucket — the bucket containing
+    * `greatest(l.start, r.start)` — which exists exactly once per
+    * overlapping pair, so no shuffle-side dedup state is needed.
+    *
+    * Scale posture: one shuffle on (key, bucket); per-row fanout is
+    * span/bucketUs, bounded by the span contract `maxSpanUs` (same
+    * posture as [[SpatialOps.segmentCellCover]] — pipelines split longer
+    * intervals upstream; out-of-contract rows are dropped, not wrong).
+    * Pick bucketUs near the typical interval span: too small inflates the
+    * explode, too large inflates the bucket-collision candidate set.
+    * Overlap is CLOSED (touching endpoints count, overlap_us = 0).
+    *
+    * Inputs: (lid|rid, key, start_us, end_us). Output:
+    * (lid, rid, key, overlap_us).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   bucketUs: Long, maxSpanUs: Long): DataFrame = {
+    import graft.functions.Fns.idiv
+    def buckets(df: DataFrame, id: String, s: String, e: String) = df
+      .filter(col("end_us") >= col("start_us") &&
+        col("end_us") - col("start_us") <= maxSpanUs)
+      .select(col(id), col("key"), col("start_us").as(s), col("end_us").as(e),
+        explode(sequence(idiv(col("start_us"), bucketUs),
+          idiv(col("end_us"), bucketUs))).as("bucket"))
+    val l = buckets(left, "lid", "ls", "le")
+    val r = buckets(right, "rid", "rs", "re")
+    l.join(r, Seq("key", "bucket"))
+      .filter(col("ls") <= col("re") && col("rs") <= col("le") &&
+        col("bucket") === idiv(greatest(col("ls"), col("rs")), bucketUs))
+      .select(col("lid"), col("rid"), col("key"),
+        (least(col("le"), col("re")) - greatest(col("ls"), col("rs"))).as("overlap_us"))
+  }
 }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Hll
+
+/** Full-text retrieval operators over a (doc_id, text) corpus: inverted
+  * index construction and BM25 ranked retrieval — the search side of a
+  * web-corpus pipeline (quality mining, targeted subset extraction).
+  *
+  * Tokenization is the engine's whitespace contract (`[^ ]+`, shared with
+  * the HLL/vocab operators) so every term statistic has an exact DuckDB
+  * twin.
+  */
+object SearchOps {
+
+  /** BM25 parameters — exposed so the SQL oracle interpolates the SAME
+    * doubles (Scala double toString round-trips through strtod).
+    */
+  val K1: Double = 1.2
+  val B: Double = 0.75
+  val K1Plus1: Double = K1 + 1.0
+  val OneMinusB: Double = 1.0 - B
+
+  private def toks(docs: DataFrame) = docs.select(col("doc_id"),
+    explode(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("tok"))
+
+  /** Inverted index: per term, document frequency and the posting list
+    * (doc_id, tf) sorted by doc_id. `minDf` drops hapax noise; `maxPostings`
+    * caps the stored list per term — stop-word terms at crawl scale have
+    * posting lists the size of the corpus, and real index builds shard or
+    * truncate them (the df column still counts ALL matches, so the cap
+    * loses no frequency information). The build is two hash shuffles
+    * (doc,term → term), both map-side combined; the per-term collect_list
+    * is bounded by `maxPostings` only after the sort — callers indexing
+    * unfiltered crawl text should pre-drop stop terms by df.
+    */
+  def postings(docs: DataFrame, minDf: Long, maxPostings: Int): DataFrame =
+    toks(docs)
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"),
+        slice(sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+          1, maxPostings).as("postings"))
+      .filter(col("df") >= minDf)
+
+  /** BM25 scores for a fixed small query-term set: for each document
+    * containing at least one query term,
+    * `score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`
+    * with the Robertson-Sparck-Jones idf `ln((N − df + 0.5)/(df + 0.5) + 1)`.
+    *
+    * Determinism: idf uses the engine's fixed-IEEE-op ln kernel
+    * ([[graft.core.Hll.lnDet]]) and each per-term score is rounded to
+    * integer e6 micro-points BEFORE the per-document sum, so the result
+    * is bit-identical cross-engine (float sums have nondeterministic
+    * order; int sums don't).
+    *
+    * Scale posture: corpus stats (N, Σdl) and per-term df are GLOBAL
+    * scalars over the tiny query-term set — collected to the driver like
+    * any broadcast dimension, then the scoring pass is one shuffle
+    * (doc,term tf aggregation) plus a broadcast join of the ≤|terms|-row
+    * idf table. Output: (doc_id, n_terms, score_e6).
+    */
+  def bm25(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val t = toks(docs)
+    val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("sumdl")).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n.toDouble
+
+    val tf = t.filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfRows = tf.groupBy("tok").agg(count(lit(1)).as("df")).collect()
+    val idf = dfRows.map { r =>
+      val df = r.getLong(1)
+      (r.getString(0),
+        Hll.lnDet(((n - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0))
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idfDf = broadcast(idf.toSeq.toDF("tok", "idf"))
+
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val score = col("idf") * ((tfD * lit(K1Plus1)) /
+      (tfD + lit(K1) * (lit(OneMinusB) + lit(B) * (dlD / lit(avgdl)))))
+    tf.join(idfDf, "tok")
+      .join(dl, "doc_id")
+      .withColumn("term_e6", round(score * lit(1000000.0)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("term_e6").as("score_e6"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-statistics operators. Approximate sketches (percentile_approx,
+  * t-digest) don't oracle-compare across engines; these are the EXACT
+  * formulations a pipeline reaches for when a drifting approximation
+  * isn't acceptable (SLA length caps, dedup thresholds).
+  */
+object StatsOps {
+
+  /** Exact per-group discrete quantiles of an integer-valued column via a
+    * value HISTOGRAM: quantile q (per-mille) is the smallest value v whose
+    * cumulative count reaches ceil(q·n/1000) — i.e. the lower
+    * (type-1/"disc") quantile. Integer thresholds, no float interpolation,
+    * so the result is engine-exact.
+    *
+    * Scale posture: the only full-data pass is the map-side-combined
+    * histogram groupBy (group, value) — the window then runs over DISTINCT values
+    * per group, which for the integer domains this is for (doc lengths,
+    * token counts, latencies in ms) is orders of magnitude smaller than
+    * the data; a group's histogram lives on one reducer, bounded by the
+    * value domain, not the row count. (An unbounded real-valued domain
+    * needs a two-phase bucket-then-refine plan instead — out of contract
+    * here, documented.)
+    *
+    * Input: df with `groupCol` and integer `valueCol`; `qsPm` quantiles in
+    * per-mille (500 = median). Output: (group, q_pm, value, n).
+    */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                     qsPm: Seq[Int]): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val ordered = Window.partitionBy(groupCol).orderBy("v")
+    val whole = Window.partitionBy(groupCol)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(ordered))
+      .withColumn("n", sum("cnt").over(whole))
+    cum.select(col(groupCol), col("v"), col("cnt"), col("cum"), col("n"),
+        explode(array(qsPm.map(lit(_)): _*)).as("q_pm"))
+      .withColumn("thr",
+        graft.functions.Fns.idiv(col("n") * col("q_pm") + lit(999L), 1000L))
+      .filter(col("cum") >= col("thr") && col("cum") - col("cnt") < col("thr"))
+      .select(col(groupCol), col("q_pm"), col("v").as("value"), col("n"))
+  }
+}

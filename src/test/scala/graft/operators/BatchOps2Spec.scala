@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-4 session-3 operators: integer PageRank, interval
+  * overlap join, exact quantiles, BM25/postings, and the live-session SQL
+  * registry bridge. Each operator is compared against an independent
+  * local (driver-side) reference computation on seeded data.
+  */
+class BatchOps2Spec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // deterministic LCG for seeded inputs (no Math.random in specs)
+  private def lcg(seed: Long): Iterator[Long] =
+    Iterator.iterate(seed)(x => (x * 6364136223846793005L + 1442695040888963407L))
+      .map(x => (x >>> 33))
+
+  test("pageRank matches a driver-side integer reference on a seeded graph") {
+    val s = spark; import s.implicits._
+    val edges = lcg(42).take(400).grouped(2)
+      .map(p => (p.head % 50, p.last % 50)).filter(e => e._1 != e._2)
+      .toSeq.distinct
+    val df = edges.toDF("src", "dst")
+    val got = GraphOps.pageRank(df, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.core.CacheScope.releaseGlobal()
+
+    // local fixed-point reference
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var rank = nodes.map(_ -> GraphOps.RankScale).toMap
+    for (_ <- 1 to 5) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (a, b) => in(b) += rank(a) / outdeg(a) }
+      rank = nodes.map(n => n -> (150000L + 85L * in(n) / 100L)).toMap
+    }
+    assert(got === rank)
+    // mass never exceeds the initial total (dangling mass only leaks out)
+    assert(got.values.sum <= nodes.size * GraphOps.RankScale)
+  }
+
+  test("intervalJoin equals brute force; multi-bucket pairs emit once; span contract drops") {
+    val s = spark; import s.implicits._
+    val rnd = lcg(7)
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      val st = (rnd.next() % 1000L) * 3600L
+      val dur = (rnd.next() % 90L + 1L) * 3600L // 1..90 "hours" (contract max 72)
+      (idBase + i, rnd.next() % 3L, st, st + dur)
+    }
+    val l = mk(120, 0); val r = mk(120, 1000)
+    val maxSpan = 72L * 3600L
+    val got = HistoryOps.intervalJoin(
+        l.toDF("lid", "key", "start_us", "end_us"),
+        r.toDF("rid", "key", "start_us", "end_us"),
+        bucketUs = 24L * 3600L, maxSpanUs = maxSpan)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val expect = for {
+      (lid, lk, ls, le) <- l if le - ls <= maxSpan
+      (rid, rk, rs, re) <- r if re - rs <= maxSpan
+      if lk == rk && ls <= re && rs <= le
+    } yield (lid, rid, lk, math.min(le, re) - math.max(ls, rs))
+    assert(got.length === got.distinct.length) // anchor-bucket dedup: no dupes
+    assert(got.toSet === expect.toSet)
+    assert(expect.nonEmpty)
+    // the contract really dropped something (durations go beyond 72h)
+    assert(l.exists(x => x._4 - x._3 > maxSpan))
+  }
+
+  test("exactQuantiles = sorted-order statistics (ceil rank, lower quantile)") {
+    val s = spark; import s.implicits._
+    val vals = lcg(13).take(500).map(v => ("g" + (v % 2), (v % 37).toInt)).toSeq
+    val got = StatsOps.exactQuantiles(vals.toDF("grp", "v"), "grp", "v",
+        Seq(1, 500, 900, 1000))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getInt(2))).toMap
+    for (g <- Seq("g0", "g1"); q <- Seq(1, 500, 900, 1000)) {
+      val sorted = vals.filter(_._1 == g).map(_._2).sorted
+      val idx = ((sorted.size.toLong * q + 999) / 1000).toInt // ceil rank, 1-based
+      assert(got((g, q)) === sorted(idx - 1), s"group $g q=$q")
+    }
+  }
+
+  test("bm25 matches a local replication; postings are capped, sorted, df-exact") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "spark joins the fast spark engine"),
+      (2L, "merge sort beats hash join sometimes"),
+      (3L, "window functions window over spark window"),
+      (4L, "plain text with none of them"),
+      (5L, "spark spark spark merge")).toDF("doc_id", "text")
+    val terms = Seq("spark", "merge", "window")
+    val got = SearchOps.bm25(docs, terms).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val toks = Seq(
+      1L -> Seq("spark", "joins", "the", "fast", "spark", "engine"),
+      2L -> Seq("merge", "sort", "beats", "hash", "join", "sometimes"),
+      3L -> Seq("window", "functions", "window", "over", "spark", "window"),
+      4L -> Seq("plain", "text", "with", "none", "of", "them"),
+      5L -> Seq("spark", "spark", "spark", "merge"))
+    val n = toks.size
+    val avgdl = toks.map(_._2.size).sum.toDouble / n.toDouble
+    val dfm = terms.map(t => t -> toks.count(_._2.contains(t))).toMap
+    val idf = terms.map(t => t -> graft.core.Hll.lnDet(
+      ((n - dfm(t)).toDouble + 0.5) / (dfm(t).toDouble + 0.5) + 1.0)).toMap
+    val expect = toks.flatMap { case (id, tk) =>
+      val scores = terms.flatMap { t =>
+        val tf = tk.count(_ == t).toDouble
+        if (tf == 0) None else Some(math.round(
+          idf(t) * ((tf * SearchOps.K1Plus1) /
+            (tf + SearchOps.K1 * (SearchOps.OneMinusB +
+              SearchOps.B * (tk.size.toDouble / avgdl)))) * 1000000.0))
+      }
+      if (scores.isEmpty) None else Some(id -> (scores.size.toLong, scores.sum))
+    }.toMap
+    assert(got === expect)
+
+    val posts = SearchOps.postings(docs, minDf = 1, maxPostings = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getSeq[org.apache.spark.sql.Row](2).map(x => (x.getLong(0), x.getLong(1)))))
+    val sparkRow = posts.find(_._1 == "spark").get
+    assert(sparkRow._2 === 3L)                       // df counts ALL docs
+    assert(sparkRow._3 === Seq((1L, 2L), (3L, 1L)))  // capped at 2, doc_id-sorted
+  }
+
+  test("GraftRegistryBridge: SQL functions on a live session equal the Column surface") {
+    val s = spark; import s.implicits._
+    org.apache.spark.sql.GraftRegistryBridge.install(s)
+    Seq(("en", "a\"b", 1L), ("de", "c=d,e", 2L)).toDF("lang", "source", "id")
+      .createOrReplaceTempView("brt")
+    val viaSql = s.sql(
+      "SELECT id, tags_kv(map('lang', lang, 'source', source), ',') AS kv, " +
+        "tags_hstore(map('lang', lang, 'source', source)) AS hs, " +
+        "url_norm_host('SVN+ssh://u@WWW.Example.ORG:22/r') AS h FROM brt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val tags = map(lit("lang"), col("lang"), lit("source"), col("source"))
+    val viaCol = s.table("brt").select(col("id"),
+        graft.functions.TagStrings.tagsKeyEqualsValue(tags, ","),
+        graft.functions.TagStrings.tagsHstore(tags),
+        graft.functions.Fns.urlNormHost(lit("SVN+ssh://u@WWW.Example.ORG:22/r")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(viaSql.sortBy(_._1) === viaCol.sortBy(_._1))
+    assert(viaSql.head._4 === "www.example.org")
+  }
+}
