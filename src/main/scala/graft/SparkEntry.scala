@@ -828,7 +828,19 @@ object SparkEntry {
         |    cast(doc_id % 7 AS string), '.Example.ORG:443/p')) AS host
         |FROM graft_docs""".stripMargin)
     }),
+
+    // --- small-file compaction plan (metadata-only layout maintenance) ---
+    "q_compaction" -> ((s, d) => {
+      val files = t(s, d, "documents").select(col("lang").as("part_key"),
+        col("doc_id").as("file_id"), col("n_chars").cast("long").as("bytes"))
+      operators.LayoutOps.compactionPlan(files, CompactionTarget)
+    }),
   )
+
+  /** q_compaction group-close threshold (bytes). Small vs the per-lang
+    * n_chars totals so the plan yields several groups per partition.
+    */
+  val CompactionTarget = 20000L
 
   /** q_pip_large parameters: polygon-corpus size and cover level (256x256
     * grid, ~1.4° cells — 1-4 cover cells per 0.2-0.8°-radius hexagon).
@@ -2370,5 +2382,16 @@ object SparkEntry {
         |  '"lang"=>"' || lang || '","source"=>"' || source || '"' AS hs,
         |  'host' || (doc_id % 7) || '.example.org' AS host
         |FROM documents""".stripMargin,
+
+    "q_compaction" ->
+      s"""WITH f AS (
+         |  SELECT lang AS part_key, doc_id AS file_id,
+         |    CAST(n_chars AS BIGINT) AS bytes
+         |  FROM documents)
+         |SELECT part_key, file_id, bytes,
+         |  CAST(COALESCE(SUM(bytes) OVER (PARTITION BY part_key
+         |    ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) AS BIGINT) // $CompactionTarget AS grp
+         |FROM f""".stripMargin,
   )
 }

@@ -87,6 +87,35 @@ object StreamingOps {
       .select(col("qid"), col("pid"), col("dist_e3"))
   }
 
+  /** Streaming point-in-interval join: live events (lid, key, ts_us)
+    * against a STATIC interval table (rid, key, start_us, end_us) —
+    * the streaming face of [[graft.operators.HistoryOps.intervalJoin]]
+    * (events matched to maintenance windows / campaign periods on
+    * ingest). Same bucket scheme as the batch operator: the static side
+    * explodes once into its covered buckets (cached for the stream's
+    * lifetime, like radiusJoinStream's cover); each event maps
+    * STATELESSLY to its single bucket and equi-joins on (key, bucket) —
+    * no watermark, no state store, so a micro-batch costs one
+    * broadcast/shuffle join regardless of stream history. A point lives
+    * in exactly one bucket, so no anchor dedup is needed.
+    */
+  def intervalJoinStream(events: DataFrame, intervals: DataFrame,
+                         bucketUs: Long, maxSpanUs: Long): DataFrame = {
+    import graft.functions.Fns.idiv
+    val cover = intervals
+      .filter(col("end_us") >= col("start_us") &&
+        col("end_us") - col("start_us") <= maxSpanUs)
+      .select(col("rid"), col("key"), col("start_us").as("rs"), col("end_us").as("re"),
+        explode(sequence(idiv(col("start_us"), bucketUs),
+          idiv(col("end_us"), bucketUs))).as("bucket"))
+      .persist()
+    events
+      .withColumn("bucket", idiv(col("ts_us"), bucketUs))
+      .join(cover, Seq("key", "bucket"))
+      .filter(col("rs") <= col("ts_us") && col("ts_us") <= col("re"))
+      .select(col("lid"), col("rid"), col("key"), col("ts_us"))
+  }
+
   /** Streaming exact dedup for an ingest pipeline: keep the first
     * occurrence of each text (keyed by sha256 + length, like the batch
     * exactDuplicates), with the dedup state bounded by a watermark —

@@ -80,6 +80,45 @@ class BatchOps2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l.exists(x => x._4 - x._3 > maxSpan))
   }
 
+  test("compactionPlan: greedy in-order packing, groups bounded by target + max file") {
+    val s = spark; import s.implicits._
+    val rnd = lcg(99)
+    val files = (0 until 300).map { i =>
+      ("p" + (rnd.next() % 4), i.toLong, rnd.next() % 5000L + 1L)
+    }
+    val target = 12000L
+    val got = LayoutOps.compactionPlan(
+        files.toDF("part_key", "file_id", "bytes"), target)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // reference: sequential fold per partition in file_id order
+    val expect = files.groupBy(_._1).flatMap { case (pk, fs) =>
+      var cum = 0L
+      fs.sortBy(_._2).map { case (_, fid, b) =>
+        val g = cum / target; cum += b; (pk, fid, b, g)
+      }
+    }.toSet
+    assert(got.toSet === expect)
+    // every group is bounded above by target + max file, and cumulative
+    // bytes through a closed group reach that group's window boundary
+    // (a single group may hold < target only via predecessor overshoot)
+    for ((pk, rows) <- got.groupBy(_._1)) {
+      val byGrp = rows.sortBy(_._2).groupBy(_._4)
+      val maxG = byGrp.keys.max
+      for ((g, members) <- byGrp) {
+        val sz = members.map(_._3).sum
+        assert(sz < target + files.map(_._3).max, s"oversized group $g in $pk")
+        if (g < maxG) {
+          val cumThrough = rows.filter(_._4 <= g).map(_._3).sum
+          assert(cumThrough >= (g + 1) * target, s"closed group $g in $pk short")
+        }
+      }
+      // groups partition the listing into contiguous runs
+      val ordered = rows.sortBy(_._2).map(_._4)
+      assert(ordered === ordered.sorted)
+    }
+  }
+
   test("exactQuantiles = sorted-order statistics (ceil rank, lower quantile)") {
     val s = spark; import s.implicits._
     val vals = lcg(13).take(500).map(v => ("g" + (v % 2), (v % 37).toInt)).toSeq

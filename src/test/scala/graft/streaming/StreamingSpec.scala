@@ -310,6 +310,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming interval join: live points vs static intervals == brute force, stateless across batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val bucket = 3600L; val maxSpan = 72L * 3600L
+    // seeded intervals incl. one over-contract span (must be dropped) and
+    // exact-boundary endpoints (closed-interval semantics)
+    val rnd = Iterator.iterate(31L)(x => x * 6364136223846793005L + 1442695040888963407L)
+      .map(_ >>> 33)
+    val intervals = (0 until 60).map { i =>
+      val st = (rnd.next() % 500L) * 1800L
+      val dur = (rnd.next() % 90L + 1L) * 3600L
+      (1000L + i, rnd.next() % 3L, st, st + dur)
+    }
+    val events = (0 until 200).map { i =>
+      (i.toLong, rnd.next() % 3L, (rnd.next() % 1000L) * 1800L)
+    } ++ Seq((900L, intervals.head._2, intervals.head._3), // exact start
+             (901L, intervals.head._2, intervals.head._4)) // exact end
+    val input = MemoryStream[(Long, Long, Long)]
+    val sdf = input.toDF().toDF("lid", "key", "ts_us")
+    val q = StreamingOps.intervalJoinStream(sdf,
+        intervals.toDF("rid", "key", "start_us", "end_us"), bucket, maxSpan)
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    try {
+      val (b1, b2) = events.splitAt(events.size / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.sql("SELECT lid, rid, key, ts_us FROM ivj").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val expect = for {
+        (lid, lk, ts) <- events
+        (rid, rk, rs, re) <- intervals if re - rs <= maxSpan
+        if lk == rk && rs <= ts && ts <= re
+      } yield (lid, rid, lk, ts)
+      assert(got.length === got.distinct.length) // single-bucket points: no dupes
+      assert(got.toSet === expect.toSet)
+      assert(expect.nonEmpty)
+      assert(intervals.exists(iv => iv._4 - iv._3 > maxSpan)) // contract exercised
+    } finally q.stop()
+  }
+
   test("streaming change application: snapshot after N micro-batches == batch mergeUpsert of the same rows") {
     val ss = spark
     import ss.implicits._
