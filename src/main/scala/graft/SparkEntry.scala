@@ -835,7 +835,35 @@ object SparkEntry {
         col("doc_id").as("file_id"), col("n_chars").cast("long").as("bytes"))
       operators.LayoutOps.compactionPlan(files, CompactionTarget)
     }),
+
+    // --- benchmark decontamination (sliding n-gram overlap vs held-out set) ---
+    "q_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.decontaminate(
+        docs.filter(col("doc_id") % 11 =!= 0),
+        docs.filter(col("doc_id") % 11 === 0), DecontamN)
+    }),
+
+    // --- PII redaction (regex chain shared verbatim with the oracle) ---
+    "q_pii" -> ((s, d) => {
+      val salted = concat(col("text"),
+        lit(" contact user"), (col("doc_id") % 50).cast("string"),
+        lit("@mail.example.com from 10.20."),
+        (col("doc_id") % 250).cast("string"), lit("."),
+        (col("doc_id") % 100).cast("string"),
+        lit(" id 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      t(s, d, "documents").select(col("doc_id"),
+        Fns.redactPii(salted).as("red"),
+        regexp_count(salted, lit(Fns.PiiEmailRegex)).cast("long").as("n_email"),
+        regexp_count(salted, lit(Fns.PiiIpRegex)).cast("long").as("n_ip"),
+        regexp_count(salted, lit(Fns.PiiIdRegex)).cast("long").as("n_id"))
+    }),
   )
+
+  /** q_decontam window width (tokens). 8 keeps short synthetic docs in
+    * range; production GPT-3-style decontamination uses 13.
+    */
+  val DecontamN = 8
 
   /** q_compaction group-close threshold (bytes). Small vs the per-lang
     * n_chars totals so the plan yields several groups per partition.
@@ -2393,5 +2421,42 @@ object SparkEntry {
          |    ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          |    0) AS BIGINT) // $CompactionTarget AS grp
          |FROM f""".stripMargin,
+
+    "q_decontam" -> {
+      // sliding-window twin of TextHash.slidingNgramHashes: same mod-chain
+      // as the q_boilerplate chunks, advanced one token per window
+      val chain = (1 to DecontamN).map(k => tokenHashSql(s"ws[p + $k]"))
+        .foldLeft("0")((acc, t) =>
+          s"(($acc * 1000003 + ($t) % 1000000007) % 1000000007)")
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ws FROM documents),
+         |grams AS (
+         |  SELECT doc_id, $chain AS h
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(range(0, len(ws) - ${DecontamN - 1})) AS p FROM toks)),
+         |bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 11 = 0),
+         |cg AS (SELECT doc_id, h FROM grams WHERE doc_id % 11 <> 0)
+         |SELECT doc_id, count(*) AS n_ngrams, count(b.h) AS n_hits,
+         |  count(b.h) * 1000 // count(*) AS contam_pm
+         |FROM cg LEFT JOIN bench b ON b.h = cg.h
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q_pii" -> {
+      val (em, ip, id) = (Fns.PiiEmailRegex, Fns.PiiIpRegex, Fns.PiiIdRegex)
+      s"""WITH s AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id % 50 AS VARCHAR)
+         |    || '@mail.example.com from 10.20.' || CAST(doc_id % 250 AS VARCHAR)
+         |    || '.' || CAST(doc_id % 100 AS VARCHAR)
+         |    || ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$id', '<ID>', 'g') AS red,
+         |  CAST(len(regexp_extract_all(t, '$em')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS BIGINT) AS n_ip,
+         |  CAST(len(regexp_extract_all(t, '$id')) AS BIGINT) AS n_id
+         |FROM s""".stripMargin
+    },
   )
 }

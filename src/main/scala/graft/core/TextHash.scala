@@ -265,6 +265,51 @@ object TextHash {
     out.toArray
   }
 
+  /** SLIDING n-token window hashes — the benchmark-decontamination key.
+    * Same tokenization (maximal runs of non-space code points) and chain
+    * hash as [[wordChunkHashes]], but windows advance one token at a time
+    * so an n-token run shared with a benchmark document is caught at ANY
+    * alignment (non-overlapping chunks would miss shifted contamination).
+    * O(T*n) per document — the chain mod is not cheaply invertible, and n
+    * is small (8-13), so the rolling recomputation is cheaper than a
+    * modular-inverse rolling hash and keeps the DuckDB twin a plain
+    * fold over list slices.
+    */
+  def slidingNgramHashes(s: String, n: Int): Array[Long] = {
+    val cps = new Array[Int](s.length)
+    var i = 0; var cn = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(cn) = cp; cn += 1
+      i += Character.charCount(cp)
+    }
+    // token hashes, pre-reduced mod P like the chunk chain
+    val th = new scala.collection.mutable.ArrayBuffer[Long]()
+    var p = 0
+    while (p < cn) {
+      if (cps(p) != ' ') {
+        var q = p
+        while (q < cn && cps(q) != ' ') q += 1
+        th += tokenHash(cps, p, q) % P
+        p = q
+      } else p += 1
+    }
+    val t = th.length
+    if (t < n) Array.emptyLongArray
+    else {
+      val out = new Array[Long](t - n + 1)
+      var w = 0
+      while (w <= t - n) {
+        var h = 0L
+        var k = 0
+        while (k < n) { h = (h * 1000003L + th(w + k)) % P; k += 1 }
+        out(w) = h
+        w += 1
+      }
+      out
+    }
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double in
     * ascending index order — bit-identical to the Column spec form
     * (Fns.cosineSim: zip_with/aggregate left folds) and to the DuckDB

@@ -144,6 +144,27 @@ object Fns {
   def urlNormHost(url: Column): Column =
     lower(regexp_extract(url, UrlHostRegex, 1))
 
+  /** PII redaction for training-data pipelines: emails, dotted-quad IPs
+    * and SSN-shaped ids replaced by typed placeholder tokens. The regexes
+    * are restricted to constructs with identical semantics in Java regex
+    * (Spark) and RE2 (DuckDB) — character classes, bounded repetition,
+    * `\b` word boundaries; no lookaround — so the oracle twin runs the
+    * SAME patterns (with the 'g' flag: DuckDB replaces only the first
+    * match by default). Email runs first so an address's digit runs are
+    * not half-eaten by the IP pattern. Pure regexp_replace chain: stays
+    * in whole-stage codegen, no UDF.
+    */
+  val PiiEmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpRegex = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiIdRegex = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, PiiEmailRegex, "<EMAIL>"),
+        PiiIpRegex, "<IP>"),
+      PiiIdRegex, "<ID>")
+
   /** Heuristic language id: argmax of marker-hit counts, deterministic
     * tie-break by the LangMarkers order, 'und' (undetermined) when all zero.
     */

@@ -300,6 +300,40 @@ object DedupOps {
         (col("b.nl") * -1L).as("text_len"))
   }
 
+  /** Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
+    * check): every SLIDING n-token window of each corpus document is
+    * tested against the set of n-grams occurring anywhere in the
+    * benchmark corpus, and each doc reports how many of its windows are
+    * contaminated. Sliding (not chunked) windows catch a shared run at
+    * any alignment; a single hit is grounds for dropping the doc in a
+    * real pipeline, so the per-mille score keeps the full signal.
+    *
+    * Output: (doc_id, n_ngrams, n_hits, contam_pm) for every corpus doc
+    * with at least n tokens (shorter docs have no window to test).
+    *
+    * Scale: the benchmark side is an eval suite — thousands of docs
+    * against a 100 TB corpus — so its distinct-hash set is broadcast
+    * (hinted; AQE flips to a shuffle join if a pathological benchmark
+    * outgrows the threshold) and the corpus side stays a narrow
+    * map-side explode + per-doc rollup: ONE shuffle total (doc_id
+    * rollup), nothing quadratic, no corpus-side distinct.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    n: Int): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"), explode(
+      graft.plans.TextHashExpressions.slidingNgramHashes(col("text"), n)).as("h"))
+    val bench = grams(benchmark).select("h").distinct()
+      .withColumn("hit", lit(1))
+    val hits = grams(corpus)
+      .join(broadcast(bench), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_hits"))
+    val pm = col("n_hits") * 1000L
+    hits.withColumn("contam_pm",
+        ((pm - pmod(pm, col("n_ngrams"))) / col("n_ngrams")).cast("long"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hits"), col("contam_pm"))
+  }
+
   /** Exact n-gram Jaccard verification of the LSH candidates (the
     * canonical MinHash-dedup pipeline: candidates from banding, verified
     * exactly): |A∩B| / |A∪B| over distinct shingle hashes, computed with

@@ -37,6 +37,9 @@ object TextHashKernel {
 
   def wordChunks(s: UTF8String, w: Int): GenericArrayData =
     new GenericArrayData(TextHash.wordChunkHashes(s.toString, w))
+
+  def slidingNgrams(s: UTF8String, n: Int): GenericArrayData =
+    new GenericArrayData(TextHash.slidingNgramHashes(s.toString, n))
 }
 
 /** Native `array<long>` of character n-gram shingle hashes. Replaces the
@@ -76,6 +79,26 @@ case class WordChunkHashes(child: Expression, w: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t =>
       s"graft.plans.TextHashKernel.wordChunks($t, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native `array<long>` of SLIDING n-token window hashes — the
+  * per-position key array of benchmark decontamination
+  * (DedupOps.decontaminate). Kernel: TextHash.slidingNgramHashes.
+  */
+case class SlidingNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sliding_ngram_hashes"
+
+  override def nullSafeEval(text: Any): Any =
+    TextHashKernel.slidingNgrams(text.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.plans.TextHashKernel.slidingNgrams($t, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -305,4 +328,8 @@ object TextHashExpressions {
   def wordChunkHashes(text: Column, w: Int): Column =
     GraftColumnBridge.column(
       WordChunkHashes(GraftColumnBridge.expression(text), w))
+
+  def slidingNgramHashes(text: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      SlidingNgramHashes(GraftColumnBridge.expression(text), n))
 }

@@ -256,4 +256,27 @@ class KernelSpec extends AnyFunSuite {
     val b = (Array(0L, 10L, 12L, 0L), Array(0L, 0L, 5L, 5L))
     assert(Planar.mergeTouchingRings(a._1, a._2, b._1, b._2) === Planar.Unmergeable)
   }
+
+  // --- sliding n-gram hashes (decontamination key) ------------------------
+  test("slidingNgramHashes: T-n+1 windows, shifted shared runs collide, chunks miss them") {
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val n = 8
+    val hs = TextHash.slidingNgramHashes(base, n)
+    assert(hs.length === 20 - n + 1)
+    // a doc embedding the same 8-token run at a DIFFERENT alignment shares
+    // a window hash with the original...
+    val shifted = "x y z " + (5 to 12).map(i => s"tok$i").mkString(" ") + " w"
+    val hs2 = TextHash.slidingNgramHashes(shifted, n)
+    assert(hs.toSet.intersect(hs2.toSet).nonEmpty)
+    // ...while the non-overlapping chunk hashes (boilerplate key) miss it —
+    // the defect sliding windows exist to fix
+    assert(TextHash.wordChunkHashes(base, n).toSet
+      .intersect(TextHash.wordChunkHashes(shifted, n).toSet).isEmpty)
+    // fewer than n tokens -> no window
+    assert(TextHash.slidingNgramHashes("a b c", n).isEmpty)
+    // window hash == chunk hash of the same n tokens (same chain)
+    val run = (5 to 12).map(i => s"tok$i").mkString(" ")
+    assert(TextHash.slidingNgramHashes(run, n).toSeq ===
+      TextHash.wordChunkHashes(run, n).toSeq)
+  }
 }

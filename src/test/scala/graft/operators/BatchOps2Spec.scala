@@ -80,6 +80,42 @@ class BatchOps2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l.exists(x => x._4 - x._3 > maxSpan))
   }
 
+  test("decontaminate flags shifted benchmark overlap; clean docs score zero") {
+    val s = spark; import s.implicits._
+    val passage = (1 to 10).map(i => s"leak$i").mkString(" ")
+    val bench = Seq((1000L, s"intro words $passage outro words"))
+    val corpus = Seq(
+      // contaminated at a DIFFERENT alignment than in the benchmark doc
+      (1L, s"a b c d e $passage tail tail"),
+      (2L, (1 to 30).map(i => s"clean$i").mkString(" ")), // no overlap
+      (3L, "too short"))                                  // < n tokens: no window
+    val got = DedupOps.decontaminate(
+        corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"), 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === Set(1L, 2L))       // doc 3 has no window
+    assert(got(2L) === ((23L, 0L, 0L)))      // 30 tokens -> 23 windows, clean
+    val (n1, h1, pm1) = got(1L)
+    assert(n1 === 10L)                       // 17 tokens -> 10 windows
+    assert(h1 === 3L)                        // the 3 windows inside the passage
+    assert(pm1 === 300L)
+  }
+
+  test("redactPii replaces emails, IPs and SSN-shaped ids; other text untouched") {
+    val s = spark; import s.implicits._
+    val rows = Seq(
+      (1L, "write to Jane.Doe+spam@sub.Example.org or call later"),
+      (2L, "server at 192.168.0.1 and id 123-45-6789 leaked"),
+      (3L, "version 1.2 costs $3.50, ratio 10.5, id 12-345-678"), // none match
+      (4L, "a@b.co x@y.io 10.0.0.1")) // multiple on one line
+    val got = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.functions.Fns.redactPii(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "write to <EMAIL> or call later")
+    assert(got(2L) === "server at <IP> and id <ID> leaked")
+    assert(got(3L) === rows(2)._2)
+    assert(got(4L) === "<EMAIL> <EMAIL> <IP>")
+  }
+
   test("compactionPlan: greedy in-order packing, groups bounded by target + max file") {
     val s = spark; import s.implicits._
     val rnd = lcg(99)
