@@ -844,6 +844,19 @@ object SparkEntry {
         docs.filter(col("doc_id") % 11 === 0), DecontamN)
     }),
 
+    // --- Douglas-Peucker way simplification (exact integer predicate) ---
+    "q_simplify" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val key = col("l_orderkey") * lit(10L) + col("l_linenumber")
+      val x = (col("l_orderkey") * lit(2654435761L)) % lit(3400000000L) - lit(1700000000L) +
+        ((key * lit(1103515245L)) % lit(20000000L) - lit(10000000L))
+      val y = (col("l_orderkey") * lit(2246822519L)) % lit(1600000000L) - lit(800000000L) +
+        ((key * lit(69069L)) % lit(20000000L) - lit(10000000L))
+      val pts = li.select(col("l_orderkey").as("way_id"),
+        col("l_linenumber").as("seq"), x.as("x"), y.as("y")).distinct()
+      SpatialOps.simplifyWays(pts, SimplifyTolFix)
+    }),
+
     // --- PII redaction (regex chain shared verbatim with the oracle) ---
     "q_pii" -> ((s, d) => {
       val salted = concat(col("text"),
@@ -864,6 +877,19 @@ object SparkEntry {
     * range; production GPT-3-style decontamination uses 13.
     */
   val DecontamN = 8
+
+  /** q_simplify tolerance (fix units, 0.4°·1e7): under the ±1e7 per-point
+    * jitter of the synthetic ways, so simplification keeps a non-trivial
+    * subset (neither echo-everything nor endpoints-only).
+    */
+  val SimplifyTolFix = 4000000L
+
+  /** q_simplify oracle unroll depth: DP consumes ≥1 interior point per
+    * split, so depth ≤ max interior points = max way size - 2 = 5 for the
+    * ≤7-point lineitem-derived ways (the KERNEL recursion is unbounded —
+    * only the SQL twin needs the static bound).
+    */
+  val SimplifyStages = 5
 
   /** q_compaction group-close threshold (bytes). Small vs the per-lang
     * n_chars totals so the plan yields several groups per partition.
@@ -2440,6 +2466,64 @@ object SparkEntry {
          |  count(b.h) * 1000 // count(*) AS contam_pm
          |FROM cg LEFT JOIN bench b ON b.h = cg.h
          |GROUP BY 1""".stripMargin
+    },
+
+    "q_simplify" -> {
+      // Unrolled Douglas-Peucker: stage t refines the active intervals of
+      // stage t-1 (argmax point by (|cross|, p2, idx), split iff strictly
+      // beyond tol); SimplifyStages covers full depth for <=7-point ways.
+      // All products in HUGEINT: a cross product of world-scale fix
+      // coords exceeds int64.
+      val tol2 = SimplifyTolFix * SimplifyTolFix
+      val stages = (0 until SimplifyStages).map { st =>
+        s"""cand$st AS (
+           |  SELECT a.way_id, a.i, a.j, p.idx AS k,
+           |    abs(CAST(pj.x - pi.x AS HUGEINT) * (pi.y - p.y)
+           |      - CAST(pj.y - pi.y AS HUGEINT) * (pi.x - p.x)) AS acr,
+           |    CAST(pj.x - pi.x AS HUGEINT) * (pj.x - pi.x)
+           |      + CAST(pj.y - pi.y AS HUGEINT) * (pj.y - pi.y) AS l2,
+           |    CAST(p.x - pi.x AS HUGEINT) * (p.x - pi.x)
+           |      + CAST(p.y - pi.y AS HUGEINT) * (p.y - pi.y) AS p2
+           |  FROM a$st a
+           |  JOIN pts pi ON pi.way_id = a.way_id AND pi.idx = a.i
+           |  JOIN pts pj ON pj.way_id = a.way_id AND pj.idx = a.j
+           |  JOIN pts p  ON p.way_id = a.way_id AND p.idx > a.i AND p.idx < a.j),
+           |sp$st AS (
+           |  SELECT way_id, i, j, k FROM (
+           |    SELECT * FROM cand$st
+           |    QUALIFY row_number() OVER (PARTITION BY way_id, i, j
+           |      ORDER BY acr DESC, p2 DESC, k) = 1)
+           |  WHERE CASE WHEN l2 = 0 THEN p2 > $tol2
+           |        ELSE acr * acr > $tol2 * l2 END),
+           |a${st + 1} AS (
+           |  SELECT way_id, i, k AS j FROM sp$st WHERE k > i + 1
+           |  UNION ALL SELECT way_id, k AS i, j FROM sp$st WHERE j > k + 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      val keeps = (0 until SimplifyStages)
+        .map(st => s"UNION ALL SELECT way_id, k AS idx FROM sp$st").mkString("\n")
+      s"""WITH li AS (
+         |  SELECT DISTINCT l_orderkey AS way_id, l_linenumber AS seq,
+         |    ((l_orderkey * 2654435761) % 3400000000 - 1700000000)
+         |      + (((l_orderkey*10 + l_linenumber) * 1103515245) % 20000000 - 10000000) AS x,
+         |    ((l_orderkey * 2246822519) % 1600000000 - 800000000)
+         |      + (((l_orderkey*10 + l_linenumber) * 69069) % 20000000 - 10000000) AS y
+         |  FROM lineitem),
+         |pts AS (
+         |  SELECT way_id, seq, x, y,
+         |    row_number() OVER (PARTITION BY way_id ORDER BY seq) - 1 AS idx
+         |  FROM li),
+         |a0 AS (
+         |  SELECT way_id, 0 AS i, max(idx) AS j FROM pts
+         |  GROUP BY way_id HAVING max(idx) >= 2),
+         |$stages,
+         |kept AS (
+         |  SELECT way_id, idx FROM (
+         |    SELECT way_id, idx, max(idx) OVER (PARTITION BY way_id) AS mx
+         |    FROM pts) WHERE idx = 0 OR idx = mx
+         |  $keeps)
+         |SELECT p.way_id, p.seq, p.x, p.y
+         |FROM kept JOIN pts p ON p.way_id = kept.way_id AND p.idx = kept.idx""".stripMargin
     },
 
     "q_pii" -> {

@@ -839,4 +839,28 @@ object SpatialOps {
     points.agg(
       min("lon_fix").as("min_lon"), min("lat_fix").as("min_lat"),
       max("lon_fix").as("max_lon"), max("lat_fix").as("max_lat"))
+
+  /** Douglas-Peucker polyline simplification over a way-point table
+    * (way_id, seq, x, y) — the generalization step of a vector-tile cut:
+    * each way keeps the minimal point subset whose shape stays within
+    * `tolFix` of the original (exact integer predicate — see
+    * [[graft.plans.PolylineKernel.simplify]] for the split rule shared
+    * with the oracle).
+    *
+    * Scale posture: ONE shuffle (groupBy way_id) builds each way's
+    * ordered point array, then the recursive kernel runs inside
+    * whole-stage codegen on the grouped row — per-way state never
+    * crosses the wire twice and no iterative driver loop exists (DP
+    * depth is per-way, bounded by the way's node count, which the OSM
+    * data model caps at 2000). Output is the exploded kept points.
+    */
+  def simplifyWays(pts: DataFrame, tolFix: Long): DataFrame =
+    pts.groupBy("way_id")
+      .agg(sort_array(collect_list(struct(col("seq"), col("x"), col("y"))))
+        .as("pts"))
+      .select(col("way_id"),
+        explode(graft.plans.GeomExpressions.simplifyPolyline(col("pts"), tolFix))
+          .as("p"))
+      .select(col("way_id"), col("p.seq").as("seq"),
+        col("p.x").as("x"), col("p.y").as("y"))
 }

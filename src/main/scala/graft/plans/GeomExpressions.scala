@@ -80,6 +80,85 @@ case class PointInRings(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
+/** Row-wise Douglas-Peucker kernel over one way's ordered point array. */
+object PolylineKernel {
+
+  /** Douglas-Peucker keep-set over a (seq, x, y) struct array sorted by
+    * seq. The candidate rule is shared VERBATIM with the SQL oracle's
+    * unrolled stages: within an interval the split point maximizes
+    * (|cross|, dist²-to-chord-start, -idx) lexicographically, and the
+    * interval splits only when that point's perpendicular distance
+    * STRICTLY exceeds tol — cross² > tol²·len², with a point-distance
+    * fallback (p² > tol²) when the chord is degenerate (len² = 0, e.g. a
+    * closed way). Comparisons are exact BigInt: a world-spanning chord's
+    * cross product exceeds int64 and must not wrap. Endpoints are always
+    * kept; recursion depth ≤ interior-point count (each split consumes
+    * one point), which is what bounds the oracle's stage unroll.
+    */
+  def simplify(pts: ArrayData, tolFix: Long): ArrayData = {
+    val n = pts.numElements()
+    val xs = new Array[Long](n); val ys = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = pts.getStruct(i, 3)
+      xs(i) = r.getLong(1); ys(i) = r.getLong(2)
+      i += 1
+    }
+    val keep = new Array[Boolean](n)
+    if (n > 0) { keep(0) = true; keep(n - 1) = true }
+    val tol2 = BigInt(tolFix) * tolFix
+    var stack: List[(Int, Int)] = List((0, n - 1))
+    while (stack.nonEmpty) {
+      val (a, b) = stack.head; stack = stack.tail
+      if (b - a >= 2) {
+        val dx = BigInt(xs(b) - xs(a)); val dy = BigInt(ys(b) - ys(a))
+        val l2 = dx * dx + dy * dy
+        var bk = -1; var bcr = BigInt(-1); var bp2 = BigInt(-1)
+        var k = a + 1
+        while (k < b) {
+          val cr = (dx * (ys(a) - ys(k)) - dy * (xs(a) - xs(k))).abs
+          val px = BigInt(xs(k) - xs(a)); val py = BigInt(ys(k) - ys(a))
+          val p2 = px * px + py * py
+          if (bk < 0 || cr > bcr || (cr == bcr && p2 > bp2)) {
+            bk = k; bcr = cr; bp2 = p2
+          }
+          k += 1
+        }
+        val split = if (l2 == 0) bp2 > tol2 else bcr * bcr > tol2 * l2
+        if (split) { keep(bk) = true; stack = (a, bk) :: (bk, b) :: stack }
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    i = 0
+    while (i < n) { if (keep(i)) out += pts.getStruct(i, 3).copy(); i += 1 }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Native Douglas-Peucker simplification of a way's ordered (seq, x, y)
+  * struct-array column — the vector-tile generalization step (ways keep
+  * their shape within tol at render scale). The geometry rides the row
+  * (no broadcast), so the way corpus is fully distributed; the array
+  * in/array out shape keeps the per-way recursion OFF the shuffle (one
+  * groupBy builds the array, the kernel runs map-side).
+  */
+case class SimplifyPolyline(child: Expression, tolFix: Long)
+  extends UnaryExpression {
+
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "simplify_polyline"
+
+  override def nullSafeEval(pts: Any): Any =
+    PolylineKernel.simplify(pts.asInstanceOf[ArrayData], tolFix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p =>
+      s"graft.plans.PolylineKernel.simplify($p, ${tolFix}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Broadcast-backed kernel for IVF coarse-quantizer assignment. */
 object CentroidKernel {
   /** (cid, embedding) pairs sorted by cid ascending. */
@@ -505,6 +584,10 @@ object GeomExpressions {
   def ringArea2(xs: Column, ys: Column): Column =
     GraftColumnBridge.column(RingArea2(
       GraftColumnBridge.expression(xs), GraftColumnBridge.expression(ys)))
+
+  def simplifyPolyline(pts: Column, tolFix: Long): Column =
+    GraftColumnBridge.column(
+      SimplifyPolyline(GraftColumnBridge.expression(pts), tolFix))
 
   def pqEncode(vec: Column, bc: Broadcast[PqKernel.Book]): Column =
     GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(vec), bc))

@@ -80,6 +80,76 @@ class BatchOps2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(l.exists(x => x._4 - x._3 > maxSpan))
   }
 
+  // independent recursive Douglas-Peucker reference (same exact-integer
+  // split rule, different structure: recursion + Scala max, no stack)
+  private def refDp(pts: IndexedSeq[(Long, Long, Long)], tol: Long): Set[Long] = {
+    val n = pts.length
+    if (n <= 2) return pts.map(_._1).toSet
+    val tol2 = BigInt(tol) * tol
+    def rec(a: Int, b: Int): Set[Int] = {
+      if (b - a < 2) return Set.empty
+      val (_, xa, ya) = pts(a); val (_, xb, yb) = pts(b)
+      val dx = BigInt(xb - xa); val dy = BigInt(yb - ya)
+      val l2 = dx * dx + dy * dy
+      val (cr, p2, _, k) = (a + 1 until b).map { k =>
+        val (_, xk, yk) = pts(k)
+        ((dx * BigInt(ya - yk) - dy * BigInt(xa - xk)).abs,
+          BigInt(xk - xa).pow(2) + BigInt(yk - ya).pow(2), -k, k)
+      }.max
+      val split = if (l2 == 0) p2 > tol2 else cr * cr > tol2 * l2
+      if (split) rec(a, k) ++ rec(k, b) + k else Set.empty
+    }
+    (rec(0, n - 1) + 0 + (n - 1)).map(i => pts(i)._1)
+  }
+
+  test("simplifyWays == recursive DP reference on 80-point ways (beyond the oracle's unroll)") {
+    val s = spark; import s.implicits._
+    val rnd = lcg(77)
+    // random-walk ways, 80 points each — deeper than any 5-stage unroll
+    val ways = (0 until 6).map { w =>
+      var x = 0L; var y = 0L
+      (0 until 80).map { i =>
+        x += rnd.next() % 2000001L - 1000000L
+        y += rnd.next() % 2000001L - 1000000L
+        (w.toLong, i.toLong, x, y)
+      }
+    }
+    val df = ways.flatten.toDF("way_id", "seq", "x", "y")
+    val tol = 800000L
+    val got = SpatialOps.simplifyWays(df, tol).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    for (w <- ways) {
+      val expect = refDp(w.map(p => (p._2, p._3, p._4)), tol)
+      assert(got(w.head._1) === expect)
+      // non-degenerate: simplification kept some interior but not all
+      assert(expect.size > 2 && expect.size < 80)
+    }
+  }
+
+  test("simplifyWays edge cases: collinear, closed way, tol 0, tiny ways") {
+    val s = spark; import s.implicits._
+    val collinear = (0 until 10).map(i => (1L, i.toLong, i * 1000000L, i * 2000000L))
+    val closed = Seq((2L, 0L, 0L, 0L), (2L, 1L, 5000000L, 0L),
+      (2L, 2L, 0L, 100L), (2L, 3L, 0L, 0L)) // first == last
+    val tiny = Seq((3L, 0L, 7L, 7L), (4L, 0L, 1L, 2L), (4L, 1L, 3L, 4L))
+    val df = (collinear ++ closed ++ tiny).toDF("way_id", "seq", "x", "y")
+    val got = SpatialOps.simplifyWays(df, 1000000L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(1L) === Set(0L, 9L))          // exactly-on-chord drops
+    // degenerate chord: farthest-by-p2 (seq 1) kept, near point dropped
+    assert(got(2L) === Set(0L, 1L, 3L))
+    assert(got(3L) === Set(0L))              // 1-point way passes through
+    assert(got(4L) === Set(0L, 1L))          // 2-point way passes through
+    // tol=0 keeps every off-chord point, still drops exact-collinear ones
+    val got0 = SpatialOps.simplifyWays(df, 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got0(1L) === Set(0L, 9L))
+    assert(got0(2L) === Set(0L, 1L, 2L, 3L))
+  }
+
   test("decontaminate flags shifted benchmark overlap; clean docs score zero") {
     val s = spark; import s.implicits._
     val passage = (1 to 10).map(i => s"leak$i").mkString(" ")
