@@ -857,6 +857,12 @@ object SparkEntry {
       SpatialOps.simplifyWays(pts, SimplifyTolFix)
     }),
 
+    // --- bigram-LM perplexity scoring (CCNet-style quality filter) ---
+    "q_lm_score" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      operators.LmOps.lmScore(docs, docs.filter(col("doc_id") % 7 === 0))
+    }),
+
     // --- PII redaction (regex chain shared verbatim with the oracle) ---
     "q_pii" -> ((s, d) => {
       val salted = concat(col("text"),
@@ -2524,6 +2530,40 @@ object SparkEntry {
          |  $keeps)
          |SELECT p.way_id, p.seq, p.x, p.y
          |FROM kept JOIN pts p ON p.way_id = kept.way_id AND p.idx = kept.idx""".stripMargin
+    },
+
+    "q_lm_score" -> {
+      // bigram/unigram keys via the sliding chain hash (n=2 / n=1); the
+      // per-position ln rides the proven lnDet CTE stages, quantized e6
+      // per row so the doc rollup is pure integer arithmetic
+      def chain(n: Int) = (1 to n).map(k => tokenHashSql(s"ws[p + $k]"))
+        .foldLeft("0")((acc, t) =>
+          s"(($acc * 1000003 + ($t) % 1000000007) % 1000000007)")
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ws FROM documents),
+         |uni AS (
+         |  SELECT doc_id, p, ${chain(1)} AS h
+         |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws))) AS p FROM toks)),
+         |big AS (
+         |  SELECT doc_id, p, ${chain(2)} AS h
+         |  FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 1)) AS p FROM toks)),
+         |cu AS (SELECT h, count(*) AS c FROM uni WHERE doc_id % 7 = 0 GROUP BY 1),
+         |cb AS (SELECT h, count(*) AS c FROM big WHERE doc_id % 7 = 0 GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM cu),
+         |px AS (
+         |  SELECT b.doc_id,
+         |    CAST(COALESCE(u2.c, 0) + vv.v AS DOUBLE)
+         |      / CAST(COALESCE(b2.c, 0) + 1 AS DOUBLE) AS x
+         |  FROM big b
+         |  JOIN uni u ON u.doc_id = b.doc_id AND u.p = b.p
+         |  LEFT JOIN cb b2 ON b2.h = b.h
+         |  LEFT JOIN cu u2 ON u2.h = u.h
+         |  CROSS JOIN vv),
+         |${lnStagesSql("lm", "px")}
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(CAST(round((kl + srs) * 1000000) AS BIGINT)) AS BIGINT)
+         |    // count(*) AS nll_e6
+         |FROM lm5 GROUP BY 1""".stripMargin
     },
 
     "q_pii" -> {

@@ -89,6 +89,22 @@ object Hll {
     k * Ln2 + s
   }
 
+  /** round(lnDet(x)·1e6) HALF_UP — the per-row deterministic NLL
+    * quantizer of LM quality scoring (operators.LmOps): quantizing each
+    * row BEFORE aggregation turns the score sum into integer arithmetic,
+    * which is associative — a float sum over a shuffle would be
+    * order-nondeterministic and break oracle parity. x must be in
+    * [1, 2^21): the range the SQL twin's 20 unrolled halvings cover.
+    * Non-finite x yields 0 (BigDecimal.valueOf(NaN) throws) — callers
+    * construct x from integer counts, so a passing case never hits it.
+    */
+  def lnE6(x: Double): Long = {
+    val v = lnDet(x) * 1000000.0
+    if (java.lang.Double.isNaN(v) || java.lang.Double.isInfinite(v)) 0L
+    else java.math.BigDecimal.valueOf(v)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
+
   /** e3-rounded HALF_UP (matches Spark/DuckDB round for positives). */
   private def roundE3(v: Double): Long =
     java.math.BigDecimal.valueOf(v * 1000.0)

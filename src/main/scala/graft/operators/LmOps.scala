@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.{HllExpressions, TextHashExpressions}
+
+/** CCNet-style statistical language-model quality scoring: documents are
+  * scored by their mean bigram negative log-likelihood under a
+  * Laplace-smoothed bigram model trained on a reference split — the
+  * "perplexity filter" of a crawl-to-training-data pipeline (docs whose
+  * NLL is far above the corpus median are gibberish/boilerplate; far
+  * below, degenerate repetition).
+  *
+  * Everything is deterministic cross-engine: token/bigram keys are the
+  * sliding n-gram chain hashes (n=1 and n=2), the per-position
+  * probability (c_uni + V)/(c_bigram + 1) is ONE IEEE division of
+  * integer counts, its log is the fixed-op-order lnDet kernel quantized
+  * to e6 PER ROW (integer sums are associative; float sums across a
+  * shuffle are not), and the doc score is the integer mean.
+  */
+object LmOps {
+
+  /** Per-doc mean bigram NLL (e6 nats) of `corpus` under the bigram LM of
+    * `train`. Output: (doc_id, n_bigrams, nll_e6) for docs with >= 2
+    * tokens. NLL per position = ln((c_prefix + V) / (c_bigram + 1)) with
+    * c_* counts in `train` and V = distinct train unigrams (Laplace) —
+    * the ratio is >= 1 (a bigram occurs at most as often as its prefix)
+    * and must stay < 2^21 (the unrolled range-reduction contract of
+    * [[graft.core.Hll.lnE6]]): train token counts beyond that need a
+    * wider unroll on both engines.
+    *
+    * Scale posture: train-side count tables are map-combined groupBys;
+    * V joins in-plan as a broadcast 1-row aggregate (no driver probe);
+    * the corpus side is a narrow posexplode joined to the two count
+    * tables (shuffle equi-joins — AQE broadcasts them while the vocab is
+    * small) and ONE final rollup shuffle on doc_id. Nothing quadratic,
+    * nothing driver-side.
+    */
+  def lmScore(corpus: DataFrame, train: DataFrame): DataFrame = {
+    def uni(df: DataFrame) = df.select(col("doc_id"), explode(
+      TextHashExpressions.slidingNgramHashes(col("text"), 1)).as("ph"))
+    def big(df: DataFrame) = df.select(col("doc_id"), explode(
+      TextHashExpressions.slidingNgramHashes(col("text"), 2)).as("bh"))
+    val cu = uni(train).groupBy("ph").agg(count(lit(1)).as("cu"))
+    val cb = big(train).groupBy("bh").agg(count(lit(1)).as("cb"))
+    val v = cu.agg(count(lit(1)).as("v"))
+
+    // corpus positions: bigram hash + its prefix unigram hash (the
+    // unigram array rides the row; element_at is 1-based)
+    val pos = corpus.select(col("doc_id"),
+        TextHashExpressions.slidingNgramHashes(col("text"), 1).as("ua"),
+        posexplode(TextHashExpressions.slidingNgramHashes(col("text"), 2))
+          .as(Seq("pos", "bh")))
+      .select(col("doc_id"), col("bh"),
+        element_at(col("ua"), col("pos") + 1).as("ph"))
+
+    val scored = pos
+      .join(cb, Seq("bh"), "left")
+      .join(cu, Seq("ph"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("x",
+        (coalesce(col("cu"), lit(0L)) + col("v")).cast("double") /
+          (coalesce(col("cb"), lit(0L)) + lit(1L)).cast("double"))
+      .withColumn("e", HllExpressions.lnE6(col("x")))
+    val sums = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("e").as("se"))
+    sums.select(col("doc_id"), col("n_bigrams"),
+      ((col("se") - pmod(col("se"), col("n_bigrams"))) / col("n_bigrams"))
+        .cast("long").as("nll_e6"))
+  }
+}

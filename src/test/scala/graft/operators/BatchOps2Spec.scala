@@ -150,6 +150,36 @@ class BatchOps2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got0(2L) === Set(0L, 1L, 2L, 3L))
   }
 
+  test("lmScore == driver-side Laplace bigram reference; trained text scores lower") {
+    val s = spark; import s.implicits._
+    val train = Seq((0L, "the cat sat on the mat"), (7L, "the cat ran"))
+    val corpus = train ++ Seq(
+      (1L, "the cat sat"),       // in-distribution
+      (2L, "zig zag zog quux"),  // fully unseen
+      (3L, "lonely"))            // single token: no bigram, no row
+    val got = LmOps.lmScore(corpus.toDF("doc_id", "text"), train.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // reference over raw token STRINGS (no hashing — independent path)
+    def toks(t: String) = t.split(" ").filter(_.nonEmpty).toSeq
+    val uc = train.flatMap(t => toks(t._2)).groupBy(identity).view.mapValues(_.size).toMap
+    val bc = train.flatMap(t => toks(t._2).sliding(2).filter(_.size == 2).map(w => (w(0), w(1))).toSeq)
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val v = uc.size
+    for ((id, text) <- corpus) {
+      val bs = toks(text).sliding(2).filter(_.size == 2).toSeq
+      if (bs.nonEmpty) {
+        val es = bs.map { w =>
+          val x = (uc.getOrElse(w.head, 0) + v).toDouble /
+            (bc.getOrElse((w.head, w(1)), 0) + 1).toDouble
+          graft.core.Hll.lnE6(x)
+        }
+        assert(got(id) === ((bs.size.toLong, es.sum / bs.size)))
+      } else assert(!got.contains(id))
+    }
+    assert(got(1L)._2 < got(2L)._2) // in-distribution beats gibberish
+  }
+
   test("decontaminate flags shifted benchmark overlap; clean docs score zero") {
     val s = spark; import s.implicits._
     val passage = (1 to 10).map(i => s"leak$i").mkString(" ")
