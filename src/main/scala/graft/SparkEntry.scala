@@ -857,6 +857,16 @@ object SparkEntry {
       SpatialOps.simplifyWays(pts, SimplifyTolFix)
     }),
 
+    // --- geofence enter/exit transitions (PIP membership change-points) ---
+    "q_geofence" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      val ent = col("pid") % GeofenceEntities
+      val track = pts.select(ent.as("entity"), col("pid").as("ts"))
+      val hits = SpatialOps.pipJoinConvex(s, pts)
+        .select(ent.as("entity"), col("pid").as("ts"), col("poly_id"))
+      SpatialOps.geofenceTransitions(track, hits)
+    }),
+
     // --- bigram-LM perplexity scoring (CCNet-style quality filter) ---
     "q_lm_score" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -883,6 +893,11 @@ object SparkEntry {
     * range; production GPT-3-style decontamination uses 13.
     */
   val DecontamN = 8
+
+  /** q_geofence entity count: pid % this is the tracked entity, pid the
+    * observation time — ~N/199 positions per entity at every SF.
+    */
+  val GeofenceEntities = 199
 
   /** q_simplify tolerance (fix units, 0.4°·1e7): under the ±1e7 per-point
     * jitter of the synthetic ways, so simplification keeps a non-trivial
@@ -2531,6 +2546,27 @@ object SparkEntry {
          |SELECT p.way_id, p.seq, p.x, p.y
          |FROM kept JOIN pts p ON p.way_id = kept.way_id AND p.idx = kept.idx""".stripMargin
     },
+
+    "q_geofence" ->
+      s"""WITH p AS ($P),
+         |hits AS (
+         |  SELECT p.pid % $GeofenceEntities AS entity, p.pid AS ts, pe.poly_id
+         |  FROM p, ${Synth.polygonEdgesValuesSql}
+         |  GROUP BY 1, 2, pe.poly_id, p.lon_fix, p.lat_fix
+         |  HAVING bool_and((x2 - x1) * (p.lat_fix - y1) - (y2 - y1) * (p.lon_fix - x1) >= 0)),
+         |ep AS (SELECT DISTINCT entity, poly_id FROM hits),
+         |track AS (SELECT pid % $GeofenceEntities AS entity, pid AS ts FROM p),
+         |m AS (
+         |  SELECT t.entity, t.ts, ep.poly_id,
+         |    CASE WHEN h.poly_id IS NULL THEN 0 ELSE 1 END AS mem
+         |  FROM track t JOIN ep ON ep.entity = t.entity
+         |  LEFT JOIN hits h ON h.entity = t.entity AND h.ts = t.ts
+         |    AND h.poly_id = ep.poly_id),
+         |lg AS (SELECT *, lag(mem) OVER (PARTITION BY entity, poly_id ORDER BY ts) AS pm
+         |  FROM m)
+         |SELECT entity, ts, poly_id,
+         |  CASE WHEN mem = 1 THEN 'enter' ELSE 'exit' END AS kind
+         |FROM lg WHERE pm IS NOT NULL AND pm <> mem""".stripMargin,
 
     "q_lm_score" -> {
       // bigram/unigram keys via the sliding chain hash (n=2 / n=1); the

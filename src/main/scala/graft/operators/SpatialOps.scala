@@ -840,6 +840,40 @@ object SpatialOps {
       min("lon_fix").as("min_lon"), min("lat_fix").as("min_lat"),
       max("lon_fix").as("max_lon"), max("lat_fix").as("max_lat"))
 
+  /** Geofence transition detection: given an entity position track and
+    * its polygon-membership rows, emit the enter/exit EVENTS — the
+    * change-points of each (entity, polygon) membership timeline. This
+    * is the alerting face of a PIP join (fleet/asset monitoring): the
+    * membership snapshot says where everything is, the transitions say
+    * what changed.
+    *
+    * Inputs: `track` (entity, ts, ...) one row per observed position;
+    * `hits` (entity, ts, poly_id) the positions inside each polygon
+    * (e.g. from [[pipJoinConvex]]). Output: (entity, ts, poly_id, kind)
+    * with kind ∈ {enter, exit} at every membership flip (first
+    * observation emits nothing — no prior state to compare).
+    *
+    * Scale posture: the timeline is materialized only for polygons an
+    * entity EVER touches (distinct semi-join), so the fanout is
+    * positions × touched-polys-per-entity — geofence locality, not the
+    * polygon corpus size. One shuffle builds it (entity equi-join), and
+    * the lag window rides the SAME (entity, poly_id) hash partitioning,
+    * so membership state never concentrates on a driver or a single key.
+    */
+  def geofenceTransitions(track: DataFrame, hits: DataFrame): DataFrame = {
+    val touched = hits.select("entity", "poly_id").distinct()
+    val w = Window.partitionBy("entity", "poly_id").orderBy("ts")
+    track.select("entity", "ts")
+      .join(touched, Seq("entity"))
+      .join(hits.withColumn("inside", lit(1)),
+        Seq("entity", "ts", "poly_id"), "left")
+      .withColumn("m", coalesce(col("inside"), lit(0)))
+      .withColumn("pm", lag(col("m"), 1).over(w))
+      .filter(col("pm").isNotNull && col("pm") =!= col("m"))
+      .select(col("entity"), col("ts"), col("poly_id"),
+        when(col("m") === 1, lit("enter")).otherwise(lit("exit")).as("kind"))
+  }
+
   /** Douglas-Peucker polyline simplification over a way-point table
     * (way_id, seq, x, y) — the generalization step of a vector-tile cut:
     * each way keeps the minimal point subset whose shape stays within

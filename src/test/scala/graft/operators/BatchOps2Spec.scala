@@ -150,6 +150,26 @@ class BatchOps2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got0(2L) === Set(0L, 1L, 2L, 3L))
   }
 
+  test("geofenceTransitions: membership flips only, per-polygon timelines independent") {
+    val s = spark; import s.implicits._
+    // entity 1 visits polys A(=10) and B(=20); entity 2 never leaves A
+    val track = Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L),
+      (2L, 1L), (2L, 2L)).toDF("entity", "ts")
+    val hits = Seq(
+      (1L, 1L, 10), (1L, 2L, 10),            // in A at 1,2 -> exit at 3
+      (1L, 4L, 10),                          // re-enter A at 4 -> exit at 5
+      (1L, 2L, 20), (1L, 3L, 20),            // enter B at 2, exit at 4
+      (2L, 1L, 10), (2L, 2L, 10)             // always in A: no events
+    ).toDF("entity", "ts", "poly_id")
+    val got = SpatialOps.geofenceTransitions(track, hits).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))).toSet
+    assert(got === Set(
+      (1L, 3L, 10, "exit"), (1L, 4L, 10, "enter"), (1L, 5L, 10, "exit"),
+      (1L, 2L, 20, "enter"), (1L, 4L, 20, "exit")))
+    // entity 1 was inside A at its FIRST observation: no spurious enter
+    assert(!got.contains((1L, 1L, 10, "enter")))
+  }
+
   test("lmScore == driver-side Laplace bigram reference; trained text scores lower") {
     val s = spark; import s.implicits._
     val train = Seq((0L, "the cat sat on the mat"), (7L, "the cat ran"))
