@@ -1,10 +1,11 @@
 package graft.plans
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -40,6 +41,52 @@ object TextHashKernel {
 
   def slidingNgrams(s: UTF8String, n: Int): GenericArrayData =
     new GenericArrayData(TextHash.slidingNgramHashes(s.toString, n))
+}
+
+/** Broadcast-backed membership-count kernel (sorted long array +
+  * binary search — zero per-row allocation).
+  */
+object SetKernel {
+  def unwrap(bc: AnyRef): AnyRef =
+    bc.asInstanceOf[Broadcast[Array[Long]]].value
+
+  def countIn(setRef: AnyRef, hs: ArrayData): Long = {
+    val set = setRef.asInstanceOf[Array[Long]]
+    var c = 0L; var i = 0; val n = hs.numElements()
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(set, hs.getLong(i)) >= 0) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** Native count of array elements present in a BROADCAST sorted long set —
+  * the per-row face of benchmark decontamination, for surfaces where a
+  * join+rollup is unavailable or wasteful (a STREAMING doc row must score
+  * statelessly in its own micro-batch; see StreamingOps.decontamStream).
+  * Same broadcast-handle/plan-size posture as PointInPolygonSet, with the
+  * unwrapped array cached in a codegen mutable member.
+  */
+case class CountInSortedSet(child: Expression, setBc: Broadcast[Array[Long]])
+  extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_in_sorted_set"
+
+  override def nullSafeEval(hs: Any): Any =
+    SetKernel.countIn(setBc.value, hs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("setBc", setBc, "java.lang.Object")
+    val cached = ctx.addMutableState("java.lang.Object", "sortedSet", v => s"$v = null;")
+    nullSafeCodeGen(ctx, ev, hs =>
+      s"""if ($cached == null) { $cached = graft.plans.SetKernel.unwrap($bcRef); }
+         |${ev.value} = graft.plans.SetKernel.countIn($cached, $hs);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Native `array<long>` of character n-gram shingle hashes. Replaces the
@@ -332,4 +379,8 @@ object TextHashExpressions {
   def slidingNgramHashes(text: Column, n: Int): Column =
     GraftColumnBridge.column(
       SlidingNgramHashes(GraftColumnBridge.expression(text), n))
+
+  def countInSortedSet(hs: Column, bc: Broadcast[Array[Long]]): Column =
+    GraftColumnBridge.column(
+      CountInSortedSet(GraftColumnBridge.expression(hs), bc))
 }

@@ -116,6 +116,32 @@ object StreamingOps {
       .select(col("lid"), col("rid"), col("key"), col("ts_us"))
   }
 
+  /** Streaming benchmark decontamination: each live document scores
+    * STATELESSLY in its own micro-batch against the static benchmark's
+    * sliding n-gram hash set, broadcast once as a sorted array (the
+    * benchmark is an eval suite — driver-side collection is the same
+    * documented small-side contract as PointInPolygonSet's polygon map).
+    * Per-row native CountInSortedSet: no join, no state store, no
+    * watermark — output schema equals the batch
+    * [[graft.operators.DedupOps.decontaminate]].
+    */
+  def decontamStream(docs: DataFrame, benchmark: DataFrame, n: Int): DataFrame = {
+    import graft.plans.TextHashExpressions
+    val hs = benchmark.select(explode(
+        TextHashExpressions.slidingNgramHashes(col("text"), n)).as("h"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val bc = docs.sparkSession.sparkContext.broadcast(hs)
+    val pm = col("n_hits") * 1000L
+    docs.select(col("doc_id"),
+        TextHashExpressions.slidingNgramHashes(col("text"), n).as("hs"))
+      .withColumn("n_ngrams", size(col("hs")).cast("long"))
+      .filter(col("n_ngrams") > 0)
+      .withColumn("n_hits", TextHashExpressions.countInSortedSet(col("hs"), bc))
+      .withColumn("contam_pm",
+        ((pm - pmod(pm, col("n_ngrams"))) / col("n_ngrams")).cast("long"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_hits"), col("contam_pm"))
+  }
+
   /** Streaming exact dedup for an ingest pipeline: keep the first
     * occurrence of each text (keyed by sha256 + length, like the batch
     * exactDuplicates), with the dedup state bounded by a watermark —

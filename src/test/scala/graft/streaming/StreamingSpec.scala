@@ -351,6 +351,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming decontamination == batch decontaminate, stateless across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val passage = (1 to 12).map(i => s"leak$i").mkString(" ")
+    val bench = Seq((1000L, s"benchmark intro $passage and outro"))
+    val corpus = (0 until 40).map { i =>
+      val body =
+        if (i % 5 == 0) s"pre$i text $passage post$i"             // contaminated
+        else (0 until 20).map(j => s"w${i}_$j").mkString(" ")     // clean
+      (i.toLong, body)
+    } :+ (99L, "too short")
+    val input = MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val q = StreamingOps.decontamStream(sdf, bench.toDF("doc_id", "text"), 8)
+      .writeStream.format("memory").queryName("decon").outputMode("append").start()
+    try {
+      val (b1, b2) = corpus.splitAt(corpus.size / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_ngrams, n_hits, contam_pm FROM decon")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val want = graft.operators.DedupOps.decontaminate(
+          corpus.toDF("doc_id", "text"), bench.toDF("doc_id", "text"), 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === want)
+      assert(got.exists(_._3 > 0) && got.exists(_._3 == 0)) // both classes present
+      assert(!got.exists(_._1 == 99L))                      // no-window doc absent
+    } finally q.stop()
+  }
+
   test("streaming change application: snapshot after N micro-batches == batch mergeUpsert of the same rows") {
     val ss = spark
     import ss.implicits._
