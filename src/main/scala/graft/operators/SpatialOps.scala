@@ -853,25 +853,39 @@ object SpatialOps {
     * with kind ∈ {enter, exit} at every membership flip (first
     * observation emits nothing — no prior state to compare).
     *
-    * Scale posture: the timeline is materialized only for polygons an
-    * entity EVER touches (distinct semi-join), so the fanout is
-    * positions × touched-polys-per-entity — geofence locality, not the
-    * polygon corpus size. One shuffle builds it (entity equi-join), and
-    * the lag window rides the SAME (entity, poly_id) hash partitioning,
-    * so membership state never concentrates on a driver or a single key.
+    * Scale posture: transitions are computed from the SPARSE hits alone
+    * — the dense positions × touched-polys membership timeline is never
+    * materialized. Observations get a per-entity rank; each (entity,
+    * polygon)'s inside-ranks split into maximal runs by the classic
+    * rank-minus-row_number grouping, and a run boundary IS a transition:
+    * enter at the run's first rank (if a prior observation exists), exit
+    * at the observation after its last (if one exists). Every stage is
+    * linear in |track| + |hits| — rank window on entity, hits join on
+    * (entity, ts), run window/agg on (entity, poly_id), event join back
+    * on (entity, rank) — with no fanout term at all, so a surveillance
+    * polygon corpus with high per-entity locality costs |hits|, not
+    * positions × polys. `hits` rows must be distinct (a PIP join emits
+    * each containment once).
     */
   def geofenceTransitions(track: DataFrame, hits: DataFrame): DataFrame = {
-    val touched = hits.select("entity", "poly_id").distinct()
-    val w = Window.partitionBy("entity", "poly_id").orderBy("ts")
-    track.select("entity", "ts")
-      .join(touched, Seq("entity"))
-      .join(hits.withColumn("inside", lit(1)),
-        Seq("entity", "ts", "poly_id"), "left")
-      .withColumn("m", coalesce(col("inside"), lit(0)))
-      .withColumn("pm", lag(col("m"), 1).over(w))
-      .filter(col("pm").isNotNull && col("pm") =!= col("m"))
-      .select(col("entity"), col("ts"), col("poly_id"),
-        when(col("m") === 1, lit("enter")).otherwise(lit("exit")).as("kind"))
+    val wTr = Window.partitionBy("entity").orderBy("ts")
+    val tr = track.select(col("entity"), col("ts"))
+      .withColumn("rn", row_number().over(wTr))
+      .withColumn("maxrn", count(lit(1)).over(Window.partitionBy("entity")))
+    val wRun = Window.partitionBy("entity", "poly_id").orderBy("rn")
+    val runs = hits.join(tr, Seq("entity", "ts"))
+      .withColumn("grp", col("rn") - row_number().over(wRun))
+      .groupBy("entity", "poly_id", "grp", "maxrn")
+      .agg(min("rn").as("srn"), max("rn").as("ern"))
+    val enters = runs.filter(col("srn") > 1)
+      .select(col("entity"), col("poly_id"), col("srn").as("rn"),
+        lit("enter").as("kind"))
+    val exits = runs.filter(col("ern") < col("maxrn"))
+      .select(col("entity"), col("poly_id"), (col("ern") + 1).as("rn"),
+        lit("exit").as("kind"))
+    enters.unionByName(exits)
+      .join(tr.select(col("entity"), col("ts"), col("rn")), Seq("entity", "rn"))
+      .select(col("entity"), col("ts"), col("poly_id"), col("kind"))
   }
 
   /** Douglas-Peucker polyline simplification over a way-point table
