@@ -389,6 +389,46 @@ object StreamingOps {
       })
   }
 
+  case class GeoObs(entity: Long, ts: Long, polys: Seq[Int])
+  case class GeofenceState(inside: Set[Int])
+  case class GeofenceEvent(entity: Long, ts: Long, polyId: Int, kind: String)
+
+  /** Streaming geofence transitions — the live face of
+    * [[graft.operators.SpatialOps.geofenceTransitions]]. Input: one row
+    * per observation carrying the polygons containing it (from a
+    * stateless broadcast PIP stage, so the only STATE here is the
+    * membership delta). Per-entity state = the polygon set it was inside
+    * at its last observation — bounded by CONCURRENT membership (a
+    * handful of polygons), never by track history. Events are the set
+    * differences against that state, so batch and stream emit the same
+    * enter/exit rows; the first observation of an entity emits nothing
+    * (no prior state), matching the batch operator. Observations must
+    * arrive ts-ordered per entity ACROSS micro-batches (a live track is;
+    * an out-of-order feed needs an upstream watermark sort) — rows
+    * within a batch are sorted here.
+    */
+  def geofenceStream(obs: Dataset[GeoObs]): Dataset[GeofenceEvent] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.entity).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (entity: Long, rows: Iterator[GeoObs], state: GroupState[GeofenceState]) => {
+        var inside: Option[Set[Int]] = state.getOption.map(_.inside)
+        val out = scala.collection.mutable.ArrayBuffer[GeofenceEvent]()
+        rows.toSeq.sortBy(_.ts).foreach { o =>
+          val now = o.polys.toSet
+          inside.foreach { prev =>
+            (now -- prev).toSeq.sorted.foreach(p =>
+              out += GeofenceEvent(entity, o.ts, p, "enter"))
+            (prev -- now).toSeq.sorted.foreach(p =>
+              out += GeofenceEvent(entity, o.ts, p, "exit"))
+          }
+          inside = Some(now)
+        }
+        inside.foreach(s => state.update(GeofenceState(s)))
+        out.iterator
+      })
+  }
+
   case class Versioned(key: Long, version: Long, tsMicros: Long)
   case class EndTimed(key: Long, version: Long, tsMicros: Long, endMicros: Option[Long])
 

@@ -351,6 +351,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming geofence == batch transitions; state bounded by concurrent membership") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    // seeded random membership over 60 observations x 3 entities x 5 polys
+    val rnd = Iterator.iterate(5L)(x => x * 6364136223846793005L + 1442695040888963407L)
+      .map(_ >>> 33)
+    val obs = for (e <- 1L to 3L; t <- 1L to 60L) yield {
+      val polys = (10 to 14).filter(_ => rnd.next() % 3 == 0)
+      StreamingOps.GeoObs(e, t, polys)
+    }
+    val input = MemoryStream[StreamingOps.GeoObs]
+    val q = StreamingOps.geofenceStream(input.toDS())
+      .writeStream.format("memory").queryName("geof").outputMode("append").start()
+    try {
+      // split by ts so per-entity order holds across micro-batches
+      val (b1, b2) = obs.partition(_.ts <= 30)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.sql("SELECT entity, ts, polyId, kind FROM geof").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))).toSet
+      val track = obs.map(o => (o.entity, o.ts)).toDF("entity", "ts")
+      val hits = obs.flatMap(o => o.polys.map(p => (o.entity, o.ts, p)))
+        .toDF("entity", "ts", "poly_id")
+      val want = graft.operators.SpatialOps.geofenceTransitions(track, hits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3))).toSet
+      assert(got === want)
+      assert(got.exists(_._4 == "enter") && got.exists(_._4 == "exit"))
+    } finally q.stop()
+  }
+
   test("streaming decontamination == batch decontaminate, stateless across micro-batches") {
     val ss = spark
     import ss.implicits._
