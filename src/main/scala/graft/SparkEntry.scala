@@ -836,6 +836,16 @@ object SparkEntry {
       operators.LayoutOps.compactionPlan(files, CompactionTarget)
     }),
 
+    // --- sort-key overlap stats (layout health / re-cluster trigger) ---
+    "q_layout_overlap" -> ((s, d) => {
+      val files = t(s, d, "documents").select(col("lang").as("part_key"),
+        col("doc_id").as("file_id"),
+        ((col("doc_id") % 50) * 400).as("min_key"),
+        ((col("doc_id") % 50) * 400 + col("n_chars") * 4).cast("long").as("max_key"))
+      operators.LayoutOps.overlapStats(files, bucketKeys = 1000L,
+        maxSpanKeys = 1600L)
+    }),
+
     // --- benchmark decontamination (sliding n-gram overlap vs held-out set) ---
     "q_decontam" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -2468,6 +2478,22 @@ object SparkEntry {
          |    ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          |    0) AS BIGINT) // $CompactionTarget AS grp
          |FROM f""".stripMargin,
+
+    "q_layout_overlap" ->
+      """WITH f AS (
+        |  SELECT lang AS part_key, doc_id AS file_id,
+        |    (doc_id % 50) * 400 AS mn,
+        |    (doc_id % 50) * 400 + CAST(n_chars AS BIGINT) * 4 AS mx
+        |  FROM documents),
+        |g AS (SELECT * FROM f WHERE mx - mn <= 1600),
+        |ov AS (
+        |  SELECT a.part_key, a.file_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM g a JOIN g b ON a.part_key = b.part_key
+        |    AND a.file_id <> b.file_id
+        |    AND a.mn <= b.mx AND b.mn <= a.mx
+        |  GROUP BY 1, 2)
+        |SELECT f.part_key, f.file_id, COALESCE(ov.n, 0) AS n_overlaps
+        |FROM f LEFT JOIN ov ON ov.file_id = f.file_id""".stripMargin,
 
     "q_decontam" -> {
       // sliding-window twin of TextHash.slidingNgramHashes: same mod-chain

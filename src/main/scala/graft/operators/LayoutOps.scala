@@ -40,4 +40,33 @@ object LayoutOps {
       .withColumn("grp", Fns.idiv(col("cum_before"), targetBytes))
       .select(col("part_key"), col("file_id"), col("bytes"), col("grp"))
   }
+
+  /** Sort-key overlap statistics — the layout-health metric that triggers
+    * re-clustering: for each file's key range [min_key, max_key], how
+    * many OTHER files in its partition overlap it (≈ the read
+    * amplification of a point lookup; a perfectly z-ordered partition
+    * scores 0 everywhere). Computed with the bucketized interval join
+    * ([[HistoryOps.intervalJoin]] — one shuffle on (partition, bucket),
+    * pairs bounded by real overlaps) instead of the quadratic range
+    * self-join a million-file listing cannot afford. Files whose span
+    * exceeds `maxSpanKeys` are excluded from PAIRING (the interval
+    * join's span contract — such a file is a compaction candidate by
+    * itself) but still appear in the output with their own row.
+    * Output: (part_key, file_id, n_overlaps).
+    */
+  def overlapStats(files: DataFrame, bucketKeys: Long,
+                   maxSpanKeys: Long): DataFrame = {
+    def side(id: String) = files.select(col("file_id").as(id),
+      col("part_key").as("key"),
+      col("min_key").as("start_us"), col("max_key").as("end_us"))
+    val pairs = HistoryOps
+      .intervalJoin(side("lid"), side("rid"), bucketKeys, maxSpanKeys)
+      .filter(col("lid") =!= col("rid"))
+    files.join(
+        pairs.groupBy(col("lid").as("file_id"))
+          .agg(count(lit(1)).as("n_overlaps")),
+        Seq("file_id"), "left")
+      .select(col("part_key"), col("file_id"),
+        coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"))
+  }
 }

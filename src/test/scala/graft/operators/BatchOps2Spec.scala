@@ -150,6 +150,29 @@ class BatchOps2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got0(2L) === Set(0L, 1L, 2L, 3L))
   }
 
+  test("overlapStats == brute-force range overlap; wide files pair-excluded but present") {
+    val s = spark; import s.implicits._
+    val rnd = lcg(55)
+    val files = (0 until 150).map { i =>
+      val mn = (rnd.next() % 40L) * 250L
+      ("p" + (rnd.next() % 3), i.toLong, mn, mn + rnd.next() % 3000L + 1L)
+    }
+    val maxSpan = 2000L
+    val got = LayoutOps.overlapStats(
+        files.toDF("part_key", "file_id", "min_key", "max_key"),
+        bucketKeys = 500L, maxSpanKeys = maxSpan)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val in = files.filter(f => f._4 - f._3 <= maxSpan)
+    val expect = files.map { f =>
+      f._2 -> (if (f._4 - f._3 > maxSpan) 0L
+        else in.count(g => g._2 != f._2 && g._1 == f._1 &&
+          f._3 <= g._4 && g._3 <= f._4).toLong)
+    }.toMap
+    assert(got === expect)
+    assert(files.exists(f => f._4 - f._3 > maxSpan))  // contract exercised
+    assert(expect.values.exists(_ > 0) && expect.values.exists(_ == 0))
+  }
+
   test("geofenceTransitions: membership flips only, per-polygon timelines independent") {
     val s = spark; import s.implicits._
     // entity 1 visits polys A(=10) and B(=20); entity 2 never leaves A
