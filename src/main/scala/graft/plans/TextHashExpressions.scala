@@ -61,6 +61,68 @@ object SetKernel {
   }
 }
 
+/** Broadcast LM count tables: parallel sorted-key/count arrays for
+  * unigrams and bigrams plus the vocabulary size — the shipped "model"
+  * of streaming LM scoring.
+  */
+object LmKernel {
+  case class Model(uKeys: Array[Long], uCounts: Array[Long],
+                   bKeys: Array[Long], bCounts: Array[Long], v: Long)
+
+  def unwrap(bc: AnyRef): AnyRef =
+    bc.asInstanceOf[Broadcast[Model]].value
+
+  private def lookup(keys: Array[Long], counts: Array[Long], k: Long): Long = {
+    val i = java.util.Arrays.binarySearch(keys, k)
+    if (i >= 0) counts(i) else 0L
+  }
+
+  /** Σ over bigram positions of round(lnDet((cu+V)/(cb+1))·1e6) — the
+    * identical per-position arithmetic of the batch LmOps.lmScore
+    * (ua(i) is the prefix unigram of ba(i) by construction of the
+    * sliding hashes).
+    */
+  def nllSum(modelRef: AnyRef, ua: ArrayData, ba: ArrayData): Long = {
+    val m = modelRef.asInstanceOf[Model]
+    var s = 0L; var i = 0; val n = ba.numElements()
+    while (i < n) {
+      val cu = lookup(m.uKeys, m.uCounts, ua.getLong(i))
+      val cb = lookup(m.bKeys, m.bCounts, ba.getLong(i))
+      s += graft.core.Hll.lnE6((cu + m.v).toDouble / (cb + 1L).toDouble)
+      i += 1
+    }
+    s
+  }
+}
+
+/** Native per-row LM NLL sum against a BROADCAST bigram model — the
+  * stateless streaming face of LmOps.lmScore (a live doc scores in its
+  * own micro-batch; the count tables travel as one broadcast handle).
+  */
+case class LmNllSum(left: Expression, right: Expression,
+                    modelBc: Broadcast[LmKernel.Model])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lm_nll_sum"
+
+  override def nullSafeEval(ua: Any, ba: Any): Any =
+    LmKernel.nllSum(modelBc.value,
+      ua.asInstanceOf[ArrayData], ba.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("modelBc", modelBc, "java.lang.Object")
+    val cached = ctx.addMutableState("java.lang.Object", "lmModel", v => s"$v = null;")
+    nullSafeCodeGen(ctx, ev, (ua, ba) =>
+      s"""if ($cached == null) { $cached = graft.plans.LmKernel.unwrap($bcRef); }
+         |${ev.value} = graft.plans.LmKernel.nllSum($cached, $ua, $ba);""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native count of array elements present in a BROADCAST sorted long set —
   * the per-row face of benchmark decontamination, for surfaces where a
   * join+rollup is unavailable or wasteful (a STREAMING doc row must score
@@ -383,4 +445,8 @@ object TextHashExpressions {
   def countInSortedSet(hs: Column, bc: Broadcast[Array[Long]]): Column =
     GraftColumnBridge.column(
       CountInSortedSet(GraftColumnBridge.expression(hs), bc))
+
+  def lmNllSum(ua: Column, ba: Column, bc: Broadcast[LmKernel.Model]): Column =
+    GraftColumnBridge.column(LmNllSum(
+      GraftColumnBridge.expression(ua), GraftColumnBridge.expression(ba), bc))
 }

@@ -142,6 +142,36 @@ object StreamingOps {
       .select(col("doc_id"), col("n_ngrams"), col("n_hits"), col("contam_pm"))
   }
 
+  /** Streaming LM quality scoring: the bigram model trains ONCE on the
+    * static reference split (two count aggregations collected into
+    * sorted parallel arrays — the shipped model, same driver-side
+    * small-side contract as decontamStream's benchmark set) and each
+    * live doc scores statelessly in its own micro-batch via the
+    * broadcast-probing LmNllSum expression. Identical per-position
+    * arithmetic to [[graft.operators.LmOps.lmScore]] (spec-proven
+    * parity); schema equal too.
+    */
+  def lmScoreStream(docs: DataFrame, train: DataFrame): DataFrame = {
+    import graft.plans.{LmKernel, TextHashExpressions}
+    def counts(n: Int) = train.select(explode(
+        TextHashExpressions.slidingNgramHashes(col("text"), n)).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val (u, b) = (counts(1), counts(2))
+    val model = LmKernel.Model(u.map(_._1), u.map(_._2),
+      b.map(_._1), b.map(_._2), u.length.toLong)
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    docs.select(col("doc_id"),
+        TextHashExpressions.slidingNgramHashes(col("text"), 1).as("ua"),
+        TextHashExpressions.slidingNgramHashes(col("text"), 2).as("ba"))
+      .withColumn("n_bigrams", size(col("ba")).cast("long"))
+      .filter(col("n_bigrams") > 0)
+      .withColumn("se", TextHashExpressions.lmNllSum(col("ua"), col("ba"), bc))
+      .select(col("doc_id"), col("n_bigrams"),
+        ((col("se") - pmod(col("se"), col("n_bigrams"))) / col("n_bigrams"))
+          .cast("long").as("nll_e6"))
+  }
+
   /** Streaming exact dedup for an ingest pipeline: keep the first
     * occurrence of each text (keyed by sha256 + length, like the batch
     * exactDuplicates), with the dedup state bounded by a watermark —

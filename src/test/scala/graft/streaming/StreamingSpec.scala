@@ -382,6 +382,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming LM scoring == batch lmScore across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val rnd = Iterator.iterate(17L)(x => x * 6364136223846793005L + 1442695040888963407L)
+      .map(_ >>> 33)
+    val vocab = (0 until 30).map(i => s"tok$i")
+    def doc(len: Int) = (0 until len).map(_ => vocab((rnd.next() % 30).toInt)).mkString(" ")
+    val train = (0 until 10).map(i => (i * 7L, doc(25)))
+    val corpus = (0 until 30).map(i => (1000L + i, doc(12))) :+ (2000L, "solo")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.lmScoreStream(
+        input.toDF().toDF("doc_id", "text"), train.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("lms").outputMode("append").start()
+    try {
+      val (b1, b2) = corpus.splitAt(corpus.size / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, n_bigrams, nll_e6 FROM lms").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = graft.operators.LmOps.lmScore(
+          corpus.toDF("doc_id", "text"), train.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want)
+      assert(got.size === 30)               // solo doc: no bigram, no row
+      assert(got.map(_._3).size > 1)        // scores differentiate
+    } finally q.stop()
+  }
+
   test("streaming decontamination == batch decontaminate, stateless across micro-batches") {
     val ss = spark
     import ss.implicits._
