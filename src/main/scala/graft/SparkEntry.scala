@@ -836,6 +836,23 @@ object SparkEntry {
       operators.LayoutOps.compactionPlan(files, CompactionTarget)
     }),
 
+    // --- exact polygon centroid (shoelace rational, floor-quantized) ---
+    "q_centroid" -> ((s, d) => {
+      val hex = Synth.hexCorpus(s, CentroidPolys)
+      // per-vertex jitter makes the rings irregular, so the centroid is
+      // NOT the hexagon center and the oracle must do the real shoelace
+      def jx(k: Int) =
+        (col("poly_id") * lit(48271L) + lit(k * 7919L)) % lit(600001L) - lit(300000L)
+      def jy(k: Int) =
+        (col("poly_id") * lit(69621L) + lit(k * 104729L)) % lit(600001L) - lit(300000L)
+      val xs2 = array((0 until 6).map(k => element_at(col("xs"), k + 1) + jx(k)): _*)
+      val ys2 = array((0 until 6).map(k => element_at(col("ys"), k + 1) + jy(k)): _*)
+      hex.select(col("poly_id"),
+          graft.plans.GeomExpressions.ringCentroidFix(xs2, ys2).as("c"))
+        .select(col("poly_id"), element_at(col("c"), 1).as("cx_fix"),
+          element_at(col("c"), 2).as("cy_fix"))
+    }),
+
     // --- sort-key overlap stats (layout health / re-cluster trigger) ---
     "q_layout_overlap" -> ((s, d) => {
       val files = t(s, d, "documents").select(col("lang").as("part_key"),
@@ -903,6 +920,9 @@ object SparkEntry {
     * range; production GPT-3-style decontamination uses 13.
     */
   val DecontamN = 8
+
+  /** q_centroid polygon-corpus size (jittered irregular hexagons). */
+  val CentroidPolys = 2000
 
   /** q_geofence entity count: pid % this is the tracked entity, pid the
     * observation time — ~N/199 positions per entity at every SF.
@@ -2478,6 +2498,37 @@ object SparkEntry {
          |    ORDER BY file_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          |    0) AS BIGINT) // $CompactionTarget AS grp
          |FROM f""".stripMargin,
+
+    "q_centroid" ->
+      s"""WITH hexes AS (${Synth.hexCorpusSql(CentroidPolys)}),
+         |verts AS (
+         |  SELECT poly_id, k,
+         |    CASE k WHEN 0 THEN cx + r WHEN 1 THEN cx + h WHEN 2 THEN cx - h
+         |         WHEN 3 THEN cx - r WHEN 4 THEN cx - h ELSE cx + h END
+         |      + ((poly_id * 48271 + k * 7919) % 600001 - 300000) AS x,
+         |    CASE k WHEN 0 THEN cy WHEN 1 THEN cy + s WHEN 2 THEN cy + s
+         |         WHEN 3 THEN cy WHEN 4 THEN cy - s ELSE cy - s END
+         |      + ((poly_id * 69621 + k * 104729) % 600001 - 300000) AS y
+         |  FROM hexes, (SELECT unnest(range(0, 6)) AS k)),
+         |e AS (
+         |  SELECT a.poly_id,
+         |    CAST(a.x AS HUGEINT) * b.y - CAST(b.x AS HUGEINT) * a.y AS cr,
+         |    CAST(a.x + b.x AS HUGEINT) AS sx, CAST(a.y + b.y AS HUGEINT) AS sy
+         |  FROM verts a JOIN verts b
+         |    ON b.poly_id = a.poly_id AND b.k = (a.k + 1) % 6),
+         |agg AS (
+         |  SELECT poly_id, sum(cr) AS a2, sum(sx * cr) AS cxn, sum(sy * cr) AS cyn
+         |  FROM e GROUP BY 1),
+         |n AS (
+         |  SELECT poly_id,
+         |    CASE WHEN a2 < 0 THEN -cxn ELSE cxn END AS nx,
+         |    CASE WHEN a2 < 0 THEN -cyn ELSE cyn END AS ny,
+         |    CASE WHEN a2 < 0 THEN -3 * a2 ELSE 3 * a2 END AS d
+         |  FROM agg)
+         |SELECT poly_id,
+         |  CAST((nx - (((nx % d) + d) % d)) // d AS BIGINT) AS cx_fix,
+         |  CAST((ny - (((ny % d) + d) % d)) // d AS BIGINT) AS cy_fix
+         |FROM n""".stripMargin,
 
     "q_layout_overlap" ->
       """WITH f AS (

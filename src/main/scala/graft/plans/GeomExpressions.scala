@@ -25,6 +25,62 @@ object RingKernel {
     require(a.isValidLong, "ring area2 overflows int64 (near-world-size ring)")
     a.longValue
   }
+
+  /** EXACT ring centroid in fix coords — [cx, cy] as the FLOOR of the
+    * shoelace centroid rationals Σ(vᵢ+vⱼ)·crossᵢⱼ / (3·A2), fully in
+    * BigInt (the numerators reach ~10^28 on world-scale rings). The
+    * divisor is sign-normalized first so floor semantics are
+    * orientation-independent (CW and CCW rings of the same polygon give
+    * the same centroid); degenerate zero-area rings are rejected, not
+    * silently wrong.
+    */
+  def centroidFix(xs: ArrayData, ys: ArrayData): GenericArrayData = {
+    val x = xs.toLongArray(); val y = ys.toLongArray()
+    val n = x.length
+    require(n >= 3, "centroid needs a ring of >= 3 points")
+    var a2 = BigInt(0); var cxn = BigInt(0); var cyn = BigInt(0)
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      val cr = BigInt(x(i)) * y(j) - BigInt(x(j)) * y(i)
+      a2 += cr
+      cxn += (BigInt(x(i)) + x(j)) * cr
+      cyn += (BigInt(y(i)) + y(j)) * cr
+      i += 1
+    }
+    require(a2 != 0, "degenerate ring (zero area) has no centroid")
+    var d = a2 * 3
+    if (d.signum < 0) { d = -d; cxn = -cxn; cyn = -cyn }
+    def fdiv(num: BigInt): Long = {
+      val q = (num - (((num % d) + d) % d)) / d
+      require(q.isValidLong, "centroid overflows fix range")
+      q.longValue
+    }
+    new GenericArrayData(Array(fdiv(cxn), fdiv(cyn)))
+  }
+}
+
+/** Native exact ring centroid: `[cx_fix, cy_fix]` of a fixed-point ring
+  * column (shoelace centroid, BigInt, floor-quantized to fix units) —
+  * the label-anchor / cluster-representative scalar of a polygon
+  * pipeline, exact so both engines agree to the last unit.
+  */
+case class RingCentroidFix(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ring_centroid_fix"
+
+  override def nullSafeEval(xs: Any, ys: Any): Any =
+    RingKernel.centroidFix(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (xs, ys) =>
+      s"graft.plans.RingKernel.centroidFix($xs, $ys)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native exact 2x-signed-area of a fixed-point ring column (shoelace,
@@ -588,6 +644,10 @@ object GeomExpressions {
   def simplifyPolyline(pts: Column, tolFix: Long): Column =
     GraftColumnBridge.column(
       SimplifyPolyline(GraftColumnBridge.expression(pts), tolFix))
+
+  def ringCentroidFix(xs: Column, ys: Column): Column =
+    GraftColumnBridge.column(RingCentroidFix(
+      GraftColumnBridge.expression(xs), GraftColumnBridge.expression(ys)))
 
   def pqEncode(vec: Column, bc: Broadcast[PqKernel.Book]): Column =
     GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(vec), bc))
