@@ -26,6 +26,30 @@ object SparkEntry {
     */
   private def us(c: Column): Column = unix_micros(c.cast("timestamp"))
 
+  /** Locally-dense synthetic ways from lineitem: per-way base scatter over
+    * the world + per-vertex jitter ≤ 1e7 fix (the q_way_tiles/q_simplify
+    * derivation, shared). DISTINCT because (l_orderkey, l_linenumber) is
+    * not unique in the synthetic data.
+    */
+  private def wayPoints(li: DataFrame): DataFrame = {
+    val key = col("l_orderkey") * lit(10L) + col("l_linenumber")
+    val x = (col("l_orderkey") * lit(2654435761L)) % lit(3400000000L) - lit(1700000000L) +
+      ((key * lit(1103515245L)) % lit(20000000L) - lit(10000000L))
+    val y = (col("l_orderkey") * lit(2246822519L)) % lit(1600000000L) - lit(800000000L) +
+      ((key * lit(69069L)) % lit(20000000L) - lit(10000000L))
+    li.select(col("l_orderkey").as("way_id"),
+      col("l_linenumber").as("seq"), x.as("x"), y.as("y")).distinct()
+  }
+
+  /** SQL twin of [[wayPoints]] (a CTE body selecting way_id, seq, x, y). */
+  private val WayPtsSql: String =
+    """SELECT DISTINCT l_orderkey AS way_id, l_linenumber AS seq,
+      |    ((l_orderkey * 2654435761) % 3400000000 - 1700000000)
+      |      + (((l_orderkey*10 + l_linenumber) * 1103515245) % 20000000 - 10000000) AS x,
+      |    ((l_orderkey * 2246822519) % 1600000000 - 800000000)
+      |      + (((l_orderkey*10 + l_linenumber) * 69069) % 20000000 - 10000000) AS y
+      |  FROM lineitem""".stripMargin
+
   /** Flagship: pages → derived points → PIP join against the polygon set →
     * web-mercator tiles, the full north-rule slice. Driver smoke-checks
     * rows > 0 on sf0.001.
@@ -851,6 +875,18 @@ object SparkEntry {
           graft.plans.GeomExpressions.ringCentroidFix(xs2, ys2).as("c"))
         .select(col("poly_id"), element_at(col("c"), 1).as("cx_fix"),
           element_at(col("c"), 2).as("cy_fix"))
+    }),
+
+    // --- convex hull per way (exact extreme-edge rule, footprint stats) ---
+    "q_hull" -> ((s, d) => {
+      val pts = wayPoints(t(s, d, "lineitem"))
+      pts.groupBy("way_id")
+        .agg(sort_array(collect_list(struct(col("seq"), col("x"), col("y"))))
+          .as("pts"))
+        .select(col("way_id"),
+          graft.plans.GeomExpressions.hullStats(col("pts.x"), col("pts.y")).as("h"))
+        .select(col("way_id"), element_at(col("h"), 1).as("hull_area2"),
+          element_at(col("h"), 2).as("n_hull"))
     }),
 
     // --- sort-key overlap stats (layout health / re-cluster trigger) ---
@@ -2529,6 +2565,32 @@ object SparkEntry {
          |  CAST((nx - (((nx % d) + d) % d)) // d AS BIGINT) AS cx_fix,
          |  CAST((ny - (((ny % d) + d) % d)) // d AS BIGINT) AS cy_fix
          |FROM n""".stripMargin,
+
+    "q_hull" ->
+      s"""WITH raw AS ($WayPtsSql),
+         |pts AS (SELECT DISTINCT way_id, x, y FROM raw),
+         |e AS (
+         |  SELECT a.way_id, a.x AS ax, a.y AS ay, b.x AS ox, b.y AS oy
+         |  FROM pts a JOIN pts b
+         |    ON b.way_id = a.way_id AND (a.x <> b.x OR a.y <> b.y)
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM pts p
+         |    WHERE p.way_id = a.way_id
+         |      AND (p.x <> a.x OR p.y <> a.y) AND (p.x <> b.x OR p.y <> b.y)
+         |      AND ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) < 0
+         |        OR ((b.x - a.x) * (p.y - a.y) - (b.y - a.y) * (p.x - a.x) = 0
+         |          AND NOT ((p.x - a.x) * (b.x - a.x) + (p.y - a.y) * (b.y - a.y) > 0
+         |            AND (p.x - a.x) * (b.x - a.x) + (p.y - a.y) * (b.y - a.y)
+         |              < (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)))))),
+         |agg AS (
+         |  SELECT way_id,
+         |    sum(CAST(ax AS HUGEINT) * oy - CAST(ox AS HUGEINT) * ay) AS a2,
+         |    count(*) AS nh
+         |  FROM e GROUP BY 1),
+         |ways AS (SELECT DISTINCT way_id FROM pts)
+         |SELECT w.way_id, CAST(coalesce(a2, 0) AS BIGINT) AS hull_area2,
+         |  coalesce(nh, 0) AS n_hull
+         |FROM ways w LEFT JOIN agg a ON a.way_id = w.way_id""".stripMargin,
 
     "q_layout_overlap" ->
       """WITH f AS (

@@ -58,6 +58,82 @@ object RingKernel {
     }
     new GenericArrayData(Array(fdiv(cxn), fdiv(cyn)))
   }
+
+  /** Convex hull statistics `[area2, n_vertices]` of a point SET (order-
+    * free) in fix coords — exact extreme-edge formulation: a directed
+    * edge (a,b) is a hull edge iff every other distinct point lies
+    * strictly left of it, or collinear strictly INSIDE the segment (so a
+    * collinear chain contributes exactly its maximal edge and interior
+    * chain points are not counted as vertices). Σ cross(a,b) over the
+    * qualifying edges is twice the CCW hull area; a fully-collinear set
+    * telescopes to area 0 with its two extreme endpoints as "vertices".
+    * O(n³) per row — ways are short (the same locally-dense contract as
+    * segmentCellCover). BigInt keeps world-scale coords exact; the
+    * RESULT must fit int64 (any local way does).
+    */
+  def hullStats(xs: ArrayData, ys: ArrayData): GenericArrayData = {
+    val rx = xs.toLongArray(); val ry = ys.toLongArray()
+    // dedup the point set (way derivations can repeat a vertex)
+    val pts = rx.zip(ry).distinct
+    val n = pts.length
+    var area2 = BigInt(0); var nv = 0L
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        if (j != i) {
+          val (ax, ay) = pts(i); val (bx, by) = pts(j)
+          var ok = true
+          var k = 0
+          while (ok && k < n) {
+            if (k != i && k != j) {
+              val (px, py) = pts(k)
+              val cr = BigInt(bx - ax) * (py - ay) - BigInt(by - ay) * (px - ax)
+              if (cr.signum < 0) ok = false
+              else if (cr.signum == 0) {
+                val dot = BigInt(px - ax) * (bx - ax) + BigInt(py - ay) * (by - ay)
+                val len2 = BigInt(bx - ax) * (bx - ax) + BigInt(by - ay) * (by - ay)
+                if (!(dot.signum > 0 && dot < len2)) ok = false
+              }
+            }
+            k += 1
+          }
+          if (ok) {
+            area2 += BigInt(ax) * by - BigInt(bx) * ay
+            nv += 1
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    require(area2.isValidLong, "hull area2 overflows int64")
+    new GenericArrayData(Array(area2.longValue, nv))
+  }
+}
+
+/** Native convex-hull stats of a point-set column: `[area2, n_vertices]`
+  * (exact integer extreme-edge rule, see [[RingKernel.hullStats]]) — the
+  * per-feature footprint scalar of a spatial pipeline (way extent class,
+  * sliver detection, hull-area/bbox-area compactness). The DuckDB twin is
+  * the same rule formulated relationally (pairs + NOT EXISTS witness).
+  */
+case class HullStats(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hull_stats"
+
+  override def nullSafeEval(xs: Any, ys: Any): Any =
+    RingKernel.hullStats(xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (xs, ys) =>
+      s"graft.plans.RingKernel.hullStats($xs, $ys)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native exact ring centroid: `[cx_fix, cy_fix]` of a fixed-point ring
@@ -647,6 +723,10 @@ object GeomExpressions {
 
   def ringCentroidFix(xs: Column, ys: Column): Column =
     GraftColumnBridge.column(RingCentroidFix(
+      GraftColumnBridge.expression(xs), GraftColumnBridge.expression(ys)))
+
+  def hullStats(xs: Column, ys: Column): Column =
+    GraftColumnBridge.column(HullStats(
       GraftColumnBridge.expression(xs), GraftColumnBridge.expression(ys)))
 
   def pqEncode(vec: Column, bc: Broadcast[PqKernel.Book]): Column =
