@@ -889,6 +889,35 @@ object SparkEntry {
           element_at(col("h"), 2).as("n_hull"))
     }),
 
+    // --- segment-intersection join (which ways cross which) ---
+    "q_way_cross" -> ((s, d) => {
+      // mixId bases (not the lattice scatter of wayPoints: a linear base
+      // in way_id never brings two ways within jitter range of each
+      // other, so the lattice corpus has literally zero crossings)
+      val key = col("way_id") * lit(10L) + col("seq")
+      val x = functions.Fns.mixId(col("way_id") * lit(2L)) - lit(1073741824L) +
+        ((key * lit(1103515245L)) % lit(20000000L) - lit(10000000L))
+      val y = functions.Fns.mixId(col("way_id") * lit(2L) + lit(1L)) % lit(1600000000L) -
+        lit(800000000L) + ((key * lit(69069L)) % lit(20000000L) - lit(10000000L))
+      val pts = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("seq"))
+        .distinct()
+        .select(col("way_id"), col("seq"), x.as("x"), y.as("y"))
+      val w = Window.partitionBy("way_id").orderBy("seq")
+      val segs = pts.select(col("way_id"), col("seq"),
+          lag(col("x"), 1).over(w).as("x0"), lag(col("y"), 1).over(w).as("y0"),
+          col("x").as("x1"), col("y").as("y1"))
+        .filter(col("x0").isNotNull &&
+          abs(col("x1") - col("x0")) <= WayCrossSpan &&
+          abs(col("y1") - col("y0")) <= WayCrossSpan)
+      // constant per-cell density as data grows: smallest level in [6,10]
+      // with 4^level >= n (integer while-loop == the oracle's CASE)
+      val n = segs.count()
+      var level = 6
+      while (level < 10 && n > (1L << (2 * level))) level += 1
+      SpatialOps.waysCrossJoin(segs, segs, level, WayCrossSpan, selfJoin = true)
+    }),
+
     // --- sort-key overlap stats (layout health / re-cluster trigger) ---
     "q_layout_overlap" -> ((s, d) => {
       val files = t(s, d, "documents").select(col("lang").as("part_key"),
@@ -959,6 +988,9 @@ object SparkEntry {
 
   /** q_centroid polygon-corpus size (jittered irregular hexagons). */
   val CentroidPolys = 2000
+
+  /** q_way_cross span contract (fix units) — the wayPoints jitter bound. */
+  val WayCrossSpan = 20000000L
 
   /** q_geofence entity count: pid % this is the tracked entity, pid the
     * observation time — ~N/199 positions per entity at every SF.
@@ -2591,6 +2623,74 @@ object SparkEntry {
          |SELECT w.way_id, CAST(coalesce(a2, 0) AS BIGINT) AS hull_area2,
          |  coalesce(nh, 0) AS n_hull
          |FROM ways w LEFT JOIN agg a ON a.way_id = w.way_id""".stripMargin,
+
+    "q_way_cross" -> {
+      val cases = (6 to 9).map(l =>
+        s"WHEN n <= ${1L << (2 * l)} THEN ${1L << l}").mkString(" ")
+      val sides = Seq("rx0" -> "ry0", "rx1" -> "ry0", "rx0" -> "ry1", "rx1" -> "ry1")
+        .map { case (rx, ry) => s"(x1 - x0) * ($ry - y0) - (y1 - y0) * ($rx - x0)" }
+      s"""WITH ks AS (
+         |  SELECT DISTINCT l_orderkey AS way_id, l_linenumber AS seq FROM lineitem),
+         |li AS (
+         |  SELECT way_id, seq,
+         |    ${mixIdSql("way_id * 2")} - 1073741824
+         |      + (((way_id*10 + seq) * 1103515245) % 20000000 - 10000000) AS x,
+         |    ${mixIdSql("way_id * 2 + 1")} % 1600000000 - 800000000
+         |      + (((way_id*10 + seq) * 69069) % 20000000 - 10000000) AS y
+         |  FROM ks),
+         |segs0 AS (
+         |  SELECT way_id, seq,
+         |    lag(x) OVER (PARTITION BY way_id ORDER BY seq) AS x0,
+         |    lag(y) OVER (PARTITION BY way_id ORDER BY seq) AS y0,
+         |    x AS x1, y AS y1
+         |  FROM li),
+         |loc AS (SELECT * FROM segs0
+         |  WHERE x0 IS NOT NULL
+         |    AND abs(x1 - x0) <= $WayCrossSpan AND abs(y1 - y0) <= $WayCrossSpan),
+         |lv AS (SELECT CASE $cases ELSE 1024 END AS g
+         |  FROM (SELECT count(*) AS n FROM loc)),
+         |cx AS (SELECT loc.*, g, unnest(range(
+         |    least(((least(x0, x1) + 1800000000) * g) // 3600000000, g - 1),
+         |    least(((greatest(x0, x1) + 1800000000) * g) // 3600000000, g - 1) + 1)) AS cell_x
+         |  FROM loc, lv),
+         |cov0 AS (SELECT *, unnest(range(
+         |    least(((least(y0, y1) + 900000000) * g) // 1800000000, g - 1),
+         |    least(((greatest(y0, y1) + 900000000) * g) // 1800000000, g - 1) + 1)) AS cell_y
+         |  FROM cx),
+         |rect AS (SELECT *,
+         |    ((cell_x * 3600000000 + g - 1) // g - 1800000000) AS rx0,
+         |    CASE WHEN cell_x = g - 1 THEN 1800000000
+         |         ELSE (((cell_x + 1) * 3600000000 + g - 1) // g - 1800000000) - 1 END AS rx1,
+         |    ((cell_y * 1800000000 + g - 1) // g - 900000000) AS ry0,
+         |    CASE WHEN cell_y = g - 1 THEN 900000000
+         |         ELSE (((cell_y + 1) * 1800000000 + g - 1) // g - 900000000) - 1 END AS ry1
+         |  FROM cov0),
+         |cov AS (
+         |  SELECT way_id, seq, x0, y0, x1, y1, cell_x, cell_y FROM rect
+         |  WHERE least(${sides.mkString(", ")}) <= 0
+         |    AND greatest(${sides.mkString(", ")}) >= 0),
+         |d AS (
+         |  SELECT a.way_id AS way_a, b.way_id AS way_b, a.seq AS seq_a, b.seq AS seq_b,
+         |    a.x0 AS ax0, a.y0 AS ay0, a.x1 AS ax1, a.y1 AS ay1,
+         |    b.x0 AS bx0, b.y0 AS by0, b.x1 AS bx1, b.y1 AS by1,
+         |    (b.x1 - b.x0) * (a.y0 - b.y0) - (b.y1 - b.y0) * (a.x0 - b.x0) AS d1,
+         |    (b.x1 - b.x0) * (a.y1 - b.y0) - (b.y1 - b.y0) * (a.x1 - b.x0) AS d2,
+         |    (a.x1 - a.x0) * (b.y0 - a.y0) - (a.y1 - a.y0) * (b.x0 - a.x0) AS d3,
+         |    (a.x1 - a.x0) * (b.y1 - a.y0) - (a.y1 - a.y0) * (b.x1 - a.x0) AS d4
+         |  FROM cov a JOIN cov b
+         |    ON b.cell_x = a.cell_x AND b.cell_y = a.cell_y
+         |    AND a.way_id < b.way_id),
+         |hit AS (
+         |  SELECT DISTINCT way_a, way_b, seq_a, seq_b FROM d
+         |  WHERE sign(d1) * sign(d2) <= 0 AND sign(d3) * sign(d4) <= 0
+         |    AND (NOT (d1 = 0 AND d2 = 0 AND d3 = 0 AND d4 = 0)
+         |      OR (least(ax0, ax1) <= greatest(bx0, bx1)
+         |        AND greatest(ax0, ax1) >= least(bx0, bx1)
+         |        AND least(ay0, ay1) <= greatest(by0, by1)
+         |        AND greatest(ay0, ay1) >= least(by0, by1))))
+         |SELECT way_a, way_b, CAST(count(*) AS BIGINT) AS n_crossings
+         |FROM hit GROUP BY 1, 2""".stripMargin
+    },
 
     "q_layout_overlap" ->
       """WITH f AS (

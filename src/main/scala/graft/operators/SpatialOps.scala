@@ -715,7 +715,8 @@ object SpatialOps {
     * Input (way_id, seq, x0, y0, x1, y1) fix coords; output (way_id,
     * seq, cell_x, cell_y), one row per crossed cell.
     */
-  def segmentCellCover(segs: DataFrame, level: Int, maxSpanFix: Long): DataFrame = {
+  def segmentCellCover(segs: DataFrame, level: Int, maxSpanFix: Long,
+                       keepCoords: Boolean = false): DataFrame = {
     val n = 1L << level
     // exact inclusive cell bounds: lo(c) = ceil(c·S/n) (the smallest fix
     // coordinate binning into c), hi(c) = lo(c+1) - 1
@@ -746,9 +747,70 @@ object SpatialOps {
     val dy = col("y1") - col("y0")
     def side(cx: Column, cy: Column) = dx * (cy - col("y0")) - dy * (cx - col("x0"))
     val sides = Seq(side(rx0, ry0), side(rx1, ry0), side(rx0, ry1), side(rx1, ry1))
+    val out = Seq("way_id", "seq", "cell_x", "cell_y") ++
+      (if (keepCoords) Seq("x0", "y0", "x1", "y1") else Nil)
     cand
       .filter(least(sides: _*) <= 0 && greatest(sides: _*) >= 0)
-      .select(col("way_id"), col("seq"), col("cell_x"), col("cell_y"))
+      .select(out.map(col): _*)
+  }
+
+  /** Segment-intersection (ways-cross) join: for each pair of ways with at
+    * least one pair of intersecting segments, the number of DISTINCT
+    * crossing segment pairs — the line×line analogue of the PIP/bbox
+    * joins (route conflation, junction detection, crossing-feature QA).
+    *
+    * Shape: the same distributed cell cover as every spatial join here —
+    * [[segmentCellCover]] on both sides, equi-join on the cell, exact
+    * refinement, so nothing is broadcast and nothing is all-pairs; the
+    * candidate volume is bounded by per-cell co-occupancy (callers derive
+    * `level` from the segment count so density per cell stays constant as
+    * data grows). The refinement is the CLRS straddle test on four int64
+    * cross products — exact under the span contract (|dir| ≤ span and
+    * same-cell separation ≤ 2·span + cell keep every product ≲ 2^51),
+    * endpoint-inclusive; the all-collinear case (all four zero) falls
+    * back to bbox overlap so disjoint collinear segments don't count. A
+    * crossing pair found in several shared cells is deduplicated by key,
+    * not geometry, so no tie-break cell is needed.
+    *
+    * `selfJoin = true` treats A and B as the same way set and keeps each
+    * unordered pair once (way_a < way_b); self-intersections of a single
+    * way are the assembler's job, not this operator's. Output: (way_a,
+    * way_b, n_crossings).
+    */
+  def waysCrossJoin(segsA: DataFrame, segsB: DataFrame, level: Int,
+                    maxSpanFix: Long, selfJoin: Boolean = false): DataFrame = {
+    def cover(segs: DataFrame, p: String) =
+      segmentCellCover(segs, level, maxSpanFix, keepCoords = true)
+        .select(col("way_id").as(s"way_$p"), col("seq").as(s"seq_$p"),
+          col("cell_x"), col("cell_y"),
+          col("x0").as(s"${p}x0"), col("y0").as(s"${p}y0"),
+          col("x1").as(s"${p}x1"), col("y1").as(s"${p}y1"))
+    val a = cover(segsA, "a")
+    val b = cover(segsB, "b")
+    val pairFilter =
+      if (selfJoin) col("way_a") < col("way_b")
+      else col("way_a") =!= col("way_b")
+    val cand = a.join(b, Seq("cell_x", "cell_y")).filter(pairFilter)
+    val d1 = (col("bx1") - col("bx0")) * (col("ay0") - col("by0")) -
+      (col("by1") - col("by0")) * (col("ax0") - col("bx0"))
+    val d2 = (col("bx1") - col("bx0")) * (col("ay1") - col("by0")) -
+      (col("by1") - col("by0")) * (col("ax1") - col("bx0"))
+    val d3 = (col("ax1") - col("ax0")) * (col("by0") - col("ay0")) -
+      (col("ay1") - col("ay0")) * (col("bx0") - col("ax0"))
+    val d4 = (col("ax1") - col("ax0")) * (col("by1") - col("ay0")) -
+      (col("ay1") - col("ay0")) * (col("bx1") - col("ax0"))
+    val straddle = signum(d1) * signum(d2) <= 0 && signum(d3) * signum(d4) <= 0
+    val allZero = d1 === 0 && d2 === 0 && d3 === 0 && d4 === 0
+    val bboxOverlap =
+      least(col("ax0"), col("ax1")) <= greatest(col("bx0"), col("bx1")) &&
+      greatest(col("ax0"), col("ax1")) >= least(col("bx0"), col("bx1")) &&
+      least(col("ay0"), col("ay1")) <= greatest(col("by0"), col("by1")) &&
+      greatest(col("ay0"), col("ay1")) >= least(col("by0"), col("by1"))
+    cand.filter(straddle && (!allZero || bboxOverlap))
+      .select(col("way_a"), col("way_b"), col("seq_a"), col("seq_b"))
+      .distinct()
+      .groupBy("way_a", "way_b")
+      .agg(count(lit(1)).as("n_crossings"))
   }
 
   /** Raster→vector: connected components of occupied raster cells
