@@ -31,14 +31,15 @@ object SparkEntry {
     * derivation, shared). DISTINCT because (l_orderkey, l_linenumber) is
     * not unique in the synthetic data.
     */
-  private def wayPoints(li: DataFrame): DataFrame = {
+  private def wayPoints(li: DataFrame, dedup: Boolean = true): DataFrame = {
     val key = col("l_orderkey") * lit(10L) + col("l_linenumber")
     val x = (col("l_orderkey") * lit(2654435761L)) % lit(3400000000L) - lit(1700000000L) +
       ((key * lit(1103515245L)) % lit(20000000L) - lit(10000000L))
     val y = (col("l_orderkey") * lit(2246822519L)) % lit(1600000000L) - lit(800000000L) +
       ((key * lit(69069L)) % lit(20000000L) - lit(10000000L))
-    li.select(col("l_orderkey").as("way_id"),
-      col("l_linenumber").as("seq"), x.as("x"), y.as("y")).distinct()
+    val raw = li.select(col("l_orderkey").as("way_id"),
+      col("l_linenumber").as("seq"), x.as("x"), y.as("y"))
+    if (dedup) raw.distinct() else raw
   }
 
   /** SQL twin of [[wayPoints]] (a CTE body selecting way_id, seq, x, y). */
@@ -879,7 +880,8 @@ object SparkEntry {
 
     // --- convex hull per way (exact extreme-edge rule, footprint stats) ---
     "q_hull" -> ((s, d) => {
-      val pts = wayPoints(t(s, d, "lineitem"))
+      // no .distinct(): the hull kernel dedups points, saving a shuffle
+      val pts = wayPoints(t(s, d, "lineitem"), dedup = false)
       pts.groupBy("way_id")
         .agg(sort_array(collect_list(struct(col("seq"), col("x"), col("y"))))
           .as("pts"))
