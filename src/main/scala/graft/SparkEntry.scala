@@ -920,6 +920,24 @@ object SparkEntry {
       SpatialOps.waysCrossJoin(segs, segs, level, WayCrossSpan, selfJoin = true)
     }),
 
+    // --- point-to-way snapping (map matching: ways within tolerance) ---
+    "q_snap" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+        .select(col("pid"), col("lon_fix").as("x"), col("lat_fix").as("y"))
+      val wp = wayPoints(t(s, d, "lineitem"))
+      val w = Window.partitionBy("way_id").orderBy("seq")
+      val segs = wp.select(col("way_id"), col("seq"),
+          lag(col("x"), 1).over(w).as("x0"), lag(col("y"), 1).over(w).as("y0"),
+          col("x").as("x1"), col("y").as("y1"))
+        .filter(col("x0").isNotNull &&
+          abs(col("x1") - col("x0")) <= WayCrossSpan &&
+          abs(col("y1") - col("y0")) <= WayCrossSpan)
+      val n = segs.count()
+      var level = 6
+      while (level < 9 && n > (1L << (2 * level))) level += 1
+      SpatialOps.snapToWays(pts, segs, SnapRadius, level, WayCrossSpan)
+    }),
+
     // --- sort-key overlap stats (layout health / re-cluster trigger) ---
     "q_layout_overlap" -> ((s, d) => {
       val files = t(s, d, "documents").select(col("lang").as("part_key"),
@@ -993,6 +1011,9 @@ object SparkEntry {
 
   /** q_way_cross span contract (fix units) — the wayPoints jitter bound. */
   val WayCrossSpan = 20000000L
+
+  /** q_snap tolerance (fix units, 0.2°) — wide for the synthetic scatter. */
+  val SnapRadius = 2000000L
 
   /** q_geofence entity count: pid % this is the tracked entity, pid the
     * observation time — ~N/199 positions per entity at every SF.
@@ -2691,6 +2712,52 @@ object SparkEntry {
          |        AND least(ay0, ay1) <= greatest(by0, by1)
          |        AND greatest(ay0, ay1) >= least(by0, by1))))
          |SELECT way_a, way_b, CAST(count(*) AS BIGINT) AS n_crossings
+         |FROM hit GROUP BY 1, 2""".stripMargin
+    },
+
+    "q_snap" -> {
+      val cases = (6 to 8).map(l =>
+        s"WHEN n <= ${1L << (2 * l)} THEN ${1L << l}").mkString(" ")
+      val r = SnapRadius
+      val r2 = SnapRadius * SnapRadius
+      s"""WITH li AS ($WayPtsSql),
+         |segs0 AS (
+         |  SELECT way_id, seq,
+         |    lag(x) OVER (PARTITION BY way_id ORDER BY seq) AS x0,
+         |    lag(y) OVER (PARTITION BY way_id ORDER BY seq) AS y0,
+         |    x AS x1, y AS y1
+         |  FROM li),
+         |loc AS (SELECT * FROM segs0
+         |  WHERE x0 IS NOT NULL
+         |    AND abs(x1 - x0) <= $WayCrossSpan AND abs(y1 - y0) <= $WayCrossSpan),
+         |lv AS (SELECT CASE $cases ELSE 512 END AS g
+         |  FROM (SELECT count(*) AS n FROM loc)),
+         |sx AS (SELECT loc.*, g, unnest(range(
+         |    greatest(least(((least(x0, x1) - $r + 1800000000) * g) // 3600000000, g - 1), 0),
+         |    greatest(least(((greatest(x0, x1) + $r + 1800000000) * g) // 3600000000, g - 1), 0) + 1)) AS cell_x
+         |  FROM loc, lv),
+         |scov AS (SELECT *, unnest(range(
+         |    greatest(least(((least(y0, y1) - $r + 900000000) * g) // 1800000000, g - 1), 0),
+         |    greatest(least(((greatest(y0, y1) + $r + 900000000) * g) // 1800000000, g - 1), 0) + 1)) AS cell_y
+         |  FROM sx),
+         |p AS ($P),
+         |pc AS (SELECT pid, lon_fix AS px, lat_fix AS py,
+         |    least(((lon_fix + 1800000000) * g) // 3600000000, g - 1) AS cell_x,
+         |    least(((lat_fix + 900000000) * g) // 1800000000, g - 1) AS cell_y
+         |  FROM p, lv),
+         |hit AS (SELECT DISTINCT pid, way_id, seq
+         |  FROM pc JOIN scov USING (cell_x, cell_y)
+         |  WHERE CASE
+         |    WHEN (px-x0)*(x1-x0) + (py-y0)*(y1-y0) <= 0
+         |      THEN (px-x0)*(px-x0) + (py-y0)*(py-y0) <= $r2
+         |    WHEN (px-x0)*(x1-x0) + (py-y0)*(y1-y0)
+         |        >= (x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)
+         |      THEN (px-x1)*(px-x1) + (py-y1)*(py-y1) <= $r2
+         |    ELSE CAST((x1-x0)*(py-y0) - (y1-y0)*(px-x0) AS HUGEINT)
+         |        * ((x1-x0)*(py-y0) - (y1-y0)*(px-x0))
+         |      <= CAST($r2 AS HUGEINT)
+         |        * ((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)) END)
+         |SELECT pid, way_id, CAST(count(*) AS BIGINT) AS n_segs
          |FROM hit GROUP BY 1, 2""".stripMargin
     },
 

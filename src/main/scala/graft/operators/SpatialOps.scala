@@ -813,6 +813,65 @@ object SpatialOps {
       .agg(count(lit(1)).as("n_crossings"))
   }
 
+  /** Point-to-way snapping join: for each point, the ways with at least
+    * one segment within `radiusFix` (planar point-to-segment distance) —
+    * the map-matching primitive (GPS trace → road candidates, POI → way
+    * conflation). Output: (pid, way_id, n_segs) with n_segs the number of
+    * DISTINCT segments of that way within range.
+    *
+    * Shape: segments cover the cells of their radius-EXPANDED bbox (two
+    * chained explodes — expansion, not line rasterization, because the
+    * match region is a stadium around the segment, not the segment
+    * itself); points map to their single cell; one equi-join on the cell.
+    * Exact refinement: squared point-to-segment distance compared as
+    * integers — the projection parameter t = dot/len2 picks endpoint vs
+    * interior case, and the interior case cross-multiplies to
+    * cross² ≤ r²·len2 (decimal(38) — cross ≲ 2^51 fits int64 under the
+    * span contract, its square does not). Endpoint-inclusive throughout,
+    * zero-length segments degrade to point distance via the dot ≤ 0
+    * branch. Same candidate-density story as waysCrossJoin: callers
+    * derive `level` from the segment count.
+    */
+  def snapToWays(points: DataFrame, segs: DataFrame, radiusFix: Long,
+                 level: Int, maxSpanFix: Long): DataFrame = {
+    val n = 1L << level
+    val r = lit(radiusFix)
+    def cl(c: Column) = greatest(lit(0L), c)
+    val local = segs.filter(
+      abs(col("x1") - col("x0")) <= maxSpanFix &&
+      abs(col("y1") - col("y0")) <= maxSpanFix)
+    val segCells = local
+      .withColumn("cy0", cl(Fns.cellY(least(col("y0"), col("y1")) - r, level)))
+      .withColumn("cy1", cl(Fns.cellY(greatest(col("y0"), col("y1")) + r, level)))
+      .withColumn("cell_x", explode(sequence(
+        cl(Fns.cellX(least(col("x0"), col("x1")) - r, level)),
+        cl(Fns.cellX(greatest(col("x0"), col("x1")) + r, level)))))
+      .withColumn("cell_y", explode(sequence(col("cy0"), col("cy1"))))
+      .select(col("way_id"), col("seq"), col("cell_x"), col("cell_y"),
+        col("x0"), col("y0"), col("x1"), col("y1"))
+    val ptCells = points.select(col("pid"), col("x").as("px"), col("y").as("py"),
+      Fns.cellX(col("x"), level).as("cell_x"), Fns.cellY(col("y"), level).as("cell_y"))
+    val dx = col("x1") - col("x0")
+    val dy = col("y1") - col("y0")
+    val dt = (col("px") - col("x0")) * dx + (col("py") - col("y0")) * dy
+    val len2 = dx * dx + dy * dy
+    val r2 = lit(radiusFix * radiusFix)
+    def dist2(x: Column, y: Column) =
+      (col("px") - x) * (col("px") - x) + (col("py") - y) * (col("py") - y)
+    val cross = dx * (col("py") - col("y0")) - dy * (col("px") - col("x0"))
+    val dec = "decimal(38,0)"
+    val within = when(dt <= 0, dist2(col("x0"), col("y0")) <= r2)
+      .when(dt >= len2, dist2(col("x1"), col("y1")) <= r2)
+      .otherwise(cross.cast(dec) * cross.cast(dec) <=
+        r2.cast(dec) * len2.cast(dec))
+    ptCells.join(segCells, Seq("cell_x", "cell_y"))
+      .filter(within)
+      .select(col("pid"), col("way_id"), col("seq"))
+      .distinct()
+      .groupBy("pid", "way_id")
+      .agg(count(lit(1)).as("n_segs"))
+  }
+
   /** Raster→vector: connected components of occupied raster cells
     * (4-adjacency) emitted as per-component bboxes — the vectorization
     * direction of the north rule's raster↔vector tiling.
