@@ -778,6 +778,13 @@ object SparkEntry {
         when(Fns.mixId(col("doc_id")) % 1000 < rate, 1L).otherwise(0L).as("kept"))
     }),
 
+    // --- weighted systematic sample (exact-k, proportional to weight) ---
+    "q_sample_sys" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        (octet_length(col("text")).cast("long") + lit(1L)).as("weight"))
+      SamplingOps.systematicSample(docs, "doc_id", "weight", SampleSysK)
+    }),
+
     // --- generic relation assembly (node + way + relation members) ---
     "q_route_assembly" -> ((s, d) => {
       val (members, nodes, ways, rels) = routeInput(s, d)
@@ -1014,6 +1021,9 @@ object SparkEntry {
 
   /** q_snap tolerance (fix units, 0.2°) — wide for the synthetic scatter. */
   val SnapRadius = 2000000L
+
+  /** q_sample_sys slot count (target sample size). */
+  val SampleSysK = 97L
 
   /** q_geofence entity count: pid % this is the tracked entity, pid the
     * observation time — ~N/199 positions per entity at every SF.
@@ -2714,6 +2724,17 @@ object SparkEntry {
          |SELECT way_a, way_b, CAST(count(*) AS BIGINT) AS n_crossings
          |FROM hit GROUP BY 1, 2""".stripMargin
     },
+
+    "q_sample_sys" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, strlen(text) + 1 AS weight FROM documents),
+         |c AS (SELECT doc_id, weight,
+         |    sum(weight) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS hi
+         |  FROM d),
+         |t AS (SELECT sum(weight) AS tot FROM d)
+         |SELECT doc_id, CAST(weight AS BIGINT) AS weight FROM c, t
+         |WHERE (hi * $SampleSysK) // tot
+         |    > ((hi - weight) * $SampleSysK) // tot""".stripMargin,
 
     "q_snap" -> {
       val cases = (6 to 8).map(l =>
