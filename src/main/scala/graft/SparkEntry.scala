@@ -977,6 +977,22 @@ object SparkEntry {
     }),
 
     // --- geofence enter/exit transitions (PIP membership change-points) ---
+    // --- stay-point extraction (dwell runs on an excursion trace) ---
+    "q_staypoints" -> ((s, d) => {
+      // trace with excursions: small jitter (< 3e6) normally, a 1-in-7
+      // long hop per axis — runs form between hops, so stays are real
+      val mx = Fns.mixId(col("pid") * lit(2L))
+      val my = Fns.mixId(col("pid") * lit(2L) + lit(1L))
+      val x = when(mx % 7 === 0, mx % lit(100000000L)).otherwise(lit(0L)) +
+        (mx % lit(3000000L))
+      val y = when(my % 7 === 0, my % lit(100000000L)).otherwise(lit(0L)) +
+        (my % lit(3000000L))
+      val track = Synth.points(s, d).select(
+        (col("pid") % GeofenceEntities).as("entity"), col("pid").as("ts"),
+        x.as("x"), y.as("y"))
+      SpatialOps.stayPoints(track, StayRadius, StayMinPts)
+    }),
+
     "q_geofence" -> ((s, d) => {
       val pts = Synth.points(s, d)
       val ent = col("pid") % GeofenceEntities
@@ -1024,6 +1040,10 @@ object SparkEntry {
 
   /** q_sample_sys slot count (target sample size). */
   val SampleSysK = 97L
+
+  /** q_staypoints step tolerance (fix units) and minimum dwell length. */
+  val StayRadius = 8000000L
+  val StayMinPts = 3
 
   /** q_geofence entity count: pid % this is the tracked entity, pid the
     * observation time — ~N/199 positions per entity at every SF.
@@ -2724,6 +2744,36 @@ object SparkEntry {
          |SELECT way_a, way_b, CAST(count(*) AS BIGINT) AS n_crossings
          |FROM hit GROUP BY 1, 2""".stripMargin
     },
+
+    "q_staypoints" ->
+      s"""WITH p AS ($P),
+         |m AS (SELECT pid % $GeofenceEntities AS entity, pid AS ts,
+         |    ${mixIdSql("pid * 2")} AS mx, ${mixIdSql("pid * 2 + 1")} AS my
+         |  FROM p),
+         |tr AS (SELECT entity, ts,
+         |    CASE WHEN mx % 7 = 0 THEN mx % 100000000 ELSE 0 END
+         |      + mx % 3000000 AS x,
+         |    CASE WHEN my % 7 = 0 THEN my % 100000000 ELSE 0 END
+         |      + my % 3000000 AS y
+         |  FROM m),
+         |st AS (SELECT entity, ts, x, y,
+         |    lag(x) OVER w AS px, lag(y) OVER w AS py
+         |  FROM tr WINDOW w AS (PARTITION BY entity ORDER BY ts)),
+         |br AS (SELECT entity, ts, x, y,
+         |    CASE WHEN px IS NULL
+         |      OR (x - px) * (x - px) + (y - py) * (y - py)
+         |         > ${StayRadius * StayRadius}
+         |      THEN 1 ELSE 0 END AS brk
+         |  FROM st),
+         |rn AS (SELECT entity, ts, x, y,
+         |    sum(brk) OVER (PARTITION BY entity ORDER BY ts
+         |      ROWS UNBOUNDED PRECEDING) AS run
+         |  FROM br)
+         |SELECT entity, min(ts) AS start_ts, max(ts) AS end_ts,
+         |  CAST(count(*) AS BIGINT) AS n_pings,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM rn GROUP BY entity, run
+         |HAVING count(*) >= $StayMinPts""".stripMargin,
 
     "q_sample_sys" ->
       s"""WITH d AS (

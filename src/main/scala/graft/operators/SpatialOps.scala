@@ -833,14 +833,26 @@ object SpatialOps {
     * derive `level` from the segment count.
     */
   def snapToWays(points: DataFrame, segs: DataFrame, radiusFix: Long,
-                 level: Int, maxSpanFix: Long): DataFrame = {
-    val n = 1L << level
+                 level: Int, maxSpanFix: Long): DataFrame =
+    snapCandidates(points,
+      snapSegCover(segs, radiusFix, level, maxSpanFix), radiusFix, level)
+      // no distinct: a point maps to exactly ONE cell, so each (pid, seq)
+      // candidate is tested exactly once — straight to the group-by
+      .groupBy("pid", "way_id")
+      .agg(count(lit(1)).as("n_segs"))
+
+  /** The radius-expanded-bbox cell cover of a segment set (the static,
+    * reusable half of the snap join — streaming callers persist it for
+    * the life of the stream).
+    */
+  def snapSegCover(segs: DataFrame, radiusFix: Long, level: Int,
+                   maxSpanFix: Long): DataFrame = {
     val r = lit(radiusFix)
     def cl(c: Column) = greatest(lit(0L), c)
     val local = segs.filter(
       abs(col("x1") - col("x0")) <= maxSpanFix &&
       abs(col("y1") - col("y0")) <= maxSpanFix)
-    val segCells = local
+    local
       .withColumn("cy0", cl(Fns.cellY(least(col("y0"), col("y1")) - r, level)))
       .withColumn("cy1", cl(Fns.cellY(greatest(col("y0"), col("y1")) + r, level)))
       .withColumn("cell_x", explode(sequence(
@@ -849,6 +861,13 @@ object SpatialOps {
       .withColumn("cell_y", explode(sequence(col("cy0"), col("cy1"))))
       .select(col("way_id"), col("seq"), col("cell_x"), col("cell_y"),
         col("x0"), col("y0"), col("x1"), col("y1"))
+  }
+
+  /** Per-segment snap hits (pid, way_id, seq): the cell equi-join plus the
+    * exact distance refinement, against a prebuilt [[snapSegCover]].
+    */
+  def snapCandidates(points: DataFrame, segCells: DataFrame,
+                     radiusFix: Long, level: Int): DataFrame = {
     val ptCells = points.select(col("pid"), col("x").as("px"), col("y").as("py"),
       Fns.cellX(col("x"), level).as("cell_x"), Fns.cellY(col("y"), level).as("cell_y"))
     val dx = col("x1") - col("x0")
@@ -867,9 +886,6 @@ object SpatialOps {
     ptCells.join(segCells, Seq("cell_x", "cell_y"))
       .filter(within)
       .select(col("pid"), col("way_id"), col("seq"))
-      .distinct()
-      .groupBy("pid", "way_id")
-      .agg(count(lit(1)).as("n_segs"))
   }
 
   /** Raster→vector: connected components of occupied raster cells
@@ -988,6 +1004,39 @@ object SpatialOps {
     * positions × polys. `hits` rows must be distinct (a PIP join emits
     * each containment once).
     */
+  /** Stay-point extraction: segment each entity's ordered trace (entity,
+    * ts, x, y) into maximal runs where every consecutive STEP stays
+    * within `radiusFix` (planar), and keep runs of at least `minPts`
+    * observations — the dwell/visit detector of mobility mining (where
+    * did the entity stop, for how long). Spatial-gap sessionization: the
+    * same gaps-and-islands shape as time-gap sessions, with an exact
+    * integer step predicate (dist² > r² breaks the run) instead of a
+    * time threshold. One window partitioning (entity, ordered by ts)
+    * carries both the lag and the running break-count — a single
+    * shuffle+sort — then one group-by on (entity, run). Output: (entity,
+    * start_ts, end_ts, n_pings, min_x, max_x, min_y, max_y).
+    */
+  def stayPoints(track: DataFrame, radiusFix: Long, minPts: Int): DataFrame = {
+    val w = Window.partitionBy("entity").orderBy("ts")
+    val px = lag(col("x"), 1).over(w)
+    val py = lag(col("y"), 1).over(w)
+    val move2 = (col("x") - px) * (col("x") - px) +
+      (col("y") - py) * (col("y") - py)
+    val brk = when(px.isNull || move2 > lit(radiusFix) * lit(radiusFix), 1L)
+      .otherwise(0L)
+    track
+      .withColumn("brk", brk)
+      .withColumn("run", sum(col("brk")).over(w))
+      .groupBy(col("entity"), col("run"))
+      .agg(min("ts").as("start_ts"), max("ts").as("end_ts"),
+        count(lit(1)).as("n_pings"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .filter(col("n_pings") >= minPts)
+      .select(col("entity"), col("start_ts"), col("end_ts"), col("n_pings"),
+        col("min_x"), col("max_x"), col("min_y"), col("max_y"))
+  }
+
   def geofenceTransitions(track: DataFrame, hits: DataFrame): DataFrame = {
     val wTr = Window.partitionBy("entity").orderBy("ts")
     val tr = track.select(col("entity"), col("ts"))

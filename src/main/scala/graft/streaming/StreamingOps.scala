@@ -87,6 +87,26 @@ object StreamingOps {
       .select(col("qid"), col("pid"), col("dist_e3"))
   }
 
+  /** Streaming point-to-way snap — the stream-static twin of
+    * [[graft.operators.SpatialOps.snapToWays]]: live points (pid, x, y)
+    * matched to the static way segments within `radiusFix` (exact planar
+    * point-to-segment distance, identical refinement Columns). The static
+    * side's radius-expanded cell cover ([[graft.operators.SpatialOps
+    * .snapSegCover]]) is built once and persisted for the stream's
+    * lifetime; each micro-batch is then one narrow cell equi-join + exact
+    * refinement. A point lives in exactly one cell, so per-batch hits are
+    * already unique and the join is STATELESS — no watermark, no state
+    * store; the live map-matching shape (GPS ping → road candidates on
+    * ingest). Emits (pid, way_id, seq) per in-range segment; per-way
+    * aggregation is the consumer's downstream choice.
+    */
+  def snapStream(points: DataFrame, segs: DataFrame, radiusFix: Long,
+                 level: Int, maxSpanFix: Long): DataFrame = {
+    val cover = graft.operators.SpatialOps
+      .snapSegCover(segs, radiusFix, level, maxSpanFix).persist()
+    graft.operators.SpatialOps.snapCandidates(points, cover, radiusFix, level)
+  }
+
   /** Streaming point-in-interval join: live events (lid, key, ts_us)
     * against a STATIC interval table (rid, key, start_us, end_us) —
     * the streaming face of [[graft.operators.HistoryOps.intervalJoin]]

@@ -351,6 +351,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming snap == batch snapToWays across micro-batches, stateless") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = ss.sqlContext
+    val rnd = new scala.util.Random(41)
+    val segRows = (1 to 50).map { i =>
+      val bx = rnd.between(-40000000L, 40000000L)
+      val by = rnd.between(-40000000L, 40000000L)
+      (i.toLong, 1L + (i % 3), bx, by,
+        bx + rnd.between(-1500000L, 1500001L), by + rnd.between(-1500000L, 1500001L))
+    }
+    val ptRows = (1 to 300).map { i =>
+      (i.toLong, rnd.between(-42000000L, 42000000L), rnd.between(-42000000L, 42000000L))
+    }
+    val segsDf = segRows.toDF("way_id", "seq", "x0", "y0", "x1", "y1")
+    val r = 900000L
+    val input = MemoryStream[(Long, Long, Long)]
+    val sdf = input.toDF().toDF("pid", "x", "y")
+    val q = StreamingOps.snapStream(sdf, segsDf, r, 8, 20000000L)
+      .writeStream.format("memory").queryName("snapj").outputMode("append").start()
+    try {
+      val (b1, b2) = ptRows.splitAt(ptRows.size / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.sql("SELECT pid, way_id, seq FROM snapj").collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      assert(got.length === got.distinct.length) // one cell per point: no dupes
+      // regrouped streaming hits == the batch operator's per-way counts
+      val gotGrouped = got.groupBy(t => (t._1, t._2))
+        .map { case (k, g) => (k._1, k._2, g.size.toLong) }.toSet
+      val want = graft.operators.SpatialOps.snapToWays(
+          ptRows.toDF("pid", "x", "y"), segsDf, r, 8, 20000000L)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(gotGrouped === want)
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming geofence == batch transitions; state bounded by concurrent membership") {
     val ss = spark
     import ss.implicits._
