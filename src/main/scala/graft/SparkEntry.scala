@@ -821,6 +821,21 @@ object SparkEntry {
       GraphOps.pageRank(edges, 5)
     }),
 
+    // --- multi-source BFS hop distance over the link graph ---
+    "q_sssp" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count() // doc_ids are dense 0..n-1 (TESTDATA contract)
+      val edges = docs
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(0L), col("doc_id") % 4)).as("j"))
+        .withColumn("dst",
+          Fns.mixId(col("src") * 53 + col("j") * 17 + 1) % lit(n))
+        .filter(col("dst") =!= col("src"))
+      val sources = docs.filter(col("doc_id") % SsspSourceMod === 0)
+        .select(col("doc_id").as("node_id"))
+      GraphOps.hopDistance(edges, sources, SsspMaxHops)
+    }),
+
     // --- exact per-group discrete quantiles (histogram + cumsum) ---
     "q_quantiles" -> ((s, d) =>
       StatsOps.exactQuantiles(t(s, d, "documents"), "lang", "n_chars",
@@ -1044,6 +1059,10 @@ object SparkEntry {
   /** q_staypoints step tolerance (fix units) and minimum dwell length. */
   val StayRadius = 8000000L
   val StayMinPts = 3
+
+  /** q_sssp seed rule (doc_id % mod == 0) and BFS round bound. */
+  val SsspSourceMod = 101L
+  val SsspMaxHops = 6
 
   /** q_geofence entity count: pid % this is the tracked entity, pid the
     * observation time — ~N/199 positions per entity at every SF.
@@ -2560,6 +2579,25 @@ object SparkEntry {
     "q_knn_geo_auto" -> knnGeoSql(499),
 
     "q_pagerank" -> pageRankSql(5),
+
+    "q_sssp" ->
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT doc_id AS src, unnest(range(0, doc_id % 4 + 1)) AS j
+         |  FROM documents),
+         |edges AS (
+         |  SELECT DISTINCT src,
+         |    ${mixIdSql("src * 53 + j * 17 + 1")} %
+         |      (SELECT count(*) FROM documents) AS dst
+         |  FROM e0 WHERE ${mixIdSql("src * 53 + j * 17 + 1")} %
+         |      (SELECT count(*) FROM documents) <> src),
+         |reach AS (
+         |  SELECT doc_id AS node_id, 0 AS hops FROM documents
+         |  WHERE doc_id % $SsspSourceMod = 0
+         |  UNION
+         |  SELECT e.dst, r.hops + 1 FROM reach r JOIN edges e ON e.src = r.node_id
+         |  WHERE r.hops < $SsspMaxHops)
+         |SELECT node_id, CAST(min(hops) AS BIGINT) AS hops
+         |FROM reach GROUP BY 1""".stripMargin,
 
     "q_quantiles" ->
       """WITH hist AS (

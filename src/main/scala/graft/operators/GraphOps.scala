@@ -78,4 +78,51 @@ object GraphOps {
     scope.track(cached)
     ranks.select(col("node_id"), col("rank").as("rank_e6"))
   }
+
+  /** Multi-source BFS hop distance: for every node reachable from the
+    * source set within `maxHops` directed hops, the minimum hop count —
+    * crawl-frontier / link-neighborhood analytics (how far is every page
+    * from the seed list). Classic frontier propagation: each round is ONE
+    * shuffle join of the (persisted, deduplicated) edge list with the
+    * current frontier plus an anti-join against the visited set — no
+    * all-pairs reachability, no per-node path enumeration; rounds stop
+    * early when the frontier drains. The visited frame is persisted per
+    * round, the superseded round unpersisted, and the plan rebased
+    * through the cached RDD every round (same loop hygiene as
+    * [[pageRank]] / DedupOps.duplicateClusters — the analyzer never walks
+    * a depth-`maxHops` union chain).
+    *
+    * Input: edges (src, dst), sources (node_id). Output: (node_id, hops)
+    * with hops ∈ [0, maxHops]; unreached nodes are absent.
+    */
+  def hopDistance(edges: DataFrame, sources: DataFrame, maxHops: Int,
+                  scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    val e = scope.persist(edges.select(col("src"), col("dst")).distinct())
+    var cached = sources.select(col("node_id")).distinct()
+      .withColumn("hops", lit(0L)).persist()
+    var prevTotal = cached.count()
+    var visited: DataFrame = spark.createDataFrame(cached.rdd, cached.schema)
+    var frontier = visited
+    var h = 0L
+    var drained = false
+    while (h < maxHops && !drained) {
+      h += 1
+      val next = e.join(frontier.select(col("node_id")),
+          col("src") === col("node_id"))
+        .select(col("dst").as("node_id")).distinct()
+        .join(visited.select(col("node_id")), Seq("node_id"), "left_anti")
+        .withColumn("hops", lit(h))
+      val grown = visited.unionByName(next).persist()
+      val total = grown.count() // materialize before dropping the old round
+      drained = total == prevTotal
+      prevTotal = total
+      cached.unpersist(blocking = false)
+      cached = grown
+      visited = spark.createDataFrame(grown.rdd, grown.schema)
+      frontier = visited.filter(col("hops") === h)
+    }
+    scope.track(cached)
+    visited
+  }
 }
