@@ -993,20 +993,13 @@ object SparkEntry {
 
     // --- geofence enter/exit transitions (PIP membership change-points) ---
     // --- stay-point extraction (dwell runs on an excursion trace) ---
-    "q_staypoints" -> ((s, d) => {
-      // trace with excursions: small jitter (< 3e6) normally, a 1-in-7
-      // long hop per axis — runs form between hops, so stays are real
-      val mx = Fns.mixId(col("pid") * lit(2L))
-      val my = Fns.mixId(col("pid") * lit(2L) + lit(1L))
-      val x = when(mx % 7 === 0, mx % lit(100000000L)).otherwise(lit(0L)) +
-        (mx % lit(3000000L))
-      val y = when(my % 7 === 0, my % lit(100000000L)).otherwise(lit(0L)) +
-        (my % lit(3000000L))
-      val track = Synth.points(s, d).select(
-        (col("pid") % GeofenceEntities).as("entity"), col("pid").as("ts"),
-        x.as("x"), y.as("y"))
-      SpatialOps.stayPoints(track, StayRadius, StayMinPts)
-    }),
+    "q_staypoints" -> ((s, d) =>
+      SpatialOps.stayPoints(excursionTrack(s, d), StayRadius, StayMinPts)),
+
+    // --- origin–destination flow matrix (consecutive stays → trips) ---
+    "q_od" -> ((s, d) => SpatialOps.odMatrix(
+      SpatialOps.stayPoints(excursionTrack(s, d), StayRadius, StayMinPts),
+      OdCellFix)),
 
     "q_geofence" -> ((s, d) => {
       val pts = Synth.points(s, d)
@@ -1055,6 +1048,27 @@ object SparkEntry {
 
   /** q_sample_sys slot count (target sample size). */
   val SampleSysK = 97L
+
+  /** Excursion trace for the mobility queries (q_staypoints, q_od):
+    * small jitter (< 3e6) normally, a 1-in-7 long hop per axis — runs
+    * form between hops, so stays are real.
+    */
+  private def excursionTrack(s: SparkSession, d: String): DataFrame = {
+    val mx = Fns.mixId(col("pid") * lit(2L))
+    val my = Fns.mixId(col("pid") * lit(2L) + lit(1L))
+    val x = when(mx % 7 === 0, mx % lit(100000000L)).otherwise(lit(0L)) +
+      (mx % lit(3000000L))
+    val y = when(my % 7 === 0, my % lit(100000000L)).otherwise(lit(0L)) +
+      (my % lit(3000000L))
+    Synth.points(s, d).select(
+      (col("pid") % GeofenceEntities).as("entity"), col("pid").as("ts"),
+      x.as("x"), y.as("y"))
+  }
+
+  /** q_od grid pitch (fix units, 0.06°) — sized so the excursion trace's
+    * jitter span (3e6) covers a 5x5 cell block and the matrix is dense.
+    */
+  val OdCellFix = 600000L
 
   /** q_staypoints step tolerance (fix units) and minimum dwell length. */
   val StayRadius = 8000000L
@@ -1233,6 +1247,40 @@ object SparkEntry {
     * scatter; every intermediate < 2^62 so DuckDB's non-wrapping BIGINT
     * arithmetic never overflows) — shared by the IVF/PQ sampler oracles.
     */
+  /** CTE chain ending in `stay` — the staypoint table of the synthetic
+    * excursion trace (twin of [[excursionTrack]] + SpatialOps.stayPoints),
+    * shared by the q_staypoints and q_od oracles.
+    */
+  private lazy val stayCtesSql: String =
+    s"""p AS ($P),
+       |m AS (SELECT pid % $GeofenceEntities AS entity, pid AS ts,
+       |    ${mixIdSql("pid * 2")} AS mx, ${mixIdSql("pid * 2 + 1")} AS my
+       |  FROM p),
+       |tr AS (SELECT entity, ts,
+       |    CASE WHEN mx % 7 = 0 THEN mx % 100000000 ELSE 0 END
+       |      + mx % 3000000 AS x,
+       |    CASE WHEN my % 7 = 0 THEN my % 100000000 ELSE 0 END
+       |      + my % 3000000 AS y
+       |  FROM m),
+       |st AS (SELECT entity, ts, x, y,
+       |    lag(x) OVER w AS px, lag(y) OVER w AS py
+       |  FROM tr WINDOW w AS (PARTITION BY entity ORDER BY ts)),
+       |br AS (SELECT entity, ts, x, y,
+       |    CASE WHEN px IS NULL
+       |      OR (x - px) * (x - px) + (y - py) * (y - py)
+       |         > ${StayRadius * StayRadius}
+       |      THEN 1 ELSE 0 END AS brk
+       |  FROM st),
+       |rn AS (SELECT entity, ts, x, y,
+       |    sum(brk) OVER (PARTITION BY entity ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS run
+       |  FROM br),
+       |stay AS (SELECT entity, min(ts) AS start_ts, max(ts) AS end_ts,
+       |  CAST(count(*) AS BIGINT) AS n_pings,
+       |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+       |FROM rn GROUP BY entity, run
+       |HAVING count(*) >= $StayMinPts)""".stripMargin
+
   private def mixIdSql(e: String): String = {
     val M = "2147483647"
     def xs(z: String) = s"xor(($z), (($z) >> 16))"
@@ -2784,34 +2832,25 @@ object SparkEntry {
     },
 
     "q_staypoints" ->
-      s"""WITH p AS ($P),
-         |m AS (SELECT pid % $GeofenceEntities AS entity, pid AS ts,
-         |    ${mixIdSql("pid * 2")} AS mx, ${mixIdSql("pid * 2 + 1")} AS my
-         |  FROM p),
-         |tr AS (SELECT entity, ts,
-         |    CASE WHEN mx % 7 = 0 THEN mx % 100000000 ELSE 0 END
-         |      + mx % 3000000 AS x,
-         |    CASE WHEN my % 7 = 0 THEN my % 100000000 ELSE 0 END
-         |      + my % 3000000 AS y
-         |  FROM m),
-         |st AS (SELECT entity, ts, x, y,
-         |    lag(x) OVER w AS px, lag(y) OVER w AS py
-         |  FROM tr WINDOW w AS (PARTITION BY entity ORDER BY ts)),
-         |br AS (SELECT entity, ts, x, y,
-         |    CASE WHEN px IS NULL
-         |      OR (x - px) * (x - px) + (y - py) * (y - py)
-         |         > ${StayRadius * StayRadius}
-         |      THEN 1 ELSE 0 END AS brk
-         |  FROM st),
-         |rn AS (SELECT entity, ts, x, y,
-         |    sum(brk) OVER (PARTITION BY entity ORDER BY ts
-         |      ROWS UNBOUNDED PRECEDING) AS run
-         |  FROM br)
-         |SELECT entity, min(ts) AS start_ts, max(ts) AS end_ts,
-         |  CAST(count(*) AS BIGINT) AS n_pings,
-         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
-         |FROM rn GROUP BY entity, run
-         |HAVING count(*) >= $StayMinPts""".stripMargin,
+      s"""WITH $stayCtesSql
+         |SELECT entity, start_ts, end_ts, n_pings,
+         |  min_x, max_x, min_y, max_y FROM stay""".stripMargin,
+
+    "q_od" ->
+      s"""WITH $stayCtesSql,
+         |oc AS (SELECT entity, start_ts, end_ts,
+         |    ((min_x + max_x) // 2) // $OdCellFix AS cx,
+         |    ((min_y + max_y) // 2) // $OdCellFix AS cy
+         |  FROM stay),
+         |tp AS (SELECT entity, start_ts,
+         |    lag(cx) OVER w AS from_cx, lag(cy) OVER w AS from_cy,
+         |    lag(end_ts) OVER w AS from_end, cx AS to_cx, cy AS to_cy
+         |  FROM oc WINDOW w AS (PARTITION BY entity ORDER BY start_ts))
+         |SELECT from_cx, from_cy, to_cx, to_cy,
+         |  CAST(count(*) AS BIGINT) AS n_trips,
+         |  CAST(sum(start_ts - from_end) AS BIGINT) AS transit_sum
+         |FROM tp WHERE from_cx IS NOT NULL
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
 
     "q_sample_sys" ->
       s"""WITH d AS (

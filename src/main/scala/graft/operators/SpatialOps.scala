@@ -1037,6 +1037,41 @@ object SpatialOps {
         col("min_x"), col("max_x"), col("min_y"), col("max_y"))
   }
 
+  /** Origin–destination flow matrix over stay-points: consecutive stays
+    * of an entity (ordered by start_ts) form one directed trip from the
+    * earlier stay's grid cell to the later one's — the mobility-mining
+    * rollup downstream of [[stayPoints]] (commute matrices, inter-region
+    * flow maps). A stay's representative point is its bounding-box
+    * center (floor halving — exact integer), assigned to a
+    * `cellFix`-sized grid cell by floor division, so the matrix is
+    * engine-exact. Output: (from_cx, from_cy, to_cx, to_cy, n_trips,
+    * transit_sum) with transit_sum the total inter-stay gap
+    * (to.start_ts − from.end_ts).
+    *
+    * Scale posture: the input is the already-aggregated stay table
+    * (orders of magnitude smaller than the ping trace); one window
+    * shuffle on entity pairs the stays, one map-combined groupBy builds
+    * the matrix. Nothing re-touches the raw trace, and the matrix keyed
+    * by cell pair is bounded by the grid, not the fleet.
+    */
+  def odMatrix(stays: DataFrame, cellFix: Long): DataFrame = {
+    val w = Window.partitionBy("entity").orderBy("start_ts")
+    val cx = Fns.idiv(Fns.idiv(col("min_x") + col("max_x"), 2L), cellFix)
+    val cy = Fns.idiv(Fns.idiv(col("min_y") + col("max_y"), 2L), cellFix)
+    stays
+      .select(col("entity"), col("start_ts"), col("end_ts"),
+        cx.as("cx"), cy.as("cy"))
+      .select(col("entity"), col("start_ts"),
+        lag(col("cx"), 1).over(w).as("from_cx"),
+        lag(col("cy"), 1).over(w).as("from_cy"),
+        lag(col("end_ts"), 1).over(w).as("from_end"),
+        col("cx").as("to_cx"), col("cy").as("to_cy"))
+      .filter(col("from_cx").isNotNull)
+      .groupBy("from_cx", "from_cy", "to_cx", "to_cy")
+      .agg(count(lit(1)).as("n_trips"),
+        sum(col("start_ts") - col("from_end")).as("transit_sum"))
+  }
+
   def geofenceTransitions(track: DataFrame, hits: DataFrame): DataFrame = {
     val wTr = Window.partitionBy("entity").orderBy("ts")
     val tr = track.select(col("entity"), col("ts"))

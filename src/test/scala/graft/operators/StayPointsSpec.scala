@@ -63,6 +63,28 @@ class StayPointsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.nonEmpty)
   }
 
+  test("odMatrix pairs consecutive stays per entity into directed cell flows") {
+    val s = spark; import s.implicits._
+    // (entity, start_ts, end_ts, min_x, max_x, min_y, max_y); cell = 100
+    val stays = Seq(
+      (1L, 10L, 20L, 0L, 50L, 0L, 50L),        // center (25,25)  -> cell (0,0)
+      (1L, 30L, 40L, 250L, 350L, 0L, 50L),     // center (300,25) -> cell (3,0)
+      (1L, 50L, 60L, 250L, 350L, 0L, 50L),     // same cell again (self-flow)
+      (2L, 5L, 15L, 199L, 200L, 100L, 100L),   // center floor((199+200)/2)=199 -> (1,1)
+      (2L, 90L, 95L, 0L, 0L, 0L, 0L))          // -> (0,0)
+    val got = SpatialOps.odMatrix(
+        stays.toDF("entity", "start_ts", "end_ts",
+          "min_x", "max_x", "min_y", "max_y"), 100L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got === Set(
+      (0L, 0L, 3L, 0L, 1L, 10L),   // entity 1 first hop, transit 30-20
+      (3L, 0L, 3L, 0L, 1L, 10L),   // entity 1 dwell-to-dwell same cell
+      (1L, 1L, 0L, 0L, 1L, 75L)))  // entity 2, transit 90-15
+  }
+
   test("boundary: a step of exactly r keeps the run (inclusive)") {
     val s = spark; import s.implicits._
     val rows = Seq(
