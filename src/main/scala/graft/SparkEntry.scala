@@ -387,6 +387,15 @@ object SparkEntry {
       SketchOps.hllDistinctWithExact(withFp, "lang", col("fp"), m = 256)
     }),
 
+    // KMV bottom-k distinct sketch per language — the mergeable key-space
+    // SAMPLE (set intersections across groups), WindowGroupLimit keeps
+    // at most k rows per group per map partition pre-shuffle
+    "q_kmv" -> ((s, d) => {
+      val withFp = t(s, d, "documents").select(col("lang"),
+        graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fp"))
+      SketchOps.kmvSketch(withFp, "lang", col("fp"), KmvK)
+    }),
+
     // deterministic train/valid/test split + per-source mixture sampling:
     // both decisions hash the CONTENT (docFingerprint), not the id, so
     // re-sharding or re-crawling the corpus never migrates a doc across
@@ -1070,6 +1079,12 @@ object SparkEntry {
     */
   val OdCellFix = 600000L
 
+  /** q_kmv sample size — small enough that some languages fall below it
+    * at sf0.001 (exercising the exact-count branch), large enough that
+    * none do at sf0.01 (exercising the estimator).
+    */
+  val KmvK = 64
+
   /** q_staypoints step tolerance (fix units) and minimum dwell length. */
   val StayRadius = 8000000L
   val StayMinPts = 3
@@ -1299,16 +1314,22 @@ object SparkEntry {
   /** Full q_hll oracle at register count m — every constant derives from
     * core.Hll so a parameter change cannot drift between the engines.
     */
-  private def hllSql(m: Int): String = {
-    import graft.core.Hll
-    s"""WITH toks AS (
+  /** toks/fps CTE pair: per-doc (lang, fp) with fp the docFingerprint
+    * twin — shared by the q_hll and q_kmv oracles.
+    */
+  private lazy val fpsCtesSql: String =
+    s"""toks AS (
        |  SELECT doc_id, ${tokenHashSql("tok")} AS h FROM (
        |    SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents)),
        |fps AS (
        |  SELECT d.doc_id, d.lang,
        |    coalesce((SELECT CAST(sum(h) AS BIGINT) % 2305843009213693951
        |      FROM toks WHERE toks.doc_id = d.doc_id), 0) AS fp
-       |  FROM documents d),
+       |  FROM documents d)""".stripMargin
+
+  private def hllSql(m: Int): String = {
+    import graft.core.Hll
+    s"""WITH $fpsCtesSql,
        |rr AS (
        |  SELECT lang, fp,
        |    fp % $m AS reg,
@@ -2406,6 +2427,25 @@ object SparkEntry {
     "q_hll" -> hllSql(graft.core.Hll.M),
 
     "q_hll_m256" -> hllSql(256),
+
+    "q_kmv" -> {
+      val numer =
+        (KmvK - 1).toDouble * operators.SketchOps.KmvDomain.toDouble
+      s"""WITH $fpsCtesSql,
+         |dh AS (SELECT DISTINCT lang, fp AS h FROM fps),
+         |sm AS (SELECT lang, h FROM dh
+         |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY h) <= $KmvK),
+         |ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS k_used,
+         |    max(h) AS kth_h FROM sm GROUP BY 1),
+         |ex AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM dh GROUP BY 1)
+         |SELECT ag.lang, k_used, kth_h,
+         |  CASE WHEN k_used < $KmvK THEN k_used
+         |    ELSE CAST(round($numer / CAST(kth_h AS DOUBLE)) AS BIGINT)
+         |  END AS est,
+         |  n_exact
+         |FROM ag JOIN ex ON ag.lang = ex.lang""".stripMargin
+    },
 
     "q_split" ->
       s"""WITH toks AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Hll
 
@@ -88,6 +89,51 @@ object SketchOps {
       groupCol, Seq(sum("__nd").as("n_exact")), m)
       .select(col(groupCol), col("n_regs"), col("reg_sum"), col("est_e3"),
         col("n_exact"))
+
+  /** The [[graft.plans.TextHashExpressions.docFingerprint]] hash domain
+    * (2^61 − 1): KMV's estimator scales the k-th minimum against it.
+    */
+  val KmvDomain = 2305843009213693951L
+
+  /** KMV (k-minimum-values / bottom-k) distinct sketch per group: keep
+    * the k smallest DISTINCT hash values; with hashes uniform on
+    * [0, KmvDomain), est = (k−1)·domain / h_k. The third sketch of the
+    * family — unlike HLL it is a SAMPLE of the key space, so two
+    * groups' sketches intersect/union meaningfully (Jaccard between
+    * corpora without a full join), and unlike CMS it answers distinct,
+    * not frequency. Deterministic cross-engine: the sample is an exact
+    * set function of the hashes; the estimate is one IEEE multiply
+    * constant-folded at plan time and one division, rounded to e0.
+    * Groups with fewer than k distinct values report their EXACT count.
+    *
+    * Plan shape: distinct on (group, h) is a map-combined groupBy; the
+    * rank-≤-k filter on a literal compiles to WindowGroupLimit (partial
+    * per-map-side limits BEFORE the shuffle — at most k rows per group
+    * per partition cross the wire); the exact distinct count rides the
+    * same distinct frame as a second tiny agg. No full sort, no
+    * collect_set, state bounded by k per group everywhere.
+    *
+    * Output: (group, k_used, kth_h, est, n_exact).
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, hashCol: Column,
+                k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val numer = (k - 1).toDouble * KmvDomain.toDouble
+    val dh = df.select(col(groupCol), hashCol.as("h")).distinct()
+    val sample = dh
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(groupCol).orderBy("h")))
+      .filter(col("rn") <= k)
+    val sketch = sample.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("k_used"), max("h").as("kth_h"))
+      .withColumn("est", when(col("k_used") < k, col("k_used"))
+        .otherwise(round(lit(numer) / col("kth_h").cast("double"))
+          .cast("long")))
+    val exact = dh.groupBy(col(groupCol)).agg(count(lit(1)).as("n_exact"))
+    sketch.join(exact, Seq(groupCol))
+      .select(col(groupCol), col("k_used"), col("kth_h"), col("est"),
+        col("n_exact"))
+  }
 
   /** Count-Min sketch defaults: d=4 rows of w=1024 counters — at N total
     * occurrences the point-estimate over-count is <= e·N/w with

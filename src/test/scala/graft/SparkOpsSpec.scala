@@ -1028,6 +1028,36 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("KMV bottom-k sketch: exact sample, estimator envelope, small-group exact branch") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val big = Iterator.continually(rnd.nextLong() & ((1L << 61) - 1))
+      .distinct.take(20000).toSeq
+    val small = Iterator.continually(rnd.nextLong() & ((1L << 61) - 1))
+      .distinct.take(30).toSeq
+    // duplicates must not perturb the distinct sample
+    val df = (big.map(("big", _)) ++ small.flatMap(h => Seq(("small", h), ("small", h))))
+      .toDF("g", "fp")
+    val rows = SketchOps.kmvSketch(df, "g", col("fp"), 256).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rb = rows("big")
+    val kth = big.sorted.apply(255)
+    assert(rb.getLong(1) === 256L && rb.getLong(2) === kth)
+    assert(rb.getLong(3) ===
+      math.round(255.0 * SketchOps.KmvDomain.toDouble / kth.toDouble))
+    val est = rb.getLong(3).toDouble
+    // KMV sigma ~ 1/sqrt(k-2) ~ 6.3% at k=256; assert within ~4 sigma
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.25, s"estimate $est vs 20000")
+    assert(rb.getLong(4) === 20000L)
+    val rs = rows("small")
+    assert(rs.getLong(1) === 30L && rs.getLong(3) === 30L && rs.getLong(4) === 30L)
+    // the rank<=k filter must push down as WindowGroupLimit (partial
+    // per-partition limits pre-shuffle), not a full window sort
+    val plan = SketchOps.kmvSketch(df, "g", col("fp"), 256)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
+  }
+
   test("HLL with configurable m=256: tighter envelope, column/kernel parity") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(11)
