@@ -818,32 +818,18 @@ object SparkEntry {
     }),
 
     // --- link-graph rank (fixed-point integer PageRank, 5 rounds) ---
-    "q_pagerank" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val n = docs.count() // doc_ids are dense 0..n-1 (TESTDATA contract)
-      val edges = docs
-        .select(col("doc_id").as("src"),
-          explode(sequence(lit(0L), col("doc_id") % 4)).as("j"))
-        .withColumn("dst",
-          Fns.mixId(col("src") * 53 + col("j") * 17 + 1) % lit(n))
-        .filter(col("dst") =!= col("src"))
-      GraphOps.pageRank(edges, 5)
-    }),
+    "q_pagerank" -> ((s, d) => GraphOps.pageRank(linkEdges(s, d), 5)),
 
     // --- multi-source BFS hop distance over the link graph ---
     "q_sssp" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val n = docs.count() // doc_ids are dense 0..n-1 (TESTDATA contract)
-      val edges = docs
-        .select(col("doc_id").as("src"),
-          explode(sequence(lit(0L), col("doc_id") % 4)).as("j"))
-        .withColumn("dst",
-          Fns.mixId(col("src") * 53 + col("j") * 17 + 1) % lit(n))
-        .filter(col("dst") =!= col("src"))
-      val sources = docs.filter(col("doc_id") % SsspSourceMod === 0)
+      val sources = t(s, d, "documents")
+        .filter(col("doc_id") % SsspSourceMod === 0)
         .select(col("doc_id").as("node_id"))
-      GraphOps.hopDistance(edges, sources, SsspMaxHops)
+      GraphOps.hopDistance(linkEdges(s, d), sources, SsspMaxHops)
     }),
+
+    // --- per-node triangle counts (degree-ordered orientation) ---
+    "q_triangles" -> ((s, d) => GraphOps.triangleCounts(linkEdges(s, d))),
 
     // --- exact per-group discrete quantiles (histogram + cumsum) ---
     "q_quantiles" -> ((s, d) =>
@@ -1092,6 +1078,24 @@ object SparkEntry {
   /** q_sssp seed rule (doc_id % mod == 0) and BFS round bound. */
   val SsspSourceMod = 101L
   val SsspMaxHops = 6
+
+  /** The synthetic link graph shared by the graph queries (q_pagerank,
+    * q_sssp, q_triangles, q_wsssp): each doc links to 1-4 mixId-scattered
+    * targets — a deterministic stand-in for hyperlinks extracted from the
+    * html column. Parallel edges/self-loops may occur; every consumer
+    * dedupes per its own contract. SQL twin: [[linkEdgesSql]].
+    */
+  private def linkEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val n = docs.count() // doc_ids are dense 0..n-1 (TESTDATA contract)
+    docs
+      .select(col("doc_id").as("src"),
+        explode(sequence(lit(0L), col("doc_id") % 4)).as("j"))
+      .withColumn("dst",
+        Fns.mixId(col("src") * 53 + col("j") * 17 + 1) % lit(n))
+      .filter(col("dst") =!= col("src"))
+      .select("src", "dst")
+  }
 
   /** q_geofence entity count: pid % this is the tracked entity, pid the
     * observation time — ~N/199 positions per entity at every SF.
@@ -1534,6 +1538,20 @@ object SparkEntry {
     * graph (every constant derives from GraphOps so a parameter change
     * cannot drift; `pr` not `rank` as the column name — DuckDB keyword).
     */
+  /** [[linkEdges]] twin: the `edges` CTE (plus its `e0` feeder) —
+    * DISTINCT here because every Scala-side consumer dedupes too.
+    */
+  private lazy val linkEdgesSql: String =
+    s"""e0 AS (
+       |  SELECT doc_id AS src, unnest(range(0, doc_id % 4 + 1)) AS j
+       |  FROM documents),
+       |edges AS (
+       |  SELECT DISTINCT src,
+       |    ${mixIdSql("src * 53 + j * 17 + 1")} %
+       |      (SELECT count(*) FROM documents) AS dst
+       |  FROM e0 WHERE ${mixIdSql("src * 53 + j * 17 + 1")} %
+       |      (SELECT count(*) FROM documents) <> src)""".stripMargin
+
   private def pageRankSql(iters: Int): String = {
     import graft.operators.GraphOps.{DampingPct, RankScale}
     val base = (100 - DampingPct) * (RankScale / 100)
@@ -1548,15 +1566,7 @@ object SparkEntry {
          |    $base + ($DampingPct * coalesce(c.in_sum, 0)) // 100 AS pr
          |  FROM nodes nd LEFT JOIN c$i c USING (node_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e0 AS (
-       |  SELECT doc_id AS src, unnest(range(0, doc_id % 4 + 1)) AS j
-       |  FROM documents),
-       |edges AS (
-       |  SELECT DISTINCT src,
-       |    ${mixIdSql("src * 53 + j * 17 + 1")} %
-       |      (SELECT count(*) FROM documents) AS dst
-       |  FROM e0 WHERE ${mixIdSql("src * 53 + j * 17 + 1")} %
-       |      (SELECT count(*) FROM documents) <> src),
+    s"""WITH $linkEdgesSql,
        |nodes AS (SELECT src AS node_id FROM edges
        |  UNION SELECT dst FROM edges),
        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
@@ -2669,15 +2679,7 @@ object SparkEntry {
     "q_pagerank" -> pageRankSql(5),
 
     "q_sssp" ->
-      s"""WITH RECURSIVE e0 AS (
-         |  SELECT doc_id AS src, unnest(range(0, doc_id % 4 + 1)) AS j
-         |  FROM documents),
-         |edges AS (
-         |  SELECT DISTINCT src,
-         |    ${mixIdSql("src * 53 + j * 17 + 1")} %
-         |      (SELECT count(*) FROM documents) AS dst
-         |  FROM e0 WHERE ${mixIdSql("src * 53 + j * 17 + 1")} %
-         |      (SELECT count(*) FROM documents) <> src),
+      s"""WITH RECURSIVE $linkEdgesSql,
          |reach AS (
          |  SELECT doc_id AS node_id, 0 AS hops FROM documents
          |  WHERE doc_id % $SsspSourceMod = 0
@@ -2686,6 +2688,21 @@ object SparkEntry {
          |  WHERE r.hops < $SsspMaxHops)
          |SELECT node_id, CAST(min(hops) AS BIGINT) AS hops
          |FROM reach GROUP BY 1""".stripMargin,
+
+    // independent formulation: the orientation trick is a Spark-side
+    // perf strategy; the oracle counts triangles directly as the ordered
+    // 3-clique join a < b < c, each corner credited once
+    "q_triangles" ->
+      s"""WITH $linkEdgesSql,
+         |ec AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ec e1 JOIN ec e2 ON e2.a = e1.b
+         |  JOIN ec e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |pn AS (SELECT unnest([x, y, z]) AS node_id FROM tri)
+         |SELECT node_id, CAST(count(*) AS BIGINT) AS n_tri
+         |FROM pn GROUP BY 1""".stripMargin,
 
     "q_quantiles" ->
       """WITH hist AS (

@@ -79,6 +79,61 @@ object GraphOps {
     ranks.select(col("node_id"), col("rank").as("rank_e6"))
   }
 
+  /** Per-node triangle participation counts over the undirected simple
+    * graph — the local clustering signal of a link graph (spam farms and
+    * boilerplate navigation rings are triangle-dense; genuine editorial
+    * link neighborhoods are sparse). Direction is ignored: edges are
+    * canonicalized to (a = min, b = max), self-loops and parallel edges
+    * collapse.
+    *
+    * Scale posture: the classic degree-ordered orientation. Every edge is
+    * oriented from its lower-(degree, id) endpoint to the higher, which
+    * makes each triangle countable exactly once at its minimum-ranked
+    * vertex and bounds every oriented out-degree by O(√m) — so the wedge
+    * self-join (the only superlinear step) emits Σ C(outdeg⁺, 2) ≤ O(m^1.5)
+    * rows worst-case instead of Σ C(deg, 2), which a power-law hub would
+    * otherwise drive quadratic. Three shuffles total: degree agg, wedge
+    * self-join on the pivot, closure join on the wedge endpoints; the
+    * oriented edge frame is computed once and persisted across its three
+    * uses. No per-node adjacency materialization, no driver state.
+    *
+    * Output: (node_id, n_tri) — nodes in no triangle are absent.
+    */
+  def triangleCounts(edges: DataFrame,
+                     scope: CacheScope = CacheScope.global): DataFrame = {
+    val ec = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = ec.select(col("a").as("v"))
+      .unionByName(ec.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = ec
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // orient low-(deg, id) -> high-(deg, id); carry the head's rank so
+    // wedge endpoints can be ordered without re-joining degrees
+    val oriented = scope.persist(withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v"),
+      when(fwd, col("db")).otherwise(col("da")).as("dv")))
+    val o1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val o2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    // wedges at the minimum-ranked vertex, endpoints in rank order —
+    // the closing edge (if any) is oriented exactly v1 -> v2
+    val wedges = o1.join(o2, "u")
+      .filter(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    val tris = wedges
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")),
+        Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("n_tri"))
+  }
+
   /** Multi-source BFS hop distance: for every node reachable from the
     * source set within `maxHops` directed hops, the minimum hop count —
     * crawl-frontier / link-neighborhood analytics (how far is every page

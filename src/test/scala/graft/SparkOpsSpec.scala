@@ -1028,6 +1028,34 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("triangle counts: orientation correctness on known + random graphs") {
+    val s = spark; import s.implicits._
+    // triangle 1-2-3 (one edge reversed+duplicated), square 4-5-6-7 with
+    // diagonal 4-6 (two triangles), pendant 8, self-loop 9
+    val fixed = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 4L), (4L, 6L), (7L, 8L), (9L, 9L))
+      .toDF("src", "dst")
+    val got = GraphOps.triangleCounts(fixed).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 2L, 5L -> 1L, 6L -> 2L, 7L -> 1L))
+    // random graph vs brute force (includes hubs: ids mod-clustered)
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(120)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val canon = edges.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      Seq(x, y, z) <- nodes.combinations(3)
+      if canon((x, y)) && canon((y, z)) && canon((x, z))
+      v <- Seq(x, y, z)
+    } expected(v) = expected.getOrElse(v, 0L) + 1L
+    val got2 = GraphOps.triangleCounts(edges.toDF("src", "dst")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 === expected.toMap)
+  }
+
   test("KMV bottom-k sketch: exact sample, estimator envelope, small-group exact branch") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(23)
