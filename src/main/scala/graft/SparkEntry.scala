@@ -831,6 +831,16 @@ object SparkEntry {
     // --- per-node triangle counts (degree-ordered orientation) ---
     "q_triangles" -> ((s, d) => GraphOps.triangleCounts(linkEdges(s, d))),
 
+    // --- weighted shortest paths (frontier Bellman-Ford) ---
+    "q_wsssp" -> ((s, d) => {
+      val weighted = linkEdges(s, d).select(col("src"), col("dst"),
+        (Fns.mixId(col("src") * 31 + col("dst") * 13 + 7) % 1000 + 1).as("w"))
+      val sources = t(s, d, "documents")
+        .filter(col("doc_id") % SsspSourceMod === 0)
+        .select(col("doc_id").as("node_id"))
+      GraphOps.weightedDistance(weighted, sources, SsspMaxHops)
+    }),
+
     // --- exact per-group discrete quantiles (histogram + cumsum) ---
     "q_quantiles" -> ((s, d) =>
       StatsOps.exactQuantiles(t(s, d, "documents"), "lang", "n_chars",
@@ -2687,6 +2697,23 @@ object SparkEntry {
          |  SELECT e.dst, r.hops + 1 FROM reach r JOIN edges e ON e.src = r.node_id
          |  WHERE r.hops < $SsspMaxHops)
          |SELECT node_id, CAST(min(hops) AS BIGINT) AS hops
+         |FROM reach GROUP BY 1""".stripMargin,
+
+    // min-over-bounded-hop-paths == Bellman-Ford after the same number
+    // of rounds (the Spark side's early exit only fires once converged,
+    // when extra rounds are identity)
+    "q_wsssp" ->
+      s"""WITH RECURSIVE $linkEdgesSql,
+         |we AS (SELECT src, dst,
+         |  ${mixIdSql("src * 31 + dst * 13 + 7")} % 1000 + 1 AS w FROM edges),
+         |reach AS (
+         |  SELECT doc_id AS node_id, CAST(0 AS BIGINT) AS dist, 0 AS hops
+         |  FROM documents WHERE doc_id % $SsspSourceMod = 0
+         |  UNION
+         |  SELECT e.dst, r.dist + e.w, r.hops + 1
+         |  FROM reach r JOIN we e ON e.src = r.node_id
+         |  WHERE r.hops < $SsspMaxHops)
+         |SELECT node_id, CAST(min(dist) AS BIGINT) AS dist
          |FROM reach GROUP BY 1""".stripMargin,
 
     // independent formulation: the orientation trick is a Spark-side

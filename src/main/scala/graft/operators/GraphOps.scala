@@ -79,6 +79,61 @@ object GraphOps {
     ranks.select(col("node_id"), col("rank").as("rank_e6"))
   }
 
+  /** Weighted multi-source shortest paths, distributed Bellman-Ford:
+    * after round k every node holds the minimum total weight over
+    * directed paths of ≤ k edges from the source set; rounds stop early
+    * once a round improves nothing, at which point the distances are the
+    * true shortest paths (non-negative integer weights). The crawl-cost
+    * twin of [[hopDistance]] — hops answer "how far", weights answer
+    * "how expensive" (latency, politeness budget, link quality).
+    *
+    * Scale posture: per round one shuffle join of the persisted edge list
+    * with the IMPROVED-last-round frontier (not the whole state) plus one
+    * min-aggregation — the delta-stepping-style frontier keeps late
+    * rounds cheap as convergence localizes. The state row is
+    * (node_id, dist, r) where r is the round that last improved the
+    * node: `min(struct(dist, r))` merges candidates exactly (ties keep
+    * the EARLIER round, so an equal re-derivation never re-activates a
+    * node), and `r == round` recovers the next frontier without a
+    * second materialization. Same loop hygiene as [[pageRank]]: persist
+    * per round, unpersist the superseded round, rebase the plan through
+    * the cached RDD every round.
+    *
+    * Input: edges (src, dst, w) with w a non-negative long; sources
+    * (node_id). Output: (node_id, dist); unreached nodes are absent.
+    */
+  def weightedDistance(edges: DataFrame, sources: DataFrame, maxRounds: Int,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    val e = scope.persist(
+      edges.select(col("src"), col("dst"), col("w")).distinct())
+    var cached = sources.select(col("node_id")).distinct()
+      .withColumn("dist", lit(0L)).withColumn("r", lit(0)).persist()
+    cached.count()
+    var state = spark.createDataFrame(cached.rdd, cached.schema)
+    var frontier = state
+    var round = 0
+    var drained = false
+    while (round < maxRounds && !drained) {
+      round += 1
+      val cand = e.join(frontier, col("src") === col("node_id"))
+        .select(col("dst").as("node_id"), (col("dist") + col("w")).as("dist"),
+          lit(round).as("r"))
+      val merged = state.unionByName(cand)
+        .groupBy("node_id").agg(min(struct(col("dist"), col("r"))).as("m"))
+        .select(col("node_id"), col("m.dist").as("dist"), col("m.r").as("r"))
+        .persist()
+      merged.count() // materialize before dropping the previous round
+      cached.unpersist(blocking = false)
+      cached = merged
+      state = spark.createDataFrame(merged.rdd, merged.schema)
+      frontier = state.filter(col("r") === round)
+      drained = frontier.count() == 0
+    }
+    scope.track(cached)
+    state.select(col("node_id"), col("dist"))
+  }
+
   /** Per-node triangle participation counts over the undirected simple
     * graph — the local clustering signal of a link graph (spam farms and
     * boilerplate navigation rings are triangle-dense; genuine editorial

@@ -1028,6 +1028,23 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("weighted shortest paths: cheaper multi-hop beats direct edge, round bound truncates") {
+    val s = spark; import s.implicits._
+    // direct 1->2 costs 10 but 1->3->2 costs 5; chain 1->5->6->7 probes
+    // the round bound; 4 hangs off the min path
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 2L), (3L, 2L, 3L), (2L, 4L, 1L),
+      (1L, 5L, 1L), (5L, 6L, 1L), (6L, 7L, 1L)).toDF("src", "dst", "w")
+    val src = Seq(1L).toDF("node_id")
+    def run(rounds: Int) = GraphOps.weightedDistance(e, src, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(10) === Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 6L,
+      5L -> 1L, 6L -> 2L, 7L -> 3L))
+    // 2 rounds: only <=2-edge paths; 4's best 2-edge path rides the
+    // expensive direct edge, 7 (3 edges away) is absent
+    assert(run(2) === Map(1L -> 0L, 2L -> 5L, 3L -> 2L, 4L -> 11L,
+      5L -> 1L, 6L -> 2L))
+  }
+
   test("triangle counts: orientation correctness on known + random graphs") {
     val s = spark; import s.implicits._
     // triangle 1-2-3 (one edge reversed+duplicated), square 4-5-6-7 with
