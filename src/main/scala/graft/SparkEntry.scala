@@ -396,6 +396,16 @@ object SparkEntry {
       SketchOps.kmvSketch(withFp, "lang", col("fp"), KmvK)
     }),
 
+    // cross-source vocabulary overlap from the MERGED per-source KMV
+    // sketches — sketch-vs-sketch, the raw token sets never pairwise-join
+    "q_kmv_jaccard" -> ((s, d) => {
+      val th = t(s, d, "documents")
+        .select(col("source"),
+          explode(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("tok"))
+        .select(col("source"), Fns.mixId(Fns.tokenHash(col("tok"))).as("h"))
+      SketchOps.kmvJaccard(th, "source", col("h"), KmvK)
+    }),
+
     // deterministic train/valid/test split + per-source mixture sampling:
     // both decisions hash the CONTENT (docFingerprint), not the id, so
     // re-sharding or re-crawling the corpus never migrates a doc across
@@ -2466,6 +2476,30 @@ object SparkEntry {
          |  n_exact
          |FROM ag JOIN ex ON ag.lang = ex.lang""".stripMargin
     },
+
+    "q_kmv_jaccard" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(regexp_extract_all(text, '[^ ]+')) AS tok
+         |  FROM documents),
+         |th AS (SELECT DISTINCT source AS g,
+         |  ${mixIdSql(tokenHashSql("tok"))} AS h FROM toks),
+         |sk AS (SELECT g, h FROM th
+         |  QUALIFY row_number() OVER (PARTITION BY g ORDER BY h) <= $KmvK),
+         |gs AS (SELECT DISTINCT g FROM sk),
+         |prs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+         |u AS (
+         |  SELECT p.ga, p.gb, s.h,
+         |    max(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS ina,
+         |    max(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS inb
+         |  FROM prs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+         |  GROUP BY 1, 2, 3),
+         |r AS (SELECT * FROM u
+         |  QUALIFY row_number() OVER (PARTITION BY ga, gb ORDER BY h) <= $KmvK)
+         |SELECT ga, gb, CAST(count(*) AS BIGINT) AS k_used,
+         |  CAST(sum(ina * inb) AS BIGINT) AS n_common,
+         |  (CAST(sum(ina * inb) AS BIGINT) * 1000)
+         |    // CAST(count(*) AS BIGINT) AS j_pm
+         |FROM r GROUP BY 1, 2""".stripMargin,
 
     "q_split" ->
       s"""WITH toks AS (

@@ -135,6 +135,55 @@ object SketchOps {
         col("n_exact"))
   }
 
+  /** Pairwise Jaccard similarity between every two groups' key sets,
+    * estimated from their KMV sketches — the MERGEABILITY payoff of
+    * bottom-k over HLL: a KMV sketch is a uniform SAMPLE of the key
+    * space, so two groups' sketches combine into an unbiased overlap
+    * estimate without ever joining the full sets (vocabulary overlap
+    * between crawl sources, shard-vs-shard contamination screens).
+    * Estimator: M = bottom-k of (S_A ∪ S_B); Ĵ = |M ∩ S_A ∩ S_B| / |M|.
+    * Every step is an exact integer set function of the hashes — no
+    * floats — so the result is bit-identical in any engine.
+    *
+    * Plan shape: per-group sketches via the same WindowGroupLimit
+    * bottom-k as [[kmvSketch]] (at most k rows per group per partition
+    * cross the shuffle); the pairwise stage is O(G²·k) rows for G
+    * groups — broadcast-joined, the right shape while groups are an
+    * enumerable dimension (sources, languages, shards), which is the
+    * sketch's use case; the raw key sets never pairwise-join.
+    *
+    * Output: (ga, gb, k_used, n_common, j_pm) for ga < gb, j_pm the
+    * Jaccard estimate in integer per-mille (floor).
+    */
+  def kmvJaccard(df: DataFrame, groupCol: String, hashCol: Column,
+                 k: Int): DataFrame = {
+    require(k >= 2, s"kmv needs k >= 2, got $k")
+    val dh = df.select(col(groupCol).as("g"), hashCol.as("h")).distinct()
+    val sk = dh
+      .withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("h")))
+      .filter(col("rn") <= k).select("g", "h")
+    val groups = sk.select(col("g")).distinct()
+    val prs = groups.select(col("g").as("ga"))
+      .join(groups.select(col("g").as("gb")), col("ga") < col("gb"))
+    val au = prs.join(sk.withColumnRenamed("g", "ga"), "ga")
+      .select(col("ga"), col("gb"), col("h"),
+        lit(1L).as("ina"), lit(0L).as("inb"))
+    val bu = prs.join(sk.withColumnRenamed("g", "gb"), "gb")
+      .select(col("ga"), col("gb"), col("h"),
+        lit(0L).as("ina"), lit(1L).as("inb"))
+    val merged = au.unionByName(bu)
+      .groupBy("ga", "gb", "h")
+      .agg(max("ina").as("ina"), max("inb").as("inb"))
+    val ranked = merged
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("ga", "gb").orderBy("h")))
+      .filter(col("rn") <= k)
+    ranked.groupBy("ga", "gb")
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("ina") * col("inb")).cast("long").as("n_common"))
+      .withColumn("j_pm", expr("(n_common * 1000) div k_used"))
+  }
+
   /** Count-Min sketch defaults: d=4 rows of w=1024 counters — at N total
     * occurrences the point-estimate over-count is <= e·N/w with
     * probability 1 - e^-d per lookup. Positions derive from

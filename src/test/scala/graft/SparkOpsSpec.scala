@@ -1103,6 +1103,36 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in:\n$plan")
   }
 
+  test("KMV Jaccard: exact sketch-set function, estimator envelope, pair orientation") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(31)
+    def draw(n: Int) = Iterator.continually(rnd.nextLong() & ((1L << 61) - 1))
+      .distinct.take(n).toSeq
+    val shared = draw(3000)
+    val onlyA = draw(2000)
+    val onlyB = draw(2000)
+    val k = 64
+    val df = ((shared ++ onlyA).map(("a", _)) ++ (shared ++ onlyB).map(("b", _))
+      ++ draw(10).map(("c", _))).toDF("g", "h")
+    val rows = SketchOps.kmvJaccard(df, "g", col("h"), k).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(rows.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // brute-force the estimator's DEFINITION: bottom-k of the sketch union
+    val skA = (shared ++ onlyA).sorted.take(k).toSet
+    val skB = (shared ++ onlyB).sorted.take(k).toSet
+    val m = (skA ++ skB).toSeq.sorted.take(k)
+    val expCommon = m.count(h => skA(h) && skB(h)).toLong
+    val ab = rows(("a", "b"))
+    assert(ab.getLong(2) === k.toLong && ab.getLong(3) === expCommon)
+    assert(ab.getLong(4) === expCommon * 1000 / k)
+    // true J = 3000/7000 = 0.4286; sigma ~ sqrt(J(1-J)/k) ~ 6.2%
+    assert(math.abs(ab.getLong(4) / 1000.0 - 3.0 / 7.0) < 0.2)
+    // c's 10-element sketch: disjoint from a, union clipped back to k
+    val ac = rows(("a", "c"))
+    assert(ac.getLong(2) === k.toLong)
+    assert(ac.getLong(3) === 0L && ac.getLong(4) === 0L)
+  }
+
   test("HLL with configurable m=256: tighter envelope, column/kernel parity") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(11)
