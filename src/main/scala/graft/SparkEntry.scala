@@ -275,6 +275,14 @@ object SparkEntry {
       SpatialOps.withinRadiusGeo(pts, pts.filter(col("pid") % 199 === 0), 120000.0)
     }),
 
+    // geodesic DBSCAN: density clusters / border / noise over a point
+    // subset (the mod keeps the ORACLE's pair join brute-forceable; the
+    // operator itself rides the cell cover at any size)
+    "q_dbscan" -> ((s, d) => {
+      val pts = Synth.points(s, d).filter(col("pid") % DbscanPidMod === 0)
+      SpatialOps.dbscanGeo(pts, DbscanEpsM, DbscanMinPts)
+    }),
+
     // --- dedup suite ---
     "q_dedup_exact" -> ((s, d) => DedupOps.exactDuplicates(Synth.corpus(s, d))),
 
@@ -1094,6 +1102,14 @@ object SparkEntry {
   /** q_staypoints step tolerance (fix units) and minimum dwell length. */
   val StayRadius = 8000000L
   val StayMinPts = 3
+
+  /** q_dbscan parameters: point subset (pid % mod == 0 — sized so the
+    * oracle's lat-band pair join stays brute-forceable at sf0.01), eps in
+    * meters, and the minimum neighborhood size INCLUDING the point itself.
+    */
+  val DbscanPidMod = 17L
+  val DbscanEpsM = 150000.0
+  val DbscanMinPts = 3
 
   /** q_sssp seed rule (doc_id % mod == 0) and BFS round bound. */
   val SsspSourceMod = 101L
@@ -1947,6 +1963,45 @@ object SparkEntry {
          |  CAST(round(($dist) * 1000) AS BIGINT) AS dist_e3
          |FROM p, q WHERE p.pid <> q.pid
          |  AND CAST(round(($dist) * 1000) AS BIGINT) <= 120000000""".stripMargin
+    },
+
+    // pair search = lat-band inequality join (the band over-covers the
+    // rounded-mm eps) + exact haversine; components via transitive
+    // closure — tractable because the subset keeps them small
+    "q_dbscan" -> {
+      val dist = haversineSql("a.lon_fix / 10000000.0", "a.lat_fix / 10000000.0",
+        "b.lon_fix / 10000000.0", "b.lat_fix / 10000000.0")
+      val epsMm = math.round(DbscanEpsM * 1000.0)
+      s"""WITH RECURSIVE p0 AS ($P),
+         |p AS (SELECT * FROM p0 WHERE pid % $DbscanPidMod = 0),
+         |pr AS (
+         |  SELECT a.pid AS qid, b.pid AS nid
+         |  FROM p a JOIN p b
+         |    ON b.lat_fix BETWEEN a.lat_fix - 13600000 AND a.lat_fix + 13600000
+         |    AND a.pid <> b.pid
+         |  WHERE CAST(round(($dist) * 1000) AS BIGINT) <= $epsMm),
+         |nc AS (SELECT qid, count(*) AS n FROM pr GROUP BY 1),
+         |cores AS (SELECT qid AS pid FROM nc WHERE n >= ${DbscanMinPts - 1}),
+         |ce AS (SELECT pr.qid AS src, pr.nid AS dst FROM pr
+         |  JOIN cores ca ON ca.pid = pr.qid
+         |  JOIN cores cb ON cb.pid = pr.nid),
+         |reach AS (
+         |  SELECT src AS a, dst AS b FROM ce
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN ce e ON r.b = e.src),
+         |corelab AS (
+         |  SELECT c.pid, least(c.pid, coalesce(min(r.b), c.pid)) AS cluster
+         |  FROM cores c LEFT JOIN reach r ON r.a = c.pid GROUP BY c.pid),
+         |border AS (
+         |  SELECT pr.qid AS pid, min(cl.cluster) AS cluster
+         |  FROM pr JOIN corelab cl ON cl.pid = pr.nid
+         |  WHERE pr.qid NOT IN (SELECT pid FROM cores)
+         |  GROUP BY 1)
+         |SELECT pid, 'core' AS role, cluster FROM corelab
+         |UNION ALL SELECT pid, 'border', cluster FROM border
+         |UNION ALL SELECT p.pid, 'noise', CAST(-1 AS BIGINT) FROM p
+         |  WHERE p.pid NOT IN (SELECT pid FROM corelab)
+         |    AND p.pid NOT IN (SELECT pid FROM border)""".stripMargin
     },
 
     "q_knn_geo_large" -> knnGeoSql(101),

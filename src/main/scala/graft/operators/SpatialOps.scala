@@ -576,6 +576,59 @@ object SpatialOps {
       .select(col("qid"), col("pid"), col("dist_e3"))
   }
 
+  /** Geodesic grid-accelerated DBSCAN over the point corpus: a point with
+    * ≥ minPts−1 neighbors within epsMeters (haversine, rounded-mm
+    * predicate — self counts toward minPts) is CORE; maximal groups of
+    * eps-reachable core points form clusters; a non-core point adjacent
+    * to ≥1 core point is BORDER and joins the smallest-labelled adjacent
+    * core's cluster (canonical DBSCAN leaves the border tie arbitrary —
+    * taking the min makes it deterministic and engine-independent);
+    * everything else is NOISE. Cluster label = smallest core pid in the
+    * cluster.
+    *
+    * Scale posture: the eps-neighborhood graph comes from ONE pass of
+    * [[withinRadiusGeo]]'s cell-cover shuffle equi-join (no broadcast of
+    * either side, no all-pairs stage anywhere); core-core connectivity
+    * resolves through [[DedupOps.duplicateClusters]]' adaptive pointer
+    * jumping, so even a continent-spanning percolated cluster converges
+    * in O(log diameter) rounds; the remaining steps are one count
+    * aggregation and two anti-joins. The pair frame is persisted across
+    * its three uses and released with `scope`.
+    *
+    * Output: (pid, role ∈ core|border|noise, cluster; −1 for noise).
+    */
+  def dbscanGeo(points: DataFrame, epsMeters: Double, minPts: Int,
+                scope: CacheScope = CacheScope.global): DataFrame = {
+    val pts = scope.persist(points.select("pid", "lon_fix", "lat_fix"))
+    val pairs = scope.persist(withinRadiusGeo(pts, pts, epsMeters)
+      .select(col("qid"), col("pid").as("nid")))
+    val cores = scope.persist(pairs.groupBy("qid")
+      .agg(count(lit(1)).as("n_nbrs"))
+      .filter(col("n_nbrs") >= minPts - 1).select(col("qid").as("pid")))
+    val coreEdges = pairs
+      .join(cores.select(col("pid").as("qid")), "qid")
+      .join(cores.select(col("pid").as("nid")), "nid")
+      .select(col("qid").as("doc_a"), col("nid").as("doc_b"))
+    val labels = DedupOps.duplicateClusters(coreEdges, scope)
+    // isolated cores (no core neighbor) are their own singleton cluster
+    val coreLab = scope.persist(cores
+      .join(labels.withColumnRenamed("doc_id", "pid"), Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("cluster_id"), col("pid")).as("cluster"),
+        lit("core").as("role")))
+    val borders = pairs
+      .join(cores.select(col("pid").as("qid")), Seq("qid"), "left_anti")
+      .join(coreLab.select(col("pid").as("nid"), col("cluster")), "nid")
+      .groupBy(col("qid").as("pid")).agg(min("cluster").as("cluster"))
+      .withColumn("role", lit("border"))
+    val noise = pts.select("pid")
+      .join(coreLab.select("pid"), Seq("pid"), "left_anti")
+      .join(borders.select("pid"), Seq("pid"), "left_anti")
+      .select(col("pid"), lit(-1L).as("cluster"), lit("noise").as("role"))
+    coreLab.unionByName(borders.select("pid", "cluster", "role"))
+      .unionByName(noise)
+      .select(col("pid"), col("role"), col("cluster"))
+  }
+
   /** The radius join's query-side cover — (qid, qx, qy, cell) rows plus
     * the radius-derived cell level — shared by the batch join above and
     * the stream-static twin ([[graft.streaming.StreamingOps]]).

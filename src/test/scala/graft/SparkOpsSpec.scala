@@ -1028,6 +1028,27 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("geodesic DBSCAN: core/border/noise roles and min-pid cluster labels") {
+    val s = spark; import s.implicits._
+    // eps=150km, minPts=3 (>=2 neighbors). Quad at the origin (all core,
+    // 55-79km apart); 20 at 1.8 degrees east reaches only corner 11
+    // (144km) -> border; meridian chain 30-31-32 spaced 1 degree: only
+    // the middle is core, ends are borders; 40 is alone -> noise.
+    val pts = Seq(
+      (10L, 0L, 0L), (11L, 5000000L, 0L), (12L, 0L, 5000000L),
+      (13L, 5000000L, 5000000L), (20L, 18000000L, 0L),
+      (30L, 100000000L, 0L), (31L, 100000000L, 10000000L),
+      (32L, 100000000L, 20000000L), (40L, -300000000L, -300000000L))
+      .toDF("pid", "lon_fix", "lat_fix")
+    val got = SpatialOps.dbscanGeo(pts, 150000.0, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      10L -> (("core", 10L)), 11L -> (("core", 10L)), 12L -> (("core", 10L)),
+      13L -> (("core", 10L)), 20L -> (("border", 10L)),
+      31L -> (("core", 31L)), 30L -> (("border", 31L)), 32L -> (("border", 31L)),
+      40L -> (("noise", -1L))))
+  }
+
   test("weighted shortest paths: cheaper multi-hop beats direct edge, round bound truncates") {
     val s = spark; import s.implicits._
     // direct 1->2 costs 10 but 1->3->2 costs 5; chain 1->5->6->7 probes
