@@ -170,6 +170,10 @@ object SparkEntry {
 
     "q_tiles" -> ((s, d) => SpatialOps.tileDensity(Synth.points(s, d), 7)),
 
+    // heatmap smoothing: sparse 3x3 binomial blur over the z7 tile raster
+    "q_raster_blur" -> ((s, d) =>
+      SpatialOps.rasterBlur(SpatialOps.tileDensity(Synth.points(s, d), 7), 7)),
+
     // z/x/y tiles re-keyed as Bing quadkeys (prefix = parent tile)
     "q_quadkey" -> ((s, d) => SpatialOps.quadkeyDensity(Synth.points(s, d), 7)),
 
@@ -1736,6 +1740,25 @@ object SparkEntry {
          |  least(greatest(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 128.0) AS BIGINT), 0), 127) AS ty,
          |  least(count(*), 65535) AS cnt
          |FROM deg GROUP BY 1, 2""".stripMargin,
+
+    "q_raster_blur" ->
+      s"""WITH p AS ($P), deg AS (
+         |  SELECT lon_fix / 10000000.0 AS lon,
+         |    least(greatest(lat_fix / 10000000.0, -85.05112877980659), 85.05112877980659) AS lat
+         |  FROM p),
+         |t AS (
+         |  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 128.0) AS BIGINT), 0), 127) AS tx,
+         |    least(greatest(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 128.0) AS BIGINT), 0), 127) AS ty,
+         |    least(count(*), 65535) AS cnt
+         |  FROM deg GROUP BY 1, 2),
+         |o AS (SELECT * FROM (VALUES (-1,-1,1),(0,-1,2),(1,-1,1),(-1,0,2),
+         |  (0,0,4),(1,0,2),(-1,1,1),(0,1,2),(1,1,1)) AS v(dx, dy, w)),
+         |c AS (
+         |  SELECT ((tx + dx) % 128 + 128) % 128 AS tx, ty + dy AS ty,
+         |    cnt * w AS c
+         |  FROM t, o)
+         |SELECT tx, ty, CAST(sum(c) AS BIGINT) AS blur16
+         |FROM c WHERE ty BETWEEN 0 AND 127 GROUP BY 1, 2""".stripMargin,
 
     "q_way_tiles" -> {
       def loSqlX(c: String) = s"((($c) * 3600000000 + 255) // 256 - 1800000000)"

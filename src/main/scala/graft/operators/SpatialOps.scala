@@ -689,6 +689,32 @@ object SpatialOps {
       .groupBy("tx", "ty")
       .agg(least(count(lit(1)), lit(65535L)).as("cnt"))
 
+  /** Sparse 3×3 integer convolution over a z/x/y tile raster — the
+    * smoothing pass of a density heatmap (binomial kernel 1-2-1 ⊗ 1-2-1,
+    * weights sum 16; the un-normalized weighted sum is returned so the
+    * result stays exact-integer). The raster is SPARSE: each occupied
+    * tile scatters its 9 weighted contributions (a narrow 9× explode, no
+    * densification of the 4^z grid), one shuffle aggregates them — a
+    * stencil as map-side fan-out + groupBy, the shape that survives any
+    * raster size. x wraps around the antimeridian (mod 2^z), y clamps
+    * (rows scattered past the pole are dropped). Output cells are every
+    * tile with ≥1 contributing neighbor.
+    */
+  def rasterBlur(tiles: DataFrame, z: Int): DataFrame = {
+    val n = 1L << z
+    val offs = Seq((-1, -1, 1), (0, -1, 2), (1, -1, 1), (-1, 0, 2), (0, 0, 4),
+      (1, 0, 2), (-1, 1, 1), (0, 1, 2), (1, 1, 1))
+    val offCol = array(offs.map { case (dx, dy, w) =>
+      struct(lit(dx).as("dx"), lit(dy).as("dy"), lit(w.toLong).as("w"))
+    }: _*)
+    tiles.select(col("tx"), col("ty"), col("cnt"), explode(offCol).as("o"))
+      .select(pmod(col("tx") + col("o.dx"), lit(n)).as("tx"),
+        (col("ty") + col("o.dy")).as("ty"),
+        (col("cnt") * col("o.w")).as("c"))
+      .filter(col("ty") >= 0 && col("ty") < n)
+      .groupBy("tx", "ty").agg(sum("c").as("blur16"))
+  }
+
   /** Bing-style quadkey density at zoom z: the web-mercator z/x/y tile
     * assignment of [[tileDensity]] re-keyed as the interleaved base-4
     * string used by tile pyramids (digit i from the MSB is

@@ -1028,6 +1028,25 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("raster blur: 3x3 binomial stencil with x wrap and y clamp") {
+    val s = spark; import s.implicits._
+    val z = 7; val n = 1 << z
+    val tiles = Seq((0L, 0L, 10L), (1L, 0L, 1L), (127L, 127L, 5L), (64L, 64L, 3L))
+    val offs = Seq((-1, -1, 1), (0, -1, 2), (1, -1, 1), (-1, 0, 2), (0, 0, 4),
+      (1, 0, 2), (-1, 1, 1), (0, 1, 2), (1, 1, 1))
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    for ((tx, ty, c) <- tiles; (dx, dy, w) <- offs) {
+      val x = ((tx + dx) % n + n) % n; val y = ty + dy
+      if (y >= 0 && y < n)
+        expected((x, y)) = expected.getOrElse((x, y), 0L) + c * w
+    }
+    val got = SpatialOps.rasterBlur(tiles.toDF("tx", "ty", "cnt"), z).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected.toMap)
+    // identity check on an interior cell: kernel sums to 16x the input
+    assert(got((64L, 64L)) === 3L * 4 && got((64L, 65L)) === 3L * 2)
+  }
+
   test("geodesic DBSCAN: core/border/noise roles and min-pid cluster labels") {
     val s = spark; import s.implicits._
     // eps=150km, minPts=3 (>=2 neighbors). Quad at the origin (all core,
