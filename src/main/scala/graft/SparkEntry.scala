@@ -236,6 +236,11 @@ object SparkEntry {
 
     "q_pip_join" -> ((s, d) => SpatialOps.pipJoinConvex(s, Synth.points(s, d))),
 
+    // sorted-interval cell-list PIP (north-rule strategy): zero-join map
+    // stage — binary search over broadcast disjoint cell-id ranges, FULL
+    // interior cells skip the ray cast
+    "q_pip_interval" -> ((s, d) => SpatialOps.pipJoinIntervals(s, Synth.points(s, d))),
+
     // polygon-CORPUS PIP: 10k-hexagon DataFrame side, distributed cell
     // cover, shuffle equi-join (no polygon broadcast), native ray-cast
     "q_pip_large" -> ((s, d) =>
@@ -1853,6 +1858,15 @@ object SparkEntry {
          |FROM segs WHERE seg IS NOT NULL GROUP BY 1""".stripMargin,
 
     "q_pip_join" ->
+      s"""WITH p AS ($P)
+         |SELECT p.pid, pe.poly_id
+         |FROM p, ${Synth.polygonEdgesValuesSql}
+         |GROUP BY p.pid, pe.poly_id, p.lon_fix, p.lat_fix
+         |HAVING bool_and((x2 - x1) * (p.lat_fix - y1) - (y2 - y1) * (p.lon_fix - x1) >= 0)""".stripMargin,
+
+    // identical semantics to q_pip_join — the interval index is a physical
+    // strategy, not a different operator; one shared half-plane oracle
+    "q_pip_interval" ->
       s"""WITH p AS ($P)
          |SELECT p.pid, pe.poly_id
          |FROM p, ${Synth.polygonEdgesValuesSql}

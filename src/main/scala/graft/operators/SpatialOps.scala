@@ -63,6 +63,26 @@ object SpatialOps {
         ++ carryCols: _*)
   }
 
+  /** Sorted-interval cell-list PIP — the north rule's named strategy, as a
+    * pure MAP-stage alternative to the broadcast cell-cover join: an
+    * adaptive multi-level cover (coarse FULL interior cells that skip the
+    * ray cast entirely, fine PARTIAL boundary cells) swept into disjoint
+    * sorted MaxLevel cell-id ranges, probed by ONE binary search per point
+    * inside whole-stage codegen ([[graft.plans.PipIntervalHits]]). The plan
+    * has NO join and NO shuffle of the point side — scan → project →
+    * explode — so at 10^12 rows it is a single fan-out stage. Results are
+    * bit-identical to [[pipJoinConvex]] (same boundary-inclusive kernel).
+    */
+  def pipJoinIntervals(spark: SparkSession, points: DataFrame,
+                       minLevel: Int = 4, maxLevel: Int = 9): DataFrame = {
+    val polyMap: graft.plans.PipKernel.Polys =
+      Synth.hexagons.map(h => h.polyId -> Array((h.xs, h.ys))).toMap
+    val idx = graft.plans.PipIntervalKernel.build(polyMap, minLevel, maxLevel)
+    points.select(col("pid"),
+      explode(graft.plans.PipIntervalHits(
+        spark, col("lon_fix"), col("lat_fix"), idx)).as("poly_id"))
+  }
+
   /** General-polygon PIP via the exact ray-cast kernel (concave rings,
     * holes): broadcast cover join + native-Expression refinement
     * (graft.plans.PointInPolygonSet — stays inside whole-stage codegen

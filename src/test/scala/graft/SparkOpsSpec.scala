@@ -52,6 +52,38 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sparkHits === expect)
   }
 
+  test("pipJoinIntervals: parity with broadcast-join path, FULL fast path real, zero-join plan") {
+    val pts = Synth.points(spark, dir)
+    val viaIntervals = SpatialOps.pipJoinIntervals(spark, pts)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val viaJoin = SpatialOps.pipJoinConvex(spark, pts)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(viaIntervals === viaJoin)
+    // the adaptive cover actually produces FULL (interior) cells — the
+    // ray-cast-free fast path exists for every admin-sized hexagon
+    val polyMap: graft.plans.PipKernel.Polys =
+      Synth.hexagons.map(h => h.polyId -> Array((h.xs, h.ys))).toMap
+    val idx = graft.plans.PipIntervalKernel.build(polyMap, 4, 9)
+    assert(idx.fullRefs > 0, "expected interior FULL cells in the index")
+    // disjointness + order invariants of the swept segment list
+    (1 until idx.segmentCount).foreach { i =>
+      assert(idx.starts(i) > idx.ends(i - 1))
+      assert(idx.ends(i) >= idx.starts(i))
+    }
+    // a point deep inside the largest hexagon resolves via a FULL ref:
+    // kernel returns the hit even if geometry were absent
+    val h = Synth.hexagons.maxBy(_.polyId)
+    val noGeom = new graft.plans.PipIntervalKernel.Index(
+      idx.starts, idx.ends, idx.payloads,
+      idx.polys.map { case (k, _) => k -> Array.empty[(Array[Long], Array[Long])] })
+    val hits = graft.plans.PipIntervalKernel.hits(noGeom, h.cx, h.cy)
+    assert(hits.toIntArray().contains(h.polyId))
+    // physical plan: pure map stage — no join operator anywhere
+    val plan = SpatialOps.pipJoinIntervals(spark, pts)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"interval PIP must not plan a join:\n$plan")
+  }
+
   test("pipJoinGeneral (native Expression) agrees with convex path and handles concave rings") {
     val pts = Synth.points(spark, dir)
     val polyMap: Map[Int, Array[(Array[Long], Array[Long])]] =
