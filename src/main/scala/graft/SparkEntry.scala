@@ -493,6 +493,28 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // web-graph edge extraction: decode the binary html column, pull
+    // href targets by regexp (codegen'd), aggregate the host-level link
+    // graph — one explode + one map-side-combined groupBy, no joins
+    "q_links" -> ((s, d) => {
+      val pg = Synth.pagesLinked(s, d)
+      pg.select(Fns.urlNormHost(col("url")).as("src_host"),
+          explode(regexp_extract_all(decode(col("html"), "UTF-8"),
+            lit("href=\"([^\"]+)\""), lit(1))).as("href"))
+        .groupBy(col("src_host"), Fns.urlNormHost(col("href")).as("dst_host"))
+        .agg(count(lit(1)).as("n_links"))
+    }),
+
+    // capture-level URL canonicalization + latest-capture rollup (the CDX
+    // urlkey step): full string pipeline on Spark, closed-form arithmetic
+    // oracle on DuckDB — an adversarial, not mirrored, twin
+    "q_url_canon" -> ((s, d) => {
+      val pg = Synth.pagesCaptures(s, d)
+      pg.groupBy(Fns.canonicalizeUrl(col("url")).as("curl"))
+        .agg(count(lit(1)).as("n_caps"),
+          max(unix_micros(col("warc_ts"))).as("last_us"))
+    }),
+
     // host-level corpus stats over MESSY urls (scheme/host case, default
     // ports, query strings): normalize then one hash-shuffle groupBy
     "q_url_hosts" -> ((s, d) => {
@@ -2655,6 +2677,27 @@ object SparkEntry {
          |    FROM documents)
          |  GROUP BY tok)
          |ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+
+    // direct arithmetic reconstruction of the link targets — never touches
+    // the html, so any extraction defect on the Spark side mismatches
+    "q_links" ->
+      """WITH l AS (
+        |  SELECT doc_id, (doc_id*31 + j*1009 + 7) % 100000 AS t
+        |  FROM documents, (SELECT unnest(range(0, 3)) AS j))
+        |SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) || '.example.org' AS src_host,
+        |       'site' || CAST(t % 97 AS VARCHAR) || '.example.org' AS dst_host,
+        |       count(*) AS n_links
+        |FROM l GROUP BY 1, 2""".stripMargin,
+
+    // closed-form canonical URL per logical page lid = doc_id % 100 — the
+    // Spark side must reduce all four surface forms to exactly this
+    "q_url_canon" ->
+      """SELECT 'https://site' || CAST((doc_id % 100) % 13 AS VARCHAR)
+        |         || '.example.org/doc/' || CAST(doc_id % 100 AS VARCHAR)
+        |         || '?a=1&b=2' AS curl,
+        |       count(*) AS n_caps,
+        |       max(1704067200000000 + doc_id * 1000000) AS last_us
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_url_hosts" ->
       s"""WITH u AS (

@@ -144,6 +144,33 @@ object Fns {
   def urlNormHost(url: Column): Column =
     lower(regexp_extract(url, UrlHostRegex, 1))
 
+  /** Full URL canonicalization for capture-level dedup (the CDX
+    * "url key" step of a crawl pipeline): lowercase scheme and host, strip
+    * userinfo / fragment / the scheme's default port, sort query
+    * parameters, normalize an empty path to "/". Pure regexp + array
+    * built-ins — stays inside whole-stage codegen. The correctness oracle
+    * is ADVERSARIAL rather than a twin: the synthetic capture corpus
+    * ([[graft.sources.Synth.pagesCaptures]]) is built so every surface
+    * form has a closed-form canonical URL the DuckDB side computes by
+    * arithmetic alone — any canonicalization defect hash-mismatches.
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostport =
+      lower(regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#@]*)", 1))
+    val host = when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(hostport)
+    val rest = regexp_extract(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*(.*)$", 1)
+    val path = regexp_replace(rest, "\\?.*$", "")
+    val qs = regexp_extract(rest, "\\?(.*)$", 1)
+    val cq = array_join(sort_array(split(qs, "&")), "&")
+    concat(scheme, lit("://"), host,
+      when(path === "", lit("/")).otherwise(path),
+      when(qs === "", lit("")).otherwise(concat(lit("?"), cq)))
+  }
+
   /** PII redaction for training-data pipelines: emails, dotted-quad IPs
     * and SSN-shaped ids replaced by typed placeholder tokens. The regexes
     * are restricted to constructs with identical semantics in Java regex

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
 
@@ -164,4 +164,52 @@ object Synth {
       encode(concat(lit("<html><body>"), col("text"), lit("</body></html>")), "UTF-8").as("html"),
       col("text"),
       col("lang"))
+
+  /** Pages variant with deterministic OUTLINKS across a 97-host site space:
+    * page doc_id lives on host site(doc_id % 97) and links to three targets
+    * t_j = (doc_id·31 + j·1009 + 7) % 100000, j ∈ {0,1,2} — targets may
+    * dangle (the real web does). The anchors are real `<a href=...>` markup
+    * inside the binary html column, so link extraction exercises the
+    * decode + regexp path; the documents text is markup-free by
+    * construction (verified: no '"', '<' or 'href' occurrences).
+    */
+  def pagesLinked(spark: SparkSession, sfDir: String): DataFrame = {
+    def host(id: Column) =
+      concat(lit("site"), (id % 97).cast("string"), lit(".example.org"))
+    def anchor(j: Int) = {
+      val t = (col("doc_id") * 31 + lit(j) * 1009 + 7) % 100000
+      concat(lit("<a href=\"https://"), host(t), lit("/doc/"),
+        t.cast("string"), lit("\">ref-" + j + "</a>"))
+    }
+    table(spark, sfDir, "documents").select(
+      concat(lit("https://"), host(col("doc_id")), lit("/doc/"),
+        col("doc_id").cast("string")).as("url"),
+      timestamp_micros(lit(1704067200000000L) + col("doc_id") * lit(1000000L)).as("warc_ts"),
+      encode(concat(lit("<html><body><p>"), col("text"), lit("</p>"),
+        anchor(0), anchor(1), anchor(2), lit("</body></html>")), "UTF-8").as("html"),
+      col("text"), col("lang"))
+  }
+
+  /** Multi-capture URL corpus for canonicalization: logical page
+    * lid = doc_id % 100 on host site(lid % 13) appears under four crawl-
+    * realistic surface forms (uppercase scheme/host + default port +
+    * fragment; plain; userinfo + port + fragment; plain) — all of which
+    * canonicalize to `https://site{lid%13}.example.org/doc/{lid}?a=1&b=2`.
+    */
+  def pagesCaptures(spark: SparkSession, sfDir: String): DataFrame = {
+    val lid = col("doc_id") % 100
+    val h = (lid % 13).cast("string")
+    val core = concat(lit("site"), h, lit(".example.org"))
+    val coreUp = concat(lit("Site"), h, lit(".Example.ORG"))
+    val path = concat(lit("/doc/"), lid.cast("string"))
+    val url = when(col("doc_id") % 4 === 0,
+        concat(lit("HTTPS://"), coreUp, lit(":443"), path, lit("?b=2&a=1#frag")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://"), core, path, lit("?a=1&b=2")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://crawler@"), core, lit(":443"), path, lit("?b=2&a=1#x")))
+      .otherwise(concat(lit("https://"), core, path, lit("?a=1&b=2")))
+    table(spark, sfDir, "documents").select(url.as("url"),
+      timestamp_micros(lit(1704067200000000L) + col("doc_id") * lit(1000000L)).as("warc_ts"))
+  }
 }

@@ -1253,6 +1253,27 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "evil.example.net", ""))
   }
 
+  test("canonicalizeUrl: case, default ports, userinfo, fragment, query order, empty path") {
+    val s = spark; import s.implicits._
+    val got = Seq(
+      "HTTPS://User@Host.Example.ORG:443/a/b?z=1&a=2#frag",
+      "https://host.example.org/a/b?a=2&z=1",
+      "http://host.example.org:80/x",
+      "http://host.example.org:8080/x",       // non-default port kept
+      "https://host.example.org:80/x",        // 80 is NOT https' default
+      "https://host.example.org",             // empty path -> "/"
+      "ftp://Host.Example.org/f").toDF("u")
+      .select(Fns.canonicalizeUrl(col("u"))).collect().map(_.getString(0)).toSeq
+    assert(got === Seq(
+      "https://host.example.org/a/b?a=2&z=1",
+      "https://host.example.org/a/b?a=2&z=1",
+      "http://host.example.org/x",
+      "http://host.example.org:8080/x",
+      "https://host.example.org:80/x",
+      "https://host.example.org/",
+      "ftp://host.example.org/f"))
+  }
+
   test("asofJoin plans exactly one exchange and one window (no range explosion)") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val clicks = ev.filter(col("event_type") === "click")
