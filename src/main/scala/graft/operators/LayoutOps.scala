@@ -54,6 +54,22 @@ object LayoutOps {
     * itself) but still appear in the output with their own row.
     * Output: (part_key, file_id, n_overlaps).
     */
+  /** Write `df` as a BUCKETED managed parquet table: rows hash-partitioned
+    * into `buckets` files per partition by `key`, with per-bucket sort on
+    * `key` — the layout that lets every future equi-join or aggregation on
+    * `key` skip its shuffle entirely (Spark reads the bucket spec from the
+    * catalog and plans a SortMergeJoin with NO Exchange on either bucketed
+    * side). At 100 TB this is the difference between re-shuffling the
+    * corpus per query and shuffling ONCE at ingest: the canonical layout
+    * for a crawl's url-keyed master table that every downstream pipeline
+    * joins against. BucketedJoinSpec asserts the exchange-free plan.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   def overlapStats(files: DataFrame, bucketKeys: Long,
                    maxSpanKeys: Long): DataFrame = {
     def side(id: String) = files.select(col("file_id").as(id),
