@@ -234,6 +234,26 @@ object SparkEntry {
       SpatialOps.segmentCellCover(segs, 8, 20000000L)
     }),
 
+    // vector-tile geometry cut: every way segment clipped to each cell it
+    // crosses (exact Liang-Barsky, floor-quantized endpoints) — the
+    // geometry companion of q_way_tiles' assignment
+    "q_tile_clip" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val key = col("l_orderkey") * lit(10L) + col("l_linenumber")
+      val x = (col("l_orderkey") * lit(2654435761L)) % lit(3400000000L) - lit(1700000000L) +
+        ((key * lit(1103515245L)) % lit(20000000L) - lit(10000000L))
+      val y = (col("l_orderkey") * lit(2246822519L)) % lit(1600000000L) - lit(800000000L) +
+        ((key * lit(69069L)) % lit(20000000L) - lit(10000000L))
+      val pts = li.select(col("l_orderkey").as("way_id"),
+        col("l_linenumber").as("seq"), x.as("x"), y.as("y"))
+      val w = Window.partitionBy("way_id").orderBy("seq")
+      val segs = pts.select(col("way_id"), col("seq"),
+          lag(col("x"), 1).over(w).as("x0"), lag(col("y"), 1).over(w).as("y0"),
+          col("x").as("x1"), col("y").as("y1"))
+        .filter(col("x0").isNotNull)
+      SpatialOps.clipSegmentsToCells(segs, 8, 20000000L)
+    }),
+
     "q_pip_join" -> ((s, d) => SpatialOps.pipJoinConvex(s, Synth.points(s, d))),
 
     // sorted-interval cell-list PIP (north-rule strategy): zero-join map
@@ -1829,6 +1849,76 @@ object SparkEntry {
          |  FROM rect)
          |SELECT way_id, seq, cell_x, cell_y FROM sided
          |WHERE least(s1, s2, s3, s4) <= 0 AND greatest(s1, s2, s3, s4) >= 0""".stripMargin
+    },
+
+    "q_tile_clip" -> {
+      def loSqlX(c: String) = s"((($c) * 3600000000 + 255) // 256 - 1800000000)"
+      def loSqlY(c: String) = s"((($c) * 1800000000 + 255) // 256 - 900000000)"
+      // floor division with positive divisor (DuckDB // truncates):
+      def fdiv(a: String, b: String) = s"(($a) - ((($a) % ($b)) + ($b)) % ($b)) // ($b)"
+      s"""WITH li AS (
+         |  SELECT l_orderkey AS way_id, l_linenumber AS seq,
+         |    ((l_orderkey * 2654435761) % 3400000000 - 1700000000)
+         |      + (((l_orderkey*10 + l_linenumber) * 1103515245) % 20000000 - 10000000) AS x,
+         |    ((l_orderkey * 2246822519) % 1600000000 - 800000000)
+         |      + (((l_orderkey*10 + l_linenumber) * 69069) % 20000000 - 10000000) AS y
+         |  FROM lineitem),
+         |segs AS (
+         |  SELECT way_id, seq,
+         |    lag(x) OVER (PARTITION BY way_id ORDER BY seq) AS x0,
+         |    lag(y) OVER (PARTITION BY way_id ORDER BY seq) AS y0,
+         |    x AS x1, y AS y1
+         |  FROM li),
+         |loc AS (SELECT * FROM segs
+         |  WHERE x0 IS NOT NULL AND abs(x1 - x0) <= 20000000 AND abs(y1 - y0) <= 20000000),
+         |cx AS (SELECT *, unnest(range(
+         |    least(((least(x0, x1) + 1800000000) * 256) // 3600000000, 255),
+         |    least(((greatest(x0, x1) + 1800000000) * 256) // 3600000000, 255) + 1)) AS cell_x
+         |  FROM loc),
+         |cc AS (SELECT *, unnest(range(
+         |    least(((least(y0, y1) + 900000000) * 256) // 1800000000, 255),
+         |    least(((greatest(y0, y1) + 900000000) * 256) // 1800000000, 255) + 1)) AS cell_y
+         |  FROM cx),
+         |rect AS (SELECT *,
+         |    ${loSqlX("cell_x")} AS rx0,
+         |    CASE WHEN cell_x = 255 THEN 1800000000
+         |         ELSE ${loSqlX("cell_x + 1")} - 1 END AS rx1,
+         |    ${loSqlY("cell_y")} AS ry0,
+         |    CASE WHEN cell_y = 255 THEN 900000000
+         |         ELSE ${loSqlY("cell_y + 1")} - 1 END AS ry1
+         |  FROM cc),
+         |sat AS (SELECT * FROM (SELECT *,
+         |    (x1 - x0) * (ry0 - y0) - (y1 - y0) * (rx0 - x0) AS s1,
+         |    (x1 - x0) * (ry0 - y0) - (y1 - y0) * (rx1 - x0) AS s2,
+         |    (x1 - x0) * (ry1 - y0) - (y1 - y0) * (rx0 - x0) AS s3,
+         |    (x1 - x0) * (ry1 - y0) - (y1 - y0) * (rx1 - x0) AS s4
+         |  FROM rect)
+         |  WHERE least(s1, s2, s3, s4) <= 0 AND greatest(s1, s2, s3, s4) >= 0),
+         |dd AS (SELECT *, x1 - x0 AS dx, y1 - y0 AS dy FROM sat),
+         |fr AS (SELECT *,
+         |    CASE WHEN dx > 0 THEN rx0 - x0 WHEN dx < 0 THEN x0 - rx1 ELSE 0 END AS inxn,
+         |    CASE WHEN dx > 0 THEN rx1 - x0 WHEN dx < 0 THEN x0 - rx0 ELSE 1 END AS outxn,
+         |    CASE WHEN dx = 0 THEN 1 ELSE abs(dx) END AS dxd,
+         |    CASE WHEN dy > 0 THEN ry0 - y0 WHEN dy < 0 THEN y0 - ry1 ELSE 0 END AS inyn,
+         |    CASE WHEN dy > 0 THEN ry1 - y0 WHEN dy < 0 THEN y0 - ry0 ELSE 1 END AS outyn,
+         |    CASE WHEN dy = 0 THEN 1 ELSE abs(dy) END AS dyd
+         |  FROM dd),
+         |m0 AS (SELECT *,
+         |    CASE WHEN inyn * dxd > inxn * dyd THEN inyn ELSE inxn END AS m0n,
+         |    CASE WHEN inyn * dxd > inxn * dyd THEN dyd ELSE dxd END AS m0d
+         |  FROM fr),
+         |t0 AS (SELECT *, CASE WHEN m0n <= 0 THEN 0 ELSE m0n END AS n0,
+         |               CASE WHEN m0n <= 0 THEN 1 ELSE m0d END AS d0 FROM m0),
+         |m1 AS (SELECT *,
+         |    CASE WHEN outyn * dxd < outxn * dyd THEN outyn ELSE outxn END AS m1n,
+         |    CASE WHEN outyn * dxd < outxn * dyd THEN dyd ELSE dxd END AS m1d
+         |  FROM t0),
+         |t1 AS (SELECT *, CASE WHEN m1n >= m1d THEN 1 ELSE m1n END AS n1,
+         |               CASE WHEN m1n >= m1d THEN 1 ELSE m1d END AS d1 FROM m1)
+         |SELECT way_id, seq, cell_x, cell_y,
+         |  x0 + ${fdiv("dx * n0", "d0")} AS cx0, y0 + ${fdiv("dy * n0", "d0")} AS cy0,
+         |  x0 + ${fdiv("dx * n1", "d1")} AS cx1, y0 + ${fdiv("dy * n1", "d1")} AS cy1
+         |FROM t1""".stripMargin
     },
 
     "q_pyramid" ->

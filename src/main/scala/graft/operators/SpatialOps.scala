@@ -853,6 +853,38 @@ object SpatialOps {
       .select(out.map(col): _*)
   }
 
+  /** Vector-tile geometry cut: each way segment, clipped to every grid
+    * cell it crosses — [[segmentCellCover]] for the (segment, cell) pairs,
+    * then the exact Liang-Barsky kernel ([[graft.plans.ClipKernel]])
+    * produces the within-cell sub-segment with floor-quantized endpoints.
+    * Pure map stage after the cover explode (the clip rides the cover
+    * row's own coordinates — no join back to geometry), which is the plan
+    * a tile-cut of a 10^12-segment corpus needs: explode + codegen kernel,
+    * shuffle only at the consumer's per-tile grouping. Adjacent tiles
+    * reconstruct the original polyline exactly at shared boundaries
+    * because both floor-quantize the same rational boundary point.
+    * Output: (way_id, seq, cell_x, cell_y, cx0, cy0, cx1, cy1).
+    */
+  def clipSegmentsToCells(segs: DataFrame, level: Int,
+                          maxSpanFix: Long): DataFrame = {
+    val n = 1L << level
+    def lo(c: Column, span: Long, half: Long) =
+      Fns.idiv(c * lit(span) + lit(n - 1), n) - lit(half)
+    val rx0 = lo(col("cell_x"), 3600000000L, 1800000000L)
+    val rx1 = when(col("cell_x") === (n - 1), lit(1800000000L))
+      .otherwise(lo(col("cell_x") + 1, 3600000000L, 1800000000L) - 1)
+    val ry0 = lo(col("cell_y"), 1800000000L, 900000000L)
+    val ry1 = when(col("cell_y") === (n - 1), lit(900000000L))
+      .otherwise(lo(col("cell_y") + 1, 1800000000L, 900000000L) - 1)
+    val c = graft.plans.GeomExpressions.clipSegRect(
+      array(col("x0"), col("y0"), col("x1"), col("y1")),
+      array(rx0, ry0, rx1, ry1))
+    segmentCellCover(segs, level, maxSpanFix, keepCoords = true)
+      .select(col("way_id"), col("seq"), col("cell_x"), col("cell_y"),
+        element_at(c, 1).as("cx0"), element_at(c, 2).as("cy0"),
+        element_at(c, 3).as("cx1"), element_at(c, 4).as("cy1"))
+  }
+
   /** Segment-intersection (ways-cross) join: for each pair of ways with at
     * least one pair of intersecting segments, the number of DISTINCT
     * crossing segment pairs — the line×line analogue of the PIP/bbox

@@ -291,6 +291,70 @@ case class SimplifyPolyline(child: Expression, tolFix: Long)
     copy(child = newChild)
 }
 
+object ClipKernel {
+
+  /** Exact Liang-Barsky clip of segment [x0,y0,x1,y1] to the closed
+    * integer rect [rx0,ry0,rx1,ry1], floor-quantized — the vector-tile cut
+    * of a way segment to one tile's extent. The clip parameter t is kept
+    * as an exact fraction n/d (d > 0 after sign normalization); a
+    * degenerate axis (dx = 0 or dy = 0) contributes the neutral fractions
+    * 0/1 and 1/1, valid because callers guarantee bbox overlap on that
+    * axis (segmentCellCover's candidate contract). Under the span contract
+    * (|d| ≤ maxSpanFix, |n| ≤ span + cell) every product stays ≤ ~2^50 —
+    * pure int64, no BigInt, and an exact DuckDB twin (with `//` corrected
+    * to floor division, which DuckDB truncates).
+    *
+    * Returns [cx0, cy0, cx1, cy1] in t order (entry first).
+    */
+  def clipSegRect(seg: ArrayData, rect: ArrayData): ArrayData = {
+    val x0 = seg.getLong(0); val y0 = seg.getLong(1)
+    val x1 = seg.getLong(2); val y1 = seg.getLong(3)
+    val rx0 = rect.getLong(0); val ry0 = rect.getLong(1)
+    val rx1 = rect.getLong(2); val ry1 = rect.getLong(3)
+    val dx = x1 - x0; val dy = y1 - y0
+    var inXn = 0L; var inXd = 1L; var outXn = 1L; var outXd = 1L
+    if (dx > 0) { inXn = rx0 - x0; inXd = dx; outXn = rx1 - x0; outXd = dx }
+    else if (dx < 0) { inXn = x0 - rx1; inXd = -dx; outXn = x0 - rx0; outXd = -dx }
+    var inYn = 0L; var inYd = 1L; var outYn = 1L; var outYd = 1L
+    if (dy > 0) { inYn = ry0 - y0; inYd = dy; outYn = ry1 - y0; outYd = dy }
+    else if (dy < 0) { inYn = y0 - ry1; inYd = -dy; outYn = y0 - ry0; outYd = -dy }
+    // t0 = max(0, inX, inY); t1 = min(1, outX, outY) — fraction compares
+    // are exact cross-products (denominators positive)
+    var n0 = inXn; var d0 = inXd
+    if (inYn * d0 > n0 * inYd) { n0 = inYn; d0 = inYd }
+    if (n0 <= 0) { n0 = 0; d0 = 1 }
+    var n1 = outXn; var d1 = outXd
+    if (outYn * d1 < n1 * outYd) { n1 = outYn; d1 = outYd }
+    if (n1 >= d1) { n1 = 1; d1 = 1 }
+    new GenericArrayData(Array(
+      x0 + Math.floorDiv(dx * n0, d0), y0 + Math.floorDiv(dy * n0, d0),
+      x0 + Math.floorDiv(dx * n1, d1), y0 + Math.floorDiv(dy * n1, d1)))
+  }
+}
+
+/** Native exact segment-to-rect clip (`[x0,y0,x1,y1] × [rx0,ry0,rx1,ry1]
+  * → [cx0,cy0,cx1,cy1]`, see [[ClipKernel.clipSegRect]]) — the vector-tile
+  * geometry cut. Both operands ride the row (no broadcast), so the plan
+  * stays a pure map stage over the (segment, cell) cover rows.
+  */
+case class ClipSegRect(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "clip_seg_rect"
+
+  override def nullSafeEval(seg: Any, rect: Any): Any =
+    ClipKernel.clipSegRect(seg.asInstanceOf[ArrayData], rect.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, r) =>
+      s"graft.plans.ClipKernel.clipSegRect($s, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Broadcast-backed kernel for IVF coarse-quantizer assignment. */
 object CentroidKernel {
   /** (cid, embedding) pairs sorted by cid ascending. */
@@ -750,4 +814,8 @@ object GeomExpressions {
                      bookBc: Broadcast[PqKernel.ResBook]): Column =
     GraftColumnBridge.column(PqDistTableRes(GraftColumnBridge.expression(vec),
       GraftColumnBridge.expression(cid), centsBc, bookBc))
+
+  def clipSegRect(seg: Column, rect: Column): Column =
+    GraftColumnBridge.column(ClipSegRect(
+      GraftColumnBridge.expression(seg), GraftColumnBridge.expression(rect)))
 }
