@@ -319,6 +319,15 @@ object SparkEntry {
 
     "q_dedup_minhash" -> ((s, d) => DedupOps.minHashLshPairs(Synth.corpus(s, d))),
 
+    // incremental ingestion dedup: the injected-duplicate batch (ids >=
+    // 1e6) LSH-matched against the base corpus only — no corpus self-join
+    "q_dedup_incr" -> ((s, d) => {
+      val c = Synth.corpus(s, d)
+      DedupOps.minHashLshPairsIncremental(
+        c.filter(col("doc_id") < 1000000L),
+        c.filter(col("doc_id") >= 1000000L))
+    }),
+
     "q_dedup_simhash" -> ((s, d) => DedupOps.simHashPairs(Synth.corpus(s, d), 3)),
 
     // edit-distance confirm stage over the capped LSH candidates (the
@@ -2336,6 +2345,23 @@ object SparkEntry {
          |sh AS (${shinglesSql(distinct = false)}),
          |$lshCandSql
          |SELECT doc_a, doc_b, n_bands FROM cand""".stripMargin,
+
+    // same sig/bands pipeline, but the bucket cap is applied PER SIDE and
+    // the join is new-vs-old instead of the self-join
+    "q_dedup_incr" ->
+      s"""WITH corpus AS ($C),
+         |sh AS (${shinglesSql(distinct = false)}),
+         |$lshCandSql,
+         |keptold AS (
+         |  SELECT * FROM bands WHERE doc_id < 1000000 QUALIFY
+         |    count(*) OVER (PARTITION BY band, band_key) <= ${DedupOps.MaxBandBucket}),
+         |keptnew AS (
+         |  SELECT * FROM bands WHERE doc_id >= 1000000 QUALIFY
+         |    count(*) OVER (PARTITION BY band, band_key) <= ${DedupOps.MaxBandBucket})
+         |SELECT n.doc_id AS doc_new, o.doc_id AS doc_old, count(*) AS n_bands
+         |FROM keptnew n JOIN keptold o
+         |  ON n.band = o.band AND n.band_key = o.band_key
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_dedup_edit" ->
       s"""WITH corpus AS ($C),

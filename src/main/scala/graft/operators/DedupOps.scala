@@ -139,6 +139,29 @@ object DedupOps {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** Incremental near-dup candidates: a NEW batch LSH-joined against the
+    * EXISTING corpus only — the shape every crawl ingestion actually runs
+    * (pair today's batch against the index; never re-self-join the
+    * accumulated corpus). At scale the existing side's banded rows are a
+    * PRECOMPUTED index written once at ingest (see LayoutOps.writeBucketed
+    * for the layout that makes the band-key join exchange-free); per batch
+    * the work is one banded pass over the batch plus a bounded bucket
+    * join. Both sides get the MaxBandBucket cap, computed per side —
+    * a degenerate band key saturated on BOTH sides would otherwise emit
+    * |old|·|new| pairs. Output (doc_new, doc_old, n_bands).
+    */
+  def minHashLshPairsIncremental(existing: DataFrame, fresh: DataFrame,
+                                 scope: CacheScope = CacheScope.global): DataFrame = {
+    val keptOld = capBuckets(scope.persist(bandedRows(existing)),
+      Seq("band", "band_key"))
+    val keptNew = capBuckets(scope.persist(bandedRows(fresh)),
+      Seq("band", "band_key"))
+    keptNew.as("n").join(keptOld.as("o"),
+        col("n.band") === col("o.band") && col("n.band_key") === col("o.band_key"))
+      .groupBy(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** Rounds between plan-lineage rebases in duplicateClusters. */
   val ClusterRebaseEvery = 3
 

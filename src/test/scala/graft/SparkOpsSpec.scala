@@ -667,6 +667,30 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "mega-bucket boilerplate must not emit quadratic pairs")
   }
 
+  test("incremental LSH pairs batch-vs-corpus only, capped per side") {
+    val ss = spark; import ss.implicits._
+    val boiler = "common boilerplate text shared by every page of this site"
+    val uniq = "a genuinely unique document about cell partitioned spatial joins at scale"
+    // existing: 100 boilerplate + the original unique doc; fresh: one
+    // more boilerplate + a near-copy of the unique doc + a novel doc
+    val existing = ((0 until 100).map(i => (i.toLong, boiler)) :+ (500L, uniq))
+      .toDF("doc_id", "text")
+    val fresh = Seq((1000L, boiler), (1001L, uniq + " x"),
+      (1002L, "completely novel content never seen before in the corpus"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.minHashLshPairsIncremental(existing, fresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the near-copy matches its original; the novel doc matches nothing
+    assert(got.contains((1001L, 500L)))
+    assert(!got.exists(_._1 == 1002L))
+    // the fresh boilerplate doc produces NO pairs: the existing side's
+    // mega-bucket (100 > cap) is skipped, so candidates stay bounded
+    assert(!got.exists(_._1 == 1000L),
+      "existing-side mega-bucket must be capped")
+    // and no old-old or new-new pairs by construction
+    got.foreach { case (n, o) => assert(n >= 1000L && o < 1000L) }
+  }
+
   test("simhash LSH skips degenerate mega-buckets but keeps normal near-dup pairs") {
     val ss = spark; import ss.implicits._
     // 200 identical docs: every band bucket they land in has size 200 > cap
