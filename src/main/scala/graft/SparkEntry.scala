@@ -254,6 +254,33 @@ object SparkEntry {
       SpatialOps.clipSegmentsToCells(segs, 8, 20000000L)
     }),
 
+    // incremental tile maintenance: a synthetic changeset (deletes %13,
+    // moves %9, creates %17) applied to the maintained per-cell histogram
+    // — touches |changes| rows, never rescans; oracle recomputes the
+    // after-state from scratch
+    "q_tile_delta" -> ((s, d) => {
+      val base = Synth.points(s, d)
+      val pid = col("pid")
+      val baseHist = base.groupBy(
+          Fns.cellX(col("lon_fix"), 8).as("bx"),
+          Fns.cellY(col("lat_fix"), 8).as("by"))
+        .agg(count(lit(1)).as("cnt"))
+      val nul = lit(null).cast("long")
+      val deletes = base.filter(pid % 13 === 0)
+        .select(lit("delete").as("op"), pid,
+          nul.as("new_lon_fix"), nul.as("new_lat_fix"))
+      val modifies = base.filter(pid % 9 === 0 && pid % 13 =!= 0)
+        .select(lit("modify").as("op"), pid,
+          Fns.lonFixOf(pid + 31).as("new_lon_fix"),
+          Fns.latFixOf(pid + 31).as("new_lat_fix"))
+      val creates = base.filter(pid % 17 === 0)
+        .select(lit("create").as("op"), (pid + 100000000L).as("pid"),
+          Fns.lonFixOf(pid + 100000000L).as("new_lon_fix"),
+          Fns.latFixOf(pid + 100000000L).as("new_lat_fix"))
+      SpatialOps.applyTileDeltas(base, baseHist,
+        deletes.unionByName(modifies).unionByName(creates), 8)
+    }),
+
     "q_pip_join" -> ((s, d) => SpatialOps.pipJoinConvex(s, Synth.points(s, d))),
 
     // sorted-interval cell-list PIP (north-rule strategy): zero-join map
@@ -1984,6 +2011,25 @@ object SparkEntry {
          |FROM p, ${Synth.polygonEdgesValuesSql}
          |GROUP BY p.pid, pe.poly_id, p.lon_fix, p.lat_fix
          |HAVING bool_and((x2 - x1) * (p.lat_fix - y1) - (y2 - y1) * (p.lon_fix - x1) >= 0)""".stripMargin,
+
+    // from-scratch recomputation of the after-state — the independent
+    // check that the incremental path lands on the same histogram
+    "q_tile_delta" ->
+      s"""WITH p AS ($P),
+         |after AS (
+         |  SELECT pid, lon_fix, lat_fix FROM p WHERE pid % 13 <> 0 AND pid % 9 <> 0
+         |  UNION ALL
+         |  SELECT pid, ((pid + 31) * 2654435761) % 1800000000 - 900000000,
+         |         ((pid + 31) * 2246822519) % 1200000000 - 600000000
+         |  FROM p WHERE pid % 9 = 0 AND pid % 13 <> 0
+         |  UNION ALL
+         |  SELECT pid + 100000000, ((pid + 100000000) * 2654435761) % 1800000000 - 900000000,
+         |         ((pid + 100000000) * 2246822519) % 1200000000 - 600000000
+         |  FROM p WHERE pid % 17 = 0)
+         |SELECT least(((lon_fix + 1800000000) * 256) // 3600000000, 255) AS bx,
+         |       least(((lat_fix + 900000000) * 256) // 1800000000, 255) AS by,
+         |       count(*) AS cnt
+         |FROM after GROUP BY 1, 2""".stripMargin,
 
     // identical semantics to q_pip_join — the interval index is a physical
     // strategy, not a different operator; one shared half-plane oracle

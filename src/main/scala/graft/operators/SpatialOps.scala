@@ -764,6 +764,38 @@ object SpatialOps {
       .groupBy("bx", "by")
       .agg(least(count(lit(1)), lit(65535L)).as("cnt"))
 
+  /** Incremental tile-histogram maintenance: apply a changeset to a
+    * maintained per-cell count WITHOUT rescanning the corpus — the
+    * difference between touching |changes| rows and touching 10^12 at
+    * every refresh. `changes` is (op ∈ create/modify/delete, pid,
+    * new_lon_fix, new_lat_fix — new coords null for delete); old
+    * positions for modify/delete come from ONE pid-equi-join against the
+    * base snapshot (at scale both sides live bucketed by pid —
+    * LayoutOps.writeBucketed — so the probe is exchange-free). Delta rows
+    * (−1 at the old cell, +1 at the new) aggregate to a sparse per-cell
+    * delta, outer-merged with the maintained histogram; zero-count cells
+    * drop out. Counts are UNCAPPED (additivity is the maintenance
+    * invariant — a saturating density raster like [[equirectDensity]]
+    * cannot be maintained incrementally). Output (bx, by, cnt) of the
+    * updated histogram.
+    */
+  def applyTileDeltas(base: DataFrame, baseHist: DataFrame, changes: DataFrame,
+                      level: Int): DataFrame = {
+    val oldCells = changes.filter(col("op").isin("modify", "delete"))
+      .select("pid").join(base, "pid")
+      .select(Fns.cellX(col("lon_fix"), level).as("bx"),
+        Fns.cellY(col("lat_fix"), level).as("by"), lit(-1L).as("d"))
+    val newCells = changes.filter(col("op").isin("modify", "create"))
+      .select(Fns.cellX(col("new_lon_fix"), level).as("bx"),
+        Fns.cellY(col("new_lat_fix"), level).as("by"), lit(1L).as("d"))
+    val delta = oldCells.unionByName(newCells)
+      .groupBy("bx", "by").agg(sum("d").as("delta"))
+    baseHist.join(delta, Seq("bx", "by"), "full_outer")
+      .select(col("bx"), col("by"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("delta"), lit(0L))).as("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
   /** Vector→raster: polygon rasterization onto the equirect grid — every
     * cell whose CENTER lies inside the polygon (boundary-inclusive ray
     * cast), the accurate counterpart of the bbox cell cover. Shape: the
