@@ -1088,6 +1088,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 11 === 0), DecontamN)
     }),
 
+    // corpus-internal repeated spans (memorization surface): per-span
+    // doc counts over the duplicate-injected corpus, nothing pairwise
+    "q_common_spans" -> ((s, d) =>
+      DedupOps.commonSpans(Synth.corpus(s, d), DecontamN, 2L)),
+
+    // bigram PMI collocation table: deterministic ln kernel on count
+    // ratios, lead()-window bigrams, broadcast vocabulary joins
+    "q_pmi" -> ((s, d) => LmOps.pmiCollocations(t(s, d, "documents"), 3L)),
+
     // --- Douglas-Peucker way simplification (exact integer predicate) ---
     "q_simplify" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -3359,6 +3368,46 @@ object SparkEntry {
          |FROM cg LEFT JOIN bench b ON b.h = cg.h
          |GROUP BY 1""".stripMargin
     },
+
+    "q_common_spans" -> {
+      val chain = (1 to DecontamN).map(k => tokenHashSql(s"ws[p + $k]"))
+        .foldLeft("0")((acc, t) =>
+          s"(($acc * 1000003 + ($t) % 1000000007) % 1000000007)")
+      s"""WITH corpus AS ($C),
+         |toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ws FROM corpus),
+         |grams AS (
+         |  SELECT doc_id, $chain AS h
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(range(0, len(ws) - ${DecontamN - 1})) AS p FROM toks))
+         |SELECT h, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+         |FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+    },
+
+    "q_pmi" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ws, unnest(range(0, len(ws))) AS pos
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         |uni AS (SELECT ws[pos+1] AS w FROM toks),
+         |bi AS (SELECT ws[pos+1] AS wa, ws[pos+2] AS wb FROM toks
+         |       WHERE pos + 2 <= len(ws)),
+         |cu AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+         |nn AS (SELECT (SELECT count(*) FROM uni) AS nu,
+         |              (SELECT count(*) FROM bi) AS nb),
+         |cab AS (SELECT wa, wb, count(*) AS cab FROM bi
+         |        GROUP BY 1, 2 HAVING count(*) >= 3),
+         |px AS (
+         |  SELECT c0.wa, c0.wb, c0.cab,
+         |    (CAST(c0.cab AS DOUBLE) * nn.nu * nn.nu) /
+         |      (CAST(nn.nb AS DOUBLE) * ca.c * cb.c) AS x
+         |  FROM cab c0
+         |  JOIN cu ca ON ca.w = c0.wa
+         |  JOIN cu cb ON cb.w = c0.wb
+         |  CROSS JOIN nn),
+         |${lnStagesSql("pm", "px")}
+         |SELECT wa, wb, cab,
+         |  CAST(round((kl + srs) * 1000000) AS BIGINT) AS pmi_e6
+         |FROM pm5""".stripMargin,
 
     "q_simplify" -> {
       // Unrolled Douglas-Peucker: stage t refines the active intervals of

@@ -357,6 +357,23 @@ object DedupOps {
       .select(col("doc_id"), col("n_ngrams"), col("n_hits"), col("contam_pm"))
   }
 
+  /** Corpus-internal repeated n-gram spans — the memorization/templating
+    * surface of a training corpus (which exact word runs appear in more
+    * than one document, and how often). Same sliding-hash kernel as
+    * [[decontaminate]], turned inward: one narrow explode + one
+    * map-side-combined groupBy on the span hash; count(distinct doc_id)
+    * is the only two-phase aggregate. Nothing pairwise — the output is
+    * per-SPAN, so cost is linear in token count at any corpus size.
+    * Output (h, n_docs, n_occurrences) for spans seen in ≥ `minDocs` docs.
+    */
+  def commonSpans(corpus: DataFrame, n: Int, minDocs: Long): DataFrame =
+    corpus.select(col("doc_id"), explode(
+        graft.plans.TextHashExpressions.slidingNgramHashes(col("text"), n)).as("h"))
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Exact n-gram Jaccard verification of the LSH candidates (the
     * canonical MinHash-dedup pipeline: candidates from banding, verified
     * exactly): |A∩B| / |A∪B| over distinct shingle hashes, computed with

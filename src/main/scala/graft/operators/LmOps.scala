@@ -69,4 +69,41 @@ object LmOps {
       ((col("se") - pmod(col("se"), col("n_bigrams"))) / col("n_bigrams"))
         .cast("long").as("nll_e6"))
   }
+
+  /** Bigram PMI collocations over a token corpus: for every adjacent word
+    * pair seen ≥ `minCount` times,
+    * `pmi = ln( p(ab) / (p(a)·p(b)) ) = ln( c_ab·Nu² / (Nb·c_a·c_b) )`
+    * quantized to e6 nats with the same deterministic ln kernel as the LM
+    * scorer (the double products exceed 2^53 and round — identically on
+    * both engines, every op a fixed IEEE step). The collocation table of
+    * a corpus (multi-word entities, templating phrases) — and negative
+    * PMI is meaningful too (x < 1 keeps k = 0 in the range reduction, so
+    * the kernel stays exact-twin there).
+    *
+    * Shape: tokens posexplode once; bigrams come from a lead() window
+    * partitioned by doc (one doc-keyed shuffle, no interpreted HOF in the
+    * hot path); unigram counts join back broadcast (vocabulary-sized);
+    * the totals are 1-row broadcast aggregates. Output (wa, wb, cab,
+    * pmi_e6).
+    */
+  def pmiCollocations(corpus: DataFrame, minCount: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = corpus.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = toks.select(col("w").as("wa"), lead(col("w"), 1).over(w).as("wb"))
+      .filter(col("wb").isNotNull)
+    val cu = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nu = toks.agg(count(lit(1)).as("nu"))
+    val nb = bi.agg(count(lit(1)).as("nb"))
+    bi.groupBy("wa", "wb").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+      .join(broadcast(cu.select(col("w").as("wa"), col("c").as("ca"))), "wa")
+      .join(broadcast(cu.select(col("w").as("wb"), col("c").as("cb"))), "wb")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("wa"), col("wb"), col("cab"),
+        HllExpressions.lnE6(
+          (col("cab").cast("double") * col("nu") * col("nu")) /
+            (col("nb").cast("double") * col("ca") * col("cb"))).as("pmi_e6"))
+  }
 }
