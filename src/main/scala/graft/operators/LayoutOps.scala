@@ -70,6 +70,16 @@ object LayoutOps {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Write `df` hive-partitioned by `key` (one directory per value) — the
+    * coarse pruning axis of a crawl corpus (lang, crawl date, content
+    * tier). A reader filtering on `key` must never touch the other
+    * partitions' files: PartitionLayoutSpec asserts the scan plans the
+    * filter as a PartitionFilter (metadata-level pruning) rather than a
+    * data filter.
+    */
+  def writePartitioned(df: DataFrame, path: String, key: String): Unit =
+    df.write.mode("overwrite").partitionBy(key).parquet(path)
+
   def overlapStats(files: DataFrame, bucketKeys: Long,
                    maxSpanKeys: Long): DataFrame = {
     def side(id: String) = files.select(col("file_id").as(id),

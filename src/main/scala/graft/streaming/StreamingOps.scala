@@ -281,6 +281,10 @@ object StreamingOps {
   }
 
   case class SessionEvent(userId: Long, ts: java.sql.Timestamp)
+
+  /** Change-event shape for [[tileDeltaStream]] (coords null on delete). */
+  case class TileChange(op: String, pid: Long,
+                        new_lon_fix: java.lang.Long, new_lat_fix: java.lang.Long)
   case class OpenSession(startUs: Long, endUs: Long, n: Long)
   case class SessionsState(open: Seq[OpenSession])
   case class ClosedSession(userId: Long, startUs: Long, endUs: Long, nEvents: Long)
@@ -382,6 +386,60 @@ object StreamingOps {
         fs.delete(new org.apache.hadoop.fs.Path(snapshotDir), true)
         fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(snapshotDir))
         ()
+      }
+      .start()
+
+  /** Streaming incremental tile maintenance — the live face of
+    * [[graft.operators.SpatialOps.applyTileDeltas]]: every micro-batch of
+    * changes (op ∈ create/modify/delete, pid, new_lon_fix, new_lat_fix)
+    * merges its sparse per-cell delta into a DURABLE tile histogram AND
+    * applies itself to the durable point snapshot, keeping the two in
+    * sync (a later batch's modify needs the earlier batch's new position
+    * as its "old"). Per batch the work is |batch| rows + one pid join
+    * against the snapshot — the whole corpus is never rescanned; both
+    * tables commit via the tmp-swap pattern shared with
+    * [[applyChangesStream]] (histogram first: on a crash between the two
+    * renames the next batch recomputes against a stale histogram rather
+    * than double-applying — and exactly-once replay of the batch is the
+    * checkpoint's job). A missing histogram bootstraps from the snapshot.
+    */
+  def tileDeltaStream(changes: DataFrame, snapshotDir: String, histDir: String,
+                      level: Int, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        import graft.functions.Fns
+        val base = spark.read.parquet(snapshotDir)
+        val hist =
+          try spark.read.parquet(histDir)
+          catch {
+            case e: org.apache.spark.sql.AnalysisException
+                if e.getMessage.contains("PATH_NOT_FOUND") ||
+                   e.getMessage.toLowerCase.contains("path does not exist") =>
+              base.groupBy(Fns.cellX(col("lon_fix"), level).as("bx"),
+                  Fns.cellY(col("lat_fix"), level).as("by"))
+                .agg(count(lit(1)).as("cnt"))
+          }
+        val b = batch.toDF().persist()
+        try {
+          val fs = new org.apache.hadoop.fs.Path(snapshotDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          def swap(df: DataFrame, dir: String): Unit = {
+            val tmp = dir + ".tmp"
+            df.write.mode("overwrite").parquet(tmp)
+            fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+            fs.rename(new org.apache.hadoop.fs.Path(tmp),
+              new org.apache.hadoop.fs.Path(dir))
+          }
+          swap(graft.operators.SpatialOps.applyTileDeltas(base, hist, b, level),
+            histDir)
+          val newRows = b.filter(col("op").isin("modify", "create"))
+            .select(col("pid"), col("new_lon_fix").as("lon_fix"),
+              col("new_lat_fix").as("lat_fix"))
+          swap(base.join(b.select("pid"), Seq("pid"), "left_anti")
+            .unionByName(newRows), snapshotDir)
+        } finally { b.unpersist(); () }
       }
       .start()
 

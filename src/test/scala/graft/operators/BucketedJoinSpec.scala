@@ -72,4 +72,31 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       s.sql("DROP TABLE IF EXISTS labels_b")
     }
   }
+
+  test("partitioned layout prunes at metadata level and pushes data filters to the scan") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft_part").toString + "/pages"
+    val pages = s.range(0, 3000).select(col("id").as("page_id"),
+      when(col("id") % 3 === 0, "en").when(col("id") % 3 === 1, "de")
+        .otherwise("fr").as("lang"),
+      (col("id") * 13 % 997).as("score"))
+    LayoutOps.writePartitioned(pages, path, "lang")
+
+    val q = s.read.parquet(path)
+      .filter(col("lang") === "en" && col("score") > 500)
+      .select("page_id", "score")
+    assert(q.count() === pages.filter(col("lang") === "en" && col("score") > 500).count())
+    val plan = q.queryExecution.executedPlan.toString
+    // lang prunes directories (PartitionFilters), never reaches the data
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"), plan)
+    // score pushes down to the parquet reader
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(score,500)"), plan)
+    // and the scan schema is pruned to the selected data columns
+    assert(plan.contains("ReadSchema") && !plan.contains("extraneous"), plan)
+    // only the en/ directory's files are read
+    val filesRead = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .mkString
+    assert(!filesRead.contains("lang=de") && !filesRead.contains("lang=fr"))
+  }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -505,6 +506,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       assert(got === want)
       assert(got.contains((1L, 3L, "a3")), "stale late version must not overwrite a newer one")
+    } finally q.stop()
+  }
+
+  test("streaming tile-delta maintenance keeps snapshot + histogram in sync across batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    import graft.functions.Fns
+    val root = java.nio.file.Files.createTempDirectory("graft_tdelta").toString
+    val snapDir = s"$root/snap"; val histDir = s"$root/hist"; val ckpt = s"$root/ckpt"
+    // initial snapshot: 5 points in distinct level-8 cells
+    val init = Seq((1L, 100000000L, 100000000L), (2L, -300000000L, 200000000L),
+      (3L, 500000000L, -400000000L), (4L, -700000000L, -100000000L),
+      (5L, 900000000L, 300000000L)).toDF("pid", "lon_fix", "lat_fix")
+    init.write.parquet(snapDir)
+
+    val input = MemoryStream[StreamingOps.TileChange]
+    val q = StreamingOps.tileDeltaStream(input.toDF(), snapDir, histDir, 8, ckpt)
+    try {
+      // batch 1: move pid 1, create pid 10, delete pid 2
+      input.addData(
+        StreamingOps.TileChange("modify", 1L, -1200000000L, 550000000L),
+        StreamingOps.TileChange("create", 10L, 1300000000L, -650000000L),
+        StreamingOps.TileChange("delete", 2L, null, null))
+      q.processAllAvailable()
+      // batch 2: modify the batch-1 CREATE, delete the batch-1 MOVE —
+      // both need batch-1's outcome as their "old" state
+      input.addData(
+        StreamingOps.TileChange("modify", 10L, 200000000L, 250000000L),
+        StreamingOps.TileChange("delete", 1L, null, null))
+      q.processAllAvailable()
+
+      val snap = spark.read.parquet(snapDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Set((3L, 500000000L, -400000000L), (4L, -700000000L, -100000000L),
+        (5L, 900000000L, 300000000L), (10L, 200000000L, 250000000L))
+      assert(snap === want)
+
+      // histogram equals a from-scratch recompute of the final snapshot
+      val hist = spark.read.parquet(histDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = want.toSeq.toDF("pid", "lon_fix", "lat_fix")
+        .groupBy(Fns.cellX(col("lon_fix"), 8).as("bx"),
+          Fns.cellY(col("lat_fix"), 8).as("by"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(hist === expect)
     } finally q.stop()
   }
 
