@@ -42,6 +42,28 @@ object SparkEntry {
     if (dedup) raw.distinct() else raw
   }
 
+  /** The q_tile_clip/q_way_len_tile input: jittered way segments clipped
+    * to every level-8 cell they cross (shared derivation with
+    * q_way_tiles — NO distinct, duplicates flow through identically on
+    * both engines).
+    */
+  private def clippedWaySegs(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val key = col("l_orderkey") * lit(10L) + col("l_linenumber")
+    val x = (col("l_orderkey") * lit(2654435761L)) % lit(3400000000L) - lit(1700000000L) +
+      ((key * lit(1103515245L)) % lit(20000000L) - lit(10000000L))
+    val y = (col("l_orderkey") * lit(2246822519L)) % lit(1600000000L) - lit(800000000L) +
+      ((key * lit(69069L)) % lit(20000000L) - lit(10000000L))
+    val pts = li.select(col("l_orderkey").as("way_id"),
+      col("l_linenumber").as("seq"), x.as("x"), y.as("y"))
+    val w = Window.partitionBy("way_id").orderBy("seq")
+    val segs = pts.select(col("way_id"), col("seq"),
+        lag(col("x"), 1).over(w).as("x0"), lag(col("y"), 1).over(w).as("y0"),
+        col("x").as("x1"), col("y").as("y1"))
+      .filter(col("x0").isNotNull)
+    SpatialOps.clipSegmentsToCells(segs, 8, 20000000L)
+  }
+
   /** SQL twin of [[wayPoints]] (a CTE body selecting way_id, seq, x, y). */
   private val WayPtsSql: String =
     """SELECT DISTINCT l_orderkey AS way_id, l_linenumber AS seq,
@@ -237,21 +259,32 @@ object SparkEntry {
     // vector-tile geometry cut: every way segment clipped to each cell it
     // crosses (exact Liang-Barsky, floor-quantized endpoints) — the
     // geometry companion of q_way_tiles' assignment
-    "q_tile_clip" -> ((s, d) => {
-      val li = t(s, d, "lineitem")
-      val key = col("l_orderkey") * lit(10L) + col("l_linenumber")
-      val x = (col("l_orderkey") * lit(2654435761L)) % lit(3400000000L) - lit(1700000000L) +
-        ((key * lit(1103515245L)) % lit(20000000L) - lit(10000000L))
-      val y = (col("l_orderkey") * lit(2246822519L)) % lit(1600000000L) - lit(800000000L) +
-        ((key * lit(69069L)) % lit(20000000L) - lit(10000000L))
-      val pts = li.select(col("l_orderkey").as("way_id"),
-        col("l_linenumber").as("seq"), x.as("x"), y.as("y"))
-      val w = Window.partitionBy("way_id").orderBy("seq")
-      val segs = pts.select(col("way_id"), col("seq"),
-          lag(col("x"), 1).over(w).as("x0"), lag(col("y"), 1).over(w).as("y0"),
-          col("x").as("x1"), col("y").as("y1"))
-        .filter(col("x0").isNotNull)
-      SpatialOps.clipSegmentsToCells(segs, 8, 20000000L)
+    "q_tile_clip" -> ((s, d) => clippedWaySegs(s, d)),
+
+    // per-tile way length in mm: the tile-cut stat a road/route tileset
+    // ships (km of geometry per tile). Haversine per CLIPPED sub-segment,
+    // quantized to integer mm PER ROW so the rollup sum is associative
+    "q_way_len_tile" -> ((s, d) =>
+      clippedWaySegs(s, d).select(col("cell_x"), col("cell_y"),
+          round(Fns.haversineMeters(
+            col("cx0") / lit(10000000.0), col("cy0") / lit(10000000.0),
+            col("cx1") / lit(10000000.0), col("cy1") / lit(10000000.0))
+            * lit(1000.0)).cast("long").as("mm"))
+        .groupBy("cell_x", "cell_y")
+        .agg(sum("mm").as("len_mm"), count(lit(1)).as("n_segs"))),
+
+    // spatially stratified sampling: at most 4 points per level-6 cell,
+    // picked by deterministic mixId order (WindowGroupLimit: the rank
+    // never materializes past the limit) — geographic balance for a
+    // training corpus
+    "q_geo_sample" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+        .withColumn("cell", Fns.cellId(col("lon_fix"), col("lat_fix"), 6))
+      val w = Window.partitionBy("cell")
+        .orderBy(Fns.mixId(col("pid")), col("pid"))
+      pts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4)
+        .select(col("cell"), col("pid"))
     }),
 
     // incremental tile maintenance: a synthetic changeset (deletes %13,
@@ -1653,6 +1686,84 @@ object SparkEntry {
        |  sin(($lon1 - $lon2) * $deg * 0.5) * sin(($lon1 - $lon2) * $deg * 0.5), 1.0))))""".stripMargin
   }
 
+  /** Floor division with positive divisor (DuckDB `//` truncates). */
+  private def fdivSql(a: String, b: String): String =
+    s"(($a) - ((($a) % ($b)) + ($b)) % ($b)) // ($b)"
+
+  /** Shared WITH-body of the tile-clip oracles: jittered way segments →
+    * level-8 cell cover (SAT refinement) → exact Liang-Barsky clip
+    * fractions n0/d0 (entry) and n1/d1 (exit) as bound CTE stages; ends at
+    * `t1`. The final coordinates are [[clipCoordsSql]].
+    */
+  private def tileClipCoreSql: String = {
+    def loSqlX(c: String) = s"((($c) * 3600000000 + 255) // 256 - 1800000000)"
+    def loSqlY(c: String) = s"((($c) * 1800000000 + 255) // 256 - 900000000)"
+    s"""li AS (
+       |  SELECT l_orderkey AS way_id, l_linenumber AS seq,
+       |    ((l_orderkey * 2654435761) % 3400000000 - 1700000000)
+       |      + (((l_orderkey*10 + l_linenumber) * 1103515245) % 20000000 - 10000000) AS x,
+       |    ((l_orderkey * 2246822519) % 1600000000 - 800000000)
+       |      + (((l_orderkey*10 + l_linenumber) * 69069) % 20000000 - 10000000) AS y
+       |  FROM lineitem),
+       |segs AS (
+       |  SELECT way_id, seq,
+       |    lag(x) OVER (PARTITION BY way_id ORDER BY seq) AS x0,
+       |    lag(y) OVER (PARTITION BY way_id ORDER BY seq) AS y0,
+       |    x AS x1, y AS y1
+       |  FROM li),
+       |loc AS (SELECT * FROM segs
+       |  WHERE x0 IS NOT NULL AND abs(x1 - x0) <= 20000000 AND abs(y1 - y0) <= 20000000),
+       |cx AS (SELECT *, unnest(range(
+       |    least(((least(x0, x1) + 1800000000) * 256) // 3600000000, 255),
+       |    least(((greatest(x0, x1) + 1800000000) * 256) // 3600000000, 255) + 1)) AS cell_x
+       |  FROM loc),
+       |cc AS (SELECT *, unnest(range(
+       |    least(((least(y0, y1) + 900000000) * 256) // 1800000000, 255),
+       |    least(((greatest(y0, y1) + 900000000) * 256) // 1800000000, 255) + 1)) AS cell_y
+       |  FROM cx),
+       |rect AS (SELECT *,
+       |    ${loSqlX("cell_x")} AS rx0,
+       |    CASE WHEN cell_x = 255 THEN 1800000000
+       |         ELSE ${loSqlX("cell_x + 1")} - 1 END AS rx1,
+       |    ${loSqlY("cell_y")} AS ry0,
+       |    CASE WHEN cell_y = 255 THEN 900000000
+       |         ELSE ${loSqlY("cell_y + 1")} - 1 END AS ry1
+       |  FROM cc),
+       |sat AS (SELECT * FROM (SELECT *,
+       |    (x1 - x0) * (ry0 - y0) - (y1 - y0) * (rx0 - x0) AS s1,
+       |    (x1 - x0) * (ry0 - y0) - (y1 - y0) * (rx1 - x0) AS s2,
+       |    (x1 - x0) * (ry1 - y0) - (y1 - y0) * (rx0 - x0) AS s3,
+       |    (x1 - x0) * (ry1 - y0) - (y1 - y0) * (rx1 - x0) AS s4
+       |  FROM rect)
+       |  WHERE least(s1, s2, s3, s4) <= 0 AND greatest(s1, s2, s3, s4) >= 0),
+       |dd AS (SELECT *, x1 - x0 AS dx, y1 - y0 AS dy FROM sat),
+       |fr AS (SELECT *,
+       |    CASE WHEN dx > 0 THEN rx0 - x0 WHEN dx < 0 THEN x0 - rx1 ELSE 0 END AS inxn,
+       |    CASE WHEN dx > 0 THEN rx1 - x0 WHEN dx < 0 THEN x0 - rx0 ELSE 1 END AS outxn,
+       |    CASE WHEN dx = 0 THEN 1 ELSE abs(dx) END AS dxd,
+       |    CASE WHEN dy > 0 THEN ry0 - y0 WHEN dy < 0 THEN y0 - ry1 ELSE 0 END AS inyn,
+       |    CASE WHEN dy > 0 THEN ry1 - y0 WHEN dy < 0 THEN y0 - ry0 ELSE 1 END AS outyn,
+       |    CASE WHEN dy = 0 THEN 1 ELSE abs(dy) END AS dyd
+       |  FROM dd),
+       |m0 AS (SELECT *,
+       |    CASE WHEN inyn * dxd > inxn * dyd THEN inyn ELSE inxn END AS m0n,
+       |    CASE WHEN inyn * dxd > inxn * dyd THEN dyd ELSE dxd END AS m0d
+       |  FROM fr),
+       |t0 AS (SELECT *, CASE WHEN m0n <= 0 THEN 0 ELSE m0n END AS n0,
+       |               CASE WHEN m0n <= 0 THEN 1 ELSE m0d END AS d0 FROM m0),
+       |m1 AS (SELECT *,
+       |    CASE WHEN outyn * dxd < outxn * dyd THEN outyn ELSE outxn END AS m1n,
+       |    CASE WHEN outyn * dxd < outxn * dyd THEN dyd ELSE dxd END AS m1d
+       |  FROM t0),
+       |t1 AS (SELECT *, CASE WHEN m1n >= m1d THEN 1 ELSE m1n END AS n1,
+       |               CASE WHEN m1n >= m1d THEN 1 ELSE m1d END AS d1 FROM m1)""".stripMargin
+  }
+
+  /** The clipped endpoints of `t1` rows (floor-quantized rationals). */
+  private def clipCoordsSql: String =
+    s"""x0 + ${fdivSql("dx * n0", "d0")} AS cx0, y0 + ${fdivSql("dy * n0", "d0")} AS cy0,
+       |  x0 + ${fdivSql("dx * n1", "d1")} AS cx1, y0 + ${fdivSql("dy * n1", "d1")} AS cy1""".stripMargin
+
   /** Morton spread of expression `v` (low 16 bits) as DuckDB bit arithmetic. */
   private def spreadSql(v: String): String = {
     val s1 = s"((($v) | (($v) << 8)) & 71777214294589695)"
@@ -1896,75 +2007,33 @@ object SparkEntry {
          |WHERE least(s1, s2, s3, s4) <= 0 AND greatest(s1, s2, s3, s4) >= 0""".stripMargin
     },
 
-    "q_tile_clip" -> {
-      def loSqlX(c: String) = s"((($c) * 3600000000 + 255) // 256 - 1800000000)"
-      def loSqlY(c: String) = s"((($c) * 1800000000 + 255) // 256 - 900000000)"
-      // floor division with positive divisor (DuckDB // truncates):
-      def fdiv(a: String, b: String) = s"(($a) - ((($a) % ($b)) + ($b)) % ($b)) // ($b)"
-      s"""WITH li AS (
-         |  SELECT l_orderkey AS way_id, l_linenumber AS seq,
-         |    ((l_orderkey * 2654435761) % 3400000000 - 1700000000)
-         |      + (((l_orderkey*10 + l_linenumber) * 1103515245) % 20000000 - 10000000) AS x,
-         |    ((l_orderkey * 2246822519) % 1600000000 - 800000000)
-         |      + (((l_orderkey*10 + l_linenumber) * 69069) % 20000000 - 10000000) AS y
-         |  FROM lineitem),
-         |segs AS (
-         |  SELECT way_id, seq,
-         |    lag(x) OVER (PARTITION BY way_id ORDER BY seq) AS x0,
-         |    lag(y) OVER (PARTITION BY way_id ORDER BY seq) AS y0,
-         |    x AS x1, y AS y1
-         |  FROM li),
-         |loc AS (SELECT * FROM segs
-         |  WHERE x0 IS NOT NULL AND abs(x1 - x0) <= 20000000 AND abs(y1 - y0) <= 20000000),
-         |cx AS (SELECT *, unnest(range(
-         |    least(((least(x0, x1) + 1800000000) * 256) // 3600000000, 255),
-         |    least(((greatest(x0, x1) + 1800000000) * 256) // 3600000000, 255) + 1)) AS cell_x
-         |  FROM loc),
-         |cc AS (SELECT *, unnest(range(
-         |    least(((least(y0, y1) + 900000000) * 256) // 1800000000, 255),
-         |    least(((greatest(y0, y1) + 900000000) * 256) // 1800000000, 255) + 1)) AS cell_y
-         |  FROM cx),
-         |rect AS (SELECT *,
-         |    ${loSqlX("cell_x")} AS rx0,
-         |    CASE WHEN cell_x = 255 THEN 1800000000
-         |         ELSE ${loSqlX("cell_x + 1")} - 1 END AS rx1,
-         |    ${loSqlY("cell_y")} AS ry0,
-         |    CASE WHEN cell_y = 255 THEN 900000000
-         |         ELSE ${loSqlY("cell_y + 1")} - 1 END AS ry1
-         |  FROM cc),
-         |sat AS (SELECT * FROM (SELECT *,
-         |    (x1 - x0) * (ry0 - y0) - (y1 - y0) * (rx0 - x0) AS s1,
-         |    (x1 - x0) * (ry0 - y0) - (y1 - y0) * (rx1 - x0) AS s2,
-         |    (x1 - x0) * (ry1 - y0) - (y1 - y0) * (rx0 - x0) AS s3,
-         |    (x1 - x0) * (ry1 - y0) - (y1 - y0) * (rx1 - x0) AS s4
-         |  FROM rect)
-         |  WHERE least(s1, s2, s3, s4) <= 0 AND greatest(s1, s2, s3, s4) >= 0),
-         |dd AS (SELECT *, x1 - x0 AS dx, y1 - y0 AS dy FROM sat),
-         |fr AS (SELECT *,
-         |    CASE WHEN dx > 0 THEN rx0 - x0 WHEN dx < 0 THEN x0 - rx1 ELSE 0 END AS inxn,
-         |    CASE WHEN dx > 0 THEN rx1 - x0 WHEN dx < 0 THEN x0 - rx0 ELSE 1 END AS outxn,
-         |    CASE WHEN dx = 0 THEN 1 ELSE abs(dx) END AS dxd,
-         |    CASE WHEN dy > 0 THEN ry0 - y0 WHEN dy < 0 THEN y0 - ry1 ELSE 0 END AS inyn,
-         |    CASE WHEN dy > 0 THEN ry1 - y0 WHEN dy < 0 THEN y0 - ry0 ELSE 1 END AS outyn,
-         |    CASE WHEN dy = 0 THEN 1 ELSE abs(dy) END AS dyd
-         |  FROM dd),
-         |m0 AS (SELECT *,
-         |    CASE WHEN inyn * dxd > inxn * dyd THEN inyn ELSE inxn END AS m0n,
-         |    CASE WHEN inyn * dxd > inxn * dyd THEN dyd ELSE dxd END AS m0d
-         |  FROM fr),
-         |t0 AS (SELECT *, CASE WHEN m0n <= 0 THEN 0 ELSE m0n END AS n0,
-         |               CASE WHEN m0n <= 0 THEN 1 ELSE m0d END AS d0 FROM m0),
-         |m1 AS (SELECT *,
-         |    CASE WHEN outyn * dxd < outxn * dyd THEN outyn ELSE outxn END AS m1n,
-         |    CASE WHEN outyn * dxd < outxn * dyd THEN dyd ELSE dxd END AS m1d
-         |  FROM t0),
-         |t1 AS (SELECT *, CASE WHEN m1n >= m1d THEN 1 ELSE m1n END AS n1,
-         |               CASE WHEN m1n >= m1d THEN 1 ELSE m1d END AS d1 FROM m1)
-         |SELECT way_id, seq, cell_x, cell_y,
-         |  x0 + ${fdiv("dx * n0", "d0")} AS cx0, y0 + ${fdiv("dy * n0", "d0")} AS cy0,
-         |  x0 + ${fdiv("dx * n1", "d1")} AS cx1, y0 + ${fdiv("dy * n1", "d1")} AS cy1
-         |FROM t1""".stripMargin
-    },
+    "q_tile_clip" ->
+      s"""WITH $tileClipCoreSql
+         |SELECT way_id, seq, cell_x, cell_y, $clipCoordsSql
+         |FROM t1""".stripMargin,
+
+    // rollup of the clipped geometry: haversine per sub-segment rounded
+    // to integer mm PER ROW (associative sum), then one tile groupBy
+    "q_way_len_tile" ->
+      s"""WITH $tileClipCoreSql,
+         |cl AS (SELECT cell_x, cell_y, $clipCoordsSql FROM t1)
+         |SELECT cell_x, cell_y,
+         |  CAST(sum(CAST(round(${haversineSql("cx0 / 10000000.0", "cy0 / 10000000.0",
+              "cx1 / 10000000.0", "cy1 / 10000000.0")} * 1000) AS BIGINT)) AS BIGINT) AS len_mm,
+         |  count(*) AS n_segs
+         |FROM cl GROUP BY 1, 2""".stripMargin,
+
+    // deterministic per-cell quota sample: mixId order, ties by pid
+    "q_geo_sample" ->
+      s"""WITH p AS ($P), c AS (
+         |  SELECT pid,
+         |    least(((lon_fix + 1800000000) * 64) // 3600000000, 63) AS cx,
+         |    least(((lat_fix + 900000000) * 64) // 1800000000, 63) AS cy
+         |  FROM p)
+         |SELECT (4096 | ${spreadSql("cx")} | (${spreadSql("cy")} << 1)) AS cell, pid
+         |FROM c QUALIFY row_number() OVER (
+         |  PARTITION BY cell ORDER BY ${mixIdSql("pid")}, pid) <= 4""".stripMargin,
+
 
     "q_pyramid" ->
       s"""WITH p AS ($P), deg AS (
