@@ -314,6 +314,24 @@ object SparkEntry {
         deletes.unionByName(modifies).unionByName(creates), 8)
     }),
 
+    // nearest-facility assignment: per-point geodesic argmin over the 30
+    // hexagon centers — `least` over inline struct candidates keeps the
+    // whole thing ONE codegen map stage (no join, no shuffle, no groupBy);
+    // ranking is integer mm with hub-id tie-break, so exact cross-engine
+    "q_nearest_hub" -> ((s, d) => {
+      val lon = col("lon_fix") / lit(10000000.0)
+      val lat = col("lat_fix") / lit(10000000.0)
+      val cands = Synth.hexagons.map { h =>
+        struct(
+          round(Fns.haversineMeters(lon, lat,
+            lit(h.cx) / lit(10000000.0), lit(h.cy) / lit(10000000.0))
+            * lit(1000.0)).cast("long").as("mm"),
+          lit(h.polyId).as("hub"))
+      }
+      Synth.points(s, d).select(col("pid"), least(cands: _*).as("best"))
+        .select(col("pid"), col("best.hub").as("hub"), col("best.mm").as("mm"))
+    }),
+
     "q_pip_join" -> ((s, d) => SpatialOps.pipJoinConvex(s, Synth.points(s, d))),
 
     // sorted-interval cell-list PIP (north-rule strategy): zero-join map
@@ -568,6 +586,25 @@ object SparkEntry {
         .orderBy(col("n_true").desc, col("tok").asc).limit(20)
       SketchOps.cmsEstimate(top, col("h"), cms)
         .select(col("tok"), col("n_true"), col("n_est"))
+    }),
+
+    // sketch-then-verify heavy hitters: CMS estimates gate which tokens
+    // get an exact count (estimates are one-sided, so candidates ⊇ truth
+    // and the exact filter recovers the ground truth EXACTLY — the oracle
+    // is the direct heavy-hitter query, never touching the sketch). At
+    // scale the exact pass counts only the candidate set, not the corpus
+    // vocabulary
+    "q_heavy_exact" -> ((s, d) => {
+      val th = graft.core.CacheScope.global.persist(
+        t(s, d, "documents")
+          .select(explode(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("tok"))
+          .select(col("tok"), Fns.tokenHash(col("tok")).as("h")))
+      val cms = SketchOps.cmsSketch(th, col("h"))
+      val cand = SketchOps.cmsEstimate(th.select("tok", "h").distinct(), col("h"), cms)
+        .filter(col("n_est") >= 200L)
+      th.join(cand.select("tok"), Seq("tok"), "left_semi")
+        .groupBy("tok").agg(count(lit(1)).as("n_true"))
+        .filter(col("n_true") >= 200L)
     }),
 
     // corpus vocabulary: token-frequency dictionary over the BPE-ish
@@ -2090,6 +2127,19 @@ object SparkEntry {
          |GROUP BY p.pid, pe.poly_id, p.lon_fix, p.lat_fix
          |HAVING bool_and((x2 - x1) * (p.lat_fix - y1) - (y2 - y1) * (p.lon_fix - x1) >= 0)""".stripMargin,
 
+    "q_nearest_hub" -> {
+      val hubs = Synth.hexagons
+        .map(h => s"(${h.polyId}, ${h.cx}, ${h.cy})")
+        .mkString("(VALUES ", ", ", ") AS hub(hid, hx, hy)")
+      val mm = haversineSql("p.lon_fix / 10000000.0", "p.lat_fix / 10000000.0",
+        "hub.hx / 10000000.0", "hub.hy / 10000000.0")
+      s"""WITH p AS ($P)
+         |SELECT pid, hid AS hub, mm FROM (
+         |  SELECT p.pid, hub.hid, CAST(round(($mm) * 1000) AS BIGINT) AS mm
+         |  FROM p CROSS JOIN $hubs)
+         |QUALIFY row_number() OVER (PARTITION BY pid ORDER BY mm, hid) = 1""".stripMargin
+    },
+
     // from-scratch recomputation of the after-state — the independent
     // check that the incremental path lands on the same histogram
     "q_tile_delta" ->
@@ -2909,6 +2959,12 @@ object SparkEntry {
          |  ON c.row_j = p.row_j AND c.col_w = p.col_w
          |GROUP BY 1, 2""".stripMargin
     },
+
+    // ground truth directly — the sketch path must land on exactly this
+    "q_heavy_exact" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS n_true FROM (
+        |  SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents)
+        |GROUP BY 1 HAVING count(*) >= 200""".stripMargin,
 
     "q_vocab" ->
       s"""SELECT tok, n FROM (
