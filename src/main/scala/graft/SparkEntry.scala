@@ -1056,6 +1056,27 @@ object SparkEntry {
         |FROM graft_docs""".stripMargin)
     }),
 
+    // geometry SQL catalog parity: the native expressions behind the
+    // Scala surface, driven through spark.sql — point_wkt / haversine_m /
+    // ring_area2 / point_in_rings / ln_e6 (reference JS geometry surface,
+    // wrapper/geometry.hpp:81-213)
+    "q_sql_geo" -> ((s, d) => {
+      org.apache.spark.sql.GraftRegistryBridge.install(s)
+      Synth.points(s, d).filter(col("pid") % 101 === 0)
+        .createOrReplaceTempView("graft_pts")
+      s.sql("""SELECT pid,
+        |  point_wkt(lon_fix, lat_fix) AS wkt,
+        |  CAST(round(haversine_m(lon_fix / 10000000.0D, lat_fix / 10000000.0D,
+        |    10.0D, 20.0D) * 1000) AS BIGINT) AS mm,
+        |  ring_area2(array(0L, 1000000L, 1000000L, 0L),
+        |             array(0L, 0L, 1000000L, 1000000L)) AS a2,
+        |  point_in_rings(lon_fix, lat_fix,
+        |    array(-900000000L, 900000000L, 900000000L, -900000000L),
+        |    array(-900000000L, -900000000L, 900000000L, 900000000L)) AS inside,
+        |  ln_e6(CAST(pid % 1000 + 1 AS DOUBLE)) AS ln6
+        |FROM graft_pts""".stripMargin)
+    }),
+
     // --- small-file compaction plan (metadata-only layout maintenance) ---
     "q_compaction" -> ((s, d) => {
       val files = t(s, d, "documents").select(col("lang").as("part_key"),
@@ -3243,6 +3264,25 @@ object SparkEntry {
         |  '"lang"=>"' || lang || '","source"=>"' || source || '"' AS hs,
         |  'host' || (doc_id % 7) || '.example.org' AS host
         |FROM documents""".stripMargin,
+
+    "q_sql_geo" -> {
+      val mm = haversineSql("lon_fix / 10000000.0", "lat_fix / 10000000.0",
+        "10.0", "20.0")
+      s"""WITH p AS ($P),
+         |px AS (SELECT pid, lon_fix, lat_fix,
+         |         CAST(pid % 1000 + 1 AS DOUBLE) AS x
+         |       FROM p WHERE pid % 101 = 0),
+         |${lnStagesSql("lg", "px")}
+         |SELECT pid,
+         |  'POINT(' || printf('%.10g', lon_fix / 10000000.0) || ' ' ||
+         |    printf('%.10g', lat_fix / 10000000.0) || ')' AS wkt,
+         |  CAST(round(($mm) * 1000) AS BIGINT) AS mm,
+         |  CAST(2000000000000 AS BIGINT) AS a2,
+         |  (lon_fix BETWEEN -900000000 AND 900000000)
+         |    AND (lat_fix BETWEEN -900000000 AND 900000000) AS inside,
+         |  CAST(round((kl + srs) * 1000000) AS BIGINT) AS ln6
+         |FROM lg5""".stripMargin
+    },
 
     "q_compaction" ->
       s"""WITH f AS (

@@ -108,5 +108,56 @@ object GraftExtensions {
     (new FunctionIdentifier("url_norm_host"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "url_norm_host"),
       (args: Seq[Expression]) => fn("lower", fn("regexp_extract", args(0),
-        str(graft.functions.Fns.UrlHostRegex), Literal(1)))))
+        str(graft.functions.Fns.UrlHostRegex), Literal(1)))),
+
+    // ---- geometry catalog (the reference's JS toWKT/geometry surface,
+    // wrapper/geometry.hpp:81-213, as SQL functions over native exprs) ----
+
+    (new FunctionIdentifier("point_wkt"),
+      new ExpressionInfo(classOf[PointWkt].getName, "point_wkt"),
+      (args: Seq[Expression]) => PointWkt(args(0), args(1))),
+
+    (new FunctionIdentifier("ring_area2"),
+      new ExpressionInfo(classOf[RingArea2].getName, "ring_area2"),
+      (args: Seq[Expression]) => RingArea2(args(0), args(1))),
+
+    (new FunctionIdentifier("point_in_rings"),
+      new ExpressionInfo(classOf[PointInRings].getName, "point_in_rings"),
+      (args: Seq[Expression]) =>
+        PointInRings(args(0), args(1), args(2), args(3))),
+
+    (new FunctionIdentifier("simplify_polyline"),
+      new ExpressionInfo(classOf[SimplifyPolyline].getName, "simplify_polyline"),
+      (args: Seq[Expression]) =>
+        SimplifyPolyline(args(0), intArg(args(1), "tol_fix").toLong)),
+
+    (new FunctionIdentifier("clip_seg_rect"),
+      new ExpressionInfo(classOf[ClipSegRect].getName, "clip_seg_rect"),
+      (args: Seq[Expression]) => ClipSegRect(args(0), args(1))),
+
+    (new FunctionIdentifier("ln_e6"),
+      new ExpressionInfo(classOf[LnE6].getName, "ln_e6"),
+      (args: Seq[Expression]) => LnE6(args(0))),
+
+    (new FunctionIdentifier("haversine_m"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "haversine_m"),
+      (args: Seq[Expression]) => haversineTree(args(0), args(1), args(2), args(3))))
+
+  /** [[graft.functions.Fns.haversineMeters]] as a parser-shaped tree with
+    * IDENTICAL operator association (left-assoc multiplies), so the SQL
+    * surface produces bit-identical meters.
+    */
+  private def haversineTree(lon1: Expression, lat1: Expression,
+                            lon2: Expression, lat2: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Multiply, Subtract}
+    val deg = Literal(0.017453292519943295769236907684886)
+    val half = Literal(0.5)
+    val lonh = fn("sin", Multiply(Multiply(Subtract(lon1, lon2), deg), half))
+    val lath = fn("sin", Multiply(Multiply(Subtract(lat1, lat2), deg), half))
+    val tmp = Multiply(fn("cos", Multiply(lat1, deg)), fn("cos", Multiply(lat2, deg)))
+    Multiply(Multiply(Literal(2.0), Literal(6372797.560856)),
+      fn("asin", fn("sqrt", fn("least",
+        Add(Multiply(lath, lath), Multiply(Multiply(tmp, lonh), lonh)),
+        Literal(1.0)))))
+  }
 }
