@@ -385,9 +385,17 @@ object SparkEntry {
     // geodesic DBSCAN: density clusters / border / noise over a point
     // subset (the mod keeps the ORACLE's pair join brute-forceable; the
     // operator itself rides the cell cover at any size)
+    // eps is COUNT-DERIVED (halved per ~4x points, integer thresholds
+    // mirrored as a SQL CASE): a fixed 150 km eps percolates at sf0.1
+    // density into one giant component whose pointer-jump depth dominates
+    // the suite (152 s) — constant expected degree is the scale contract
+    // (same derived-parameter pattern as q_vectorize's grid level)
     "q_dbscan" -> ((s, d) => {
       val pts = Synth.points(s, d).filter(col("pid") % DbscanPidMod === 0)
-      SpatialOps.dbscanGeo(pts, DbscanEpsM, DbscanMinPts)
+      val n = pts.count() // derive-from-count contract (eager, documented)
+      val eps = if (n <= 4000) DbscanEpsM
+        else if (n <= 16000) DbscanEpsM / 2 else DbscanEpsM / 4
+      SpatialOps.dbscanGeo(pts, eps, DbscanMinPts)
     }),
 
     // --- dedup suite ---
@@ -2327,12 +2335,21 @@ object SparkEntry {
       val epsMm = math.round(DbscanEpsM * 1000.0)
       s"""WITH RECURSIVE p0 AS ($P),
          |p AS (SELECT * FROM p0 WHERE pid % $DbscanPidMod = 0),
+         |eps AS (
+         |  SELECT CASE WHEN n <= 4000 THEN $epsMm
+         |              WHEN n <= 16000 THEN ${epsMm / 2}
+         |              ELSE ${epsMm / 4} END AS eps_mm,
+         |         CASE WHEN n <= 4000 THEN 13600000
+         |              WHEN n <= 16000 THEN 6800000
+         |              ELSE 3400000 END AS band
+         |  FROM (SELECT count(*) AS n FROM p)),
          |pr AS (
          |  SELECT a.pid AS qid, b.pid AS nid
          |  FROM p a JOIN p b
-         |    ON b.lat_fix BETWEEN a.lat_fix - 13600000 AND a.lat_fix + 13600000
+         |  CROSS JOIN eps
+         |    ON b.lat_fix BETWEEN a.lat_fix - eps.band AND a.lat_fix + eps.band
          |    AND a.pid <> b.pid
-         |  WHERE CAST(round(($dist) * 1000) AS BIGINT) <= $epsMm),
+         |  WHERE CAST(round(($dist) * 1000) AS BIGINT) <= eps.eps_mm),
          |nc AS (SELECT qid, count(*) AS n FROM pr GROUP BY 1),
          |cores AS (SELECT qid AS pid FROM nc WHERE n >= ${DbscanMinPts - 1}),
          |ce AS (SELECT pr.qid AS src, pr.nid AS dst FROM pr
