@@ -398,50 +398,72 @@ object StreamingOps {
     * as its "old"). Per batch the work is |batch| rows + one pid join
     * against the snapshot — the whole corpus is never rescanned; both
     * tables commit via the tmp-swap pattern shared with
-    * [[applyChangesStream]] (histogram first: on a crash between the two
-    * renames the next batch recomputes against a stale histogram rather
-    * than double-applying — and exactly-once replay of the batch is the
-    * checkpoint's job). A missing histogram bootstraps from the snapshot.
+    * [[applyChangesStream]].
+    *
+    * Replay safety: foreachBatch is at-least-once and the histogram delta
+    * is NOT naturally idempotent (unlike the snapshot's anti-join+union,
+    * which is), so every histogram row carries the `applied_batch` id and
+    * a replayed batch ≤ that id skips the histogram merge. Ordering puts
+    * the histogram rename FIRST: a crash between the two renames replays
+    * into "hist already has the batch (guard skips), snapshot re-applies
+    * idempotently" — never a double count. A missing histogram bootstraps
+    * from the snapshot.
     */
   def tileDeltaStream(changes: DataFrame, snapshotDir: String, histDir: String,
                       level: Int, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val spark = batch.sparkSession
-        import graft.functions.Fns
-        val base = spark.read.parquet(snapshotDir)
-        val hist =
-          try spark.read.parquet(histDir)
-          catch {
-            case e: org.apache.spark.sql.AnalysisException
-                if e.getMessage.contains("PATH_NOT_FOUND") ||
-                   e.getMessage.toLowerCase.contains("path does not exist") =>
-              base.groupBy(Fns.cellX(col("lon_fix"), level).as("bx"),
-                  Fns.cellY(col("lat_fix"), level).as("by"))
-                .agg(count(lit(1)).as("cnt"))
-          }
-        val b = batch.toDF().persist()
-        try {
-          val fs = new org.apache.hadoop.fs.Path(snapshotDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          def swap(df: DataFrame, dir: String): Unit = {
-            val tmp = dir + ".tmp"
-            df.write.mode("overwrite").parquet(tmp)
-            fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-            fs.rename(new org.apache.hadoop.fs.Path(tmp),
-              new org.apache.hadoop.fs.Path(dir))
-          }
-          swap(graft.operators.SpatialOps.applyTileDeltas(base, hist, b, level),
-            histDir)
-          val newRows = b.filter(col("op").isin("modify", "create"))
-            .select(col("pid"), col("new_lon_fix").as("lon_fix"),
-              col("new_lat_fix").as("lat_fix"))
-          swap(base.join(b.select("pid"), Seq("pid"), "left_anti")
-            .unionByName(newRows), snapshotDir)
-        } finally { b.unpersist(); () }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyTileDeltaBatch(batch.toDF(), batchId, snapshotDir, histDir, level)
       }
       .start()
+
+  /** One micro-batch of [[tileDeltaStream]] — package-visible so the
+    * replay-idempotency spec can drive it directly.
+    */
+  private[graft] def applyTileDeltaBatch(batchDf: DataFrame, batchId: Long,
+                                         snapshotDir: String, histDir: String,
+                                         level: Int): Unit = {
+    val spark = batchDf.sparkSession
+    import graft.functions.Fns
+    val base = spark.read.parquet(snapshotDir)
+    val hist =
+      try spark.read.parquet(histDir)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+               e.getMessage.toLowerCase.contains("path does not exist") =>
+          base.groupBy(Fns.cellX(col("lon_fix"), level).as("bx"),
+              Fns.cellY(col("lat_fix"), level).as("by"))
+            .agg(count(lit(1)).as("cnt"))
+            .withColumn("applied_batch", lit(-1L))
+      }
+    val b = batchDf.persist()
+    try {
+      val fs = new org.apache.hadoop.fs.Path(snapshotDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def swap(df: DataFrame, dir: String): Unit = {
+        val tmp = dir + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(dir))
+      }
+      val appliedRow = hist.agg(max(col("applied_batch"))).head()
+      val applied = if (appliedRow.isNullAt(0)) -1L else appliedRow.getLong(0)
+      if (applied < batchId) {
+        swap(graft.operators.SpatialOps
+            .applyTileDeltas(base, hist.select("bx", "by", "cnt"), b, level)
+            .withColumn("applied_batch", lit(batchId)),
+          histDir)
+      }
+      val newRows = b.filter(col("op").isin("modify", "create"))
+        .select(col("pid"), col("new_lon_fix").as("lon_fix"),
+          col("new_lat_fix").as("lat_fix"))
+      swap(base.join(b.select("pid"), Seq("pid"), "left_anti")
+        .unionByName(newRows), snapshotDir)
+    } finally { b.unpersist(); () }
+  }
 
   /** Streaming Count-Min sketch — the live face of SketchOps.cmsSketch,
     * value-identical by construction: the same mixId counter positions,

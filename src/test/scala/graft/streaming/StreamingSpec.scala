@@ -545,14 +545,28 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(snap === want)
 
       // histogram equals a from-scratch recompute of the final snapshot
-      val hist = spark.read.parquet(histDir).collect()
+      def readHist() = spark.read.parquet(histDir)
+        .select("bx", "by", "cnt").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val hist = readHist()
       val expect = want.toSeq.toDF("pid", "lon_fix", "lat_fix")
         .groupBy(Fns.cellX(col("lon_fix"), 8).as("bx"),
           Fns.cellY(col("lat_fix"), 8).as("by"))
         .agg(count(lit(1)).as("cnt"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(hist === expect)
+
+      // at-least-once REPLAY of the last batch (foreachBatch contract):
+      // the applied_batch guard must make both tables land unchanged
+      val replay = Seq(
+        StreamingOps.TileChange("modify", 10L, 200000000L, 250000000L),
+        StreamingOps.TileChange("delete", 1L, null, null))
+        .toDF("op", "pid", "new_lon_fix", "new_lat_fix")
+      StreamingOps.applyTileDeltaBatch(replay, 1L, snapDir, histDir, 8)
+      assert(readHist() === expect, "replayed batch must not double-apply the delta")
+      val snap2 = spark.read.parquet(snapDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(snap2 === want, "snapshot re-apply must be idempotent")
     } finally q.stop()
   }
 
