@@ -1248,7 +1248,162 @@ object SparkEntry {
         regexp_count(salted, lit(Fns.PiiIpRegex)).cast("long").as("n_ip"),
         regexp_count(salted, lit(Fns.PiiIdRegex)).cast("long").as("n_id"))
     }),
+
+    // --- multi-level rollup (GROUPING SETS) over the corpus facets ---
+    // One pass emits per-(lang, source), per-lang, and grand-total stats;
+    // Catalyst expands the rollup map-side, so the shuffle carries the
+    // grouping-set id, not three separate scans.
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "documents").rollup("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"),
+          (grouping(col("lang")) * 2 + grouping(col("source")))
+            .cast("long").as("gid"))
+        .select(coalesce(col("lang"), lit("(all)")).as("lang"),
+          coalesce(col("source"), lit("(all)")).as("source"),
+          col("gid"), col("n_docs"), col("chars"))),
+
+    // --- pivot: per-source doc counts as one column per language ---
+    // Explicit value list, so the pivot is a single groupBy (no extra
+    // distinct pass to discover columns) and the output schema is static.
+    "q_pivot" -> ((s, d) => {
+      val p = t(s, d, "documents").groupBy("source")
+        .pivot("lang", PivotLangs).agg(count(lit(1)))
+      p.select(col("source") +:
+        PivotLangs.map(l => coalesce(col(l), lit(0L)).as(s"n_$l")): _*)
+    }),
+
+    // --- trailing event-time window (RANGE frame) per user ---
+    // Logical 1-hour frame over epoch micros: peers at the same timestamp
+    // are all in-frame, so the result is deterministic without a
+    // tie-break; value is e3-quantized per row BEFORE the sum (file-top
+    // parity rule). One shuffle on user_id.
+    "q_moving" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("tsus"))
+        .rangeBetween(-MovingWindowUs, 0)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), us(col("ts")).as("tsus"),
+          round(col("value") * 1000).cast("long").as("ve3"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_e3_1h", sum("ve3").over(w))
+        .select("event_id", "user_id", "n_1h", "sum_e3_1h")
+    }),
+
+    // --- 2-D Pareto frontier (event score x recency) ---
+    // Independent axes, so the frontier is the expected ~H(n) points: the
+    // events no other event beats on BOTH value and freshness.
+    "q_skyline" -> ((s, d) =>
+      StatsOps.skyline(
+        t(s, d, "events").select(
+          round(col("value") * 1000).cast("long").as("ve3"),
+          us(col("ts")).as("tsus")),
+        "ve3", "tsus")
+        .select(col("a").as("ve3"), col("b").as("tsus"),
+          col("n").as("n_events"))),
+
+    // --- connected components over the chain-broken link graph ---
+    // Chains of WccChain consecutive ids (diameter WccChain-1) force the
+    // pointer-jumping rounds — the case plain label propagation pays
+    // diameter shuffles for.
+    "q_wcc" -> ((s, d) => GraphOps.connectedComponents(wccEdges(s, d))),
+
+    // --- per-group outlier flags, integer-exact z-score ---
+    // |z| > 2 via cross-multiplied sample-variance inequality: no float
+    // mean/stddev, so the flags are engine-exact. int64 headroom: holds to
+    // ~10^7 rows/group at n_chars<=10^5; beyond that lift sx/sq to
+    // decimal(38,0) (DuckDB already auto-promotes sums to HUGEINT).
+    "q_zscore" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val st = docs.groupBy("lang").agg(count(lit(1)).as("n"),
+        sum("n_chars").as("sx"),
+        sum(col("n_chars") * col("n_chars")).as("sq"))
+      docs.join(broadcast(st), "lang")
+        .withColumn("dev", col("n") * col("n_chars") - col("sx"))
+        .filter(col("dev") * col("dev") * (col("n") - 1) >
+          lit(ZscoreThrSq) * col("n") *
+            (col("n") * col("sq") - col("sx") * col("sx")))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          signum(col("dev")).cast("long").as("side"))
+    }),
+
+    // --- midpoint along each way (linear referencing / geocoding) ---
+    // Segment lengths are sqrt of an exact int64 quadrance; the running
+    // sum, half-length and interpolation are the same IEEE double sequence
+    // on both engines, rounded to fix units only at the very end.
+    "q_line_interp" -> ((s, d) => {
+      val w = Window.partitionBy("way_id").orderBy("seq")
+      val segs = wayPoints(t(s, d, "lineitem")).select(col("way_id"), col("seq"),
+          lag("x", 1).over(w).as("x0"), lag("y", 1).over(w).as("y0"),
+          col("x").as("x1"), col("y").as("y1"))
+        .filter(col("x0").isNotNull)
+        .withColumn("len", sqrt(((col("x1") - col("x0")) * (col("x1") - col("x0"))
+          + (col("y1") - col("y0")) * (col("y1") - col("y0"))).cast("double")))
+        .withColumn("cum",
+          sum("len").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val half = segs
+        .withColumn("half", max("cum").over(Window.partitionBy("way_id")) / 2)
+      val frac = when(col("len") > 0,
+        (col("half") - (col("cum") - col("len"))) / col("len")).otherwise(lit(0.0))
+      half.filter(col("cum") >= col("half"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("way_id"),
+          round(col("x0") + frac * (col("x1") - col("x0"))).cast("long").as("mx"),
+          round(col("y0") + frac * (col("y1") - col("y0"))).cast("long").as("my"),
+          round(col("half") * 2).cast("long").as("len_fix"))
+    }),
+
+    // --- tf-idf top terms per document (deterministic ln kernel) ---
+    "q_tfidf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // plain equi-join on term: at corpus scale the vocabulary is not
+      // broadcastable, and tf is already shuffled by (doc_id, term) — AQE
+      // flips to broadcast when dfq is small anyway
+      val scored = tf.join(dfq, "term").withColumn("score_e6",
+        col("tf") * graft.plans.HllExpressions.lnE6(lit(n.toDouble) / col("df")))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_e6").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TfidfTopK)
+        .select(col("doc_id"), col("term"), col("tf"), col("score_e6"),
+          col("rn").cast("long").as("rank"))
+    }),
   )
+
+  /** q_wcc chain break: components are runs of this many consecutive
+    * doc_ids.
+    */
+  val WccChain = 13L
+
+  /** q_wcc's synthetic link graph: a doc_id chain broken at every
+    * [[WccChain]] boundary — maximal-diameter components (the adversarial
+    * shape for label propagation; real crawl analogue: paginated mirrors).
+    * SQL twin inlined in the oracle.
+    */
+  private def wccEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val n = docs.count()
+    docs.select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      .filter(col("dst") % WccChain =!= 0 && col("dst") < n)
+  }
+
+  /** q_zscore squared threshold (z² > 4 ⇔ |z| > 2). */
+  val ZscoreThrSq = 4L
+
+  /** q_tfidf terms kept per document. */
+  val TfidfTopK = 3
+
+  /** q_pivot's static language column list (the synthetic corpus's full
+    * lang domain — TESTDATA contract).
+    */
+  val PivotLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** q_moving trailing-frame width: 1 hour in epoch micros. */
+  val MovingWindowUs = 3600000000L
 
   /** q_decontam window width (tokens). 8 keeps short synthetic docs in
     * range; production GPT-3-style decontamination uses 13.
@@ -3720,5 +3875,117 @@ object SparkEntry {
          |  CAST(len(regexp_extract_all(t, '$id')) AS BIGINT) AS n_id
          |FROM s""".stripMargin
     },
+
+    "q_rollup" ->
+      """SELECT coalesce(lang, '(all)') AS lang,
+        |  coalesce(source, '(all)') AS source,
+        |  CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY ROLLUP(lang, source)""".stripMargin,
+
+    "q_pivot" -> {
+      val cols = PivotLangs.map(l =>
+        s"CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS n_$l")
+        .mkString(",\n        |  ")
+      s"""SELECT source,
+         |  $cols
+         |FROM documents GROUP BY source""".stripMargin
+    },
+
+    "q_moving" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS tsus,
+         |    CAST(round(value * 1000) AS BIGINT) AS ve3
+         |  FROM events)
+         |SELECT event_id, user_id,
+         |  count(*) OVER w AS n_1h,
+         |  CAST(sum(ve3) OVER w AS BIGINT) AS sum_e3_1h
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsus
+         |  RANGE BETWEEN $MovingWindowUs PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // adversarial twin: quadratic NOT EXISTS dominance test vs the
+    // engine's sort-based frontier
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT CAST(round(value * 1000) AS BIGINT) AS a,
+        |    epoch_us(ts) AS b, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a AS ve3, b AS tsus, n AS n_events FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q
+        |  WHERE q.a >= p.a AND q.b >= p.b AND (q.a > p.a OR q.b > p.b))""".stripMargin,
+
+    // adversarial twin: full transitive closure vs the engine's
+    // logarithmic pointer-jumping loop
+    "q_wcc" ->
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+         |  WHERE (doc_id + 1) % $WccChain != 0
+         |    AND doc_id + 1 < (SELECT count(*) FROM documents)),
+         |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |reach AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges)
+         |SELECT id AS node_id, least(id, coalesce(min(b), id)) AS component
+         |FROM nodes LEFT JOIN reach ON a = id GROUP BY id""".stripMargin,
+
+    "q_zscore" ->
+      s"""WITH st AS (
+         |  SELECT lang, count(*) AS n, sum(n_chars) AS sx,
+         |    sum(n_chars * n_chars) AS sq
+         |  FROM documents GROUP BY 1)
+         |SELECT doc_id, d.lang, n_chars,
+         |  CAST(CASE WHEN n * n_chars - sx > 0 THEN 1 ELSE -1 END AS BIGINT)
+         |    AS side
+         |FROM documents d JOIN st USING (lang)
+         |WHERE (n * n_chars - sx) * (n * n_chars - sx) * (n - 1) >
+         |  $ZscoreThrSq * n * (n * sq - sx * sx)""".stripMargin,
+
+    "q_line_interp" ->
+      s"""WITH w AS ($WayPtsSql),
+         |s AS (SELECT way_id, seq,
+         |    lag(x) OVER (PARTITION BY way_id ORDER BY seq) AS x0,
+         |    lag(y) OVER (PARTITION BY way_id ORDER BY seq) AS y0,
+         |    x AS x1, y AS y1 FROM w),
+         |g AS (SELECT *,
+         |    sqrt(CAST((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0) AS DOUBLE)) AS len
+         |  FROM s WHERE x0 IS NOT NULL),
+         |c AS (SELECT *, sum(len) OVER (PARTITION BY way_id ORDER BY seq
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g),
+         |h AS (SELECT *, max(cum) OVER (PARTITION BY way_id) / 2 AS half
+         |  FROM c),
+         |p AS (SELECT *, row_number() OVER (PARTITION BY way_id ORDER BY seq)
+         |    AS rn
+         |  FROM h WHERE cum >= half)
+         |SELECT way_id,
+         |  CAST(round(x0 + (CASE WHEN len > 0
+         |    THEN (half - (cum - len)) / len ELSE 0 END) * (x1 - x0))
+         |    AS BIGINT) AS mx,
+         |  CAST(round(y0 + (CASE WHEN len > 0
+         |    THEN (half - (cum - len)) / len ELSE 0 END) * (y1 - y0))
+         |    AS BIGINT) AS my,
+         |  CAST(round(half * 2) AS BIGINT) AS len_fix
+         |FROM p WHERE rn = 1""".stripMargin,
+
+    "q_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |px AS (SELECT tf.doc_id, tf.term, tf.tf,
+         |    CAST(nn.n AS DOUBLE) / dfq.df AS x
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+         |${lnStagesSql("ti", "px")},
+         |sc AS (SELECT doc_id, term, tf,
+         |    tf * CAST(round((kl + srs) * 1000000) AS BIGINT) AS score_e6
+         |  FROM ti5),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score_e6 DESC, term) AS rn FROM sc)
+         |SELECT doc_id, term, tf, score_e6, CAST(rn AS BIGINT) AS rank
+         |FROM r WHERE rn <= $TfidfTopK""".stripMargin,
   )
 }

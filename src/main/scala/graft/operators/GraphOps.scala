@@ -235,4 +235,25 @@ object GraphOps {
     scope.track(cached)
     visited
   }
+
+  /** Undirected connected components over an (src, dst) edge list:
+    * node_id → component, where the component label is the smallest node
+    * id reachable from the node. The crawl use: carving a host/link graph
+    * into independent crawl universes (mirror farms, link islands) before
+    * per-component scheduling or dedup.
+    *
+    * Delegates to the adaptive pointer-jumping min-label loop of
+    * [[DedupOps.duplicateClusters]] (edges are symmetrized there), so a
+    * chain-shaped component of diameter d — the adversarial case for
+    * plain label propagation, and common in paginated crawl graphs —
+    * converges in O(log d) rounds of two shuffles each, with the per-round
+    * unpersist + plan-rebase hygiene already audited on the dedup path.
+    * Nodes with no edges don't appear (components are defined over the
+    * edge list; union isolated nodes in as self-labeled if needed).
+    */
+  def connectedComponents(edges: DataFrame,
+                          scope: CacheScope = CacheScope.global): DataFrame =
+    DedupOps.duplicateClusters(
+        edges.select(col("src").as("doc_a"), col("dst").as("doc_b")), scope)
+      .select(col("doc_id").as("node_id"), col("cluster_id").as("component"))
 }

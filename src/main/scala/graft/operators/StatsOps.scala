@@ -45,4 +45,33 @@ object StatsOps {
       .filter(col("cum") >= col("thr") && col("cum") - col("cnt") < col("thr"))
       .select(col(groupCol), col("q_pm"), col("v").as("value"), col("n"))
   }
+
+  /** 2-D skyline (Pareto frontier, maximize both axes): the (a, b) value
+    * pairs not dominated by any other pair (a' ≥ a, b' ≥ b, at least one
+    * strict), with the number of input rows sitting exactly on each
+    * frontier point. The corpus-curation use: "which documents are not
+    * beaten on BOTH length and vocabulary richness" — a quality frontier
+    * no single score column can express.
+    *
+    * Plan: two map-side-combined aggregations collapse the input to one
+    * row per distinct `a` (any pair below its a-group's max b is
+    * dominated inside the group, so only (a, max b) can survive), then a
+    * running-max window ordered by a DESC keeps the rows whose b strictly
+    * exceeds every b seen at larger a. The only non-distributed step is
+    * that final window — over DISTINCT a values, bounded by the value
+    * domain (doc lengths, token counts), not the row count; the full-data
+    * passes are both hash aggregations.
+    */
+  def skyline(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val pts = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val best = pts.groupBy("a")
+      .agg(max(struct(col("b"), col("n"))).as("t"))
+      .select(col("a"), col("t.b").as("b"), col("t.n").as("n"))
+    val prevMax = Window.orderBy(col("a").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    best.withColumn("mb", max("b").over(prevMax))
+      .filter(col("mb").isNull || col("b") > col("mb"))
+      .select(col("a"), col("b"), col("n"))
+  }
 }
