@@ -1352,6 +1352,37 @@ object SparkEntry {
           round(col("half") * 2).cast("long").as("len_fix"))
     }),
 
+    // --- downsample + forward-fill (gap-filled snapshots) ---
+    // Regular 6-hour ticks over each user's observed span, each tick
+    // carrying the as-of-last event value: one sequence explode (no
+    // driver loop) + the single-window as-of join. Ticks before a user's
+    // first event keep null payloads (left as-of semantics).
+    "q_resample" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        us(col("ts")).as("tsus"),
+        round(col("value") * 1000).cast("long").as("ve3"))
+      val grid = ev.groupBy("user_id")
+        .agg(floor(min("tsus") / ResampleUs).as("h0"),
+          floor(max("tsus") / ResampleUs).as("h1"))
+        .select(col("user_id"), explode(sequence(col("h0"), col("h1"))).as("h"))
+        .select(col("user_id"), (col("h") * ResampleUs).as("tsus"))
+      HistoryOps.asofJoin(grid, ev, "user_id", "tsus", Seq("ve3"), "last_")
+        .select("user_id", "tsus", "last_tsus", "last_ve3")
+    }),
+
+    // --- per-tile distinct-visitor HLL (geo x sketch composition) ---
+    // The tile-histogram shape of q_tiles carrying a 64-byte HLL sketch
+    // instead of a count: distinct visitors per z7 web-mercator tile,
+    // with the exact distinct riding along as the built-in accuracy
+    // audit. Same two narrow shuffles as q_hll.
+    "q_tile_hll" -> ((s, d) => {
+      val pts = Synth.points(s, d).select(
+        (Fns.tileX(7, Fns.fixToDeg(col("lon_fix"))) * 128 +
+          Fns.tileY(7, Fns.fixToDeg(col("lat_fix")))).as("tile"),
+        Fns.mixId(col("pid") % GeofenceEntities).as("vh"))
+      SketchOps.hllDistinctWithExact(pts, "tile", col("vh"), m = 256)
+    }),
+
     // --- tf-idf top terms per document (deterministic ln kernel) ---
     "q_tfidf" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1393,6 +1424,11 @@ object SparkEntry {
 
   /** q_zscore squared threshold (z² > 4 ⇔ |z| > 2). */
   val ZscoreThrSq = 4L
+
+  /** q_resample tick pitch: 6 hours in epoch micros (~120 ticks over the
+    * 30-day synthetic span).
+    */
+  val ResampleUs = 21600000000L
 
   /** q_tfidf terms kept per document. */
   val TfidfTopK = 3
@@ -1717,30 +1753,39 @@ object SparkEntry {
        |      FROM toks WHERE toks.doc_id = d.doc_id), 0) AS fp
        |  FROM documents d)""".stripMargin
 
-  private def hllSql(m: Int): String = {
+  private def hllSql(m: Int): String =
+    hllSqlOver(m, fpsCtesSql, "fps", "lang")
+
+  /** HLL register/estimate CTE chain over any `src` CTE exposing a group
+    * column `g` and a positive int64 hash `fp` — the twin of
+    * SketchOps.hllDistinctWithExact for arbitrary groupings (per-lang
+    * fingerprints, per-tile visitor hashes).
+    */
+  private def hllSqlOver(m: Int, withSql: String, src: String,
+                         g: String): String = {
     import graft.core.Hll
-    s"""WITH $fpsCtesSql,
+    s"""WITH $withSql,
        |rr AS (
-       |  SELECT lang, fp,
+       |  SELECT $g, fp,
        |    fp % $m AS reg,
        |    least(bit_count((((fp >> ${Hll.log2m(m)}) & (-(fp >> ${Hll.log2m(m)}))) - 1)) + 1,
        |      ${Hll.RhoCap}) AS rho
-       |  FROM fps),
+       |  FROM $src),
        |regs AS (
-       |  SELECT lang, reg, max(rho) AS mrho, count(DISTINCT fp) AS nd
+       |  SELECT $g, reg, max(rho) AS mrho, count(DISTINCT fp) AS nd
        |  FROM rr GROUP BY 1, 2),
        |agg AS (
-       |  SELECT lang, count(*) AS n_regs,
+       |  SELECT $g, count(*) AS n_regs,
        |    CAST(sum(CAST(1 AS BIGINT) << (${Hll.RhoCap} - mrho))
        |      AS BIGINT) AS pop_sum,
        |    CAST(sum(nd) AS BIGINT) AS n_exact
        |  FROM regs GROUP BY 1),
        |est0 AS (
-       |  SELECT lang, n_regs, n_exact,
+       |  SELECT $g, n_regs, n_exact,
        |    pop_sum + ($m - n_regs) * ${Hll.Scale} AS reg_sum,
        |    $m - n_regs AS vz FROM agg),
        |${lnDetCtesSql(m)}
-       |SELECT lang, n_regs, reg_sum,
+       |SELECT $g, n_regs, reg_sum,
        |  CASE WHEN vz > 0 AND reg_sum >= ${Hll.lcThreshold(m)}
        |    THEN CAST(round((${m.toDouble} * (kl + srs)) * 1000.0) AS BIGINT)
        |    ELSE CAST(round((${Hll.estNumerator(m)} / reg_sum) * 1000.0) AS BIGINT)
@@ -3968,6 +4013,36 @@ object SparkEntry {
          |    AS BIGINT) AS my,
          |  CAST(round(half * 2) AS BIGINT) AS len_fix
          |FROM p WHERE rn = 1""".stripMargin,
+
+    "q_resample" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS tsus,
+         |    CAST(round(value * 1000) AS BIGINT) AS ve3
+         |  FROM events),
+         |b AS (SELECT user_id,
+         |    CAST(floor(min(tsus) / $ResampleUs) AS BIGINT) AS h0,
+         |    CAST(floor(max(tsus) / $ResampleUs) AS BIGINT) AS h1
+         |  FROM e GROUP BY 1),
+         |g AS (SELECT user_id,
+         |    unnest(range(h0, h1 + 1)) * $ResampleUs AS tsus
+         |  FROM b)
+         |SELECT g.user_id, g.tsus, e.tsus AS last_tsus, e.ve3 AS last_ve3
+         |FROM g ASOF LEFT JOIN e
+         |  ON g.user_id = e.user_id AND g.tsus >= e.tsus""".stripMargin,
+
+    "q_tile_hll" -> {
+      val clampLat =
+        "least(greatest(lat_fix / 10000000.0, -85.05112877980659), 85.05112877980659)"
+      hllSqlOver(256,
+        s"""p AS ($P),
+           |tl AS (
+           |  SELECT
+           |    least(greatest(CAST(floor((lon_fix / 10000000.0 + 180.0) / 360.0 * 128.0) AS BIGINT), 0), 127) * 128
+           |    + least(greatest(CAST(floor((1.0 - ln(tan(radians($clampLat)) + 1.0 / cos(radians($clampLat))) / pi()) / 2.0 * 128.0) AS BIGINT), 0), 127) AS tile,
+           |    ${mixIdSql(s"pid % $GeofenceEntities")} AS fp
+           |  FROM p)""".stripMargin,
+        "tl", "tile")
+    },
 
     "q_tfidf" ->
       s"""WITH toks AS (
