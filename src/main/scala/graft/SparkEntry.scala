@@ -1383,6 +1383,21 @@ object SparkEntry {
       SketchOps.hllDistinctWithExact(pts, "tile", col("vh"), m = 256)
     }),
 
+    // --- tile-pyramid HLL rollup (mergeable-sketch law, z7 → z5) ---
+    // Children's register maxima re-max to the z5 parent; the oracle
+    // computes the z5 sketch DIRECTLY, so parity proves merged == direct.
+    "q_pyramid_hll" -> ((s, d) => {
+      val pts = Synth.points(s, d).select(
+        (Fns.tileX(7, Fns.fixToDeg(col("lon_fix"))) * 128 +
+          Fns.tileY(7, Fns.fixToDeg(col("lat_fix")))).as("tile7"),
+        Fns.mixId(col("pid") % GeofenceEntities).as("vh"))
+      SketchOps.hllMergeUp(pts, "tile7", col("vh"),
+          c => Fns.idiv(Fns.idiv(c, 128L), 4L) * 32 + Fns.idiv(c % 128, 4L),
+          m = 256)
+        .select(col("parent").as("tile"), col("n_regs"), col("reg_sum"),
+          col("est_e3"))
+    }),
+
     // --- tf-idf top terms per document (deterministic ln kernel) ---
     "q_tfidf" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -1756,14 +1771,32 @@ object SparkEntry {
   private def hllSql(m: Int): String =
     hllSqlOver(m, fpsCtesSql, "fps", "lang")
 
+  /** q_tile_hll / q_pyramid_hll tile CTE over the point set: z`z` tile
+    * key (tx·2^z + ty, the q_tiles web-mercator formula) + mixId visitor
+    * hash, as a `tl AS (...)` WITH clause.
+    */
+  private def tileHashCteSql(z: Int): String = {
+    val n = 1 << z
+    val clampLat =
+      "least(greatest(lat_fix / 10000000.0, -85.05112877980659), 85.05112877980659)"
+    s"""p AS ($P),
+       |tl AS (
+       |  SELECT
+       |    least(greatest(CAST(floor((lon_fix / 10000000.0 + 180.0) / 360.0 * $n.0) AS BIGINT), 0), ${n - 1}) * $n
+       |    + least(greatest(CAST(floor((1.0 - ln(tan(radians($clampLat)) + 1.0 / cos(radians($clampLat))) / pi()) / 2.0 * $n.0) AS BIGINT), 0), ${n - 1}) AS tile,
+       |    ${mixIdSql(s"pid % $GeofenceEntities")} AS fp
+       |  FROM p)""".stripMargin
+  }
+
   /** HLL register/estimate CTE chain over any `src` CTE exposing a group
     * column `g` and a positive int64 hash `fp` — the twin of
     * SketchOps.hllDistinctWithExact for arbitrary groupings (per-lang
     * fingerprints, per-tile visitor hashes).
     */
   private def hllSqlOver(m: Int, withSql: String, src: String,
-                         g: String): String = {
+                         g: String, withExact: Boolean = true): String = {
     import graft.core.Hll
+    val exactCol = if (withExact) ",\n  n_exact" else ""
     s"""WITH $withSql,
        |rr AS (
        |  SELECT $g, fp,
@@ -1789,8 +1822,7 @@ object SparkEntry {
        |  CASE WHEN vz > 0 AND reg_sum >= ${Hll.lcThreshold(m)}
        |    THEN CAST(round((${m.toDouble} * (kl + srs)) * 1000.0) AS BIGINT)
        |    ELSE CAST(round((${Hll.estNumerator(m)} / reg_sum) * 1000.0) AS BIGINT)
-       |  END AS est_e3,
-       |  n_exact
+       |  END AS est_e3$exactCol
        |FROM lc5""".stripMargin
   }
 
@@ -4030,19 +4062,12 @@ object SparkEntry {
          |FROM g ASOF LEFT JOIN e
          |  ON g.user_id = e.user_id AND g.tsus >= e.tsus""".stripMargin,
 
-    "q_tile_hll" -> {
-      val clampLat =
-        "least(greatest(lat_fix / 10000000.0, -85.05112877980659), 85.05112877980659)"
-      hllSqlOver(256,
-        s"""p AS ($P),
-           |tl AS (
-           |  SELECT
-           |    least(greatest(CAST(floor((lon_fix / 10000000.0 + 180.0) / 360.0 * 128.0) AS BIGINT), 0), 127) * 128
-           |    + least(greatest(CAST(floor((1.0 - ln(tan(radians($clampLat)) + 1.0 / cos(radians($clampLat))) / pi()) / 2.0 * 128.0) AS BIGINT), 0), 127) AS tile,
-           |    ${mixIdSql(s"pid % $GeofenceEntities")} AS fp
-           |  FROM p)""".stripMargin,
-        "tl", "tile")
-    },
+    "q_tile_hll" -> hllSqlOver(256, tileHashCteSql(7), "tl", "tile"),
+
+    // merge-law twin: the DIRECT z5 sketch — bit-equal to the engine's
+    // z7→z5 register merge iff HLL merge is exact
+    "q_pyramid_hll" ->
+      hllSqlOver(256, tileHashCteSql(5), "tl", "tile", withExact = false),
 
     "q_tfidf" ->
       s"""WITH toks AS (

@@ -207,8 +207,17 @@ object DedupOps {
                                               scope: CacheScope): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val sym = scope.persist(edges.unionByName(
+    val symRaw = scope.persist(edges.unionByName(
       edges.select(col("dst").as("src"), col("src").as("dst"))))
+    // ENTRY-side plan rebase: the caller's pair plan can be arbitrarily
+    // deep (an LSH candidate tree, a radius-join cover tree), and EVERY
+    // round references sym twice plus labels (which also descends from
+    // sym) — without cutting the lineage here, Catalyst re-analyzes the
+    // multiplied caller tree on every round's action (measured 22 s/round
+    // driver CPU on q_dbscan's 2k-edge graph vs <1 s of actual compute).
+    // The rebase wraps the persisted frame's RDD, so data still comes
+    // from cache and the loop's plans start from a leaf.
+    val sym = spark.createDataFrame(symRaw.rdd, symRaw.schema)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     var prev: DataFrame = null

@@ -74,6 +74,31 @@ object SketchOps {
       groupCol, Nil, m)
       .select(col(groupCol), col("n_regs"), col("reg_sum"), col("est_e3"))
 
+  /** HLL with a register-level MERGE up a group hierarchy: per-child
+    * register maxima re-aggregate to `parent(child)` by ANOTHER max —
+    * the mergeability that makes HLL the right cardinality
+    * representation across a tile pyramid or across incremental
+    * snapshots. Because max-of-max over children equals the max over the
+    * parent's rows, the merged sketch is BIT-IDENTICAL to the sketch
+    * computed directly at the parent grouping — the oracle twin verifies
+    * exactly that merge law. Cost over hllDistinct: one extra narrow
+    * shuffle carrying ≤ m register rows per child group.
+    *
+    * Output: (parent, n_regs, reg_sum, est_e3). No exact count — exact
+    * distincts do NOT merge without re-reading hashes (that's the point
+    * of carrying the sketch).
+    */
+  def hllMergeUp(df: DataFrame, childCol: String, hashCol: Column,
+                 parent: Column => Column, m: Int = Hll.M): DataFrame = {
+    val childRegs = registers(df, childCol, hashCol, m)
+      .groupBy(col(childCol), col("reg")).agg(max("rho").as("mrho"))
+    val merged = childRegs
+      .select(parent(col(childCol)).as("parent"), col("reg"), col("mrho"))
+      .groupBy(col("parent"), col("reg")).agg(max("mrho").as("mrho"))
+    finish(merged, "parent", Nil, m)
+      .select(col("parent"), col("n_regs"), col("reg_sum"), col("est_e3"))
+  }
+
   /** hllDistinct plus the EXACT per-group distinct count, in the SAME
     * single pass: the register index is a pure function of the hash, so
     * distinct hashes partition by register and the per-(group, reg)

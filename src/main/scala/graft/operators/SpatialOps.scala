@@ -620,8 +620,13 @@ object SpatialOps {
   def dbscanGeo(points: DataFrame, epsMeters: Double, minPts: Int,
                 scope: CacheScope = CacheScope.global): DataFrame = {
     val pts = scope.persist(points.select("pid", "lon_fix", "lat_fix"))
-    val pairs = scope.persist(withinRadiusGeo(pts, pts, epsMeters)
+    val pairsRaw = scope.persist(withinRadiusGeo(pts, pts, epsMeters)
       .select(col("qid"), col("pid").as("nid")))
+    // plan rebase over the cached radius join: pairs feeds core counting,
+    // core-core edges, borders AND the cluster loop — without cutting the
+    // cover-tree lineage here every downstream action re-analyzes it
+    // (driver CPU, not compute; see duplicateClustersCounted)
+    val pairs = pts.sparkSession.createDataFrame(pairsRaw.rdd, pairsRaw.schema)
     val cores = scope.persist(pairs.groupBy("qid")
       .agg(count(lit(1)).as("n_nbrs"))
       .filter(col("n_nbrs") >= minPts - 1).select(col("qid").as("pid")))

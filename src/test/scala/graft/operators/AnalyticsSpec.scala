@@ -59,6 +59,19 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size === 41 + 11 + 2)
   }
 
+  test("hllMergeUp: merged child sketches are bit-identical to the direct parent sketch") {
+    val s = spark; import s.implicits._
+    // 2000 rows over 40 children (10 parents), hashes with collisions
+    val rows = lcg(11).take(2000).map(v => (v % 40, (v / 40) % 300 + 1)).toSeq
+    val df = rows.toDF("child", "h")
+    val merged = SketchOps.hllMergeUp(df, "child", col("h"), c => c % 10, m = 64)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val direct = SketchOps.hllDistinct(
+        df.withColumn("parent", col("child") % 10), "parent", col("h"), m = 64)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(merged === direct)
+  }
+
   test("integer z-score inequality agrees with the float z-score on seeded groups") {
     val rows = lcg(99).take(300).map(v => (v % 3, 50 + (v % 211))).toSeq
     for ((_, g) <- rows.groupBy(_._1)) {
