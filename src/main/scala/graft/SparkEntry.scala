@@ -199,6 +199,36 @@ object SparkEntry {
     // z/x/y tiles re-keyed as Bing quadkeys (prefix = parent tile)
     "q_quadkey" -> ((s, d) => SpatialOps.quadkeyDensity(Synth.points(s, d), 7)),
 
+    // H3-style flat-top hex binning (axial q/r, cube-rounded)
+    "q_hexbin" -> ((s, d) => SpatialOps.hexBin(Synth.points(s, d), HexSizeFix)),
+
+    // z7 tile counts normalized by TRUE spherical tile area (the
+    // mercator-distortion correction; exact closed-form area per row)
+    "q_tile_area" -> ((s, d) =>
+      SpatialOps.tileGeodesicDensity(Synth.points(s, d), 7)),
+
+    // global Moran's I spatial autocorrelation of the density grid —
+    // exact-integer aggregates, grid level derived from the point count
+    // (same scheme as q_vectorize so per-cell density is scale-stable)
+    "q_moran" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      val n = pts.count()
+      var level = 6
+      while (level < 12 && n > (1L << (2 * level))) level += 1
+      StatsOps.moranI(SpatialOps.equirectDensity(pts, level)
+        .select(col("bx"), col("by"), col("cnt").as("v")))
+    }),
+
+    // symmetric Hausdorff polyline-similarity join over anchor-cell
+    // candidate pairs (exact int64 squared distances)
+    "q_hausdorff" -> ((s, d) => {
+      val pts = wayPoints(t(s, d, "lineitem"))
+      val n = pts.select("way_id").distinct().count()
+      var level = 6
+      while (level < 10 && n > (1L << (2 * level))) level += 1
+      SpatialOps.hausdorffPairs(pts, level, HausdorffMaxSq)
+    }),
+
     "q_cells" -> ((s, d) => {
       Synth.points(s, d)
         .select(Fns.cellId(col("lon_fix"), col("lat_fix"), 12).as("cell"))
@@ -1467,6 +1497,16 @@ object SparkEntry {
   /** q_way_cross span contract (fix units) — the wayPoints jitter bound. */
   val WayCrossSpan = 20000000L
 
+  /** q_hexbin circumradius in fix units (~3°; odd so the axial division
+    * never lands on an exact representable tie). */
+  val HexSizeFix = 30000001L
+
+  /** q_hausdorff keep-threshold on the squared fix distance: the
+    * anchor-cell diagonal at the coarsest derived level (g=64 → ~6.7e7
+    * fix) — candidates farther apart than one coarse cell can span are
+    * "different roads", dropped. */
+  val HausdorffMaxSq = 4500000000000000L
+
   /** q_snap tolerance (fix units, 0.2°) — wide for the synthetic scatter. */
   val SnapRadius = 2000000L
 
@@ -2356,6 +2396,132 @@ object SparkEntry {
          |  FROM deg)
          |SELECT $digits AS quadkey, least(count(*), 65535) AS cnt
          |FROM txy GROUP BY 1""".stripMargin
+    },
+
+    // axial projection + cube rounding with the SAME double op order as
+    // SpatialOps.hexCell (the determinism contract; 0.5773502691896258
+    // is the shared sqrt(3)/3 literal)
+    "q_hexbin" ->
+      s"""WITH p AS ($P),
+         |h AS (
+         |  SELECT CAST(lon_fix AS DOUBLE) * 2.0 / 3.0 / $HexSizeFix.0 AS qf,
+         |    (CAST(lon_fix AS DOUBLE) * -1.0 / 3.0
+         |      + CAST(lat_fix AS DOUBLE) * 0.5773502691896258) / $HexSizeFix.0 AS rf
+         |  FROM p),
+         |c AS (
+         |  SELECT qf, rf, -qf - rf AS sf,
+         |    round(qf) AS rx, round(-qf - rf) AS ry, round(rf) AS rz
+         |  FROM h),
+         |r AS (
+         |  SELECT CASE WHEN abs(rx - qf) > abs(ry - sf) AND abs(rx - qf) > abs(rz - rf)
+         |           THEN -ry - rz ELSE rx END AS hq,
+         |         CASE WHEN NOT (abs(rx - qf) > abs(ry - sf) AND abs(rx - qf) > abs(rz - rf))
+         |              AND abs(rz - rf) > abs(ry - sf)
+         |           THEN -rx - ry ELSE rz END AS hr
+         |  FROM c)
+         |SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr, count(*) AS cnt
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // spherical band area between a tile row's parallels: sin(lat(ty)) =
+    // tanh(pi*(1 - 2*ty/n)) written as its exp form (same shape as the
+    // engine); area_m2 rounds FIRST, the density ratio divides integers
+    "q_tile_area" -> {
+      def sinLat(ty: String) =
+        s"((exp((1.0 - CAST($ty AS DOUBLE) * 2.0 / 128.0) * pi() * 2.0) - 1.0) / (exp((1.0 - CAST($ty AS DOUBLE) * 2.0 / 128.0) * pi() * 2.0) + 1.0))"
+      s"""WITH p AS ($P), deg AS (
+         |  SELECT lon_fix / 10000000.0 AS lon,
+         |    least(greatest(lat_fix / 10000000.0, -85.05112877980659), 85.05112877980659) AS lat
+         |  FROM p),
+         |t AS (
+         |  SELECT least(greatest(CAST(floor((lon + 180.0) / 360.0 * 128.0) AS BIGINT), 0), 127) AS tx,
+         |    least(greatest(CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 128.0) AS BIGINT), 0), 127) AS ty,
+         |    least(count(*), 65535) AS cnt
+         |  FROM deg GROUP BY 1, 2),
+         |a AS (
+         |  SELECT tx, ty, cnt,
+         |    CAST(round(6372797.560856e0 * 6372797.560856e0 * 2.0 * pi() / 128.0
+         |      * (${sinLat("ty")} - ${sinLat("ty + 1")})) AS BIGINT) AS area_m2
+         |  FROM t)
+         |SELECT tx, ty, cnt, area_m2,
+         |  CAST(round(cnt * 1000000000.0 / area_m2) AS BIGINT) AS per_km2_e3
+         |FROM a""".stripMargin
+    },
+
+    // exact-integer Moran's I: the five int64 aggregates combine in
+    // HUGEINT (the engine uses decimal(38,0)); one double division ends it
+    "q_moran" -> {
+      val cases = (6 to 11).map(l =>
+        s"WHEN n <= ${1L << (2 * l)} THEN ${1L << l}").mkString(" ")
+      s"""WITH p AS ($P),
+         |lv AS (SELECT CASE $cases ELSE 4096 END AS g
+         |  FROM (SELECT count(*) AS n FROM p)),
+         |cells AS (
+         |  SELECT bx, by, least(c, 65535) AS v FROM (
+         |    SELECT least((lon_fix + 1800000000) * g // 3600000000, g - 1) AS bx,
+         |      least((lat_fix + 900000000) * g // 1800000000, g - 1) AS by,
+         |      count(*) AS c
+         |    FROM p, lv GROUP BY 1, 2)),
+         |tot AS (SELECT count(*) AS n, sum(v) AS s, sum(v * v) AS q FROM cells),
+         |offs AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dx, dy)),
+         |nbr AS (
+         |  SELECT count(*) AS w, sum(a.v * b.v) AS p2, sum(a.v + b.v) AS t
+         |  FROM (SELECT a.bx + o.dx AS nx, a.by + o.dy AS ny, a.v
+         |        FROM cells a CROSS JOIN offs o) a
+         |  JOIN cells b ON b.bx = a.nx AND b.by = a.ny)
+         |SELECT n AS n_cells, w AS w_pairs,
+         |  CAST(round(CAST(CAST(n AS HUGEINT) * n * p2 - CAST(n AS HUGEINT) * s * t
+         |      + CAST(s AS HUGEINT) * s * w AS DOUBLE) * 1000000.0
+         |    / CAST(CAST(w AS HUGEINT) * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) AS DOUBLE)) AS BIGINT) AS moran_e6
+         |FROM tot, nbr""".stripMargin
+    },
+
+    // anchor-cell candidate pairs (per-cell cap via QUALIFY — the
+    // MaxBandBucket pattern), then exact int64 max-of-min squared dists
+    "q_hausdorff" -> {
+      val cases = (6 to 9).map(l =>
+        s"WHEN n <= ${1L << (2 * l)} THEN ${1L << l}").mkString(" ")
+      s"""WITH ks AS (
+         |  SELECT DISTINCT l_orderkey AS way_id, l_linenumber AS seq FROM lineitem),
+         |li AS (
+         |  SELECT DISTINCT way_id, seq,
+         |    (way_id * 2654435761) % 3400000000 - 1700000000
+         |      + (((way_id*10 + seq) * 1103515245) % 20000000 - 10000000) AS x,
+         |    (way_id * 2246822519) % 1600000000 - 800000000
+         |      + (((way_id*10 + seq) * 69069) % 20000000 - 10000000) AS y
+         |  FROM ks),
+         |lv AS (SELECT CASE $cases ELSE 1024 END AS g
+         |  FROM (SELECT count(DISTINCT way_id) AS n FROM li)),
+         |anch AS (
+         |  SELECT way_id, x, y FROM li
+         |  QUALIFY row_number() OVER (PARTITION BY way_id ORDER BY seq, x, y) = 1),
+         |ac AS (
+         |  SELECT way_id,
+         |    least((x + 1800000000) * g // 3600000000, g - 1) AS cx,
+         |    least((y + 900000000) * g // 1800000000, g - 1) AS cy
+         |  FROM anch, lv),
+         |cap AS (
+         |  SELECT * FROM ac QUALIFY count(*) OVER (PARTITION BY cx, cy) <= 64),
+         |pr AS (
+         |  SELECT l.way_id AS way_a, r.way_id AS way_b
+         |  FROM cap l JOIN cap r ON l.cx = r.cx AND l.cy = r.cy
+         |  WHERE l.way_id < r.way_id),
+         |cr AS (
+         |  SELECT way_a, way_b, pa.seq AS sa, pb.seq AS sb,
+         |    (pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y) AS d2
+         |  FROM pr
+         |  JOIN li pa ON pa.way_id = pr.way_a
+         |  JOIN li pb ON pb.way_id = pr.way_b),
+         |da AS (
+         |  SELECT way_a, way_b, max(mind) AS h FROM (
+         |    SELECT way_a, way_b, sa, min(d2) AS mind FROM cr GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |db AS (
+         |  SELECT way_a, way_b, max(mind) AS h FROM (
+         |    SELECT way_a, way_b, sb, min(d2) AS mind FROM cr GROUP BY 1, 2, 3)
+         |  GROUP BY 1, 2),
+         |u AS (SELECT * FROM da UNION ALL SELECT * FROM db)
+         |SELECT way_a, way_b, max(h) AS haus_sq
+         |FROM u GROUP BY 1, 2 HAVING max(h) <= $HausdorffMaxSq""".stripMargin
     },
 
     "q_cells" ->

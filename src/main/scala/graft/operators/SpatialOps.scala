@@ -1284,4 +1284,162 @@ object SpatialOps {
           .as("p"))
       .select(col("way_id"), col("p.seq").as("seq"),
         col("p.x").as("x"), col("p.y").as("y"))
+
+  /** Flat-top hexagonal binning on fix coordinates (axial q/r cells,
+    * circumradius `sizeFix`) — the H3-style hex aggregation surface of
+    * the north rule. Hexes are the density-map cell of choice because
+    * every neighbor shares an edge at the SAME center distance (a square
+    * grid's diagonal neighbors are √2 farther), so smoothing and
+    * hot-cell detection aren't axis-biased. The assignment is the
+    * standard axial-projection + cube-rounding kernel (public algorithm;
+    * see PAPERS.md hex-grid references): project to fractional axial
+    * coords, round the three cube coordinates, and repair the one with
+    * the largest rounding error so q+r+s stays 0.
+    *
+    * Exactness contract: the projection divides int64 fix coords by
+    * `3·sizeFix`-scale doubles with a FIXED operation order replicated
+    * literally in the SQL twin, so both engines compute identical IEEE754
+    * doubles end-to-end (house pattern — same determinism class as the
+    * mercator ln/tan tile math). Unlike the quad [[graft.core.CellId]],
+    * hex cells do NOT nest across levels (aperture subdivision is
+    * approximate in every hex system) — pyramid rollups stay on the quad
+    * index; hexes are a leaf-level aggregation geometry.
+    *
+    * Scale posture: one map-side-combined hash aggregation on the
+    * integer (hq, hr) key — the same single-shuffle shape as
+    * [[tileDensity]]; skew on hot hexes falls to [[SkewOps]] salting
+    * like any other integer-keyed count. Output (hq, hr, cnt).
+    */
+  def hexBin(points: DataFrame, sizeFix: Long): DataFrame = {
+    val (hq, hr) = hexCell(col("lon_fix"), col("lat_fix"), sizeFix)
+    points.select(hq.as("hq"), hr.as("hr"))
+      .groupBy("hq", "hr")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Axial hex cell of one fix-coordinate point (see [[hexBin]]). The
+    * operation ORDER here is the determinism contract with the SQL twin
+    * — change both or neither.
+    */
+  private[graft] def hexCell(xFix: Column, yFix: Column,
+                             sizeFix: Long): (Column, Column) = {
+    val x = xFix.cast("double")
+    val y = yFix.cast("double")
+    val s = lit(sizeFix.toDouble)
+    // sqrt(3)/3 as the exact double literal shared with the oracle
+    val qf = x * lit(2.0) / lit(3.0) / s
+    val rf = (x * lit(-1.0) / lit(3.0) + y * lit(0.5773502691896258)) / s
+    val sf = -qf - rf
+    val rx = round(qf)
+    val ry = round(sf)
+    val rz = round(rf)
+    val dx = abs(rx - qf)
+    val dy = abs(ry - sf)
+    val dz = abs(rz - rf)
+    val fixQ = dx > dy && dx > dz
+    val hq = when(fixQ, -ry - rz).otherwise(rx).cast("long")
+    val hr = when(!fixQ && dz > dy, -rx - ry).otherwise(rz).cast("long")
+    (hq, hr)
+  }
+
+  /** Tile density normalized by TRUE spherical tile area — the
+    * mercator-distortion correction a tile heatmap needs before
+    * comparing counts across latitudes (a z7 tile at 60°N covers ~1/4
+    * the ground area of an equatorial one, so raw per-tile counts
+    * overstate high-latitude density 4×).
+    *
+    * The area is EXACT on the sphere (reference earth radius,
+    * haversine.hpp:43-57): a web-mercator tile is a lon-lat rectangle,
+    * and the area between parallels is R²·Δλ·(sin φ_top − sin φ_bot)
+    * with sin φ(ty) = tanh(π·(1 − 2·ty/2^z)) — the gudermannian
+    * collapses to one tanh, written as its exp form in BOTH engines so
+    * no libm tanh variance enters. area_m2 is rounded to integer m²
+    * FIRST and the density ratio divides the already-integer area, so
+    * the only cross-engine float surface is exp() on 2^z distinct
+    * values (house determinism class: the mercator ln/tan tile math).
+    *
+    * Scale posture: [[tileDensity]]'s single shuffle plus a per-row
+    * closed-form area expression — the area is a function of (z, ty),
+    * no join, no lookup table to broadcast. Output
+    * (tx, ty, cnt, area_m2, per_km2_e3 = round(cnt·10^9 / area_m2)).
+    */
+  def tileGeodesicDensity(points: DataFrame, z: Int): DataFrame = {
+    val n = (1L << z).toDouble
+    val r = 6372797.560856
+    // sin(lat(ty)) = tanh(pi * (1 - 2*ty/n)) via exp, fixed op order
+    def sinLat(ty: Column): Column = {
+      val t = (lit(1.0) - ty.cast("double") * lit(2.0) / lit(n)) * lit(math.Pi)
+      val e = exp(t * lit(2.0))
+      (e - lit(1.0)) / (e + lit(1.0))
+    }
+    val bandScale = lit(r * r * 2.0 * math.Pi / n)
+    tileDensity(points, z)
+      .withColumn("area_m2",
+        round(bandScale * (sinLat(col("ty")) - sinLat(col("ty") + lit(1))))
+          .cast("long"))
+      .withColumn("per_km2_e3",
+        round(col("cnt").cast("double") * lit(1.0e9) /
+          col("area_m2").cast("double")).cast("long"))
+  }
+
+  /** Symmetric Hausdorff distance between candidate way pairs — the
+    * polyline-similarity join of map conflation ("is this track the same
+    * road?"): H(A,B) = max(h(A→B), h(B→A)) with h the directed
+    * max-over-a of min-over-b point distance. Distances are int64
+    * SQUARED fix-unit euclid — exact integers end-to-end, so the oracle
+    * compares bit-for-bit (the flat metric is the documented contract at
+    * candidate ranges ≪ 1°; geodesic callers go through
+    * [[SpatialOps.knnGeo]]'s metric instead).
+    *
+    * Candidate generation is the scale story: ways equi-join on the
+    * `level` grid cell of their anchor point (the min-seq vertex — a
+    * deterministic representative), so only co-located ways ever pair,
+    * and a per-cell cap (`maxCellWays`, the MaxBandBucket pattern from
+    * [[DedupOps.minHashLshPairs]]) bounds the worst cell: a degenerate
+    * pile-up of s anchors emits 0 pairs past the cap, never s²/2. Per
+    * pair the kernel is |A|·|B| point products — bounded by the data
+    * model's way-length cap, not the corpus. One shuffle builds anchor
+    * cells, one equi-join pairs them, one join lands the exploded
+    * points; no broadcast of either way side.
+    *
+    * Input: (way_id, seq, x, y). Output (way_a, way_b, haus_sq) for
+    * pairs with H² ≤ maxSqDist.
+    */
+  def hausdorffPairs(pts: DataFrame, level: Int, maxSqDist: Long,
+                     maxCellWays: Int = 64): DataFrame = {
+    val anchors = pts.groupBy("way_id")
+      .agg(min(struct(col("seq"), col("x"), col("y"))).as("a"))
+      .select(col("way_id"),
+        Fns.cellX(col("a.x"), level).as("cx"),
+        Fns.cellY(col("a.y"), level).as("cy"))
+    val capped = anchors
+      .withColumn("n_cell", count(lit(1)).over(Window.partitionBy("cx", "cy")))
+      .filter(col("n_cell") <= maxCellWays)
+      .drop("n_cell")
+    val pairs = capped.select(col("way_id").as("way_a"), col("cx"), col("cy"))
+      .join(capped.select(col("way_id").as("way_b"), col("cx"), col("cy")),
+        Seq("cx", "cy"))
+      .filter(col("way_a") < col("way_b"))
+      .select("way_a", "way_b")
+    val pa = pts.select(col("way_id").as("way_a"), col("seq").as("sa"),
+      col("x").as("xa"), col("y").as("ya"))
+    val pb = pts.select(col("way_id").as("way_b"), col("seq").as("sb"),
+      col("x").as("xb"), col("y").as("yb"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    val cross = pairs.join(pa, "way_a").join(pb, "way_b")
+      .select(col("way_a"), col("way_b"), col("sa"), col("sb"), d2.as("d2"))
+    // directed h(A->B): per (pair, a-point) min over b, then max; the
+    // symmetric H is the max of both directions — computed in ONE
+    // aggregation tree by tagging direction
+    val dirA = cross.groupBy("way_a", "way_b", "sa")
+      .agg(min("d2").as("mind"))
+      .groupBy("way_a", "way_b").agg(max("mind").as("h"))
+    val dirB = cross.groupBy("way_a", "way_b", "sb")
+      .agg(min("d2").as("mind"))
+      .groupBy("way_a", "way_b").agg(max("mind").as("h"))
+    dirA.unionByName(dirB)
+      .groupBy("way_a", "way_b").agg(max("h").as("haus_sq"))
+      .filter(col("haus_sq") <= maxSqDist)
+  }
 }

@@ -72,6 +72,108 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged === direct)
   }
 
+  test("hexBin: assignment is the Voronoi of the hex lattice and counts are preserved") {
+    val s = spark; import s.implicits._
+    val sz = 30000001L
+    val pts = lcg(21).take(800).grouped(2).map(p =>
+      (p.head % 1000, p.head % 3600000000L - 1800000000L,
+        p.last % 1800000000L - 900000000L)).toSeq
+    val df = pts.map(t => (t._1, t._2, t._3)).toDF("pid", "lon_fix", "lat_fix")
+    val bins = SpatialOps.hexBin(df, sz).as[(Long, Long, Long)].collect()
+    assert(bins.map(_._3).sum === pts.size)
+
+    // per-point assignment: own hex center must be the nearest among the
+    // 7-cell neighborhood (flat-top axial lattice Voronoi property)
+    val (hqc, hrc) = SpatialOps.hexCell(col("lon_fix"), col("lat_fix"), sz)
+    val rows = df.select(col("lon_fix"), col("lat_fix"), hqc.as("hq"), hrc.as("hr"))
+      .as[(Long, Long, Long, Long)].collect()
+    val sqrt3 = math.sqrt(3.0)
+    def center(q: Long, r: Long): (Double, Double) =
+      (sz * 1.5 * q, sz * sqrt3 * (r + q / 2.0))
+    val nb = Seq((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
+    for ((x, y, hq, hr) <- rows) {
+      def d2(c: (Double, Double)) = {
+        val dx = x - c._1; val dy = y - c._2; dx * dx + dy * dy
+      }
+      val own = d2(center(hq, hr))
+      for ((dq, dr) <- nb.tail) {
+        val other = d2(center(hq + dq, hr + dr))
+        assert(own <= other * (1 + 1e-12),
+          s"point ($x,$y) assigned ($hq,$hr) but ($dq,$dr)-neighbor is closer")
+      }
+    }
+  }
+
+  test("tileGeodesicDensity: occupied-tile areas sum to the spherical band area") {
+    val s = spark; import s.implicits._
+    // one point per z4 tile center → all 256 tiles occupied
+    val z = 4; val n = 1 << z
+    val pts = for (tx <- 0 until n; ty <- 0 until n) yield {
+      val lon = (tx + 0.5) / n * 360.0 - 180.0
+      // inverse gudermannian of the tile-center mercator y
+      val yy = math.Pi * (1.0 - 2.0 * (ty + 0.5) / n)
+      val lat = math.toDegrees(math.atan(math.sinh(yy)))
+      ((tx * n + ty).toLong, math.round(lon * 1e7), math.round(lat * 1e7))
+    }
+    val got = SpatialOps.tileGeodesicDensity(
+        pts.toDF("pid", "lon_fix", "lat_fix"), z)
+      .select(col("tx"), col("ty"), col("cnt"), col("area_m2"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === n * n && got.forall(_._3 == 1L))
+    val r = 6372797.560856
+    val want = 4.0 * math.Pi * r * r * math.tanh(math.Pi) // band |lat|<85.05°
+    val sum = got.map(_._4).sum.toDouble
+    assert(math.abs(sum - want) < n * n, // per-tile rounding is < 0.5 m²
+      s"sum=$sum want=$want")
+  }
+
+  test("hausdorffPairs matches brute force on co-located seeded ways") {
+    val s = spark; import s.implicits._
+    // 8 short ways jittered around one location → all pairs are candidates
+    val ways = for (w <- 0L until 8L; p <- 0L until 5L) yield
+      (w, p, 100000000L + w * 900000L + p * 210000L + (w * p * 7919L) % 90000L,
+        50000000L + w * 700000L - p * 160000L + (w * (p + 3) * 104729L) % 70000L)
+    val df = ways.toDF("way_id", "seq", "x", "y")
+    val got = SpatialOps.hausdorffPairs(df, 6, Long.MaxValue)
+      .as[(Long, Long, Long)].collect().map(t => ((t._1, t._2), t._3)).toMap
+
+    val byWay = ways.groupBy(_._1).view.mapValues(_.map(t => (t._3, t._4))).toMap
+    def h(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Long =
+      a.map(p => b.map(q => {
+        val dx = p._1 - q._1; val dy = p._2 - q._2; dx * dx + dy * dy
+      }).min).max
+    for (i <- 0L until 8L; j <- (i + 1) until 8L) {
+      val want = math.max(h(byWay(i), byWay(j)), h(byWay(j), byWay(i)))
+      assert(got((i, j)) === want, s"pair ($i,$j)")
+    }
+  }
+
+  test("moranI matches the direct float formula on a seeded grid") {
+    val s = spark; import s.implicits._
+    val cells = lcg(31).take(300).grouped(3)
+      .map(g => (g.head % 12, g(1) % 12, g(2) % 50 + 1)).toSeq
+      .groupBy(t => (t._1, t._2)).map { case (k, v) => (k._1, k._2, v.head._3) }
+      .toSeq
+    val got = StatsOps.moranI(cells.toDF("bx", "by", "v"))
+      .as[(Long, Long, Long)].collect().head
+
+    val n = cells.size.toDouble
+    val mean = cells.map(_._3).sum / n
+    val byKey = cells.map(t => ((t._1, t._2), t._3.toDouble)).toMap
+    val pairs = for {
+      ((bx, by), vi) <- byKey.toSeq
+      (dx, dy) <- Seq((1, 0), (-1, 0), (0, 1), (0, -1))
+      vj <- byKey.get((bx + dx, by + dy))
+    } yield (vi, vj)
+    val w = pairs.size.toDouble
+    val num = pairs.map { case (vi, vj) => (vi - mean) * (vj - mean) }.sum
+    val den = byKey.values.map(v => (v - mean) * (v - mean)).sum
+    val want = (n / w) * num / den
+    assert(got._1 === cells.size.toLong && got._2 === pairs.size.toLong)
+    assert(math.abs(got._3 / 1e6 - want) < 1e-5,
+      s"moran got ${got._3 / 1e6} want $want")
+  }
+
   test("integer z-score inequality agrees with the float z-score on seeded groups") {
     val rows = lcg(99).take(300).map(v => (v % 3, 50 + (v % 211))).toSeq
     for ((_, g) <- rows.groupBy(_._1)) {
