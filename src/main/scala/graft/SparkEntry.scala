@@ -219,6 +219,28 @@ object SparkEntry {
         .select(col("bx"), col("by"), col("cnt").as("v")))
     }),
 
+    // Getis-Ord Gi* hot-spot z-scores per density cell (local companion
+    // to q_moran; same derived grid level)
+    "q_gi" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      val n = pts.count()
+      var level = 6
+      while (level < 12 && n > (1L << (2 * level))) level += 1
+      StatsOps.getisOrd(SpatialOps.equirectDensity(pts, level)
+        .select(col("bx"), col("by"), col("cnt").as("v")))
+    }),
+
+    // IDW scatter-to-grid interpolation (integer weights; level floor 8
+    // keeps own-cell weights nonzero — see SpatialOps.idwGrid contract)
+    "q_idw" -> ((s, d) => {
+      val pts = Synth.points(s, d)
+      val n = pts.count()
+      var level = 8
+      while (level < 12 && n > (1L << (2 * level))) level += 1
+      SpatialOps.idwGrid(pts.select(col("lon_fix").as("x"),
+        col("lat_fix").as("y"), (col("pid") % 1000 + 1).as("v")), level)
+    }),
+
     // symmetric Hausdorff polyline-similarity join over anchor-cell
     // candidate pairs (exact int64 squared distances)
     "q_hausdorff" -> ((s, d) => {
@@ -2473,6 +2495,67 @@ object SparkEntry {
          |      + CAST(s AS HUGEINT) * s * w AS DOUBLE) * 1000000.0
          |    / CAST(CAST(w AS HUGEINT) * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) AS DOUBLE)) AS BIGINT) AS moran_e6
          |FROM tot, nbr""".stripMargin
+    },
+
+    // Gi* twin: the same five exact-integer aggregates; HUGEINT where
+    // N·Q − S² overflows int64, one double expression per cell
+    "q_gi" -> {
+      val cases = (6 to 11).map(l =>
+        s"WHEN n <= ${1L << (2 * l)} THEN ${1L << l}").mkString(" ")
+      s"""WITH p AS ($P),
+         |lv AS (SELECT CASE $cases ELSE 4096 END AS g
+         |  FROM (SELECT count(*) AS n FROM p)),
+         |cells AS (
+         |  SELECT bx, by, least(c, 65535) AS v FROM (
+         |    SELECT least((lon_fix + 1800000000) * g // 3600000000, g - 1) AS bx,
+         |      least((lat_fix + 900000000) * g // 1800000000, g - 1) AS by,
+         |      count(*) AS c
+         |    FROM p, lv GROUP BY 1, 2)),
+         |tot AS (SELECT count(*) AS n, sum(v) AS s, sum(v * v) AS q FROM cells),
+         |offs AS (SELECT * FROM (VALUES (0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)) AS o(dx, dy)),
+         |sc AS (
+         |  SELECT c.bx + o.dx AS bx, c.by + o.dy AS by, c.v
+         |  FROM cells c CROSS JOIN offs o),
+         |nb AS (SELECT bx, by, sum(v) AS l, count(*) AS k FROM sc GROUP BY 1, 2),
+         |loc AS (
+         |  SELECT c.bx, c.by, c.v, nb.l, nb.k
+         |  FROM cells c JOIN nb ON nb.bx = c.bx AND nb.by = c.by)
+         |SELECT bx, by, v,
+         |  CAST(round(CAST(n * l - s * k AS DOUBLE) * 1000000.0
+         |    / sqrt(CAST(CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s AS DOUBLE)
+         |      * CAST(n * k - k * k AS DOUBLE) / CAST(n - 1 AS DOUBLE))) AS BIGINT) AS gi_e6
+         |FROM loc, tot""".stripMargin
+    },
+
+    // IDW twin: identical integer weight quotients and floor divisions
+    "q_idw" -> {
+      val cases = (8 to 11).map(l =>
+        s"WHEN n <= ${1L << (2 * l)} THEN ${1L << l}").mkString(" ")
+      s"""WITH p AS ($P),
+         |lv AS (SELECT CASE $cases ELSE 4096 END AS g
+         |  FROM (SELECT count(*) AS n FROM p)),
+         |oc AS (
+         |  SELECT least((lon_fix + 1800000000) * g // 3600000000, g - 1) AS obx,
+         |    least((lat_fix + 900000000) * g // 1800000000, g - 1) AS oby,
+         |    lon_fix AS x, lat_fix AS y, pid % 1000 + 1 AS v, g
+         |  FROM p, lv),
+         |ctr AS (
+         |  SELECT DISTINCT obx AS bx, oby AS by,
+         |    obx * (3600000000 // g) - 1800000000 + (3600000000 // g) // 2 AS qx,
+         |    oby * (1800000000 // g) - 900000000 + (1800000000 // g) // 2 AS qy
+         |  FROM oc),
+         |offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+         |  (0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)),
+         |sc AS (
+         |  SELECT obx + dx AS bx, oby + dy AS by, x, y, v
+         |  FROM oc CROSS JOIN offs),
+         |wts AS (
+         |  SELECT c.bx, c.by, v,
+         |    1000000000000000 // ((qx - x) * (qx - x) + (qy - y) * (qy - y) + 1000000000000) AS w
+         |  FROM ctr c JOIN sc ON sc.bx = c.bx AND sc.by = c.by)
+         |SELECT bx, by, count(*) AS n_obs,
+         |  CAST(sum(v * w) * 1000 // sum(w) AS BIGINT) AS est_e3
+         |FROM wts GROUP BY 1, 2""".stripMargin
     },
 
     // anchor-cell candidate pairs (per-cell cap via QUALIFY — the

@@ -1382,6 +1382,62 @@ object SpatialOps {
           col("area_m2").cast("double")).cast("long"))
   }
 
+  /** Inverse-distance-weighted (IDW, power 2) interpolation of a scattered
+    * integer observation field onto the occupied-cell grid — the
+    * scatter-to-raster estimation step ("what's the expected value HERE")
+    * between pure binning ([[equirectDensity]]) and kNN regression.
+    * Each occupied cell's center is estimated from the observations in
+    * its 3×3 cell neighborhood: est = Σ v·w / Σ w with w = 1/d².
+    *
+    * Exactness: weights are INTEGER quotients w = ⌊10¹⁵/(d² + 10¹²)⌋ of
+    * exact int64 squared fix distances (the +10¹² softening — 0.1° —
+    * caps w at 1000, which keeps every partial sum below 2⁵³ so even the
+    * floor divisions are exact in both engines), and the estimate is one
+    * integer division est_e3 = ⌊1000·Σvw / Σw⌋ — no float accumulation
+    * anywhere, so engine results are bit-equal regardless of aggregation
+    * order (the house rule that keeps every oracle hash-comparable).
+    *
+    * Scale posture: a 9× scatter explode of the observations + ONE
+    * equi-join on the cell key + one map-side-combined groupBy — the
+    * same bounded-fanout stencil shape as [[rasterBlur]]; per-cell work
+    * is the 3×3 neighborhood's observation count, kept O(1) by deriving
+    * `level` from the corpus size (callers use the q_vectorize scheme).
+    * Input (x, y, v) fix-coord observations; output
+    * (bx, by, n_obs, est_e3).
+    */
+  def idwGrid(obs: DataFrame, level: Int): DataFrame = {
+    val g = 1L << level
+    val cellW = 3600000000L / g
+    val cellH = 1800000000L / g
+    val cells = obs
+      .select(Fns.cellX(col("x"), level).as("bx"),
+        Fns.cellY(col("y"), level).as("by"))
+      .distinct()
+      // cell-center fix coords (floor midpoint — integer, twin-exact)
+      .select(col("bx"), col("by"),
+        (col("bx") * lit(cellW) - lit(1800000000L) + lit(cellW / 2)).as("qx"),
+        (col("by") * lit(cellH) - lit(900000000L) + lit(cellH / 2)).as("qy"))
+    val offs = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val scattered = obs
+      .select(col("x"), col("y"), col("v"), explode(offs).as("o"))
+      .select((Fns.cellX(col("x"), level) + col("o.dx")).as("bx"),
+        (Fns.cellY(col("y"), level) + col("o.dy")).as("by"),
+        col("x"), col("y"), col("v"))
+    // exact floor division of nonnegative int64 columns (pmod keeps the
+    // quotient an exact multiple, so the final double division is exact)
+    def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val d2 = (col("qx") - col("x")) * (col("qx") - col("x")) +
+      (col("qy") - col("y")) * (col("qy") - col("y"))
+    val w = fdiv(lit(1000000000000000L), d2 + lit(1000000000000L))
+    cells.join(scattered, Seq("bx", "by"))
+      .select(col("bx"), col("by"), w.as("w"), (col("v") * w).as("vw"))
+      .groupBy("bx", "by")
+      .agg(count(lit(1)).as("n_obs"), sum("w").as("sw"), sum("vw").as("svw"))
+      .select(col("bx"), col("by"), col("n_obs"),
+        fdiv(col("svw") * lit(1000L), col("sw")).as("est_e3"))
+  }
+
   /** Symmetric Hausdorff distance between candidate way pairs — the
     * polyline-similarity join of map conflation ("is this track the same
     * road?"): H(A,B) = max(h(A→B), h(B→A)) with h the directed

@@ -100,6 +100,53 @@ object StatsOps {
     * over the GRID (already ≪ the corpus), ending in a single row
     * (n_cells, w_pairs, moran_e6 = round(10⁶·I)).
     */
+  /** Getis-Ord Gi* hot-spot z-scores — [[moranI]]'s LOCAL companion:
+    * where Moran's I says "this surface clusters", Gi* says WHICH cells
+    * are the hot (z ≫ 0) and cold (z ≪ 0) spots, the per-cell statistic
+    * behind every "crime/traffic/density hot-spot" map. Binary rook
+    * weights including self (the * variant).
+    *
+    * Same exactness discipline as [[moranI]]: per cell only two integers
+    * are aggregated — L = Σ_{j∈nbr(i)∪i} v_j and k = |nbr(i)∪i| — and
+    * with x̄ = S/N, S² = (N·Q − S²)/N² the textbook Gi* collapses to
+    *
+    *   z_i = (N·L − S·k) / sqrt((N·Q − S²) · (N·k − k²) / (N−1))
+    *
+    * whose inputs are five exact integers (N·Q − S² in decimal(38,0) /
+    * HUGEINT — it overflows int64 first); one double expression per cell
+    * ends it, deterministic across engines.
+    *
+    * Scale posture: the neighbor sum is a 5× scatter explode + ONE
+    * groupBy on the cell key (map-side combined), then a semi-join back
+    * to occupied cells and a broadcast of the 3-number global row — no
+    * window, no matrix, no per-cell loop. Output (bx, by, v, gi_e6).
+    */
+  def getisOrd(cells: DataFrame): DataFrame = {
+    val base = cells.select(col("bx"), col("by"), col("v"))
+    val offs = array(Seq((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1)).map {
+      case (dx, dy) => struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))
+    }: _*)
+    val scattered = base
+      .select(col("bx"), col("by"), col("v"), explode(offs).as("o"))
+      .select((col("bx") + col("o.dx")).as("bx"),
+        (col("by") + col("o.dy")).as("by"), col("v"))
+      .groupBy("bx", "by")
+      .agg(sum("v").as("l"), count(lit(1)).as("k"))
+    val local = base.join(scattered, Seq("bx", "by"))
+    val tot = base.agg(count(lit(1)).as("n"), sum("v").as("s"),
+      sum(col("v") * col("v")).as("q"))
+    val dec = "decimal(38,0)"
+    local.crossJoin(broadcast(tot)).select(
+      col("bx"), col("by"), col("v"),
+      round((col("n") * col("l") - col("s") * col("k")).cast("double") *
+          lit(1.0e6) /
+        sqrt((col("n").cast(dec) * col("q").cast(dec) -
+            col("s").cast(dec) * col("s").cast(dec)).cast("double") *
+          (col("n") * col("k") - col("k") * col("k")).cast("double") /
+          (col("n") - lit(1)).cast("double")))
+        .cast("long").as("gi_e6"))
+  }
+
   def moranI(cells: DataFrame): DataFrame = {
     val base = cells.select(col("bx"), col("by"), col("v"))
     val offs = array(Seq((1, 0), (-1, 0), (0, 1), (0, -1)).map { case (dx, dy) =>

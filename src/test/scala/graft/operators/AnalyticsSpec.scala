@@ -174,6 +174,64 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"moran got ${got._3 / 1e6} want $want")
   }
 
+  test("getisOrd matches the textbook Gi* float formula on a seeded grid") {
+    val s = spark; import s.implicits._
+    val cells = lcg(41).take(300).grouped(3)
+      .map(g => (g.head % 10, g(1) % 10, g(2) % 60 + 1)).toSeq
+      .groupBy(t => (t._1, t._2)).map { case (k, v) => (k._1, k._2, v.head._3) }
+      .toSeq
+    val got = StatsOps.getisOrd(cells.toDF("bx", "by", "v"))
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => ((t._1, t._2), t._4)).toMap
+
+    val n = cells.size.toDouble
+    val mean = cells.map(_._3).sum / n
+    val sd = math.sqrt(cells.map(t => t._3 * t._3.toDouble).sum / n - mean * mean)
+    val byKey = cells.map(t => ((t._1, t._2), t._3.toDouble)).toMap
+    for (((bx, by), _) <- byKey) {
+      val nbrs = Seq((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
+        .flatMap { case (dx, dy) => byKey.get((bx + dx, by + dy)) }
+      val k = nbrs.size
+      val want = (nbrs.sum - mean * k) /
+        (sd * math.sqrt((n * k - k.toDouble * k) / (n - 1)))
+      assert(math.abs(got((bx, by)) / 1e6 - want) < 1e-5,
+        s"cell ($bx,$by): got ${got((bx, by)) / 1e6} want $want")
+    }
+  }
+
+  test("idwGrid matches the local integer-weight reference on seeded observations") {
+    val s = spark; import s.implicits._
+    val level = 8
+    val g = 1L << level
+    val (cw, ch) = (3600000000L / g, 1800000000L / g)
+    val obs = lcg(51).take(900).grouped(3).map(t =>
+      (t.head % 3600000000L - 1800000000L, t(1) % 1800000000L - 900000000L,
+        t(2) % 1000 + 1)).toSeq
+    val got = SpatialOps.idwGrid(obs.toDF("x", "y", "v"), level)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => ((t._1, t._2), (t._3, t._4))).toMap
+
+    def cellOf(x: Long, y: Long) =
+      (math.min((x + 1800000000L) * g / 3600000000L, g - 1),
+        math.min((y + 900000000L) * g / 1800000000L, g - 1))
+    val occupied = obs.map(o => cellOf(o._1, o._2)).distinct
+    assert(got.keySet === occupied.toSet)
+    for ((bx, by) <- occupied) {
+      val qx = bx * cw - 1800000000L + cw / 2
+      val qy = by * ch - 900000000L + ch / 2
+      val nbrs = obs.filter { o =>
+        val c = cellOf(o._1, o._2)
+        math.abs(c._1 - bx) <= 1 && math.abs(c._2 - by) <= 1
+      }
+      val ws = nbrs.map { o =>
+        val d2 = (qx - o._1) * (qx - o._1) + (qy - o._2) * (qy - o._2)
+        (1000000000000000L / (d2 + 1000000000000L), o._3.toLong)
+      }
+      val want = ws.map { case (w, v) => v * w }.sum * 1000L / ws.map(_._1).sum
+      assert(got((bx, by)) === ((nbrs.size.toLong, want)), s"cell ($bx,$by)")
+    }
+  }
+
   test("integer z-score inequality agrees with the float z-score on seeded groups") {
     val rows = lcg(99).take(300).map(v => (v % 3, 50 + (v % 211))).toSeq
     for ((_, g) <- rows.groupBy(_._1)) {
