@@ -288,6 +288,50 @@ object SparkEntry {
         .filter(col("n_segs") >= 1)
     }),
 
+    // HMM (Viterbi) map matching: noisy tracks synthesized by jittering a
+    // 1-in-97 sample of ways; candidates = way points within MmRadiusFix
+    // (3x3 cell join at level 11), top-3 per observation; the DP is
+    // linear per track while the oracle ENUMERATES all paths recursively
+    "q_map_match" -> ((s, d) => {
+      val wp = wayPoints(t(s, d, "lineitem"))
+      val key = col("way_id") * lit(10L) + col("seq")
+      val obs = wp.filter(col("way_id") % MmSample === 0)
+        .select(col("way_id").as("entity"), col("seq").as("tidx"),
+          (col("x") + Fns.mixId(key * 2) % lit(800001L) - lit(400000L)).as("ox"),
+          (col("y") + Fns.mixId(key * 2 + 1) % lit(800001L) - lit(400000L)).as("oy"))
+      val offs = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+        struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+      val probes = obs.select(col("entity"), col("tidx"), col("ox"), col("oy"),
+          explode(offs).as("o"))
+        .select(col("entity"), col("tidx"), col("ox"), col("oy"),
+          (Fns.cellX(col("ox"), MmLevel) + col("o.dx")).as("jx"),
+          (Fns.cellY(col("oy"), MmLevel) + col("o.dy")).as("jy"))
+      val nodes = wp.select(col("way_id").as("way"), col("seq").as("wseq"),
+        col("x").as("cx"), col("y").as("cy"),
+        Fns.cellX(col("x"), MmLevel).as("jx"), Fns.cellY(col("y"), MmLevel).as("jy"))
+      val d2 = (col("ox") - col("cx")) * (col("ox") - col("cx")) +
+        (col("oy") - col("cy")) * (col("oy") - col("cy"))
+      val w = Window.partitionBy("entity", "tidx")
+        .orderBy(col("emis"), col("way"), col("wseq"))
+      val cands = probes.join(nodes, Seq("jx", "jy"))
+        .select(col("entity"), col("tidx"), col("cx"), col("cy"), col("way"),
+          col("wseq"), d2.as("emis"))
+        .filter(col("emis") <= MmRadiusSq)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      SpatialOps.hmmMapMatch(cands, MmSwitchPenalty)
+    }),
+
+    // route-shape descriptors: per-way sinuosity + initial net bearing
+    // (exact-integer mm sums; see SpatialOps.waySinuosity)
+    "q_sinuosity" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val key = col("l_orderkey") * lit(10L) + col("l_linenumber")
+      SpatialOps.waySinuosity(li.select(
+        col("l_orderkey").as("way_id"), col("l_linenumber").as("seq"),
+        Fns.fixToDeg(Fns.lonFixOf(key)).as("lon"),
+        Fns.fixToDeg(Fns.latFixOf(key)).as("lat")).distinct())
+    }),
+
     // polyline rasterization: locally-dense synthetic ways -> every cell
     // their segments cross (the way->tile assignment of a vector-tile
     // cut); segments via the same lag-window shape as q_haversine_way
@@ -1523,6 +1567,16 @@ object SparkEntry {
     * never lands on an exact representable tie). */
   val HexSizeFix = 30000001L
 
+  /** q_map_match knobs: 1-in-MmSample ways become tracks; candidates are
+    * way nodes within MmRadiusFix (cell level MmLevel — its cell height
+    * 878906 fix ≥ the radius, so the 3×3 neighborhood is a complete
+    * cover); a way switch between consecutive observations costs
+    * MmSwitchPenalty (≈ a 1.4e6-fix jump squared). */
+  val MmSample = 97L
+  val MmLevel = 11
+  val MmRadiusSq = 640000000000L // (8e5)^2
+  val MmSwitchPenalty = 2000000000000L
+
   /** q_hausdorff keep-threshold on the squared fix distance: the
     * anchor-cell diagonal at the coarsest derived level (g=64 → ~6.7e7
     * fix) — candidates farther apart than one coarse cell can span are
@@ -2038,12 +2092,14 @@ object SparkEntry {
        |WHERE rank <= 5""".stripMargin
   }
 
+  // null-propagating clamp (CASE, not least) — see Fns.haversineMeters
   private def haversineSql(lon1: String, lat1: String, lon2: String, lat2: String): String = {
     val deg = "0.017453292519943295769236907684886"
-    s"""(2.0 * 6372797.560856 * asin(sqrt(least(
-       |  sin(($lat1 - $lat2) * $deg * 0.5) * sin(($lat1 - $lat2) * $deg * 0.5) +
+    val h = s"""(sin(($lat1 - $lat2) * $deg * 0.5) * sin(($lat1 - $lat2) * $deg * 0.5) +
        |  cos($lat1 * $deg) * cos($lat2 * $deg) *
-       |  sin(($lon1 - $lon2) * $deg * 0.5) * sin(($lon1 - $lon2) * $deg * 0.5), 1.0))))""".stripMargin
+       |  sin(($lon1 - $lon2) * $deg * 0.5) * sin(($lon1 - $lon2) * $deg * 0.5))""".stripMargin
+    s"""(2.0 * 6372797.560856 * asin(sqrt(
+       |  CASE WHEN $h > 1.0 THEN 1.0 ELSE $h END)))""".stripMargin
   }
 
   /** Floor division with positive divisor (DuckDB `//` truncates). */
@@ -2629,6 +2685,103 @@ object SparkEntry {
          |  FROM pts)
          |SELECT way_id, CAST(round(sum(seg)) AS BIGINT) AS len_m, count(seg) AS n_segs
          |FROM segs WHERE seg IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // map-matching twin: brute-force path ENUMERATION (recursive CTE,
+    // every candidate path's exact integer cost) vs the engine's linear
+    // Viterbi DP — agreement proves the DP against a different formulation
+    "q_map_match" -> {
+      val g = 1L << MmLevel
+      def cellX(e: String) = s"least((($e) + 1800000000) * $g // 3600000000, ${g - 1})"
+      def cellY(e: String) = s"least((($e) + 900000000) * $g // 1800000000, ${g - 1})"
+      s"""WITH RECURSIVE ks AS (
+         |  SELECT DISTINCT l_orderkey AS way_id, l_linenumber AS seq FROM lineitem),
+         |li AS (
+         |  SELECT DISTINCT way_id, seq,
+         |    (way_id * 2654435761) % 3400000000 - 1700000000
+         |      + (((way_id*10 + seq) * 1103515245) % 20000000 - 10000000) AS x,
+         |    (way_id * 2246822519) % 1600000000 - 800000000
+         |      + (((way_id*10 + seq) * 69069) % 20000000 - 10000000) AS y
+         |  FROM ks),
+         |obs AS (
+         |  SELECT way_id AS entity, seq AS tidx,
+         |    x + ${mixIdSql("(way_id*10 + seq) * 2")} % 800001 - 400000 AS ox,
+         |    y + ${mixIdSql("(way_id*10 + seq) * 2 + 1")} % 800001 - 400000 AS oy
+         |  FROM li WHERE way_id % $MmSample = 0),
+         |offs AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+         |  (0,1),(1,-1),(1,0),(1,1)) AS o(dx, dy)),
+         |probes AS (
+         |  SELECT entity, tidx, ox, oy,
+         |    ${cellX("ox")} + dx AS jx, ${cellY("oy")} + dy AS jy
+         |  FROM obs CROSS JOIN offs),
+         |nodes AS (
+         |  SELECT way_id AS way, seq AS wseq, x AS cx, y AS cy,
+         |    ${cellX("x")} AS jx, ${cellY("y")} AS jy
+         |  FROM li),
+         |cand0 AS (
+         |  SELECT entity, tidx, cx, cy, way, wseq,
+         |    (ox - cx) * (ox - cx) + (oy - cy) * (oy - cy) AS emis
+         |  FROM probes JOIN nodes ON nodes.jx = probes.jx AND nodes.jy = probes.jy
+         |  WHERE (ox - cx) * (ox - cx) + (oy - cy) * (oy - cy) <= $MmRadiusSq),
+         |cand1 AS (
+         |  SELECT * FROM cand0
+         |  QUALIFY row_number() OVER (PARTITION BY entity, tidx
+         |    ORDER BY emis, way, wseq) <= 3),
+         |cand AS (
+         |  SELECT entity, tidx, cx, cy, way, emis,
+         |    dense_rank() OVER (PARTITION BY entity ORDER BY tidx) AS lv
+         |  FROM cand1),
+         |ml AS (SELECT entity, max(lv) AS n_obs FROM cand GROUP BY 1),
+         |paths AS (
+         |  SELECT entity, lv, cx, cy, way, emis AS cost FROM cand WHERE lv = 1
+         |  UNION ALL
+         |  SELECT c.entity, c.lv, c.cx, c.cy, c.way,
+         |    p.cost + (c.cx - p.cx) * (c.cx - p.cx) + (c.cy - p.cy) * (c.cy - p.cy)
+         |      + CASE WHEN c.way = p.way THEN 0 ELSE $MmSwitchPenalty END + c.emis
+         |  FROM paths p JOIN cand c ON c.entity = p.entity AND c.lv = p.lv + 1)
+         |SELECT p.entity, ml.n_obs, min(p.cost) AS best_cost
+         |FROM paths p JOIN ml ON ml.entity = p.entity
+         |WHERE p.lv = ml.n_obs GROUP BY 1, 2""".stripMargin
+    },
+
+    // sinuosity twin: same per-segment mm rounding BEFORE the sum, same
+    // endpoint bearing expression (op order mirrors waySinuosity)
+    "q_sinuosity" -> {
+      val deg = "0.017453292519943295769236907684886"
+      s"""WITH pts AS (
+         |  SELECT DISTINCT l_orderkey AS way_id, l_linenumber AS seq,
+         |    (((l_orderkey*10 + l_linenumber) * 2654435761) % 1800000000 - 900000000) / 10000000.0 AS lon,
+         |    (((l_orderkey*10 + l_linenumber) * 2246822519) % 1200000000 - 600000000) / 10000000.0 AS lat
+         |  FROM lineitem),
+         |segs AS (
+         |  SELECT way_id,
+         |    CAST(round(${haversineSql("lon", "lat",
+               "lag(lon, 1) OVER (PARTITION BY way_id ORDER BY seq)",
+               "lag(lat, 1) OVER (PARTITION BY way_id ORDER BY seq)")} * 1000.0) AS BIGINT) AS seg_mm
+         |  FROM pts),
+         |per AS (
+         |  SELECT way_id, CAST(sum(seg_mm) AS BIGINT) AS len_mm,
+         |    count(seg_mm) AS n_segs
+         |  FROM segs GROUP BY 1 HAVING count(seg_mm) >= 1),
+         |mm AS (SELECT way_id, min(seq) AS s0, max(seq) AS s1 FROM pts GROUP BY 1),
+         |e AS (
+         |  SELECT mm.way_id, a.lon AS flon, a.lat AS flat, b.lon AS llon, b.lat AS llat
+         |  FROM mm
+         |  JOIN pts a ON a.way_id = mm.way_id AND a.seq = mm.s0
+         |  JOIN pts b ON b.way_id = mm.way_id AND b.seq = mm.s1),
+         |j AS (
+         |  SELECT per.way_id, len_mm, n_segs,
+         |    CAST(round(${haversineSql("flon", "flat", "llon", "llat")} * 1000.0) AS BIGINT) AS straight_mm,
+         |    CAST(round(degrees(atan2(
+         |      sin(llon * $deg - flon * $deg) * cos(llat * $deg),
+         |      cos(flat * $deg) * sin(llat * $deg)
+         |        - sin(flat * $deg) * cos(llat * $deg) * cos(llon * $deg - flon * $deg)
+         |    )) * 1000000.0) AS BIGINT) AS bearing_e6
+         |  FROM per JOIN e ON e.way_id = per.way_id)
+         |SELECT way_id, len_mm, straight_mm,
+         |  CAST(len_mm * 1000 // straight_mm AS BIGINT) AS sinuosity_e3,
+         |  bearing_e6, n_segs
+         |FROM j WHERE straight_mm > 0""".stripMargin
+    },
 
     "q_pip_join" ->
       s"""WITH p AS ($P)

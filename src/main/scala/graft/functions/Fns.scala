@@ -48,8 +48,12 @@ object Fns {
     val lath = sin((lat1 - lat2) * degToRad * lit(0.5))
     val tmp = cos(lat1 * degToRad) * cos(lat2 * degToRad)
     // clamp: near-antipodal pairs can push the sum a 1-ulp past 1.0,
-    // where asin(sqrt(>1)) = NaN and a long cast would silently yield 0
-    lit(2.0) * r * asin(sqrt(least(lath * lath + tmp * lonh * lonh, lit(1.0))))
+    // where asin(sqrt(>1)) = NaN and a long cast would silently yield 0.
+    // The clamp must be NULL-PROPAGATING (CASE, not least): least(NULL,
+    // 1.0) is 1.0 in BOTH engines, which silently turned a null input
+    // (e.g. a window lag's first row) into a πR "distance"
+    val h = lath * lath + tmp * lonh * lonh
+    lit(2.0) * r * asin(sqrt(when(h > lit(1.0), lit(1.0)).otherwise(h)))
   }
 
   // ---- tiling ---------------------------------------------------------------

@@ -1382,6 +1382,116 @@ object SpatialOps {
           col("area_m2").cast("double")).cast("long"))
   }
 
+  /** HMM map matching (Viterbi) — "which road was this noisy GPS track
+    * on": per track, the minimum-cost assignment of one candidate road
+    * node per observation, where cost = Σ emission (squared obs→candidate
+    * distance) + Σ transition (squared jump between consecutive
+    * candidates, plus `switchPenalty` whenever the way changes). This is
+    * the Newson-Krakauer HMM shape with closest-node states and
+    * euclidean transitions (route-distance transitions need a router —
+    * out of scope by contract).
+    *
+    * Input `cands`: (entity, tidx, cx, cy, way, emis) — the PRE-JOINED
+    * candidate set (callers bound it: radius cell-join + top-K per
+    * observation, so |states| per step is O(K)). Observations with no
+    * candidate are simply absent and the DP runs over the tidx levels
+    * that exist, in order.
+    *
+    * Exactness: every cost is exact int64 (squared fix distances +
+    * integer penalties) — the DuckDB twin brute-force-ENUMERATES all
+    * candidate paths with a recursive CTE and takes the min, so oracle
+    * agreement proves the DP against an exponential-formulation oracle,
+    * not against itself.
+    *
+    * Scale posture: ONE shuffle (groupByKey on entity); per track the DP
+    * is Σ_t |C_t|·|C_{t−1}| — linear in track length with K-bounded
+    * candidate sets, the textbook Viterbi bound. This is the
+    * flatMapGroups tier of the operator hierarchy (inherently procedural
+    * per group, like ring assembly) — state never crosses the wire and
+    * no driver loop exists. Output (entity, n_obs, best_cost).
+    */
+  def hmmMapMatch(cands: DataFrame, switchPenalty: Long): DataFrame = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    cands
+      .select(col("entity").cast("long"), col("tidx").cast("int"),
+        col("cx").cast("long"), col("cy").cast("long"),
+        col("way").cast("long"), col("emis").cast("long"))
+      .as[(Long, Int, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (e, it) =>
+        val levels = it.toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+          .map(_._2.toIndexedSeq)
+        var cur = levels.head.map(c => (c, c._6))
+        for (lvl <- levels.tail) {
+          val prev = cur
+          cur = lvl.map { c =>
+            val best = prev.iterator.map { case (p, pc) =>
+              val dx = c._3 - p._3; val dy = c._4 - p._4
+              pc + dx * dx + dy * dy +
+                (if (c._5 == p._5) 0L else switchPenalty)
+            }.min
+            (c, best + c._6)
+          }
+        }
+        Iterator.single((e, levels.size.toLong, cur.map(_._2).min))
+      }
+      .toDF("entity", "n_obs", "best_cost")
+  }
+
+  /** Per-way sinuosity and net bearing — the route-shape descriptors of
+    * road/track quality analysis: sinuosity = path length over
+    * straight-line (great-circle) distance between endpoints (1.0 =
+    * straight, ≫1 = winding), bearing = initial great-circle azimuth
+    * from first to last vertex.
+    *
+    * Exactness: each haversine segment rounds to integer MILLIMETERS
+    * before the per-way sum, so the sum is exact-integer (no
+    * accumulation-order float drift — stricter than rounding the sum)
+    * and sinuosity_e3 is one integer floor division. The bearing is a
+    * single per-row atan2 expression in (−180°, 180°], rounded to
+    * micro-degrees.
+    *
+    * Scale posture: one window pass (hash shuffle on way_id + sort — the
+    * same single exchange every ordered-way op here shares) feeding one
+    * map-side-combined aggregation. Input (way_id, seq, lon, lat) degree
+    * coords; output (way_id, len_mm, straight_mm, sinuosity_e3,
+    * bearing_e6, n_segs); ways whose endpoints coincide
+    * (straight_mm = 0) are dropped — sinuosity is undefined for loops,
+    * which [[graft.operators.AssemblyOps]] handles as rings instead.
+    */
+  def waySinuosity(pts: DataFrame): DataFrame = {
+    val w = Window.partitionBy("way_id").orderBy("seq")
+    val segMm = round(Fns.haversineMeters(col("lon"), col("lat"),
+      lag(col("lon"), 1).over(w), lag(col("lat"), 1).over(w)) * lit(1000.0))
+      .cast("long")
+    val agg = pts
+      .select(col("way_id"), col("seq"), col("lon"), col("lat"),
+        segMm.as("seg_mm"))
+      .groupBy("way_id")
+      .agg(sum("seg_mm").as("len_mm"), count(col("seg_mm")).as("n_segs"),
+        min(struct(col("seq"), col("lon"), col("lat"))).as("a"),
+        max(struct(col("seq"), col("lon"), col("lat"))).as("b"))
+      .filter(col("n_segs") >= 1)
+    val degToRad = lit(0.017453292519943295769236907684886)
+    val (lon1, lat1) = (col("a.lon") * degToRad, col("a.lat") * degToRad)
+    val (lon2, lat2) = (col("b.lon") * degToRad, col("b.lat") * degToRad)
+    val theta = atan2(
+      sin(lon2 - lon1) * cos(lat2),
+      cos(lat1) * sin(lat2) - sin(lat1) * cos(lat2) * cos(lon2 - lon1))
+    val straightMm = round(Fns.haversineMeters(col("a.lon"), col("a.lat"),
+      col("b.lon"), col("b.lat")) * lit(1000.0)).cast("long")
+    agg
+      .withColumn("straight_mm", straightMm)
+      .filter(col("straight_mm") > 0)
+      .select(col("way_id"), col("len_mm"), col("straight_mm"),
+        ((col("len_mm") * lit(1000L) -
+          pmod(col("len_mm") * lit(1000L), col("straight_mm"))) /
+          col("straight_mm")).cast("long").as("sinuosity_e3"),
+        round(degrees(theta) * lit(1.0e6)).cast("long").as("bearing_e6"),
+        col("n_segs"))
+  }
+
   /** Inverse-distance-weighted (IDW, power 2) interpolation of a scattered
     * integer observation field onto the occupied-cell grid — the
     * scatter-to-raster estimation step ("what's the expected value HERE")

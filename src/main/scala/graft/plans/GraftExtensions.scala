@@ -155,9 +155,12 @@ object GraftExtensions {
     val lonh = fn("sin", Multiply(Multiply(Subtract(lon1, lon2), deg), half))
     val lath = fn("sin", Multiply(Multiply(Subtract(lat1, lat2), deg), half))
     val tmp = Multiply(fn("cos", Multiply(lat1, deg)), fn("cos", Multiply(lat2, deg)))
+    // null-propagating clamp (CASE, not least) — see Fns.haversineMeters
+    val h = Add(Multiply(lath, lath), Multiply(Multiply(tmp, lonh), lonh))
+    val clamped = org.apache.spark.sql.catalyst.expressions.CaseWhen(
+      Seq((org.apache.spark.sql.catalyst.expressions.GreaterThan(h, Literal(1.0)),
+        Literal(1.0))), Some(h))
     Multiply(Multiply(Literal(2.0), Literal(6372797.560856)),
-      fn("asin", fn("sqrt", fn("least",
-        Add(Multiply(lath, lath), Multiply(Multiply(tmp, lonh), lonh)),
-        Literal(1.0)))))
+      fn("asin", fn("sqrt", clamped)))
   }
 }

@@ -232,6 +232,67 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("waySinuosity: straight ways score 1000, zig-zags score higher, bearings point right") {
+    val s = spark; import s.implicits._
+    // way 1: two points due east along the equator (sinuosity exactly 1,
+    // bearing 90°); way 2: a north-south zig-zag with the same endpoints
+    val straight = Seq((1L, 0L, 10.0, 0.0), (1L, 1L, 10.2, 0.0))
+    val zigzag = Seq((2L, 0L, 10.0, 0.0), (2L, 1L, 10.05, 0.1),
+      (2L, 2L, 10.1, -0.1), (2L, 3L, 10.15, 0.1), (2L, 4L, 10.2, 0.0))
+    val got = SpatialOps.waySinuosity(
+        (straight ++ zigzag).toDF("way_id", "seq", "lon", "lat"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val s1 = got(1L); val s2 = got(2L)
+    assert(s1._4 === 1000L, s"straight way sinuosity ${s1._4}")
+    assert(math.abs(s1._5 - 90000000L) < 600000L, // ≈ 90° east (±0.6°)
+      s"equatorial east bearing ${s1._5}")
+    assert(s2._4 > 2000L, s"zig-zag sinuosity ${s2._4}") // detours dominate
+    assert(s2._4 === s2._2 * 1000 / s2._3) // floor-division consistency
+    assert(s1._6 === 1L && s2._6 === 4L)
+  }
+
+  test("hmmMapMatch DP equals brute-force path enumeration; switch penalty binds") {
+    val s = spark; import s.implicits._
+    // 3 entities, ragged tracks, 2-3 candidates per obs on 2 ways
+    val cands = lcg(61).take(480).grouped(6).zipWithIndex.map { case (g, i) =>
+      (g.head % 3, (i / 3) % 5, g(1) % 2000000L, g(2) % 2000000L,
+        g(3) % 2, g(4) % 1000000L)
+    }.toSeq.distinct
+    val pen = 1500000000000L
+    val got = SpatialOps.hmmMapMatch(
+        cands.toDF("entity", "tidx", "cx", "cy", "way", "emis"), pen)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    def brute(rows: Seq[(Long, Int, Long, Long, Long, Long)]): (Long, Long) = {
+      val levels = rows.groupBy(_._2).toSeq.sortBy(_._1).map(_._2)
+      def rec(lvl: Int, prev: (Long, Long, Long), cost: Long): Long =
+        if (lvl == levels.size) cost
+        else levels(lvl).map { c =>
+          val t = if (prev == null) 0L else {
+            val dx = c._3 - prev._1; val dy = c._4 - prev._2
+            dx * dx + dy * dy + (if (c._5 == prev._3) 0L else pen)
+          }
+          rec(lvl + 1, (c._3, c._4, c._5), cost + t + c._6)
+        }.min
+      (levels.size.toLong, rec(0, null, 0L))
+    }
+    for ((e, rows) <- cands.map(c =>
+        (c._1, c._2.toInt, c._3, c._4, c._5, c._6)).groupBy(_._1)) {
+      assert(got(e) === brute(rows), s"entity $e")
+    }
+
+    // penalty semantics: a cheap-emission decoy on another way loses when
+    // the switch penalty exceeds its emission advantage
+    val trap = Seq(
+      (9L, 0, 0L, 0L, 1L, 0L),
+      (9L, 1, 10L, 0L, 1L, 100L), (9L, 1, 0L, 10L, 2L, 0L))
+    val best = SpatialOps.hmmMapMatch(
+      trap.toDF("entity", "tidx", "cx", "cy", "way", "emis"), 10000L)
+      .as[(Long, Long, Long)].collect().head
+    assert(best === ((9L, 2L, 200L))) // stay on way 1: 100(move)+100(emis)
+  }
+
   test("integer z-score inequality agrees with the float z-score on seeded groups") {
     val rows = lcg(99).take(300).map(v => (v % 3, 50 + (v % 211))).toSeq
     for ((_, g) <- rows.groupBy(_._1)) {
