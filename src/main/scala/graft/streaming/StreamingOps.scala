@@ -569,6 +569,56 @@ object StreamingOps {
     * (flushed only on timeout/stream end), matching the reference where
     * the last version's endtime is 0/null.
     */
+  case class MmCandRow(entity: Long, tidx: Long, cx: Long, cy: Long,
+                       way: Long, emis: Long)
+  case class MmState(nObs: Long, lastTidx: Long,
+                     frontier: Seq[(Long, Long, Long, Long)])
+  case class MmBest(entity: Long, nObs: Long, bestCost: Long)
+
+  /** Online Viterbi map matching — the streaming twin of
+    * [[graft.operators.SpatialOps.hmmMapMatch]]: per entity the state is
+    * the DP FRONTIER (current level's (cx, cy, way, cost) candidates,
+    * K-bounded by the caller's top-K candidate generation — 4·8·K bytes
+    * per live track, not the track history), so a GPS stream is matched
+    * incrementally with exactly the batch recurrence. Each micro-batch
+    * folds its new tidx levels in ascending order and emits the running
+    * (entity, nObs, bestCost); the row with the highest nObs equals the
+    * batch DP on the same prefix — the parity the spec pins. Candidate
+    * rows for an already-folded tidx (late data) are dropped by the
+    * `lastTidx` guard — the documented in-order contract, same class as
+    * dedupStream's watermark horizon.
+    */
+  def mapMatchStream(cands: Dataset[MmCandRow],
+                     switchPenalty: Long): Dataset[MmBest] = {
+    import cands.sparkSession.implicits._
+    cands.groupByKey(_.entity).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (entity: Long, rows: Iterator[MmCandRow], state: GroupState[MmState]) => {
+        val st = state.getOption.getOrElse(MmState(0L, Long.MinValue, Seq.empty))
+        val levels = rows.toSeq.filter(_.tidx > st.lastTidx)
+          .groupBy(_.tidx).toSeq.sortBy(_._1)
+        if (levels.isEmpty) Iterator.empty
+        else {
+          var frontier = st.frontier
+          for ((_, lvl) <- levels) {
+            frontier =
+              if (frontier.isEmpty) lvl.map(c => (c.cx, c.cy, c.way, c.emis))
+              else lvl.map { c =>
+                val best = frontier.iterator.map { p =>
+                  val dx = c.cx - p._1; val dy = c.cy - p._2
+                  p._4 + dx * dx + dy * dy +
+                    (if (c.way == p._3) 0L else switchPenalty)
+                }.min
+                (c.cx, c.cy, c.way, best + c.emis)
+              }
+          }
+          val nObs = st.nObs + levels.size
+          state.update(MmState(nObs, levels.last._1, frontier))
+          Iterator.single(MmBest(entity, nObs, frontier.map(_._4).min))
+        }
+      })
+  }
+
   def endTimeStream(events: Dataset[Versioned]): Dataset[EndTimed] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.key).flatMapGroupsWithState(

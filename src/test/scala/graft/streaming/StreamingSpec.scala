@@ -792,4 +792,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"missing: ${expected -- got}\nextra: ${got -- expected}")
     } finally q.stop()
   }
+
+  test("streaming online Viterbi == batch hmmMapMatch across micro-batches") {
+    val ss = spark
+    import ss.implicits._
+    implicit val sqlCtx = ss.sqlContext
+    val rnd = Iterator.iterate(23L)(x => x * 6364136223846793005L + 1442695040888963407L)
+      .map(_ >>> 33)
+    val pen = 1500000000000L
+    // 4 entities x 9 obs x 2-3 candidates on 2 ways
+    val cands = for {
+      e <- 1L to 4L; t <- 0L until 9L
+      c <- 0L until (2L + rnd.next() % 2)
+    } yield StreamingOps.MmCandRow(e, t,
+      rnd.next() % 2000000L, rnd.next() % 2000000L, rnd.next() % 2,
+      rnd.next() % 1000000L)
+    val input = MemoryStream[StreamingOps.MmCandRow]
+    val q = StreamingOps.mapMatchStream(input.toDS(), pen)
+      .writeStream.format("memory").queryName("mmatch").outputMode("append").start()
+    try {
+      // three micro-batches split on tidx so per-entity order holds
+      for (r <- Seq(0L until 3L, 3L until 6L, 6L until 9L)) {
+        input.addData(cands.filter(c => r.contains(c.tidx)))
+        q.processAllAvailable()
+      }
+      val got = spark.sql(
+          "SELECT entity, bestCost FROM mmatch WHERE nObs = 9").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = graft.operators.SpatialOps.hmmMapMatch(
+          cands.toDF(), pen)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got === want)
+      // incremental rows exist for every batch (3 per entity)
+      assert(spark.sql("SELECT count(*) FROM mmatch").head.getLong(0) === 12L)
+    } finally q.stop()
+  }
 }
