@@ -202,6 +202,11 @@ object SparkEntry {
     // H3-style flat-top hex binning (axial q/r, cube-rounded)
     "q_hexbin" -> ((s, d) => SpatialOps.hexBin(Synth.points(s, d), HexSizeFix)),
 
+    // true spherical polygon areas (geodesic companion of q_poly_area)
+    "q_geo_area" -> ((s, d) =>
+      Synth.hexCorpus(s, 1000).select(col("poly_id"),
+        SpatialOps.sphericalRingArea(col("xs"), col("ys"), 6).as("sph_m2"))),
+
     // z7 tile counts normalized by TRUE spherical tile area (the
     // mercator-distortion correction; exact closed-form area per row)
     "q_tile_area" -> ((s, d) =>
@@ -2474,6 +2479,24 @@ object SparkEntry {
          |  FROM deg)
          |SELECT $digits AS quadkey, least(count(*), 65535) AS cnt
          |FROM txy GROUP BY 1""".stripMargin
+    },
+
+    // spherical-excess twin: the same six terms in the same left-assoc
+    // order as sphericalRingArea's reduceLeft (the determinism contract)
+    "q_geo_area" -> {
+      val dg = "0.017453292519943295769236907684886"
+      val vx = Seq("cx + r", "cx + h", "cx - h", "cx - r", "cx - h", "cx + h")
+      val vy = Seq("cy", "cy + s", "cy + s", "cy", "cy - s", "cy - s")
+      def lam(i: Int) = s"(CAST(${vx(i % 6)} AS DOUBLE) / 10000000.0 * $dg)"
+      def sp(i: Int) = s"sin(CAST(${vy(i % 6)} AS DOUBLE) / 10000000.0 * $dg)"
+      val terms = (0 until 6).map(i =>
+        s"((${lam(i + 1)} - ${lam(i)}) * (2.0 + ${sp(i)} + ${sp(i + 1)}))")
+        .mkString(" + ")
+      s"""WITH hexes AS (${Synth.hexCorpusSql(1000)})
+         |SELECT poly_id,
+         |  CAST(round(abs($terms)
+         |    * (6372797.560856e0 * 6372797.560856e0 / 2.0)) AS BIGINT) AS sph_m2
+         |FROM hexes""".stripMargin
     },
 
     // axial projection + cube rounding with the SAME double op order as

@@ -1382,6 +1382,32 @@ object SpatialOps {
           col("area_m2").cast("double")).cast("long"))
   }
 
+  /** TRUE spherical polygon area (the lon-sum spherical-excess form,
+    * areaₛ = |Σᵢ (λᵢ₊₁ − λᵢ)·(2 + sin φᵢ + sin φᵢ₊₁)|·R²/2) of a closed
+    * fix-coordinate ring given as vertex arrays — the geodesic companion
+    * of the exact planar shoelace (plans.GeomExpressions.RingArea2):
+    * planar fix² areas compare shapes, but "how many km² does this
+    * polygon actually cover" needs the sphere (a fixed fix² area is ~37%
+    * smaller in ground km² at 60° latitude than at the equator).
+    *
+    * Determinism: the n-term sum is built in FIXED vertex order by a
+    * left-assoc reduce and the SQL twin writes the same n terms in the
+    * same order, so both engines evaluate an identical double expression
+    * tree (house class: the mercator ln/tan precedent); the result
+    * rounds to integer m². Per-row closed form — no join, no shuffle,
+    * whole-stage codegen.
+    */
+  def sphericalRingArea(xs: Column, ys: Column, n: Int): Column = {
+    val degToRad = lit(0.017453292519943295769236907684886)
+    val r = 6372797.560856
+    def lam(i: Int) = element_at(xs, i % n + 1).cast("double") / lit(1.0e7) * degToRad
+    def sinPhi(i: Int) =
+      sin(element_at(ys, i % n + 1).cast("double") / lit(1.0e7) * degToRad)
+    val terms = (0 until n).map(i =>
+      (lam(i + 1) - lam(i)) * (lit(2.0) + sinPhi(i) + sinPhi(i + 1)))
+    round(abs(terms.reduceLeft(_ + _)) * lit(r * r / 2.0)).cast("long")
+  }
+
   /** HMM map matching (Viterbi) — "which road was this noisy GPS track
     * on": per track, the minimum-cost assignment of one candidate road
     * node per observation, where cost = Σ emission (squared obs→candidate

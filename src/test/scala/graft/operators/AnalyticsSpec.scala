@@ -293,6 +293,28 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(best === ((9L, 2L, 200L))) // stay on way 1: 100(move)+100(emis)
   }
 
+  test("sphericalRingArea tracks R²-scaled planar area at the equator and cos(lat) at 60°") {
+    val s = spark; import s.implicits._
+    // flat-top hexagon (r=2h, s=sqrt(3)h shape) centered at lat 0 and 60°
+    def hex(cy: Long) = {
+      val (cx, r, h, sv) = (100000000L, 2000000L, 1000000L, 1732051L)
+      (Seq(cx + r, cx + h, cx - h, cx - r, cx - h, cx + h),
+        Seq(cy, cy + sv, cy + sv, cy, cy - sv, cy - sv))
+    }
+    val df = Seq((0L, hex(0L)._1, hex(0L)._2), (1L, hex(600000000L)._1, hex(600000000L)._2))
+      .toDF("poly_id", "xs", "ys")
+    val got = df.select(col("poly_id"),
+        SpatialOps.sphericalRingArea(col("xs"), col("ys"), 6).as("a"))
+      .as[(Long, Long)].collect().toMap
+    // planar shoelace in fix², scaled by (R·rad/1e7)² m² per fix²
+    val planarFix2 = 6.0 * 1000000.0 * 1732051.0 // 6·h·s for this hexagon
+    val scale = math.pow(6372797.560856 * math.toRadians(1) / 1.0e7, 2)
+    val eq = planarFix2 * scale
+    assert(math.abs(got(0L) - eq) / eq < 1e-4, s"equator ${got(0L)} vs $eq")
+    val hi = eq * math.cos(math.toRadians(60.0))
+    assert(math.abs(got(1L) - hi) / hi < 1e-3, s"60N ${got(1L)} vs $hi")
+  }
+
   test("integer z-score inequality agrees with the float z-score on seeded groups") {
     val rows = lcg(99).take(300).map(v => (v % 3, 50 + (v % 211))).toSeq
     for ((_, g) <- rows.groupBy(_._1)) {
