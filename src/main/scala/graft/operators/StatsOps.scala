@@ -163,7 +163,7 @@ object StatsOps {
     val tot = base.agg(count(lit(1)).as("n"), sum("v").as("s"),
       sum(col("v") * col("v")).as("q"))
     val dec = "decimal(38,0)"
-    tot.crossJoin(nbrs).select(
+    tot.crossJoin(broadcast(nbrs)).select(
       col("n").as("n_cells"), col("w").as("w_pairs"),
       round((col("n").cast(dec) * col("n").cast(dec) * col("p").cast(dec) -
           col("n").cast(dec) * col("s").cast(dec) * col("t").cast(dec) +

@@ -315,6 +315,45 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(got(1L) - hi) / hi < 1e-3, s"60N ${got(1L)} vs $hi")
   }
 
+  test("scale-posture plans: hexBin one shuffle; tile area no join; IDW/Gi* stencil shape") {
+    val s = spark; import s.implicits._
+    val pts = lcg(71).take(300).grouped(2).map(p =>
+      (p.head % 3600000000L - 1800000000L, p.last % 1800000000L - 900000000L))
+      .toSeq.toDF("lon_fix", "lat_fix")
+
+    // hexBin: exactly one exchange (the count's partial->final hash agg)
+    val hexPlan = SpatialOps.hexBin(pts, 30000001L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(hexPlan).size === 1, s"hexBin plan:\n$hexPlan")
+
+    // tileGeodesicDensity: the area is closed-form per row — exactly the
+    // ONE exchange tileDensity already has, and NO join anywhere
+    val taPlan = SpatialOps.tileGeodesicDensity(pts, 7)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(taPlan).size === 1, s"tile-area plan:\n$taPlan")
+    assert(!taPlan.contains("Join"), s"tile area must not join:\n$taPlan")
+
+    // idwGrid: stencil = scatter + ONE equi-join + final agg; the big
+    // observation side must NOT be broadcast (cells side may be)
+    val obs = pts.select(col("lon_fix").as("x"), col("lat_fix").as("y"),
+      lit(5L).as("v"))
+    val idwPlan = SpatialOps.idwGrid(obs, 8).queryExecution.executedPlan.toString
+    assert(!idwPlan.contains("CartesianProduct") &&
+      !idwPlan.contains("BroadcastNestedLoop"), s"idw plan:\n$idwPlan")
+
+    // moranI / getisOrd: the neighbor machinery must be an EQUI-join of
+    // the grid with its scattered keys (hash or merge), never an all-pairs
+    // join of the grid with itself; the only nested-loop allowed is the
+    // final single-row global-stats attach
+    val cells = pts.select((col("lon_fix") % 50).as("bx"),
+      (col("lat_fix") % 50).as("by"), lit(3L).as("v"))
+    for (p <- Seq(StatsOps.moranI(cells), StatsOps.getisOrd(cells))) {
+      val t = p.queryExecution.executedPlan.toString
+      assert(t.contains("HashJoin") || t.contains("SortMergeJoin"),
+        s"neighbor equi-join missing:\n$t")
+    }
+  }
+
   test("integer z-score inequality agrees with the float z-score on seeded groups") {
     val rows = lcg(99).take(300).map(v => (v % 3, 50 + (v % 211))).toSeq
     for ((_, g) <- rows.groupBy(_._1)) {
