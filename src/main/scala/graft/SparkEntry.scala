@@ -224,6 +224,16 @@ object SparkEntry {
         .select(col("bx"), col("by"), col("cnt").as("v")))
     }),
 
+    // fixed-round Lloyd k-means (K=16 lattice seeds, 4 rounds, exact
+    // integer floor-mean centroids) — grid-free clustering next to DBSCAN
+    "q_kmeans" -> ((s, d) => {
+      val sess = s; import sess.implicits._
+      val cents0 = (0 until 16).map(i => (i.toLong,
+        (i % 4).toLong * 900000000L + 450000000L,
+        (i / 4).toLong * 450000000L + 225000000L))
+      SpatialOps.kmeans(Synth.points(s, d), cents0.toDF("cid", "x", "y"), 4)
+    }),
+
     // Getis-Ord Gi* hot-spot z-scores per density cell (local companion
     // to q_moran; same derived grid level)
     "q_gi" -> ((s, d) => {
@@ -2574,6 +2584,37 @@ object SparkEntry {
          |      + CAST(s AS HUGEINT) * s * w AS DOUBLE) * 1000000.0
          |    / CAST(CAST(w AS HUGEINT) * (CAST(n AS HUGEINT) * q - CAST(s AS HUGEINT) * s) AS DOUBLE)) AS BIGINT) AS moran_e6
          |FROM tot, nbr""".stripMargin
+    },
+
+    // k-means twin: the four rounds UNROLLED as CTE stages (assignment
+    // QUALIFY argmin with the same (d2, cid) tie-break, floor-mean update
+    // via // on the shifted nonnegative domain, empty-cluster carry)
+    "q_kmeans" -> {
+      val c0 = (0 until 16).map(i => s"($i, ${(i % 4) * 900000000L + 450000000L}, " +
+        s"${(i / 4) * 450000000L + 225000000L})").mkString(", ")
+      val stages = (1 to 4).map { r =>
+        s"""a$r AS (
+           |  SELECT pid, sx, sy, cid FROM (
+           |    SELECT p.pid, p.sx, p.sy, c.cid,
+           |      CAST(p.sx - c.x AS DOUBLE) * CAST(p.sx - c.x AS DOUBLE)
+           |        + CAST(p.sy - c.y AS DOUBLE) * CAST(p.sy - c.y AS DOUBLE) AS d2
+           |    FROM sp p CROSS JOIN c${r - 1} c)
+           |  QUALIFY row_number() OVER (PARTITION BY pid ORDER BY d2, cid) = 1),
+           |u$r AS (
+           |  SELECT cid, CAST(sum(sx) // count(*) AS BIGINT) AS x,
+           |    CAST(sum(sy) // count(*) AS BIGINT) AS y, count(*) AS n
+           |  FROM a$r GROUP BY 1),
+           |c$r AS (
+           |  SELECT c.cid, coalesce(u.x, c.x) AS x, coalesce(u.y, c.y) AS y
+           |  FROM c${r - 1} c LEFT JOIN u$r u USING (cid))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS ($P),
+         |sp AS (SELECT pid, lon_fix + 1800000000 AS sx, lat_fix + 900000000 AS sy FROM p),
+         |c0 AS (SELECT * FROM (VALUES $c0) AS c(cid, x, y)),
+         |$stages
+         |SELECT c.cid, c.x - 1800000000 AS cx, c.y - 900000000 AS cy,
+         |  coalesce(u4.n, 0) AS n
+         |FROM c4 c LEFT JOIN u4 USING (cid)""".stripMargin
     },
 
     // Gi* twin: the same five exact-integer aggregates; HUGEINT where

@@ -1382,6 +1382,66 @@ object SpatialOps {
           col("area_m2").cast("double")).cast("long"))
   }
 
+  /** Fixed-round Lloyd k-means over fix coordinates — the grid-free
+    * clustering companion to [[dbscanGeo]] (k-means finds K compact
+    * centers; DBSCAN finds density shapes): `rounds` iterations of
+    * assign-to-nearest (squared distance in double — see the in-code
+    * note — with ties to the smallest centroid id) and centroid update
+    * to the FLOOR mean. Clusters that go empty keep their previous
+    * centroid (both engines).
+    *
+    * Exactness: coordinates are SHIFTED to the nonnegative fix domain
+    * before summing, so every per-cluster sum stays below 2⁵³ for up to
+    * ~2.5M points per cluster and the floor mean is one exact integer
+    * division — deterministic rounds, no float centroids (the classic
+    * k-means nondeterminism is gone because nothing depends on row
+    * order). At 10¹²-row scale the update sums need decimal(38,0) —
+    * documented contract, same switch as moranI's combination step.
+    *
+    * Scale posture: per round ONE broadcast of the K-row centroid table,
+    * one map-side argmin (no shuffle of the points for assignment — K
+    * rides the task), one map-side-combined groupBy(cid) of K groups.
+    * `rounds` is a FIXED hyperparameter (the oracle unrolls the same
+    * rounds as CTE stages), so the driver loop is bounded, not
+    * convergence-dependent.
+    *
+    * Input points (pid, lon_fix, lat_fix); cents0 (cid, x, y) in the
+    * SHIFTED domain. Output (cid, cx, cy, n) in lon/lat fix units.
+    */
+  def kmeans(points: DataFrame, cents0: DataFrame, rounds: Int): DataFrame = {
+    def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
+    val pts = points.select(col("pid"),
+      (col("lon_fix") + lit(1800000000L)).as("sx"),
+      (col("lat_fix") + lit(900000000L)).as("sy"))
+    var cents = cents0.select(col("cid"), col("x"), col("y"))
+    var counts: DataFrame = null
+    for (_ <- 1 to rounds) {
+      // argmin metric in DOUBLE: full-domain deltas square past int64
+      // (3.6e9² > 2⁶³); doubles of exact ≤2^53 deltas multiply/add
+      // correctly-rounded IDENTICALLY in both engines, and the (d2, cid)
+      // tie-break absorbs any equal-rounded pair deterministically
+      val dx = (col("sx") - col("x")).cast("double")
+      val dy = (col("sy") - col("y")).cast("double")
+      val d2 = dx * dx + dy * dy
+      val assigned = pts.crossJoin(broadcast(cents))
+        .select(col("pid"), col("sx"), col("sy"),
+          struct(d2.as("d2"), col("cid")).as("t"))
+        .groupBy("pid", "sx", "sy").agg(min("t").as("t"))
+        .select(col("sx"), col("sy"), col("t.cid").as("cid"))
+      counts = assigned.groupBy("cid")
+        .agg(fdiv(sum("sx"), count(lit(1))).as("nx"),
+          fdiv(sum("sy"), count(lit(1))).as("ny"),
+          count(lit(1)).as("n"))
+      cents = cents.join(counts, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("nx"), col("x")).as("x"),
+          coalesce(col("ny"), col("y")).as("y"))
+    }
+    cents.join(counts.select(col("cid"), col("n")), Seq("cid"), "left")
+      .select(col("cid"), (col("x") - lit(1800000000L)).as("cx"),
+        (col("y") - lit(900000000L)).as("cy"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** TRUE spherical polygon area (the lon-sum spherical-excess form,
     * areaₛ = |Σᵢ (λᵢ₊₁ − λᵢ)·(2 + sin φᵢ + sin φᵢ₊₁)|·R²/2) of a closed
     * fix-coordinate ring given as vertex arrays — the geodesic companion

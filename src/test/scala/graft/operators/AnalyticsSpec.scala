@@ -354,6 +354,45 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("kmeans matches a local 4-round Lloyd reference and conserves point count") {
+    val s = spark; import s.implicits._
+    val pts = lcg(81).take(600).grouped(3).map(t =>
+      (t.head, t(1) % 3600000000L - 1800000000L, t(2) % 1800000000L - 900000000L))
+      .toSeq.distinctBy(_._1)
+    val cents0 = (0 until 16).map(i => (i.toLong,
+      (i % 4).toLong * 900000000L + 450000000L,
+      (i / 4).toLong * 450000000L + 225000000L))
+    val got = SpatialOps.kmeans(
+        pts.toDF("pid", "lon_fix", "lat_fix"), cents0.toDF("cid", "x", "y"), 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+
+    var cents = cents0.map(c => (c._1, c._2, c._3))
+    val sp = pts.map(p => (p._2 + 1800000000L, p._3 + 900000000L))
+    var lastN: Map[Long, Long] = Map.empty
+    for (_ <- 1 to 4) {
+      val assign = sp.map { case (sx, sy) =>
+        val best = cents.map { case (cid, x, y) =>
+          ((sx - x).toDouble * (sx - x).toDouble +
+            (sy - y).toDouble * (sy - y).toDouble, cid)
+        }.min._2
+        (best, sx, sy)
+      }
+      val upd = assign.groupBy(_._1).map { case (cid, g) =>
+        cid -> (Math.floorDiv(g.map(_._2).sum, g.size),
+          Math.floorDiv(g.map(_._3).sum, g.size), g.size.toLong)
+      }
+      lastN = upd.map { case (k, v) => k -> v._3 }
+      cents = cents.map { case (cid, x, y) =>
+        upd.get(cid).map(u => (cid, u._1, u._2)).getOrElse((cid, x, y))
+      }
+    }
+    val want = cents.map { case (cid, x, y) =>
+      (cid, x - 1800000000L, y - 900000000L, lastN.getOrElse(cid, 0L))
+    }.sortBy(_._1)
+    assert(got.toSeq === want)
+    assert(got.map(_._4).sum === pts.size.toLong)
+  }
+
   test("integer z-score inequality agrees with the float z-score on seeded groups") {
     val rows = lcg(99).take(300).map(v => (v % 3, 50 + (v % 211))).toSeq
     for ((_, g) <- rows.groupBy(_._1)) {
