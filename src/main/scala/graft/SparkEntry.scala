@@ -199,6 +199,10 @@ object SparkEntry {
     // z/x/y tiles re-keyed as Bing quadkeys (prefix = parent tile)
     "q_quadkey" -> ((s, d) => SpatialOps.quadkeyDensity(Synth.points(s, d), 7)),
 
+    // geohash density at precision 5 (odd — exercises the lon-extra-bit
+    // path; 25 bits ≈ 4.9 km cells)
+    "q_geohash" -> ((s, d) => SpatialOps.geohashDensity(Synth.points(s, d), 5)),
+
     // H3-style flat-top hex binning (axial q/r, cube-rounded)
     "q_hexbin" -> ((s, d) => SpatialOps.hexBin(Synth.points(s, d), HexSizeFix)),
 
@@ -2489,6 +2493,29 @@ object SparkEntry {
          |  FROM deg)
          |SELECT $digits AS quadkey, least(count(*), 65535) AS cnt
          |FROM txy GROUP BY 1""".stripMargin
+    },
+
+    // geohash twin: the same cellX/cellY integer bins and the same
+    // bit-interleave, each base32 char one substr into the alphabet
+    // (every & term parenthesized — DuckDB's + binds tighter than &)
+    "q_geohash" -> {
+      val p5 = 5; val bits = 5 * p5
+      val lonBits = (bits + 1) / 2; val latBits = bits / 2
+      val chars = (0 until p5).map { k =>
+        val digit = (0 until 5).map { j =>
+          val g = 5 * k + j
+          val src = if (g % 2 == 0) s"((lonb >> ${lonBits - 1 - g / 2}) & 1)"
+                    else s"((latb >> ${latBits - 1 - (g - 1) / 2}) & 1)"
+          s"$src * ${1L << (4 - j)}"
+        }.mkString(" + ")
+        s"substr('${SpatialOps.GeohashAlphabet}', CAST($digit AS INT) + 1, 1)"
+      }.mkString(" || ")
+      s"""WITH p AS ($P), xy AS (
+         |  SELECT least(((lon_fix + 1800000000) * ${1L << lonBits}) // 3600000000, ${(1L << lonBits) - 1}) AS lonb,
+         |         least(((lat_fix + 900000000) * ${1L << latBits}) // 1800000000, ${(1L << latBits) - 1}) AS latb
+         |  FROM p)
+         |SELECT $chars AS geohash, count(*) AS cnt
+         |FROM xy GROUP BY 1""".stripMargin
     },
 
     // spherical-excess twin: the same six terms in the same left-assoc

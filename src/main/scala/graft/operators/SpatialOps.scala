@@ -761,6 +761,47 @@ object SpatialOps {
       .agg(least(count(lit(1)), lit(65535L)).as("cnt"))
   }
 
+  /** Standard geohash base32 alphabet (no a/i/l/o). */
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Geohash cell density at `precision` chars — the third industry cell
+    * id next to [[quadkeyDensity]] (web-mercator base-4) and the sentinel
+    * morton cells (equirect base-4): equirect binary subdivision with lon
+    * taking the even bit positions from the MSB, 5 bits per base32 char.
+    * Like quadkeys, a geohash PREFIX is the parent cell, so prefix scans
+    * roll up the pyramid for free.
+    *
+    * Exactness: geohash's "bit = 1 iff v ≥ midpoint" recursion is
+    * identical to one equirect floor bin at 2^bits resolution, so the
+    * whole encode is [[Fns.cellX]]/[[Fns.cellY]] (exact int64) plus a
+    * fixed precision-term concat of bit ops — codegen'd, no floats, and
+    * the same expression is literal SQL in the oracle twin. Odd
+    * precisions (lon gets the extra bit) are supported — verified against
+    * the published 'ezs42' vector in the spec. Precision caps at 8
+    * (~19 m cells): beyond that the bin numerator passes 2⁵³ and
+    * [[Fns.idiv]]'s exact-division contract breaks.
+    */
+  def geohashDensity(points: DataFrame, precision: Int): DataFrame = {
+    require(precision >= 1 && precision <= 8, "geohash precision 1..8")
+    val bits = 5 * precision
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    val alpha = array(GeohashAlphabet.map(c => lit(c.toString)): _*)
+    val chars = (0 until precision).map { k =>
+      val digit = (0 until 5).map { j =>
+        val g = 5 * k + j // global bit index from the MSB; even = lon
+        val src = if (g % 2 == 0) shiftright(col("lonb"), lonBits - 1 - g / 2)
+                  else shiftright(col("latb"), latBits - 1 - (g - 1) / 2)
+        src.bitwiseAND(lit(1L)) * lit(1L << (4 - j))
+      }.reduce(_ + _)
+      element_at(alpha, (digit + lit(1L)).cast("int"))
+    }
+    points.select(Fns.cellX(col("lon_fix"), lonBits).as("lonb"),
+        Fns.cellY(col("lat_fix"), latBits).as("latb"))
+      .select(concat(chars: _*).as("geohash"))
+      .groupBy("geohash").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Equirect integer raster — exact int64 twin of nodedensity binning. */
   def equirectDensity(points: DataFrame, level: Int): DataFrame =
     points.select(

@@ -1403,6 +1403,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaQuadkey === viaTiles)
   }
 
+  test("geohash matches published vectors at odd and even precision") {
+    val ss = spark; import ss.implicits._
+    // Wikipedia's worked example (42.605, -5.603) -> ezs42, and the
+    // docs-standard (57.64911, 10.40744) -> u4pruydqqvj
+    def enc(lonDeg: Double, latDeg: Double, p: Int): String = {
+      val df = Seq((1L, Math.round(lonDeg * 1e7), Math.round(latDeg * 1e7)))
+        .toDF("pid", "lon_fix", "lat_fix")
+      SpatialOps.geohashDensity(df, p).collect().head.getString(0)
+    }
+    assert(enc(-5.603, 42.605, 5) === "ezs42")
+    assert(enc(10.40744, 57.64911, 8) === "u4pruydq")
+    assert(enc(10.40744, 57.64911, 4) === "u4pr")
+    // density counts conserve points and prefixes nest (parent-cell law)
+    val pts = Synth.points(spark, dir)
+    val g5 = SpatialOps.geohashDensity(pts, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val g3 = SpatialOps.geohashDensity(pts, 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(g5.map(_._2).sum === pts.count())
+    val rolled = g5.groupBy(_._1.take(3)).map { case (k, g) => k -> g.map(_._2).sum }
+    assert(rolled === g3)
+  }
+
   test("Count-Min sketch: bounded size, never underestimates, over-count within the CMS envelope") {
     val ss = spark; import ss.implicits._
     // zipf-ish skewed stream over 200 keys
