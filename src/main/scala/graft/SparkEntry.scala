@@ -1098,6 +1098,13 @@ object SparkEntry {
       AssemblyOps.assembleGeneric(members, nodes, ways, rels)
     }),
 
+    // referential-integrity report (osmium check-refs -r): dangling
+    // member references per type over the same route entity synth
+    "q_check_refs" -> ((s, d) => {
+      val (members, nodes, ways, rels) = routeInput(s, d)
+      AssemblyOps.checkRefs(members, nodes, ways, rels)
+    }),
+
     "q_orphans" -> ((s, d) => {
       val (members, nodes, ways, rels) = routeInput(s, d)
       Seq(("n", nodes), ("w", ways), ("r", rels)).map { case (t, e) =>
@@ -3872,6 +3879,25 @@ object SparkEntry {
          |  CAST(sum(payload) AS BIGINT) AS payload_sum
          |FROM resolved GROUP BY 1
          |HAVING count(*) = count(found)""".stripMargin,
+
+    // check-refs twin: dangling (mtype, ref) members via NOT EXISTS
+    // against the unioned entity projection
+    "q_check_refs" ->
+      s"""WITH $routeSql,
+         |ents AS (
+         |  SELECT 'n' AS mtype, id AS ref FROM nodes
+         |  UNION ALL SELECT 'w', id FROM ways
+         |  UNION ALL SELECT 'r', id FROM rels),
+         |dangling AS (
+         |  SELECT m.mtype, count(*) AS m, count(DISTINCT m.rel_id) AS r
+         |  FROM members m
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ents e WHERE e.mtype = m.mtype AND e.ref = m.ref)
+         |  GROUP BY 1)
+         |SELECT t.mtype, coalesce(d.m, 0) AS n_missing,
+         |  coalesce(d.r, 0) AS n_rels
+         |FROM (VALUES ('n'), ('w'), ('r')) t(mtype)
+         |LEFT JOIN dangling d ON d.mtype = t.mtype""".stripMargin,
 
     "q_orphans" ->
       s"""WITH $routeSql

@@ -586,6 +586,29 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orphanWays === Set(21L))
   }
 
+  test("checkRefs reports dangling members per type with impacted-relation counts") {
+    val ss = spark; import ss.implicits._
+    val members = Seq(
+      (1L, 0L, "n", 10L),                        // resolves
+      (1L, 1L, "w", 999L),                       // dangling way
+      (2L, 0L, "w", 998L), (2L, 1L, "w", 999L),  // two dangling ways, one rel
+      (3L, 0L, "r", 777L),                       // dangling relation ref
+      (4L, 0L, "n", 12L)                         // dangling node
+    ).toDF("rel_id", "member_pos", "mtype", "ref")
+    val nodes = Seq((10L, 5L)).toDF("id", "payload")
+    val ways = Seq((20L, 7L)).toDF("id", "payload")
+    val rels = Seq((30L, 11L)).toDF("id", "payload")
+    val got = AssemblyOps.checkRefs(members, nodes, ways, rels)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("n", 1L, 1L), ("w", 3L, 2L), ("r", 1L, 1L)))
+    // a fully consistent input still reports one zero row per type
+    val clean = Seq((1L, 0L, "n", 10L), (1L, 1L, "w", 20L), (1L, 2L, "r", 30L))
+      .toDF("rel_id", "member_pos", "mtype", "ref")
+    val zeroed = AssemblyOps.checkRefs(clean, nodes, ways, rels)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(zeroed === Set(("n", 0L, 0L), ("w", 0L, 0L), ("r", 0L, 0L)))
+  }
+
   test("multimodal extract: stub decode is deterministic and fingerprint matches kernel") {
     val metas = MultimodalOps.extractMedia(spark, Synth.pages(spark, dir)).collect()
     assert(metas.length === 500)
