@@ -1439,48 +1439,55 @@ object SpatialOps {
     * order). At 10¹²-row scale the update sums need decimal(38,0) —
     * documented contract, same switch as moranI's combination step.
     *
-    * Scale posture: per round ONE broadcast of the K-row centroid table,
-    * one map-side argmin (no shuffle of the points for assignment — K
-    * rides the task), one map-side-combined groupBy(cid) of K groups.
-    * `rounds` is a FIXED hyperparameter (the oracle unrolls the same
-    * rounds as CTE stages), so the driver loop is bounded, not
-    * convergence-dependent.
+    * Scale posture — the MLlib shape: the K centroids live on the
+    * DRIVER between rounds (K rows per round collected — a documented
+    * eager probe, like the quantizer builds), so assignment is a pure
+    * map stage over a K-term literal argmin expression — the corpus is
+    * NEVER shuffled; the only exchange per round is the K-group
+    * partial-aggregated groupBy(cid). `rounds` is a FIXED hyperparameter
+    * (the oracle unrolls the same rounds as CTE stages), so the driver
+    * loop is bounded, not convergence-dependent.
     *
     * Input points (pid, lon_fix, lat_fix); cents0 (cid, x, y) in the
     * SHIFTED domain. Output (cid, cx, cy, n) in lon/lat fix units.
     */
   def kmeans(points: DataFrame, cents0: DataFrame, rounds: Int): DataFrame = {
+    val sess = points.sparkSession
+    import sess.implicits._
     def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
-    val pts = points.select(col("pid"),
+    val pts = points.select(
       (col("lon_fix") + lit(1800000000L)).as("sx"),
       (col("lat_fix") + lit(900000000L)).as("sy"))
-    var cents = cents0.select(col("cid"), col("x"), col("y"))
-    var counts: DataFrame = null
+    var cents: Seq[(Long, Long, Long)] = cents0
+      .select(col("cid").cast("long"), col("x").cast("long"), col("y").cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    var counts: Map[Long, Long] = Map.empty
     for (_ <- 1 to rounds) {
       // argmin metric in DOUBLE: full-domain deltas square past int64
       // (3.6e9² > 2⁶³); doubles of exact ≤2^53 deltas multiply/add
       // correctly-rounded IDENTICALLY in both engines, and the (d2, cid)
       // tie-break absorbs any equal-rounded pair deterministically
-      val dx = (col("sx") - col("x")).cast("double")
-      val dy = (col("sy") - col("y")).cast("double")
-      val d2 = dx * dx + dy * dy
-      val assigned = pts.crossJoin(broadcast(cents))
-        .select(col("pid"), col("sx"), col("sy"),
-          struct(d2.as("d2"), col("cid")).as("t"))
-        .groupBy("pid", "sx", "sy").agg(min("t").as("t"))
-        .select(col("sx"), col("sy"), col("t.cid").as("cid"))
-      counts = assigned.groupBy("cid")
+      val terms = cents.map { case (cid, x, y) =>
+        val dx = (col("sx") - lit(x)).cast("double")
+        val dy = (col("sy") - lit(y)).cast("double")
+        struct((dx * dx + dy * dy).as("d2"), lit(cid).as("cid"))
+      }
+      val upd = pts
+        .select(col("sx"), col("sy"), least(terms: _*).getField("cid").as("cid"))
+        .groupBy("cid")
         .agg(fdiv(sum("sx"), count(lit(1))).as("nx"),
           fdiv(sum("sy"), count(lit(1))).as("ny"),
           count(lit(1)).as("n"))
-      cents = cents.join(counts, Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("nx"), col("x")).as("x"),
-          coalesce(col("ny"), col("y")).as("y"))
+        .as[(Long, Long, Long, Long)].collect()
+        .map { case (cid, nx, ny, n) => cid -> (nx, ny, n) }.toMap
+      counts = upd.map { case (cid, v) => cid -> v._3 }
+      cents = cents.map { case (cid, x, y) =>
+        upd.get(cid).map(u => (cid, u._1, u._2)).getOrElse((cid, x, y))
+      }
     }
-    cents.join(counts.select(col("cid"), col("n")), Seq("cid"), "left")
-      .select(col("cid"), (col("x") - lit(1800000000L)).as("cx"),
-        (col("y") - lit(900000000L)).as("cy"),
-        coalesce(col("n"), lit(0L)).as("n"))
+    cents.map { case (cid, x, y) =>
+      (cid, x - 1800000000L, y - 900000000L, counts.getOrElse(cid, 0L))
+    }.toDF("cid", "cx", "cy", "n")
   }
 
   /** TRUE spherical polygon area (the lon-sum spherical-excess form,
