@@ -354,6 +354,29 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scale-posture plans: geohash one shuffle no join; kmeans round is map + K-group agg") {
+    val s = spark; import s.implicits._
+    val pts = lcg(73).take(300).grouped(3).map(t =>
+      (t.head, t(1) % 3600000000L - 1800000000L, t(2) % 1800000000L - 900000000L))
+      .toSeq.toDF("pid", "lon_fix", "lat_fix")
+
+    // geohash density: per-row bit ops + ONE partial->final hash agg, no join
+    val ghPlan = SpatialOps.geohashDensity(pts, 5)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(ghPlan).size === 1, s"geohash plan:\n$ghPlan")
+    assert(!ghPlan.contains("Join"), s"geohash must not join:\n$ghPlan")
+
+    // kmeans: the RESULT frame is a driver-local K-row table (no corpus
+    // lineage at all — the per-round jobs each ran one map stage + one
+    // K-group agg, never a join or a corpus-wide key shuffle)
+    val cents0 = (0 until 4).map(i =>
+      (i.toLong, i.toLong * 900000000L + 450000000L, 900000000L))
+    val km = SpatialOps.kmeans(pts, cents0.toDF("cid", "x", "y"), 2)
+    val kmPlan = km.queryExecution.executedPlan.toString
+    assert(!kmPlan.contains("Join") && !kmPlan.contains("Exchange"),
+      s"kmeans result must be a local K-row frame:\n$kmPlan")
+  }
+
   test("kmeans matches a local 4-round Lloyd reference and conserves point count") {
     val s = spark; import s.implicits._
     val pts = lcg(81).take(600).grouped(3).map(t =>
