@@ -1203,7 +1203,8 @@ object SparkEntry {
         |  point_in_rings(lon_fix, lat_fix,
         |    array(-900000000L, 900000000L, 900000000L, -900000000L),
         |    array(-900000000L, -900000000L, 900000000L, 900000000L)) AS inside,
-        |  ln_e6(CAST(pid % 1000 + 1 AS DOUBLE)) AS ln6
+        |  ln_e6(CAST(pid % 1000 + 1 AS DOUBLE)) AS ln6,
+        |  geohash(lon_fix, lat_fix, 5) AS gh
         |FROM graft_pts""".stripMargin)
     }),
 
@@ -1783,6 +1784,29 @@ object SparkEntry {
       |ways AS (SELECT l_orderkey*10 + l_linenumber AS id,
       |  CAST(min(l_quantity) AS BIGINT) AS payload FROM lineitem GROUP BY 1),
       |rels AS (SELECT o_orderkey AS id, o_custkey AS payload FROM orders)""".stripMargin
+  /** DuckDB twin of the geohash integer bins over lon_fix/lat_fix —
+    * one line: `<binX> AS lonb, <binY> AS latb`. */
+  private def geohashBinsSql(p: Int): String = {
+    val bits = 5 * p; val lonBits = (bits + 1) / 2; val latBits = bits / 2
+    s"least(((lon_fix + 1800000000) * ${1L << lonBits}) // 3600000000, ${(1L << lonBits) - 1}) AS lonb, " +
+      s"least(((lat_fix + 900000000) * ${1L << latBits}) // 1800000000, ${(1L << latBits) - 1}) AS latb"
+  }
+
+  /** The geohash base32 char concat over lonb/latb (every & term
+    * parenthesized — DuckDB's + binds tighter than &). */
+  private def geohashCharsSql(p: Int): String = {
+    val bits = 5 * p; val lonBits = (bits + 1) / 2; val latBits = bits / 2
+    (0 until p).map { k =>
+      val digit = (0 until 5).map { j =>
+        val g = 5 * k + j
+        val src = if (g % 2 == 0) s"((lonb >> ${lonBits - 1 - g / 2}) & 1)"
+                  else s"((latb >> ${latBits - 1 - (g - 1) / 2}) & 1)"
+        s"$src * ${1L << (4 - j)}"
+      }.mkString(" + ")
+      s"substr('${SpatialOps.GeohashAlphabet}', CAST($digit AS INT) + 1, 1)"
+    }.mkString(" || ")
+  }
+
   private val C = Synth.corpusSql
   private val E = Synth.embCorpusSql
   private val RevE4 =
@@ -2505,25 +2529,12 @@ object SparkEntry {
     // geohash twin: the same cellX/cellY integer bins and the same
     // bit-interleave, each base32 char one substr into the alphabet
     // (every & term parenthesized — DuckDB's + binds tighter than &)
-    "q_geohash" -> {
-      val p5 = 5; val bits = 5 * p5
-      val lonBits = (bits + 1) / 2; val latBits = bits / 2
-      val chars = (0 until p5).map { k =>
-        val digit = (0 until 5).map { j =>
-          val g = 5 * k + j
-          val src = if (g % 2 == 0) s"((lonb >> ${lonBits - 1 - g / 2}) & 1)"
-                    else s"((latb >> ${latBits - 1 - (g - 1) / 2}) & 1)"
-          s"$src * ${1L << (4 - j)}"
-        }.mkString(" + ")
-        s"substr('${SpatialOps.GeohashAlphabet}', CAST($digit AS INT) + 1, 1)"
-      }.mkString(" || ")
+    "q_geohash" ->
       s"""WITH p AS ($P), xy AS (
-         |  SELECT least(((lon_fix + 1800000000) * ${1L << lonBits}) // 3600000000, ${(1L << lonBits) - 1}) AS lonb,
-         |         least(((lat_fix + 900000000) * ${1L << latBits}) // 1800000000, ${(1L << latBits) - 1}) AS latb
+         |  SELECT ${geohashBinsSql(5)}
          |  FROM p)
-         |SELECT $chars AS geohash, count(*) AS cnt
-         |FROM xy GROUP BY 1""".stripMargin
-    },
+         |SELECT ${geohashCharsSql(5)} AS geohash, count(*) AS cnt
+         |FROM xy GROUP BY 1""".stripMargin,
 
     // spherical-excess twin: the same six terms in the same left-assoc
     // order as sphericalRingArea's reduceLeft (the determinism contract)
@@ -4037,7 +4048,7 @@ object SparkEntry {
       val mm = haversineSql("lon_fix / 10000000.0", "lat_fix / 10000000.0",
         "10.0", "20.0")
       s"""WITH p AS ($P),
-         |px AS (SELECT pid, lon_fix, lat_fix,
+         |px AS (SELECT pid, lon_fix, lat_fix, ${geohashBinsSql(5)},
          |         CAST(pid % 1000 + 1 AS DOUBLE) AS x
          |       FROM p WHERE pid % 101 = 0),
          |${lnStagesSql("lg", "px")}
@@ -4048,7 +4059,8 @@ object SparkEntry {
          |  CAST(2000000000000 AS BIGINT) AS a2,
          |  (lon_fix BETWEEN -900000000 AND 900000000)
          |    AND (lat_fix BETWEEN -900000000 AND 900000000) AS inside,
-         |  CAST(round((kl + srs) * 1000000) AS BIGINT) AS ln6
+         |  CAST(round((kl + srs) * 1000000) AS BIGINT) AS ln6,
+         |  ${geohashCharsSql(5)} AS gh
          |FROM lg5""".stripMargin
     },
 

@@ -781,25 +781,35 @@ object SpatialOps {
     * (~19 m cells): beyond that the bin numerator passes 2⁵³ and
     * [[Fns.idiv]]'s exact-division contract breaks.
     */
-  def geohashDensity(points: DataFrame, precision: Int): DataFrame = {
+  def geohashDensity(points: DataFrame, precision: Int): DataFrame =
+    points.select(geohashCol(col("lon_fix"), col("lat_fix"), precision)
+        .as("geohash"))
+      .groupBy("geohash").agg(count(lit(1)).as("cnt"))
+
+  /** The geohash encode itself as one Column (also the SQL catalog's
+    * `geohash(lon_fix, lat_fix, precision)`); bin columns bound once so
+    * the 5·p bit terms don't re-evaluate the cell division.
+    */
+  def geohashCol(lonFix: Column, latFix: Column, precision: Int): Column = {
     require(precision >= 1 && precision <= 8, "geohash precision 1..8")
     val bits = 5 * precision
     val lonBits = (bits + 1) / 2
     val latBits = bits / 2
     val alpha = array(GeohashAlphabet.map(c => lit(c.toString)): _*)
-    val chars = (0 until precision).map { k =>
-      val digit = (0 until 5).map { j =>
-        val g = 5 * k + j // global bit index from the MSB; even = lon
-        val src = if (g % 2 == 0) shiftright(col("lonb"), lonBits - 1 - g / 2)
-                  else shiftright(col("latb"), latBits - 1 - (g - 1) / 2)
-        src.bitwiseAND(lit(1L)) * lit(1L << (4 - j))
-      }.reduce(_ + _)
-      element_at(alpha, (digit + lit(1L)).cast("int"))
+    Fns.bindOnce(Fns.cellX(lonFix, lonBits)) { lonb =>
+      Fns.bindOnce(Fns.cellY(latFix, latBits)) { latb =>
+        val chars = (0 until precision).map { k =>
+          val digit = (0 until 5).map { j =>
+            val g = 5 * k + j // global bit index from the MSB; even = lon
+            val src = if (g % 2 == 0) shiftright(lonb, lonBits - 1 - g / 2)
+                      else shiftright(latb, latBits - 1 - (g - 1) / 2)
+            src.bitwiseAND(lit(1L)) * lit(1L << (4 - j))
+          }.reduce(_ + _)
+          element_at(alpha, (digit + lit(1L)).cast("int"))
+        }
+        concat(chars: _*)
+      }
     }
-    points.select(Fns.cellX(col("lon_fix"), lonBits).as("lonb"),
-        Fns.cellY(col("lat_fix"), latBits).as("latb"))
-      .select(concat(chars: _*).as("geohash"))
-      .groupBy("geohash").agg(count(lit(1)).as("cnt"))
   }
 
   /** Equirect integer raster — exact int64 twin of nodedensity binning. */

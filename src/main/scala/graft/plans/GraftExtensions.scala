@@ -141,7 +141,47 @@ object GraftExtensions {
 
     (new FunctionIdentifier("haversine_m"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "haversine_m"),
-      (args: Seq[Expression]) => haversineTree(args(0), args(1), args(2), args(3))))
+      (args: Seq[Expression]) => haversineTree(args(0), args(1), args(2), args(3))),
+
+    (new FunctionIdentifier("geohash"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "geohash"),
+      (args: Seq[Expression]) =>
+        geohashTree(args(0), args(1), intArg(args(2), "precision"))))
+
+  /** [[graft.operators.SpatialOps.geohashCol]] as a parser-shaped tree —
+    * the same exact-integer bins and bit interleave, each base32 char one
+    * substring into the alphabet literal. The bin subtrees repeat per bit
+    * term; whole-stage codegen's subexpression elimination collapses the
+    * deterministic duplicates.
+    */
+  private def geohashTree(lonFix: Expression, latFix: Expression,
+                          precision: Int): Expression = {
+    require(precision >= 1 && precision <= 8, "geohash precision 1..8")
+    import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast, Concat, Divide, Least, Multiply, Pmod, ShiftRight, Substring, Subtract}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val bits = 5 * precision
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    // Fns.idiv's exact-division shape: ((a - pmod(a, span)) / span)::long
+    def bin(v: Expression, shift: Long, span: Long, level: Int): Expression = {
+      val a = Multiply(Add(v, Literal(shift)), Literal(1L << level))
+      val q = Cast(Divide(Subtract(a, Pmod(a, Literal(span))), Literal(span)), LongType)
+      Least(Seq(q, Literal((1L << level) - 1)))
+    }
+    val lonb = bin(lonFix, 1800000000L, 3600000000L, lonBits)
+    val latb = bin(latFix, 900000000L, 1800000000L, latBits)
+    val chars = (0 until precision).map { k =>
+      val digit = (0 until 5).map { j =>
+        val g = 5 * k + j
+        val src = if (g % 2 == 0) ShiftRight(lonb, Literal(lonBits - 1 - g / 2))
+                  else ShiftRight(latb, Literal(latBits - 1 - (g - 1) / 2))
+        Multiply(BitwiseAnd(src, Literal(1L)), Literal(1L << (4 - j)))
+      }.reduceLeft[Expression](Add(_, _))
+      Substring(str(graft.operators.SpatialOps.GeohashAlphabet),
+        Cast(Add(digit, Literal(1L)), IntegerType), Literal(1))
+    }
+    Concat(chars)
+  }
 
   /** [[graft.functions.Fns.haversineMeters]] as a parser-shaped tree with
     * IDENTICAL operator association (left-assoc multiplies), so the SQL

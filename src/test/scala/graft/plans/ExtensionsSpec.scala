@@ -45,6 +45,13 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(tagRow.getString(0) === "a=x,b=y")
       assert(tagRow.getString(1) === "\"k\"=>\"say \\\"hi\\\" \\\\ bye\"")
       assert(tagRow.getString(2) === "repo.example.com")
+      // geohash: the parser-shaped tree matches the Column surface and
+      // the published vector
+      val gh = spark.sql(
+        """SELECT geohash(-56030000L, 426050000L, 5) AS g5,
+          |  geohash(104074400L, 576491100L, 8) AS g8""".stripMargin).collect()(0)
+      assert(gh.getString(0) === "ezs42")
+      assert(gh.getString(1) === "u4pruydq")
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
