@@ -454,6 +454,9 @@ object SparkEntry {
     // interior cells skip the ray cast
     "q_pip_interval" -> ((s, d) => SpatialOps.pipJoinIntervals(s, Synth.points(s, d))),
 
+    // PIP anti join: points in NO polygon, zero-join interval-index scan
+    "q_pip_anti" -> ((s, d) => SpatialOps.pipAntiJoin(s, Synth.points(s, d))),
+
     // polygon-CORPUS PIP: 10k-hexagon DataFrame side, distributed cell
     // cover, shuffle equi-join (no polygon broadcast), native ray-cast
     "q_pip_large" -> ((s, d) =>
@@ -2898,6 +2901,16 @@ object SparkEntry {
          |FROM p, ${Synth.polygonEdgesValuesSql}
          |GROUP BY p.pid, pe.poly_id, p.lon_fix, p.lat_fix
          |HAVING bool_and((x2 - x1) * (p.lat_fix - y1) - (y2 - y1) * (p.lon_fix - x1) >= 0)""".stripMargin,
+
+    // anti twin: NOT IN over the same half-plane hit set
+    "q_pip_anti" ->
+      s"""WITH p AS ($P),
+         |hits AS (
+         |  SELECT p.pid
+         |  FROM p, ${Synth.polygonEdgesValuesSql}
+         |  GROUP BY p.pid, pe.poly_id, p.lon_fix, p.lat_fix
+         |  HAVING bool_and((x2 - x1) * (p.lat_fix - y1) - (y2 - y1) * (p.lon_fix - x1) >= 0))
+         |SELECT pid FROM p WHERE pid NOT IN (SELECT pid FROM hits)""".stripMargin,
 
     "q_nearest_hub" -> {
       val hubs = Synth.hexagons

@@ -83,6 +83,24 @@ object SpatialOps {
         spark, col("lon_fix"), col("lat_fix"), idx)).as("poly_id"))
   }
 
+  /** PIP ANTI join — points inside NO polygon (the complement face of
+    * the join family; the reference's handler fallthrough for objects no
+    * area claimed). Same zero-join map stage as [[pipJoinIntervals]]:
+    * the broadcast sorted-interval index evaluates every point's hit
+    * list per row, and the filter keeps the empty ones — the corpus is
+    * never shuffled and never joined, so the anti costs exactly one
+    * codegen'd scan at any scale.
+    */
+  def pipAntiJoin(spark: SparkSession, points: DataFrame,
+                  minLevel: Int = 4, maxLevel: Int = 9): DataFrame = {
+    val polyMap: graft.plans.PipKernel.Polys =
+      Synth.hexagons.map(h => h.polyId -> Array((h.xs, h.ys))).toMap
+    val idx = graft.plans.PipIntervalKernel.build(polyMap, minLevel, maxLevel)
+    points.filter(size(graft.plans.PipIntervalHits(
+        spark, col("lon_fix"), col("lat_fix"), idx)) === 0)
+      .select(col("pid"))
+  }
+
   /** General-polygon PIP via the exact ray-cast kernel (concave rings,
     * holes): broadcast cover join + native-Expression refinement
     * (graft.plans.PointInPolygonSet — stays inside whole-stage codegen

@@ -377,6 +377,21 @@ class AnalyticsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"kmeans result must be a local K-row frame:\n$kmPlan")
   }
 
+  test("pipAntiJoin partitions the point set against the interval-hit side, zero-join plan") {
+    val s = spark; import s.implicits._
+    val pts = lcg(77).take(900).grouped(3).map(t =>
+      (t.head, t(1) % 3600000000L - 1800000000L, t(2) % 1800000000L - 900000000L))
+      .toSeq.distinctBy(_._1).toDF("pid", "lon_fix", "lat_fix")
+    val anti = SpatialOps.pipAntiJoin(s, pts)
+    val plan = anti.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"anti must stay a map-only scan:\n$plan")
+    val nAnti = anti.count()
+    val nHit = SpatialOps.pipJoinIntervals(s, pts)
+      .select("pid").distinct().count()
+    assert(nAnti + nHit === pts.count())
+  }
+
   test("kmeans matches a local 4-round Lloyd reference and conserves point count") {
     val s = spark; import s.implicits._
     val pts = lcg(81).take(600).grouped(3).map(t =>
