@@ -1544,6 +1544,41 @@ object SparkEntry {
         .select(col("doc_id"), col("term"), col("tf"), col("score_e6"),
           col("rn").cast("long").as("rank"))
     }),
+
+    // --- Hilbert-curve layout density (locality-preserving file keys) ---
+    "q_hilbert" -> ((s, d) =>
+      SpatialOps.hilbertDensity(Synth.points(s, d), HilbertOrder, HilbertShift)),
+
+    // --- GPS implausible-speed filter (teleport QC) ---
+    "q_speed_filter" -> ((s, d) =>
+      SpatialOps.speedFilter(excursionTrack(s, d), SpeedVmaxMmPerS)),
+
+    // --- hashed-token linear classifier inference: one zero-shuffle map
+    // stage (native codegen kernel), the plan a quality-classifier corpus
+    // gate runs at 10^12 rows ---
+    "q_classify" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.plans.TextHashExpressions.linearScore(col("text")).as("score"))
+        .withColumn("keep", (col("score") > 0).cast("long"))),
+
+    // --- overlapping passage chunking (the RAG/embedding-input step) ---
+    "q_chunks" -> ((s, d) =>
+      SearchOps.passageChunks(t(s, d, "documents"), ChunkWidth, ChunkStride)),
+
+    // --- anchor-text aggregation per target host (the classic web-corpus
+    // relevance signal): parse the html BINARY on the Spark side (regexp
+    // over the decoded tags), closed-form arithmetic twin on DuckDB ---
+    "q_anchor_text" -> ((s, d) => {
+      val pg = Synth.pagesLinked(s, d)
+      pg.select(explode(regexp_extract_all(decode(col("html"), "UTF-8"),
+          lit("<a href=\"[^\"]*\">[^<]*</a>"), lit(0))).as("tag"))
+        .select(
+          Fns.urlNormHost(regexp_extract(col("tag"), "<a href=\"([^\"]*)\">", 1))
+            .as("dst_host"),
+          regexp_extract(col("tag"), ">([^<]*)</a>", 1).as("anchor"))
+        .groupBy("dst_host", "anchor").agg(count(lit(1)).as("n"))
+    }),
   )
 
   /** q_wcc chain break: components are runs of this many consecutive
@@ -1684,6 +1719,24 @@ object SparkEntry {
     * observation time — ~N/199 positions per entity at every SF.
     */
   val GeofenceEntities = 199
+
+  /** q_hilbert: 256x256 grid (order 8); bucket = index >> 8, i.e. 256
+    * contiguous 256-cell curve ranges — the file-sized layout granule.
+    */
+  val HilbertOrder = 8
+  val HilbertShift = 8
+
+  /** q_speed_filter ceiling: 500 m/s (supersonic = definite teleport).
+    * On the excursion trace this keeps the ordinary jitter steps (≤3e6 fix
+    * ≈ 33 km) mostly under it while the mx%7/my%7 excursions (up to 1e8
+    * fix ≈ 1100 km) dominate the flagged set — ~26% of steps, matching the
+    * 1-(6/7)² excursion probability.
+    */
+  val SpeedVmaxMmPerS = 500000L
+
+  /** q_chunks window/stride (tokens): 25% overlap, RAG-typical shape. */
+  val ChunkWidth = 32
+  val ChunkStride = 24
 
   /** q_simplify tolerance (fix units, 0.4°·1e7): under the ±1e7 per-point
     * jitter of the synthetic ways, so simplification keeps a non-trivial
@@ -1876,7 +1929,11 @@ object SparkEntry {
     * excursion trace (twin of [[excursionTrack]] + SpatialOps.stayPoints),
     * shared by the q_staypoints and q_od oracles.
     */
-  private lazy val stayCtesSql: String =
+  /** CTE chain ending in `tr` — the (entity, ts, x, y) excursion-trace
+    * twin of [[excursionTrack]], shared by the staypoint and speed-filter
+    * oracles.
+    */
+  private lazy val trackCtesSql: String =
     s"""p AS ($P),
        |m AS (SELECT pid % $GeofenceEntities AS entity, pid AS ts,
        |    ${mixIdSql("pid * 2")} AS mx, ${mixIdSql("pid * 2 + 1")} AS my
@@ -1886,7 +1943,10 @@ object SparkEntry {
        |      + mx % 3000000 AS x,
        |    CASE WHEN my % 7 = 0 THEN my % 100000000 ELSE 0 END
        |      + my % 3000000 AS y
-       |  FROM m),
+       |  FROM m)""".stripMargin
+
+  private lazy val stayCtesSql: String =
+    s"""$trackCtesSql,
        |st AS (SELECT entity, ts, x, y,
        |    lag(x) OVER w AS px, lag(y) OVER w AS py
        |  FROM tr WINDOW w AS (PARTITION BY entity ORDER BY ts)),
@@ -1905,6 +1965,30 @@ object SparkEntry {
        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
        |FROM rn GROUP BY entity, run
        |HAVING count(*) >= $StayMinPts)""".stripMargin
+
+  /** DuckDB twin of core.CellId.hilbert: the rotate-and-accumulate walk
+    * unrolled as one nested SELECT per level over grid columns
+    * (x{order}, y{order}) from CTE `cells`. The loop state after
+    * consuming bit `lvl` is (x{lvl}, y{lvl}, d{lvl}) — distinct names per
+    * stage so nothing depends on alias-vs-column precedence — ending at
+    * d0, the full Hilbert index.
+    */
+  private def hilbertStagesSql(order: Int): String =
+    (order - 1 to 0 by -1).foldLeft(
+      s"SELECT x$order, y$order, CAST(0 AS BIGINT) AS d$order FROM cells") {
+      (inner, lvl) =>
+        val s = 1L << lvl
+        val i = lvl + 1
+        s"""SELECT
+           |  CASE WHEN (y$i & $s) > 0 THEN x$i
+           |       WHEN (x$i & $s) > 0 THEN ${s - 1} - y$i ELSE y$i END AS x$lvl,
+           |  CASE WHEN (y$i & $s) > 0 THEN y$i
+           |       WHEN (x$i & $s) > 0 THEN ${s - 1} - x$i ELSE x$i END AS y$lvl,
+           |  d$i + ${s * s} * xor(
+           |    3 * (CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END),
+           |    (CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END)) AS d$lvl
+           |FROM ($inner)""".stripMargin
+    }
 
   private def mixIdSql(e: String): String = {
     val M = "2147483647"
@@ -4631,5 +4715,67 @@ object SparkEntry {
          |    ORDER BY score_e6 DESC, term) AS rn FROM sc)
          |SELECT doc_id, term, tf, score_e6, CAST(rn AS BIGINT) AS rank
          |FROM r WHERE rn <= $TfidfTopK""".stripMargin,
+
+    "q_hilbert" ->
+      s"""WITH p AS ($P),
+         |cells AS (
+         |  SELECT least(((lon_fix + 1800000000) * ${1 << HilbertOrder}) // 3600000000,
+         |           ${(1 << HilbertOrder) - 1}) AS x$HilbertOrder,
+         |         least(((lat_fix + 900000000) * ${1 << HilbertOrder}) // 1800000000,
+         |           ${(1 << HilbertOrder) - 1}) AS y$HilbertOrder
+         |  FROM p)
+         |SELECT d0 >> $HilbertShift AS bucket, count(*) AS cnt
+         |FROM (${hilbertStagesSql(HilbertOrder)}) GROUP BY 1""".stripMargin,
+
+    "q_speed_filter" ->
+      s"""WITH $trackCtesSql,
+         |st AS (SELECT entity, ts, x, y,
+         |    lag(x) OVER w AS px, lag(y) OVER w AS py, lag(ts) OVER w AS pts
+         |  FROM tr WINDOW w AS (PARTITION BY entity ORDER BY ts)),
+         |seg AS (SELECT entity, ts, ts - pts AS dt_s,
+         |    CAST(round((${haversineSql("px / 10000000.0", "py / 10000000.0",
+                "x / 10000000.0", "y / 10000000.0")}) * 1000.0) AS BIGINT)
+         |      AS dist_mm
+         |  FROM st WHERE px IS NOT NULL)
+         |SELECT entity, ts, dt_s, dist_mm FROM seg
+         |WHERE dist_mm > $SpeedVmaxMmPerS * dt_s""".stripMargin,
+
+    "q_classify" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS tok
+         |  FROM documents),
+         |tw AS (SELECT doc_id,
+         |    ${mixIdSql(s"(${tokenHashSql("tok")}) % 1000000007")} % 2001 - 1000 AS w
+         |  FROM toks),
+         |sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score FROM tw GROUP BY 1)
+         |SELECT d.doc_id, coalesce(sc.score, 0) AS score,
+         |  CAST(CASE WHEN coalesce(sc.score, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
+
+    "q_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ws FROM documents),
+         |nz AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0),
+         |idx AS (SELECT doc_id, ws, n,
+         |    unnest(range(0, 1 + (greatest(n - $ChunkWidth, 0) + ${ChunkStride - 1})
+         |      // $ChunkStride)) AS chunk_idx
+         |  FROM nz),
+         |ch AS (SELECT doc_id, chunk_idx,
+         |    list_slice(ws, chunk_idx * $ChunkStride + 1,
+         |      least(chunk_idx * $ChunkStride + $ChunkWidth, n)) AS win
+         |  FROM idx)
+         |SELECT doc_id, chunk_idx, CAST(len(win) AS BIGINT) AS n_toks,
+         |  md5(array_to_string(win, ' ')) AS chunk_md5
+         |FROM ch""".stripMargin,
+
+    // closed-form arithmetic twin (the Spark side parses the html binary)
+    "q_anchor_text" ->
+      """WITH l AS (
+        |  SELECT doc_id, (doc_id*31 + j*1009 + 7) % 100000 AS t
+        |  FROM documents, (SELECT unnest(range(0, 3)) AS j))
+        |SELECT 'site' || CAST(t % 97 AS VARCHAR) || '.example.org' AS dst_host,
+        |       'ref-' || CAST(t % 23 AS VARCHAR) AS anchor,
+        |       count(*) AS n
+        |FROM l GROUP BY 1, 2""".stripMargin,
   )
 }

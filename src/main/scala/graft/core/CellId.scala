@@ -125,4 +125,28 @@ object CellId {
     val max = (1L << lvl) - 1
     if (v < 0) 0L else if (v > max) max else v
   }
+
+  /** Hilbert-curve index of grid cell (x, y) on the 2^order x 2^order
+    * grid — the classic rotate-and-accumulate walk (d=0 at (0,0), first
+    * step to (0,1)). Locality-preserving alternative to [[morton]] for
+    * range-partitioned file layouts: consecutive indexes are ALWAYS
+    * grid-adjacent, so a d-range scan touches a compact spatial blob with
+    * no Z-curve jumps. Exact int64 throughout (order <= 31); the DuckDB
+    * oracle twin unrolls the same loop as nested SELECT stages.
+    */
+  def hilbert(order: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (order - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }

@@ -310,6 +310,39 @@ object TextHash {
     }
   }
 
+  /** Hashed-token linear classifier score (fastText-style inference with
+    * a deterministic weight table): tokens = maximal runs of non-space
+    * code points (the wordChunkHashes tokenization); each token's 8-char
+    * Horner hash mod P indexes the pseudo-random integer weight
+    * mixId(h) % 2001 - 1000 in [-1000, 1000]; the score is the plain sum.
+    * Deliberately a pure int64 pipeline (hash -> mixId -> small residue)
+    * so the inference is one codegen'd map stage and the DuckDB twin
+    * (tokenHashSql + mixIdSql, unnest + sum) matches bit-for-bit. A real
+    * deployment swaps the weight derivation for a broadcast weight table
+    * (the CountInSortedSet / LmNllSum broadcast pattern) — the plan shape
+    * (zero-shuffle scoring) is identical.
+    */
+  def linearScore(s: String): Long = {
+    val cps = new Array[Int](s.length)
+    var i = 0; var n = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(n) = cp; n += 1
+      i += Character.charCount(cp)
+    }
+    var sum = 0L
+    var p = 0
+    while (p < n) {
+      if (cps(p) != ' ') {
+        var q = p
+        while (q < n && cps(q) != ' ') q += 1
+        sum += mixId(tokenHash(cps, p, q) % P) % 2001L - 1000L
+        p = q
+      } else p += 1
+    }
+    sum
+  }
+
   /** Cosine similarity of two float vectors, accumulated in double in
     * ascending index order — bit-identical to the Column spec form
     * (Fns.cosineSim: zip_with/aggregate left folds) and to the DuckDB

@@ -91,4 +91,33 @@ object SearchOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms"), sum("term_e6").as("score_e6"))
   }
+
+  /** Overlapping passage chunking (the RAG / embedding-input building
+    * block): token windows of `size` advancing by `stride` (< size =
+    * overlap), last window covering the tail. Chunk count for n tokens is
+    * 1 + ceil(max(n - size, 0) / stride) — exactly the windows whose start
+    * precedes the tail, with no duplicate all-tail windows. Emits
+    * (doc_id, chunk_idx, n_toks, chunk_md5). Pure narrow pipeline: split +
+    * posexplode of an index range + slice + md5, all codegen'd built-ins,
+    * zero shuffle — the explode fan-out is the output itself. md5 (not the
+    * engine's Horner hashes) because both engines ship it natively for
+    * ARBITRARY-length input, so the chunk identity survives any size/stride.
+    */
+  def passageChunks(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(width >= 1 && stride >= 1 && stride <= width)
+    val toks = filter(split(col("text"), " "), t => length(t) > lit(0))
+    // exact ceil-div via floor on double: token counts sit far below 2^52
+    val nch = lit(1L) + floor(
+      (greatest(size(col("toks")) - lit(width), lit(0)).cast("long") +
+        lit(stride - 1L)) / lit(stride.toDouble)).cast("long")
+    val win = slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"), lit(width))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), nch - lit(1L))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(win).cast("long").as("n_toks"),
+        md5(array_join(win, " ").cast("binary")).as("chunk_md5"))
+  }
 }

@@ -1770,4 +1770,46 @@ object SpatialOps {
       .groupBy("way_a", "way_b").agg(max("h").as("haus_sq"))
       .filter(col("haus_sq") <= maxSqDist)
   }
+
+  /** Hilbert-curve cell density at `order` (2^order x 2^order equirect
+    * grid): the locality-preserving layout key next to the z-order/morton
+    * family (LayoutOps z-order, quadkey, geohash). `bucket` is the top
+    * (2*order - bucketShift) bits of the index — a contiguous RANGE of the
+    * curve, i.e. a compact spatial blob, which is exactly what a
+    * range-partitioned file layout assigns to one output file. The encode
+    * is the native codegen'd HilbertIndex over exact integer grid bins —
+    * a zero-shuffle map stage; the density groupBy is the only exchange.
+    */
+  def hilbertDensity(points: DataFrame, order: Int, bucketShift: Int): DataFrame = {
+    require(order >= 1 && order <= 16 && bucketShift >= 0 && bucketShift < 2 * order)
+    points.select(shiftright(
+        graft.plans.GeomExpressions.hilbertIndex(
+          Fns.cellX(col("lon_fix"), order), Fns.cellY(col("lat_fix"), order),
+          order), bucketShift).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** GPS-trace implausible-speed filter (teleport QC): flag every step of
+    * an (entity, ts, x, y) fix-coordinate track whose great-circle speed
+    * exceeds `vmaxMmPerS`. One window shuffle on entity (the sessionize
+    * partitioning); the haversine is per-row codegen and the flag compare
+    * is exact integer (mm vs mm/s * s) after the one documented per-row
+    * rounding, so the DuckDB twin matches bit-for-bit. Emits the flagged
+    * steps themselves (entity, ts, dt_s, dist_mm) — the downstream QC
+    * consumer joins them back or anti-joins to drop them.
+    */
+  def speedFilter(track: DataFrame, vmaxMmPerS: Long): DataFrame = {
+    val w = Window.partitionBy("entity").orderBy("ts")
+    val deg = (c: Column) => c.cast("double") / lit(1e7)
+    track
+      .withColumn("px", lag("x", 1).over(w))
+      .withColumn("py", lag("y", 1).over(w))
+      .withColumn("pts", lag("ts", 1).over(w))
+      .filter(col("px").isNotNull)
+      .select(col("entity"), col("ts"),
+        (col("ts") - col("pts")).as("dt_s"),
+        round(Fns.haversineMeters(deg(col("px")), deg(col("py")),
+          deg(col("x")), deg(col("y"))) * lit(1000.0)).cast("long").as("dist_mm"))
+      .filter(col("dist_mm") > lit(vmaxMmPerS) * col("dt_s"))
+  }
 }

@@ -164,6 +164,27 @@ case class RingCentroidFix(left: Expression, right: Expression)
   * the assembler runs per ring, reference/include/osmium/multipolygon/
   * builder.hpp (CCW/CW classification), exposed as a scalar.
   */
+/** Native Hilbert-curve index of a grid cell — core.CellId.hilbert as a
+  * codegen'd scalar so range-partitioned layout writes (the Hilbert
+  * sibling of LayoutOps' z-order) stay a zero-shuffle map stage.
+  */
+case class HilbertIndex(left: Expression, right: Expression, order: Int)
+  extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hilbert_index"
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    graft.core.CellId.hilbert(order, x.asInstanceOf[Long], y.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.core.CellId.hilbert($order, $x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class RingArea2(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -780,6 +801,10 @@ object GeomExpressions {
   def ringArea2(xs: Column, ys: Column): Column =
     GraftColumnBridge.column(RingArea2(
       GraftColumnBridge.expression(xs), GraftColumnBridge.expression(ys)))
+
+  def hilbertIndex(x: Column, y: Column, order: Int): Column =
+    GraftColumnBridge.column(HilbertIndex(
+      GraftColumnBridge.expression(x), GraftColumnBridge.expression(y), order))
 
   def simplifyPolyline(pts: Column, tolFix: Long): Column =
     GraftColumnBridge.column(

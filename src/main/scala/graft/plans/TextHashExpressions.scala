@@ -287,6 +287,25 @@ case class DocFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Hashed-token linear classifier score — fastText-style inference as one
+  * codegen'd scalar (kernel: TextHash.linearScore), so classifier-based
+  * corpus filtering is a zero-shuffle map stage.
+  */
+case class LinearScore(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "linear_score"
+
+  override def nullSafeEval(text: Any): Any =
+    TextHash.linearScore(text.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.core.TextHash.linearScore($t.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Per-mille share of a document's most frequent n-gram shingle — the
   * duplicate-n-gram repetition quality signal. A PURE PER-ROW function:
   * computing it with explode + two groupBys shuffles rows*shingles rows
@@ -409,6 +428,9 @@ object TextHashExpressions {
 
   def docFingerprint(text: Column): Column =
     GraftColumnBridge.column(DocFingerprint(GraftColumnBridge.expression(text)))
+
+  def linearScore(text: Column): Column =
+    GraftColumnBridge.column(LinearScore(GraftColumnBridge.expression(text)))
 
   def vecCosine(a: Column, b: Column): Column =
     GraftColumnBridge.column(VecCosine(

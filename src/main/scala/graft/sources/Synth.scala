@@ -178,8 +178,10 @@ object Synth {
       concat(lit("site"), (id % 97).cast("string"), lit(".example.org"))
     def anchor(j: Int) = {
       val t = (col("doc_id") * 31 + lit(j) * 1009 + 7) % 100000
+      // anchor TEXT varies with the target (t % 23), not the slot j, so
+      // anchor-text aggregation per target host is non-degenerate
       concat(lit("<a href=\"https://"), host(t), lit("/doc/"),
-        t.cast("string"), lit("\">ref-" + j + "</a>"))
+        t.cast("string"), lit("\">ref-"), (t % 23).cast("string"), lit("</a>"))
     }
     table(spark, sfDir, "documents").select(
       concat(lit("https://"), host(col("doc_id")), lit("/doc/"),

@@ -1624,4 +1624,96 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (k(0, 5), 0L, 5L, 19L, 5L, 20L),
       (k(30, 0), 30L, 0L, 32L, 1L, 6L)))
   }
+
+  test("hilbertDensity: zero-shuffle encode, counts partition the point set") {
+    val pts = Synth.points(spark, dir)
+    // the encode itself (the layout-key projection) is a map-only stage —
+    // asserted over a distinct-free input (Synth.points' own DISTINCT is
+    // the only exchange in the full query besides the density groupBy)
+    val enc = spark.range(1000)
+      .select((col("id") % 3600 * 1000000 - 1800000000L).as("lon_fix"),
+        (col("id") % 1800 * 1000000 - 900000000L).as("lat_fix"))
+      .select(graft.plans.GeomExpressions.hilbertIndex(
+        Fns.cellX(col("lon_fix"), 8), Fns.cellY(col("lat_fix"), 8), 8).as("h"))
+    assert(!enc.queryExecution.executedPlan.toString.contains("Exchange"))
+    val rows = SpatialOps.hilbertDensity(pts, 8, 8).collect()
+    assert(rows.map(_.getLong(1)).sum === pts.count())
+    // buckets are index ranges: all within [0, 2^(2*8-8))
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 256))
+    // Column form equals the kernel on a sample
+    pts.limit(200).select(col("lon_fix"), col("lat_fix"),
+        graft.plans.GeomExpressions.hilbertIndex(
+          Fns.cellX(col("lon_fix"), 8), Fns.cellY(col("lat_fix"), 8), 8))
+      .collect().foreach { r =>
+        val gx = math.min((r.getLong(0) + 1800000000L) * 256L / 3600000000L, 255L)
+        val gy = math.min((r.getLong(1) + 900000000L) * 256L / 1800000000L, 255L)
+        assert(r.getLong(2) === CellId.hilbert(8, gx, gy))
+      }
+  }
+
+  test("passageChunks: window count, overlap, tail clamp, md5 identity") {
+    val ss = spark; import ss.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, ""),                 // no tokens -> no chunks
+      (2L, "   "),              // spaces only -> no chunks
+      (3L, "one two"),          // < width -> 1 short chunk
+      (4L, words(32)),          // exactly width -> 1 chunk
+      (5L, words(33)),          // width+1 -> 2 chunks (tail = 9 tokens)
+      (6L, words(56)),          // width+stride -> 2 full-ish chunks
+      (7L, words(81))           // 1 + ceil(49/24) = 4 chunks
+    ).toDF("doc_id", "text")
+    val got = SearchOps.passageChunks(docs, 32, 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byDoc === Map(3L -> 1, 4L -> 1, 5L -> 2, 6L -> 2, 7L -> 4))
+    // tail chunk of doc 5 starts at token 25 and holds 9 tokens
+    val tail5 = got.find(c => c._1 === 5L && c._2 === 1L).get
+    assert(tail5._3 === 9L)
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(tail5._4 === md5hex((25 to 33).map(i => s"w$i").mkString(" ")))
+    // overlapping windows share the overlap tokens: doc 7 chunk 1 covers
+    // tokens 25..56
+    val c71 = got.find(c => c._1 === 7L && c._2 === 1L).get
+    assert(c71._3 === 32L)
+    assert(c71._4 === md5hex((25 to 56).map(i => s"w$i").mkString(" ")))
+  }
+
+  test("speedFilter: flags exactly the supersonic steps") {
+    val ss = spark; import ss.implicits._
+    // entity 1: 1° lon hops (~111 km) at dt=10000 s (~11 m/s, kept), then
+    // a 20° teleport at dt=100 s (~22 km/s, flagged); entity 2: all slow
+    val track = Seq(
+      (1L, 0L, 0L, 0L), (1L, 10000L, 10000000L, 0L),
+      (1L, 20000L, 20000000L, 0L), (1L, 20100L, 220000000L, 0L),
+      (2L, 0L, 0L, 0L), (2L, 10000L, 0L, 10000000L)
+    ).toDF("entity", "ts", "x", "y")
+    val flagged = SpatialOps.speedFilter(track, 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(flagged.toSeq === Seq((1L, 20100L)))
+    // threshold is exact-integer: a step at exactly vmax*dt is NOT flagged
+    val dist = graft.core.Haversine.distance(0.0, 0.0, 1.0, 0.0)
+    val distMm = math.round(dist * 1000.0)
+    val edge = Seq((9L, 0L, 0L, 0L), (9L, 1L, 10000000L, 0L))
+      .toDF("entity", "ts", "x", "y")
+    assert(SpatialOps.speedFilter(edge, distMm).count() === 0)
+    assert(SpatialOps.speedFilter(edge, distMm - 1).count() === 1)
+  }
+
+  test("linearScore Column equals kernel on the corpus; anchor parse fans 3x") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").limit(300)
+    docs.select(col("text"),
+        graft.plans.TextHashExpressions.linearScore(col("text")).as("s"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) === graft.core.TextHash.linearScore(r.getString(0)))
+      }
+    // every synthetic page carries exactly 3 anchors; the tag regexp must
+    // recover all of them
+    val pg = Synth.pagesLinked(spark, dir)
+    val nTags = pg.select(explode(regexp_extract_all(
+        decode(col("html"), "UTF-8"),
+        lit("<a href=\"[^\"]*\">[^<]*</a>"), lit(0))).as("t")).count()
+    assert(nTags === pg.count() * 3)
+  }
 }

@@ -279,4 +279,47 @@ class KernelSpec extends AnyFunSuite {
     assert(TextHash.slidingNgramHashes(run, n).toSeq ===
       TextHash.wordChunkHashes(run, n).toSeq)
   }
+
+  // --- Hilbert curve index -------------------------------------------------
+  test("hilbert: order-1 orientation vector and full-curve properties") {
+    // the classic orientation: (0,0)=0, (0,1)=1, (1,1)=2, (1,0)=3
+    assert(CellId.hilbert(1, 0, 0) === 0)
+    assert(CellId.hilbert(1, 0, 1) === 1)
+    assert(CellId.hilbert(1, 1, 1) === 2)
+    assert(CellId.hilbert(1, 1, 0) === 3)
+    // order 4: bijective onto [0, 256) and consecutive indexes are
+    // grid-adjacent (|dx|+|dy| == 1) — the defining locality property
+    // the z-order curve lacks
+    val byD = (for { x <- 0 until 16; y <- 0 until 16 }
+      yield CellId.hilbert(4, x, y) -> (x, y)).toMap
+    assert(byD.keySet === (0 until 256).map(_.toLong).toSet)
+    (0 until 255).foreach { d =>
+      val (x0, y0) = byD(d.toLong); val (x1, y1) = byD(d.toLong + 1)
+      assert(math.abs(x0 - x1) + math.abs(y0 - y1) === 1,
+        s"jump at d=$d: ($x0,$y0)->($x1,$y1)")
+    }
+    // hierarchical nesting: the order-k index div 4 is the order-(k-1)
+    // index of the parent cell — what makes bucket = d >> shift a pyramid
+    for { x <- 0 until 16; y <- 0 until 16 }
+      assert(CellId.hilbert(4, x, y) / 4 === CellId.hilbert(3, x / 2, y / 2))
+  }
+
+  // --- hashed-token linear classifier score --------------------------------
+  test("linearScore: tokenization contract and independent recomputation") {
+    def expected(s: String): Long =
+      s.split(" ").filter(_.nonEmpty).map { tok =>
+        val cps = tok.codePoints().toArray
+        var h = 0L
+        (0 until 8).foreach(k => h = h * 31 + (if (k < cps.length) cps(k) else 0))
+        TextHash.mixId(h % 1000000007L) % 2001L - 1000L
+      }.sum
+    val samples = Seq("", "   ", "one", "a b  c", "über café 東京",
+      "the quick brown fox jumps over the lazy dog",
+      "repeated repeated repeated")
+    samples.foreach(s => assert(TextHash.linearScore(s) === expected(s), s))
+    // weights land in [-1000, 1000]: a single token's score is bounded
+    assert(math.abs(TextHash.linearScore("one")) <= 1000)
+    // order-independent (bag of words): permutations score identically
+    assert(TextHash.linearScore("a b c") === TextHash.linearScore("c a b"))
+  }
 }
