@@ -472,6 +472,13 @@ object SparkEntry {
       SpatialOps.bboxJoin(Synth.points(s, d), boxes, PipLargeLevel)
     }),
 
+    // polygon-polygon overlay join: two 10k-hexagon corpora, distributed
+    // bbox cell covers on BOTH sides (no polygon broadcast), anchor-cell
+    // pair dedup (no distinct), native exact separating-axis refinement
+    "q_poly_join" -> ((s, _) =>
+      SpatialOps.polyIntersectJoin(Synth.hexCorpus(s, PipLargePolys),
+        Synth.hexCorpus(s, PipLargePolys, PipLargePolys.toLong))),
+
     "q_knn" -> ((s, d) => {
       val pts = Synth.points(s, d)
       SpatialOps.knn(pts, pts.filter(col("pid") % 997 === 0), 5)
@@ -3130,6 +3137,32 @@ object SparkEntry {
          |  ${pointCellJoinSql(lvl)}
          |WHERE p.lon_fix >= c.minx AND p.lon_fix <= c.maxx
          |  AND p.lat_fix >= c.miny AND p.lat_fix <= c.maxy""".stripMargin
+    },
+
+    "q_poly_join" -> {
+      // INDEPENDENT formulation: every hexagon in the family is an exact
+      // integer homothet of one symmetric unit hexagon (h = r/2 and
+      // s = 866r/1000 hold exactly for all 13 size classes), so closed
+      // A ∩ B ≠ ∅ ⟺ the center delta lies in the Minkowski sum hexagon
+      // (R = ra+rb, S = sa+sb): |dy| ≤ S, |2S·dx ± R·dy| ≤ 2SR — three
+      // absolute-value inequalities, no separating-axis machinery shared
+      // with the Spark kernel. The bbox inequality join is IEJoin-able
+      // (minx/maxx range predicates); magnitudes stay < 2^57.
+      s"""WITH a0 AS (${Synth.hexCorpusSql(PipLargePolys)}),
+         |b0 AS (${Synth.hexCorpusSql(PipLargePolys, PipLargePolys.toLong)}),
+         |a AS (SELECT poly_id, cx, cy, r, s, cx - r AS minx, cx + r AS maxx,
+         |             cy - s AS miny, cy + s AS maxy FROM a0),
+         |b AS (SELECT poly_id, cx, cy, r, s, cx - r AS minx, cx + r AS maxx,
+         |             cy - s AS miny, cy + s AS maxy FROM b0)
+         |SELECT a.poly_id AS a_id, b.poly_id AS b_id
+         |FROM a JOIN b
+         |  ON a.minx <= b.maxx AND a.maxx >= b.minx
+         | AND a.miny <= b.maxy AND a.maxy >= b.miny
+         |WHERE abs(b.cy - a.cy) <= a.s + b.s
+         |  AND abs(2*(a.s + b.s)*(b.cx - a.cx) + (a.r + b.r)*(b.cy - a.cy))
+         |      <= 2*(a.s + b.s)*(a.r + b.r)
+         |  AND abs(2*(a.s + b.s)*(b.cx - a.cx) - (a.r + b.r)*(b.cy - a.cy))
+         |      <= 2*(a.s + b.s)*(a.r + b.r)""".stripMargin
     },
 
     "q_knn" ->

@@ -537,6 +537,41 @@ object Planar {
   def orient(x1: Long, y1: Long, x2: Long, y2: Long, px: Long, py: Long): Int =
     ((BigInt(x2) - x1) * (py - y1) - (BigInt(y2) - y1) * (px - x1)).signum
 
+  /** CLOSED intersection test between two CONVEX CCW rings — exact
+    * separating-axis over the edge normals of both polygons (complete for
+    * convex sets in 2D: disjoint closed convex polygons always admit an
+    * edge of one with the other STRICTLY outside; boundary contact is
+    * intersection). Each test is one exact [[orient]] call, so world-scale
+    * coordinates never wrap. O(|A|·|B|) per pair — the refinement
+    * predicate of a candidate-bounded join, never an all-pairs stage.
+    */
+  def convexIntersects(axs: Array[Long], ays: Array[Long],
+                       bxs: Array[Long], bys: Array[Long]): Boolean =
+    !hasSeparatingEdge(axs, ays, bxs, bys) &&
+    !hasSeparatingEdge(bxs, bys, axs, ays)
+
+  /** True iff some directed CCW edge of P has EVERY vertex of Q strictly
+    * to its right (outside the closed polygon P).
+    */
+  private def hasSeparatingEdge(pxs: Array[Long], pys: Array[Long],
+                                qxs: Array[Long], qys: Array[Long]): Boolean = {
+    val n = pxs.length
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      var allOut = true
+      var k = 0
+      while (allOut && k < qxs.length) {
+        if (orient(pxs(i), pys(i), pxs(j), pys(j), qxs(k), qys(k)) >= 0)
+          allOut = false
+        k += 1
+      }
+      if (allOut) return true
+      i += 1
+    }
+    false
+  }
+
   private def onSeg(x1: Long, y1: Long, x2: Long, y2: Long, px: Long, py: Long): Boolean =
     px >= math.min(x1, x2) && px <= math.max(x1, x2) &&
     py >= math.min(y1, y2) && py <= math.max(y1, y2)

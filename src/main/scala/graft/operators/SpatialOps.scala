@@ -210,6 +210,51 @@ object SpatialOps {
       .select(col("pid"), col("box_id"))
   }
 
+  /** Polygon-polygon overlay join: (a_id, b_id) for every pair of CONVEX
+    * CCW rings that intersect (CLOSED — boundary contact counts). The
+    * fourth spatial-join class alongside PIP, bbox-range, and kNN; the
+    * reference's capability is area-vs-area overlap through GEOS
+    * (reference/include/osmium/multipolygon/builder.hpp containment/
+    * intersection machinery), re-expressed as a distributed candidate +
+    * exact-refinement plan.
+    *
+    * Plan shape: BOTH polygon corpora get the distributed bbox cell cover
+    * (chained range explodes, no driver pass, no broadcast), candidates
+    * equi-join on the cover cell (shuffle_hash — survives any corpus
+    * size), and pair dedup is FREE: a pair is kept only in its ANCHOR
+    * cell — the cell of (max(minx), max(miny)) — which is unique per pair
+    * and lies in both covers whenever the bboxes overlap (same trick as
+    * HistoryOps.intervalJoin's anchor bucket; no distinct, no shuffle-side
+    * dedup state). Refinement is the native exact separating-axis
+    * predicate ConvexIntersects riding the join's codegen stage.
+    *
+    * Inputs: (poly_id, xs, ys) per side. Skew posture: a mega-cell (dense
+    * urban extract) fans out through AQE skew-join splitting on the cell
+    * shuffle; per-pair refinement is O(|A|·|B|) orient tests, constant for
+    * bounded-vertex rings.
+    */
+  def polyIntersectJoin(polysA: DataFrame, polysB: DataFrame,
+                        coverLevel: Int = CoverLevel): DataFrame = {
+    def side(p: DataFrame, tag: String): DataFrame =
+      coverByBBox(
+        p.select(col("poly_id").as(s"${tag}id"), col("xs").as(s"${tag}xs"),
+          col("ys").as(s"${tag}ys"),
+          array_min(col("xs")).as(s"${tag}minx"), array_min(col("ys")).as(s"${tag}miny"),
+          array_max(col("xs")).as(s"${tag}maxx"), array_max(col("ys")).as(s"${tag}maxy")),
+        col(s"${tag}minx"), col(s"${tag}miny"), col(s"${tag}maxx"), col(s"${tag}maxy"),
+        coverLevel,
+        Seq(col(s"${tag}id"), col(s"${tag}xs"), col(s"${tag}ys"),
+          col(s"${tag}minx"), col(s"${tag}miny"), col(s"${tag}maxx"), col(s"${tag}maxy")))
+    val anchor = Fns.cellIdFromXY(
+      Fns.cellX(greatest(col("aminx"), col("bminx")), coverLevel),
+      Fns.cellY(greatest(col("aminy"), col("bminy")), coverLevel), coverLevel)
+    side(polysA, "a").join(side(polysB, "b").hint("shuffle_hash"), "cell")
+      .filter(col("cell") === anchor)
+      .filter(graft.plans.GeomExpressions.convexIntersects(
+        col("axs"), col("ays"), col("bxs"), col("bys")))
+      .select(col("aid").as("a_id"), col("bid").as("b_id"))
+  }
+
   /** Exact brute-force kNN: broadcast the query set, score every point,
     * window top-k. Distance is exact int64 squared euclid on fix coords
     * (lon ±9e8, lat ±6e8 keep dx²+dy² < 2^63); ties broken by pid.

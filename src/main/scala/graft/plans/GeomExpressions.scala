@@ -15,6 +15,11 @@ object RingKernel {
   def contains(x: Long, y: Long, xs: ArrayData, ys: ArrayData): Boolean =
     Planar.pointInRing(x, y, xs.toLongArray(), ys.toLongArray())
 
+  def convexIntersects(axs: ArrayData, ays: ArrayData,
+                       bxs: ArrayData, bys: ArrayData): Boolean =
+    Planar.convexIntersects(axs.toLongArray(), ays.toLongArray(),
+      bxs.toLongArray(), bys.toLongArray())
+
   /** Twice the signed shoelace area in fix^2 units (positive = CCW) —
     * exact: the kernel accumulates in BigInt, so absolute coords never
     * overflow mid-sum; the RESULT must fit int64 (any sub-hemisphere
@@ -200,6 +205,35 @@ case class RingArea2(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native exact convex-convex intersection predicate where BOTH rings are
+  * columns — the refinement of the polygon-polygon overlay join
+  * (SpatialOps.polyIntersectJoin): separating-axis over edge normals,
+  * every orientation test exact (see core.Planar.convexIntersects).
+  * CLOSED semantics (boundary contact intersects) to match the oracle's
+  * strict `cross < 0` separation rule. Geometry rides the joined row, so
+  * both polygon corpora stay fully distributed.
+  */
+case class ConvexIntersects(first: Expression, second: Expression,
+                            third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "convex_intersects"
+
+  override def nullSafeEval(axs: Any, ays: Any, bxs: Any, bys: Any): Any =
+    RingKernel.convexIntersects(axs.asInstanceOf[ArrayData], ays.asInstanceOf[ArrayData],
+      bxs.asInstanceOf[ArrayData], bys.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (axs, ays, bxs, bys) =>
+      s"graft.plans.RingKernel.convexIntersects($axs, $ays, $bxs, $bys)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
 /** Native exact ray-cast point-in-ring test where the RING IS A COLUMN —
@@ -797,6 +831,11 @@ object GeomExpressions {
                           bc: Broadcast[CentroidKernel.Cents]): Column =
     GraftColumnBridge.column(VecNearestCentroids(
       GraftColumnBridge.expression(vec), top, bc))
+
+  def convexIntersects(axs: Column, ays: Column, bxs: Column, bys: Column): Column =
+    GraftColumnBridge.column(ConvexIntersects(
+      GraftColumnBridge.expression(axs), GraftColumnBridge.expression(ays),
+      GraftColumnBridge.expression(bxs), GraftColumnBridge.expression(bys)))
 
   def ringArea2(xs: Column, ys: Column): Column =
     GraftColumnBridge.column(RingArea2(

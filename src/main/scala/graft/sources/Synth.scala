@@ -89,7 +89,7 @@ object Synth {
     * apothem-ish s = r·866/1000) are integer-exact closed forms of
     * id % 13, so the DuckDB twin reproduces every vertex bit-for-bit.
     */
-  def hexCorpus(spark: SparkSession, n: Int): DataFrame = {
+  def hexCorpus(spark: SparkSession, n: Int, start: Long = 0L): DataFrame = {
     val id = col("id")
     val cx = (id * lit(2654435761L)) % lit(3400000000L) - lit(1700000000L)
     val cy = (id * lit(2246822519L)) % lit(1100000000L) - lit(550000000L)
@@ -97,20 +97,20 @@ object Synth {
     val r = lit(2000000L) + m * lit(500000L)
     val h = lit(1000000L) + m * lit(250000L)
     val s = lit(1732000L) + m * lit(433000L)
-    spark.range(n).select(id.as("poly_id"),
+    spark.range(start, start + n).select(id.as("poly_id"),
       array(cx + r, cx + h, cx - h, cx - r, cx - h, cx + h).as("xs"),
       array(cy, cy + s, cy + s, cy, cy - s, cy - s).as("ys"))
   }
 
   /** DuckDB CTE body twin of hexCorpus: (poly_id, cx, cy, r, h, s). */
-  def hexCorpusSql(n: Int): String =
+  def hexCorpusSql(n: Int, start: Long = 0L): String =
     s"""SELECT id AS poly_id,
        |  (id * 2654435761) % 3400000000 - 1700000000 AS cx,
        |  (id * 2246822519) % 1100000000 - 550000000 AS cy,
        |  2000000 + (id % 13) * 500000 AS r,
        |  1000000 + (id % 13) * 250000 AS h,
        |  1732000 + (id % 13) * 433000 AS s
-       |FROM (SELECT unnest(range(0, $n)) AS id)""".stripMargin
+       |FROM (SELECT unnest(range($start, ${start + n})) AS id)""".stripMargin
 
   // ---- corpus with injected duplicates --------------------------------------
 

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Planar
+import graft.sources.Synth
+
+/** Polygon-polygon overlay join: exact separating-axis kernel goldens and
+  * the distributed anchor-cell join against two independent expectations
+  * (kernel brute force AND the homothetic-hexagon Minkowski closed form).
+  */
+class PolyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // unit square CCW, translated/scaled
+  private def square(cx: Long, cy: Long, half: Long): (Array[Long], Array[Long]) =
+    (Array(cx + half, cx + half, cx - half, cx - half),
+     Array(cy - half, cy + half, cy + half, cy - half))
+
+  private def hits(a: (Array[Long], Array[Long]), b: (Array[Long], Array[Long])): Boolean =
+    Planar.convexIntersects(a._1, a._2, b._1, b._2)
+
+  test("convexIntersects: disjoint / overlap / touch / containment goldens") {
+    val base = square(0, 0, 10)
+    assert(!hits(base, square(25, 0, 10)), "gap on x axis")
+    assert(!hits(base, square(25, 25, 10)), "diagonal gap (vertex-vertex axis)")
+    assert(hits(base, square(15, 0, 10)), "overlapping")
+    assert(hits(base, square(20, 0, 10)), "edge contact (closed semantics)")
+    assert(hits(base, square(20, 20, 10)), "single-vertex contact (closed)")
+    assert(hits(base, square(2, 1, 3)), "B inside A (no separating edge)")
+    assert(hits(square(2, 1, 3), base), "A inside B (argument order)")
+    assert(hits(base, base), "identical")
+    // triangle vs square: mixed vertex counts, strict separation just past touch
+    val tri = (Array(11L, 21L, 11L), Array(0L, 0L, 10L))
+    assert(!hits(base, tri), "triangle 1 unit past the edge")
+    val triTouch = (Array(10L, 20L, 10L), Array(0L, 0L, 10L))
+    assert(hits(base, triTouch), "triangle edge on the square edge")
+  }
+
+  test("polyIntersectJoin matches kernel brute force AND the Minkowski closed form") {
+    val n = 2000 // the corpus's lattice structure yields zero pairs below ~delta 3101·Δ
+    val a = Synth.hexCorpus(spark, n)
+    val b = Synth.hexCorpus(spark, n, n.toLong)
+    val res = SpatialOps.polyIntersectJoin(a, b)
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ah = a.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray))
+    val bh = b.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray))
+    // bbox prefilter (disjoint bboxes => disjoint polygons) keeps the 4M-pair
+    // brute force off the BigInt kernel's hot path
+    val brute = (for {
+      (ai, axs, ays) <- ah
+      (bi, bxs, bys) <- bh
+      if axs.min <= bxs.max && axs.max >= bxs.min &&
+         ays.min <= bys.max && ays.max >= bys.min
+      if Planar.convexIntersects(axs, ays, bxs, bys)
+    } yield (ai, bi)).toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "corpus produced no intersecting pairs — test is vacuous")
+
+    // independent expectation: the hexagons are exact homothets, so
+    // A ∩ B ≠ ∅ ⟺ center delta in the Minkowski sum hexagon
+    def params(id: Long): (Long, Long, Long, Long) = {
+      val cx = (id * 2654435761L) % 3400000000L - 1700000000L
+      val cy = (id * 2246822519L) % 1100000000L - 550000000L
+      val m = id % 13
+      (cx, cy, 2000000L + m * 500000L, 1732000L + m * 433000L)
+    }
+    val mink = (for {
+      ai <- (0L until n.toLong).iterator; bi <- (n.toLong until 2L * n).iterator
+      (acx, acy, ar, as_) = params(ai)
+      (bcx, bcy, br, bs) = params(bi)
+      dx = bcx - acx; dy = bcy - acy; rr = ar + br; ss = as_ + bs
+      if math.abs(dy) <= ss &&
+        math.abs(2 * ss * dx + rr * dy) <= 2 * ss * rr &&
+        math.abs(2 * ss * dx - rr * dy) <= 2 * ss * rr
+    } yield (ai, bi)).toSet
+    assert(got === mink)
+  }
+
+  test("polyIntersectJoin scale posture: shuffle join, no broadcast, no cartesian") {
+    val res = SpatialOps.polyIntersectJoin(
+      Synth.hexCorpus(spark, 500), Synth.hexCorpus(spark, 500, 500L))
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.linesIterator.take(25).mkString("\n"))
+    assert(!plan.contains("BroadcastHashJoin"), "polygon corpus must not be broadcast")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "overlay join must stay an equi-join on the cover cell")
+  }
+}
