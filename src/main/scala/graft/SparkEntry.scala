@@ -1284,6 +1284,32 @@ object SparkEntry {
       SpatialOps.waysCrossJoin(segs, segs, level, WayCrossSpan, selfJoin = true)
     }),
 
+    // --- way-in-polygon join (which ways touch which admin areas) ---
+    "q_way_poly" -> ((s, d) => {
+      // same mixId scatter as q_way_cross (lattice ways never reach the
+      // hexagons); polygons are the 10k-hexagon corpus
+      val key = col("way_id") * lit(10L) + col("seq")
+      val x = functions.Fns.mixId(col("way_id") * lit(2L)) - lit(1073741824L) +
+        ((key * lit(1103515245L)) % lit(20000000L) - lit(10000000L))
+      val y = functions.Fns.mixId(col("way_id") * lit(2L) + lit(1L)) % lit(1600000000L) -
+        lit(800000000L) + ((key * lit(69069L)) % lit(20000000L) - lit(10000000L))
+      val pts = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("seq"))
+        .distinct()
+        .select(col("way_id"), col("seq"), x.as("x"), y.as("y"))
+      val w = Window.partitionBy("way_id").orderBy("seq")
+      val segs = pts.select(col("way_id"), col("seq"),
+          lag(col("x"), 1).over(w).as("x0"), lag(col("y"), 1).over(w).as("y0"),
+          col("x").as("x1"), col("y").as("y1"))
+        .filter(col("x0").isNotNull &&
+          abs(col("x1") - col("x0")) <= WayCrossSpan &&
+          abs(col("y1") - col("y0")) <= WayCrossSpan)
+      val n = segs.count()
+      var level = 6
+      while (level < 10 && n > (1L << (2 * level))) level += 1
+      SpatialOps.wayPolyJoin(segs, Synth.hexCorpus(s, PipLargePolys), level, WayCrossSpan)
+    }),
+
     // --- point-to-way snapping (map matching: ways within tolerance) ---
     "q_snap" -> ((s, d) => {
       val pts = Synth.points(s, d)
@@ -4328,6 +4354,55 @@ object SparkEntry {
          |        AND greatest(ay0, ay1) >= least(by0, by1))))
          |SELECT way_a, way_b, CAST(count(*) AS BIGINT) AS n_crossings
          |FROM hit GROUP BY 1, 2""".stripMargin
+    },
+
+    "q_way_poly" -> {
+      // INDEPENDENT formulation: no cell cover — bbox IEJoin prefilter,
+      // then strict separating-axis over the hexagon's six closed-form
+      // half-planes plus the segment-normal axis (complete for convex
+      // polygon × segment; the Spark kernel instead ray-casts endpoints
+      // and straddle-tests each edge). Strictly-outside-both per
+      // half-plane == separated; the segment normal axis needs the
+      // hexagon's support value max(|nx|·r, |nx|·h + |ny|·s). All exact
+      // int64: candidates are bbox-bounded so |px| ≤ r + span ≈ 2.8e7.
+      s"""WITH ks AS (
+         |  SELECT DISTINCT l_orderkey AS way_id, l_linenumber AS seq FROM lineitem),
+         |li AS (
+         |  SELECT way_id, seq,
+         |    ${mixIdSql("way_id * 2")} - 1073741824
+         |      + (((way_id*10 + seq) * 1103515245) % 20000000 - 10000000) AS x,
+         |    ${mixIdSql("way_id * 2 + 1")} % 1600000000 - 800000000
+         |      + (((way_id*10 + seq) * 69069) % 20000000 - 10000000) AS y
+         |  FROM ks),
+         |segs0 AS (
+         |  SELECT way_id, seq,
+         |    lag(x) OVER (PARTITION BY way_id ORDER BY seq) AS x0,
+         |    lag(y) OVER (PARTITION BY way_id ORDER BY seq) AS y0,
+         |    x AS x1, y AS y1
+         |  FROM li),
+         |loc AS (SELECT * FROM segs0
+         |  WHERE x0 IS NOT NULL
+         |    AND abs(x1 - x0) <= $WayCrossSpan AND abs(y1 - y0) <= $WayCrossSpan),
+         |hexes AS (${Synth.hexCorpusSql(PipLargePolys)}),
+         |cand AS (
+         |  SELECT l.way_id, l.seq, h.poly_id,
+         |    l.x0 - h.cx AS px0, l.y0 - h.cy AS py0,
+         |    l.x1 - h.cx AS px1, l.y1 - h.cy AS py1,
+         |    -(l.y1 - l.y0) AS nx, l.x1 - l.x0 AS ny,
+         |    h.r AS r, h.h AS hh, h.s AS s
+         |  FROM loc l JOIN hexes h
+         |    ON least(l.x0, l.x1) <= h.cx + h.r AND greatest(l.x0, l.x1) >= h.cx - h.r
+         |   AND least(l.y0, l.y1) <= h.cy + h.s AND greatest(l.y0, l.y1) >= h.cy - h.s)
+         |SELECT way_id, poly_id, CAST(count(*) AS BIGINT) AS n_segs
+         |FROM cand
+         |WHERE NOT (py0 > s AND py1 > s)
+         |  AND NOT (-py0 > s AND -py1 > s)
+         |  AND NOT (2*s*px0 + r*py0 > 2*s*r AND 2*s*px1 + r*py1 > 2*s*r)
+         |  AND NOT (-(2*s*px0 + r*py0) > 2*s*r AND -(2*s*px1 + r*py1) > 2*s*r)
+         |  AND NOT (2*s*px0 - r*py0 > 2*s*r AND 2*s*px1 - r*py1 > 2*s*r)
+         |  AND NOT (-(2*s*px0 - r*py0) > 2*s*r AND -(2*s*px1 - r*py1) > 2*s*r)
+         |  AND abs(nx*px0 + ny*py0) <= greatest(abs(nx)*r, abs(nx)*hh + abs(ny)*s)
+         |GROUP BY 1, 2""".stripMargin
     },
 
     "q_staypoints" ->

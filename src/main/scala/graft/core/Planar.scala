@@ -572,6 +572,28 @@ object Planar {
     false
   }
 
+  /** CLOSED segment-vs-ring intersection: true iff the segment shares at
+    * least one point with the closed region bounded by the simple ring —
+    * an endpoint inside (or on) the ring, or the segment touching/crossing
+    * any boundary edge. Endpoint-on-boundary is caught by the edge test
+    * regardless of [[pointInRing]]'s boundary convention, so the predicate
+    * is exact under either. O(|ring|) exact [[orient]] tests per call —
+    * the refinement of a candidate-bounded join (SpatialOps.wayPolyJoin),
+    * never an all-pairs stage.
+    */
+  def segIntersectsRing(x0: Long, y0: Long, x1: Long, y1: Long,
+                        xs: Array[Long], ys: Array[Long]): Boolean = {
+    if (pointInRing(x0, y0, xs, ys) || pointInRing(x1, y1, xs, ys)) return true
+    val n = effLen(xs)
+    var i = 0
+    while (i < n) {
+      val j = (i + 1) % n
+      if (segmentsIntersect(x0, y0, x1, y1, xs(i), ys(i), xs(j), ys(j))) return true
+      i += 1
+    }
+    false
+  }
+
   private def onSeg(x1: Long, y1: Long, x2: Long, y2: Long, px: Long, py: Long): Boolean =
     px >= math.min(x1, x2) && px <= math.max(x1, x2) &&
     py >= math.min(y1, y2) && py <= math.max(y1, y2)

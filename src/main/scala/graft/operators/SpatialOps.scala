@@ -255,6 +255,45 @@ object SpatialOps {
       .select(col("aid").as("a_id"), col("bid").as("b_id"))
   }
 
+  /** Way-in-polygon join: (way_id, poly_id, n_segs) for every way with at
+    * least one segment sharing a point with the closed polygon — the
+    * line×polygon class of the spatial-join matrix (which roads cross
+    * which admin areas), alongside PIP (point×polygon), bbox-range,
+    * kNN, waysCrossJoin (line×line), and polyIntersectJoin
+    * (polygon×polygon). Reference capability: area-vs-way filtering in
+    * the assembler/extract paths (reference/include/osmium/area/
+    * assembler.hpp ways-on-area bookkeeping).
+    *
+    * Plan shape: segments cover the cells they CROSS ([[segmentCellCover]],
+    * orient-corner test, not bbox), polygons cover their bbox cells
+    * (distributed chained explodes — no broadcast); one equi-join on the
+    * cell, exact native refinement ([[graft.plans.SegIntersectsRing]]:
+    * endpoint ray-cast + per-edge straddle tests, all BigInt-exact). A
+    * (segment, polygon) pair found in several shared cells dedups by KEY
+    * (way_id, seq, poly_id) — no tie-break cell needed because the hit
+    * count per way is the output, not raw pairs. Candidate volume is
+    * per-cell co-occupancy; callers derive `level` from the segment count
+    * so density stays constant as data grows.
+    */
+  def wayPolyJoin(segs: DataFrame, polys: DataFrame, level: Int,
+                  maxSpanFix: Long): DataFrame = {
+    val segCover = segmentCellCover(segs, level, maxSpanFix, keepCoords = true)
+      .select(col("way_id"), col("seq"),
+        Fns.cellIdFromXY(col("cell_x"), col("cell_y"), level).as("cell"),
+        col("x0"), col("y0"), col("x1"), col("y1"))
+    val polyCover = coverByBBox(polys,
+      array_min(col("xs")), array_min(col("ys")),
+      array_max(col("xs")), array_max(col("ys")), level,
+      Seq(col("poly_id"), col("xs"), col("ys")))
+    segCover.join(polyCover.hint("shuffle_hash"), "cell")
+      .filter(graft.plans.GeomExpressions.segIntersectsRing(
+        array(col("x0"), col("y0"), col("x1"), col("y1")), col("xs"), col("ys")))
+      .select(col("way_id"), col("seq"), col("poly_id"))
+      .distinct()
+      .groupBy("way_id", "poly_id")
+      .agg(count(lit(1)).as("n_segs"))
+  }
+
   /** Exact brute-force kNN: broadcast the query set, score every point,
     * window top-k. Distance is exact int64 squared euclid on fix coords
     * (lon ±9e8, lat ±6e8 keep dx²+dy² < 2^63); ties broken by pid.

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, IntegerType, LongType}
@@ -19,6 +19,11 @@ object RingKernel {
                        bxs: ArrayData, bys: ArrayData): Boolean =
     Planar.convexIntersects(axs.toLongArray(), ays.toLongArray(),
       bxs.toLongArray(), bys.toLongArray())
+
+  def segIntersectsRing(seg: ArrayData, xs: ArrayData, ys: ArrayData): Boolean = {
+    val s = seg.toLongArray()
+    Planar.segIntersectsRing(s(0), s(1), s(2), s(3), xs.toLongArray(), ys.toLongArray())
+  }
 
   /** Twice the signed shoelace area in fix^2 units (positive = CCW) —
     * exact: the kernel accumulates in BigInt, so absolute coords never
@@ -234,6 +239,33 @@ case class ConvexIntersects(first: Expression, second: Expression,
       newFirst: Expression, newSecond: Expression,
       newThird: Expression, newFourth: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+/** Native exact segment-vs-ring intersection predicate (CLOSED semantics:
+  * endpoint inside the ring, endpoint on the boundary, or any boundary
+  * edge touched/crossed all count) — the refinement of the way-in-polygon
+  * join (SpatialOps.wayPolyJoin). The segment rides as a packed
+  * `[x0,y0,x1,y1]` array (same convention as [[ClipSegRect]]); the ring is
+  * a pair of coordinate-array columns, so both the way corpus and the
+  * polygon corpus stay fully distributed. See core.Planar.segIntersectsRing.
+  */
+case class SegIntersectsRing(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "seg_intersects_ring"
+
+  override def nullSafeEval(seg: Any, xs: Any, ys: Any): Any =
+    RingKernel.segIntersectsRing(seg.asInstanceOf[ArrayData],
+      xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (seg, xs, ys) =>
+      s"graft.plans.RingKernel.segIntersectsRing($seg, $xs, $ys)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** Native exact ray-cast point-in-ring test where the RING IS A COLUMN —
@@ -836,6 +868,11 @@ object GeomExpressions {
     GraftColumnBridge.column(ConvexIntersects(
       GraftColumnBridge.expression(axs), GraftColumnBridge.expression(ays),
       GraftColumnBridge.expression(bxs), GraftColumnBridge.expression(bys)))
+
+  def segIntersectsRing(seg: Column, xs: Column, ys: Column): Column =
+    GraftColumnBridge.column(SegIntersectsRing(
+      GraftColumnBridge.expression(seg), GraftColumnBridge.expression(xs),
+      GraftColumnBridge.expression(ys)))
 
   def ringArea2(xs: Column, ys: Column): Column =
     GraftColumnBridge.column(RingArea2(

@@ -93,6 +93,61 @@ class PolyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === mink)
   }
 
+  test("segIntersectsRing: endpoint / crossing / touch / miss goldens") {
+    val (sqx, sqy) = square(0, 0, 10)
+    def seg(x0: Long, y0: Long, x1: Long, y1: Long): Boolean =
+      Planar.segIntersectsRing(x0, y0, x1, y1, sqx, sqy)
+    assert(seg(0, 0, 2, 2), "fully inside")
+    assert(seg(-20, 0, 20, 0), "through-and-through (both endpoints outside)")
+    assert(seg(5, 5, 30, 5), "one endpoint inside")
+    assert(seg(10, -30, 10, 30), "collinear along the boundary edge")
+    assert(seg(0, 20, 20, 0), "diagonal touching the corner (10,10)")
+    assert(!seg(1, 20, 21, 0), "diagonal just past the corner")
+    assert(!seg(12, 0, 30, 0), "pointing at the square but stopping short")
+    assert(seg(10, 0, 30, 0), "endpoint exactly on the boundary")
+    assert(!seg(0, 20, 5, 25), "disjoint above")
+  }
+
+  test("wayPolyJoin matches kernel brute force on a scattered segment corpus") {
+    val s = spark; import s.implicits._
+    val nHex = 400
+    val polys = Synth.hexCorpus(spark, nHex)
+    // deterministic scatter: anchor near hexagon (i % nHex)'s center so a
+    // healthy fraction of segments actually reach a polygon
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def hexCenter(id: Long): (Long, Long) =
+      ((id * 2654435761L) % 3400000000L - 1700000000L,
+       (id * 2246822519L) % 1100000000L - 550000000L)
+    val segRows = (0L until 2000L).map { i =>
+      val (cx, cy) = hexCenter((i / 4) % nHex) // all 4 segments of a way share the anchor
+      val x0 = cx + math.floorMod(mix(4 * i), 40000000L) - 20000000L
+      val y0 = cy + math.floorMod(mix(4 * i + 1), 30000000L) - 15000000L
+      val x1 = x0 + math.floorMod(mix(4 * i + 2), 20000000L) - 10000000L
+      val y1 = y0 + math.floorMod(mix(4 * i + 3), 20000000L) - 10000000L
+      (i / 4, i % 4, x0, y0, x1, y1) // 4 segments per way
+    }
+    val segs = segRows.toDF("way_id", "seq", "x0", "y0", "x1", "y1")
+    val got = SpatialOps.wayPolyJoin(segs, polys, 8, 20000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val hexes = polys.collect().map(r =>
+      (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray))
+    val expect = (for {
+      (wid, _, x0, y0, x1, y1) <- segRows
+      (pid, xs, ys) <- hexes
+      if math.min(x0, x1) <= xs.max && math.max(x0, x1) >= xs.min &&
+         math.min(y0, y1) <= ys.max && math.max(y0, y1) >= ys.min
+      if Planar.segIntersectsRing(x0, y0, x1, y1, xs, ys)
+    } yield (wid, pid)).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got === expect)
+    assert(got.nonEmpty, "no way touched any polygon — test is vacuous")
+    assert(got.values.exists(_ > 1), "no way with multiple hit segments — dedup untested")
+  }
+
   test("polyIntersectJoin scale posture: shuffle join, no broadcast, no cartesian") {
     val res = SpatialOps.polyIntersectJoin(
       Synth.hexCorpus(spark, 500), Synth.hexCorpus(spark, 500, 500L))
