@@ -146,7 +146,16 @@ object GraftExtensions {
     (new FunctionIdentifier("geohash"),
       new ExpressionInfo(classOf[GraftExtensions].getName, "geohash"),
       (args: Seq[Expression]) =>
-        geohashTree(args(0), args(1), intArg(args(2), "precision"))))
+        geohashTree(args(0), args(1), intArg(args(2), "precision"))),
+
+    (new FunctionIdentifier("convex_intersects"),
+      new ExpressionInfo(classOf[ConvexIntersects].getName, "convex_intersects"),
+      (args: Seq[Expression]) =>
+        ConvexIntersects(args(0), args(1), args(2), args(3))),
+
+    (new FunctionIdentifier("seg_intersects_ring"),
+      new ExpressionInfo(classOf[SegIntersectsRing].getName, "seg_intersects_ring"),
+      (args: Seq[Expression]) => SegIntersectsRing(args(0), args(1), args(2))))
 
   /** [[graft.operators.SpatialOps.geohashCol]] as a parser-shaped tree —
     * the same exact-integer bins and bit interleave, each base32 char one

@@ -52,6 +52,19 @@ class ExtensionsSpec extends AnyFunSuite {
           |  geohash(104074400L, 576491100L, 8) AS g8""".stripMargin).collect()(0)
       assert(gh.getString(0) === "ezs42")
       assert(gh.getString(1) === "u4pruydq")
+      // overlay predicates: closed semantics (edge contact intersects)
+      val ov = spark.sql(
+        """SELECT convex_intersects(array(10L,10L,-10L,-10L), array(-10L,10L,10L,-10L),
+          |    array(30L,30L,10L,10L), array(-10L,10L,10L,-10L)) AS touch,
+          |  convex_intersects(array(10L,10L,-10L,-10L), array(-10L,10L,10L,-10L),
+          |    array(31L,31L,11L,11L), array(-10L,10L,10L,-10L)) AS apart,
+          |  seg_intersects_ring(array(-20L,0L,20L,0L),
+          |    array(10L,10L,-10L,-10L), array(-10L,10L,10L,-10L)) AS through,
+          |  seg_intersects_ring(array(12L,0L,30L,0L),
+          |    array(10L,10L,-10L,-10L), array(-10L,10L,10L,-10L)) AS short
+          |""".stripMargin).collect()(0)
+      assert(ov.getBoolean(0) && !ov.getBoolean(1))
+      assert(ov.getBoolean(2) && !ov.getBoolean(3))
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
