@@ -32,6 +32,20 @@ object Planar {
     * Even-odd rule; points exactly on an edge return true.
     * Ring closed or open (first==last tolerated).
     */
+  /** Exact sign of the 2-D cross product dx1·dy2 − dy1·dx2. Long fast path
+    * when every delta fits 31 bits (each product then < 2^62, so the
+    * difference cannot wrap int64) — the common case for candidate-bounded
+    * join refinements, where separations are a few cells wide; BigInt
+    * fallback keeps world-spanning deltas (up to 3.6e9) exact.
+    */
+  @inline private def crossSign(dx1: Long, dy1: Long, dx2: Long, dy2: Long): Int = {
+    val m = 1L << 31
+    if (dx1 < m && dx1 > -m && dy1 < m && dy1 > -m &&
+        dx2 < m && dx2 > -m && dy2 < m && dy2 > -m)
+      java.lang.Long.signum(dx1 * dy2 - dy1 * dx2)
+    else (BigInt(dx1) * dy2 - BigInt(dy1) * dx2).signum
+  }
+
   def pointInRing(px: Long, py: Long, xs: Array[Long], ys: Array[Long]): Boolean = {
     val n = effLen(xs)
     var inside = false
@@ -40,17 +54,18 @@ object Planar {
     while (i < n) {
       val xi = xs(i); val yi = ys(i)
       val xj = xs(j); val yj = ys(j)
+      // one exact cross sign serves both the on-edge check and the
+      // scanline side test: cross = (xj-xi)(py-yi) - (yj-yi)(px-xi)
+      val cs = crossSign(xj - xi, yj - yi, px - xi, py - yi)
       // on-edge check (exact): collinear and within bbox of segment
-      val cross = (BigInt(xj) - xi) * (py - yi) - (BigInt(yj) - yi) * (px - xi)
-      if (cross == 0 &&
+      if (cs == 0 &&
           px >= math.min(xi, xj) && px <= math.max(xi, xj) &&
           py >= math.min(yi, yj) && py <= math.max(yi, yj)) return true
       if ((yi > py) != (yj > py)) {
         // x of edge at scanline py vs px, exact integer comparison:
         // px < xi + (py-yi)*(xj-xi)/(yj-yi)  ⇔ sign-aware cross test
-        val d = (BigInt(xj) - xi) * (py - yi) - (BigInt(px) - xi) * (yj - yi)
         val denomPos = yj > yi
-        if ((d > 0) == denomPos && d != 0) inside = !inside
+        if ((cs > 0) == denomPos && cs != 0) inside = !inside
       }
       j = i
       i += 1
@@ -535,7 +550,7 @@ object Planar {
     * >0 left (CCW), <0 right, 0 collinear. Exact.
     */
   def orient(x1: Long, y1: Long, x2: Long, y2: Long, px: Long, py: Long): Int =
-    ((BigInt(x2) - x1) * (py - y1) - (BigInt(y2) - y1) * (px - x1)).signum
+    crossSign(x2 - x1, y2 - y1, px - x1, py - y1)
 
   /** CLOSED intersection test between two CONVEX CCW rings — exact
     * separating-axis over the edge normals of both polygons (complete for
