@@ -479,6 +479,11 @@ object SparkEntry {
       SpatialOps.polyIntersectJoin(Synth.hexCorpus(s, PipLargePolys),
         Synth.hexCorpus(s, PipLargePolys, PipLargePolys.toLong))),
 
+    // dissolve: overlap components over the self-overlay (cascaded-union
+    // analog) — distributed covers, pointer-jump components, one rollup
+    "q_dissolve" -> ((s, _) =>
+      SpatialOps.dissolve(Synth.hexCorpus(s, PipLargePolys))),
+
     "q_knn" -> ((s, d) => {
       val pts = Synth.points(s, d)
       SpatialOps.knn(pts, pts.filter(col("pid") % 997 === 0), 5)
@@ -3189,6 +3194,46 @@ object SparkEntry {
          |      <= 2*(a.s + b.s)*(a.r + b.r)
          |  AND abs(2*(a.s + b.s)*(b.cx - a.cx) - (a.r + b.r)*(b.cy - a.cy))
          |      <= 2*(a.s + b.s)*(a.r + b.r)""".stripMargin
+    },
+
+    "q_dissolve" -> {
+      // INDEPENDENT formulation: Minkowski-sum hexagon overlap test for
+      // the edge set (no separating-axis kernel), transitive closure for
+      // the components (min reachable id, same shape as the q_wcc twin),
+      // closed-form hexagon area 4s(r+h) and center±radius bbox for the
+      // rollup — nothing shared with the Spark side's ring shoelace or
+      // pointer-jumping machinery.
+      s"""WITH RECURSIVE hx AS (${Synth.hexCorpusSql(PipLargePolys)}),
+         |e0 AS (
+         |  SELECT a.poly_id AS src, b.poly_id AS dst
+         |  FROM hx a JOIN hx b ON a.poly_id < b.poly_id
+         |  WHERE abs(b.cy - a.cy) <= a.s + b.s
+         |    AND abs(2*(a.s + b.s)*(b.cx - a.cx) + (a.r + b.r)*(b.cy - a.cy))
+         |        <= 2*(a.s + b.s)*(a.r + b.r)
+         |    AND abs(2*(a.s + b.s)*(b.cx - a.cx) - (a.r + b.r)*(b.cy - a.cy))
+         |        <= 2*(a.s + b.s)*(a.r + b.r)),
+         |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |reach AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |comp AS (
+         |  SELECT id, least(id, coalesce(min(b), id)) AS component
+         |  FROM (SELECT DISTINCT src AS id FROM edges) n
+         |  LEFT JOIN reach ON a = id GROUP BY id),
+         |p AS (
+         |  SELECT poly_id, 4 * s * (r + h) AS area2,
+         |         cx - r AS minx, cy - s AS miny, cx + r AS maxx, cy + s AS maxy
+         |  FROM hx),
+         |j AS (
+         |  SELECT coalesce(component, poly_id) AS component,
+         |         area2, minx, miny, maxx, maxy
+         |  FROM p LEFT JOIN comp ON poly_id = id)
+         |SELECT component, count(*) AS n_polys,
+         |  CAST(sum(area2) AS BIGINT) AS area2,
+         |  min(minx) AS minx, min(miny) AS miny,
+         |  max(maxx) AS maxx, max(maxy) AS maxy
+         |FROM j GROUP BY component""".stripMargin
     },
 
     "q_knn" ->

@@ -255,6 +255,45 @@ object SpatialOps {
       .select(col("aid").as("a_id"), col("bid").as("b_id"))
   }
 
+  /** Dissolve: merge transitively-overlapping polygons into components
+    * and aggregate per merged region — the distributed analog of a
+    * cascaded union (GEOS UnionInterable / ST_Union + ST_Dump), the
+    * post-processing step the reference ecosystem applies to assembled
+    * admin areas (reference/include/osmium/multipolygon/builder.hpp
+    * builds the per-relation areas; dissolving adjacent ones is the
+    * canonical downstream op).
+    *
+    * Plan shape: overlap edges from the self [[polyIntersectJoin]]
+    * (distributed covers, no broadcast), kept once per unordered pair
+    * (a_id < b_id); components via the adaptive pointer-jumping loop
+    * (O(3+log d) rounds, bounded state — GraphOps.connectedComponents);
+    * untouched polygons join back left and dissolve into themselves.
+    * Final rollup is ONE hash shuffle on the component id. Per-component
+    * output: member count, exact doubled shoelace area sum (disjoint-union
+    * upper bound of the merged region), and the merged bbox.
+    *
+    * Input: (poly_id, xs, ys) closed convex rings. Output: (component,
+    * n_polys, area2, minx, miny, maxx, maxy).
+    */
+  def dissolve(polys: DataFrame, coverLevel: Int = CoverLevel): DataFrame = {
+    val edges = polyIntersectJoin(polys, polys, coverLevel)
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val comp = GraphOps.connectedComponents(edges)
+    polys
+      .select(col("poly_id"),
+        graft.plans.GeomExpressions.ringArea2(col("xs"), col("ys")).as("__a2"),
+        array_min(col("xs")).as("__minx"), array_min(col("ys")).as("__miny"),
+        array_max(col("xs")).as("__maxx"), array_max(col("ys")).as("__maxy"))
+      .join(comp, col("poly_id") === col("node_id"), "left")
+      .select(coalesce(col("component"), col("poly_id")).as("component"),
+        col("__a2"), col("__minx"), col("__miny"), col("__maxx"), col("__maxy"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_polys"), sum(col("__a2")).as("area2"),
+        min(col("__minx")).as("minx"), min(col("__miny")).as("miny"),
+        max(col("__maxx")).as("maxx"), max(col("__maxy")).as("maxy"))
+  }
+
   /** Way-in-polygon join: (way_id, poly_id, n_segs) for every way with at
     * least one segment sharing a point with the closed polygon — the
     * line×polygon class of the spatial-join matrix (which roads cross

@@ -148,6 +148,49 @@ class PolyJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(_ > 1), "no way with multiple hit segments — dedup untested")
   }
 
+  test("dissolve matches a driver-side union-find over the Minkowski edge set") {
+    val n = 3500 // smallest corpus whose id lattice self-overlaps (first pairs at ~3200)
+    val polys = Synth.hexCorpus(spark, n)
+    val got = SpatialOps.dissolve(polys).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+
+    // independent expectation: Minkowski closed form for edges, classic
+    // union-find for components, closed-form area/bbox for the rollup
+    def params(id: Long): (Long, Long, Long, Long, Long) = {
+      val cx = (id * 2654435761L) % 3400000000L - 1700000000L
+      val cy = (id * 2246822519L) % 1100000000L - 550000000L
+      val m = id % 13
+      (cx, cy, 2000000L + m * 500000L, 1000000L + m * 250000L,
+        1732000L + m * 433000L)
+    }
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    for (a <- 0 until n; b <- a + 1 until n) {
+      val (acx, acy, ar, _, as_) = params(a)
+      val (bcx, bcy, br, _, bs) = params(b)
+      val dx = bcx - acx; val dy = bcy - acy
+      val rr = ar + br; val ss = as_ + bs
+      if (math.abs(dy) <= ss &&
+          math.abs(2 * ss * dx + rr * dy) <= 2 * ss * rr &&
+          math.abs(2 * ss * dx - rr * dy) <= 2 * ss * rr) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val expect = (0 until n).groupBy(find).map { case (root, ids) =>
+      val rows = ids.map { i =>
+        val (cx, cy, r, h, s) = params(i.toLong)
+        (4 * s * (r + h), cx - r, cy - s, cx + r, cy + s)
+      }
+      root.toLong -> ((ids.size.toLong, rows.map(_._1).sum,
+        rows.map(_._2).min, rows.map(_._3).min,
+        rows.map(_._4).max, rows.map(_._5).max))
+    }
+    assert(got === expect)
+    assert(expect.values.exists(_._1 > 1), "no merged component — test is vacuous")
+  }
+
   test("polyIntersectJoin scale posture: shuffle join, no broadcast, no cartesian") {
     val res = SpatialOps.polyIntersectJoin(
       Synth.hexCorpus(spark, 500), Synth.hexCorpus(spark, 500, 500L))
