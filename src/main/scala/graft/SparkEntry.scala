@@ -42,6 +42,36 @@ object SparkEntry {
     if (dedup) raw.distinct() else raw
   }
 
+  /** The q_way_cross/q_way_poly/q_planarize segment corpus: mixId bases
+    * (not the lattice scatter of [[wayPoints]]: a linear base in way_id
+    * never brings two ways within jitter range of each other, so the
+    * lattice corpus has literally zero crossings), span-bounded lag
+    * segments, plus the level derivation (smallest level in [6,10] with
+    * 4^level >= n — integer while-loop == the oracle's CASE).
+    */
+  private def crossWaySegs(s: SparkSession, d: String): (DataFrame, Int) = {
+    val key = col("way_id") * lit(10L) + col("seq")
+    val x = functions.Fns.mixId(col("way_id") * lit(2L)) - lit(1073741824L) +
+      ((key * lit(1103515245L)) % lit(20000000L) - lit(10000000L))
+    val y = functions.Fns.mixId(col("way_id") * lit(2L) + lit(1L)) % lit(1600000000L) -
+      lit(800000000L) + ((key * lit(69069L)) % lit(20000000L) - lit(10000000L))
+    val pts = t(s, d, "lineitem")
+      .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("seq"))
+      .distinct()
+      .select(col("way_id"), col("seq"), x.as("x"), y.as("y"))
+    val w = Window.partitionBy("way_id").orderBy("seq")
+    val segs = pts.select(col("way_id"), col("seq"),
+        lag(col("x"), 1).over(w).as("x0"), lag(col("y"), 1).over(w).as("y0"),
+        col("x").as("x1"), col("y").as("y1"))
+      .filter(col("x0").isNotNull &&
+        abs(col("x1") - col("x0")) <= WayCrossSpan &&
+        abs(col("y1") - col("y0")) <= WayCrossSpan)
+    val n = segs.count()
+    var level = 6
+    while (level < 10 && n > (1L << (2 * level))) level += 1
+    (segs, level)
+  }
+
   /** The q_tile_clip/q_way_len_tile input: jittered way segments clipped
     * to every level-8 cell they cross (shared derivation with
     * q_way_tiles — NO distinct, duplicates flow through identically on
@@ -1262,56 +1292,22 @@ object SparkEntry {
 
     // --- segment-intersection join (which ways cross which) ---
     "q_way_cross" -> ((s, d) => {
-      // mixId bases (not the lattice scatter of wayPoints: a linear base
-      // in way_id never brings two ways within jitter range of each
-      // other, so the lattice corpus has literally zero crossings)
-      val key = col("way_id") * lit(10L) + col("seq")
-      val x = functions.Fns.mixId(col("way_id") * lit(2L)) - lit(1073741824L) +
-        ((key * lit(1103515245L)) % lit(20000000L) - lit(10000000L))
-      val y = functions.Fns.mixId(col("way_id") * lit(2L) + lit(1L)) % lit(1600000000L) -
-        lit(800000000L) + ((key * lit(69069L)) % lit(20000000L) - lit(10000000L))
-      val pts = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("seq"))
-        .distinct()
-        .select(col("way_id"), col("seq"), x.as("x"), y.as("y"))
-      val w = Window.partitionBy("way_id").orderBy("seq")
-      val segs = pts.select(col("way_id"), col("seq"),
-          lag(col("x"), 1).over(w).as("x0"), lag(col("y"), 1).over(w).as("y0"),
-          col("x").as("x1"), col("y").as("y1"))
-        .filter(col("x0").isNotNull &&
-          abs(col("x1") - col("x0")) <= WayCrossSpan &&
-          abs(col("y1") - col("y0")) <= WayCrossSpan)
-      // constant per-cell density as data grows: smallest level in [6,10]
-      // with 4^level >= n (integer while-loop == the oracle's CASE)
-      val n = segs.count()
-      var level = 6
-      while (level < 10 && n > (1L << (2 * level))) level += 1
+      val (segs, level) = crossWaySegs(s, d)
       SpatialOps.waysCrossJoin(segs, segs, level, WayCrossSpan, selfJoin = true)
+    }),
+
+    // planarize: the exact crossing POINTS (noding) — BigInt rational
+    // intersection, floor fix coords, native kernel on the candidate join
+    "q_planarize" -> ((s, d) => {
+      val (segs, level) = crossWaySegs(s, d)
+      SpatialOps.planarize(segs, segs, level, WayCrossSpan, selfJoin = true)
     }),
 
     // --- way-in-polygon join (which ways touch which admin areas) ---
     "q_way_poly" -> ((s, d) => {
       // same mixId scatter as q_way_cross (lattice ways never reach the
       // hexagons); polygons are the 10k-hexagon corpus
-      val key = col("way_id") * lit(10L) + col("seq")
-      val x = functions.Fns.mixId(col("way_id") * lit(2L)) - lit(1073741824L) +
-        ((key * lit(1103515245L)) % lit(20000000L) - lit(10000000L))
-      val y = functions.Fns.mixId(col("way_id") * lit(2L) + lit(1L)) % lit(1600000000L) -
-        lit(800000000L) + ((key * lit(69069L)) % lit(20000000L) - lit(10000000L))
-      val pts = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("way_id"), col("l_linenumber").as("seq"))
-        .distinct()
-        .select(col("way_id"), col("seq"), x.as("x"), y.as("y"))
-      val w = Window.partitionBy("way_id").orderBy("seq")
-      val segs = pts.select(col("way_id"), col("seq"),
-          lag(col("x"), 1).over(w).as("x0"), lag(col("y"), 1).over(w).as("y0"),
-          col("x").as("x1"), col("y").as("y1"))
-        .filter(col("x0").isNotNull &&
-          abs(col("x1") - col("x0")) <= WayCrossSpan &&
-          abs(col("y1") - col("y0")) <= WayCrossSpan)
-      val n = segs.count()
-      var level = 6
-      while (level < 10 && n > (1L << (2 * level))) level += 1
+      val (segs, level) = crossWaySegs(s, d)
       SpatialOps.wayPolyJoin(segs, Synth.hexCorpus(s, PipLargePolys), level, WayCrossSpan)
     }),
 
@@ -4399,6 +4395,75 @@ object SparkEntry {
          |        AND greatest(ay0, ay1) >= least(by0, by1))))
          |SELECT way_a, way_b, CAST(count(*) AS BIGINT) AS n_crossings
          |FROM hit GROUP BY 1, 2""".stripMargin
+    },
+
+    "q_planarize" -> {
+      // INDEPENDENT formulation: no cell cover — bbox IEJoin prefilter
+      // over all segment pairs, then the rational intersection computed
+      // directly in HUGEINT (numerators reach coord·den ≈ 10^24): den
+      // normalized positive via sign(), parameter ranges checked as
+      // 0 ≤ tn,un ≤ den, and floor division emulated over DuckDB's
+      // truncating `//` (negative non-exact quotients step down 1).
+      s"""WITH ks AS (
+         |  SELECT DISTINCT l_orderkey AS way_id, l_linenumber AS seq FROM lineitem),
+         |li AS (
+         |  SELECT way_id, seq,
+         |    ${mixIdSql("way_id * 2")} - 1073741824
+         |      + (((way_id*10 + seq) * 1103515245) % 20000000 - 10000000) AS x,
+         |    ${mixIdSql("way_id * 2 + 1")} % 1600000000 - 800000000
+         |      + (((way_id*10 + seq) * 69069) % 20000000 - 10000000) AS y
+         |  FROM ks),
+         |segs0 AS (
+         |  SELECT way_id, seq,
+         |    lag(x) OVER (PARTITION BY way_id ORDER BY seq) AS x0,
+         |    lag(y) OVER (PARTITION BY way_id ORDER BY seq) AS y0,
+         |    x AS x1, y AS y1
+         |  FROM li),
+         |-- MATERIALIZED: DuckDB 1.0.0's IEJoin hits an internal 'flat
+         |-- vector' assertion when its inputs are lazy window-derived
+         |-- vectors; materializing the segment list sidesteps it
+         |loc AS MATERIALIZED (SELECT * FROM segs0
+         |  WHERE x0 IS NOT NULL
+         |    AND abs(x1 - x0) <= $WayCrossSpan AND abs(y1 - y0) <= $WayCrossSpan),
+         |prj AS (
+         |  SELECT a.way_id AS way_a, a.seq AS seq_a,
+         |         b.way_id AS way_b, b.seq AS seq_b,
+         |    a.x0 AS jax0, a.y0 AS jay0, a.x1 AS jax1, a.y1 AS jay1,
+         |    b.x0 AS jbx0, b.y0 AS jby0, b.x1 AS jbx1, b.y1 AS jby1
+         |  FROM loc a JOIN loc b ON a.way_id < b.way_id
+         |    AND least(a.x0, a.x1) <= greatest(b.x0, b.x1)
+         |    AND greatest(a.x0, a.x1) >= least(b.x0, b.x1)
+         |    AND least(a.y0, a.y1) <= greatest(b.y0, b.y1)
+         |    AND greatest(a.y0, a.y1) >= least(b.y0, b.y1)),
+         |pr AS (
+         |  -- HUGEINT casts kept OUT of the IEJoin's projection (DuckDB
+         |  -- 1.0.0 internal 'flat vector' assertion when they ride it)
+         |  SELECT way_a, seq_a, way_b, seq_b,
+         |    CAST(jax0 AS HUGEINT) AS ax0, CAST(jay0 AS HUGEINT) AS ay0,
+         |    CAST(jax1 AS HUGEINT) AS ax1, CAST(jay1 AS HUGEINT) AS ay1,
+         |    CAST(jbx0 AS HUGEINT) AS bx0, CAST(jby0 AS HUGEINT) AS by0,
+         |    CAST(jbx1 AS HUGEINT) AS bx1, CAST(jby1 AS HUGEINT) AS by1
+         |  FROM prj),
+         |r0 AS (
+         |  SELECT *,
+         |    (ax1-ax0)*(by1-by0) - (ay1-ay0)*(bx1-bx0) AS den0,
+         |    (bx0-ax0)*(by1-by0) - (by0-ay0)*(bx1-bx0) AS tn0,
+         |    (bx0-ax0)*(ay1-ay0) - (by0-ay0)*(ax1-ax0) AS un0
+         |  FROM pr),
+         |r1 AS (
+         |  SELECT *, abs(den0) AS den,
+         |    CAST(sign(den0) AS HUGEINT) * tn0 AS tn,
+         |    CAST(sign(den0) AS HUGEINT) * un0 AS un
+         |  FROM r0 WHERE den0 <> 0),
+         |hit AS (
+         |  SELECT *, ax0*den + tn*(ax1-ax0) AS pxn, ay0*den + tn*(ay1-ay0) AS pyn
+         |  FROM r1 WHERE tn BETWEEN 0 AND den AND un BETWEEN 0 AND den)
+         |SELECT way_a, seq_a, way_b, seq_b,
+         |  CAST(CASE WHEN pxn < 0 AND pxn % den <> 0
+         |            THEN pxn // den - 1 ELSE pxn // den END AS BIGINT) AS px,
+         |  CAST(CASE WHEN pyn < 0 AND pyn % den <> 0
+         |            THEN pyn // den - 1 ELSE pyn // den END AS BIGINT) AS py
+         |FROM hit""".stripMargin
     },
 
     "q_way_poly" -> {

@@ -609,6 +609,39 @@ object Planar {
     false
   }
 
+  /** Exact intersection point of two segments as FLOOR fix coords — the
+    * planarization kernel (noding a way network at its crossings, the
+    * vector analog of GEOS noding; the reference reaches the same class
+    * through GEOS when areas self-touch). A = (ax0,ay0)-(ax1,ay1),
+    * B = (bx0,by0)-(bx1,by1), both endpoint-inclusive.
+    *
+    * Returns `[floor(px), floor(py)]` of the exact rational intersection
+    * p + t·r (t = ((q−p)×s)/(r×s)), or an EMPTY array when the segments
+    * are parallel/collinear (r×s = 0 — collinear overlap has no unique
+    * point) or the rationals fall outside both unit ranges (no contact).
+    * All arithmetic in BigInt: numerators reach coord·den ≈ 10^24, far
+    * past int64; floor (not truncation) keeps negative coords exact.
+    */
+  def segIntersectionFix(ax0: Long, ay0: Long, ax1: Long, ay1: Long,
+                         bx0: Long, by0: Long, bx1: Long, by1: Long): Array[Long] = {
+    val rx = ax1 - ax0; val ry = ay1 - ay0
+    val sx = bx1 - bx0; val sy = by1 - by0
+    val qpx = bx0 - ax0; val qpy = by0 - ay0
+    val den0 = BigInt(rx) * sy - BigInt(ry) * sx
+    if (den0.signum == 0) return Array.emptyLongArray
+    val sgn = BigInt(den0.signum)
+    val den = den0 * sgn
+    val tn = (BigInt(qpx) * sy - BigInt(qpy) * sx) * sgn
+    val un = (BigInt(qpx) * ry - BigInt(qpy) * rx) * sgn
+    if (tn.signum < 0 || tn > den || un.signum < 0 || un > den)
+      return Array.emptyLongArray
+    def fdiv(n: BigInt): Long = {
+      val q = n / den
+      (if (n.signum < 0 && (n % den).signum != 0) q - 1 else q).longValue
+    }
+    Array(fdiv(BigInt(ax0) * den + tn * rx), fdiv(BigInt(ay0) * den + tn * ry))
+  }
+
   private def onSeg(x1: Long, y1: Long, x2: Long, y2: Long, px: Long, py: Long): Boolean =
     px >= math.min(x1, x2) && px <= math.max(x1, x2) &&
     py >= math.min(y1, y2) && py <= math.max(y1, y2)

@@ -1173,6 +1173,45 @@ object SpatialOps {
       .agg(count(lit(1)).as("n_crossings"))
   }
 
+  /** Planarize: the exact crossing POINTS of a way network — for every
+    * properly-crossing segment pair, the floor fix coords of the rational
+    * intersection (the noding step that turns a line soup into a planar
+    * graph; GEOS reaches it via noding, the reference via GEOS when
+    * assembled areas touch). Collinear-overlap pairs have no unique
+    * point and are excluded (that is [[waysCrossJoin]]'s all-zero branch,
+    * not a node).
+    *
+    * Same distributed candidate shape as [[waysCrossJoin]]: segments
+    * cover the cells they cross, one equi-join on the cell, and the
+    * native exact kernel ([[graft.plans.SegIntersectionFix]], BigInt
+    * rationals + floor division) rides the join's codegen stage. A pair
+    * sharing several cover cells yields byte-identical rows — the
+    * distinct on the output key dedups them. Output: (way_a, seq_a,
+    * way_b, seq_b, px, py).
+    */
+  def planarize(segsA: DataFrame, segsB: DataFrame, level: Int,
+                maxSpanFix: Long, selfJoin: Boolean = false): DataFrame = {
+    def cover(segs: DataFrame, p: String) =
+      segmentCellCover(segs, level, maxSpanFix, keepCoords = true)
+        .select(col("way_id").as(s"way_$p"), col("seq").as(s"seq_$p"),
+          col("cell_x"), col("cell_y"),
+          col("x0").as(s"${p}x0"), col("y0").as(s"${p}y0"),
+          col("x1").as(s"${p}x1"), col("y1").as(s"${p}y1"))
+    val pairFilter =
+      if (selfJoin) col("way_a") < col("way_b")
+      else col("way_a") =!= col("way_b")
+    cover(segsA, "a").join(cover(segsB, "b"), Seq("cell_x", "cell_y"))
+      .filter(pairFilter)
+      .select(col("way_a"), col("seq_a"), col("way_b"), col("seq_b"),
+        graft.plans.GeomExpressions.segIntersectionFix(
+          array(col("ax0"), col("ay0"), col("ax1"), col("ay1")),
+          array(col("bx0"), col("by0"), col("bx1"), col("by1"))).as("__p"))
+      .filter(size(col("__p")) === 2)
+      .select(col("way_a"), col("seq_a"), col("way_b"), col("seq_b"),
+        col("__p")(0).as("px"), col("__p")(1).as("py"))
+      .distinct()
+  }
+
   /** Point-to-way snapping join: for each point, the ways with at least
     * one segment within `radiusFix` (planar point-to-segment distance) —
     * the map-matching primitive (GPS trace → road candidates, POI → way

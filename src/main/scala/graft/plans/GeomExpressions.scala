@@ -25,6 +25,16 @@ object RingKernel {
     Planar.segIntersectsRing(s(0), s(1), s(2), s(3), xs.toLongArray(), ys.toLongArray())
   }
 
+  /** Floor fix coords of the exact crossing point of two packed segments —
+    * empty array when parallel/collinear or disjoint (see
+    * core.Planar.segIntersectionFix).
+    */
+  def segIntersectionFix(segA: ArrayData, segB: ArrayData): ArrayData = {
+    val a = segA.toLongArray(); val b = segB.toLongArray()
+    new GenericArrayData(
+      Planar.segIntersectionFix(a(0), a(1), a(2), a(3), b(0), b(1), b(2), b(3)))
+  }
+
   /** Twice the signed shoelace area in fix^2 units (positive = CCW) —
     * exact: the kernel accumulates in BigInt, so absolute coords never
     * overflow mid-sum; the RESULT must fit int64 (any sub-hemisphere
@@ -266,6 +276,31 @@ case class SegIntersectsRing(first: Expression, second: Expression, third: Expre
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
     copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Native exact segment-segment intersection POINT — the planarization
+  * kernel (SpatialOps.planarize): floor fix coords of the rational
+  * crossing point, empty array when parallel/collinear or disjoint.
+  * Both segments ride as packed `[x0,y0,x1,y1]` arrays (the
+  * [[SegIntersectsRing]]/[[ClipSegRect]] convention), so both way
+  * corpora stay fully distributed. See core.Planar.segIntersectionFix.
+  */
+case class SegIntersectionFix(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "seg_intersection_fix"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    RingKernel.segIntersectionFix(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.RingKernel.segIntersectionFix($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native exact ray-cast point-in-ring test where the RING IS A COLUMN —
@@ -877,6 +912,10 @@ object GeomExpressions {
   def ringArea2(xs: Column, ys: Column): Column =
     GraftColumnBridge.column(RingArea2(
       GraftColumnBridge.expression(xs), GraftColumnBridge.expression(ys)))
+
+  def segIntersectionFix(segA: Column, segB: Column): Column =
+    GraftColumnBridge.column(SegIntersectionFix(
+      GraftColumnBridge.expression(segA), GraftColumnBridge.expression(segB)))
 
   def hilbertIndex(x: Column, y: Column, order: Int): Column =
     GraftColumnBridge.column(HilbertIndex(
