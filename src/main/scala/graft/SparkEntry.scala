@@ -300,6 +300,19 @@ object SparkEntry {
       SpatialOps.hausdorffPairs(pts, level, HausdorffMaxSq)
     }),
 
+    // discrete-Fréchet trajectory-similarity join (map conflation):
+    // bbox cover candidates (A side expanded by thr), anchor-cell pair
+    // dedup, native O(m·n) rolling-DP kernel on the joined row
+    "q_frechet" -> ((s, d) => {
+      val wp = wayPoints(t(s, d, "lineitem"))
+      val tracks = wp.groupBy("way_id").agg(
+          array_sort(collect_list(struct(col("seq"), col("x"), col("y")))).as("p"))
+        .select(col("way_id"),
+          expr("transform(p, q -> q.x)").as("xs"),
+          expr("transform(p, q -> q.y)").as("ys"))
+      SpatialOps.frechetJoin(tracks, tracks, FrechetThr, selfJoin = true)
+    }),
+
     "q_cells" -> ((s, d) => {
       Synth.points(s, d)
         .select(Fns.cellId(col("lon_fix"), col("lat_fix"), 12).as("cell"))
@@ -1662,6 +1675,10 @@ object SparkEntry {
   /** q_way_cross span contract (fix units) — the wayPoints jitter bound. */
   val WayCrossSpan = 20000000L
 
+  /** q_frechet match threshold (fix units, ~3°): pairs with discrete
+    * Fréchet distance ≤ this are conflation matches (36 at sf0.001). */
+  val FrechetThr = 30000000L
+
   /** q_hexbin circumradius in fix units (~3°; odd so the axial division
     * never lands on an exact representable tie). */
   val HexSizeFix = 30000001L
@@ -2846,6 +2863,56 @@ object SparkEntry {
 
     // anchor-cell candidate pairs (per-cell cap via QUALIFY — the
     // MaxBandBucket pattern), then exact int64 max-of-min squared dists
+    "q_frechet" -> {
+      // INDEPENDENT formulation: no cell cover and no DP array — the
+      // squared discrete Fréchet distance is the MINIMAX PATH value in
+      // the (i,j) coupling DAG, so the twin enumerates monotone paths by
+      // recursive CTE (states (ia, ib, c) with c = max d² along the
+      // path, deduped by UNION) and takes min(c) at the terminal cell —
+      // the q_wsssp relaxation shape, not the kernel's rolling row.
+      // Candidates via plain bbox inequality join (one side expanded by
+      // thr; dF ≥ any axis gap, so this covers every emitted pair).
+      s"""WITH RECURSIVE li AS ($WayPtsSql),
+         |pts AS MATERIALIZED (
+         |  SELECT way_id, row_number() OVER (PARTITION BY way_id ORDER BY seq) - 1 AS i,
+         |         x, y
+         |  FROM li),
+         |np AS (SELECT way_id, count(*) AS n FROM pts GROUP BY 1),
+         |-- MATERIALIZED: same DuckDB 1.0.0 IEJoin-input workaround as q_planarize
+         |tr AS MATERIALIZED (
+         |  SELECT way_id, min(x) AS minx, max(x) AS maxx,
+         |         min(y) AS miny, max(y) AS maxy
+         |  FROM pts GROUP BY 1),
+         |cand AS (
+         |  SELECT a.way_id AS wa, b.way_id AS wb
+         |  FROM tr a JOIN tr b ON a.way_id < b.way_id
+         |    AND a.minx - $FrechetThr <= b.maxx AND a.maxx + $FrechetThr >= b.minx
+         |    AND a.miny - $FrechetThr <= b.maxy AND a.maxy + $FrechetThr >= b.miny),
+         |d AS MATERIALIZED (
+         |  SELECT c.wa, c.wb, pa.i AS ia, pb.i AS ib,
+         |    (pa.x - pb.x)*(pa.x - pb.x) + (pa.y - pb.y)*(pa.y - pb.y) AS d2
+         |  FROM cand c
+         |  JOIN pts pa ON pa.way_id = c.wa
+         |  JOIN pts pb ON pb.way_id = c.wb),
+         |paths AS (
+         |  SELECT wa, wb, ia, ib, d2 AS c FROM d WHERE ia = 0 AND ib = 0
+         |  UNION
+         |  SELECT d.wa, d.wb, d.ia, d.ib, greatest(p.c, d.d2)
+         |  FROM paths p JOIN d ON d.wa = p.wa AND d.wb = p.wb
+         |    AND ((d.ia = p.ia + 1 AND d.ib = p.ib)
+         |      OR (d.ia = p.ia AND d.ib = p.ib + 1)
+         |      OR (d.ia = p.ia + 1 AND d.ib = p.ib + 1))),
+         |fin AS (
+         |  SELECT p.wa, p.wb, min(p.c) AS df2
+         |  FROM paths p
+         |  JOIN np na ON na.way_id = p.wa
+         |  JOIN np nb ON nb.way_id = p.wb
+         |  WHERE p.ia = na.n - 1 AND p.ib = nb.n - 1
+         |  GROUP BY 1, 2)
+         |SELECT wa AS way_a, wb AS way_b, CAST(df2 AS BIGINT) AS df2
+         |FROM fin WHERE df2 <= ${FrechetThr * FrechetThr}""".stripMargin
+    },
+
     "q_hausdorff" -> {
       val cases = (6 to 9).map(l =>
         s"WHEN n <= ${1L << (2 * l)} THEN ${1L << l}").mkString(" ")

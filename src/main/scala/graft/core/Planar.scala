@@ -642,6 +642,47 @@ object Planar {
     Array(fdiv(BigInt(ax0) * den + tn * rx), fdiv(BigInt(ay0) * den + tn * ry))
   }
 
+  /** SQUARED discrete Fréchet distance between two ordered polylines —
+    * the trajectory-similarity kernel (map conflation: is way B the same
+    * road as way A?). Classic O(m·n) coupling DP with a rolling row:
+    * dp(i,j) = max(d²(i,j), min(dp(i−1,j), dp(i,j−1), dp(i−1,j−1))).
+    * Exact int64 on fix coords; a point pair further than 2e9 in either
+    * axis saturates to Long.MaxValue (its true d² would overflow, and any
+    * minimax through it exceeds every usable threshold — callers filter
+    * df2 ≤ thr² where arithmetic is exact). Runs only per candidate pair
+    * of a bbox-bounded join (SpatialOps.frechetJoin), never all-pairs.
+    */
+  def discreteFrechet2(axs: Array[Long], ays: Array[Long],
+                       bxs: Array[Long], bys: Array[Long]): Long = {
+    val m = axs.length; val n = bxs.length
+    require(m > 0 && n > 0, "empty polyline")
+    def d2(i: Int, j: Int): Long = {
+      val dx = axs(i) - bxs(j); val dy = ays(i) - bys(j)
+      if (math.abs(dx) > 2000000000L || math.abs(dy) > 2000000000L) Long.MaxValue
+      else dx * dx + dy * dy
+    }
+    var prev = new Array[Long](n)
+    var cur = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      prev(j) = if (j == 0) d2(0, 0) else math.max(prev(j - 1), d2(0, j))
+      j += 1
+    }
+    var i = 1
+    while (i < m) {
+      cur(0) = math.max(prev(0), d2(i, 0))
+      j = 1
+      while (j < n) {
+        val reach = math.min(math.min(prev(j), cur(j - 1)), prev(j - 1))
+        cur(j) = math.max(reach, d2(i, j))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n - 1)
+  }
+
   private def onSeg(x1: Long, y1: Long, x2: Long, y2: Long, px: Long, py: Long): Boolean =
     px >= math.min(x1, x2) && px <= math.max(x1, x2) &&
     py >= math.min(y1, y2) && py <= math.max(y1, y2)

@@ -294,6 +294,50 @@ object SpatialOps {
         max(col("__maxx")).as("maxx"), max(col("__maxy")).as("maxy"))
   }
 
+  /** Trajectory-similarity join: all pairs (way_a, way_b) whose SQUARED
+    * discrete Fréchet distance is ≤ thrFix² — the map-conflation
+    * primitive ("is this way the same road as that one?"), the
+    * polyline-similarity row of the spatial-join matrix. Reference
+    * capability class: way geometry comparison in the conflation
+    * ecosystem around the reference's assembled ways.
+    *
+    * Correctness of the candidate set: dF ≥ the bbox gap on either axis
+    * (if B's x-range sits more than thr past A's, EVERY point pair is
+    * further than thr, so the minimax is too), hence expanding ONE
+    * side's bbox by thr and requiring overlap covers every emitted pair.
+    * Same distributed shape as [[polyIntersectJoin]]: chained-explode
+    * cell covers (no broadcast of either corpus), shuffle_hash on the
+    * cover cell, anchor-cell pair dedup (no distinct), and the native
+    * exact O(m·n) rolling-DP kernel ([[graft.plans.FrechetDf2]]) rides
+    * the join's codegen stage. Output: (way_a, way_b, df2).
+    */
+  def frechetJoin(tracksA: DataFrame, tracksB: DataFrame, thrFix: Long,
+                  coverLevel: Int = CoverLevel,
+                  selfJoin: Boolean = false): DataFrame = {
+    def side(p: DataFrame, tag: String, expand: Long): DataFrame =
+      coverByBBox(
+        p.select(col("way_id").as(s"${tag}id"), col("xs").as(s"${tag}xs"),
+          col("ys").as(s"${tag}ys"),
+          (array_min(col("xs")) - expand).as(s"${tag}minx"),
+          (array_min(col("ys")) - expand).as(s"${tag}miny"),
+          (array_max(col("xs")) + expand).as(s"${tag}maxx"),
+          (array_max(col("ys")) + expand).as(s"${tag}maxy")),
+        col(s"${tag}minx"), col(s"${tag}miny"), col(s"${tag}maxx"), col(s"${tag}maxy"),
+        coverLevel,
+        Seq(col(s"${tag}id"), col(s"${tag}xs"), col(s"${tag}ys"),
+          col(s"${tag}minx"), col(s"${tag}miny")))
+    val anchor = Fns.cellIdFromXY(
+      Fns.cellX(greatest(col("aminx"), col("bminx")), coverLevel),
+      Fns.cellY(greatest(col("aminy"), col("bminy")), coverLevel), coverLevel)
+    val pairFilter = if (selfJoin) col("aid") < col("bid") else lit(true)
+    side(tracksA, "a", thrFix).join(side(tracksB, "b", 0L).hint("shuffle_hash"), "cell")
+      .filter(col("cell") === anchor && pairFilter)
+      .select(col("aid").as("way_a"), col("bid").as("way_b"),
+        graft.plans.GeomExpressions.frechetDf2(
+          col("axs"), col("ays"), col("bxs"), col("bys")).as("df2"))
+      .filter(col("df2") <= lit(thrFix * thrFix))
+  }
+
   /** Way-in-polygon join: (way_id, poly_id, n_segs) for every way with at
     * least one segment sharing a point with the closed polygon — the
     * line×polygon class of the spatial-join matrix (which roads cross

@@ -35,6 +35,14 @@ object RingKernel {
       Planar.segIntersectionFix(a(0), a(1), a(2), a(3), b(0), b(1), b(2), b(3)))
   }
 
+  /** Squared discrete Fréchet distance between two coordinate-array
+    * polylines (see core.Planar.discreteFrechet2).
+    */
+  def discreteFrechet2(axs: ArrayData, ays: ArrayData,
+                       bxs: ArrayData, bys: ArrayData): Long =
+    Planar.discreteFrechet2(axs.toLongArray(), ays.toLongArray(),
+      bxs.toLongArray(), bys.toLongArray())
+
   /** Twice the signed shoelace area in fix^2 units (positive = CCW) —
     * exact: the kernel accumulates in BigInt, so absolute coords never
     * overflow mid-sum; the RESULT must fit int64 (any sub-hemisphere
@@ -301,6 +309,33 @@ case class SegIntersectionFix(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native squared discrete Fréchet distance between two coordinate-array
+  * polylines — the refinement kernel of the trajectory-similarity join
+  * (SpatialOps.frechetJoin). O(m·n) rolling-row DP, exact int64 minimax
+  * on fix coords; both track corpora ride the joined row, fully
+  * distributed. See core.Planar.discreteFrechet2.
+  */
+case class FrechetDf2(first: Expression, second: Expression,
+                      third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "frechet_df2"
+
+  override def nullSafeEval(axs: Any, ays: Any, bxs: Any, bys: Any): Any =
+    RingKernel.discreteFrechet2(axs.asInstanceOf[ArrayData], ays.asInstanceOf[ArrayData],
+      bxs.asInstanceOf[ArrayData], bys.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (axs, ays, bxs, bys) =>
+      s"graft.plans.RingKernel.discreteFrechet2($axs, $ays, $bxs, $bys)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
 }
 
 /** Native exact ray-cast point-in-ring test where the RING IS A COLUMN —
@@ -916,6 +951,11 @@ object GeomExpressions {
   def segIntersectionFix(segA: Column, segB: Column): Column =
     GraftColumnBridge.column(SegIntersectionFix(
       GraftColumnBridge.expression(segA), GraftColumnBridge.expression(segB)))
+
+  def frechetDf2(axs: Column, ays: Column, bxs: Column, bys: Column): Column =
+    GraftColumnBridge.column(FrechetDf2(
+      GraftColumnBridge.expression(axs), GraftColumnBridge.expression(ays),
+      GraftColumnBridge.expression(bxs), GraftColumnBridge.expression(bys)))
 
   def hilbertIndex(x: Column, y: Column, order: Int): Column =
     GraftColumnBridge.column(HilbertIndex(
