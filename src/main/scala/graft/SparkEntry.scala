@@ -313,6 +313,26 @@ object SparkEntry {
       SpatialOps.frechetJoin(tracks, tracks, FrechetThr, selfJoin = true)
     }),
 
+    // way stitching: segments between consecutive lattice nodes, with a
+    // missing way every 97 (chain break) and a junction spur every 13
+    // (degree-3 node splits the chain on both sides)
+    "q_stitch" -> ((s, d) => {
+      val ids = t(s, d, "documents").select(col("doc_id").as("i"))
+      def px(i: Column) = functions.Fns.mixId(i * lit(2L)) - lit(1073741824L)
+      def py(i: Column) =
+        functions.Fns.mixId(i * lit(2L) + lit(1L)) % lit(1600000000L) - lit(800000000L)
+      val base = ids.filter((col("i") + 1) % 97 =!= 0)
+        .select(col("i").as("way_id"),
+          px(col("i")).as("x0"), py(col("i")).as("y0"),
+          px(col("i") + 1).as("x1"), py(col("i") + 1).as("y1"))
+      val spurs = ids.filter(col("i") % 13 === 0)
+        .select((col("i") + 10000000L).as("way_id"),
+          px(col("i")).as("x0"), py(col("i")).as("y0"),
+          (px(col("i")) + lit(1234567L)).as("x1"),
+          (py(col("i")) + lit(7654321L)).as("y1"))
+      AssemblyOps.stitchChains(base.unionByName(spurs))
+    }),
+
     "q_cells" -> ((s, d) => {
       Synth.points(s, d)
         .select(Fns.cellId(col("lon_fix"), col("lat_fix"), 12).as("cell"))
@@ -2863,6 +2883,50 @@ object SparkEntry {
 
     // anchor-cell candidate pairs (per-cell cap via QUALIFY — the
     // MaxBandBucket pattern), then exact int64 max-of-min squared dists
+    "q_stitch" -> {
+      // INDEPENDENT formulation: HAVING-filtered endpoint groups for the
+      // stitch edges, transitive closure for the chains (min reachable
+      // id, the q_wcc shape) — no pointer-jumping machinery shared with
+      // the Spark side.
+      s"""WITH RECURSIVE ids AS (SELECT doc_id AS i FROM documents),
+         |base AS (
+         |  SELECT i AS way_id,
+         |    ${mixIdSql("i * 2")} - 1073741824 AS x0,
+         |    ${mixIdSql("i * 2 + 1")} % 1600000000 - 800000000 AS y0,
+         |    ${mixIdSql("(i + 1) * 2")} - 1073741824 AS x1,
+         |    ${mixIdSql("(i + 1) * 2 + 1")} % 1600000000 - 800000000 AS y1
+         |  FROM ids WHERE (i + 1) % 97 != 0),
+         |spurs AS (
+         |  SELECT i + 10000000 AS way_id,
+         |    ${mixIdSql("i * 2")} - 1073741824 AS x0,
+         |    ${mixIdSql("i * 2 + 1")} % 1600000000 - 800000000 AS y0,
+         |    ${mixIdSql("i * 2")} - 1073741824 + 1234567 AS x1,
+         |    ${mixIdSql("i * 2 + 1")} % 1600000000 - 800000000 + 7654321 AS y1
+         |  FROM ids WHERE i % 13 = 0),
+         |w AS (SELECT * FROM base UNION ALL SELECT * FROM spurs),
+         |ends AS (
+         |  SELECT way_id, x0 AS nx, y0 AS ny FROM w
+         |  UNION ALL SELECT way_id, x1, y1 FROM w),
+         |e0 AS (
+         |  SELECT min(way_id) AS src, max(way_id) AS dst
+         |  FROM ends GROUP BY nx, ny
+         |  HAVING count(*) = 2 AND min(way_id) <> max(way_id)),
+         |edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         |reach AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |comp AS (
+         |  SELECT id, least(id, coalesce(min(b), id)) AS component
+         |  FROM (SELECT DISTINCT src AS id FROM edges) n
+         |  LEFT JOIN reach ON a = id GROUP BY id),
+         |j AS (
+         |  SELECT coalesce(component, way_id) AS chain_id
+         |  FROM w LEFT JOIN comp ON way_id = id)
+         |SELECT chain_id, CAST(count(*) AS BIGINT) AS n_ways
+         |FROM j GROUP BY 1""".stripMargin
+    },
+
     "q_frechet" -> {
       // INDEPENDENT formulation: no cell cover and no DP array — the
       // squared discrete Fréchet distance is the MINIMAX PATH value in

@@ -173,6 +173,37 @@ object AssemblyOps {
       members.filter(col("mtype") === mtype).select(col("ref").as("id")).distinct(),
       Seq("id"), "left_anti")
 
+  /** Way stitching: merge ways that meet end-to-end at degree-2 nodes
+    * into maximal chains — the NETWORK-wide generalization of the ring
+    * builder's way joining (multipolygon/builder.hpp:484-549 joins member
+    * ways by matching end node refs inside one relation; this operator
+    * does it across the whole way table). A node stitches iff EXACTLY two
+    * way-ends meet there and they belong to two DIFFERENT ways (a
+    * junction of 3+ ends breaks the chain on both sides; a closed loop's
+    * own two ends never self-stitch). Chains = connected components of
+    * the stitch edges (adaptive pointer jumping, O(3+log d) rounds);
+    * untouched ways are their own chain.
+    *
+    * Shape: one hash shuffle groups way-ends by node coordinate, the
+    * component loop shuffles on way ids only (two longs per edge), and
+    * the final rollup is ONE shuffle on chain_id — nothing ever
+    * broadcasts or collects the way table. Input: (way_id, x0, y0, x1,
+    * y1) endpoint coords. Output: (chain_id = min member way_id, n_ways).
+    */
+  def stitchChains(ways: DataFrame): DataFrame = {
+    val ends = ways.select(col("way_id"), col("x0").as("nx"), col("y0").as("ny"))
+      .unionByName(ways.select(col("way_id"), col("x1").as("nx"), col("y1").as("ny")))
+    val edges = ends.groupBy("nx", "ny")
+      .agg(count(lit(1)).as("deg"),
+        min(col("way_id")).as("src"), max(col("way_id")).as("dst"))
+      .filter(col("deg") === 2 && col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val comp = GraphOps.connectedComponents(edges)
+    ways.join(comp, ways("way_id") === comp("node_id"), "left")
+      .select(coalesce(col("component"), col("way_id")).as("chain_id"))
+      .groupBy("chain_id").agg(count(lit(1)).as("n_ways"))
+  }
+
   /** Closed standalone ways with >= 4 nodes become areas directly
     * (multipolygon/assembler.hpp:88-95), area_id = way_id * 2.
     * Input: (way_id, xs, ys, tags).
