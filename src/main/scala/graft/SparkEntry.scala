@@ -1412,6 +1412,18 @@ object SparkEntry {
       SpatialOps.stayPoints(excursionTrack(s, d), StayRadius, StayMinPts),
       OdCellFix)),
 
+    // --- space-time co-location join (contact pairs within radius+τ) ---
+    // mixId scatter (not the multiplicative pointsSql lattice: that one
+    // never brings two time-adjacent pids within radius — the same
+    // no-collision structure crossWaySegs documents)
+    "q_colocate" -> ((s, d) => {
+      val obs = Synth.points(s, d).select(
+          (col("pid") % GeofenceEntities).as("entity"), col("pid").as("ts"))
+        .withColumn("x", Fns.mixId(col("ts") * 2) % 1800000000L - 900000000L)
+        .withColumn("y", Fns.mixId(col("ts") * 2 + 1) % 1200000000L - 600000000L)
+      SpatialOps.colocationJoin(obs, ColocRadius, ColocTau, ColocLevel)
+    }),
+
     "q_geofence" -> ((s, d) => {
       val pts = Synth.points(s, d)
       val ent = col("pid") % GeofenceEntities
@@ -1755,6 +1767,14 @@ object SparkEntry {
   /** q_staypoints step tolerance (fix units) and minimum dwell length. */
   val StayRadius = 8000000L
   val StayMinPts = 3
+
+  /** q_colocate contact radius (fix, 1°), time window (ts units) and cell
+    * level — level 7 keeps the y cell width (1.8e9/128 ≈ 1.4e7) above the
+    * radius, the completeness precondition of the 3x3x3 cover.
+    */
+  val ColocRadius = 10000000L
+  val ColocTau = 1000L
+  val ColocLevel = 7
 
   /** q_dbscan parameters: point subset (pid % mod == 0 — sized so the
     * oracle's lat-band pair join stays brute-forceable at sf0.01), eps in
@@ -4666,6 +4686,25 @@ object SparkEntry {
          |  CAST(sum(start_ts - from_end) AS BIGINT) AS transit_sum
          |FROM tp WHERE from_cx IS NOT NULL
          |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // INDEPENDENT formulation: no cell grid — candidates via DuckDB's
+    // native IEJoin on the time window (ts BETWEEN), exact planar filter
+    "q_colocate" ->
+      s"""WITH p AS ($P),
+         |obs AS (SELECT pid % $GeofenceEntities AS entity, pid AS ts,
+         |  ${mixIdSql("pid * 2")} % 1800000000 - 900000000 AS x,
+         |  ${mixIdSql("pid * 2 + 1")} % 1200000000 - 600000000 AS y FROM p),
+         |pairs AS (
+         |  SELECT a.entity AS ea, b.entity AS eb,
+         |    (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS d2
+         |  FROM obs a JOIN obs b
+         |    ON b.ts > a.ts AND b.ts <= a.ts + $ColocTau
+         |  WHERE a.entity <> b.entity
+         |    AND (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)
+         |      <= ${ColocRadius * ColocRadius})
+         |SELECT least(ea, eb) AS ent_a, greatest(ea, eb) AS ent_b,
+         |  CAST(count(*) AS BIGINT) AS n_contacts, min(d2) AS min_d2
+         |FROM pairs GROUP BY 1, 2""".stripMargin,
 
     "q_sample_sys" ->
       s"""WITH d AS (

@@ -2018,4 +2018,69 @@ object SpatialOps {
           deg(col("x")), deg(col("y"))) * lit(1000.0)).cast("long").as("dist_mm"))
       .filter(col("dist_mm") > lit(vmaxMmPerS) * col("dt_s"))
   }
+
+  /** Space-time co-location (contact) join: unordered pairs of DISTINCT
+    * entities with observations within `radiusFix` planar distance AND
+    * within `tau` time units of each other, rolled up per entity pair —
+    * the proximity-event primitive (contact tracing, convoy detection,
+    * co-visit mining). Line: the spatiotemporal row of the join matrix
+    * next to PIP (point x polygon), bbox, kNN and the trajectory joins.
+    *
+    * Plan shape: candidates come from ONE equi-join on the composite
+    * (cell_x, cell_y, time_bucket) key with the 3x3x3 neighborhood
+    * expansion SPLIT across the sides — the left side explodes its 3 x
+    * offsets, the right side its 3x3 (y, bucket) offsets — so the total
+    * blow-up is 3+9 rows (not 1+27), and the offset triple is uniquely
+    * determined per pair, so every qualifying pair joins EXACTLY once (no
+    * distinct pass). Requires cell width >= radiusFix and bucket width
+    * >= tau on both axes (asserted): then |Δcell| <= 1 and |Δbucket| <= 1
+    * for every qualifying pair, so the expansion is a complete cover.
+    * Exact int64 refinement (dx²+dy² <= r², Δts <= tau) rides the join's
+    * codegen stage; the final rollup is one hash shuffle on the entity
+    * pair. Per-cell observation density bounds candidate volume, so the
+    * plan is linear in observations at fixed locality — no all-pairs
+    * stage anywhere.
+    *
+    * Input: obs (entity, ts, x, y) with (ts, entity) unique. Output:
+    * (ent_a, ent_b, n_contacts, min_d2), ent_a < ent_b.
+    */
+  def colocationJoin(obs: DataFrame, radiusFix: Long, tau: Long,
+                     level: Int): DataFrame = {
+    require((1800000000L >> level) >= radiusFix,
+      s"cell width at level $level < radius $radiusFix: 3x3 cover incomplete")
+    val off = sequence(lit(-1), lit(1))
+    val left = obs.select(col("entity").as("ea"), col("ts").as("ta"),
+        col("x").as("xa"), col("y").as("ya"),
+        Fns.cellX(col("x"), level).as("cxa"),
+        Fns.cellY(col("y"), level).as("cya"),
+        Fns.idiv(col("ts") + lit(1000000000000L), tau).as("tba"))
+      .select(col("ea"), col("ta"), col("xa"), col("ya"), col("cya"), col("tba"),
+        col("cxa"), explode(off).as("__dx"))
+      .select(col("ea"), col("ta"), col("xa"), col("ya"), col("cya"), col("tba"),
+        (col("cxa") + col("__dx")).as("jx"))
+    val right = obs.select(col("entity").as("eb"), col("ts").as("tb"),
+        col("x").as("xb"), col("y").as("yb"),
+        Fns.cellX(col("x"), level).as("jxb"),
+        Fns.cellY(col("y"), level).as("cyb"),
+        Fns.idiv(col("ts") + lit(1000000000000L), tau).as("tbb"))
+      .select(col("eb"), col("tb"), col("xb"), col("yb"), col("jxb"), col("cyb"),
+        col("tbb"), explode(off).as("__dy"))
+      .select(col("eb"), col("tb"), col("xb"), col("yb"), col("jxb"), col("tbb"),
+        (col("cyb") + col("__dy")).as("jy"), explode(off).as("__dt"))
+      .select(col("eb"), col("tb"), col("xb"), col("yb"), col("jxb"), col("jy"),
+        (col("tbb") + col("__dt")).as("jt"))
+    val dx = col("xa") - col("xb"); val dy = col("ya") - col("yb")
+    left.join(right.hint("shuffle_hash"),
+        col("cya") === col("jy") && col("tba") === col("jt") &&
+          col("jx") === col("jxb"))
+      .filter(col("ta") < col("tb") || (col("ta") === col("tb") && col("ea") < col("eb")))
+      .filter(col("ea") =!= col("eb"))
+      .filter(col("tb") - col("ta") <= tau && col("ta") - col("tb") <= tau)
+      .filter(dx * dx + dy * dy <= lit(radiusFix) * lit(radiusFix))
+      .select(least(col("ea"), col("eb")).as("ent_a"),
+        greatest(col("ea"), col("eb")).as("ent_b"),
+        (dx * dx + dy * dy).as("d2"))
+      .groupBy("ent_a", "ent_b")
+      .agg(count(lit(1)).as("n_contacts"), min(col("d2")).as("min_d2"))
+  }
 }
