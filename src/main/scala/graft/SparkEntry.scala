@@ -313,6 +313,18 @@ object SparkEntry {
       SpatialOps.frechetJoin(tracks, tracks, FrechetThr, selfJoin = true)
     }),
 
+    // DTW trajectory-similarity join: the cumulative-cost sibling of
+    // q_frechet (Σ d² over the best monotone coupling, not the max)
+    "q_dtw" -> ((s, d) => {
+      val wp = wayPoints(t(s, d, "lineitem"))
+      val tracks = wp.groupBy("way_id").agg(
+          array_sort(collect_list(struct(col("seq"), col("x"), col("y")))).as("p"))
+        .select(col("way_id"),
+          expr("transform(p, q -> q.x)").as("xs"),
+          expr("transform(p, q -> q.y)").as("ys"))
+      SpatialOps.dtwJoin(tracks, tracks, DtwBudget, selfJoin = true)
+    }),
+
     // way stitching: segments between consecutive lattice nodes, with a
     // missing way every 97 (chain break) and a junction spur every 13
     // (degree-3 node splits the chain on both sides)
@@ -1711,6 +1723,13 @@ object SparkEntry {
     * Fréchet distance ≤ this are conflation matches (36 at sf0.001). */
   val FrechetThr = 30000000L
 
+  /** q_dtw cumulative squared-distance budget (fix², 2·thr²) and the
+    * derived bbox expansion ⌈√budget⌉ — DTW ≥ d²(a₀,b₀), so the expanded
+    * bbox overlap covers every within-budget pair.
+    */
+  val DtwBudget = 2L * FrechetThr * FrechetThr
+  val DtwExpand: Long = math.ceil(math.sqrt(DtwBudget.toDouble)).toLong
+
   /** q_hexbin circumradius in fix units (~3°; odd so the axial division
     * never lands on an exact representable tie). */
   val HexSizeFix = 30000001L
@@ -2995,6 +3014,54 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |SELECT wa AS way_a, wb AS way_b, CAST(df2 AS BIGINT) AS df2
          |FROM fin WHERE df2 <= ${FrechetThr * FrechetThr}""".stripMargin
+    },
+
+    "q_dtw" -> {
+      // INDEPENDENT formulation, same shape as the q_frechet twin but for
+      // the SUM metric: DTW² is the min-total-cost monotone path in the
+      // coupling DAG, enumerated by recursive CTE with c accumulating
+      // p.c + d.d2 (UNION-deduped states), min(c) at the terminal cell.
+      // Candidates via bbox inequality join expanded by ⌈√budget⌉
+      // (DTW ≥ d²(a₀,b₀) ≥ (axis gap)², so this covers every emission).
+      s"""WITH RECURSIVE li AS ($WayPtsSql),
+         |pts AS MATERIALIZED (
+         |  SELECT way_id, row_number() OVER (PARTITION BY way_id ORDER BY seq) - 1 AS i,
+         |         x, y
+         |  FROM li),
+         |np AS (SELECT way_id, count(*) AS n FROM pts GROUP BY 1),
+         |-- MATERIALIZED: same DuckDB 1.0.0 IEJoin-input workaround as q_planarize
+         |tr AS MATERIALIZED (
+         |  SELECT way_id, min(x) AS minx, max(x) AS maxx,
+         |         min(y) AS miny, max(y) AS maxy
+         |  FROM pts GROUP BY 1),
+         |cand AS (
+         |  SELECT a.way_id AS wa, b.way_id AS wb
+         |  FROM tr a JOIN tr b ON a.way_id < b.way_id
+         |    AND a.minx - $DtwExpand <= b.maxx AND a.maxx + $DtwExpand >= b.minx
+         |    AND a.miny - $DtwExpand <= b.maxy AND a.maxy + $DtwExpand >= b.miny),
+         |d AS MATERIALIZED (
+         |  SELECT c.wa, c.wb, pa.i AS ia, pb.i AS ib,
+         |    (pa.x - pb.x)*(pa.x - pb.x) + (pa.y - pb.y)*(pa.y - pb.y) AS d2
+         |  FROM cand c
+         |  JOIN pts pa ON pa.way_id = c.wa
+         |  JOIN pts pb ON pb.way_id = c.wb),
+         |paths AS (
+         |  SELECT wa, wb, ia, ib, d2 AS c FROM d WHERE ia = 0 AND ib = 0
+         |  UNION
+         |  SELECT d.wa, d.wb, d.ia, d.ib, p.c + d.d2
+         |  FROM paths p JOIN d ON d.wa = p.wa AND d.wb = p.wb
+         |    AND ((d.ia = p.ia + 1 AND d.ib = p.ib)
+         |      OR (d.ia = p.ia AND d.ib = p.ib + 1)
+         |      OR (d.ia = p.ia + 1 AND d.ib = p.ib + 1))),
+         |fin AS (
+         |  SELECT p.wa, p.wb, min(p.c) AS dtw2
+         |  FROM paths p
+         |  JOIN np na ON na.way_id = p.wa
+         |  JOIN np nb ON nb.way_id = p.wb
+         |  WHERE p.ia = na.n - 1 AND p.ib = nb.n - 1
+         |  GROUP BY 1, 2)
+         |SELECT wa AS way_a, wb AS way_b, CAST(dtw2 AS BIGINT) AS dtw2
+         |FROM fin WHERE dtw2 <= $DtwBudget""".stripMargin
     },
 
     "q_hausdorff" -> {

@@ -683,6 +683,49 @@ object Planar {
     prev(n - 1)
   }
 
+  /** Squared-distance DTW cost between two polylines: the minimum over
+    * monotone couplings of Σ d²(aᵢ, bⱼ) — the SUM sibling of
+    * [[discreteFrechet2]]'s minimax (classic dynamic time warping with
+    * unit step weights). Same rolling two-row DP, O(m·n) time / O(n)
+    * space. Exact int64 for callers whose candidate pairs are
+    * locality-bounded: with per-pair |Δ| ≤ 2^31 on both axes each cell
+    * cost is < 2^63/(m+n) for any realistic track length; far pairs
+    * saturate per-cell to Long.MaxValue/4 and the accumulator clamps, so
+    * a world-spanning pair reports a huge cost instead of wrapping.
+    */
+  def dtw2(axs: Array[Long], ays: Array[Long],
+           bxs: Array[Long], bys: Array[Long]): Long = {
+    val m = axs.length; val n = bxs.length
+    require(m > 0 && n > 0, "empty polyline")
+    val cap = Long.MaxValue / 4
+    def d2(i: Int, j: Int): Long = {
+      val dx = axs(i) - bxs(j); val dy = ays(i) - bys(j)
+      if (math.abs(dx) > 2000000000L || math.abs(dy) > 2000000000L) cap
+      else math.min(dx * dx + dy * dy, cap)
+    }
+    def add(a: Long, b: Long): Long = math.min(a + b, cap)
+    var prev = new Array[Long](n)
+    var cur = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      prev(j) = if (j == 0) d2(0, 0) else add(prev(j - 1), d2(0, j))
+      j += 1
+    }
+    var i = 1
+    while (i < m) {
+      cur(0) = add(prev(0), d2(i, 0))
+      j = 1
+      while (j < n) {
+        val reach = math.min(math.min(prev(j), cur(j - 1)), prev(j - 1))
+        cur(j) = add(reach, d2(i, j))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n - 1)
+  }
+
   private def onSeg(x1: Long, y1: Long, x2: Long, y2: Long, px: Long, py: Long): Boolean =
     px >= math.min(x1, x2) && px <= math.max(x1, x2) &&
     py >= math.min(y1, y2) && py <= math.max(y1, y2)

@@ -313,7 +313,46 @@ object SpatialOps {
     */
   def frechetJoin(tracksA: DataFrame, tracksB: DataFrame, thrFix: Long,
                   coverLevel: Int = CoverLevel,
-                  selfJoin: Boolean = false): DataFrame = {
+                  selfJoin: Boolean = false): DataFrame =
+    trackPairCandidates(tracksA, tracksB, thrFix, coverLevel, selfJoin)
+      .select(col("aid").as("way_a"), col("bid").as("way_b"),
+        graft.plans.GeomExpressions.frechetDf2(
+          col("axs"), col("ays"), col("bxs"), col("bys")).as("df2"))
+      .filter(col("df2") <= lit(thrFix * thrFix))
+
+  /** DTW trajectory-similarity join: all pairs whose squared-distance DTW
+    * cost (min over monotone couplings of Σ d², [[graft.core.Planar.dtw2]])
+    * is ≤ `budget` — the cumulative-cost sibling of [[frechetJoin]]'s
+    * minimax, preferred when similarity should tolerate a short local
+    * excursion that a max-metric would veto. Candidate completeness:
+    * every coupling matches the two first points, so DTW ≥ d²(a₀,b₀) ≥
+    * (bbox axis gap)²; expanding one side's bbox by ⌈√budget⌉ therefore
+    * covers every pair within budget. Identical distributed shape as
+    * frechetJoin (chained-explode covers, shuffle_hash on the cover cell,
+    * anchor-cell dedup, native O(m·n) kernel in the join's codegen
+    * stage). Output: (way_a, way_b, dtw2).
+    */
+  def dtwJoin(tracksA: DataFrame, tracksB: DataFrame, budget: Long,
+              coverLevel: Int = CoverLevel,
+              selfJoin: Boolean = false): DataFrame = {
+    val expand = math.ceil(math.sqrt(budget.toDouble)).toLong
+    trackPairCandidates(tracksA, tracksB, expand, coverLevel, selfJoin)
+      .select(col("aid").as("way_a"), col("bid").as("way_b"),
+        graft.plans.GeomExpressions.dtwD2(
+          col("axs"), col("ays"), col("bxs"), col("bys")).as("dtw2"))
+      .filter(col("dtw2") <= lit(budget))
+  }
+
+  /** Shared candidate stage of the trajectory-similarity joins
+    * ([[frechetJoin]], [[dtwJoin]]): the A side's bbox expanded by
+    * `expandFix`, both sides' cell covers chained-exploded (fully
+    * distributed, no broadcast), one shuffle_hash equi-join on the cover
+    * cell, anchor-cell pair dedup (no distinct pass). Emits
+    * (aid, axs, ays, bid, bxs, bys) once per bbox-overlapping pair.
+    */
+  private def trackPairCandidates(tracksA: DataFrame, tracksB: DataFrame,
+                                  expandFix: Long, coverLevel: Int,
+                                  selfJoin: Boolean): DataFrame = {
     def side(p: DataFrame, tag: String, expand: Long): DataFrame =
       coverByBBox(
         p.select(col("way_id").as(s"${tag}id"), col("xs").as(s"${tag}xs"),
@@ -330,12 +369,9 @@ object SpatialOps {
       Fns.cellX(greatest(col("aminx"), col("bminx")), coverLevel),
       Fns.cellY(greatest(col("aminy"), col("bminy")), coverLevel), coverLevel)
     val pairFilter = if (selfJoin) col("aid") < col("bid") else lit(true)
-    side(tracksA, "a", thrFix).join(side(tracksB, "b", 0L).hint("shuffle_hash"), "cell")
+    side(tracksA, "a", expandFix)
+      .join(side(tracksB, "b", 0L).hint("shuffle_hash"), "cell")
       .filter(col("cell") === anchor && pairFilter)
-      .select(col("aid").as("way_a"), col("bid").as("way_b"),
-        graft.plans.GeomExpressions.frechetDf2(
-          col("axs"), col("ays"), col("bxs"), col("bys")).as("df2"))
-      .filter(col("df2") <= lit(thrFix * thrFix))
   }
 
   /** Way-in-polygon join: (way_id, poly_id, n_segs) for every way with at

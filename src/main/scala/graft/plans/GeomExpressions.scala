@@ -43,6 +43,14 @@ object RingKernel {
     Planar.discreteFrechet2(axs.toLongArray(), ays.toLongArray(),
       bxs.toLongArray(), bys.toLongArray())
 
+  /** Squared-distance DTW cost between two coordinate-array polylines
+    * (see core.Planar.dtw2).
+    */
+  def dtw2(axs: ArrayData, ays: ArrayData,
+           bxs: ArrayData, bys: ArrayData): Long =
+    Planar.dtw2(axs.toLongArray(), ays.toLongArray(),
+      bxs.toLongArray(), bys.toLongArray())
+
   /** Twice the signed shoelace area in fix^2 units (positive = CCW) —
     * exact: the kernel accumulates in BigInt, so absolute coords never
     * overflow mid-sum; the RESULT must fit int64 (any sub-hemisphere
@@ -331,6 +339,31 @@ case class FrechetDf2(first: Expression, second: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (axs, ays, bxs, bys) =>
       s"graft.plans.RingKernel.discreteFrechet2($axs, $ays, $bxs, $bys)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+/** Native rolling-DP DTW cost on the joined row — the sum sibling of
+  * FrechetDf2 (min over monotone couplings of Σ d² instead of max).
+  * See core.Planar.dtw2.
+  */
+case class DtwD2(first: Expression, second: Expression,
+                 third: Expression, fourth: Expression)
+  extends QuaternaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dtw_d2"
+
+  override def nullSafeEval(axs: Any, ays: Any, bxs: Any, bys: Any): Any =
+    RingKernel.dtw2(axs.asInstanceOf[ArrayData], ays.asInstanceOf[ArrayData],
+      bxs.asInstanceOf[ArrayData], bys.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (axs, ays, bxs, bys) =>
+      s"graft.plans.RingKernel.dtw2($axs, $ays, $bxs, $bys)")
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression,
@@ -954,6 +987,11 @@ object GeomExpressions {
 
   def frechetDf2(axs: Column, ays: Column, bxs: Column, bys: Column): Column =
     GraftColumnBridge.column(FrechetDf2(
+      GraftColumnBridge.expression(axs), GraftColumnBridge.expression(ays),
+      GraftColumnBridge.expression(bxs), GraftColumnBridge.expression(bys)))
+
+  def dtwD2(axs: Column, ays: Column, bxs: Column, bys: Column): Column =
+    GraftColumnBridge.column(DtwD2(
       GraftColumnBridge.expression(axs), GraftColumnBridge.expression(ays),
       GraftColumnBridge.expression(bxs), GraftColumnBridge.expression(bys)))
 

@@ -50,6 +50,59 @@ class FrechetSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df2(Seq((-1700000000L, 0L)), Seq((1700000000L, 0L))) === Long.MaxValue)
   }
 
+  private def dtw2(a: Seq[(Long, Long)], b: Seq[(Long, Long)]): Long =
+    Planar.dtw2(a.map(_._1).toArray, a.map(_._2).toArray,
+      b.map(_._1).toArray, b.map(_._2).toArray)
+
+  test("dtw2 goldens") {
+    val line = Seq((0L, 0L), (10L, 0L), (20L, 0L))
+    assert(dtw2(line, line) === 0L, "identical tracks")
+    // parallel offset by (3,4): diagonal coupling sums 3 matched pairs of 25
+    val off = line.map { case (x, y) => (x + 3, y + 4) }
+    assert(dtw2(line, off) === 75L)
+    // single points: plain squared distance
+    assert(dtw2(Seq((0L, 0L)), Seq((5L, 12L))) === 169L)
+    // spike detour: only the middle pair costs (30², rest match exactly)
+    val flat = Seq((0L, 0L), (50L, 0L), (100L, 0L))
+    val spike = Seq((0L, 0L), (50L, 30L), (100L, 0L))
+    assert(dtw2(flat, spike) === 900L)
+    // asymmetric lengths: B's single point pairs with all of A
+    assert(dtw2(Seq((0L, 0L), (4L, 0L)), Seq((0L, 0L))) === 16L)
+    // far pair clamps instead of wrapping
+    assert(dtw2(Seq((-1700000000L, 0L), (-1700000000L, 1L)),
+      Seq((1700000000L, 0L))) === Long.MaxValue / 4)
+  }
+
+  test("dtwJoin matches brute force within the budget") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(23)
+    val tracks = (0 until 100).map { i =>
+      val cx = (i % 9) * 5000000L + rnd.nextInt(2000000)
+      val cy = (i % 5) * 4000000L + rnd.nextInt(2000000)
+      val n = 3 + rnd.nextInt(4)
+      val pts = (0 until n).map { k =>
+        (cx + k * 1000000L + rnd.nextInt(800000),
+         cy + rnd.nextInt(800000).toLong)
+      }
+      (i.toLong, pts)
+    }
+    val budget = 3L * 2000000L * 2000000L
+    val df = tracks.map { case (id, pts) =>
+      (id, pts.map(_._1).toArray, pts.map(_._2).toArray)
+    }.toDF("way_id", "xs", "ys")
+    val got = SpatialOps.dtwJoin(df, df, budget, selfJoin = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val brute = (for {
+      (ia, pa) <- tracks
+      (ib, pb) <- tracks
+      if ia < ib
+      d = dtw2(pa, pb)
+      if d <= budget
+    } yield (ia, ib, d)).toSet
+    assert(got === brute)
+    assert(got.nonEmpty, "no matched pair — test is vacuous")
+  }
+
   test("frechetJoin matches brute force and keeps only pairs within the threshold") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(11)
