@@ -1215,6 +1215,9 @@ object SparkEntry {
     // --- link-graph rank (fixed-point integer PageRank, 5 rounds) ---
     "q_pagerank" -> ((s, d) => GraphOps.pageRank(linkEdges(s, d), 5)),
 
+    // --- HITS hubs/authorities (integer max-normalized power iteration) ---
+    "q_hits" -> ((s, d) => GraphOps.hits(linkEdges(s, d), 3)),
+
     // --- multi-source BFS hop distance over the link graph ---
     "q_sssp" -> ((s, d) => {
       val sources = t(s, d, "documents")
@@ -2480,6 +2483,36 @@ object SparkEntry {
        |r0 AS (SELECT node_id, CAST($RankScale AS BIGINT) AS pr FROM nodes),
        |$rounds
        |SELECT node_id, pr AS rank_e6 FROM r$iters""".stripMargin
+  }
+
+  /** GraphOps.hits twin: the same integer half-steps unrolled — raw
+    * in-sum over edges, global floor-div renormalization, both
+    * directions, per iteration.
+    */
+  private def hitsSql(iters: Int): String = {
+    val S = graft.operators.GraphOps.RankScale
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS node_id, CAST(sum(p.h) AS BIGINT) AS araw
+         |  FROM edges e JOIN s${i - 1} p ON e.src = p.node_id GROUP BY 1),
+         |af$i AS (SELECT n.node_id, coalesce(ar.araw, 0) AS araw
+         |  FROM nodes n LEFT JOIN ar$i ar USING (node_id)),
+         |qa$i AS (SELECT greatest(max(araw) // $S, 1) AS q FROM af$i),
+         |sa$i AS (SELECT node_id, araw // q AS a FROM af$i CROSS JOIN qa$i),
+         |hr$i AS (SELECT e.src AS node_id, CAST(sum(p.a) AS BIGINT) AS hraw
+         |  FROM edges e JOIN sa$i p ON e.dst = p.node_id GROUP BY 1),
+         |hf$i AS (SELECT n.node_id, coalesce(hr.hraw, 0) AS hraw
+         |  FROM nodes n LEFT JOIN hr$i hr USING (node_id)),
+         |qh$i AS (SELECT greatest(max(hraw) // $S, 1) AS q FROM hf$i),
+         |s$i AS (SELECT hf.node_id, hf.hraw // q AS h, sa.a
+         |  FROM hf$i hf CROSS JOIN qh$i JOIN sa$i sa USING (node_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkEdgesSql,
+       |nodes AS (SELECT src AS node_id FROM edges
+       |  UNION SELECT dst FROM edges),
+       |s0 AS (SELECT node_id, CAST($S AS BIGINT) AS h,
+       |  CAST($S AS BIGINT) AS a FROM nodes),
+       |$rounds
+       |SELECT node_id, h AS hub_e6, a AS auth_e6 FROM s$iters""".stripMargin
   }
 
   /** SearchOps.bm25 twin: same whitespace tokens, the idf ln through the
@@ -4367,6 +4400,8 @@ object SparkEntry {
     "q_knn_geo_auto" -> knnGeoSql(499),
 
     "q_pagerank" -> pageRankSql(5),
+
+    "q_hits" -> hitsSql(3),
 
     "q_sssp" ->
       s"""WITH RECURSIVE $linkEdgesSql,

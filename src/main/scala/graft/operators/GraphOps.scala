@@ -256,4 +256,75 @@ object GraphOps {
     DedupOps.duplicateClusters(
         edges.select(col("src").as("doc_a"), col("dst").as("doc_b")), scope)
       .select(col("doc_id").as("node_id"), col("cluster_id").as("component"))
+
+  /** HITS hubs/authorities with fixed-point INTEGER arithmetic — the
+    * link-graph quality signal pair next to [[pageRank]] (a good hub
+    * links to good authorities; a good authority is linked from good
+    * hubs). Classic HITS L2-normalizes each half-step (float,
+    * order-dependent — not oracle-comparable); this variant normalizes by
+    * FLOOR-DIVIDING by `max div RankScale` instead: magnitudes stay in
+    * [0, ~2·RankScale], every op is int64 (floor div + sum), so the
+    * result is bit-identical in any engine and the RANKING equals the
+    * max-normalized power iteration's.
+    *
+    * Per iteration: auth_raw(v) = Σ_{u→v} hub(u), renormalize; then
+    * hub_raw(u) = Σ_{u→v} auth(v), renormalize. Overflow headroom: after
+    * renormalization values are ≤ 2·RankScale, so a raw in-sum is ≤
+    * indegree·2·RankScale — safe below ~4.6·10^12 in-links to ONE node;
+    * ANSI mode fails loudly beyond. Scale posture: per iteration two
+    * edge-list shuffle joins + two key aggregations (the pageRank shape
+    * twice); the two global maxes are single-scalar actions (documented
+    * eager contract, same as the loop's per-round materialize). Same
+    * loop hygiene as [[pageRank]]: persist per round, unpersist the
+    * superseded frame, rebase the plan through the cached RDD.
+    *
+    * Input: (src, dst) long edge ids (parallel edges collapse). Output:
+    * (node_id, hub_e6, auth_e6).
+    */
+  def hits(edges: DataFrame, iterations: Int,
+           scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    val simple = edges.select(col("src"), col("dst")).distinct()
+    val nodes = scope.persist(
+      simple.select(col("src").as("node_id"))
+        .unionByName(simple.select(col("dst").as("node_id"))).distinct())
+    val e = scope.persist(simple)
+
+    var cached = nodes
+      .withColumn("h", lit(RankScale)).withColumn("a", lit(RankScale))
+      .persist()
+    var st: DataFrame = cached
+    var round = 0
+    while (round < iterations) {
+      round += 1
+      val aRaw = e.join(st.select(col("node_id"), col("h")),
+          col("src") === col("node_id"))
+        .groupBy(col("dst")).agg(sum(col("h")).cast("long").as("araw"))
+      val aFull = nodes.join(aRaw, col("node_id") === col("dst"), "left")
+        .select(col("node_id"), coalesce(col("araw"), lit(0L)).as("araw"))
+        .persist()
+      val qa = math.max(
+        aFull.agg(max(col("araw"))).head.getLong(0) / RankScale, 1L)
+      val aN = aFull.selectExpr("node_id", s"araw div $qa AS a")
+      val hRaw = e.join(aN.select(col("node_id").as("__an"), col("a")),
+          col("dst") === col("__an"))
+        .groupBy(col("src")).agg(sum(col("a")).cast("long").as("hraw"))
+      val hFull = nodes.join(hRaw, col("node_id") === col("src"), "left")
+        .select(col("node_id"), coalesce(col("hraw"), lit(0L)).as("hraw"))
+        .persist()
+      val qh = math.max(
+        hFull.agg(max(col("hraw"))).head.getLong(0) / RankScale, 1L)
+      val stepped = hFull.selectExpr("node_id", s"hraw div $qh AS h")
+        .join(aN, "node_id")
+      val next = stepped.persist()
+      next.count() // materialize before dropping the inputs
+      aFull.unpersist(blocking = false)
+      hFull.unpersist(blocking = false)
+      cached.unpersist(blocking = false)
+      cached = next
+      st = spark.createDataFrame(next.toDF().rdd, next.schema)
+    }
+    scope.track(cached)
+    st.select(col("node_id"), col("h").as("hub_e6"), col("a").as("auth_e6"))
+  }
 }
