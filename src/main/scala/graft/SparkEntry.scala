@@ -1218,6 +1218,10 @@ object SparkEntry {
     // --- HITS hubs/authorities (integer max-normalized power iteration) ---
     "q_hits" -> ((s, d) => GraphOps.hits(linkEdges(s, d), 3)),
 
+    // --- k-core density skeleton (bounded peel, early exit at fixpoint) ---
+    "q_kcore" -> ((s, d) =>
+      GraphOps.kCore(linkEdges(s, d), KCoreK, KCoreMaxRounds)),
+
     // --- multi-source BFS hop distance over the link graph ---
     "q_sssp" -> ((s, d) => {
       val sources = t(s, d, "documents")
@@ -1809,6 +1813,14 @@ object SparkEntry {
   /** q_sssp seed rule (doc_id % mod == 0) and BFS round bound. */
   val SsspSourceMod = 101L
   val SsspMaxHops = 6
+
+  /** q_kcore order and peel-round bound: extra rounds past the fixpoint
+    * are identity, so the early-exit loop equals this fixed unroll as
+    * long as the peel converges within the bound (it does on the mixId
+    * link graph — random graphs converge in O(log n); spec-asserted).
+    */
+  val KCoreK = 3
+  val KCoreMaxRounds = 24
 
   /** The synthetic link graph shared by the graph queries (q_pagerank,
     * q_sssp, q_triangles, q_wsssp): each doc links to 1-4 mixId-scattered
@@ -2513,6 +2525,31 @@ object SparkEntry {
        |  CAST($S AS BIGINT) AS a FROM nodes),
        |$rounds
        |SELECT node_id, h AS hub_e6, a AS auth_e6 FROM s$iters""".stripMargin
+  }
+
+  /** GraphOps.kCore twin: the peel unrolled to the fixed round bound
+    * (idempotent past the fixpoint), final unfiltered degree pass.
+    */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    // every stage CTE is MATERIALIZED: a$i is referenced twice by stage
+    // i+1, so default inlining would expand the chain 2^rounds times
+    val stages = (1 to rounds).map { i =>
+      s"""d$i AS (SELECT e.a AS node_id, count(*) AS deg
+         |  FROM ue e JOIN a${i - 1} s ON e.a = s.node_id
+         |            JOIN a${i - 1} t ON e.b = t.node_id
+         |  GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT node_id FROM d$i WHERE deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkEdgesSql,
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst),
+       |ue AS MATERIALIZED (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |a0 AS MATERIALIZED (SELECT DISTINCT a AS node_id FROM ue),
+       |$stages
+       |SELECT e.a AS node_id, CAST(count(*) AS BIGINT) AS core_deg
+       |FROM ue e JOIN a$rounds s ON e.a = s.node_id
+       |          JOIN a$rounds t ON e.b = t.node_id
+       |GROUP BY 1""".stripMargin
   }
 
   /** SearchOps.bm25 twin: same whitespace tokens, the idf ln through the
@@ -4402,6 +4439,8 @@ object SparkEntry {
     "q_pagerank" -> pageRankSql(5),
 
     "q_hits" -> hitsSql(3),
+
+    "q_kcore" -> kCoreSql(KCoreK, KCoreMaxRounds),
 
     "q_sssp" ->
       s"""WITH RECURSIVE $linkEdgesSql,

@@ -327,4 +327,61 @@ object GraphOps {
     scope.track(cached)
     st.select(col("node_id"), col("h").as("hub_e6"), col("a").as("auth_e6"))
   }
+
+  /** k-core: the maximal subgraph in which every node has ≥ k neighbors
+    * (undirected simple graph) — the standard density skeleton for link
+    * graphs (spam farms and boilerplate nav rings live OUTSIDE the core;
+    * topical hubs inside). Computed by iterative peeling: drop every node
+    * whose surviving degree < k until nothing changes.
+    *
+    * Determinism/bounding contract: the loop runs at most `maxRounds`
+    * peel rounds with an early exit at the fixpoint. Peeling is monotone
+    * and idempotent — once stable, further rounds are identity — so the
+    * early-exited result EQUALS the fixed-`maxRounds` unroll whenever
+    * convergence happens within the bound, which is what lets a plain
+    * staged-SQL twin verify it. Random-ish link graphs converge in
+    * O(log n) rounds; a worst-case path graph peels ~n/2, hence the
+    * explicit bound rather than an unbounded loop.
+    *
+    * Scale posture: per round the edge list is semi-joined against the
+    * alive set on BOTH endpoints (two hash shuffles) and degree-counted
+    * (one agg); edges only shrink. Same loop hygiene as [[pageRank]]:
+    * persist per round, unpersist superseded, rebase through the cached
+    * RDD. Input: (src, dst). Output: (node_id, core_deg) for core
+    * members, core_deg = degree within the core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int,
+            scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val ue = scope.persist(
+      und.unionByName(und.select(col("b").as("a"), col("a").as("b"))))
+
+    def degrees(alive: DataFrame): DataFrame =
+      ue.join(alive.select(col("node_id").as("__s")), col("a") === col("__s"))
+        .join(alive.select(col("node_id").as("__t")), col("b") === col("__t"))
+        .groupBy(col("a").as("node_id"))
+        .agg(count(lit(1)).as("core_deg"))
+
+    var cached = ue.select(col("a").as("node_id")).distinct().persist()
+    var alive: DataFrame = cached
+    var n = alive.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      round += 1
+      val next = degrees(alive).filter(col("core_deg") >= k)
+        .select(col("node_id")).persist()
+      val m = next.count()
+      cached.unpersist(blocking = false)
+      cached = next
+      alive = spark.createDataFrame(next.toDF().rdd, next.schema)
+      converged = m == n
+      n = m
+    }
+    scope.track(cached)
+    degrees(alive)
+  }
 }
