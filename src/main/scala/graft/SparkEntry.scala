@@ -1222,6 +1222,32 @@ object SparkEntry {
     "q_kcore" -> ((s, d) =>
       GraphOps.kCore(linkEdges(s, d), KCoreK, KCoreMaxRounds)),
 
+    // --- robots-style longest-prefix URL policy match ---
+    // synthetic per-host rule book: a root allow, per-section rules on a
+    // (h,s) lattice with gaps, and a deeper deny layer — three prefix
+    // lengths so the longest-match rule actually disambiguates
+    "q_robots" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def hostOf(h: Column) = concat(lit("site"), h.cast("string"), lit(".example.org"))
+      val urls = docs.select(col("doc_id").as("url_id"),
+        hostOf(col("doc_id") % 13).as("host"),
+        concat(lit("/sec"), (col("doc_id") % 7).cast("string"),
+          lit("/page/"), col("doc_id").cast("string")).as("path"))
+      val secs = docs.select((col("doc_id") % 13).as("h")).distinct()
+        .select(col("h"), explode(sequence(lit(0L), lit(6L))).as("sx"))
+      val root = secs.select(col("h")).distinct()
+        .select(hostOf(col("h")).as("host"), lit("/").as("prefix"), lit(1L).as("allow"))
+      val sec = secs.filter((col("h") * 7 + col("sx")) % 3 =!= 0)
+        .select(hostOf(col("h")).as("host"),
+          concat(lit("/sec"), col("sx").cast("string")).as("prefix"),
+          ((col("h") + col("sx")) % 2).as("allow"))
+      val deep = secs.filter((col("h") + col("sx")) % 5 === 0)
+        .select(hostOf(col("h")).as("host"),
+          concat(lit("/sec"), col("sx").cast("string"), lit("/page/1")).as("prefix"),
+          lit(0L).as("allow"))
+      SearchOps.policyMatch(urls, root.unionByName(sec).unionByName(deep))
+    }),
+
     // --- multi-source BFS hop distance over the link graph ---
     "q_sssp" -> ((s, d) => {
       val sources = t(s, d, "documents")
@@ -4441,6 +4467,37 @@ object SparkEntry {
     "q_hits" -> hitsSql(3),
 
     "q_kcore" -> kCoreSql(KCoreK, KCoreMaxRounds),
+
+    // INDEPENDENT formulation: QUALIFY-style row_number winner instead of
+    // the struct-max; prefix DESC is tie-break hygiene only (two equal-
+    // length prefixes matching one path are necessarily equal)
+    "q_robots" ->
+      s"""WITH u AS (
+         |  SELECT doc_id AS url_id,
+         |    'site' || (doc_id % 13) || '.example.org' AS host,
+         |    '/sec' || (doc_id % 7) || '/page/' || doc_id AS path
+         |  FROM documents),
+         |hs AS (SELECT DISTINCT doc_id % 13 AS h FROM documents),
+         |secs AS (SELECT h, unnest(range(0, 7)) AS s FROM hs),
+         |r AS (
+         |  SELECT 'site' || h || '.example.org' AS host, '/' AS prefix,
+         |    CAST(1 AS BIGINT) AS allow FROM hs
+         |  UNION ALL
+         |  SELECT 'site' || h || '.example.org', '/sec' || s, (h + s) % 2
+         |  FROM secs WHERE (h * 7 + s) % 3 <> 0
+         |  UNION ALL
+         |  SELECT 'site' || h || '.example.org', '/sec' || s || '/page/1',
+         |    CAST(0 AS BIGINT)
+         |  FROM secs WHERE (h + s) % 5 = 0),
+         |hit AS (
+         |  SELECT url_id, prefix, allow,
+         |    row_number() OVER (PARTITION BY url_id
+         |      ORDER BY length(prefix) DESC, allow DESC, prefix DESC) AS rn
+         |  FROM u JOIN r USING (host)
+         |  WHERE starts_with(path, prefix))
+         |SELECT u.url_id, coalesce(h.prefix, '') AS prefix,
+         |  CAST(coalesce(h.allow, 1) AS BIGINT) AS allow
+         |FROM u LEFT JOIN (SELECT * FROM hit WHERE rn = 1) h USING (url_id)""".stripMargin,
 
     "q_sssp" ->
       s"""WITH RECURSIVE $linkEdgesSql,

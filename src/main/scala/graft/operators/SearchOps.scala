@@ -120,4 +120,33 @@ object SearchOps {
         size(win).cast("long").as("n_toks"),
         md5(array_join(win, " ").cast("binary")).as("chunk_md5"))
   }
+
+  /** Robots-style longest-prefix policy match: each URL resolves against
+    * its host's path-prefix rules; the LONGEST matching prefix wins
+    * (Google robots.txt semantics), URLs with no matching rule default to
+    * allowed — the crawl-compliance gate of a fetch pipeline.
+    *
+    * Scale posture: the rule table at web scale is per-host robots
+    * entries (~billions of rows, but a handful PER HOST), so the right
+    * plan is a hash shuffle equi-join on `host` — rules-per-host bounds
+    * the candidate fan-out per URL, never an all-rules scan. Winner
+    * selection is one lexicographic struct-max aggregation (no window):
+    * two prefixes of equal length matching the same path are necessarily
+    * equal, so (plen) alone already determines the winner and the
+    * allow/prefix legs are pure tie-break hygiene.
+    *
+    * Input: urls (url_id, host, path); rules (host, prefix, allow: long).
+    * Output: (url_id, prefix, allow) — prefix '' / allow 1 when unruled.
+    */
+  def policyMatch(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val hit = urls.join(rules, Seq("host"))
+      .filter(col("path").startsWith(col("prefix")))
+      .groupBy("url_id")
+      .agg(max(struct(length(col("prefix")).as("plen"),
+        col("allow").as("allow"), col("prefix").as("prefix"))).as("m"))
+    urls.select("url_id").join(hit, Seq("url_id"), "left")
+      .select(col("url_id"),
+        coalesce(col("m.prefix"), lit("")).as("prefix"),
+        coalesce(col("m.allow"), lit(1L)).as("allow"))
+  }
 }
