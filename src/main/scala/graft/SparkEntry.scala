@@ -608,6 +608,10 @@ object SparkEntry {
 
     "q_dedup_jaccard" -> ((s, d) => DedupOps.ngramJaccardPairs(Synth.corpus(s, d), 600)),
 
+    // --- asymmetric shingle containment (quote/excerpt detection) ---
+    "q_contain" -> ((s, d) =>
+      DedupOps.containmentPairs(Synth.corpus(s, d), ContainThrPm)),
+
     "q_dedup_minhash" -> ((s, d) => DedupOps.minHashLshPairs(Synth.corpus(s, d))),
 
     // incremental ingestion dedup: the injected-duplicate batch (ids >=
@@ -1847,6 +1851,11 @@ object SparkEntry {
     */
   val KCoreK = 3
   val KCoreMaxRounds = 24
+
+  /** q_contain emission threshold (permille of doc_a's capped shingles
+    * present in doc_b).
+    */
+  val ContainThrPm = 600L
 
   /** The synthetic link graph shared by the graph queries (q_pagerank,
     * q_sssp, q_triangles, q_wsssp): each doc links to 1-4 mixId-scattered
@@ -3805,6 +3814,24 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE (i * 1000) // (sa.sz + sb.sz - i) >= 600""".stripMargin,
+
+    // INDEPENDENT formulation: HAVING df cap instead of the join against
+    // a rare-set frame; same capped-inverted-index metric contract
+    "q_contain" ->
+      s"""WITH corpus AS ($C),
+         |s AS (${shinglesSql(distinct = true)}),
+         |keep AS (SELECT sh FROM s GROUP BY sh
+         |  HAVING count(*) <= ${DedupOps.ContainDfCap}),
+         |cs AS (SELECT s.doc_id, s.sh FROM s JOIN keep USING (sh)),
+         |na AS (SELECT doc_id, count(*) AS na FROM cs GROUP BY 1),
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM cs a JOIN cs b USING (sh)
+         |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST((inter * 1000) // na AS BIGINT) AS cont_pm
+         |FROM pr JOIN na ON na.doc_id = doc_a
+         |WHERE inter * 1000 >= $ContainThrPm * na""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH corpus AS ($C),

@@ -411,6 +411,53 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard_pm"))
   }
 
+  /** Per-shingle document-frequency cap for [[containmentPairs]]'
+    * inverted index: shingles in more docs than this are boilerplate and
+    * are dropped from the metric (the documented contract — the oracle
+    * applies the same cap). The cap is ALSO the scale bound: a shingle
+    * with df ≤ c emits ≤ c² candidate rows, so no stopword shingle can
+    * go quadratic in the corpus.
+    */
+  val ContainDfCap = 64
+
+  /** Asymmetric containment pairs: directed (doc_a → doc_b) where the
+    * fraction of doc_a's distinct shingles also present in doc_b is ≥
+    * thrPm permille — the quote/excerpt detector. NOT the symmetric
+    * Jaccard path: a short document fully quoted inside a long one has
+    * high containment but LOW Jaccard, so the MinHash-LSH candidate
+    * generator ([[minHashLshPairs]]) is structurally blind to it; recall
+    * here comes from a rare-shingle INVERTED INDEX instead (explode
+    * distinct shingles, drop df > [[ContainDfCap]], self-join per
+    * shingle). Intersections are exact over the capped shingle space;
+    * containment = |∩| · 1000 div |S_a| (floor, exact int).
+    *
+    * Scale: candidate volume is Σ_sh df(sh)² ≤ cap · Σ df — linear in
+    * corpus shingle mass at fixed cap; two hash shuffles (index build,
+    * pair count) plus the size join. Output (doc_a, doc_b, cont_pm),
+    * both directions evaluated independently.
+    */
+  def containmentPairs(corpus: DataFrame, thrPm: Long,
+                       dfCap: Int = ContainDfCap,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
+    val sh = corpus.select(col("doc_id"), explode(array_distinct(
+      graft.plans.TextHashExpressions
+        .shingleHashes(col("text"), ShingleCap, ShingleLen))).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select("sh")
+    // persisted (scope-released): the capped index feeds both join sides
+    // and the per-doc size aggregation
+    val capped = scope.persist(sh.join(rare, "sh"))
+    val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    capped.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("sh"), col("doc_id").as("doc_b"))
+        .hint("shuffle_hash"), "sh")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .filter(col("inter") * 1000 >= lit(thrPm) * col("na"))
+      .selectExpr("doc_a", "doc_b", "(inter * 1000) div na AS cont_pm")
+  }
+
   val SimHashBands = 4
 
   /** SimHash near-dup pairs: 64-bit simhash in 4x16-bit bands (hamming
