@@ -1263,6 +1263,9 @@ object SparkEntry {
     // --- per-node triangle counts (degree-ordered orientation) ---
     "q_triangles" -> ((s, d) => GraphOps.triangleCounts(linkEdges(s, d))),
 
+    // --- link prediction (common neighbors + Adamic-Adar, hub-capped) ---
+    "q_linkpred" -> ((s, d) => GraphOps.linkPrediction(linkEdges(s, d))),
+
     // --- weighted shortest paths (frontier Bellman-Ford) ---
     "q_wsssp" -> ((s, d) => {
       val weighted = linkEdges(s, d).select(col("src"), col("dst"),
@@ -4568,6 +4571,30 @@ object SparkEntry {
          |pn AS (SELECT unnest([x, y, z]) AS node_id FROM tri)
          |SELECT node_id, CAST(count(*) AS BIGINT) AS n_tri
          |FROM pn GROUP BY 1""".stripMargin,
+
+    // INDEPENDENT formulation: anti-join spelled as NOT EXISTS, pivot
+    // contributions re-derived through the shared lnDet CTE stages
+    "q_linkpred" ->
+      s"""WITH $linkEdgesSql,
+         |ec AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |adj AS (SELECT a AS u, b AS v FROM ec UNION ALL SELECT b, a FROM ec),
+         |dg AS (SELECT u, count(*) AS deg FROM adj GROUP BY 1),
+         |px AS (SELECT u AS pu, CAST(deg AS DOUBLE) AS x FROM dg
+         |  WHERE deg BETWEEN 2 AND ${GraphOps.LinkPredHubCap}),
+         |${lnStagesSql("lk", "px")},
+         |piv AS (SELECT pu AS u, ${1000000000000L} //
+         |  CAST(round((kl + srs) * 1000000.0) AS BIGINT) AS c
+         |  FROM lk5),
+         |nbr AS (SELECT adj.u, adj.v, piv.c FROM adj JOIN piv USING (u)),
+         |agg AS (
+         |  SELECT n1.v AS node_a, n2.v AS node_b,
+         |    CAST(count(*) AS BIGINT) AS cn, CAST(sum(n1.c) AS BIGINT) AS aa_e6
+         |  FROM nbr n1 JOIN nbr n2 ON n1.u = n2.u AND n1.v < n2.v
+         |  GROUP BY 1, 2)
+         |SELECT node_a, node_b, cn, aa_e6 FROM agg
+         |WHERE cn >= 2 AND NOT EXISTS (
+         |  SELECT 1 FROM ec WHERE a = node_a AND b = node_b)""".stripMargin,
 
     "q_quantiles" ->
       """WITH hist AS (

@@ -189,6 +189,65 @@ object GraphOps {
       .groupBy("node_id").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Per-pivot wedge-fanout cap for [[linkPrediction]]: pivots with more
+    * neighbors than this are dropped from the metric (the documented
+    * contract — the oracle applies the same cap). Hubs carry almost no
+    * link-prediction signal (their Adamic–Adar weight 1/ln(deg) vanishes)
+    * AND are the quadratic hazard: a pivot of degree d emits d(d-1)/2
+    * candidate pairs, so one celebrity page would otherwise dominate the
+    * whole job.
+    */
+  val LinkPredHubCap = 64
+
+  /** Link-prediction scores over an undirected simple graph: for every
+    * non-adjacent node pair sharing ≥ `minCn` common neighbors (through
+    * non-hub pivots), the common-neighbor count and the Adamic–Adar
+    * score Σ_pivot 1/ln(deg(pivot)) — the classic "people you may know" /
+    * related-pages primitive of a crawl graph.
+    *
+    * Determinism: the AA term is quantized per PIVOT before the sum —
+    * `10^12 div lnE6(deg)` with [[graft.core.Hll.lnE6]]'s fixed-IEEE-op
+    * ln — so the aggregate is an integer sum (associative, shuffle-order-
+    * proof) and bit-identical in any engine; a float Σ 1/ln(d) could not
+    * be oracle-compared.
+    *
+    * Scale posture: wedges are generated at the PIVOT (one self-join of
+    * the degree-filtered adjacency list on the pivot id), so candidate
+    * volume is Σ_pivot min(deg, cap)² — linear in edge count at fixed
+    * cap, never all-pairs. Three shuffles: degree agg, wedge self-join,
+    * pair agg; plus the left-anti against existing edges (prediction
+    * means NEW pairs only). The capped neighbor frame is persisted across
+    * its two join uses and scope-released.
+    *
+    * Input: (src, dst) long ids (direction and parallel edges collapse).
+    * Output: (node_a, node_b, cn, aa_e6) with node_a < node_b.
+    */
+  def linkPrediction(edges: DataFrame, minCn: Long = 2L,
+                     hubCap: Int = LinkPredHubCap,
+                     scope: CacheScope = CacheScope.global): DataFrame = {
+    val ec = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = ec.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(ec.select(col("b").as("u"), col("a").as("v")))
+    // pivot contribution: 1e6/ln(deg) as exact integer floor division of
+    // 1e12 by the e6-quantized deterministic ln (deg ≥ 2 ⇒ lnE6 ≥ 693147)
+    val piv = adj.groupBy("u").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2 && col("deg") <= hubCap)
+      .withColumn("__ln", graft.plans.HllExpressions.lnE6(col("deg").cast("double")))
+      .selectExpr("u", s"${1000000000000L}L div __ln AS c")
+    val nbr = scope.persist(adj.join(piv, "u"))
+    val cand = nbr.select(col("u"), col("v").as("node_a"), col("c"))
+      .join(nbr.select(col("u"), col("v").as("node_b")), "u")
+      .filter(col("node_a") < col("node_b"))
+    cand.groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("cn"), sum(col("c")).as("aa_e6"))
+      .filter(col("cn") >= minCn)
+      .join(ec.withColumnRenamed("a", "node_a").withColumnRenamed("b", "node_b"),
+        Seq("node_a", "node_b"), "left_anti")
+  }
+
   /** Multi-source BFS hop distance: for every node reachable from the
     * source set within `maxHops` directed hops, the minimum hop count —
     * crawl-frontier / link-neighborhood analytics (how far is every page
