@@ -612,6 +612,16 @@ object SparkEntry {
     "q_contain" -> ((s, d) =>
       DedupOps.containmentPairs(Synth.corpus(s, d), ContainThrPm)),
 
+    // --- exact edit-distance-1 join via deletion neighborhoods ---
+    // near-identical-URL clustering (typo'd links, trailing-char dupes);
+    // the synthetic url space (".../doc/<id>") is dense in ed-1 pairs
+    "q_url_neighbors" -> ((s, d) =>
+      DedupOps.editOnePairs(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(lit("https://example.org/doc/"),
+            col("doc_id").cast("string")).as("url")),
+        "doc_id", "url")),
+
     "q_dedup_minhash" -> ((s, d) => DedupOps.minHashLshPairs(Synth.corpus(s, d))),
 
     // incremental ingestion dedup: the injected-duplicate batch (ids >=
@@ -3817,6 +3827,21 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE (i * 1000) // (sa.sz + sb.sz - i) >= 600""".stripMargin,
+
+    // FULLY INDEPENDENT formulation: brute-force levenshtein over all
+    // pairs (feasible at oracle scale) — the engine never computes an
+    // edit distance on this path, so the deletion-neighborhood
+    // construction is checked against the metric's definition itself
+    "q_url_neighbors" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CASE WHEN length(a.url) = length(b.url)
+        |    THEN 'sub' ELSE 'indel' END AS kind
+        |FROM u a JOIN u b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.url, b.url) = 1""".stripMargin,
 
     // INDEPENDENT formulation: HAVING df cap instead of the join against
     // a rare-set frame; same capped-inverted-index metric contract

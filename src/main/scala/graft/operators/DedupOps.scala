@@ -624,4 +624,59 @@ object DedupOps {
     * mixId inputs < 2^62 for any fingerprint < 2^61.
     */
   val BloomSeed = 2654435761L
+
+  /** EXACT edit-distance-1 string join by deletion neighborhoods (the
+    * FastSS construction): two strings are at Levenshtein distance 1 iff
+    * either (a) they share a single-deletion variant at the SAME
+    * position while differing (substitution — same-position is what
+    * rules out transposition-style ed-2 pairs like "ab"/"ba"), or
+    * (b) one IS a single-deletion variant of the other (indel). So the
+    * join key is the variant string: each distinct input string of
+    * length L emits L deletion variants plus itself, and ed-1 pairs fall
+    * out of two equi-joins — a typo-cluster / near-identical-URL join
+    * with NO distance kernel and no candidate generator.
+    *
+    * Scale posture: strings are DEDUPLICATED first, so a join bucket
+    * (variant, pos) holds at most |alphabet|+1 distinct strings (the
+    * ways to re-insert one character) — structurally bounded, no cap
+    * parameter needed; id multiplicity re-enters only through the final
+    * id join, whose fan-out is the true output size. Everything is
+    * equi-join + groupBy: three hash shuffles, linear in total string
+    * mass. Unlike [[editDistancePairs]] (LSH candidates + full DP
+    * kernel, any maxDist) this path is exact and complete for d = 1.
+    *
+    * Output: (doc_a, doc_b, kind) with doc_a < doc_b, kind ∈
+    * {'sub','indel'}.
+    */
+  def editOnePairs(df: DataFrame, idCol: String, strCol: String,
+                   scope: CacheScope = CacheScope.global): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("__id"),
+      col(strCol).as("__s"))
+    val ds = ids.select("__s").distinct()
+    // 0-based deletion position via posexplode over the 1-based transform
+    // (length >= 1 guard: Spark's sequence(1, 0) DESCENDS, not empties)
+    val del = scope.persist(ds.filter(length(col("__s")) >= 1)
+      .select(col("__s"), posexplode(expr(
+      "transform(sequence(1, length(__s)), " +
+        "i -> concat(substring(__s, 1, i - 1), substring(__s, i + 1)))"))
+        .as(Seq("pos", "key"))))
+    val subs = del.select(col("key"), col("pos"), col("__s").as("sa"))
+      .join(del.select(col("key"), col("pos"), col("__s").as("sb")),
+        Seq("key", "pos"))
+      .filter(col("sa") < col("sb"))
+      .select("sa", "sb")
+    val indel = ds.select(col("__s").as("key"), col("__s").as("sa"))
+      .join(del.select(col("key"), col("__s").as("sb")), "key")
+      .select("sa", "sb").distinct() // "aa"->"a" matches at 2 positions
+    val pairs = subs.unionByName(indel)
+      .select(least(col("sa"), col("sb")).as("sa"),
+        greatest(col("sa"), col("sb")).as("sb"),
+        when(length(col("sa")) === length(col("sb")), lit("sub"))
+          .otherwise(lit("indel")).as("kind"))
+    pairs
+      .join(ids.select(col("__s").as("sa"), col("__id").as("ia")), "sa")
+      .join(ids.select(col("__s").as("sb"), col("__id").as("ib")), "sb")
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("kind"))
+  }
 }
