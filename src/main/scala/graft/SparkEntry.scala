@@ -1276,6 +1276,14 @@ object SparkEntry {
     // --- link prediction (common neighbors + Adamic-Adar, hub-capped) ---
     "q_linkpred" -> ((s, d) => GraphOps.linkPrediction(linkEdges(s, d))),
 
+    // --- local clustering coefficient (spam-farm neighborhood density) ---
+    "q_clustering" -> ((s, d) =>
+      GraphOps.clusteringCoefficients(linkEdges(s, d))),
+
+    // --- deterministic synchronous label-propagation communities ---
+    "q_communities" -> ((s, d) =>
+      GraphOps.labelPropagation(linkEdges(s, d), LpaRounds)),
+
     // --- weighted shortest paths (frontier Bellman-Ford) ---
     "q_wsssp" -> ((s, d) => {
       val weighted = linkEdges(s, d).select(col("src"), col("dst"),
@@ -1864,6 +1872,11 @@ object SparkEntry {
     */
   val KCoreK = 3
   val KCoreMaxRounds = 24
+
+  /** q_communities synchronous LPA rounds (fixed-round contract — see
+    * GraphOps.labelPropagation).
+    */
+  val LpaRounds = 4
 
   /** q_contain emission threshold (permille of doc_a's capped shingles
     * present in doc_b).
@@ -4596,6 +4609,46 @@ object SparkEntry {
          |pn AS (SELECT unnest([x, y, z]) AS node_id FROM tri)
          |SELECT node_id, CAST(count(*) AS BIGINT) AS n_tri
          |FROM pn GROUP BY 1""".stripMargin,
+
+    // INDEPENDENT formulation: per-round argmax spelled as a QUALIFY
+    // row_number window (engine: max(struct)); rounds unrolled as CTEs
+    "q_communities" -> {
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""v$r AS (SELECT adj.u AS node, l.lab, count(*) AS c
+           |  FROM adj JOIN lab${r - 1} l ON l.node = adj.v GROUP BY 1, 2),
+           |lab$r AS (SELECT node, lab FROM v$r QUALIFY
+           |  row_number() OVER (PARTITION BY node ORDER BY c DESC, lab ASC) = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $linkEdgesSql,
+         |ec AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |adj AS (SELECT a AS u, b AS v FROM ec UNION ALL SELECT b, a FROM ec),
+         |lab0 AS (SELECT DISTINCT u AS node, u AS lab FROM adj),
+         |$rounds
+         |SELECT node AS node_id, lab AS community FROM lab$LpaRounds"""
+        .stripMargin
+    },
+
+    // INDEPENDENT formulation: triangles re-counted by the unoriented
+    // 3-join closure (as q_triangles), degrees from the doubled edge list
+    "q_clustering" ->
+      s"""WITH $linkEdgesSql,
+         |ec AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |dg AS (SELECT u AS node_id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS u FROM ec UNION ALL SELECT b FROM ec)
+         |  GROUP BY 1),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ec e1 JOIN ec e2 ON e2.a = e1.b
+         |  JOIN ec e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tc AS (SELECT node_id, CAST(count(*) AS BIGINT) AS n_tri
+         |  FROM (SELECT unnest([x, y, z]) AS node_id FROM tri) GROUP BY 1)
+         |SELECT dg.node_id, deg, coalesce(n_tri, 0) AS n_tri,
+         |  (2000 * coalesce(n_tri, 0)) // (deg * (deg - 1)) AS coeff_pm
+         |FROM dg LEFT JOIN tc ON tc.node_id = dg.node_id
+         |WHERE deg >= 2""".stripMargin,
 
     // INDEPENDENT formulation: anti-join spelled as NOT EXISTS, pivot
     // contributions re-derived through the shared lnDet CTE stages

@@ -189,6 +189,89 @@ object GraphOps {
       .groupBy("node_id").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Synchronous label-propagation community detection, FIXED rounds:
+    * every node starts labeled with its own id; each round every node
+    * adopts the most frequent label among its neighbors, ties broken by
+    * the SMALLEST label — a fully deterministic schedule (async LPA's
+    * visit-order nondeterminism would make the result un-oracle-able),
+    * so after exactly `rounds` rounds the labeling is bit-identical in
+    * any engine. Communities ≠ connected components
+    * ([[connectedComponents]] merges everything reachable; LPA splits a
+    * component along its dense cores — the content-farm / link-ring
+    * detector of a crawl graph).
+    *
+    * Scale posture: per round ONE shuffle join of the persisted doubled
+    * adjacency with the label frame plus one two-level aggregation
+    * ((node, label) counts, then argmax via max(struct(cnt, −label)) —
+    * both map-side combinable). Same loop hygiene as [[pageRank]]:
+    * persist per round, unpersist the superseded round, rebase the plan
+    * through the cached RDD. Fixed `rounds` is the documented contract
+    * (convergence detection would add a per-round comparison job for no
+    * semantic gain — oscillating bipartite cliques never converge).
+    *
+    * Input: (src, dst) long ids. Output: (node_id, community); isolated
+    * ids absent (no edges → no votes).
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    val ec = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val adj = scope.persist(ec.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(ec.select(col("b").as("u"), col("a").as("v"))))
+    var cached = adj.select(col("u").as("node_id"))
+      .distinct().withColumn("lab", col("node_id")).persist()
+    cached.count()
+    var labels = spark.createDataFrame(cached.rdd, cached.schema)
+    for (_ <- 1 to rounds) {
+      val votes = adj
+        .join(labels.withColumnRenamed("node_id", "v"), "v")
+        .groupBy(col("u").as("node_id"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val next = votes
+        .groupBy("node_id")
+        .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+        .select(col("node_id"), (-col("m.nl")).as("lab"))
+        .persist()
+      next.count()
+      cached.unpersist(blocking = false)
+      cached = next
+      labels = spark.createDataFrame(next.rdd, next.schema)
+    }
+    scope.track(cached)
+    labels.select(col("node_id"), col("lab").as("community"))
+  }
+
+  /** Local clustering coefficient per node, exact integer permille:
+    * coeff_pm = 2000·n_tri div (deg·(deg−1)) over the simple undirected
+    * graph — how tightly a page's link neighborhood closes on itself
+    * (spam farms score near 1000, organic hubs near 0). Composes
+    * [[triangleCounts]] (its documented oriented-wedge scale posture)
+    * with one degree aggregation and a left join; nodes of degree < 2
+    * are dropped (the coefficient is undefined there). All arithmetic
+    * int64: deg ≤ 3·10⁹ before deg·(deg−1) overflows, far beyond any
+    * real node's degree — and ANSI mode fails loudly, not wraps.
+    *
+    * Output: (node_id, deg, n_tri, coeff_pm).
+    */
+  def clusteringCoefficients(edges: DataFrame,
+                             scope: CacheScope = CacheScope.global): DataFrame = {
+    val ec = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = ec.select(col("a").as("node_id"))
+      .unionByName(ec.select(col("b").as("node_id")))
+      .groupBy("node_id").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= 2)
+    deg.join(triangleCounts(edges, scope), Seq("node_id"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .selectExpr("node_id", "deg", "n_tri",
+        "(2000 * n_tri) div (deg * (deg - 1)) AS coeff_pm")
+  }
+
   /** Per-pivot wedge-fanout cap for [[linkPrediction]]: pivots with more
     * neighbors than this are dropped from the metric (the documented
     * contract — the oracle applies the same cap). Hubs carry almost no
