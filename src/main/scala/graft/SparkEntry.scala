@@ -1100,6 +1100,11 @@ object SparkEntry {
     "q_rasterize" -> ((s, d) =>
       SpatialOps.rasterizePolygons(Synth.hexCorpus(s, 1000), RasterizeLevel)),
 
+    // zonal statistics: per-polygon rollup of the point-density raster
+    "q_zonal" -> ((s, d) =>
+      SpatialOps.zonalStats(Synth.hexCorpus(s, 1000), Synth.points(s, d),
+        RasterizeLevel)),
+
     // raster->vector: connected occupied-cell regions as component bboxes.
     // The occupancy grid level derives from the POINT COUNT (smallest
     // level with 4^level >= n, clamped [6,12] — integer compares, exactly
@@ -2382,6 +2387,31 @@ object SparkEntry {
     * `carryList` is the projected column list, `minx..maxy` the bbox
     * expressions over `from`.
     */
+  /** CTE chain from a `hexes(poly_id, cx, cy, r, h, s)` frame to
+    * `zcells(poly_id, cell_x, cell_y)` — the cells (at RasterizeLevel)
+    * whose exact integer center lies inside the hexagon. The DuckDB twin
+    * of SpatialOps.rasterizePolygons on the hex corpus, shared by the
+    * q_rasterize and q_zonal oracles.
+    */
+  private lazy val hexRasterCtesSql: String = {
+    val lvl = 1 << RasterizeLevel
+    val verts = Seq(("cx + r", "cy"), ("cx + h", "cy + s"), ("cx - h", "cy + s"),
+      ("cx - r", "cy"), ("cx - h", "cy - s"), ("cx + h", "cy - s"))
+    val halfPlanes = verts.indices.map { i =>
+      val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.length)
+      s"(((($x2) - ($x1)) * (py - ($y1)) - (($y2) - ($y1)) * (px - ($x1))) >= 0)"
+    }.mkString("\n  AND ")
+    s"""${coverCtesSql(lvl, "poly_id, cx, cy, r, h, s",
+           "cx - r", "cy - s", "cx + r", "cy + s", "hexes")},
+       |ctr AS (SELECT *,
+       |  ((ccx * 2 + 1) * 3600000000) // ${2L * lvl} - 1800000000 AS px,
+       |  ((ccy * 2 + 1) * 1800000000) // ${2L * lvl} - 900000000 AS py
+       |  FROM cover),
+       |zcells AS (
+       |  SELECT poly_id, ccx AS cell_x, ccy AS cell_y FROM ctr
+       |  WHERE $halfPlanes)""".stripMargin
+  }
+
   private def coverCtesSql(lvl: Int, carryList: String, minx: String,
                            miny: String, maxx: String, maxy: String,
                            from: String): String =
@@ -3442,24 +3472,29 @@ object SparkEntry {
          |WHERE $halfPlanes""".stripMargin
     },
 
-        "q_rasterize" -> {
-      val lvl = 1 << RasterizeLevel
-      val verts = Seq(("cx + r", "cy"), ("cx + h", "cy + s"), ("cx - h", "cy + s"),
-        ("cx - r", "cy"), ("cx - h", "cy - s"), ("cx + h", "cy - s"))
-      val halfPlanes = verts.indices.map { i =>
-        val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.length)
-        s"(((($x2) - ($x1)) * (py - ($y1)) - (($y2) - ($y1)) * (px - ($x1))) >= 0)"
-      }.mkString("\n  AND ")
+        "q_rasterize" ->
       s"""WITH hexes AS (${Synth.hexCorpusSql(1000)}),
-         |${coverCtesSql(lvl, "poly_id, cx, cy, r, h, s",
-             "cx - r", "cy - s", "cx + r", "cy + s", "hexes")},
-         |ctr AS (SELECT *,
-         |  ((ccx * 2 + 1) * 3600000000) // ${2L * lvl} - 1800000000 AS px,
-         |  ((ccy * 2 + 1) * 1800000000) // ${2L * lvl} - 900000000 AS py
-         |  FROM cover)
-         |SELECT poly_id, ccx AS cell_x, ccy AS cell_y FROM ctr
-         |WHERE $halfPlanes""".stripMargin
-    },
+         |$hexRasterCtesSql
+         |SELECT poly_id, cell_x, cell_y FROM zcells""".stripMargin,
+
+    // zonal stats: the q_rasterize zone-cell twin joined to the
+    // saturating density grid at the same level, rolled up per polygon
+    "q_zonal" ->
+      s"""WITH hexes AS (${Synth.hexCorpusSql(1000)}),
+         |$hexRasterCtesSql,
+         |p AS ($P),
+         |dens AS (
+         |  SELECT least(((lon_fix + 1800000000) * ${1L << RasterizeLevel})
+         |      // 3600000000, ${(1L << RasterizeLevel) - 1}) AS cell_x,
+         |    least(((lat_fix + 900000000) * ${1L << RasterizeLevel})
+         |      // 1800000000, ${(1L << RasterizeLevel) - 1}) AS cell_y,
+         |    least(count(*), 65535) AS cnt
+         |  FROM p GROUP BY 1, 2)
+         |SELECT poly_id, CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(cnt) AS BIGINT) AS total,
+         |  CAST(max(cnt) AS BIGINT) AS max_cnt
+         |FROM zcells JOIN dens USING (cell_x, cell_y)
+         |GROUP BY 1""".stripMargin,
 
     "q_vectorize" -> {
       // grid size g = 2^level, smallest level in [6,12] with 4^level >= n —

@@ -1099,6 +1099,32 @@ object SpatialOps {
       .select(col("poly_id"), col("cell_x"), col("cell_y"))
   }
 
+  /** Zonal statistics: per-polygon rollup of the point-density raster —
+    * the raster↔vector capstone (rasterize the zones, grid the points,
+    * join on the cell). For every polygon: how many occupied cells it
+    * covers, the total (per-cell-saturating, [[equirectDensity]]'s
+    * documented cap) point count, and the hottest cell's count. The
+    * standard GIS "zonal stats" primitive, here as three hash-partitioned
+    * stages: the distributed polygon cover of [[rasterizePolygons]]
+    * (never broadcasting the polygon corpus), ONE density aggregation
+    * over the points (map-side combinable), and an equi-join on
+    * (cell_x, cell_y) + per-polygon rollup. No point-in-polygon test per
+    * POINT ever runs — points reduce to cells first, so the join side is
+    * the (bounded) occupied-cell set, not the corpus.
+    *
+    * Output: (poly_id, n_cells, total, max_cnt) — polygons covering no
+    * occupied cell are absent (the join is inner; zero-stats rows carry
+    * no information at corpus scale).
+    */
+  def zonalStats(polys: DataFrame, points: DataFrame, level: Int): DataFrame =
+    rasterizePolygons(polys, level)
+      .join(equirectDensity(points, level)
+          .withColumnRenamed("bx", "cell_x").withColumnRenamed("by", "cell_y"),
+        Seq("cell_x", "cell_y"))
+      .groupBy("poly_id")
+      .agg(count(lit(1)).as("n_cells"), sum(col("cnt")).as("total"),
+        max(col("cnt")).as("max_cnt"))
+
   /** Cells crossed by each way SEGMENT — polyline rasterization onto the
     * equirect grid, the operator that assigns ways (not just points) to
     * tiles for a vector-tile cut. Candidates are the segment's bbox cell
