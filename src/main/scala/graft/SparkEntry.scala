@@ -1105,6 +1105,13 @@ object SparkEntry {
       SpatialOps.zonalStats(Synth.hexCorpus(s, 1000), Synth.points(s, d),
         RasterizeLevel)),
 
+    // raster dilation: Chebyshev-2 halo around cells with >= 3 points
+    "q_dilate" -> ((s, d) =>
+      SpatialOps.dilateRaster(
+        SpatialOps.equirectDensity(Synth.points(s, d), DilateLevel)
+          .filter(col("cnt") >= 3),
+        DilateRadius, DilateLevel)),
+
     // raster->vector: connected occupied-cell regions as component bboxes.
     // The occupancy grid level derives from the POINT COUNT (smallest
     // level with 4^level >= n, clamped [6,12] — integer compares, exactly
@@ -1882,6 +1889,10 @@ object SparkEntry {
     * GraphOps.labelPropagation).
     */
   val LpaRounds = 4
+
+  /** q_dilate grid level / Chebyshev radius / occupancy threshold. */
+  val DilateLevel = 7
+  val DilateRadius = 2
 
   /** q_contain emission threshold (permille of doc_a's capped shingles
     * present in doc_b).
@@ -3476,6 +3487,28 @@ object SparkEntry {
       s"""WITH hexes AS (${Synth.hexCorpusSql(1000)}),
          |$hexRasterCtesSql
          |SELECT poly_id, cell_x, cell_y FROM zcells""".stripMargin,
+
+    // INDEPENDENT formulation: offsets as a range-table cross product
+    // (engine: literal offset-array explode), core via bool_or
+    "q_dilate" -> {
+      val g = 1L << DilateLevel
+      s"""WITH p AS ($P),
+         |occ AS (
+         |  SELECT bx, by FROM (
+         |    SELECT least(((lon_fix + 1800000000) * $g) // 3600000000, ${g - 1}) AS bx,
+         |      least(((lat_fix + 900000000) * $g) // 1800000000, ${g - 1}) AS by,
+         |      count(*) AS c
+         |    FROM p GROUP BY 1, 2) WHERE c >= 3),
+         |halo AS (
+         |  SELECT bx + dx.d AS cell_x, by + dy.d AS cell_y,
+         |    (dx.d = 0 AND dy.d = 0) AS c
+         |  FROM occ, range(-$DilateRadius, ${DilateRadius + 1}) dx(d),
+         |    range(-$DilateRadius, ${DilateRadius + 1}) dy(d))
+         |SELECT cell_x, cell_y, bool_or(c) AS core
+         |FROM halo
+         |WHERE cell_x BETWEEN 0 AND ${g - 1} AND cell_y BETWEEN 0 AND ${g - 1}
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     // zonal stats: the q_rasterize zone-cell twin joined to the
     // saturating density grid at the same level, rolled up per polygon

@@ -1099,6 +1099,36 @@ object SpatialOps {
       .select(col("poly_id"), col("cell_x"), col("cell_y"))
   }
 
+  /** Morphological dilation of an occupied-cell raster by Chebyshev
+    * radius `radius` — the grid-space buffer operator (coverage halos,
+    * safety margins, "near data" masks) on the same equirect grid as
+    * [[equirectDensity]]. Each occupied cell stamps its
+    * (2·radius+1)² neighborhood (a LITERAL offset array — the explode
+    * factor is a compile-time constant, not data-dependent); cells
+    * falling off the grid are dropped (the world grid has no wraparound
+    * here — consistent with [[equirectDensity]]'s edge clamping, which
+    * never emits out-of-range cells to begin with). `core` marks cells
+    * that were occupied in the input (dilated \ core = the halo).
+    *
+    * Scale posture: one narrow explode (constant fan-out (2r+1)²) and
+    * ONE aggregation shuffle (groupBy cell, max(core)) — dilation is
+    * embarrassingly parallel; no join, no window. Output:
+    * (cell_x, cell_y, core).
+    */
+  def dilateRaster(cells: DataFrame, radius: Int, level: Int): DataFrame = {
+    val n = 1L << level
+    val offsets = for (dx <- -radius to radius; dy <- -radius to radius)
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    cells.select(col("bx"), col("by"),
+        explode(array(offsets: _*)).as("o"))
+      .select((col("bx") + col("o.dx")).as("cell_x"),
+        (col("by") + col("o.dy")).as("cell_y"),
+        (col("o.dx") === 0 && col("o.dy") === 0).as("c"))
+      .filter(col("cell_x") >= 0 && col("cell_x") < n &&
+        col("cell_y") >= 0 && col("cell_y") < n)
+      .groupBy("cell_x", "cell_y").agg(max(col("c")).as("core"))
+  }
+
   /** Zonal statistics: per-polygon rollup of the point-density raster —
     * the raster↔vector capstone (rasterize the zones, grid the points,
     * join on the cell). For every polygon: how many occupied cells it
