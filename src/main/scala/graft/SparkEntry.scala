@@ -351,6 +351,21 @@ object SparkEntry {
         .groupBy("cell").agg(count(lit(1)).as("n"))
     }),
 
+    // --- the north-star ingest slice: geo microdata OUT OF RAW HTML ---
+    // decode binary html -> regex-extract the geo.fix meta tag -> fix
+    // ints -> cell index -> density. Pages without the tag must drop out.
+    "q_geo_extract" -> ((s, d) => {
+      val html = decode(col("html"), "UTF-8")
+      Synth.pagesGeo(s, d)
+        .select(
+          regexp_extract(html, "geo\\.fix\" content=\"(-?\\d+);", 1).as("lo"),
+          regexp_extract(html, "content=\"-?\\d+;(-?\\d+)\"", 1).as("la"))
+        .filter(length(col("lo")) > 0) // ANSI-safe: cast only real matches
+        .select(Fns.cellId(col("lo").cast("long"), col("la").cast("long"), 12)
+          .as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("n"))
+    }),
+
     // tile-pyramid rollup: z9 tile counts summed into their z7 parents by
     // pure integer arithmetic (tx >> 2). Floor alignment across zooms
     // (fl(x*128) = fl(x*512)/4 exactly — power-of-2 scaling commutes with
@@ -3288,6 +3303,21 @@ object SparkEntry {
          |  SELECT least(((lon_fix + 1800000000) * 4096) // 3600000000, 4095) AS cx,
          |         least(((lat_fix + 900000000) * 4096) // 1800000000, 4095) AS cy
          |  FROM p)
+         |SELECT (16777216 | ${spreadSql("cx")} | (${spreadSql("cy")} << 1)) AS cell, count(*) AS n
+         |FROM xy GROUP BY 1""".stripMargin,
+
+    // GROUND-TRUTH formulation: coordinates recomputed from doc_id
+    // directly — the oracle never touches html or a regex, so the whole
+    // decode -> extract -> parse -> index path is checked end-to-end
+    "q_geo_extract" ->
+      s"""WITH g AS (
+         |  SELECT (doc_id * 2654435761) % 3600000000 - 1800000000 AS lon_fix,
+         |         (doc_id * 2246822519) % 1800000000 - 900000000 AS lat_fix
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |xy AS (
+         |  SELECT least(((lon_fix + 1800000000) * 4096) // 3600000000, 4095) AS cx,
+         |         least(((lat_fix + 900000000) * 4096) // 1800000000, 4095) AS cy
+         |  FROM g)
          |SELECT (16777216 | ${spreadSql("cx")} | (${spreadSql("cy")} << 1)) AS cell, count(*) AS n
          |FROM xy GROUP BY 1""".stripMargin,
 

@@ -192,6 +192,29 @@ object Synth {
       col("text"), col("lang"))
   }
 
+  /** Pages variant with embedded geo microdata: every third page
+    * (doc_id % 3 == 0) carries a `<meta name="geo.fix"
+    * content="{lon_fix};{lat_fix}">` tag inside its html — fix-integer
+    * coordinates (a deterministic stand-in for geo.position/ICBM
+    * microformats, kept integer so extraction parity is exact) scattered
+    * by the same multiplicative constants as the points corpus. The
+    * other two thirds have NO geo tag, so extraction must skip them.
+    */
+  def pagesGeo(spark: SparkSession, sfDir: String): DataFrame = {
+    val id = col("doc_id")
+    val lonFix = (id * lit(2654435761L)) % lit(3600000000L) - lit(1800000000L)
+    val latFix = (id * lit(2246822519L)) % lit(1800000000L) - lit(900000000L)
+    val meta = when(id % 3 === 0,
+      concat(lit("<meta name=\"geo.fix\" content=\""), lonFix.cast("string"),
+        lit(";"), latFix.cast("string"), lit("\">"))).otherwise(lit(""))
+    table(spark, sfDir, "documents").select(
+      concat(lit("https://example.org/doc/"), id.cast("string")).as("url"),
+      timestamp_micros(lit(1704067200000000L) + id * lit(1000000L)).as("warc_ts"),
+      encode(concat(lit("<html><head>"), meta, lit("</head><body>"),
+        col("text"), lit("</body></html>")), "UTF-8").as("html"),
+      col("text"), col("lang"))
+  }
+
   /** Multi-capture URL corpus for canonicalization: logical page
     * lid = doc_id % 100 on host site(lid % 13) appears under four crawl-
     * realistic surface forms (uppercase scheme/host + default port +
