@@ -1127,6 +1127,13 @@ object SparkEntry {
           .filter(col("cnt") >= 3),
         DilateRadius, DilateLevel)),
 
+    // raster erosion: interior core of the occupancy mask (coarser grid
+    // so the mask is dense enough to HAVE an interior)
+    "q_erode" -> ((s, d) =>
+      SpatialOps.erodeRaster(
+        SpatialOps.equirectDensity(Synth.points(s, d), ErodeLevel),
+        DilateRadius, ErodeLevel)),
+
     // raster->vector: connected occupied-cell regions as component bboxes.
     // The occupancy grid level derives from the POINT COUNT (smallest
     // level with 4^level >= n, clamped [6,12] — integer compares, exactly
@@ -1908,6 +1915,9 @@ object SparkEntry {
   /** q_dilate grid level / Chebyshev radius / occupancy threshold. */
   val DilateLevel = 7
   val DilateRadius = 2
+
+  /** q_erode grid level (coarser: erosion needs a dense mask). */
+  val ErodeLevel = 5
 
   /** q_contain emission threshold (permille of doc_a's capped shingles
     * present in doc_b).
@@ -3538,6 +3548,25 @@ object SparkEntry {
          |FROM halo
          |WHERE cell_x BETWEEN 0 AND ${g - 1} AND cell_y BETWEEN 0 AND ${g - 1}
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    // INDEPENDENT formulation: band self-join + HAVING full count
+    // (engine: support-stamp explode, no join at all)
+    "q_erode" -> {
+      val g = 1L << ErodeLevel
+      val r = DilateRadius
+      s"""WITH p AS ($P),
+         |occ AS (
+         |  SELECT DISTINCT
+         |    least(((lon_fix + 1800000000) * $g) // 3600000000, ${g - 1}) AS bx,
+         |    least(((lat_fix + 900000000) * $g) // 1800000000, ${g - 1}) AS by
+         |  FROM p)
+         |SELECT o.bx AS cell_x, o.by AS cell_y
+         |FROM occ o JOIN occ i
+         |  ON i.bx BETWEEN o.bx - $r AND o.bx + $r
+         |  AND i.by BETWEEN o.by - $r AND o.by + $r
+         |GROUP BY 1, 2
+         |HAVING count(*) = ${(2 * r + 1) * (2 * r + 1)}""".stripMargin
     },
 
     // zonal stats: the q_rasterize zone-cell twin joined to the

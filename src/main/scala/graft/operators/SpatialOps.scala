@@ -1129,6 +1129,35 @@ object SpatialOps {
       .groupBy("cell_x", "cell_y").agg(max(col("c")).as("core"))
   }
 
+  /** Morphological erosion of an occupied-cell raster by Chebyshev
+    * radius `radius`: a cell survives iff its ENTIRE (2·radius+1)²
+    * neighborhood is occupied — the interior-core operator (dilation's
+    * adjoint; together they compose opening/closing for speckle removal
+    * on coverage masks). Implemented WITHOUT a self-join: every occupied
+    * cell stamps the neighborhood it *supports* (the same constant-
+    * fanout explode as [[dilateRaster]]), and a cell survives when its
+    * support count reaches the full (2r+1)² — one aggregation shuffle
+    * total. Cells near the grid edge can never collect full support, so
+    * the border is eroded by construction (the documented contract).
+    *
+    * Output: (cell_x, cell_y) — the surviving core cells.
+    */
+  def erodeRaster(cells: DataFrame, radius: Int, level: Int): DataFrame = {
+    val n = 1L << level
+    val full = (2 * radius + 1).toLong * (2 * radius + 1)
+    val offsets = for (dx <- -radius to radius; dy <- -radius to radius)
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    cells.select(col("bx"), col("by"),
+        explode(array(offsets: _*)).as("o"))
+      .select((col("bx") + col("o.dx")).as("cell_x"),
+        (col("by") + col("o.dy")).as("cell_y"))
+      .filter(col("cell_x") >= 0 && col("cell_x") < n &&
+        col("cell_y") >= 0 && col("cell_y") < n)
+      .groupBy("cell_x", "cell_y").agg(count(lit(1)).as("__sup"))
+      .filter(col("__sup") === full)
+      .select("cell_x", "cell_y")
+  }
+
   /** Zonal statistics: per-polygon rollup of the point-density raster —
     * the raster↔vector capstone (rasterize the zones, grid the points,
     * join on the cell). For every polygon: how many occupied cells it

@@ -34,4 +34,22 @@ class DilateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._2).keySet === Set((10L, 10L), (0L, 0L)),
       "exactly the occupied cells carry core = true")
   }
+
+  test("erosion keeps exactly the interior of a solid block") {
+    val s = spark; import s.implicits._
+    // solid 5x5 block at (8..12, 8..12): radius-1 erosion -> 3x3 core
+    val block = (for (x <- 8L to 12L; y <- 8L to 12L) yield (x, y))
+      .toDF("bx", "by")
+    val got = SpatialOps.erodeRaster(block, radius = 1, level = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for (x <- 9L to 11L; y <- 9L to 11L) yield (x, y)).toSet
+    assert(got === want)
+    // opening (erode then dilate) of a solid block is the block itself
+    val opened = SpatialOps.dilateRaster(
+      SpatialOps.erodeRaster(block, 1, 5)
+        .withColumnRenamed("cell_x", "bx").withColumnRenamed("cell_y", "by"),
+      1, 5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(opened === (for (x <- 8L to 12L; y <- 8L to 12L)
+      yield (x, y)).toSet, "opening must restore the solid block")
+  }
 }
