@@ -1493,6 +1493,10 @@ object SparkEntry {
     // ratios, lead()-window bigrams, broadcast vocabulary joins
     "q_pmi" -> ((s, d) => LmOps.pmiCollocations(t(s, d, "documents"), 3L)),
 
+    // --- TextRank keywords: PageRank over the word co-occurrence graph ---
+    "q_textrank" -> ((s, d) =>
+      LmOps.textRank(t(s, d, "documents"), TextRankIters, TextRankMinCount)),
+
     // --- Douglas-Peucker way simplification (exact integer predicate) ---
     "q_simplify" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -1918,6 +1922,10 @@ object SparkEntry {
 
   /** q_erode grid level (coarser: erosion needs a dense mask). */
   val ErodeLevel = 5
+
+  /** q_textrank PageRank iterations / bigram noise floor. */
+  val TextRankIters = 3
+  val TextRankMinCount = 2L
 
   /** q_contain emission threshold (permille of doc_a's capped shingles
     * present in doc_b).
@@ -2600,7 +2608,8 @@ object SparkEntry {
        |  FROM e0 WHERE ${mixIdSql("src * 53 + j * 17 + 1")} %
        |      (SELECT count(*) FROM documents) <> src)""".stripMargin
 
-  private def pageRankSql(iters: Int): String = {
+  private def pageRankSql(iters: Int, edgesWith: String = linkEdgesSql,
+                          idCol: String = "node_id"): String = {
     import graft.operators.GraphOps.{DampingPct, RankScale}
     val base = (100 - DampingPct) * (RankScale / 100)
     val rounds = (1 to iters).map { i =>
@@ -2614,14 +2623,14 @@ object SparkEntry {
          |    $base + ($DampingPct * coalesce(c.in_sum, 0)) // 100 AS pr
          |  FROM nodes nd LEFT JOIN c$i c USING (node_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH $linkEdgesSql,
+    s"""WITH $edgesWith,
        |nodes AS (SELECT src AS node_id FROM edges
        |  UNION SELECT dst FROM edges),
        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
        |  FROM edges GROUP BY 1),
        |r0 AS (SELECT node_id, CAST($RankScale AS BIGINT) AS pr FROM nodes),
        |$rounds
-       |SELECT node_id, pr AS rank_e6 FROM r$iters""".stripMargin
+       |SELECT node_id AS $idCol, pr AS rank_e6 FROM r$iters""".stripMargin
   }
 
   /** GraphOps.hits twin: the same integer half-steps unrolled — raw
@@ -4658,6 +4667,22 @@ object SparkEntry {
     "q_knn_geo_auto" -> knnGeoSql(499),
 
     "q_pagerank" -> pageRankSql(5),
+
+    // same unrolled integer-PageRank twin, edges swapped for the word
+    // co-occurrence graph (tokens via string_split positions, unordered
+    // bigram threshold, both directions)
+    "q_textrank" -> pageRankSql(TextRankIters, edgesWith =
+      s"""toks AS (
+         |  SELECT doc_id, ws, unnest(range(0, len(ws))) AS pos
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         |bi AS (SELECT ws[pos+1] AS wa, ws[pos+2] AS wb FROM toks
+         |       WHERE pos + 2 <= len(ws)),
+         |cw AS (SELECT least(wa, wb) AS a, greatest(wa, wb) AS b
+         |  FROM bi WHERE wa <> wb
+         |  GROUP BY 1, 2 HAVING count(*) >= $TextRankMinCount),
+         |edges AS (SELECT a AS src, b AS dst FROM cw
+         |  UNION ALL SELECT b, a FROM cw)""".stripMargin,
+      idCol = "word"),
 
     "q_hits" -> hitsSql(3),
 

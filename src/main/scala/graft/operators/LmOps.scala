@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.core.CacheScope
 import graft.plans.{HllExpressions, TextHashExpressions}
 
 /** CCNet-style statistical language-model quality scoring: documents are
@@ -86,6 +87,41 @@ object LmOps {
     * the totals are 1-row broadcast aggregates. Output (wa, wb, cab,
     * pmi_e6).
     */
+  /** TextRank keyword scores: integer PageRank over the word
+    * co-occurrence graph — the classic unsupervised keyword-extraction
+    * primitive, here as a pure composition of the tokenizer shared with
+    * [[pmiCollocations]] and [[GraphOps.pageRank]]'s fixed-point
+    * arithmetic (bit-identical across engines, same rationale). The
+    * graph: an UNDIRECTED edge between adjacent tokens whose unordered
+    * bigram count reaches `minCount` (the noise floor — singleton
+    * co-occurrences are stopword scaffolding), materialized as both
+    * directed edges so the directed PageRank walks it symmetrically.
+    *
+    * Scale posture: tokenization is one narrow posexplode; the bigram
+    * window is per-doc (partitioned window, no global sort); the edge
+    * threshold bounds the graph to recurring collocations; then
+    * [[GraphOps.pageRank]]'s documented per-iteration shape. Output:
+    * (word, rank_e6).
+    */
+  def textRank(corpus: DataFrame, iterations: Int, minCount: Long,
+               scope: CacheScope = CacheScope.global): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = corpus.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = toks.select(col("w").as("wa"), lead(col("w"), 1).over(w).as("wb"))
+      .filter(col("wb").isNotNull && col("wa") =!= col("wb"))
+    val und = bi
+      .select(least(col("wa"), col("wb")).as("a"),
+        greatest(col("wa"), col("wb")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    GraphOps.pageRank(edges, iterations, scope)
+      .withColumnRenamed("node_id", "word")
+  }
+
   def pmiCollocations(corpus: DataFrame, minCount: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = corpus.select(col("doc_id"),
