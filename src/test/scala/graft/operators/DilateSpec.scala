@@ -52,4 +52,25 @@ class DilateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(opened === (for (x <- 8L to 12L; y <- 8L to 12L)
       yield (x, y)).toSet, "opening must restore the solid block")
   }
+
+  test("scale-posture plans: dilate/erode one exchange, no join; zonal equi-joins only") {
+    val s = spark; import s.implicits._
+    val cells = (for (x <- 0L until 20L; y <- 0L until 20L) yield (x, y))
+      .toDF("bx", "by")
+    for ((name, p) <- Seq(
+        "dilate" -> SpatialOps.dilateRaster(cells, 2, 7),
+        "erode" -> SpatialOps.erodeRaster(cells, 2, 7))) {
+      val t = p.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllIn(t).size === 1, s"$name plan:\n$t")
+      assert(!t.contains("Join"), s"$name must not join:\n$t")
+    }
+    val polys = graft.sources.Synth.hexCorpus(spark, 5)
+    val pts = (0L until 100L).map(i =>
+      (i, i * 36000000L - 1800000000L, i * 17000000L - 850000000L))
+      .toDF("pid", "lon_fix", "lat_fix")
+    val zt = SpatialOps.zonalStats(polys, pts, 7)
+      .queryExecution.executedPlan.toString
+    assert(!zt.contains("CartesianProduct") &&
+      !zt.contains("BroadcastNestedLoop"), s"zonal plan:\n$zt")
+  }
 }

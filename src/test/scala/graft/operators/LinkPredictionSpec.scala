@@ -54,4 +54,24 @@ class LinkPredictionSpec extends AnyFunSuite with BeforeAndAfterAll {
     // wedges through the deg-2 pivots 1 and 2 — no pair through the hub
     assert(got === Set((1L, 2L), (50L, 100L)))
   }
+
+  test("scale-posture plans: linkpred/ed1/containment all equi-join, never all-pairs") {
+    val s = spark; import s.implicits._
+    val edges = (0L until 200L).map(i => (i, (i * 7 + 1) % 200)).toDF("src", "dst")
+    val lp = GraphOps.linkPrediction(edges)
+      .queryExecution.executedPlan.toString
+    assert(!lp.contains("CartesianProduct") &&
+      !lp.contains("BroadcastNestedLoop"), s"linkpred plan:\n$lp")
+    val strs = (0L until 100L).map(i => (i, s"prefix-$i")).toDF("doc_id", "s")
+    val ed = DedupOps.editOnePairs(strs, "doc_id", "s")
+      .queryExecution.executedPlan.toString
+    assert(!ed.contains("CartesianProduct") &&
+      !ed.contains("BroadcastNestedLoop"), s"ed1 plan:\n$ed")
+    val corpus = (0L until 50L).map(i => (i, s"some words repeated $i here"))
+      .toDF("doc_id", "text")
+    val ct = DedupOps.containmentPairs(corpus, 600L)
+      .queryExecution.executedPlan.toString
+    assert(!ct.contains("CartesianProduct") &&
+      !ct.contains("BroadcastNestedLoop"), s"containment plan:\n$ct")
+  }
 }
