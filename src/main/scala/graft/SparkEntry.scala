@@ -1497,6 +1497,14 @@ object SparkEntry {
     "q_textrank" -> ((s, d) =>
       LmOps.textRank(t(s, d, "documents"), TextRankIters, TextRankMinCount)),
 
+    // --- related hosts by content: sparse-cosine over token bags ---
+    "q_host_sim" -> ((s, d) =>
+      SimilarityOps.cosineSparsePairs(
+        t(s, d, "documents").select(
+          concat(lit("site"), (col("doc_id") % 97).cast("string")).as("key"),
+          explode(split(col("text"), " ")).as("tok")),
+        HostSimThrPm, HostSimDfCap)),
+
     // --- Douglas-Peucker way simplification (exact integer predicate) ---
     "q_simplify" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -1926,6 +1934,12 @@ object SparkEntry {
   /** q_textrank PageRank iterations / bigram noise floor. */
   val TextRankIters = 3
   val TextRankMinCount = 2L
+
+  /** q_host_sim cos² threshold (permille) and token df cap (97 synthetic
+    * hosts — cap 48 drops everywhere-tokens from the metric).
+    */
+  val HostSimThrPm = 500L
+  val HostSimDfCap = 48
 
   /** q_contain emission threshold (permille of doc_a's capped shingles
     * present in doc_b).
@@ -4667,6 +4681,31 @@ object SparkEntry {
     "q_knn_geo_auto" -> knnGeoSql(499),
 
     "q_pagerank" -> pageRankSql(5),
+
+    // INDEPENDENT formulation: cross-multiplied cos² inequality spelled
+    // over HAVING-capped term counts; same exact-rational metric contract
+    "q_host_sim" ->
+      s"""WITH tc AS (
+         |  SELECT 'site' || CAST(doc_id % 97 AS VARCHAR) AS key, tok,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)
+         |  GROUP BY 1, 2),
+         |keep AS (SELECT tok FROM tc GROUP BY tok
+         |  HAVING count(*) <= $HostSimDfCap),
+         |ct AS (SELECT tc.key, tc.tok, tc.c FROM tc JOIN keep USING (tok)),
+         |nrm AS (SELECT key, CAST(sum(c * c) AS BIGINT) AS n2 FROM ct GROUP BY 1),
+         |dots AS (
+         |  SELECT a.key AS key_a, b.key AS key_b,
+         |    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+         |  FROM ct a JOIN ct b ON a.tok = b.tok AND a.key < b.key
+         |  GROUP BY 1, 2)
+         |SELECT key_a, key_b,
+         |  CAST((dot * dot * 1000) // (na.n2 * nb.n2) AS BIGINT) AS cos2_pm
+         |FROM dots
+         |JOIN nrm na ON na.key = key_a
+         |JOIN nrm nb ON nb.key = key_b
+         |WHERE dot * dot * 1000 >= $HostSimThrPm * na.n2 * nb.n2""".stripMargin,
 
     // same unrolled integer-PageRank twin, edges swapped for the word
     // co-occurrence graph (tokens via string_split positions, unordered

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.CacheScope
 import graft.functions.Fns
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -298,5 +299,50 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), col("cos_e6"))
+  }
+
+  /** SPARSE-vector cosine-similarity pairs via an inverted index — the
+    * "related hosts/sites by content" join, where each key is a bag of
+    * token counts too wide and too sparse for the dense-embedding paths
+    * above. All-integer and EXACT: instead of cos = dot/(|a||b|) (whose
+    * square roots are float), pairs are scored by cos² as the exact
+    * rational cos2_pm = dot²·1000 div (na2·nb2) and thresholded by the
+    * cross-multiplied inequality dot²·1000 ≥ thr·na2·nb2 — no float op
+    * anywhere, so the DuckDB twin matches bit-for-bit.
+    *
+    * Scale posture: candidates come from the inverted index (self-join
+    * per token), with tokens present in more than `dfCap` keys DROPPED
+    * FROM THE METRIC (the documented boilerplate contract, same shape as
+    * DedupOps.containmentPairs): a token with df ≤ c emits ≤ c² pair
+    * rows, so candidate volume is Σ_tok df² ≤ cap·Σ df — linear in index
+    * mass at fixed cap, never all-pairs. Three hash shuffles (term
+    * counts, pair dot products, norm join).
+    *
+    * Input: rows (key, tok) — one row per token OCCURRENCE. Output:
+    * (key_a, key_b, cos2_pm) with key_a < key_b, cos² ≥ thrPm/1000.
+    * int64 headroom: dot²·1000 needs dot < 3·10⁶ — i.e. per-(key,tok)
+    * counts × shared vocab below ~3M mass per pair; token counts at that
+    * magnitude should be tf-capped upstream (ANSI mode fails loudly).
+    */
+  def cosineSparsePairs(occurrences: DataFrame, thrPm: Long, dfCap: Int,
+                        scope: CacheScope = CacheScope.global): DataFrame = {
+    val tc = occurrences.groupBy(col("key"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val rare = tc.groupBy("tok").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= dfCap).select("tok")
+    // persisted (scope-released): feeds both join sides and the norms
+    val capped = scope.persist(tc.join(rare, "tok"))
+    val norms = capped.groupBy("key").agg(sum(col("c") * col("c")).as("n2"))
+    val dots = capped.select(col("tok"), col("key").as("key_a"), col("c").as("ca"))
+      .join(capped.select(col("tok"), col("key").as("key_b"), col("c").as("cb"))
+        .hint("shuffle_hash"), "tok")
+      .filter(col("key_a") < col("key_b"))
+      .groupBy("key_a", "key_b").agg(sum(col("ca") * col("cb")).as("dot"))
+    dots
+      .join(norms.select(col("key").as("key_a"), col("n2").as("na2")), "key_a")
+      .join(norms.select(col("key").as("key_b"), col("n2").as("nb2")), "key_b")
+      .filter(col("dot") * col("dot") * 1000 >= lit(thrPm) * col("na2") * col("nb2"))
+      .selectExpr("key_a", "key_b",
+        "(dot * dot * 1000) div (na2 * nb2) AS cos2_pm")
   }
 }
