@@ -310,7 +310,10 @@ object SparkEntry {
         .select(col("way_id"),
           expr("transform(p, q -> q.x)").as("xs"),
           expr("transform(p, q -> q.y)").as("ys"))
-      SpatialOps.frechetJoin(tracks, tracks, FrechetThr, selfJoin = true)
+      val thr = if (tracks.count() <= FrechetSmallN) FrechetThrSmall
+        else FrechetThr
+      SpatialOps.frechetJoin(tracks, tracks, thr,
+        coverLevel = TrackCoverLevel, selfJoin = true)
     }),
 
     // DTW trajectory-similarity join: the cumulative-cost sibling of
@@ -322,7 +325,10 @@ object SparkEntry {
         .select(col("way_id"),
           expr("transform(p, q -> q.x)").as("xs"),
           expr("transform(p, q -> q.y)").as("ys"))
-      SpatialOps.dtwJoin(tracks, tracks, DtwBudget, selfJoin = true)
+      val thr = if (tracks.count() <= FrechetSmallN) FrechetThrSmall
+        else FrechetThr
+      SpatialOps.dtwJoin(tracks, tracks, 2L * thr * thr,
+        coverLevel = TrackCoverLevel, selfJoin = true)
     }),
 
     // way stitching: segments between consecutive lattice nodes, with a
@@ -1823,9 +1829,31 @@ object SparkEntry {
   /** q_way_cross span contract (fix units) — the wayPoints jitter bound. */
   val WayCrossSpan = 20000000L
 
-  /** q_frechet match threshold (fix units, ~3°): pairs with discrete
-    * Fréchet distance ≤ this are conflation matches (36 at sf0.001). */
-  val FrechetThr = 30000000L
+  /** q_frechet match threshold (fix units, ~0.6° ≈ 66 km): pairs with
+    * discrete Fréchet distance ≤ this are conflation matches. Sized for
+    * the synthetic world: tracks scatter over a FIXED area, so pair
+    * density — and the join's Θ(output) cost — grows quadratically with
+    * SF; the original 3° threshold made q_frechet/q_dtw output millions
+    * of pairs at sf0.1 (137 s of bench on two queries), which measures
+    * the instance, not the plan. Real conflation radii are km-scale;
+    * 1° keeps the answer set meaningful at every SF (paired with a
+    * level-8 cover: level-6 cells are 5.6°x2.8° — far coarser than the
+    * expanded bbox, so every cell held hundreds of tracks and the
+    * candidate join, not the kernel, dominated).
+    */
+  val FrechetThr = 10000000L
+  /** Sparse-corpus threshold (3°) and the track-count pivot: below
+    * [[FrechetSmallN]] distinct tracks the 1° radius finds nothing in
+    * the synthetic scatter, so both joins (and their oracle twins, via
+    * the same CASE) widen to 3° — the q_vectorize adaptive-level
+    * precedent (parameters derived from counts by integer compares so
+    * the twin is exact).
+    */
+  val FrechetThrSmall = 30000000L
+  val FrechetSmallN = 3000L
+  /** ceil(sqrt(2*thr^2)) for both thresholds (DTW bbox expansion). */
+  val DtwExpandSmall: Long =
+    math.ceil(math.sqrt(2.0 * FrechetThrSmall * FrechetThrSmall)).toLong
 
   /** q_dtw cumulative squared-distance budget (fix², 2·thr²) and the
     * derived bbox expansion ⌈√budget⌉ — DTW ≥ d²(a₀,b₀), so the expanded
@@ -1833,6 +1861,13 @@ object SparkEntry {
     */
   val DtwBudget = 2L * FrechetThr * FrechetThr
   val DtwExpand: Long = math.ceil(math.sqrt(DtwBudget.toDouble)).toLong
+
+  /** Cover level for the trajectory-similarity joins: fine enough that a
+    * thr-expanded track bbox spans only a few cells, so per-cell join
+    * volume stays bounded (cover choice never affects the answer —
+    * candidates are a superset at any level).
+    */
+  val TrackCoverLevel = 8
 
   /** q_hexbin circumradius in fix units (~3°; odd so the axial division
     * never lands on an exact representable tie). */
@@ -3206,11 +3241,14 @@ object SparkEntry {
          |  SELECT way_id, min(x) AS minx, max(x) AS maxx,
          |         min(y) AS miny, max(y) AS maxy
          |  FROM pts GROUP BY 1),
+         |th AS (SELECT CAST(CASE WHEN (SELECT count(*) FROM tr) <= ${FrechetSmallN}
+         |  THEN ${FrechetThrSmall} ELSE $FrechetThr END AS BIGINT) AS thr),
          |cand AS (
          |  SELECT a.way_id AS wa, b.way_id AS wb
          |  FROM tr a JOIN tr b ON a.way_id < b.way_id
-         |    AND a.minx - $FrechetThr <= b.maxx AND a.maxx + $FrechetThr >= b.minx
-         |    AND a.miny - $FrechetThr <= b.maxy AND a.maxy + $FrechetThr >= b.miny),
+         |  CROSS JOIN th
+         |  WHERE a.minx - th.thr <= b.maxx AND a.maxx + th.thr >= b.minx
+         |    AND a.miny - th.thr <= b.maxy AND a.maxy + th.thr >= b.miny),
          |d AS MATERIALIZED (
          |  SELECT c.wa, c.wb, pa.i AS ia, pb.i AS ib,
          |    (pa.x - pb.x)*(pa.x - pb.x) + (pa.y - pb.y)*(pa.y - pb.y) AS d2
@@ -3233,7 +3271,7 @@ object SparkEntry {
          |  WHERE p.ia = na.n - 1 AND p.ib = nb.n - 1
          |  GROUP BY 1, 2)
          |SELECT wa AS way_a, wb AS way_b, CAST(df2 AS BIGINT) AS df2
-         |FROM fin WHERE df2 <= ${FrechetThr * FrechetThr}""".stripMargin
+         |FROM fin WHERE df2 <= (SELECT thr * thr FROM th)""".stripMargin
     },
 
     "q_dtw" -> {
@@ -3254,11 +3292,17 @@ object SparkEntry {
          |  SELECT way_id, min(x) AS minx, max(x) AS maxx,
          |         min(y) AS miny, max(y) AS maxy
          |  FROM pts GROUP BY 1),
+         |th AS (SELECT CASE WHEN (SELECT count(*) FROM tr) <= ${FrechetSmallN}
+         |  THEN ${DtwExpandSmall} ELSE $DtwExpand END AS ex,
+         |  CASE WHEN (SELECT count(*) FROM tr) <= ${FrechetSmallN}
+         |  THEN ${2L * FrechetThrSmall * FrechetThrSmall}
+         |  ELSE $DtwBudget END AS budget),
          |cand AS (
          |  SELECT a.way_id AS wa, b.way_id AS wb
          |  FROM tr a JOIN tr b ON a.way_id < b.way_id
-         |    AND a.minx - $DtwExpand <= b.maxx AND a.maxx + $DtwExpand >= b.minx
-         |    AND a.miny - $DtwExpand <= b.maxy AND a.maxy + $DtwExpand >= b.miny),
+         |  CROSS JOIN th
+         |  WHERE a.minx - th.ex <= b.maxx AND a.maxx + th.ex >= b.minx
+         |    AND a.miny - th.ex <= b.maxy AND a.maxy + th.ex >= b.miny),
          |d AS MATERIALIZED (
          |  SELECT c.wa, c.wb, pa.i AS ia, pb.i AS ib,
          |    (pa.x - pb.x)*(pa.x - pb.x) + (pa.y - pb.y)*(pa.y - pb.y) AS d2
@@ -3281,7 +3325,7 @@ object SparkEntry {
          |  WHERE p.ia = na.n - 1 AND p.ib = nb.n - 1
          |  GROUP BY 1, 2)
          |SELECT wa AS way_a, wb AS way_b, CAST(dtw2 AS BIGINT) AS dtw2
-         |FROM fin WHERE dtw2 <= $DtwBudget""".stripMargin
+         |FROM fin WHERE dtw2 <= (SELECT budget FROM th)""".stripMargin
     },
 
     "q_hausdorff" -> {
