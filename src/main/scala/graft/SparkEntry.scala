@@ -1503,6 +1503,11 @@ object SparkEntry {
     "q_textrank" -> ((s, d) =>
       LmOps.textRank(t(s, d, "documents"), TextRankIters, TextRankMinCount)),
 
+    // --- rendezvous-hash shard routing (minimal-movement consistency) ---
+    "q_rendezvous" -> ((s, d) =>
+      IdOps.rendezvousAssign(t(s, d, "documents").select("doc_id"),
+        "doc_id", RendezvousShards)),
+
     // --- related hosts by content: sparse-cosine over token bags ---
     "q_host_sim" -> ((s, d) =>
       SimilarityOps.cosineSparsePairs(
@@ -1975,6 +1980,9 @@ object SparkEntry {
     */
   val HostSimThrPm = 500L
   val HostSimDfCap = 48
+
+  /** q_rendezvous shard count. */
+  val RendezvousShards = 16
 
   /** q_contain emission threshold (permille of doc_a's capped shingles
     * present in doc_b).
@@ -4725,6 +4733,18 @@ object SparkEntry {
     "q_knn_geo_auto" -> knnGeoSql(499),
 
     "q_pagerank" -> pageRankSql(5),
+
+    // INDEPENDENT formulation: shard weights unnested from a range table
+    // and the winner picked by a QUALIFY window (engine: literal struct
+    // array + array_max ordering); ties break to the larger shard id
+    "q_rendezvous" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, s.s AS shard,
+         |    ${mixIdSql("doc_id * 31 + s.s * 1009 + 7")} AS w
+         |  FROM documents, range(0, $RendezvousShards) s(s))
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, w FROM w
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY doc_id ORDER BY w DESC, shard DESC) = 1""".stripMargin,
 
     // INDEPENDENT formulation: cross-multiplied cos² inequality spelled
     // over HAVING-capped term counts; same exact-rational metric contract

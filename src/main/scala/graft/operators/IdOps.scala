@@ -57,4 +57,30 @@ object IdOps {
       .filter(col("op").isNotNull)
       .select(col(keyCol), col("op"))
   }
+
+  /** Rendezvous (highest-random-weight) shard assignment: every key goes
+    * to the shard maximizing the deterministic per-(key, shard) weight
+    * mixId(key·31 + shard·1009 + 7) — the consistent-routing primitive
+    * of a sharded ingest/serving tier. The property that makes it worth
+    * an operator (and the spec): REMOVING a shard reassigns ONLY the
+    * keys that lived on it (every other key's argmax is untouched),
+    * unlike mod-N hashing where nearly all keys move.
+    *
+    * Scale posture: a pure map stage — the shard list is a LITERAL
+    * struct array (compile-time constant, n_shards entries), the argmax
+    * is array_max's struct ordering (max (w, shard), so weight ties
+    * break to the larger shard id, mirrored in the oracle); no shuffle,
+    * no join, no UDF. Output: (key, shard, w).
+    */
+  def rendezvousAssign(df: DataFrame, keyCol: String,
+                       nShards: Int): DataFrame = {
+    val shards = array((0 until nShards).map { s =>
+      struct(
+        graft.functions.Fns.mixId(
+          col(keyCol) * 31 + lit(s.toLong) * 1009 + 7).as("w"),
+        lit(s.toLong).as("shard"))
+    }: _*)
+    df.select(col(keyCol), array_max(shards).as("m"))
+      .select(col(keyCol), col("m.shard").as("shard"), col("m.w").as("w"))
+  }
 }
