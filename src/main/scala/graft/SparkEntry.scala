@@ -1503,6 +1503,22 @@ object SparkEntry {
     "q_textrank" -> ((s, d) =>
       LmOps.textRank(t(s, d, "documents"), TextRankIters, TextRankMinCount)),
 
+    // --- freshness-decayed cell density ---
+    // recency-weighted heatmap: each point's weight is 65536 >> age
+    // bucket (exact integer exponential decay — half-life = one bucket;
+    // a float exp() could not be oracle-compared), summed per cell in
+    // ONE map-side-combinable aggregation. Stale points (age > 16) decay
+    // to exactly 0 and drop out of the heat (but not the count).
+    "q_decay" -> ((s, d) =>
+      Synth.points(s, d)
+        .select(Fns.cellX(col("lon_fix"), DecayLevel).as("bx"),
+          Fns.cellY(col("lat_fix"), DecayLevel).as("by"),
+          expr("shiftright(CAST(65536 AS BIGINT), " +
+            "CAST(least(pid % 32, 16) AS INT))").as("w"))
+        .groupBy("bx", "by")
+        .agg(sum(col("w")).as("heat"), count(lit(1)).as("n"))
+        .filter(col("heat") > 0)),
+
     // --- rendezvous-hash shard routing (minimal-movement consistency) ---
     "q_rendezvous" -> ((s, d) =>
       IdOps.rendezvousAssign(t(s, d, "documents").select("doc_id"),
@@ -1983,6 +1999,9 @@ object SparkEntry {
 
   /** q_rendezvous shard count. */
   val RendezvousShards = 16
+
+  /** q_decay grid level (pid % 32 is the synthetic age bucket). */
+  val DecayLevel = 7
 
   /** q_contain emission threshold (permille of doc_a's capped shingles
     * present in doc_b).
@@ -4733,6 +4752,21 @@ object SparkEntry {
     "q_knn_geo_auto" -> knnGeoSql(499),
 
     "q_pagerank" -> pageRankSql(5),
+
+    // decay twin: shift spelled as integer division by a CASE power
+    "q_decay" -> {
+      val g = 1L << DecayLevel
+      val pow = (0 to 16).map(a => s"WHEN $a THEN ${1L << a}").mkString(" ")
+      s"""WITH p AS ($P),
+         |wp AS (
+         |  SELECT least(((lon_fix + 1800000000) * $g) // 3600000000, ${g - 1}) AS bx,
+         |    least(((lat_fix + 900000000) * $g) // 1800000000, ${g - 1}) AS by,
+         |    65536 // (CASE least(pid % 32, 16) $pow END) AS w
+         |  FROM p)
+         |SELECT bx, by, CAST(sum(w) AS BIGINT) AS heat,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM wp GROUP BY 1, 2 HAVING sum(w) > 0""".stripMargin
+    },
 
     // INDEPENDENT formulation: shard weights unnested from a range table
     // and the winner picked by a QUALIFY window (engine: literal struct
