@@ -1503,6 +1503,18 @@ object SparkEntry {
     "q_textrank" -> ((s, d) =>
       LmOps.textRank(t(s, d, "documents"), TextRankIters, TextRankMinCount)),
 
+    // --- Chaikin corner-cutting smoothing (rendering generalization) ---
+    "q_chaikin" -> ((s, d) => {
+      val wp = wayPoints(t(s, d, "lineitem"))
+      val tracks = wp.groupBy("way_id").agg(
+          array_sort(collect_list(struct(col("seq"), col("x"), col("y")))).as("p"))
+        .select(col("way_id"),
+          expr("transform(p, q -> q.x)").as("xs"),
+          expr("transform(p, q -> q.y)").as("ys"))
+      SpatialOps.chaikinSmooth(tracks.filter(col("way_id") % ChaikinSample === 0),
+        ChaikinRounds)
+    }),
+
     // --- freshness-decayed cell density ---
     // recency-weighted heatmap: each point's weight is 65536 >> age
     // bucket (exact integer exponential decay — half-life = one bucket;
@@ -2002,6 +2014,12 @@ object SparkEntry {
 
   /** q_decay grid level (pid % 32 is the synthetic age bucket). */
   val DecayLevel = 7
+
+  /** q_chaikin rounds and way sampling (the oracle unrolls per-round
+    * list comprehensions — sampling keeps its materialization modest).
+    */
+  val ChaikinRounds = 2
+  val ChaikinSample = 7L
 
   /** q_contain emission threshold (permille of doc_a's capped shingles
     * present in doc_b).
@@ -4752,6 +4770,31 @@ object SparkEntry {
     "q_knn_geo_auto" -> knnGeoSql(499),
 
     "q_pagerank" -> pageRankSql(5),
+
+    // chaikin twin: per-round list comprehensions over 1-based edges,
+    // same non-negative-offset floor emulation, zipped unnest explode
+    "q_chaikin" -> {
+      val off = 2000000000L
+      def once(l: String): String =
+        s"""(CASE WHEN len($l) >= 2 THEN list_concat(list_concat(
+           |  [$l[1]],
+           |  flatten([[ (3 * ($l[i] + $off) + ($l[i+1] + $off)) // 4 - $off,
+           |             (($l[i] + $off) + 3 * ($l[i+1] + $off)) // 4 - $off ]
+           |           FOR i IN range(1, len($l))])),
+           |  [$l[len($l)]]) ELSE $l END)""".stripMargin.replace("\n", " ")
+      def smooth(l: String): String =
+        (1 to ChaikinRounds).foldLeft(l)((acc, _) => once(acc))
+      s"""WITH li AS ($WayPtsSql),
+         |t AS (
+         |  SELECT way_id, list(x ORDER BY seq) AS xs, list(y ORDER BY seq) AS ys
+         |  FROM li WHERE way_id % $ChaikinSample = 0 GROUP BY 1),
+         |sm AS (SELECT way_id, ${smooth("xs")} AS sx, ${smooth("ys")} AS sy
+         |  FROM t)
+         |SELECT way_id,
+         |  CAST(unnest(range(1, len(sx) + 1)) - 1 AS BIGINT) AS idx,
+         |  unnest(sx) AS x, unnest(sy) AS y
+         |FROM sm""".stripMargin
+    },
 
     // decay twin: shift spelled as integer division by a CASE power
     "q_decay" -> {

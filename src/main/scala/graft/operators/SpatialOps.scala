@@ -1099,6 +1099,45 @@ object SpatialOps {
       .select(col("poly_id"), col("cell_x"), col("cell_y"))
   }
 
+  /** Chaikin corner-cutting smoothing of open polylines, exact integer:
+    * each round replaces every edge (a, b) with the two cut points
+    * Q = ⌊(3a+b)/4⌋ and R = ⌊(a+3b)/4⌋, keeping the endpoints — the
+    * map-generalization SMOOTHER (the dual of [[simplifyWays]]'
+    * Douglas-Peucker point REMOVAL: DP drops vertices, Chaikin rounds
+    * corners for rendering). Floor division is emulated portably by
+    * offsetting coordinates non-negative first (truncating and flooring
+    * division agree on non-negatives, and ⌊(3a+b+4c)/4⌋−c = ⌊(3a+b)/4⌋
+    * exactly), so the DuckDB twin matches bit-for-bit on negative
+    * coordinates too.
+    *
+    * Scale posture: a pure per-row array transform — no shuffle, no
+    * join, no UDF (nested codegen'd `transform`s); output length per way
+    * is 2ⁿ·(len−1)+... bounded by rounds, a compile-time constant.
+    * Input (way_id, xs, ys) with len ≥ 2 (shorter ways pass through
+    * unchanged). Output: (way_id, idx, x, y) exploded in order.
+    */
+  def chaikinSmooth(tracks: DataFrame, rounds: Int,
+                    offset: Long = 2000000000L): DataFrame = {
+    def once(c: String): String =
+      s"""concat(array(element_at($c, 1)),
+         |flatten(transform(sequence(1, size($c) - 1), i ->
+         |  array((3 * (element_at($c, i) + ${offset}L) +
+         |         (element_at($c, i + 1) + ${offset}L)) div 4 - ${offset}L,
+         |        ((element_at($c, i) + ${offset}L) +
+         |         3 * (element_at($c, i + 1) + ${offset}L)) div 4 - ${offset}L))),
+         |array(element_at($c, size($c))))""".stripMargin.replace("\n", " ")
+    def smooth(c: String): String =
+      (1 to rounds).foldLeft(c)((acc, _) => once(acc))
+    tracks
+      .select(col("way_id"),
+        when(size(col("xs")) >= 2, expr(smooth("xs"))).otherwise(col("xs")).as("sx"),
+        when(size(col("ys")) >= 2, expr(smooth("ys"))).otherwise(col("ys")).as("sy"))
+      .select(col("way_id"),
+        posexplode(expr("arrays_zip(sx, sy)")).as(Seq("idx", "p")))
+      .select(col("way_id"), col("idx").cast("long").as("idx"),
+        col("p.sx").as("x"), col("p.sy").as("y"))
+  }
+
   /** Morphological dilation of an occupied-cell raster by Chebyshev
     * radius `radius` — the grid-space buffer operator (coverage halos,
     * safety margins, "near data" masks) on the same equirect grid as
