@@ -1503,6 +1503,13 @@ object SparkEntry {
     "q_textrank" -> ((s, d) =>
       LmOps.textRank(t(s, d, "documents"), TextRankIters, TextRankMinCount)),
 
+    // --- marching-squares contour extraction (raster -> isolines) ---
+    // same occupancy mask as q_dilate (level 7, >= 3 points per cell)
+    "q_contours" -> ((s, d) =>
+      SpatialOps.marchingSquares(
+        SpatialOps.equirectDensity(Synth.points(s, d), DilateLevel)
+          .filter(col("cnt") >= 3))),
+
     // --- Chaikin corner-cutting smoothing (rendering generalization) ---
     "q_chaikin" -> ((s, d) => {
       val wp = wayPoints(t(s, d, "lineitem"))
@@ -4770,6 +4777,34 @@ object SparkEntry {
     "q_knn_geo_auto" -> knnGeoSql(499),
 
     "q_pagerank" -> pageRankSql(5),
+
+    // contours twin: stamps via a 0..1 offset range cross product, the
+    // SAME Scala-generated mask CASE rendered in DuckDB list syntax
+    "q_contours" -> {
+      val g = 1L << DilateLevel
+      s"""WITH p AS ($P),
+         |occ AS (
+         |  SELECT bx, by FROM (
+         |    SELECT least(((lon_fix + 1800000000) * $g) // 3600000000, ${g - 1}) AS bx,
+         |      least(((lat_fix + 900000000) * $g) // 1800000000, ${g - 1}) AS by,
+         |      count(*) AS c
+         |    FROM p GROUP BY 1, 2) WHERE c >= 3),
+         |st AS (
+         |  SELECT bx - dx.d AS gx, by - dy.d AS gy,
+         |    CASE WHEN dx.d = 0 AND dy.d = 0 THEN 1
+         |         WHEN dx.d = 1 AND dy.d = 0 THEN 2
+         |         WHEN dx.d = 1 AND dy.d = 1 THEN 4 ELSE 8 END AS bit
+         |  FROM occ, range(0, 2) dx(d), range(0, 2) dy(d)),
+         |mk AS (
+         |  SELECT gx, gy, CAST(sum(bit) AS BIGINT) AS mask
+         |  FROM st GROUP BY 1, 2
+         |  HAVING sum(bit) <> 0 AND sum(bit) <> 15),
+         |sg AS (SELECT gx, gy,
+         |  unnest(${graft.operators.SpatialOps.msCaseSql(duck = true)}) AS seg
+         |  FROM mk)
+         |SELECT gx, gy, seg[1] AS x1, seg[2] AS y1, seg[3] AS x2, seg[4] AS y2
+         |FROM sg""".stripMargin
+    },
 
     // chaikin twin: per-round list comprehensions over 1-based edges,
     // same non-negative-offset floor emulation, zipped unnest explode

@@ -1099,6 +1099,82 @@ object SpatialOps {
       .select(col("poly_id"), col("cell_x"), col("cell_y"))
   }
 
+  /** Marching-squares segment table: for each 2×2 sample mask
+    * (bit 1 = bottom-left, 2 = bottom-right, 4 = top-right,
+    * 8 = top-left), the contour segments as edge-midpoint pairs in
+    * DOUBLED block coordinates (scaling by 2 keeps midpoints integral:
+    * B = (2gx+1, 2gy), R = (2gx+2, 2gy+1), T = (2gx+1, 2gy+2),
+    * L = (2gx, 2gy+1)). Ambiguous saddles (5, 10) use the fixed
+    * convention below (no asymptotic decider) — the documented contract,
+    * mirrored in the oracle.
+    */
+  private val MsEdges = Map(
+    "B" -> ("2 * gx + 1", "2 * gy"), "R" -> ("2 * gx + 2", "2 * gy + 1"),
+    "T" -> ("2 * gx + 1", "2 * gy + 2"), "L" -> ("2 * gx", "2 * gy + 1"))
+  private val MsCases: Map[Int, Seq[(String, String)]] = Map(
+    1 -> Seq("L" -> "B"), 2 -> Seq("B" -> "R"), 3 -> Seq("L" -> "R"),
+    4 -> Seq("T" -> "R"), 5 -> Seq("L" -> "T", "B" -> "R"),
+    6 -> Seq("B" -> "T"), 7 -> Seq("L" -> "T"), 8 -> Seq("L" -> "T"),
+    9 -> Seq("B" -> "T"), 10 -> Seq("L" -> "B", "T" -> "R"),
+    11 -> Seq("T" -> "R"), 12 -> Seq("L" -> "R"), 13 -> Seq("B" -> "R"),
+    14 -> Seq("L" -> "B"))
+
+  /** The mask→segments lookup as a SQL CASE over `mask`, returning a
+    * list of 4-element [x1,y1,x2,y2] lists — rendered for either engine
+    * (Spark `array(...)`, DuckDB `[...]`). Shared by [[marchingSquares]]
+    * and the q_contours oracle so the table exists exactly once.
+    */
+  def msCaseSql(duck: Boolean): String = {
+    def arr(items: Seq[String]): String =
+      if (duck) items.mkString("[", ", ", "]")
+      else items.mkString("array(", ", ", ")")
+    val whens = MsCases.toSeq.sortBy(_._1).map { case (m, ss) =>
+      val segs = ss.map { case (a, b) =>
+        val (x1, y1) = MsEdges(a); val (x2, y2) = MsEdges(b)
+        arr(Seq(x1, y1, x2, y2))
+      }
+      s"WHEN $m THEN ${arr(segs)}"
+    }
+    s"CASE mask ${whens.mkString(" ")} END"
+  }
+
+  /** Marching-squares contour extraction: the iso-line of an occupancy
+    * mask (cells of the [[equirectDensity]] grid meeting a threshold) as
+    * exact integer segments — raster→vector ISOLINES, complementing
+    * [[vectorizeRaster]]'s component bboxes (components say WHAT is
+    * connected; contours say WHERE the boundary runs, ready for a
+    * vector-tile render). Samples are the occupied cells; every 2×2
+    * sample block gets a 4-bit mask via the same constant-fanout stamp
+    * as [[dilateRaster]] (each occupied sample adds its bit to the ≤ 4
+    * blocks cornered on it — distinct input cells, so the bit sum IS the
+    * bitmask), then the [[MsCases]] lookup emits 0–2 segments per block.
+    * Blocks just outside the grid edge form naturally (their missing
+    * samples are simply unoccupied), so every contour is closed.
+    *
+    * Scale posture: one constant-fanout explode + ONE aggregation
+    * shuffle + a per-row CASE/explode — no join anywhere. Output:
+    * (gx, gy, x1, y1, x2, y2) in doubled block coordinates.
+    */
+  def marchingSquares(cells: DataFrame): DataFrame = {
+    val stamps = cells.select(explode(array(
+      (for (dx <- 0 to 1; dy <- 0 to 1) yield {
+        val bit = (dx, dy) match {
+          case (0, 0) => 1L; case (1, 0) => 2L; case (1, 1) => 4L
+          case _ => 8L
+        }
+        struct((col("bx") - dx).as("gx"), (col("by") - dy).as("gy"),
+          lit(bit).as("bit"))
+      }): _*)).as("s"))
+      .select(col("s.gx"), col("s.gy"), col("s.bit"))
+    stamps.groupBy("gx", "gy").agg(sum(col("bit")).as("mask"))
+      .filter(col("mask") =!= 0 && col("mask") =!= 15)
+      .select(col("gx"), col("gy"),
+        explode(expr(msCaseSql(duck = false))).as("seg"))
+      .selectExpr("gx", "gy",
+        "element_at(seg, 1) AS x1", "element_at(seg, 2) AS y1",
+        "element_at(seg, 3) AS x2", "element_at(seg, 4) AS y2")
+  }
+
   /** Chaikin corner-cutting smoothing of open polylines, exact integer:
     * each round replaces every edge (a, b) with the two cut points
     * Q = ⌊(3a+b)/4⌋ and R = ⌊(a+3b)/4⌋, keeping the endpoints — the
