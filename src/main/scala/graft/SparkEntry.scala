@@ -1503,6 +1503,16 @@ object SparkEntry {
     "q_textrank" -> ((s, d) =>
       LmOps.textRank(t(s, d, "documents"), TextRankIters, TextRankMinCount)),
 
+    // --- raster-footprint IoU join (extraction-QA metric) ---
+    // corpus B is corpus A shifted east by ~0.15°, so the pair set spans
+    // the whole IoU range instead of only exact matches
+    "q_iou" -> ((s, d) => {
+      val a = Synth.hexCorpus(s, IouPolys)
+      val b = Synth.hexCorpus(s, IouPolys).select(col("poly_id"),
+        expr(s"transform(xs, v -> v + ${IouShiftFix}L)").as("xs"), col("ys"))
+      SpatialOps.rasterFootprintIou(a, b, RasterizeLevel, IouThrPm)
+    }),
+
     // --- marching-squares contour extraction (raster -> isolines) ---
     // same occupancy mask as q_dilate (level 7, >= 3 points per cell)
     "q_contours" -> ((s, d) =>
@@ -2028,6 +2038,13 @@ object SparkEntry {
   val ChaikinRounds = 2
   val ChaikinSample = 7L
 
+  /** q_iou corpus size, eastward shift of corpus B (fix, ~0.15°) and
+    * emission threshold (permille).
+    */
+  val IouPolys = 400
+  val IouShiftFix = 1500000L
+  val IouThrPm = 100L
+
   /** q_contain emission threshold (permille of doc_a's capped shingles
     * present in doc_b).
     */
@@ -2538,7 +2555,12 @@ object SparkEntry {
     * of SpatialOps.rasterizePolygons on the hex corpus, shared by the
     * q_rasterize and q_zonal oracles.
     */
-  private lazy val hexRasterCtesSql: String = {
+  private lazy val hexRasterCtesSql: String = hexRasterCtesSqlFrom("hexes", "")
+
+  /** Parameterized variant: CTE names carry `tag` so two corpora can be
+    * rasterized inside one oracle (q_iou). Final stage: `zcells$tag`.
+    */
+  private def hexRasterCtesSqlFrom(from: String, tag: String): String = {
     val lvl = 1 << RasterizeLevel
     val verts = Seq(("cx + r", "cy"), ("cx + h", "cy + s"), ("cx - h", "cy + s"),
       ("cx - r", "cy"), ("cx - h", "cy - s"), ("cx + h", "cy - s"))
@@ -2546,14 +2568,19 @@ object SparkEntry {
       val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.length)
       s"(((($x2) - ($x1)) * (py - ($y1)) - (($y2) - ($y1)) * (px - ($x1))) >= 0)"
     }.mkString("\n  AND ")
-    s"""${coverCtesSql(lvl, "poly_id, cx, cy, r, h, s",
-           "cx - r", "cy - s", "cx + r", "cy + s", "hexes")},
-       |ctr AS (SELECT *,
+    // ordered renames: cover1 first (its name contains "cover")
+    val cover = coverCtesSql(lvl, "poly_id, cx, cy, r, h, s",
+      "cx - r", "cy - s", "cx + r", "cy + s", from)
+      .replace("cover1", s"cover1$tag")
+      .replace("bbox", s"bbox$tag")
+      .replace("cover AS (", s"cover$tag AS (")
+    s"""$cover,
+       |ctr$tag AS (SELECT *,
        |  ((ccx * 2 + 1) * 3600000000) // ${2L * lvl} - 1800000000 AS px,
        |  ((ccy * 2 + 1) * 1800000000) // ${2L * lvl} - 900000000 AS py
-       |  FROM cover),
-       |zcells AS (
-       |  SELECT poly_id, ccx AS cell_x, ccy AS cell_y FROM ctr
+       |  FROM cover$tag),
+       |zcells$tag AS (
+       |  SELECT poly_id, ccx AS cell_x, ccy AS cell_y FROM ctr$tag
        |  WHERE $halfPlanes)""".stripMargin
   }
 
@@ -4777,6 +4804,28 @@ object SparkEntry {
     "q_knn_geo_auto" -> knnGeoSql(499),
 
     "q_pagerank" -> pageRankSql(5),
+
+    // IoU twin: both corpora through the tagged raster CTEs, pair counts
+    // via the cell equi-join, exact cross-multiplied threshold
+    "q_iou" ->
+      s"""WITH hexesa AS (${Synth.hexCorpusSql(IouPolys)}),
+         |hexesb AS (SELECT poly_id, cx + $IouShiftFix AS cx, cy, r, h, s
+         |  FROM (${Synth.hexCorpusSql(IouPolys)})),
+         |${hexRasterCtesSqlFrom("hexesa", "a")},
+         |${hexRasterCtesSqlFrom("hexesb", "b")},
+         |sa AS (SELECT poly_id AS pa, CAST(count(*) AS BIGINT) AS na
+         |  FROM zcellsa GROUP BY 1),
+         |sb AS (SELECT poly_id AS pb, CAST(count(*) AS BIGINT) AS nb
+         |  FROM zcellsb GROUP BY 1),
+         |ix AS (
+         |  SELECT a.poly_id AS pa, b.poly_id AS pb,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM zcellsa a JOIN zcellsb b
+         |    ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y
+         |  GROUP BY 1, 2)
+         |SELECT pa, pb, (inter * 1000) // (na + nb - inter) AS iou_pm
+         |FROM ix JOIN sa USING (pa) JOIN sb USING (pb)
+         |WHERE inter * 1000 >= $IouThrPm * (na + nb - inter)""".stripMargin,
 
     // contours twin: stamps via a 0..1 offset range cross product, the
     // SAME Scala-generated mask CASE rendered in DuckDB list syntax

@@ -1099,6 +1099,34 @@ object SpatialOps {
       .select(col("poly_id"), col("cell_x"), col("cell_y"))
   }
 
+  /** Raster-footprint IoU join: for every polygon pair (one from each
+    * corpus) with intersection-over-union of their rasterized cell
+    * footprints ≥ thrPm/1000, the exact integer iou_pm =
+    * |A∩B|·1000 div (|A|+|B|−|A∩B|) — the standard evaluation metric
+    * for extracted/predicted regions against ground truth (geo-entity
+    * extraction QA at corpus scale). Exact and engine-portable because
+    * the footprint is [[rasterizePolygons]]' integer-center cell set.
+    *
+    * Scale posture: candidates come from the cell INVERTED INDEX (one
+    * equi-join of the two distributed covers on the cell — never a
+    * polygon×polygon product); per-cell bucket size is the local overlap
+    * density. Three hash shuffles (two footprint sizes, one pair count).
+    * Output: (pa, pb, iou_pm).
+    */
+  def rasterFootprintIou(polysA: DataFrame, polysB: DataFrame, level: Int,
+                         thrPm: Long): DataFrame = {
+    val ca = rasterizePolygons(polysA, level).withColumnRenamed("poly_id", "pa")
+    val cb = rasterizePolygons(polysB, level).withColumnRenamed("poly_id", "pb")
+    val na = ca.groupBy("pa").agg(count(lit(1)).as("na"))
+    val nb = cb.groupBy("pb").agg(count(lit(1)).as("nb"))
+    ca.join(cb.hint("shuffle_hash"), Seq("cell_x", "cell_y"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("inter"))
+      .join(na, "pa").join(nb, "pb")
+      .filter(col("inter") * 1000 >=
+        lit(thrPm) * (col("na") + col("nb") - col("inter")))
+      .selectExpr("pa", "pb", "(inter * 1000) div (na + nb - inter) AS iou_pm")
+  }
+
   /** Marching-squares segment table: for each 2×2 sample mask
     * (bit 1 = bottom-left, 2 = bottom-right, 4 = top-right,
     * 8 = top-left), the contour segments as edge-midpoint pairs in
