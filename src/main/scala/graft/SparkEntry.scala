@@ -802,6 +802,10 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"), Fns.langId(col("text")).as("lang_pred"))
     }),
 
+    // --- mixed-language segmentation: per-chunk lang + span merge ---
+    "q_lang_spans" -> ((s, d) =>
+      LmOps.langSpans(t(s, d, "documents"), LangSpanWidth)),
+
     "q_quality" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
         Fns.qualityScore(col("text")).cast("long").as("score"))
@@ -2038,6 +2042,9 @@ object SparkEntry {
   val ChaikinRounds = 2
   val ChaikinSample = 7L
 
+  /** q_lang_spans chunk width (tokens, non-overlapping). */
+  val LangSpanWidth = 20
+
   /** q_iou corpus size, eastward shift of corpus B (fix, ~0.15°) and
     * emission threshold (permille).
     */
@@ -2342,6 +2349,27 @@ object SparkEntry {
            |    (CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END)) AS d$lvl
            |FROM ($inner)""".stripMargin
     }
+
+  /** Fns.langId twin fragments over a padded-text column `pt`: the
+    * marker-count argmax CASE (ties to the earlier marker-list entry,
+    * exactly the Column fold's order) and the `best` score expression.
+    * Shared by the q_lang_id and q_lang_spans oracles.
+    */
+  private lazy val langIdScoresSql: Seq[(String, String)] =
+    Fns.LangMarkers.map { case (lang, ms) =>
+      val cnt = ms.map(m =>
+        s"((length(pt) - length(replace(pt, '$m', ''))) // ${m.length})")
+        .mkString(" + ")
+      lang -> s"($cnt)"
+    }
+  private lazy val langIdBestSql: String =
+    langIdScoresSql.map(_._2).reduceLeft((a, b) => s"greatest($a, $b)")
+  private lazy val langIdCaseSql: String = {
+    val cases = langIdScoresSql.map { case (lang, sc) =>
+      s"WHEN $sc = best AND $sc > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"(CASE $cases ELSE 'und' END)"
+  }
 
   private def mixIdSql(e: String): String = {
     val M = "2147483647"
@@ -4441,19 +4469,33 @@ object SparkEntry {
          |WHERE rank <= 10""".stripMargin
     },
 
-    "q_lang_id" -> {
-      val scores = Fns.LangMarkers.map { case (lang, ms) =>
-        val cnt = ms.map(m =>
-          s"((length(pt) - length(replace(pt, '$m', ''))) // ${m.length})").mkString(" + ")
-        lang -> s"($cnt)"
-      }
-      val best = scores.map(_._2).reduceLeft((a, b) => s"greatest($a, $b)")
-      val cases = scores.map { case (lang, s) =>
-        s"WHEN $s = best AND $s > 0 THEN '$lang'"
-      }.mkString(" ")
+    "q_lang_id" ->
       s"""WITH padded AS (SELECT doc_id, ' ' || text || ' ' AS pt FROM documents)
-         |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
-         |FROM (SELECT doc_id, pt, $best AS best FROM padded)""".stripMargin
+         |SELECT doc_id, $langIdCaseSql AS lang_pred
+         |FROM (SELECT doc_id, pt, $langIdBestSql AS best FROM padded)""".stripMargin,
+
+    // lang spans twin: same chunking by 1-based inclusive list slices,
+    // same marker CASE per chunk, gaps-and-islands by index-minus-rank
+    "q_lang_spans" -> {
+      val w = LangSpanWidth
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '),
+         |    t -> len(t) > 0) AS ws
+         |  FROM documents),
+         |ch AS (SELECT doc_id, ws,
+         |    unnest(range(0, (len(ws) + $w - 1) // $w)) AS ci
+         |  FROM toks WHERE len(ws) > 0),
+         |ct AS (SELECT doc_id, ci,
+         |  ' ' || array_to_string(ws[ci*$w + 1 : ci*$w + $w], ' ') || ' ' AS pt
+         |  FROM ch),
+         |sc AS (SELECT doc_id, ci, $langIdCaseSql AS lang
+         |  FROM (SELECT doc_id, ci, pt, $langIdBestSql AS best FROM ct)),
+         |gr AS (SELECT doc_id, ci, lang,
+         |  ci - row_number() OVER (PARTITION BY doc_id, lang ORDER BY ci) AS grp
+         |  FROM sc)
+         |SELECT doc_id, lang, min(ci) AS start_chunk, max(ci) AS end_chunk,
+         |  CAST(count(*) AS BIGINT) AS n_chunks
+         |FROM gr GROUP BY doc_id, lang, grp""".stripMargin
     },
 
     "q_quality" ->

@@ -122,6 +122,42 @@ object LmOps {
       .withColumnRenamed("node_id", "word")
   }
 
+  /** Mixed-language document segmentation: language-ID per fixed-width
+    * NON-overlapping token chunk (Fns.langId's marker heuristic), then
+    * consecutive same-language chunks merged into spans by the
+    * gaps-and-islands construction (chunk index minus per-(doc, lang)
+    * rank is constant exactly along a run). Real crawl pages switch
+    * language mid-document — a per-doc label either mislabels or drops
+    * them; spans let a pipeline keep the majority-language slice.
+    *
+    * Scale posture: one narrow explode (chunks), per-row codegen
+    * language scoring, one PER-DOC window (partitioned, no global sort)
+    * and one aggregation. Output:
+    * (doc_id, lang, start_chunk, end_chunk, n_chunks).
+    */
+  def langSpans(docs: DataFrame, width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width >= 1)
+    val toks = filter(split(col("text"), " "), t => length(t) > lit(0))
+    val chunks = docs
+      .select(col("doc_id"), toks.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), " +
+          s"CAST((size(ws) + ${width - 1}) div $width - 1 AS BIGINT))")).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        graft.functions.Fns.langId(array_join(
+          slice(col("ws"), (col("ci") * width + 1).cast("int"), lit(width)),
+          " ")).as("lang"))
+    val w = Window.partitionBy("doc_id", "lang").orderBy("ci")
+    chunks
+      .withColumn("grp", col("ci") - row_number().over(w))
+      .groupBy("doc_id", "lang", "grp")
+      .agg(min(col("ci")).as("start_chunk"), max(col("ci")).as("end_chunk"),
+        count(lit(1)).as("n_chunks"))
+      .drop("grp")
+  }
+
   def pmiCollocations(corpus: DataFrame, minCount: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = corpus.select(col("doc_id"),
