@@ -1507,6 +1507,11 @@ object SparkEntry {
     "q_textrank" -> ((s, d) =>
       LmOps.textRank(t(s, d, "documents"), TextRankIters, TextRankMinCount)),
 
+    // --- deterministic in-polygon point sampling (augmentation) ---
+    "q_poly_sample" -> ((s, d) =>
+      SpatialOps.samplePointsInPolygons(Synth.hexCorpus(s, PolySamplePolys),
+        PolySampleM, PolySampleK)),
+
     // --- raster-footprint IoU join (extraction-QA metric) ---
     // corpus B is corpus A shifted east by ~0.15°, so the pair set spans
     // the whole IoU range instead of only exact matches
@@ -2044,6 +2049,11 @@ object SparkEntry {
 
   /** q_lang_spans chunk width (tokens, non-overlapping). */
   val LangSpanWidth = 20
+
+  /** q_poly_sample corpus / candidates per polygon / kept per polygon. */
+  val PolySamplePolys = 300
+  val PolySampleM = 16
+  val PolySampleK = 4
 
   /** q_iou corpus size, eastward shift of corpus B (fix, ~0.15°) and
     * emission threshold (permille).
@@ -4846,6 +4856,28 @@ object SparkEntry {
     "q_knn_geo_auto" -> knnGeoSql(499),
 
     "q_pagerank" -> pageRankSql(5),
+
+    // poly-sample twin: candidates from a range cross product, the hex
+    // half-planes as the exact inside test, QUALIFY first-k
+    "q_poly_sample" -> {
+      val verts = Seq(("cx + r", "cy"), ("cx + h", "cy + s"), ("cx - h", "cy + s"),
+        ("cx - r", "cy"), ("cx - h", "cy - s"), ("cx + h", "cy - s"))
+      val halfPlanes = verts.indices.map { i =>
+        val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.length)
+        s"(((($x2) - ($x1)) * (py - ($y1)) - (($y2) - ($y1)) * (px - ($x1))) >= 0)"
+      }.mkString("\n  AND ")
+      val m2 = 2L * PolySampleM
+      s"""WITH hexes AS (${Synth.hexCorpusSql(PolySamplePolys)}),
+         |cand AS (
+         |  SELECT poly_id, cx, cy, r, h, s, jj.j AS j,
+         |    (cx - r) + ${mixIdSql(s"poly_id * $m2 + jj.j * 2")} % (2*r + 1) AS px,
+         |    (cy - s) + ${mixIdSql(s"poly_id * $m2 + jj.j * 2 + 1")} % (2*s + 1) AS py
+         |  FROM hexes, range(0, $PolySampleM) jj(j)),
+         |hits AS (SELECT poly_id, j, px, py FROM cand WHERE $halfPlanes)
+         |SELECT poly_id, j, px, py FROM hits
+         |QUALIFY row_number() OVER (PARTITION BY poly_id ORDER BY j) <= $PolySampleK"""
+        .stripMargin
+    },
 
     // IoU twin: both corpora through the tagged raster CTEs, pair counts
     // via the cell equi-join, exact cross-multiplied threshold

@@ -1099,6 +1099,42 @@ object SpatialOps {
       .select(col("poly_id"), col("cell_x"), col("cell_y"))
   }
 
+  /** Deterministic point sampling inside polygons: for each polygon, up
+    * to `k` points drawn by RNG-FREE rejection sampling — candidate j
+    * scatters into the bbox via the mixId hash (so the sample is
+    * re-shard-stable and oracle-exact, the house determinism rule), the
+    * native ray-cast keeps the hits, and the FIRST k by candidate index
+    * survive (a per-polygon window). The spatial data-augmentation
+    * primitive (training points "somewhere in this admin area").
+    *
+    * Scale posture: one constant-fanout explode (m candidates per
+    * polygon — compile-time constant), per-row codegen hash + PIP, one
+    * per-POLYGON window (partitioned, no global sort). Thin polygons
+    * may return fewer than k points (documented rejection semantics —
+    * callers needing exactly k raise m). Output: (poly_id, j, px, py).
+    */
+  def samplePointsInPolygons(polys: DataFrame, m: Int, k: Int): DataFrame = {
+    val minx = array_min(col("xs")); val maxx = array_max(col("xs"))
+    val miny = array_min(col("ys")); val maxy = array_max(col("ys"))
+    val j = col("j")
+    val px = minx + Fns.mixId(col("poly_id") * (2L * m) + j * 2) %
+      (maxx - minx + 1)
+    val py = miny + Fns.mixId(col("poly_id") * (2L * m) + j * 2 + 1) %
+      (maxy - miny + 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("poly_id").orderBy("j")
+    polys
+      .select(col("poly_id"), col("xs"), col("ys"),
+        explode(sequence(lit(0L), lit(m - 1L))).as("j"))
+      .select(col("poly_id"), j, px.as("px"), py.as("py"),
+        col("xs"), col("ys"))
+      .filter(graft.plans.GeomExpressions.pointInRings(
+        col("px"), col("py"), col("xs"), col("ys")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("poly_id", "j", "px", "py")
+  }
+
   /** Raster-footprint IoU join: for every polygon pair (one from each
     * corpus) with intersection-over-union of their rasterized cell
     * footprints ≥ thrPm/1000, the exact integer iou_pm =
