@@ -1562,6 +1562,25 @@ object SparkEntry {
       IdOps.rendezvousAssign(t(s, d, "documents").select("doc_id"),
         "doc_id", RendezvousShards)),
 
+    // --- weighted TextRank: the walk follows co-occurrence counts ---
+    "q_textrank_w" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      val bi = toks.select(col("w").as("wa"), lead(col("w"), 1).over(win).as("wb"))
+        .filter(col("wb").isNotNull && col("wa") =!= col("wb"))
+      val und = bi
+        .select(least(col("wa"), col("wb")).as("a"),
+          greatest(col("wa"), col("wb")).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= TextRankMinCount)
+      val edges = und.select(col("a").as("src"), col("b").as("dst"), col("c").as("w"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst"), col("c").as("w")))
+      GraphOps.pageRankWeighted(edges, TextRankIters)
+        .withColumnRenamed("node_id", "word")
+    }),
+
     // --- related hosts by content: sparse-cosine over token bags ---
     "q_host_sim" -> ((s, d) =>
       SimilarityOps.cosineSparsePairs(
@@ -2793,6 +2812,35 @@ object SparkEntry {
        |nodes AS (SELECT src AS node_id FROM edges
        |  UNION SELECT dst FROM edges),
        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY 1),
+       |r0 AS (SELECT node_id, CAST($RankScale AS BIGINT) AS pr FROM nodes),
+       |$rounds
+       |SELECT node_id AS $idCol, pr AS rank_e6 FROM r$iters""".stripMargin
+  }
+
+  /** GraphOps.pageRankWeighted twin: the same unrolled rounds with
+    * per-edge ⌊pr·w / sw⌋ contributions; `edgesWith` must end in
+    * edges(src, dst, w).
+    */
+  private def pageRankWeightedSql(iters: Int, edgesWith: String,
+                                  idCol: String): String = {
+    import graft.operators.GraphOps.{DampingPct, RankScale}
+    val base = (100 - DampingPct) * (RankScale / 100)
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node_id,
+         |    CAST(sum((r.pr * e.w) // d.sw) AS BIGINT) AS in_sum
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node_id
+         |  JOIN deg d ON e.src = d.src GROUP BY 1),
+         |r$i AS (
+         |  SELECT nd.node_id,
+         |    $base + ($DampingPct * coalesce(c.in_sum, 0)) // 100 AS pr
+         |  FROM nodes nd LEFT JOIN c$i c USING (node_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $edgesWith,
+       |nodes AS (SELECT src AS node_id FROM edges
+       |  UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS sw
        |  FROM edges GROUP BY 1),
        |r0 AS (SELECT node_id, CAST($RankScale AS BIGINT) AS pr FROM nodes),
        |$rounds
@@ -5005,6 +5053,21 @@ object SparkEntry {
          |JOIN nrm na ON na.key = key_a
          |JOIN nrm nb ON nb.key = key_b
          |WHERE dot * dot * 1000 >= $HostSimThrPm * na.n2 * nb.n2""".stripMargin,
+
+    // weighted twin: identical word-graph CTEs carrying the count as w
+    "q_textrank_w" -> pageRankWeightedSql(TextRankIters, edgesWith =
+      s"""toks AS (
+         |  SELECT doc_id, ws, unnest(range(0, len(ws))) AS pos
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+         |bi AS (SELECT ws[pos+1] AS wa, ws[pos+2] AS wb FROM toks
+         |       WHERE pos + 2 <= len(ws)),
+         |cw AS (SELECT least(wa, wb) AS a, greatest(wa, wb) AS b,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM bi WHERE wa <> wb
+         |  GROUP BY 1, 2 HAVING count(*) >= ${TextRankMinCount}),
+         |edges AS (SELECT a AS src, b AS dst, c AS w FROM cw
+         |  UNION ALL SELECT b, a, c FROM cw)""".stripMargin,
+      idCol = "word"),
 
     // same unrolled integer-PageRank twin, edges swapped for the word
     // co-occurrence graph (tokens via string_split positions, unordered

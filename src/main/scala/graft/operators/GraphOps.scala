@@ -79,6 +79,52 @@ object GraphOps {
     ranks.select(col("node_id"), col("rank").as("rank_e6"))
   }
 
+  /** WEIGHTED PageRank, same fixed-point integer contract as
+    * [[pageRank]]: a node keeps (1−d)·S + d·Σ_in ⌊rank_src·w / sw_src⌋
+    * where sw_src is the source's total out-weight — the walk follows an
+    * edge with probability proportional to its weight (anchor counts,
+    * co-occurrence counts), which is the actual TextRank/weighted-graph
+    * formulation. All arithmetic int64 (bit-identical in any engine);
+    * overflow headroom: rank·w must stay < 2⁶³ — fine for count-scale
+    * weights, and ANSI mode fails loudly, not wraps.
+    *
+    * Scale posture identical to [[pageRank]] (one join + one agg shuffle
+    * per iteration, persisted weighted-degree frame, per-round persist/
+    * unpersist/rebase). Input: (src, dst, w) with w ≥ 1, one row per
+    * directed edge. Output: (node_id, rank_e6).
+    */
+  def pageRankWeighted(edges: DataFrame, iterations: Int,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col("src"), col("dst"), col("w"))
+    val sw = e.groupBy("src").agg(sum(col("w")).as("sw"))
+    val ew = scope.persist(e.join(sw, "src"))
+    // persisted (scope-released): re-joined every round for dangling nodes
+    val nodes = scope.persist(ew.select(col("src").as("node_id"))
+      .unionByName(ew.select(col("dst").as("node_id"))).distinct())
+    var cached = nodes.withColumn("rank", lit(RankScale)).persist()
+    cached.count()
+    var ranks = spark.createDataFrame(cached.rdd, cached.schema)
+    val base = (100L - DampingPct) * (RankScale / 100L)
+    for (_ <- 1 to iterations) {
+      val inSum = ew.join(ranks.withColumnRenamed("node_id", "src"), "src")
+        .select(col("dst").as("node_id"),
+          expr("(rank * w) div sw").as("c"))
+        .groupBy("node_id").agg(sum(col("c")).as("in_sum"))
+      val next = nodes.join(inSum, Seq("node_id"), "left")
+        .select(col("node_id"),
+          (lit(base) + expr(
+            s"($DampingPct * coalesce(in_sum, 0L)) div 100")).as("rank"))
+        .persist()
+      next.count()
+      cached.unpersist(blocking = false)
+      cached = next
+      ranks = spark.createDataFrame(next.rdd, next.schema)
+    }
+    scope.track(cached)
+    ranks.select(col("node_id"), col("rank").as("rank_e6"))
+  }
+
   /** Weighted multi-source shortest paths, distributed Bellman-Ford:
     * after round k every node holds the minimum total weight over
     * directed paths of ≤ k edges from the source set; rounds stop early
