@@ -1522,6 +1522,28 @@ object SparkEntry {
       SpatialOps.rasterFootprintIou(a, b, RasterizeLevel, IouThrPm)
     }),
 
+    // --- dominant-language mosaic per cell ---
+    // the "what language is this region" map: geo-tagged docs (the
+    // q_geo_extract coordinate derivation) -> per-(cell, lang) counts ->
+    // argmax via ONE struct-max agg (ties to the lexicographically
+    // SMALLEST lang via negated-string ordering being unavailable:
+    // max(struct(cnt, lang)) ties to the LARGEST lang — documented,
+    // mirrored in the oracle) + exact integer share.
+    "q_mosaic" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") % 3 === 0)
+        .select(col("lang"),
+          ((col("doc_id") * 2654435761L) % 3600000000L - 1800000000L).as("lon_fix"),
+          ((col("doc_id") * 2246822519L) % 1800000000L - 900000000L).as("lat_fix"))
+      val cells = docs.select(Fns.cellX(col("lon_fix"), MosaicLevel).as("bx"),
+          Fns.cellY(col("lat_fix"), MosaicLevel).as("by"), col("lang"))
+        .groupBy("bx", "by", "lang").agg(count(lit(1)).as("c"))
+      cells.groupBy("bx", "by")
+        .agg(max(struct(col("c"), col("lang"))).as("m"),
+          sum(col("c")).as("total"))
+        .selectExpr("bx", "by", "m.lang AS lang",
+          "(m.c * 1000) div total AS share_pm")
+    }),
+
     // --- marching-squares contour extraction (raster -> isolines) ---
     // same occupancy mask as q_dilate (level 7, >= 3 points per cell)
     "q_contours" -> ((s, d) =>
@@ -2068,6 +2090,9 @@ object SparkEntry {
 
   /** q_lang_spans chunk width (tokens, non-overlapping). */
   val LangSpanWidth = 20
+
+  /** q_mosaic grid level (coarse: enough docs per cell for a mode). */
+  val MosaicLevel = 4
 
   /** q_poly_sample corpus / candidates per polygon / kept per polygon. */
   val PolySamplePolys = 300
@@ -4948,6 +4973,25 @@ object SparkEntry {
          |SELECT pa, pb, (inter * 1000) // (na + nb - inter) AS iou_pm
          |FROM ix JOIN sa USING (pa) JOIN sb USING (pb)
          |WHERE inter * 1000 >= $IouThrPm * (na + nb - inter)""".stripMargin,
+
+    // mosaic twin: argmax via QUALIFY ordered (c DESC, lang DESC) —
+    // the exact tie order of max(struct(cnt, lang))
+    "q_mosaic" ->
+      s"""WITH gd AS (
+         |  SELECT lang,
+         |    least((((doc_id * 2654435761) % 3600000000 - 1800000000)
+         |      + 1800000000) * ${1 << MosaicLevel} // 3600000000, ${(1 << MosaicLevel) - 1}) AS bx,
+         |    least((((doc_id * 2246822519) % 1800000000 - 900000000)
+         |      + 900000000) * ${1 << MosaicLevel} // 1800000000, ${(1 << MosaicLevel) - 1}) AS by
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |cl AS (SELECT bx, by, lang, CAST(count(*) AS BIGINT) AS c
+         |  FROM gd GROUP BY 1, 2, 3),
+         |tt AS (SELECT bx, by, CAST(sum(c) AS BIGINT) AS total
+         |  FROM cl GROUP BY 1, 2)
+         |SELECT cl.bx, cl.by, lang, (c * 1000) // total AS share_pm
+         |FROM cl JOIN tt ON tt.bx = cl.bx AND tt.by = cl.by
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY cl.bx, cl.by ORDER BY c DESC, lang DESC) = 1""".stripMargin,
 
     // contours twin: stamps via a 0..1 offset range cross product, the
     // SAME Scala-generated mask CASE rendered in DuckDB list syntax
