@@ -811,6 +811,26 @@ object SparkEntry {
         Fns.qualityScore(col("text")).cast("long").as("score"))
     }),
 
+    // --- cross-language score calibration: exact integer percentile ---
+    // quality thresholds must be set PER LANGUAGE (verbose languages
+    // score systematically differently); the percentile rank
+    // (rank-1)*1000 div (n-1) is the calibrated score — pure integer
+    // (percent_rank() returns a float and is not oracle-exact), ties
+    // share the minimum rank, single-doc groups calibrate to 0. One
+    // per-lang window (partitioned sort), no join.
+    "q_calibrate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = Window.partitionBy("lang")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          Fns.qualityScore(col("text")).cast("long").as("score"))
+        .withColumn("r", rank().over(
+          Window.partitionBy("lang").orderBy("score")).cast("long"))
+        .withColumn("n", count(lit(1)).over(n))
+        .selectExpr("doc_id", "lang", "score",
+          "CASE WHEN n > 1 THEN ((r - 1) * 1000) div (n - 1) ELSE 0L END AS pct_pm")
+    }),
+
     "q_token_stats" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"),
         Fns.tokenCount(col("text")).cast("long").as("n_tokens"),
@@ -4583,6 +4603,19 @@ object SparkEntry {
 
     "q_quality" ->
       s"""SELECT doc_id, $QualityScoreSql AS score FROM documents""".stripMargin,
+
+    // calibrate twin: rank() + count() windows, same min-rank tie rule
+    "q_calibrate" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang, $QualityScoreSql AS score FROM documents),
+         |rk AS (
+         |  SELECT doc_id, lang, score,
+         |    CAST(rank() OVER (PARTITION BY lang ORDER BY score) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+         |  FROM sc)
+         |SELECT doc_id, lang, score,
+         |  CASE WHEN n > 1 THEN ((r - 1) * 1000) // (n - 1) ELSE 0 END AS pct_pm
+         |FROM rk""".stripMargin,
 
     "q_sessions" ->
       """WITH g AS (
