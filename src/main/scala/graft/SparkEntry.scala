@@ -1644,6 +1644,13 @@ object SparkEntry {
       SpatialOps.simplifyWays(pts, SimplifyTolFix)
     }),
 
+    // --- street-grid orientation entropy per cell (griddedness map) ---
+    // 8 undirected 22.5° sectors via exact cross-multiplied tangent
+    // compares; per-cell Shannon entropy as Σ c·lnE6(n/c) div n with
+    // every term e6-quantized BEFORE the sum (shuffle-order-proof)
+    "q_orient" -> ((s, d) =>
+      SpatialOps.orientationEntropy(wayPoints(t(s, d, "lineitem")), OrientLevel)),
+
     // --- geofence enter/exit transitions (PIP membership change-points) ---
     // --- stay-point extraction (dwell runs on an excursion trace) ---
     "q_staypoints" -> ((s, d) =>
@@ -2113,6 +2120,11 @@ object SparkEntry {
 
   /** q_mosaic grid level (coarse: enough docs per cell for a mode). */
   val MosaicLevel = 4
+
+  /** q_orient grid level (coarse: enough way segments per cell for a
+    * meaningful 8-sector orientation distribution).
+    */
+  val OrientLevel = 5
 
   /** q_poly_sample corpus / candidates per polygon / kept per polygon. */
   val PolySamplePolys = 300
@@ -3718,6 +3730,59 @@ object SparkEntry {
          |  CAST(len_mm * 1000 // straight_mm AS BIGINT) AS sinuosity_e3,
          |  bearing_e6, n_segs
          |FROM j WHERE straight_mm > 0""".stripMargin
+    },
+
+    // orientation twin: the wayPoints derivation, the same strict-<
+    // sector CASE (exact int64 tangent cross-compares), and the shared
+    // lnE6 stages on n/c — terms e6-quantized before the sum
+    "q_orient" -> {
+      val g = 1L << OrientLevel
+      s"""WITH pts AS (
+         |  SELECT DISTINCT l_orderkey AS way_id, l_linenumber AS seq,
+         |    (l_orderkey * 2654435761) % 3400000000 - 1700000000
+         |      + (((l_orderkey*10 + l_linenumber) * 1103515245) % 20000000 - 10000000) AS x,
+         |    (l_orderkey * 2246822519) % 1600000000 - 800000000
+         |      + (((l_orderkey*10 + l_linenumber) * 69069) % 20000000 - 10000000) AS y
+         |  FROM lineitem),
+         |raw AS (
+         |  SELECT x, y,
+         |    lag(x) OVER (PARTITION BY way_id ORDER BY seq) AS px,
+         |    lag(y) OVER (PARTITION BY way_id ORDER BY seq) AS py
+         |  FROM pts),
+         |sg AS (
+         |  SELECT px, py, x - px AS dx0, y - py AS dy0 FROM raw
+         |  WHERE px IS NOT NULL AND (x <> px OR y <> py)),
+         |nm AS (
+         |  SELECT px, py,
+         |    CASE WHEN dy0 < 0 OR (dy0 = 0 AND dx0 < 0) THEN -dx0 ELSE dx0 END AS dx,
+         |    CASE WHEN dy0 < 0 OR (dy0 = 0 AND dx0 < 0) THEN -dy0 ELSE dy0 END AS dy
+         |  FROM sg),
+         |bn AS (
+         |  SELECT least(((px + 1800000000) * $g) // 3600000000, ${g - 1}) AS bx,
+         |    least(((py + 900000000) * $g) // 1800000000, ${g - 1}) AS by,
+         |    CASE WHEN dx > 0 AND dy * 1000000 < dx * 414214 THEN 0
+         |         WHEN dx > 0 AND dy < dx THEN 1
+         |         WHEN dx > 0 AND dy * 1000000 < dx * 2414214 THEN 2
+         |         WHEN dx > 0 THEN 3
+         |         WHEN dx = 0 THEN 4
+         |         WHEN dy * 1000000 > (-dx) * 2414214 THEN 4
+         |         WHEN dy > (-dx) THEN 5
+         |         WHEN dy * 1000000 > (-dx) * 414214 THEN 6
+         |         ELSE 7 END AS bin
+         |  FROM nm),
+         |pb AS (SELECT bx, by, bin, count(*) AS c FROM bn GROUP BY 1, 2, 3),
+         |pc AS (SELECT *, sum(c) OVER (PARTITION BY bx, by) AS n FROM pb),
+         |lx AS (SELECT bx, by, bin, c, n,
+         |  CAST(n AS DOUBLE) / CAST(c AS DOUBLE) AS x FROM pc),
+         |${lnStagesSql("oe", "lx")},
+         |tm AS (SELECT bx, by, c, n,
+         |  c * CAST(round((kl + srs) * 1000000.0) AS BIGINT) AS t FROM oe5),
+         |ag AS (SELECT bx, by, CAST(max(n) AS BIGINT) AS n_segs,
+         |  CAST(sum(t) // max(n) AS BIGINT) AS ent_e6 FROM tm GROUP BY 1, 2),
+         |wn AS (SELECT bx, by, CAST(bin AS BIGINT) AS top_bin FROM pb
+         |  QUALIFY row_number() OVER (PARTITION BY bx, by ORDER BY c DESC, bin DESC) = 1)
+         |SELECT ag.bx, ag.by, n_segs, ent_e6, top_bin
+         |FROM ag JOIN wn ON wn.bx = ag.bx AND wn.by = ag.by""".stripMargin
     },
 
     "q_pip_join" ->

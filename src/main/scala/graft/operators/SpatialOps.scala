@@ -2383,4 +2383,71 @@ object SpatialOps {
       .groupBy("ent_a", "ent_b")
       .agg(count(lit(1)).as("n_contacts"), min(col("d2")).as("min_d2"))
   }
+
+  /** Street-grid orientation entropy per coarse cell (the "how griddy is
+    * this city" analysis over way geometries — reference ways carry the
+    * street network, reference/include/osmium/osm/way.hpp): each
+    * consecutive-vertex segment is classified into one of 8 orientation
+    * sectors of 22.5° over [0°, 180°) (undirected — the segment is first
+    * normalized to the upper half-plane), then per cell the sector
+    * distribution's Shannon entropy is computed as an exact integer:
+    * Σ c·lnE6(n/c) div n, every term e6-quantized BEFORE the sum so
+    * shuffle order cannot perturb the result.
+    *
+    * Sector boundaries are exact cross-multiplied tangent compares
+    * (tan 22.5° ≈ 414214/10^6, tan 67.5° ≈ 2414214/10^6) — pure int64,
+    * bit-identical in any engine; boundary angles fall into the upper
+    * sector by the shared strict-< convention. The cell key is the
+    * segment's FIRST vertex (no midpoint rounding to twin).
+    *
+    * Input: (way_id, seq, x, y) fix-coord way vertices. Output per
+    * occupied cell: (bx, by, n_segs, ent_e6, top_bin) — top_bin the
+    * modal sector, ties to the LARGEST bin id via struct-max (the
+    * q_mosaic convention).
+    *
+    * Scale posture: one window shuffle on way_id (segments), one
+    * map-side-combinable groupBy on (cell, bin) — 8 rows per occupied
+    * cell — then a window partitioned by cell over those 8-row groups
+    * and a final 8→1 agg. Nothing global, nothing quadratic; the
+    * lnE6 term is a codegen'd native expression.
+    */
+  def orientationEntropy(wayPts: DataFrame, level: Int): DataFrame = {
+    val w = Window.partitionBy("way_id").orderBy("seq")
+    val raw = wayPts.select(col("way_id"), col("x"), col("y"),
+        lag(col("x"), 1).over(w).as("px"), lag(col("y"), 1).over(w).as("py"))
+      .filter(col("px").isNotNull &&
+        (col("x") =!= col("px") || col("y") =!= col("py")))
+    val dx0 = col("x") - col("px"); val dy0 = col("y") - col("py")
+    val flip = dy0 < 0 || (dy0 === 0 && dx0 < 0)
+    val segs = raw.select(col("px"), col("py"),
+      when(flip, -dx0).otherwise(dx0).as("dx"),
+      when(flip, -dy0).otherwise(dy0).as("dy"))
+    val dxc = col("dx"); val dyc = col("dy")
+    val bin =
+      when(dxc > 0 && dyc * 1000000L < dxc * 414214L, 0L)
+        .when(dxc > 0 && dyc < dxc, 1L)
+        .when(dxc > 0 && dyc * 1000000L < dxc * 2414214L, 2L)
+        .when(dxc > 0, 3L)
+        .when(dxc === 0, 4L)
+        .when(dyc * 1000000L > (-dxc) * 2414214L, 4L)
+        .when(dyc > (-dxc), 5L)
+        .when(dyc * 1000000L > (-dxc) * 414214L, 6L)
+        .otherwise(7L)
+    val perBin = segs
+      .select(Fns.cellX(col("px"), level).as("bx"),
+        Fns.cellY(col("py"), level).as("by"), bin.as("bin"))
+      .groupBy("bx", "by", "bin").agg(count(lit(1)).as("c"))
+    val cw = Window.partitionBy("bx", "by")
+    perBin
+      .withColumn("n", sum(col("c")).over(cw))
+      .withColumn("t", col("c") *
+        graft.plans.HllExpressions.lnE6(
+          col("n").cast("double") / col("c").cast("double")))
+      .groupBy("bx", "by")
+      .agg(max(col("n")).as("n_segs"),
+        expr("sum(t) div max(n)").as("ent_e6"),
+        max(struct(col("c"), col("bin"))).as("m"))
+      .select(col("bx"), col("by"), col("n_segs"), col("ent_e6"),
+        col("m.bin").as("top_bin"))
+  }
 }
