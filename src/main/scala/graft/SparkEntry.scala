@@ -1661,6 +1661,12 @@ object SparkEntry {
       SpatialOps.stayPoints(excursionTrack(s, d), StayRadius, StayMinPts),
       OdCellFix)),
 
+    // --- first-order Markov cell-transition matrix (next-cell model) ---
+    // consecutive same-cell pings collapse into ONE visit before the
+    // transition count; per-source top-3 via WindowGroupLimit rank
+    "q_transitions" -> ((s, d) => SpatialOps.markovTransitions(
+      excursionTrack(s, d), TransCellFix, TransTopK)),
+
     // --- space-time co-location join (contact pairs within radius+τ) ---
     // mixId scatter (not the multiplicative pointsSql lattice: that one
     // never brings two time-adjacent pids within radius — the same
@@ -2042,6 +2048,13 @@ object SparkEntry {
     * jitter span (3e6) covers a 5x5 cell block and the matrix is dense.
     */
   val OdCellFix = 600000L
+
+  /** q_transitions grid pitch (fix, 0.2°) — comparable to the excursion
+    * trace's jitter span (3e6) so ordinary steps cross cell borders often
+    * enough for a dense matrix — and destinations kept per source cell.
+    */
+  val TransCellFix = 2000000L
+  val TransTopK = 3
 
   /** q_kmv sample size — small enough that some languages fall below it
     * at sf0.001 (exercising the exact-count branch), large enough that
@@ -5711,6 +5724,30 @@ object SparkEntry {
          |  CAST(sum(start_ts - from_end) AS BIGINT) AS transit_sum
          |FROM tp WHERE from_cx IS NOT NULL
          |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // transitions twin: run-collapse then lag, QUALIFY top-k with the
+    // same (n DESC, tx, ty) deterministic rank
+    "q_transitions" ->
+      s"""WITH $trackCtesSql,
+         |cl AS (SELECT entity, ts,
+         |    (x + 2000000000) // $TransCellFix AS cx,
+         |    (y + 2000000000) // $TransCellFix AS cy
+         |  FROM tr),
+         |rw AS (SELECT entity, ts, cx, cy,
+         |    lag(cx) OVER w AS pcx, lag(cy) OVER w AS pcy
+         |  FROM cl WINDOW w AS (PARTITION BY entity ORDER BY ts)),
+         |runs AS (SELECT entity, ts, cx, cy FROM rw
+         |  WHERE pcx IS NULL OR cx <> pcx OR cy <> pcy),
+         |tp AS (SELECT entity, cx AS tx, cy AS ty,
+         |    lag(cx) OVER w AS fx, lag(cy) OVER w AS fy
+         |  FROM runs WINDOW w AS (PARTITION BY entity ORDER BY ts)),
+         |tc AS (SELECT fx, fy, tx, ty, CAST(count(*) AS BIGINT) AS n
+         |  FROM tp WHERE fx IS NOT NULL GROUP BY 1, 2, 3, 4),
+         |tt AS (SELECT *, sum(n) OVER (PARTITION BY fx, fy) AS tot FROM tc)
+         |SELECT fx, fy, tx, ty, n, CAST(n * 1000 // tot AS BIGINT) AS p_pm
+         |FROM tt
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY fx, fy ORDER BY n DESC, tx, ty) <= $TransTopK""".stripMargin,
 
     // INDEPENDENT formulation: no cell grid — candidates via DuckDB's
     // native IEJoin on the time window (ts BETWEEN), exact planar filter

@@ -2384,6 +2384,52 @@ object SpatialOps {
       .agg(count(lit(1)).as("n_contacts"), min(col("d2")).as("min_d2"))
   }
 
+  /** First-order Markov cell-transition matrix over a ping trace
+    * (next-cell mobility model — the aggregate form of the per-entity
+    * trajectory analytics the stay/OD operators feed): positions are
+    * snapped to a `cellFix`-pitch grid, consecutive same-cell pings are
+    * collapsed into visit runs (a dwell is ONE state visit, so self-loops
+    * measure genuine re-entry, not sampling rate), and the transition
+    * counts between consecutive visits become per-source-cell
+    * probabilities in exact permille. Only the `topK` most likely
+    * destinations per source cell are kept (rank by count desc, then
+    * (tx, ty) asc — fully deterministic).
+    *
+    * Input: (entity, ts, x, y). Output: (fx, fy, tx, ty, n, p_pm).
+    *
+    * Scale posture: two window passes partitioned by entity (bounded by
+    * per-entity trace length — the natural key of the data), one
+    * map-side-combinable groupBy on cell pairs (bounded by the grid, not
+    * the fleet), and a per-source top-k that Spark plans as
+    * WindowGroupLimit (rank pushdown — no full sort of the matrix).
+    */
+  def markovTransitions(track: DataFrame, cellFix: Long, topK: Int): DataFrame = {
+    val w = Window.partitionBy("entity").orderBy("ts")
+    val off = 2000000000L // makes coords non-negative for exact idiv
+    val cells = track.select(col("entity"), col("ts"),
+      Fns.idiv(col("x") + lit(off), cellFix).as("cx"),
+      Fns.idiv(col("y") + lit(off), cellFix).as("cy"))
+    val runs = cells
+      .withColumn("pcx", lag(col("cx"), 1).over(w))
+      .withColumn("pcy", lag(col("cy"), 1).over(w))
+      .filter(col("pcx").isNull ||
+        col("cx") =!= col("pcx") || col("cy") =!= col("pcy"))
+    val trans = runs
+      .withColumn("fx", lag(col("cx"), 1).over(w))
+      .withColumn("fy", lag(col("cy"), 1).over(w))
+      .filter(col("fx").isNotNull)
+      .groupBy(col("fx"), col("fy"), col("cx").as("tx"), col("cy").as("ty"))
+      .agg(count(lit(1)).as("n"))
+    val fw = Window.partitionBy("fx", "fy")
+    val rw = Window.partitionBy("fx", "fy")
+      .orderBy(col("n").desc, col("tx"), col("ty"))
+    trans.withColumn("tot", sum(col("n")).over(fw))
+      .withColumn("rk", row_number().over(rw))
+      .filter(col("rk") <= topK)
+      .select(col("fx"), col("fy"), col("tx"), col("ty"), col("n"),
+        expr("n * 1000 div tot").as("p_pm"))
+  }
+
   /** Street-grid orientation entropy per coarse cell (the "how griddy is
     * this city" analysis over way geometries — reference ways carry the
     * street network, reference/include/osmium/osm/way.hpp): each
