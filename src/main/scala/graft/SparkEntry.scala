@@ -1334,6 +1334,18 @@ object SparkEntry {
       GraphOps.hopDistance(linkEdges(s, d), sources, SsspMaxHops)
     }),
 
+    // --- landmark harmonic closeness centrality ---
+    // exact closeness is all-pairs (impossible at crawl scale); the
+    // scalable estimator BFSes from a FIXED deterministic landmark set
+    // and scores nodes by the integer harmonic sum over landmark dists
+    "q_closeness" -> ((s, d) => {
+      val lms = t(s, d, "documents")
+        .filter(col("doc_id") % ClosenessLmMod === 3 &&
+          col("doc_id") <= ClosenessLmCap)
+        .select(col("doc_id").as("node_id"))
+      GraphOps.landmarkCloseness(linkEdges(s, d), lms, ClosenessMaxHops)
+    }),
+
     // --- per-node triangle counts (degree-ordered orientation) ---
     "q_triangles" -> ((s, d) => GraphOps.triangleCounts(linkEdges(s, d))),
 
@@ -2085,6 +2097,14 @@ object SparkEntry {
   /** q_sssp seed rule (doc_id % mod == 0) and BFS round bound. */
   val SsspSourceMod = 101L
   val SsspMaxHops = 6
+
+  /** q_closeness landmark rule (doc_id % mod == 3, capped — the landmark
+    * set stays ≤ 100 nodes at ANY scale factor, the fixed-budget contract
+    * of landmark centrality) and BFS hop bound.
+    */
+  val ClosenessLmMod = 97L
+  val ClosenessLmCap = 9700L
+  val ClosenessMaxHops = 4
 
   /** q_kcore order and peel-round bound: extra rounds past the fixpoint
     * are identity, so the early-exit loop equals this fixed unroll as
@@ -5285,6 +5305,23 @@ object SparkEntry {
          |  WHERE r.hops < $SsspMaxHops)
          |SELECT node_id, CAST(min(hops) AS BIGINT) AS hops
          |FROM reach GROUP BY 1""".stripMargin,
+
+    // closeness twin: tagged recursive reach per landmark, min dist per
+    // (lm, node) pair, integer harmonic terms
+    "q_closeness" ->
+      s"""WITH RECURSIVE $linkEdgesSql,
+         |reach AS (
+         |  SELECT doc_id AS lm, doc_id AS node_id, 0 AS hops FROM documents
+         |  WHERE doc_id % $ClosenessLmMod = 3 AND doc_id <= $ClosenessLmCap
+         |  UNION
+         |  SELECT r.lm, e.dst, r.hops + 1
+         |  FROM reach r JOIN edges e ON e.src = r.node_id
+         |  WHERE r.hops < $ClosenessMaxHops),
+         |md AS (SELECT lm, node_id, min(hops) AS d FROM reach GROUP BY 1, 2)
+         |SELECT node_id, CAST(count(*) AS BIGINT) AS n_lm,
+         |  CAST(sum(CASE WHEN d > 0 THEN 1000000 // d ELSE 0 END) AS BIGINT)
+         |    AS close_e6
+         |FROM md GROUP BY 1""".stripMargin,
 
     // min-over-bounded-hop-paths == Bellman-Ford after the same number
     // of rounds (the Spark side's early exit only fires once converged,

@@ -572,4 +572,56 @@ object GraphOps {
     scope.track(cached)
     degrees(alive)
   }
+
+  /** Landmark-based harmonic closeness centrality: exact closeness needs
+    * all-pairs shortest paths (quadratic state — impossible at crawl
+    * scale), so the standard scalable estimator runs a multi-source BFS
+    * from a FIXED, deterministic landmark set and scores every node by
+    * the harmonic sum Σ_{lm: d>0} ⌊10^6 / d⌋ over the landmark distances
+    * — integer terms, commutative sum, so shuffle order cannot perturb
+    * the result. Output: (node_id, n_lm, close_e6) with n_lm the number
+    * of landmarks that reach the node (landmark nodes count themselves
+    * at d=0, contributing to n_lm but not to close_e6).
+    *
+    * Scale posture: BFS state is (landmark × visited-node) pairs —
+    * bounded by |landmarks| · |V|, LINEAR in graph size at the fixed
+    * landmark count, never all-pairs. Same per-round loop hygiene as
+    * [[hopDistance]]: persisted visited set, superseded round
+    * unpersisted, plan rebased through the cached RDD, early exit on a
+    * drained frontier.
+    */
+  def landmarkCloseness(edges: DataFrame, landmarks: DataFrame, maxHops: Int,
+                        scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    val e = scope.persist(edges.select(col("src"), col("dst")).distinct())
+    var cached = landmarks.select(col("node_id")).distinct()
+      .select(col("node_id").as("lm"), col("node_id"), lit(0L).as("hops"))
+      .persist()
+    var prevTotal = cached.count()
+    var visited = spark.createDataFrame(cached.rdd, cached.schema)
+    var frontier = visited
+    var h = 0L
+    var drained = false
+    while (h < maxHops && !drained) {
+      h += 1
+      val next = e.join(frontier.select(col("lm"), col("node_id")),
+          col("src") === col("node_id"))
+        .select(col("lm"), col("dst").as("node_id")).distinct()
+        .join(visited.select("lm", "node_id"), Seq("lm", "node_id"), "left_anti")
+        .withColumn("hops", lit(h))
+      val grown = visited.unionByName(next).persist()
+      val total = grown.count()
+      drained = total == prevTotal
+      prevTotal = total
+      cached.unpersist(blocking = false)
+      cached = grown
+      visited = spark.createDataFrame(grown.rdd, grown.schema)
+      frontier = visited.filter(col("hops") === h)
+    }
+    scope.track(cached)
+    visited.groupBy("node_id")
+      .agg(count(lit(1)).as("n_lm"),
+        sum(when(col("hops") > 0, expr("1000000 div hops")).otherwise(0L))
+          .as("close_e6"))
+  }
 }
