@@ -559,6 +559,13 @@ object SparkEntry {
       SpatialOps.pipJoinPolygons(Synth.points(s, d), Synth.hexCorpus(s, PipLargePolys),
         PipLargeLevel)),
 
+    // --- reverse geocoding: containment winner, else nearest center ---
+    // stage 1 = the distributed PIP join; stage 2 = cell equi-join on a
+    // 3x3 center cover (cell width >= radius), exact d2, struct-min tie
+    "q_revgeo" -> ((s, d) => SpatialOps.reverseGeocode(
+      Synth.points(s, d).filter(col("pid") % RevgeoSampleMod === 0),
+      Synth.hexCorpus(s, RevgeoPolys), RevgeoRadius, RevgeoLevel)),
+
     // bbox range join against the hexagon corpus's bounding boxes
     "q_bbox_join" -> ((s, d) => {
       val boxes = Synth.hexCorpus(s, PipLargePolys).select(
@@ -2163,6 +2170,16 @@ object SparkEntry {
   val PolySamplePolys = 300
   val PolySampleM = 16
   val PolySampleK = 4
+
+  /** q_revgeo: point sample rule, hexagon-corpus size, nearest-fallback
+    * radius (fix, 1°), and the cell level of the fallback join — level 7
+    * keeps both cell widths (x 2.8e7, y 1.4e7) above the radius, the 3x3
+    * cover completeness precondition.
+    */
+  val RevgeoSampleMod = 7L
+  val RevgeoPolys = 1000
+  val RevgeoRadius = 10000000L
+  val RevgeoLevel = 7
 
   /** q_iou corpus size, eastward shift of corpus B (fix, ~0.15°) and
     * emission threshold (permille).
@@ -5081,6 +5098,40 @@ object SparkEntry {
          |SELECT poly_id, j, px, py FROM hits
          |QUALIFY row_number() OVER (PARTITION BY poly_id ORDER BY j) <= $PolySampleK"""
         .stripMargin
+    },
+
+    // revgeo twin: half-plane containment winner, else bbox-prefiltered
+    // nearest center with the same (d2, poly_id) deterministic rank
+    "q_revgeo" -> {
+      val verts = Seq(("cx + r", "cy"), ("cx + hh", "cy + s"), ("cx - hh", "cy + s"),
+        ("cx - r", "cy"), ("cx - hh", "cy - s"), ("cx + hh", "cy - s"))
+      val halfPlanes = verts.indices.map { i =>
+        val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.length)
+        s"(((($x2) - ($x1)) * (py - ($y1)) - (($y2) - ($y1)) * (px - ($x1))) >= 0)"
+      }.mkString("\n  AND ")
+      s"""WITH hexes AS (SELECT poly_id, cx, cy, r, h AS hh, s
+         |  FROM (${Synth.hexCorpusSql(RevgeoPolys)})),
+         |p AS (SELECT * FROM ($P) WHERE pid % $RevgeoSampleMod = 0),
+         |cand AS (SELECT p.pid, hx.poly_id, p.lon_fix AS px, p.lat_fix AS py,
+         |    cx, cy, r, hh, s
+         |  FROM p JOIN hexes hx
+         |    ON abs(p.lon_fix - hx.cx) <= hx.r AND abs(p.lat_fix - hx.cy) <= hx.s),
+         |ins AS (SELECT pid, poly_id FROM cand WHERE $halfPlanes),
+         |win AS (SELECT pid, min(poly_id) AS poly_id FROM ins GROUP BY 1),
+         |rest AS (SELECT * FROM p WHERE pid NOT IN (SELECT pid FROM win)),
+         |near AS (SELECT r2.pid, hx.poly_id,
+         |    (r2.lon_fix - hx.cx)*(r2.lon_fix - hx.cx)
+         |      + (r2.lat_fix - hx.cy)*(r2.lat_fix - hx.cy) AS d2
+         |  FROM rest r2 JOIN hexes hx
+         |    ON abs(r2.lon_fix - hx.cx) <= $RevgeoRadius
+         |   AND abs(r2.lat_fix - hx.cy) <= $RevgeoRadius
+         |  WHERE (r2.lon_fix - hx.cx)*(r2.lon_fix - hx.cx)
+         |      + (r2.lat_fix - hx.cy)*(r2.lat_fix - hx.cy)
+         |      <= ${RevgeoRadius * RevgeoRadius}),
+         |nw AS (SELECT pid, poly_id FROM near
+         |  QUALIFY row_number() OVER (PARTITION BY pid ORDER BY d2, poly_id) = 1)
+         |SELECT pid, poly_id, 'in' AS method FROM win
+         |UNION ALL SELECT pid, poly_id, 'near' FROM nw""".stripMargin
     },
 
     // IoU twin: both corpora through the tagged raster CTEs, pair counts

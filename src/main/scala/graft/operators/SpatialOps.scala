@@ -2384,6 +2384,58 @@ object SpatialOps {
       .agg(count(lit(1)).as("n_contacts"), min(col("d2")).as("min_d2"))
   }
 
+  /** Reverse geocoding with containment-then-nearest fallback (the
+    * "which admin area is this page's coordinate in" join every
+    * geo-enriched crawl needs): stage 1 assigns each point the smallest
+    * poly_id of the polygons CONTAINING it (the exact distributed PIP
+    * join of [[pipJoinPolygons]] — no polygon broadcast); stage 2 takes
+    * the leftovers and assigns the NEAREST polygon center within
+    * `radiusFix` (coastline/border tolerance), exact int64 squared
+    * distance, ties to the smallest poly_id via one struct-min agg.
+    * Output: (pid, poly_id, method∈{'in','near'}); points matching
+    * neither are dropped.
+    *
+    * Scale posture: stage 2 is a cell equi-join — centers explode to
+    * their 3×3 cell neighborhood at a level whose cell width ≥ radius
+    * (completeness precondition, the q_colocate cover argument), points
+    * carry ONE cell key; candidates are Θ(points in radius-dense areas),
+    * never points × polygons. Both stages shuffle on cell keys only.
+    */
+  def reverseGeocode(points: DataFrame, polys: DataFrame, radiusFix: Long,
+                     level: Int = 7): DataFrame = {
+    val inside = pipJoinPolygons(points, polys)
+      .groupBy("pid").agg(min(col("poly_id")).as("poly_id"))
+      .withColumn("method", lit("in"))
+    // hexCorpus vertex layout: xs = [cx+r, cx+h, cx-h, cx-r, ...], ys(0)=cy
+    // — the center is recovered exactly (the sum is even by construction)
+    val centers = polys.select(col("poly_id"),
+      Fns.idiv(element_at(col("xs"), 1) + element_at(col("xs"), 4), 2L).as("cx"),
+      element_at(col("ys"), 1).as("cy"))
+    val rest = points.join(inside.select("pid"), Seq("pid"), "left_anti")
+    val offCol = array(Seq(-1L, 0L, 1L).map(lit): _*)
+    val cCells = centers
+      .withColumn("bx0", Fns.cellX(col("cx"), level))
+      .withColumn("by0", Fns.cellY(col("cy"), level))
+      .select(col("poly_id"), col("cx"), col("cy"), col("bx0"), col("by0"),
+        explode(offCol).as("ox"))
+      .select(col("poly_id"), col("cx"), col("cy"),
+        (col("bx0") + col("ox")).as("bx"), col("by0"), explode(offCol).as("oy"))
+      .select(col("poly_id"), col("cx"), col("cy"), col("bx"),
+        (col("by0") + col("oy")).as("by"))
+    val pc = rest.select(col("pid"), col("lon_fix"), col("lat_fix"),
+      Fns.cellX(col("lon_fix"), level).as("bx"),
+      Fns.cellY(col("lat_fix"), level).as("by"))
+    val dx = col("lon_fix") - col("cx"); val dy = col("lat_fix") - col("cy")
+    val near = pc.join(cCells.hint("shuffle_hash"), Seq("bx", "by"))
+      .filter(dx * dx + dy * dy <= lit(radiusFix) * lit(radiusFix))
+      .select(col("pid"), col("poly_id"), (dx * dx + dy * dy).as("d2"))
+      .groupBy("pid")
+      .agg(min(struct(col("d2"), col("poly_id"))).as("m"))
+      .select(col("pid"), col("m.poly_id").as("poly_id"),
+        lit("near").as("method"))
+    inside.unionByName(near)
+  }
+
   /** First-order Markov cell-transition matrix over a ping trace
     * (next-cell mobility model — the aggregate form of the per-entity
     * trajectory analytics the stay/OD operators feed): positions are
