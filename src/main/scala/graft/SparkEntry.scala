@@ -559,6 +559,12 @@ object SparkEntry {
       SpatialOps.pipJoinPolygons(Synth.points(s, d), Synth.hexCorpus(s, PipLargePolys),
         PipLargeLevel)),
 
+    // --- STR bulk-load spatial partitioner (R-tree packing grid) ---
+    // rank-based equal-count cuts: x-rank via the distributed renumber
+    // (no 1-partition window), per-slab y-rank windows s-way parallel
+    "q_str_part" -> ((s, d) =>
+      SpatialOps.strPartition(Synth.points(s, d), StrPartS)),
+
     // --- reverse geocoding: containment winner, else nearest center ---
     // stage 1 = the distributed PIP join; stage 2 = cell equi-join on a
     // 3x3 center cover (cell width >= radius), exact d2, struct-min tie
@@ -2170,6 +2176,9 @@ object SparkEntry {
   val PolySamplePolys = 300
   val PolySampleM = 16
   val PolySampleK = 4
+
+  /** q_str_part grid arity: s×s = 64 equal-count partitions. */
+  val StrPartS = 8
 
   /** q_revgeo: point sample rule, hexagon-corpus size, nearest-fallback
     * radius (fix, 1°), and the cell level of the fallback join — level 7
@@ -5099,6 +5108,25 @@ object SparkEntry {
          |QUALIFY row_number() OVER (PARTITION BY poly_id ORDER BY j) <= $PolySampleK"""
         .stripMargin
     },
+
+    // STR twin: the same rank-cut arithmetic via window row_numbers
+    "q_str_part" ->
+      s"""WITH p AS ($P),
+         |xr AS (SELECT pid, lon_fix, lat_fix,
+         |    row_number() OVER (ORDER BY lon_fix, pid) AS rk FROM p),
+         |sl AS (SELECT *,
+         |    ((rk - 1) * $StrPartS) // (SELECT count(*) FROM p) AS slab
+         |  FROM xr),
+         |yr AS (SELECT *,
+         |    row_number() OVER (PARTITION BY slab ORDER BY lat_fix, pid) AS yrk,
+         |    count(*) OVER (PARTITION BY slab) AS m
+         |  FROM sl),
+         |ck AS (SELECT *, ((yrk - 1) * $StrPartS) // m AS cellk FROM yr)
+         |SELECT CAST(slab * $StrPartS + cellk AS BIGINT) AS part_id,
+         |  CAST(count(*) AS BIGINT) AS n_pts,
+         |  min(lon_fix) AS min_x, max(lon_fix) AS max_x,
+         |  min(lat_fix) AS min_y, max(lat_fix) AS max_y
+         |FROM ck GROUP BY 1""".stripMargin,
 
     // revgeo twin: half-plane containment winner, else bbox-prefiltered
     // nearest center with the same (d2, poly_id) deterministic rank

@@ -2384,6 +2384,42 @@ object SpatialOps {
       .agg(count(lit(1)).as("n_contacts"), min(col("d2")).as("min_d2"))
   }
 
+  /** Sort-Tile-Recursive (STR) bulk-load spatial partitioner: carve the
+    * point set into an s×s grid of EQUAL-COUNT spatial partitions — the
+    * classic R-tree packing recipe, and the partitioner you'd bulk-load
+    * a 10^12-row point table with before bucketed spatial joins (each
+    * partition is a balanced, spatially-coherent file). Points are
+    * ranked by x (exact total order, pid tiebreak), cut into s vertical
+    * slabs of ⌈n/s⌉ points, then ranked by y WITHIN each slab and cut
+    * into s cells — rank-based cuts, so balance is exact by construction
+    * (no sampling variance, unlike repartitionByRange). Output per
+    * partition: (part_id, n_pts, min_x, max_x, min_y, max_y) — the
+    * partition directory a downstream join would prune against.
+    *
+    * Scale posture: the x rank is [[IdOps.renumber]]'s range-sort +
+    * zipWithIndex scheme (every stage parallel — no 1-partition window);
+    * the y rank is a window partitioned by slab, s-way parallel with
+    * n/s rows each — s is the parallelism knob (hundreds-to-thousands in
+    * production, so slab windows stay executor-sized).
+    */
+  def strPartition(points: DataFrame, s: Int): DataFrame = {
+    val n = points.count()
+    val xr = IdOps.renumber(points.select("pid", "lon_fix", "lat_fix"),
+      "lon_fix", "pid")
+    val slabbed = xr.withColumn("slab", expr(s"(new_id - 1) * $s div ${n}L"))
+    val w = Window.partitionBy("slab").orderBy("lat_fix", "pid")
+    val cells = slabbed
+      .withColumn("yr", row_number().over(w))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("slab")))
+      .withColumn("cellk", expr(s"(CAST(yr AS BIGINT) - 1) * $s div m"))
+    cells.groupBy(col("slab"), col("cellk"))
+      .agg(count(lit(1)).as("n_pts"),
+        min("lon_fix").as("min_x"), max("lon_fix").as("max_x"),
+        min("lat_fix").as("min_y"), max("lat_fix").as("max_y"))
+      .select((col("slab") * s + col("cellk")).as("part_id"), col("n_pts"),
+        col("min_x"), col("max_x"), col("min_y"), col("max_y"))
+  }
+
   /** Reverse geocoding with containment-then-nearest fallback (the
     * "which admin area is this page's coordinate in" join every
     * geo-enriched crawl needs): stage 1 assigns each point the smallest
