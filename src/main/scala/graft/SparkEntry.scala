@@ -647,6 +647,22 @@ object SparkEntry {
       DedupOps.containmentPairs(Synth.corpus(s, d), ContainThrPm)),
 
     // --- exact edit-distance-1 join via deletion neighborhoods ---
+    // --- place conflation: ed-1 names AND within radius ---
+    // synthetic gazetteer: districts (doc_id % 40) give shared coord
+    // centers + per-doc jitter, names (doc_id % 250) give dense ed-1
+    // collisions — so the name⋂distance conjunction has real work
+    "q_conflate" -> ((s, d) => {
+      val district = col("doc_id") % 40
+      val places = t(s, d, "documents").select(
+        col("doc_id").as("place_id"),
+        (col("doc_id") % 250).cast("string").as("name"),
+        (Fns.mixId(district * 2) % 1800000000L - 900000000L +
+          Fns.mixId(col("doc_id") * 7 + 3) % 2000000L).as("x"),
+        (Fns.mixId(district * 2 + 1) % 1200000000L - 600000000L +
+          Fns.mixId(col("doc_id") * 7 + 5) % 2000000L).as("y"))
+      DedupOps.conflatePlaces(places, ConflateRadius)
+    }),
+
     // near-identical-URL clustering (typo'd links, trailing-char dupes);
     // the synthetic url space (".../doc/<id>") is dense in ed-1 pairs
     "q_url_neighbors" -> ((s, d) =>
@@ -2179,6 +2195,12 @@ object SparkEntry {
 
   /** q_str_part grid arity: s×s = 64 equal-count partitions. */
   val StrPartS = 8
+
+  /** q_conflate pairing radius (fix, 0.3°) — above the 2e6 per-place
+    * jitter span so same-district pairs qualify, far below the
+    * inter-district center spacing.
+    */
+  val ConflateRadius = 3000000L
 
   /** q_revgeo: point sample rule, hexagon-corpus size, nearest-fallback
     * radius (fix, 1°), and the cell level of the fallback join — level 7
@@ -4373,6 +4395,25 @@ object SparkEntry {
     // pairs (feasible at oracle scale) — the engine never computes an
     // edit distance on this path, so the deletion-neighborhood
     // construction is checked against the metric's definition itself
+    // conflate twin: INDEPENDENT formulation — brute-force levenshtein
+    // over the id-ordered pair triangle, same exact d2 gate
+    "q_conflate" ->
+      s"""WITH pl AS (
+         |  SELECT doc_id AS place_id, CAST(doc_id % 250 AS VARCHAR) AS name,
+         |    ${mixIdSql("(doc_id % 40) * 2")} % 1800000000 - 900000000
+         |      + ${mixIdSql("doc_id * 7 + 3")} % 2000000 AS x,
+         |    ${mixIdSql("(doc_id % 40) * 2 + 1")} % 1200000000 - 600000000
+         |      + ${mixIdSql("doc_id * 7 + 5")} % 2000000 AS y
+         |  FROM documents)
+         |SELECT a.place_id AS place_a, b.place_id AS place_b,
+         |  CASE WHEN length(a.name) = length(b.name)
+         |    THEN 'sub' ELSE 'indel' END AS kind,
+         |  (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS d2
+         |FROM pl a JOIN pl b ON a.place_id < b.place_id
+         |WHERE levenshtein(a.name, b.name) = 1
+         |  AND (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)
+         |    <= ${ConflateRadius * ConflateRadius}""".stripMargin,
+
     "q_url_neighbors" ->
       """WITH u AS (
         |  SELECT doc_id,

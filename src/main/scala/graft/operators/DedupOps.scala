@@ -679,4 +679,36 @@ object DedupOps {
       .select(least(col("ia"), col("ib")).as("doc_a"),
         greatest(col("ia"), col("ib")).as("doc_b"), col("kind"))
   }
+
+  /** Place conflation — the gazetteer-merge join (same real-world place,
+    * two records): candidate pairs whose NAMES are at exact Levenshtein
+    * distance 1 (the complete [[editOnePairs]] FastSS join — typos and
+    * transliteration drift) that also lie within `radiusFix` of each
+    * other (exact int64 planar d²). Name similarity alone over-merges
+    * ("Springfield"); proximity alone over-merges (market stalls); the
+    * conjunction is the classic conflation rule.
+    *
+    * Input: (place_id, name, x, y). Output: (place_a, place_b, kind, d2)
+    * with place_a < place_b, kind ∈ {'sub','indel'}.
+    *
+    * Scale posture: candidates come ONLY from the deletion-neighborhood
+    * equi-join (structurally bounded buckets — see [[editOnePairs]]);
+    * the coordinate filter is two hash joins on place_id. Never
+    * all-pairs, no distance candidate generator needed because the name
+    * index already bounds the pair set.
+    */
+  def conflatePlaces(places: DataFrame, radiusFix: Long): DataFrame = {
+    val pairs = editOnePairs(places, "place_id", "name")
+      .select(col("doc_a").as("place_a"), col("doc_b").as("place_b"),
+        col("kind"))
+    val ca = places.select(col("place_id").as("place_a"),
+      col("x").as("xa"), col("y").as("ya"))
+    val cb = places.select(col("place_id").as("place_b"),
+      col("x").as("xb"), col("y").as("yb"))
+    val dx = col("xa") - col("xb"); val dy = col("ya") - col("yb")
+    pairs.join(ca, "place_a").join(cb, "place_b")
+      .filter(dx * dx + dy * dy <= lit(radiusFix) * lit(radiusFix))
+      .select(col("place_a"), col("place_b"), col("kind"),
+        (dx * dx + dy * dy).as("d2"))
+  }
 }
