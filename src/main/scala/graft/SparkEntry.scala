@@ -1692,6 +1692,11 @@ object SparkEntry {
     "q_orient" -> ((s, d) =>
       SpatialOps.orientationEntropy(wayPoints(t(s, d, "lineitem")), OrientLevel)),
 
+    // --- metric buffer mask around ways (true point-to-segment dist) ---
+    "q_buffer" -> ((s, d) =>
+      SpatialOps.bufferCells(wayPoints(t(s, d, "lineitem")),
+        BufferRadius, BufferLevel)),
+
     // --- geofence enter/exit transitions (PIP membership change-points) ---
     // --- stay-point extraction (dwell runs on an excursion trace) ---
     "q_staypoints" -> ((s, d) =>
@@ -2187,6 +2192,13 @@ object SparkEntry {
     * meaningful 8-sector orientation distribution).
     */
   val OrientLevel = 5
+
+  /** q_buffer: corridor radius (fix, 0.2°) and grid level — level 9's
+    * pitches (x 7031250, y 3515625 fix) divide the domain exactly, so
+    * doubled-coordinate cell centers are exact integers.
+    */
+  val BufferRadius = 2000000L
+  val BufferLevel = 9
 
   /** q_poly_sample corpus / candidates per polygon / kept per polygon. */
   val PolySamplePolys = 300
@@ -5148,6 +5160,58 @@ object SparkEntry {
          |SELECT poly_id, j, px, py FROM hits
          |QUALIFY row_number() OVER (PARTITION BY poly_id ORDER BY j) <= $PolySampleK"""
         .stripMargin
+    },
+
+    // buffer twin: same doubled-coordinate exact point-to-segment
+    // distance; perpendicular branch in HUGEINT
+    "q_buffer" -> {
+      val pX = 3600000000L / (1L << BufferLevel)
+      val pY = 1800000000L / (1L << BufferLevel)
+      val gmax = (1L << BufferLevel) - 1
+      val r2d = 4L * BufferRadius * BufferRadius
+      s"""WITH pts AS (
+         |  SELECT DISTINCT l_orderkey AS way_id, l_linenumber AS seq,
+         |    (l_orderkey * 2654435761) % 3400000000 - 1700000000
+         |      + (((l_orderkey*10 + l_linenumber) * 1103515245) % 20000000 - 10000000) AS x,
+         |    (l_orderkey * 2246822519) % 1600000000 - 800000000
+         |      + (((l_orderkey*10 + l_linenumber) * 69069) % 20000000 - 10000000) AS y
+         |  FROM lineitem),
+         |raw AS (
+         |  SELECT x AS x2c, y AS y2c,
+         |    lag(x) OVER (PARTITION BY way_id ORDER BY seq) AS x1c,
+         |    lag(y) OVER (PARTITION BY way_id ORDER BY seq) AS y1c
+         |  FROM pts),
+         |segs AS (SELECT * FROM raw WHERE x1c IS NOT NULL),
+         |rng AS (
+         |  SELECT *,
+         |    greatest((least(x1c, x2c) - $BufferRadius + 1800000000) // $pX, 0) AS bxlo,
+         |    least((greatest(x1c, x2c) + $BufferRadius + 1800000000) // $pX, $gmax) AS bxhi,
+         |    greatest((least(y1c, y2c) - $BufferRadius + 900000000) // $pY, 0) AS bylo,
+         |    least((greatest(y1c, y2c) + $BufferRadius + 900000000) // $pY, $gmax) AS byhi
+         |  FROM segs),
+         |ex AS (SELECT x1c, y1c, x2c, y2c, bylo, byhi,
+         |    unnest(range(bxlo, bxhi + 1)) AS bx FROM rng),
+         |ey AS (SELECT x1c, y1c, x2c, y2c, bx,
+         |    unnest(range(bylo, byhi + 1)) AS by FROM ex),
+         |dd AS (
+         |  SELECT bx, by,
+         |    (x2c - x1c) * 2 AS vx, (y2c - y1c) * 2 AS vy,
+         |    bx * ${2L * pX} + $pX - 3600000000 - x1c * 2 AS wx,
+         |    by * ${2L * pY} + $pY - 1800000000 - y1c * 2 AS wy,
+         |    bx * ${2L * pX} + $pX - 3600000000 - x2c * 2 AS ux,
+         |    by * ${2L * pY} + $pY - 1800000000 - y2c * 2 AS uy
+         |  FROM ey),
+         |hit AS (
+         |  SELECT bx, by FROM dd
+         |  WHERE CASE
+         |    WHEN vx * wx + vy * wy <= 0 THEN wx * wx + wy * wy <= $r2d
+         |    WHEN vx * wx + vy * wy >= vx * vx + vy * vy
+         |      THEN ux * ux + uy * uy <= $r2d
+         |    ELSE CAST(vx * wy - vy * wx AS HUGEINT) * (vx * wy - vy * wx)
+         |      <= CAST($r2d AS HUGEINT) * (vx * vx + vy * vy)
+         |    END)
+         |SELECT bx, by, CAST(count(*) AS BIGINT) AS n_segs
+         |FROM hit GROUP BY 1, 2""".stripMargin
     },
 
     // STR twin: the same rank-cut arithmetic via window row_numbers

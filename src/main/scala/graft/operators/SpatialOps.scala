@@ -2384,6 +2384,66 @@ object SpatialOps {
       .agg(count(lit(1)).as("n_contacts"), min(col("d2")).as("min_d2"))
   }
 
+  /** Metric buffer rasterization around way geometries: every grid cell
+    * whose CENTER lies within `radiusFix` of ANY way segment (true
+    * point-to-segment distance — not the Chebyshev cell halo of the
+    * morphological dilate), with the count of segments covering it.
+    * The road-corridor / riverbank mask of a vector buffer, computed
+    * exactly: cell centers land on half-integer fix coords, so all
+    * arithmetic runs in DOUBLED coordinates (centers become exact
+    * integers), endpoint-distance branches stay in int64, and the
+    * perpendicular branch compares cross² ≤ (2R)²·len2 in 38-digit
+    * decimal (≤ 10^32 here — int64 would overflow at 10^30).
+    *
+    * Scale posture: candidates are enumerated per segment from its
+    * R-expanded bbox — the segment corpus is locally dense (spans
+    * bounded by the jitter contract), so the fanout is a small constant
+    * (~24 cells at level 9 / R=0.2°); one map-side-combinable groupBy
+    * aggregates the mask. No joins at all.
+    */
+  def bufferCells(wayPts: DataFrame, radiusFix: Long, level: Int): DataFrame = {
+    val pitchX = 3600000000L / (1L << level)
+    val pitchY = 1800000000L / (1L << level)
+    val gmax = (1L << level) - 1
+    val w = Window.partitionBy("way_id").orderBy("seq")
+    val segs = wayPts.select(col("way_id"),
+        col("x").as("x2c"), col("y").as("y2c"),
+        lag(col("x"), 1).over(w).as("x1c"), lag(col("y"), 1).over(w).as("y1c"))
+      .filter(col("x1c").isNotNull)
+    val lox = least(col("x1c"), col("x2c")) - radiusFix
+    val hix = greatest(col("x1c"), col("x2c")) + radiusFix
+    val loy = least(col("y1c"), col("y2c")) - radiusFix
+    val hiy = greatest(col("y1c"), col("y2c")) + radiusFix
+    val cand = segs
+      .withColumn("bxlo", greatest(Fns.idiv(lox + 1800000000L, pitchX), lit(0L)))
+      .withColumn("bxhi", least(Fns.idiv(hix + 1800000000L, pitchX), lit(gmax)))
+      .withColumn("bylo", greatest(Fns.idiv(loy + 900000000L, pitchY), lit(0L)))
+      .withColumn("byhi", least(Fns.idiv(hiy + 900000000L, pitchY), lit(gmax)))
+      .select(col("x1c"), col("y1c"), col("x2c"), col("y2c"),
+        explode(sequence(col("bxlo"), col("bxhi"))).as("bx"),
+        col("bylo"), col("byhi"))
+      .select(col("x1c"), col("y1c"), col("x2c"), col("y2c"), col("bx"),
+        explode(sequence(col("bylo"), col("byhi"))).as("by"))
+    val cx2 = col("bx") * (2L * pitchX) + pitchX - 3600000000L
+    val cy2 = col("by") * (2L * pitchY) + pitchY - 1800000000L
+    val vx = (col("x2c") - col("x1c")) * 2L
+    val vy = (col("y2c") - col("y1c")) * 2L
+    val wx = cx2 - col("x1c") * 2L
+    val wy = cy2 - col("y1c") * 2L
+    val ux = cx2 - col("x2c") * 2L
+    val uy = cy2 - col("y2c") * 2L
+    val dot = vx * wx + vy * wy
+    val len2 = vx * vx + vy * vy
+    val r2d = lit(4L * radiusFix * radiusFix)
+    val cross = vx * wy - vy * wx
+    val dec = "decimal(38,0)"
+    val inBuf = when(dot <= 0, wx * wx + wy * wy <= r2d)
+      .when(dot >= len2, ux * ux + uy * uy <= r2d)
+      .otherwise(cross.cast(dec) * cross.cast(dec) <=
+        r2d.cast(dec) * len2.cast(dec))
+    cand.filter(inBuf).groupBy("bx", "by").agg(count(lit(1)).as("n_segs"))
+  }
+
   /** Sort-Tile-Recursive (STR) bulk-load spatial partitioner: carve the
     * point set into an s×s grid of EQUAL-COUNT spatial partitions — the
     * classic R-tree packing recipe, and the partitioner you'd bulk-load
