@@ -1929,6 +1929,15 @@ object SparkEntry {
     "q_hilbert" -> ((s, d) =>
       SpatialOps.hilbertDensity(Synth.points(s, d), HilbertOrder, HilbertShift)),
 
+    // --- file-skipping audit of the Hilbert-clustered layout ---
+    // equal-count curve-order files + footer min/max stats vs 20 probe
+    // rectangles: files_read (pruning) vs rows_matched (selectivity)
+    "q_skipstats" -> ((s, d) => {
+      import s.implicits._
+      SpatialOps.clusterSkipStats(Synth.points(s, d), HilbertOrder, SkipFiles,
+        skipProbes.toDF("probe_id", "x0", "x1", "y0", "y1"))
+    }),
+
     // --- GPS implausible-speed filter (teleport QC) ---
     "q_speed_filter" -> ((s, d) =>
       SpatialOps.speedFilter(excursionTrack(s, d), SpeedVmaxMmPerS)),
@@ -2265,6 +2274,18 @@ object SparkEntry {
   val HilbertOrder = 8
   val HilbertShift = 8
 
+  /** q_skipstats: equal-count file budget and the 20 deterministic 16x16
+    * probe rectangles (grid coords at HilbertOrder) — Scala-side LCG
+    * literals embedded verbatim in both engines.
+    */
+  val SkipFiles = 64
+  lazy val skipProbes: Seq[(Long, Long, Long, Long, Long)] =
+    (0 until 20).map { k =>
+      val x0 = (k * 97561 + 11) % 240
+      val y0 = (k * 48271 + 7) % 240
+      (k.toLong, x0.toLong, x0 + 15L, y0.toLong, y0 + 15L)
+    }
+
   /** q_speed_filter ceiling: 500 m/s (supersonic = definite teleport).
     * On the excursion trace this keeps the ordinary jitter steps (≤3e6 fix
     * ≈ 33 km) mostly under it while the mx%7/my%7 excursions (up to 1e8
@@ -2512,13 +2533,14 @@ object SparkEntry {
     * stage so nothing depends on alias-vs-column precedence — ending at
     * d0, the full Hilbert index.
     */
-  private def hilbertStagesSql(order: Int): String =
+  private def hilbertStagesSql(order: Int, carry: Seq[String] = Nil): String = {
+    val cy = carry.map(c => s"$c, ").mkString
     (order - 1 to 0 by -1).foldLeft(
-      s"SELECT x$order, y$order, CAST(0 AS BIGINT) AS d$order FROM cells") {
+      s"SELECT ${cy}x$order, y$order, CAST(0 AS BIGINT) AS d$order FROM cells") {
       (inner, lvl) =>
         val s = 1L << lvl
         val i = lvl + 1
-        s"""SELECT
+        s"""SELECT $cy
            |  CASE WHEN (y$i & $s) > 0 THEN x$i
            |       WHEN (x$i & $s) > 0 THEN ${s - 1} - y$i ELSE y$i END AS x$lvl,
            |  CASE WHEN (y$i & $s) > 0 THEN y$i
@@ -2528,6 +2550,7 @@ object SparkEntry {
            |    (CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END)) AS d$lvl
            |FROM ($inner)""".stripMargin
     }
+  }
 
   /** Fns.langId twin fragments over a padded-text column `pt`: the
     * marker-count argmax CASE (ties to the earlier marker-list entry,
@@ -6386,6 +6409,42 @@ object SparkEntry {
          |    ORDER BY score_e6 DESC, term) AS rn FROM sc)
          |SELECT doc_id, term, tf, score_e6, CAST(rn AS BIGINT) AS rank
          |FROM r WHERE rn <= $TfidfTopK""".stripMargin,
+
+    // skipstats twin: per-distinct-cell Hilbert keys (carried through the
+    // unrolled stages), the same rank-cut file assignment, VALUES probes
+    "q_skipstats" -> {
+      val probeVals = skipProbes.map { case (i, x0, x1, y0, y1) =>
+        s"($i,$x0,$x1,$y0,$y1)" }.mkString(", ")
+      val g = 1 << HilbertOrder
+      s"""WITH p AS ($P),
+         |k AS (SELECT pid,
+         |    least(((lon_fix + 1800000000) * $g) // 3600000000, ${g - 1}) AS gx,
+         |    least(((lat_fix + 900000000) * $g) // 1800000000, ${g - 1}) AS gy
+         |  FROM p),
+         |cells AS (SELECT DISTINCT gx AS cgx, gy AS cgy,
+         |    gx AS x$HilbertOrder, gy AS y$HilbertOrder FROM k),
+         |hm AS (SELECT cgx, cgy, d0 AS hk
+         |  FROM (${hilbertStagesSql(HilbertOrder, Seq("cgx", "cgy"))})),
+         |kh AS (SELECT k.pid, k.gx, k.gy, hm.hk
+         |  FROM k JOIN hm ON hm.cgx = k.gx AND hm.cgy = k.gy),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY hk, pid) AS rn FROM kh),
+         |wf AS (SELECT *,
+         |    ((rn - 1) * $SkipFiles) // (SELECT count(*) FROM p) AS fid
+         |  FROM rk),
+         |st AS (SELECT fid, min(gx) AS minx, max(gx) AS maxx,
+         |    min(gy) AS miny, max(gy) AS maxy FROM wf GROUP BY 1),
+         |pr AS (SELECT * FROM (VALUES $probeVals) AS t(probe_id, x0, x1, y0, y1)),
+         |fr AS (SELECT probe_id, CAST(count(st.fid) AS BIGINT) AS files_read
+         |  FROM pr LEFT JOIN st ON st.minx <= pr.x1 AND st.maxx >= pr.x0
+         |    AND st.miny <= pr.y1 AND st.maxy >= pr.y0
+         |  GROUP BY 1),
+         |rm AS (SELECT probe_id, CAST(count(wf.pid) AS BIGINT) AS rows_matched
+         |  FROM pr LEFT JOIN wf ON wf.gx BETWEEN pr.x0 AND pr.x1
+         |    AND wf.gy BETWEEN pr.y0 AND pr.y1
+         |  GROUP BY 1)
+         |SELECT CAST(fr.probe_id AS BIGINT) AS probe_id, files_read, rows_matched
+         |FROM fr JOIN rm USING (probe_id)""".stripMargin
+    },
 
     "q_hilbert" ->
       s"""WITH p AS ($P),

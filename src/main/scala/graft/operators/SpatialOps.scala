@@ -2295,6 +2295,50 @@ object SpatialOps {
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** File-skipping effectiveness audit of a Hilbert-clustered layout —
+    * the "did my clustering actually buy scan pruning" diagnostic run
+    * before committing a 100 TB rewrite: points get their Hilbert key,
+    * are cut into `files` EQUAL-COUNT files in curve order (exact
+    * rank-based cuts via the distributed renumber — the same layout a
+    * curve-ordered writer produces), each file records its (gx, gy)
+    * min/max footer stats, and every probe rectangle reports how many
+    * files its bbox predicate would touch (`files_read`) vs the rows it
+    * actually matches (`rows_matched`). Locality quality = few files
+    * read per probe despite equal file sizes.
+    *
+    * Input probes: (probe_id, x0, x1, y0, y1) in grid coordinates.
+    * Output: (probe_id, files_read, rows_matched).
+    *
+    * Scale posture: the Hilbert encode is a zero-shuffle codegen map;
+    * ranking is renumber's parallel range-sort; footer stats are one
+    * 64-row agg; both probe joins broadcast the tiny probe list against
+    * stats (64 rows) and the point scan (one linear pass) — exactly the
+    * shape a real footer-pruning audit runs at.
+    */
+  def clusterSkipStats(points: DataFrame, order: Int, files: Int,
+                       probes: DataFrame): DataFrame = {
+    val n = points.count()
+    val keyed = points.select(col("pid"),
+        Fns.cellX(col("lon_fix"), order).as("gx"),
+        Fns.cellY(col("lat_fix"), order).as("gy"))
+      .withColumn("hk", graft.plans.GeomExpressions.hilbertIndex(
+        col("gx"), col("gy"), order))
+    val withFile = IdOps.renumber(keyed, "hk", "pid")
+      .withColumn("fid", expr(s"(new_id - 1) * $files div ${n}L"))
+    val stats = withFile.groupBy("fid").agg(
+      min("gx").as("minx"), max("gx").as("maxx"),
+      min("gy").as("miny"), max("gy").as("maxy"))
+    val fr = probes.join(stats,
+        col("minx") <= col("x1") && col("maxx") >= col("x0") &&
+          col("miny") <= col("y1") && col("maxy") >= col("y0"), "left")
+      .groupBy("probe_id").agg(count(col("fid")).as("files_read"))
+    val rm = probes.join(withFile,
+        col("gx") >= col("x0") && col("gx") <= col("x1") &&
+          col("gy") >= col("y0") && col("gy") <= col("y1"), "left")
+      .groupBy("probe_id").agg(count(col("pid")).as("rows_matched"))
+    fr.join(rm, "probe_id")
+  }
+
   /** GPS-trace implausible-speed filter (teleport QC): flag every step of
     * an (entity, ts, x, y) fix-coordinate track whose great-circle speed
     * exceeds `vmaxMmPerS`. One window shuffle on entity (the sessionize
