@@ -1612,6 +1612,22 @@ object SparkEntry {
         SpatialOps.equirectDensity(Synth.points(s, d), DilateLevel)
           .filter(col("cnt") >= 3))),
 
+    // --- Chebyshev distance transform (proximity-to-data field) ---
+    // same occupancy mask; capped stamps + ONE min-agg, no iteration
+    "q_disttrans" -> ((s, d) =>
+      SpatialOps.distanceTransform(
+        SpatialOps.equirectDensity(Synth.points(s, d), DilateLevel)
+          .filter(col("cnt") >= 3), DilateLevel, DistTransK)),
+
+    // --- raster region labeling (4-connected blobs of the hex raster) ---
+    // SF-independent mask: the rasterized hexagon corpus; labels via the
+    // pointer-jumping component loop, per-region size + bbox rollup
+    "q_regions" -> ((s, _) => SpatialOps.regionLabels(
+      SpatialOps.rasterizePolygons(Synth.hexCorpus(s, RegionsPolys),
+          RasterizeLevel)
+        .select(col("cell_x").as("bx"), col("cell_y").as("by")).distinct(),
+      RasterizeLevel)),
+
     // --- Chaikin corner-cutting smoothing (rendering generalization) ---
     "q_chaikin" -> ((s, d) => {
       val wp = wayPoints(t(s, d, "lineitem"))
@@ -2164,6 +2180,12 @@ object SparkEntry {
 
   /** q_dilate grid level / Chebyshev radius / occupancy threshold. */
   val DilateLevel = 7
+
+  /** q_disttrans distance cap (cells) and q_regions hexagon-corpus size
+    * (SF-independent mask: components stay bounded at every scale).
+    */
+  val DistTransK = 4
+  val RegionsPolys = 3000
   val DilateRadius = 2
 
   /** q_erode grid level (coarser: erosion needs a dense mask). */
@@ -5330,6 +5352,51 @@ object SparkEntry {
          |FROM cl JOIN tt ON tt.bx = cl.bx AND tt.by = cl.by
          |QUALIFY row_number() OVER (
          |  PARTITION BY cl.bx, cl.by ORDER BY c DESC, lang DESC) = 1""".stripMargin,
+
+    // disttrans twin: same capped stamps via a range cross product
+    "q_disttrans" -> {
+      val g = 1L << DilateLevel
+      s"""WITH p AS ($P),
+         |occ AS (
+         |  SELECT bx, by FROM (
+         |    SELECT least(((lon_fix + 1800000000) * $g) // 3600000000, ${g - 1}) AS bx,
+         |      least(((lat_fix + 900000000) * $g) // 1800000000, ${g - 1}) AS by,
+         |      count(*) AS c
+         |    FROM p GROUP BY 1, 2) WHERE c >= 3),
+         |st AS (
+         |  SELECT bx + dx.d AS gx, by + dy.d AS gy,
+         |    greatest(abs(dx.d), abs(dy.d)) AS dd
+         |  FROM occ, range(-$DistTransK, ${DistTransK + 1}) dx(d),
+         |    range(-$DistTransK, ${DistTransK + 1}) dy(d))
+         |SELECT gx, gy, CAST(min(dd) AS BIGINT) AS dist
+         |FROM st WHERE gx BETWEEN 0 AND ${g - 1} AND gy BETWEEN 0 AND ${g - 1}
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    // regions twin: the shared hex-raster CTEs, shifted-neighbor edges,
+    // min-reachable-id labels via the recursive closure (the q_wcc shape)
+    "q_regions" -> {
+      val g = 1L << RasterizeLevel
+      s"""WITH RECURSIVE hexesr AS (${Synth.hexCorpusSql(RegionsPolys)}),
+         |${hexRasterCtesSqlFrom("hexesr", "r")},
+         |mcell AS (SELECT DISTINCT cell_x AS bx, cell_y AS by FROM zcellsr),
+         |cid AS (SELECT bx, by, bx * $g + by AS cid FROM mcell),
+         |ed0 AS (SELECT a.cid AS src, b.cid AS dst FROM cid a JOIN cid b
+         |  ON (b.bx = a.bx + 1 AND b.by = a.by)
+         |    OR (b.bx = a.bx AND b.by = a.by + 1)),
+         |edges AS (SELECT src, dst FROM ed0 UNION SELECT dst, src FROM ed0),
+         |reach AS (
+         |  SELECT src AS a, dst AS b FROM edges
+         |  UNION
+         |  SELECT r2.a, e.dst FROM reach r2 JOIN edges e ON r2.b = e.src),
+         |lbl AS (SELECT c.cid, c.bx, c.by,
+         |    least(c.cid, coalesce(min(r3.b), c.cid)) AS region
+         |  FROM cid c LEFT JOIN reach r3 ON r3.a = c.cid
+         |  GROUP BY c.cid, c.bx, c.by)
+         |SELECT region, CAST(count(*) AS BIGINT) AS n_cells,
+         |  min(bx) AS minx, max(bx) AS maxx, min(by) AS miny, max(by) AS maxy
+         |FROM lbl GROUP BY 1""".stripMargin
+    },
 
     // contours twin: stamps via a 0..1 offset range cross product, the
     // SAME Scala-generated mask CASE rendered in DuckDB list syntax

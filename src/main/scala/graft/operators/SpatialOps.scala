@@ -2295,6 +2295,65 @@ object SpatialOps {
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Chebyshev distance transform of an occupancy raster, capped at `k`
+    * (the proximity-to-data field: "how far is every cell from the
+    * nearest populated cell" — coverage-gap maps, edge-feathered
+    * renders). Each occupied cell stamps its (2k+1)² halo with the
+    * Chebyshev distance of the offset; a min-aggregation per target cell
+    * yields the transform. Exact integers end-to-end; cells farther than
+    * k are absent (the cap bounds the fanout).
+    *
+    * Scale posture: constant fanout per occupied cell (the q_dilate
+    * stamp argument) into ONE map-side-combinable min groupBy — no
+    * joins, no iteration; cost is Θ(occupied · (2k+1)²).
+    */
+  def distanceTransform(occ: DataFrame, level: Int, k: Int): DataFrame = {
+    val gmax = (1L << level) - 1
+    val offs = array((-k to k).map(i => lit(i.toLong)): _*)
+    occ.select(col("bx"), col("by"), explode(offs).as("dx"))
+      .select(col("bx"), col("by"), col("dx"), explode(offs).as("dy"))
+      .select((col("bx") + col("dx")).as("gx"), (col("by") + col("dy")).as("gy"),
+        greatest(abs(col("dx")), abs(col("dy"))).as("d"))
+      .filter(col("gx") >= 0 && col("gx") <= gmax &&
+        col("gy") >= 0 && col("gy") <= gmax)
+      .groupBy("gx", "gy").agg(min(col("d")).as("dist"))
+  }
+
+  /** Raster region labeling: 4-connected components of an occupancy mask
+    * with per-region size and bbox — the raster-space dissolve (which
+    * rasterized polygons merge into contiguous blobs; which land-cover
+    * patches touch). Component label = the smallest cell id (bx·2^level
+    * + by) reachable through occupied 4-neighbors.
+    *
+    * Scale posture: neighbor edges come from TWO shifted self equi-joins
+    * of the mask (right + down — each occupied cell appears in ≤ 2
+    * candidate pairs per direction, no neighborhood explode); labels via
+    * [[GraphOps.connectedComponents]]'s adaptive pointer-jumping loop
+    * (O(log d) rounds); isolated cells self-label through the left join.
+    * One final rollup shuffle.
+    */
+  def regionLabels(occ: DataFrame, level: Int): DataFrame = {
+    val g = 1L << level
+    val cells = occ.select(col("bx"), col("by"),
+      (col("bx") * g + col("by")).as("cid"))
+    val right = cells.select((col("bx") - 1).as("bx"), col("by"),
+      col("cid").as("dst"))
+    val down = cells.select(col("bx"), (col("by") - 1).as("by"),
+      col("cid").as("dst"))
+    val edges = cells.join(right, Seq("bx", "by"))
+      .select(col("cid").as("src"), col("dst"))
+      .unionByName(cells.join(down, Seq("bx", "by"))
+        .select(col("cid").as("src"), col("dst")))
+    val comp = GraphOps.connectedComponents(edges)
+    cells.join(comp, cells("cid") === comp("node_id"), "left")
+      .select(col("bx"), col("by"),
+        coalesce(col("component"), col("cid")).as("region"))
+      .groupBy("region")
+      .agg(count(lit(1)).as("n_cells"),
+        min("bx").as("minx"), max("bx").as("maxx"),
+        min("by").as("miny"), max("by").as("maxy"))
+  }
+
   /** File-skipping effectiveness audit of a Hilbert-clustered layout —
     * the "did my clustering actually buy scan pruning" diagnostic run
     * before committing a 100 TB rewrite: points get their Hilbert key,
