@@ -1713,6 +1713,32 @@ object SparkEntry {
       SpatialOps.bufferCells(wayPoints(t(s, d, "lineitem")),
         BufferRadius, BufferLevel)),
 
+    // --- road length per admin polygon (network-density rollup) ---
+    // segment midpoints (exact floor-div) through the distributed PIP
+    // join; per-segment haversine mm rounded BEFORE the sum so the
+    // rollup is integer and shuffle-order-proof
+    "q_road_density" -> ((s, d) => {
+      val wp = wayPoints(t(s, d, "lineitem"))
+      val w = Window.partitionBy("way_id").orderBy("seq")
+      val segs = wp.select(col("way_id"), col("seq"), col("x"), col("y"),
+          lag(col("x"), 1).over(w).as("px"), lag(col("y"), 1).over(w).as("py"))
+        .filter(col("px").isNotNull)
+      val mid = segs.select(
+        (col("way_id") * 10 + col("seq")).as("pid"),
+        (Fns.idiv(col("x") + col("px") + 3600000000L, 2L) - 1800000000L)
+          .as("lon_fix"),
+        (Fns.idiv(col("y") + col("py") + 1800000000L, 2L) - 900000000L)
+          .as("lat_fix"),
+        round(Fns.haversineMeters(Fns.fixToDeg(col("px")), Fns.fixToDeg(col("py")),
+          Fns.fixToDeg(col("x")), Fns.fixToDeg(col("y"))) * 1000)
+          .cast("long").as("len_mm"))
+      SpatialOps.pipJoinPolygons(mid.select("pid", "lon_fix", "lat_fix"),
+          Synth.hexCorpus(s, RoadPolys))
+        .join(mid.select("pid", "len_mm"), "pid")
+        .groupBy("poly_id")
+        .agg(count(lit(1)).as("n_segs"), sum("len_mm").as("len_mm"))
+    }),
+
     // --- geofence enter/exit transitions (PIP membership change-points) ---
     // --- stay-point extraction (dwell runs on an excursion trace) ---
     "q_staypoints" -> ((s, d) =>
@@ -2223,6 +2249,9 @@ object SparkEntry {
     * meaningful 8-sector orientation distribution).
     */
   val OrientLevel = 5
+
+  /** q_road_density hexagon-corpus size. */
+  val RoadPolys = 2000
 
   /** q_buffer: corridor radius (fix, 0.2°) and grid level — level 9's
     * pitches (x 7031250, y 3515625 fix) divide the domain exactly, so
@@ -5257,6 +5286,43 @@ object SparkEntry {
          |    END)
          |SELECT bx, by, CAST(count(*) AS BIGINT) AS n_segs
          |FROM hit GROUP BY 1, 2""".stripMargin
+    },
+
+    // road-density twin: floor-div midpoints, the hex half-planes, and
+    // the shared per-segment-rounded haversine mm
+    "q_road_density" -> {
+      val verts = Seq(("cx + r", "cy"), ("cx + hh", "cy + s"), ("cx - hh", "cy + s"),
+        ("cx - r", "cy"), ("cx - hh", "cy - s"), ("cx + hh", "cy - s"))
+      val halfPlanes = verts.indices.map { i =>
+        val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.length)
+        s"(((($x2) - ($x1)) * (my - ($y1)) - (($y2) - ($y1)) * (mx - ($x1))) >= 0)"
+      }.mkString("\n  AND ")
+      s"""WITH pts AS (
+         |  SELECT DISTINCT l_orderkey AS way_id, l_linenumber AS seq,
+         |    (l_orderkey * 2654435761) % 3400000000 - 1700000000
+         |      + (((l_orderkey*10 + l_linenumber) * 1103515245) % 20000000 - 10000000) AS x,
+         |    (l_orderkey * 2246822519) % 1600000000 - 800000000
+         |      + (((l_orderkey*10 + l_linenumber) * 69069) % 20000000 - 10000000) AS y
+         |  FROM lineitem),
+         |raw AS (SELECT way_id, seq, x, y,
+         |    lag(x) OVER w AS px, lag(y) OVER w AS py
+         |  FROM pts WINDOW w AS (PARTITION BY way_id ORDER BY seq)),
+         |segs AS (SELECT * FROM raw WHERE px IS NOT NULL),
+         |mid AS (SELECT way_id*10 + seq AS pid,
+         |    ((x + px + 3600000000) // 2) - 1800000000 AS mx,
+         |    ((y + py + 1800000000) // 2) - 900000000 AS my,
+         |    CAST(round((${haversineSql("px / 10000000.0", "py / 10000000.0",
+                "x / 10000000.0", "y / 10000000.0")}) * 1000.0) AS BIGINT) AS len_mm
+         |  FROM segs),
+         |hexes AS (SELECT poly_id, cx, cy, r, h AS hh, s
+         |  FROM (${Synth.hexCorpusSql(RoadPolys)})),
+         |hit AS (SELECT mid.pid, hx.poly_id, len_mm
+         |  FROM mid JOIN hexes hx
+         |    ON abs(mx - hx.cx) <= hx.r AND abs(my - hx.cy) <= hx.s
+         |  WHERE $halfPlanes)
+         |SELECT poly_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(len_mm) AS BIGINT) AS len_mm
+         |FROM hit GROUP BY 1""".stripMargin
     },
 
     // STR twin: the same rank-cut arithmetic via window row_numbers
