@@ -1363,6 +1363,22 @@ object SparkEntry {
       GraphOps.hopDistance(linkEdges(s, d), sources, SsspMaxHops)
     }),
 
+    // --- Borůvka minimum spanning forest (similarity-graph backbone) ---
+    // distinct weights by construction (wbase·n² + a·n + b) ⇒ unique MST
+    "q_mst" -> ((s, d) => {
+      val e0 = t(s, d, "documents").filter(col("doc_id") < MstNodes)
+        .select(col("doc_id").as("src"),
+          explode(sequence(lit(1), lit(2))).as("j"))
+        .withColumn("dst", Fns.mixId(col("src") * 97 + col("j") * 31) % MstNodes)
+        .filter(col("dst") =!= col("src"))
+      val und = e0.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+      val edges = und.select(col("a"), col("b"),
+        ((Fns.mixId(col("a") * 31 + col("b") * 13 + 7) % 100000L)
+          * (MstNodes * MstNodes) + col("a") * MstNodes + col("b")).as("w"))
+      GraphOps.boruvkaMst(edges)
+    }),
+
     // --- landmark harmonic closeness centrality ---
     // exact closeness is all-pairs (impossible at crawl scale); the
     // scalable estimator BFSes from a FIXED deterministic landmark set
@@ -2190,6 +2206,11 @@ object SparkEntry {
   val ClosenessLmMod = 97L
   val ClosenessLmCap = 9700L
   val ClosenessMaxHops = 4
+
+  /** q_mst node-id bound — sized so the oracle's minimax-path closure
+    * (pairs × distinct weights) stays small while the forest is real.
+    */
+  val MstNodes = 60
 
   /** q_kcore order and peel-round bound: extra rounds past the fixpoint
     * are identity, so the early-exit loop equals this fixed unroll as
@@ -5645,6 +5666,33 @@ object SparkEntry {
          |  WHERE r.hops < $SsspMaxHops)
          |SELECT node_id, CAST(min(hops) AS BIGINT) AS hops
          |FROM reach GROUP BY 1""".stripMargin,
+
+    // MST twin — INDEPENDENT characterization: with a total order on
+    // weights, e=(a,b,w) ∈ MST ⟺ the minimax path weight between a and b
+    // equals w (no lighter-edge path connects them); minimax via the
+    // min/max-semiring recursive closure (the q_frechet oracle shape)
+    "q_mst" ->
+      s"""WITH RECURSIVE e0 AS (
+         |  SELECT doc_id AS src, j,
+         |    ${mixIdSql("doc_id * 97 + j * 31")} % $MstNodes AS dst
+         |  FROM documents, range(1, 3) jj(j) WHERE doc_id < $MstNodes),
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM e0 WHERE src <> dst),
+         |ew AS (SELECT a, b,
+         |    (${mixIdSql("a * 31 + b * 13 + 7")} % 100000) * ${MstNodes * MstNodes}
+         |      + a * $MstNodes + b AS w
+         |  FROM und),
+         |edges AS (SELECT a AS u, b AS v, w FROM ew
+         |  UNION ALL SELECT b, a, w FROM ew),
+         |reach AS (
+         |  SELECT u AS s2, v AS t2, w AS mw FROM edges
+         |  UNION
+         |  SELECT r.s2, e.v, greatest(r.mw, e.w)
+         |  FROM reach r JOIN edges e ON e.u = r.t2),
+         |mm AS (SELECT s2, t2, min(mw) AS minimax FROM reach GROUP BY 1, 2)
+         |SELECT a, b, w FROM ew
+         |JOIN mm ON mm.s2 = ew.a AND mm.t2 = ew.b
+         |WHERE mm.minimax = ew.w""".stripMargin,
 
     // closeness twin: tagged recursive reach per landmark, min dist per
     // (lm, node) pair, integer harmonic terms

@@ -573,6 +573,77 @@ object GraphOps {
     degrees(alive)
   }
 
+  /** Distributed Borůvka minimum spanning tree/forest over an undirected
+    * weighted edge list with DISTINCT weights (caller contract — makes
+    * the MST unique, every per-component argmin deterministic, and the
+    * oracle's minimax characterization exact). The backbone extractor
+    * for similarity graphs: a dedup/conflation pair graph's MST is its
+    * cheapest connecting skeleton (single-linkage dendrogram edges).
+    *
+    * Classic Borůvka rounds: every component hooks its cheapest outgoing
+    * edge (struct-min per component over both directions), the chosen
+    * edges join the forest, touched components merge (labels via
+    * [[connectedComponents]]'s pointer-jumping min-label on the
+    * CONTRACTED component graph — ≤ one node per component, so the inner
+    * loop runs on a frame that halves every round). Component count at
+    * least halves per round ⇒ ≤ ⌈log₂ n⌉ rounds of a few hash shuffles
+    * each — no sequential Kruskal sort, no quadratic step anywhere.
+    * Per-round persist/unpersist + RDD plan rebase (the hopDistance loop
+    * hygiene); the round gate is one isEmpty action (documented eager
+    * contract).
+    *
+    * Input: (a, b, w) with a < b, distinct w. Output: the forest's
+    * (a, b, w) edges.
+    */
+  def boruvkaMst(edges: DataFrame,
+                 scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    val e = scope.persist(edges.select(col("a"), col("b"), col("w")))
+    var cached = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .distinct().withColumn("comp", col("node")).persist()
+    cached.count()
+    var labels = spark.createDataFrame(cached.rdd, cached.schema)
+    var mst = e.filter(lit(false))
+    var done = false
+    while (!done) {
+      val el = e
+        .join(labels.select(col("node").as("a"), col("comp").as("ca")), "a")
+        .join(labels.select(col("node").as("b"), col("comp").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+      if (el.isEmpty) done = true
+      else {
+        val dir = el.select(col("ca").as("c"),
+            struct(col("w"), col("a"), col("b")).as("e"))
+          .unionByName(el.select(col("cb").as("c"),
+            struct(col("w"), col("a"), col("b")).as("e")))
+        val chosen = dir.groupBy("c").agg(min(col("e")).as("m"))
+          .select(col("m.w").as("w"), col("m.a").as("a"), col("m.b").as("b"))
+          .distinct()
+        mst = mst.unionByName(chosen.select("a", "b", "w"))
+        val ce = chosen
+          .join(labels.select(col("node").as("a"), col("comp").as("ca")), "a")
+          .join(labels.select(col("node").as("b"), col("comp").as("cb")), "b")
+          .select(col("ca").as("src"), col("cb").as("dst"))
+        val merged = connectedComponents(ce, scope)
+          .withColumnRenamed("node_id", "comp")
+        val grown = labels.join(merged, Seq("comp"), "left")
+          .select(col("node"), coalesce(col("component"), col("comp")).as("comp"))
+          .persist()
+        grown.count()
+        cached.unpersist(blocking = false)
+        cached = grown
+        labels = spark.createDataFrame(grown.rdd, grown.schema)
+      }
+    }
+    scope.track(cached)
+    // rebase the ≤ log n union chain before handing the plan out
+    val out = mst.persist()
+    out.count()
+    scope.track(out)
+    spark.createDataFrame(out.rdd, out.schema)
+  }
+
   /** Landmark-based harmonic closeness centrality: exact closeness needs
     * all-pairs shortest paths (quadratic state — impossible at crawl
     * scale), so the standard scalable estimator runs a multi-source BFS
