@@ -1628,6 +1628,23 @@ object SparkEntry {
         SpatialOps.equirectDensity(Synth.points(s, d), DilateLevel)
           .filter(col("cnt") >= 3))),
 
+    // --- adaptive quadtree tiling (variable-resolution binning) ---
+    "q_quadtree" -> ((s, d) =>
+      SpatialOps.quadtreeLeaves(Synth.points(s, d), QuadMaxLevel, QuadCap)),
+
+    // --- polygon contact matrix (neighbor graph + border/overlap) ---
+    // the hex corpus is overlap-free by construction (the q_iou finding),
+    // so corpus B is corpus A shifted east by one raster cell: guaranteed
+    // borders AND overlaps spanning the contact-count range
+    "q_adjacency" -> ((s, _) => {
+      val a = Synth.hexCorpus(s, RegionsPolys)
+      val b = Synth.hexCorpus(s, RegionsPolys).select(
+        (col("poly_id") + RegionsPolys).as("poly_id"),
+        expr(s"transform(xs, v -> v + ${AdjShiftFix}L)").as("xs"), col("ys"))
+      SpatialOps.polygonAdjacency(
+        SpatialOps.rasterizePolygons(a.unionByName(b), RasterizeLevel))
+    }),
+
     // --- Chebyshev distance transform (proximity-to-data field) ---
     // same occupancy mask; capped stamps + ONE min-agg, no iteration
     "q_disttrans" -> ((s, d) =>
@@ -2233,6 +2250,15 @@ object SparkEntry {
     */
   val DistTransK = 4
   val RegionsPolys = 3000
+
+  /** q_quadtree: finest subdivision level and per-tile point cap. */
+  val QuadMaxLevel = 8
+  val QuadCap = 500L
+
+  /** q_adjacency corpus-B shift: exactly one RasterizeLevel(=10) cell
+    * east (3.6e9 / 1024 — literal to avoid a forward val reference).
+    */
+  val AdjShiftFix = 3515625L
   val DilateRadius = 2
 
   /** q_erode grid level (coarser: erosion needs a dense mask). */
@@ -5439,6 +5465,63 @@ object SparkEntry {
          |FROM cl JOIN tt ON tt.bx = cl.bx AND tt.by = cl.by
          |QUALIFY row_number() OVER (
          |  PARTITION BY cl.bx, cl.by ORDER BY c DESC, lang DESC) = 1""".stripMargin,
+
+    // quadtree twin: Scala-generated per-level rollup CTEs, the same
+    // parent-gated leaf rule per level
+    "q_quadtree" -> {
+      val L = QuadMaxLevel
+      val g = 1 << L
+      val rollups = (L - 1 to 0 by -1).map(lv =>
+        s"c$lv AS (SELECT bx // 2 AS bx, by // 2 AS by, " +
+          s"CAST(sum(cnt) AS BIGINT) AS cnt FROM c${lv + 1} GROUP BY 1, 2)")
+        .mkString(",\n")
+      val leaves = (0 to L).map { lv =>
+        if (lv == 0)
+          s"SELECT CAST(0 AS BIGINT) AS lv, bx, by, cnt FROM c0 WHERE cnt <= $QuadCap"
+        else {
+          val fits = if (lv == L) "TRUE" else s"c$lv.cnt <= $QuadCap"
+          s"""SELECT CAST($lv AS BIGINT) AS lv, c$lv.bx, c$lv.by, c$lv.cnt
+             |FROM c$lv JOIN c${lv - 1} p
+             |  ON p.bx = c$lv.bx // 2 AND p.by = c$lv.by // 2
+             |WHERE $fits AND p.cnt > $QuadCap""".stripMargin
+        }
+      }.mkString("\nUNION ALL\n")
+      s"""WITH p AS ($P),
+         |c$L AS (
+         |  SELECT least(((lon_fix + 1800000000) * $g) // 3600000000, ${g - 1}) AS bx,
+         |    least(((lat_fix + 900000000) * $g) // 1800000000, ${g - 1}) AS by,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM p GROUP BY 1, 2),
+         |$rollups
+         |$leaves""".stripMargin
+    },
+
+    // adjacency twin: the shared hex-raster CTEs, one directed join per
+    // geometric edge direction
+    "q_adjacency" ->
+      s"""WITH hexesj AS (
+         |  SELECT * FROM (${Synth.hexCorpusSql(RegionsPolys)})
+         |  UNION ALL
+         |  SELECT poly_id + $RegionsPolys, cx + $AdjShiftFix, cy, r, h, s
+         |  FROM (${Synth.hexCorpusSql(RegionsPolys)})),
+         |${hexRasterCtesSqlFrom("hexesj", "j")},
+         |c AS (SELECT poly_id, cell_x, cell_y FROM zcellsj),
+         |ar AS (
+         |  SELECT least(a.poly_id, b.poly_id) AS poly_a,
+         |    greatest(a.poly_id, b.poly_id) AS poly_b, 1 AS is_border
+         |  FROM c a JOIN c b ON b.cell_x = a.cell_x + 1 AND b.cell_y = a.cell_y
+         |  WHERE a.poly_id <> b.poly_id
+         |  UNION ALL
+         |  SELECT least(a.poly_id, b.poly_id), greatest(a.poly_id, b.poly_id), 1
+         |  FROM c a JOIN c b ON b.cell_x = a.cell_x AND b.cell_y = a.cell_y + 1
+         |  WHERE a.poly_id <> b.poly_id
+         |  UNION ALL
+         |  SELECT a.poly_id, b.poly_id, 0
+         |  FROM c a JOIN c b ON b.cell_x = a.cell_x AND b.cell_y = a.cell_y
+         |  WHERE a.poly_id < b.poly_id)
+         |SELECT poly_a, poly_b, CAST(sum(is_border) AS BIGINT) AS n_border,
+         |  CAST(sum(1 - is_border) AS BIGINT) AS n_shared
+         |FROM ar GROUP BY 1, 2""".stripMargin,
 
     // disttrans twin: same capped stamps via a range cross product
     "q_disttrans" -> {

@@ -2295,6 +2295,86 @@ object SpatialOps {
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Adaptive quadtree tiling: subdivide the world until every tile
+    * holds ≤ `cap` points (or bottoms out at `maxLevel`) and emit the
+    * LEAF tiles with their counts — variable-resolution binning (dense
+    * cities get fine tiles, oceans one coarse tile), the adaptive
+    * alternative to the fixed-level density rasters. Leaf rule: a tile
+    * is a leaf iff its parent exceeds the cap (subdivision happened)
+    * while it either fits the cap or cannot subdivide further
+    * (maxLevel); the root is a leaf iff the whole set fits.
+    *
+    * Scale posture: one groupBy at the finest level, then `maxLevel`
+    * halving rollups over ALREADY-AGGREGATED frames (each ≤ 4^level
+    * rows — the pyramid rollup argument); each level is persisted for
+    * its two uses (own leaf filter + child leaf gate) and scope-
+    * released. Output: (lv, bx, by, cnt).
+    */
+  def quadtreeLeaves(points: DataFrame, maxLevel: Int, cap: Long,
+                     scope: CacheScope = CacheScope.global): DataFrame = {
+    val counts = new Array[DataFrame](maxLevel + 1)
+    counts(maxLevel) = scope.persist(points.select(
+        Fns.cellX(col("lon_fix"), maxLevel).as("bx"),
+        Fns.cellY(col("lat_fix"), maxLevel).as("by"))
+      .groupBy("bx", "by").agg(count(lit(1)).as("cnt")))
+    for (lv <- maxLevel - 1 to 0 by -1)
+      counts(lv) = scope.persist(counts(lv + 1)
+        .groupBy(expr("bx div 2").as("bx"), expr("by div 2").as("by"))
+        .agg(sum(col("cnt")).as("cnt")))
+    val leaves = (0 to maxLevel).map { lv =>
+      val own = counts(lv)
+      val fits = if (lv == maxLevel) lit(true) else col("cnt") <= cap
+      val gated =
+        if (lv == 0) own.filter(col("cnt") <= cap)
+        else {
+          val parent = counts(lv - 1)
+            .select(col("bx").as("pbx"), col("by").as("pby"),
+              col("cnt").as("pcnt"))
+          own.filter(fits)
+            .join(parent, expr("bx div 2") === col("pbx") &&
+              expr("by div 2") === col("pby"))
+            .filter(col("pcnt") > cap)
+        }
+      gated.select(lit(lv.toLong).as("lv"), col("bx"), col("by"), col("cnt"))
+    }
+    leaves.reduce(_ unionByName _)
+  }
+
+  /** Polygon contact matrix from rasterized footprints: for every
+    * UNORDERED polygon pair, `n_border` = 4-adjacent cell pairs with one
+    * cell from each (shared-border length in cell-edges) and `n_shared`
+    * = cells both footprints cover (overlap contact) — the neighbor
+    * graph of an admin-area layer. Each geometric cell edge is examined
+    * once (right + down shifted joins); shared cells once (pa < pb).
+    *
+    * Scale posture: three equi-joins of the cell table against itself
+    * (shuffle on cell keys) and one pair groupBy — Θ(cells · per-cell
+    * occupancy), never polygons².
+    */
+  def polygonAdjacency(cells: DataFrame): DataFrame = {
+    val c = cells.select(col("poly_id"), col("cell_x"), col("cell_y"))
+    val right = c.select((col("cell_x") - 1).as("cell_x"), col("cell_y"),
+      col("poly_id").as("pb"))
+    val down = c.select(col("cell_x"), (col("cell_y") - 1).as("cell_y"),
+      col("poly_id").as("pb"))
+    val border = c.join(right, Seq("cell_x", "cell_y"))
+      .select(col("poly_id").as("pa"), col("pb"))
+      .unionByName(c.join(down, Seq("cell_x", "cell_y"))
+        .select(col("poly_id").as("pa"), col("pb")))
+      .filter(col("pa") =!= col("pb"))
+      .select(least(col("pa"), col("pb")).as("poly_a"),
+        greatest(col("pa"), col("pb")).as("poly_b"), lit(1L).as("is_border"))
+    val shared = c.join(c.select(col("cell_x"), col("cell_y"),
+          col("poly_id").as("pb")), Seq("cell_x", "cell_y"))
+      .filter(col("poly_id") < col("pb"))
+      .select(col("poly_id").as("poly_a"), col("pb").as("poly_b"),
+        lit(0L).as("is_border"))
+    border.unionByName(shared)
+      .groupBy("poly_a", "poly_b")
+      .agg(sum(col("is_border")).as("n_border"),
+        sum(lit(1L) - col("is_border")).as("n_shared"))
+  }
+
   /** Chebyshev distance transform of an occupancy raster, capped at `k`
     * (the proximity-to-data field: "how far is every cell from the
     * nearest populated cell" — coverage-gap maps, edge-feathered
