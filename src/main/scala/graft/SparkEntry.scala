@@ -1645,6 +1645,11 @@ object SparkEntry {
         SpatialOps.rasterizePolygons(a.unionByName(b), RasterizeLevel))
     }),
 
+    // --- pole of inaccessibility per polygon (label placement) ---
+    "q_polylabel" -> ((s, _) => SpatialOps.poleOfInaccessibility(
+      SpatialOps.rasterizePolygons(Synth.hexCorpus(s, RegionsPolys),
+        PolyLabelLevel))),
+
     // --- Chebyshev distance transform (proximity-to-data field) ---
     // same occupancy mask; capped stamps + ONE min-agg, no iteration
     "q_disttrans" -> ((s, d) =>
@@ -2259,6 +2264,11 @@ object SparkEntry {
     * east (3.6e9 / 1024 — literal to avoid a forward val reference).
     */
   val AdjShiftFix = 3515625L
+
+  /** q_polylabel raster level — fine enough that admin-scale hexagons
+    * have multi-cell interiors (footprints ~10-300 cells).
+    */
+  val PolyLabelLevel = 11
   val DilateRadius = 2
 
   /** q_erode grid level (coarser: erosion needs a dense mask). */
@@ -2888,8 +2898,9 @@ object SparkEntry {
   /** Parameterized variant: CTE names carry `tag` so two corpora can be
     * rasterized inside one oracle (q_iou). Final stage: `zcells$tag`.
     */
-  private def hexRasterCtesSqlFrom(from: String, tag: String): String = {
-    val lvl = 1 << RasterizeLevel
+  private def hexRasterCtesSqlFrom(from: String, tag: String,
+                                   level: Int = RasterizeLevel): String = {
+    val lvl = 1 << level
     val verts = Seq(("cx + r", "cy"), ("cx + h", "cy + s"), ("cx - h", "cy + s"),
       ("cx - r", "cy"), ("cx - h", "cy - s"), ("cx + h", "cy - s"))
     val halfPlanes = verts.indices.map { i =>
@@ -5465,6 +5476,30 @@ object SparkEntry {
          |FROM cl JOIN tt ON tt.bx = cl.bx AND tt.by = cl.by
          |QUALIFY row_number() OVER (
          |  PARTITION BY cl.bx, cl.by ORDER BY c DESC, lang DESC) = 1""".stripMargin,
+
+    // polylabel twin: neighbor-count stamps for the boundary, per-poly
+    // pairwise Chebyshev min, QUALIFY argmax with the same tiebreak
+    "q_polylabel" ->
+      s"""WITH hexesl AS (${Synth.hexCorpusSql(RegionsPolys)}),
+         |${hexRasterCtesSqlFrom("hexesl", "l", PolyLabelLevel)},
+         |c AS (SELECT poly_id, cell_x, cell_y FROM zcellsl),
+         |st AS (
+         |  SELECT poly_id, cell_x + 1 AS cell_x, cell_y FROM c
+         |  UNION ALL SELECT poly_id, cell_x - 1, cell_y FROM c
+         |  UNION ALL SELECT poly_id, cell_x, cell_y + 1 FROM c
+         |  UNION ALL SELECT poly_id, cell_x, cell_y - 1 FROM c),
+         |nn AS (SELECT poly_id, cell_x, cell_y, count(*) AS nn
+         |  FROM st GROUP BY 1, 2, 3),
+         |bd AS (SELECT c.poly_id, c.cell_x AS bxx, c.cell_y AS byy
+         |  FROM c LEFT JOIN nn ON nn.poly_id = c.poly_id
+         |    AND nn.cell_x = c.cell_x AND nn.cell_y = c.cell_y
+         |  WHERE coalesce(nn.nn, 0) < 4),
+         |dm AS (SELECT c.poly_id, c.cell_x, c.cell_y,
+         |    min(greatest(abs(c.cell_x - bd.bxx), abs(c.cell_y - bd.byy))) AS dist
+         |  FROM c JOIN bd ON bd.poly_id = c.poly_id GROUP BY 1, 2, 3)
+         |SELECT poly_id, cell_x AS lx, cell_y AS ly, CAST(dist AS BIGINT) AS dist
+         |FROM dm QUALIFY row_number() OVER (
+         |  PARTITION BY poly_id ORDER BY dist DESC, cell_x, cell_y) = 1""".stripMargin,
 
     // quadtree twin: Scala-generated per-level rollup CTEs, the same
     // parent-gated leaf rule per level

@@ -2375,6 +2375,41 @@ object SpatialOps {
         sum(lit(1L) - col("is_border")).as("n_shared"))
   }
 
+  /** Pole of inaccessibility per polygon footprint (label placement):
+    * the footprint cell maximally far (Chebyshev) from the footprint's
+    * BOUNDARY cells — where a renderer drops the polygon's name, the
+    * raster analog of polylabel. Boundary = footprint cells missing at
+    * least one 4-neighbor (counted by stamping each cell's neighbors and
+    * aggregating — no per-cell neighborhood probe join); interior
+    * distances by a per-polygon cells×boundary pairwise min (bounded by
+    * the footprint size, which is a few hundred cells for admin-scale
+    * polygons at the label-resolution raster — never corpus-wide).
+    * Ties: smallest (cell_x, cell_y), via one struct-max with negated
+    * tiebreak components. Output: (poly_id, lx, ly, dist).
+    */
+  def poleOfInaccessibility(cells: DataFrame): DataFrame = {
+    val c = cells.select(col("poly_id"), col("cell_x"), col("cell_y"))
+    val stamps = Seq((1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L)).map {
+      case (dx, dy) => c.select(col("poly_id"),
+        (col("cell_x") + dx).as("cell_x"), (col("cell_y") + dy).as("cell_y"))
+    }.reduce(_ unionByName _)
+      .groupBy("poly_id", "cell_x", "cell_y").agg(count(lit(1)).as("nn"))
+    val boundary = c.join(stamps, Seq("poly_id", "cell_x", "cell_y"), "left")
+      .filter(coalesce(col("nn"), lit(0L)) < 4)
+      .select(col("poly_id"), col("cell_x").as("bxx"), col("cell_y").as("byy"))
+    c.join(boundary, "poly_id")
+      .select(col("poly_id"), col("cell_x"), col("cell_y"),
+        greatest(abs(col("cell_x") - col("bxx")),
+          abs(col("cell_y") - col("byy"))).as("d"))
+      .groupBy("poly_id", "cell_x", "cell_y").agg(min(col("d")).as("dist"))
+      .groupBy("poly_id")
+      .agg(max(struct(col("dist"), (-col("cell_x")).as("nx"),
+        (-col("cell_y")).as("ny"), col("cell_x").as("x"),
+        col("cell_y").as("y"))).as("m"))
+      .select(col("poly_id"), col("m.x").as("lx"), col("m.y").as("ly"),
+        col("m.dist").as("dist"))
+  }
+
   /** Chebyshev distance transform of an occupancy raster, capped at `k`
     * (the proximity-to-data field: "how far is every cell from the
     * nearest populated cell" — coverage-gap maps, edge-feathered
