@@ -472,6 +472,29 @@ object SparkEntry {
     // geometry companion of q_way_tiles' assignment
     "q_tile_clip" -> ((s, d) => clippedWaySegs(s, d)),
 
+    // --- vector-tile feature encoding (the MVT-style sink payload) ---
+    // per (tile, way): the ordered in-tile vertex run as zigzag-encoded
+    // deltas from the exact integer tile origin (level 9 pitches divide
+    // the domain) — all-integer, so the encoded string twins exactly
+    "q_tile_encode" -> ((s, d) => {
+      val wp = wayPoints(t(s, d, "lineitem"))
+      val tiled = wp.select(col("way_id"), col("seq"), col("x"), col("y"),
+        Fns.cellX(col("x"), TileEncLevel).as("cell_x"),
+        Fns.cellY(col("y"), TileEncLevel).as("cell_y"))
+      val w = Window.partitionBy("way_id", "cell_x", "cell_y").orderBy("seq")
+      def zz(c: Column) = when(c >= 0, c * 2).otherwise(-c * 2 - 1)
+      val dx = col("x") - coalesce(lag(col("x"), 1).over(w),
+        col("cell_x") * 7031250L - 1800000000L)
+      val dy = col("y") - coalesce(lag(col("y"), 1).over(w),
+        col("cell_y") * 3515625L - 900000000L)
+      tiled.select(col("way_id"), col("cell_x"), col("cell_y"), col("seq"),
+          concat(zz(dx).cast("string"), lit(","), zz(dy).cast("string")).as("ps"))
+        .groupBy("cell_x", "cell_y", "way_id")
+        .agg(count(lit(1)).as("n_pts"),
+          expr("array_join(transform(array_sort(collect_list(struct(seq, ps)))," +
+            " q -> q.ps), ',')").as("enc"))
+    }),
+
     // per-tile way length in mm: the tile-cut stat a road/route tileset
     // ships (km of geometry per tile). Haversine per CLIPPED sub-segment,
     // quantized to integer mm PER ROW so the rollup sum is associative
@@ -2269,6 +2292,11 @@ object SparkEntry {
     * have multi-cell interiors (footprints ~10-300 cells).
     */
   val PolyLabelLevel = 11
+
+  /** q_tile_encode tile level — 9, whose integer pitches (7031250,
+    * 3515625) make tile origins exact.
+    */
+  val TileEncLevel = 9
   val DilateRadius = 2
 
   /** q_erode grid level (coarser: erosion needs a dense mask). */
@@ -5476,6 +5504,36 @@ object SparkEntry {
          |FROM cl JOIN tt ON tt.bx = cl.bx AND tt.by = cl.by
          |QUALIFY row_number() OVER (
          |  PARTITION BY cl.bx, cl.by ORDER BY c DESC, lang DESC) = 1""".stripMargin,
+
+    // tile-encode twin: same lag-window deltas, string_agg with explicit
+    // ORDER (the Spark side sorts the collected structs)
+    "q_tile_encode" -> {
+      val g = 1L << TileEncLevel
+      s"""WITH pts AS (
+         |  SELECT DISTINCT l_orderkey AS way_id, l_linenumber AS seq,
+         |    (l_orderkey * 2654435761) % 3400000000 - 1700000000
+         |      + (((l_orderkey*10 + l_linenumber) * 1103515245) % 20000000 - 10000000) AS x,
+         |    (l_orderkey * 2246822519) % 1600000000 - 800000000
+         |      + (((l_orderkey*10 + l_linenumber) * 69069) % 20000000 - 10000000) AS y
+         |  FROM lineitem),
+         |tl AS (SELECT way_id, seq, x, y,
+         |    least(((x + 1800000000) * $g) // 3600000000, ${g - 1}) AS cell_x,
+         |    least(((y + 900000000) * $g) // 1800000000, ${g - 1}) AS cell_y
+         |  FROM pts),
+         |dd AS (SELECT way_id, cell_x, cell_y, seq,
+         |    x - coalesce(lag(x) OVER w, cell_x * 7031250 - 1800000000) AS dx,
+         |    y - coalesce(lag(y) OVER w, cell_y * 3515625 - 900000000) AS dy
+         |  FROM tl WINDOW w AS (
+         |    PARTITION BY way_id, cell_x, cell_y ORDER BY seq)),
+         |zz AS (SELECT way_id, cell_x, cell_y, seq,
+         |    CAST(CASE WHEN dx >= 0 THEN 2*dx ELSE -2*dx - 1 END AS VARCHAR)
+         |      || ',' ||
+         |    CAST(CASE WHEN dy >= 0 THEN 2*dy ELSE -2*dy - 1 END AS VARCHAR) AS ps
+         |  FROM dd)
+         |SELECT cell_x, cell_y, way_id, CAST(count(*) AS BIGINT) AS n_pts,
+         |  string_agg(ps, ',' ORDER BY seq) AS enc
+         |FROM zz GROUP BY 1, 2, 3""".stripMargin
+    },
 
     // polylabel twin: neighbor-count stamps for the boundary, per-poly
     // pairwise Chebyshev min, QUALIFY argmax with the same tiebreak
