@@ -1810,6 +1810,51 @@ object SparkEntry {
       SpatialOps.stayPoints(excursionTrack(s, d), StayRadius, StayMinPts),
       OdCellFix)),
 
+    // --- conversion funnel (view -> click -> purchase, strict order) ---
+    // classic sequential-pattern stage assignment: each stage's entry is
+    // the user's EARLIEST qualifying event strictly after the previous
+    // stage — three filtered min-aggs chained by key joins, no window
+    // over the raw stream, exact epoch-micros
+    "q_funnel" -> ((s, d) => {
+      val ev = t(s, d, "events").select(col("user_id"),
+        col("event_type").as("et"), us(col("ts")).as("tu"))
+      val v = ev.filter(col("et") === "view").groupBy("user_id")
+        .agg(min(col("tu")).as("t1"))
+      val c = ev.filter(col("et") === "click").join(v, "user_id")
+        .filter(col("tu") > col("t1"))
+        .groupBy("user_id").agg(min(col("tu")).as("t2"))
+      val p = ev.filter(col("et") === "purchase").join(c, "user_id")
+        .filter(col("tu") > col("t2"))
+        .groupBy("user_id").agg(min(col("tu")).as("t3"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          (lit(1L) + col("t2").isNotNull.cast("long")
+            + col("t3").isNotNull.cast("long")).as("stage"))
+    }),
+
+    // --- co-visitation matrix over visited cells (item-item counts) ---
+    // the recommender shape: entities x visited 2°-cells, pairs via ONE
+    // self-join on entity; the coarse pitch structurally bounds distinct
+    // cells per entity (home jitter fits one cell, excursions ±5), so
+    // pair volume is capped at every SF. Top-3 per cell via rank
+    // pushdown, ties to the smaller partner cell.
+    "q_covisit" -> ((s, d) => {
+      val cells = excursionTrack(s, d).select(col("entity"),
+          (Fns.idiv(col("x") + lit(2000000000L), CovisitPitch) * 1024 +
+            Fns.idiv(col("y") + lit(2000000000L), CovisitPitch)).as("cell"))
+        .distinct()
+      val pairs = cells.join(cells.select(col("entity"),
+          col("cell").as("cell_b")), "entity")
+        .filter(col("cell") < col("cell_b"))
+        .groupBy(col("cell").as("cell_a"), col("cell_b"))
+        .agg(count(lit(1)).as("n_ent"))
+        .filter(col("n_ent") >= 2)
+      val rw = Window.partitionBy("cell_a")
+        .orderBy(col("n_ent").desc, col("cell_b"))
+      pairs.withColumn("rk", row_number().over(rw))
+        .filter(col("rk") <= 3).drop("rk")
+    }),
+
     // --- first-order Markov cell-transition matrix (next-cell model) ---
     // consecutive same-cell pings collapse into ONE visit before the
     // transition count; per-source top-3 via WindowGroupLimit rank
@@ -2213,6 +2258,11 @@ object SparkEntry {
     */
   val TransCellFix = 2000000L
   val TransTopK = 3
+
+  /** q_covisit grid pitch (fix, 2°) — coarse enough that an entity's
+    * distinct visited cells are structurally bounded (≈ ≤ 121) at any SF.
+    */
+  val CovisitPitch = 20000000L
 
   /** q_kmv sample size — small enough that some languages fall below it
     * at sf0.001 (exercising the exact-count branch), large enough that
@@ -6325,6 +6375,38 @@ object SparkEntry {
          |  CAST(sum(start_ts - from_end) AS BIGINT) AS transit_sum
          |FROM tp WHERE from_cx IS NOT NULL
          |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // funnel twin: the same chained filtered min-aggs
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type AS et, epoch_us(ts) AS tu
+        |  FROM events),
+        |v AS (SELECT user_id, min(tu) AS t1 FROM e WHERE et = 'view'
+        |  GROUP BY 1),
+        |c AS (SELECT e.user_id, min(tu) AS t2 FROM e JOIN v USING (user_id)
+        |  WHERE et = 'click' AND tu > t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(tu) AS t3 FROM e JOIN c USING (user_id)
+        |  WHERE et = 'purchase' AND tu > t2 GROUP BY 1)
+        |SELECT v.user_id, t1, t2, t3,
+        |  CAST(1 + CAST(t2 IS NOT NULL AS INT)
+        |    + CAST(t3 IS NOT NULL AS INT) AS BIGINT) AS stage
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"""
+        .stripMargin,
+
+    // covisit twin: distinct entity-cell pairs, triangle self-join,
+    // QUALIFY top-3 with the same deterministic rank
+    "q_covisit" ->
+      s"""WITH $trackCtesSql,
+         |ec AS (SELECT DISTINCT entity,
+         |    ((x + 2000000000) // $CovisitPitch) * 1024
+         |      + ((y + 2000000000) // $CovisitPitch) AS cell
+         |  FROM tr),
+         |pr AS (SELECT a.cell AS cell_a, b.cell AS cell_b,
+         |    CAST(count(*) AS BIGINT) AS n_ent
+         |  FROM ec a JOIN ec b ON b.entity = a.entity AND a.cell < b.cell
+         |  GROUP BY 1, 2)
+         |SELECT cell_a, cell_b, n_ent FROM pr WHERE n_ent >= 2
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY cell_a ORDER BY n_ent DESC, cell_b) <= 3""".stripMargin,
 
     // transitions twin: run-collapse then lag, QUALIFY top-k with the
     // same (n DESC, tx, ty) deterministic rank
