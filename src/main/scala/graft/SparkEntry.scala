@@ -1960,6 +1960,11 @@ object SparkEntry {
     // diameter shuffles for.
     "q_wcc" -> ((s, d) => GraphOps.connectedComponents(wccEdges(s, d))),
 
+    // --- strongly connected components (mutual-link crawl cores) ---
+    // FW-BW coloring rounds; label = min node id of the component
+    "q_scc" -> ((s, d) =>
+      GraphOps.stronglyConnectedComponents(linkEdges(s, d))),
+
     // --- per-group outlier flags, integer-exact z-score ---
     // |z| > 2 via cross-multiplied sample-variance inequality: no float
     // mean/stddev, so the flags are engine-exact. int64 headroom: holds to
@@ -5892,6 +5897,22 @@ object SparkEntry {
          |  WHERE r.hops < $SsspMaxHops)
          |SELECT node_id, CAST(min(hops) AS BIGINT) AS hops
          |FROM reach GROUP BY 1""".stripMargin,
+
+    // SCC twin — INDEPENDENT formulation: full reachability closure,
+    // mutual pairs, label = min mutually-reachable id (incl. self)
+    "q_scc" ->
+      s"""WITH RECURSIVE $linkEdgesSql,
+         |e2 AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |reach AS (
+         |  SELECT src AS a, dst AS b FROM e2
+         |  UNION
+         |  SELECT r.a, e.dst FROM reach r JOIN e2 e ON e.src = r.b),
+         |vs AS (SELECT src AS id FROM e2 UNION SELECT dst FROM e2),
+         |mutual AS (
+         |  SELECT r1.a AS u, r1.b AS v
+         |  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a)
+         |SELECT n.id AS node_id, least(n.id, coalesce(min(m.v), n.id)) AS scc_id
+         |FROM vs n LEFT JOIN mutual m ON m.u = n.id GROUP BY n.id""".stripMargin,
 
     // MST twin — INDEPENDENT characterization: with a total order on
     // weights, e=(a,b,w) ∈ MST ⟺ the minimax path weight between a and b

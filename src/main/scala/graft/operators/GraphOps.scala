@@ -573,6 +573,125 @@ object GraphOps {
     degrees(alive)
   }
 
+  /** Strongly connected components of a DIRECTED edge list — the crawl
+    * "core" detector (mutual-link cliques, ring farms) that undirected
+    * WCC cannot see. Published distributed shape (ColorSCC / FW-BW):
+    * each round (1) forward-propagates min node ids to a fixpoint — the
+    * color F(v) = smallest id that reaches v in the remaining graph;
+    * (2) runs a backward BFS from every color root SIMULTANEOUSLY,
+    * restricted to same-color edges — the nodes that reach their root
+    * within its class are exactly SCC(root), because root→v (coloring)
+    * and v→root (backward) are mutual; (3) removes the resolved SCCs
+    * and repeats on the remainder. The label c assigned to v is the
+    * minimum id of SCC(v) (c ∈ SCC(v) and c = F(v) ≤ min SCC(v)).
+    *
+    * Scale posture: state is one label per live node plus a tagged BFS
+    * frontier — never pairwise reachability; every step is an edge-list
+    * equi-join + key agg. Rounds are data-dependent (every color class
+    * resolves its root SCC per round; random crawl-ish graphs converge
+    * in a handful), the documented trade of the coloring algorithm.
+    * Loop hygiene as elsewhere: persist per round, unpersist superseded,
+    * rebase through the cached RDD, convergence gates are count/isEmpty
+    * actions (documented eager contract).
+    *
+    * Input: (src, dst). Output: (node_id, scc_id) over edge endpoints,
+    * scc_id = min node id of the component.
+    */
+  def stronglyConnectedComponents(edges: DataFrame,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    def rebase(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.rdd, df.schema)
+    var remC = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct().persist()
+    remC.count()
+    var rem = rebase(remC)
+    var nodesC = rem.select(col("src").as("id"))
+      .unionByName(rem.select(col("dst").as("id"))).distinct().persist()
+    var nodes = rebase(nodesC)
+    var nLive = nodesC.count()
+    var acc: DataFrame = nodes.select(col("id").as("node_id"),
+      col("id").as("scc_id")).filter(lit(false))
+    var accC: DataFrame = null
+    while (nLive > 0) {
+      // (1) forward min-color to fixpoint
+      var labC = nodes.select(col("id").as("node"), col("id").as("f")).persist()
+      labC.count()
+      var lab = rebase(labC)
+      var stable = false
+      while (!stable) {
+        val next = rem
+          .join(lab.select(col("node").as("src"), col("f")), "src")
+          .select(col("dst").as("node"), col("f"))
+          .unionByName(lab)
+          .groupBy("node").agg(min(col("f")).as("f")).persist()
+        val changed = next.join(lab.withColumnRenamed("f", "f0"), "node")
+          .filter(col("f") =!= col("f0")).isEmpty
+        labC.unpersist(blocking = false)
+        labC = next
+        lab = rebase(next)
+        stable = changed
+      }
+      // (2) backward BFS from all color roots over same-color edges
+      val eCol = rem
+        .join(lab.select(col("node").as("src"), col("f").as("fs")), "src")
+        .join(lab.select(col("node").as("dst"), col("f").as("fd")), "dst")
+        .filter(col("fs") === col("fd"))
+        .select(col("src"), col("dst")).persist()
+      eCol.count()
+      var visC = lab.filter(col("node") === col("f"))
+        .select(col("f").as("c"), col("node")).persist()
+      visC.count()
+      var vis = rebase(visC)
+      var frontier = vis
+      var drained = false
+      while (!drained) {
+        val next = eCol.join(frontier.select(col("c"), col("node").as("dst")),
+            "dst")
+          .select(col("c"), col("src").as("node")).distinct()
+          .join(vis, Seq("c", "node"), "left_anti").persist()
+        if (next.isEmpty) { drained = true; next.unpersist(blocking = false) }
+        else {
+          val grown = vis.unionByName(next).persist()
+          grown.count()
+          visC.unpersist(blocking = false)
+          next.unpersist(blocking = false)
+          visC = grown
+          vis = rebase(grown)
+          frontier = next
+        }
+      }
+      // (3) emit resolved SCCs, shrink the live graph
+      val resolved = vis.select(col("node").as("node_id"), col("c").as("scc_id"))
+      val accNew = acc.unionByName(resolved).persist()
+      accNew.count()
+      if (accC != null) accC.unpersist(blocking = false)
+      accC = accNew
+      acc = rebase(accNew)
+      val liveNew = nodes.join(vis.select(col("node").as("id")), Seq("id"),
+        "left_anti").persist()
+      val nNew = liveNew.count()
+      val remNew = rem
+        .join(liveNew.select(col("id").as("src")), "src")
+        .join(liveNew.select(col("id").as("dst")), "dst").persist()
+      remNew.count()
+      labC.unpersist(blocking = false)
+      eCol.unpersist(blocking = false)
+      visC.unpersist(blocking = false)
+      nodesC.unpersist(blocking = false)
+      remC.unpersist(blocking = false)
+      nodesC = liveNew
+      nodes = rebase(liveNew)
+      remC = remNew
+      rem = rebase(remNew)
+      nLive = nNew
+    }
+    scope.track(remC)
+    scope.track(nodesC)
+    if (accC != null) scope.track(accC)
+    acc
+  }
+
   /** Distributed Borůvka minimum spanning tree/forest over an undirected
     * weighted edge list with DISTINCT weights (caller contract — makes
     * the MST unique, every per-component argmin deterministic, and the
