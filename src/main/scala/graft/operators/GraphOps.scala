@@ -599,96 +599,87 @@ object GraphOps {
     */
   def stronglyConnectedComponents(edges: DataFrame,
       scope: CacheScope = CacheScope.global): DataFrame = {
-    val spark = edges.sparkSession
-    def rebase(df: DataFrame): DataFrame =
-      spark.createDataFrame(df.rdd, df.schema)
-    var remC = edges.select(col("src"), col("dst"))
-      .filter(col("src") =!= col("dst")).distinct().persist()
-    remC.count()
-    var rem = rebase(remC)
-    var nodesC = rem.select(col("src").as("id"))
-      .unionByName(rem.select(col("dst").as("id"))).distinct().persist()
-    var nodes = rebase(nodesC)
-    var nLive = nodesC.count()
+    // Lineage control: the doubly-nested rounds would chain hundreds of
+    // stages into one RDD DAG — task serialization stack-overflows around
+    // a few hundred nested dependencies (observed in a full Verify run).
+    // localCheckpoint(eager) TRUNCATES lineage at every loop frame (persist
+    // alone does not); on a multi-executor cluster swap for reliable
+    // checkpoint(dir) — same call sites, fault-tolerant blocks.
+    def cp(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    var rem = cp(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    var nodes = cp(rem.select(col("src").as("id"))
+      .unionByName(rem.select(col("dst").as("id"))).distinct())
+    var nLive = nodes.count()
     var acc: DataFrame = nodes.select(col("id").as("node_id"),
       col("id").as("scc_id")).filter(lit(false))
-    var accC: DataFrame = null
     while (nLive > 0) {
       // (1) forward min-color to fixpoint
-      var labC = nodes.select(col("id").as("node"), col("id").as("f")).persist()
-      labC.count()
-      var lab = rebase(labC)
+      var lab = cp(nodes.select(col("id").as("node"), col("id").as("f")))
       var stable = false
       while (!stable) {
-        val next = rem
+        val next = cp(rem
           .join(lab.select(col("node").as("src"), col("f")), "src")
           .select(col("dst").as("node"), col("f"))
           .unionByName(lab)
-          .groupBy("node").agg(min(col("f")).as("f")).persist()
-        val changed = next.join(lab.withColumnRenamed("f", "f0"), "node")
+          .groupBy("node").agg(min(col("f")).as("f")))
+        stable = next.join(lab.withColumnRenamed("f", "f0"), "node")
           .filter(col("f") =!= col("f0")).isEmpty
-        labC.unpersist(blocking = false)
-        labC = next
-        lab = rebase(next)
-        stable = changed
+        lab.unpersist(blocking = false)
+        lab = next
       }
       // (2) backward BFS from all color roots over same-color edges
-      val eCol = rem
+      val eCol = cp(rem
         .join(lab.select(col("node").as("src"), col("f").as("fs")), "src")
         .join(lab.select(col("node").as("dst"), col("f").as("fd")), "dst")
         .filter(col("fs") === col("fd"))
-        .select(col("src"), col("dst")).persist()
-      eCol.count()
-      var visC = lab.filter(col("node") === col("f"))
-        .select(col("f").as("c"), col("node")).persist()
-      visC.count()
-      var vis = rebase(visC)
+        .select(col("src"), col("dst")))
+      var vis = cp(lab.filter(col("node") === col("f"))
+        .select(col("f").as("c"), col("node")))
       var frontier = vis
+      var prevFrontier: DataFrame = null
       var drained = false
       while (!drained) {
-        val next = eCol.join(frontier.select(col("c"), col("node").as("dst")),
-            "dst")
+        val next = cp(eCol
+          .join(frontier.select(col("c"), col("node").as("dst")), "dst")
           .select(col("c"), col("src").as("node")).distinct()
-          .join(vis, Seq("c", "node"), "left_anti").persist()
+          .join(vis, Seq("c", "node"), "left_anti"))
         if (next.isEmpty) { drained = true; next.unpersist(blocking = false) }
         else {
-          val grown = vis.unionByName(next).persist()
-          grown.count()
-          visC.unpersist(blocking = false)
-          next.unpersist(blocking = false)
-          visC = grown
-          vis = rebase(grown)
+          // next stays checkpointed: it IS the following round's frontier
+          // (a truncated-lineage frame cannot recompute once dropped)
+          val grown = cp(vis.unionByName(next))
+          vis.unpersist(blocking = false)
+          if (prevFrontier != null) prevFrontier.unpersist(blocking = false)
+          vis = grown
           frontier = next
+          prevFrontier = next
         }
       }
+      if (prevFrontier != null) prevFrontier.unpersist(blocking = false)
       // (3) emit resolved SCCs, shrink the live graph
-      val resolved = vis.select(col("node").as("node_id"), col("c").as("scc_id"))
-      val accNew = acc.unionByName(resolved).persist()
-      accNew.count()
-      if (accC != null) accC.unpersist(blocking = false)
-      accC = accNew
-      acc = rebase(accNew)
-      val liveNew = nodes.join(vis.select(col("node").as("id")), Seq("id"),
-        "left_anti").persist()
+      val accNew = cp(acc.unionByName(
+        vis.select(col("node").as("node_id"), col("c").as("scc_id"))))
+      acc.unpersist(blocking = false)
+      acc = accNew
+      val liveNew = cp(nodes.join(vis.select(col("node").as("id")), Seq("id"),
+        "left_anti"))
       val nNew = liveNew.count()
-      val remNew = rem
+      val remNew = cp(rem
         .join(liveNew.select(col("id").as("src")), "src")
-        .join(liveNew.select(col("id").as("dst")), "dst").persist()
-      remNew.count()
-      labC.unpersist(blocking = false)
+        .join(liveNew.select(col("id").as("dst")), "dst"))
+      lab.unpersist(blocking = false)
       eCol.unpersist(blocking = false)
-      visC.unpersist(blocking = false)
-      nodesC.unpersist(blocking = false)
-      remC.unpersist(blocking = false)
-      nodesC = liveNew
-      nodes = rebase(liveNew)
-      remC = remNew
-      rem = rebase(remNew)
+      vis.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+      rem.unpersist(blocking = false)
+      nodes = liveNew
+      rem = remNew
       nLive = nNew
     }
-    scope.track(remC)
-    scope.track(nodesC)
-    if (accC != null) scope.track(accC)
+    scope.track(rem)
+    scope.track(nodes)
+    scope.track(acc)
     acc
   }
 
@@ -716,13 +707,16 @@ object GraphOps {
     */
   def boruvkaMst(edges: DataFrame,
                  scope: CacheScope = CacheScope.global): DataFrame = {
-    val spark = edges.sparkSession
-    val e = scope.persist(edges.select(col("a"), col("b"), col("w")))
-    var cached = e.select(col("a").as("node"))
+    // localCheckpoint(eager) per round: the hook-and-contract rounds nest
+    // connectedComponents' own loop, so persist-only rebasing would chain
+    // every round's stages into one task-serialized RDD DAG (the q_scc
+    // stack-overflow class); truncation keeps the DAG round-local. Swap
+    // for reliable checkpoint(dir) on a multi-executor cluster.
+    def cp(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    val e = cp(edges.select(col("a"), col("b"), col("w")))
+    var labels = cp(e.select(col("a").as("node"))
       .unionByName(e.select(col("b").as("node")))
-      .distinct().withColumn("comp", col("node")).persist()
-    cached.count()
-    var labels = spark.createDataFrame(cached.rdd, cached.schema)
+      .distinct().withColumn("comp", col("node")))
     var mst = e.filter(lit(false))
     var done = false
     while (!done) {
@@ -739,28 +733,26 @@ object GraphOps {
         val chosen = dir.groupBy("c").agg(min(col("e")).as("m"))
           .select(col("m.w").as("w"), col("m.a").as("a"), col("m.b").as("b"))
           .distinct()
-        mst = mst.unionByName(chosen.select("a", "b", "w"))
+        val mstNew = cp(mst.unionByName(chosen.select("a", "b", "w")))
+        mst.unpersist(blocking = false)
+        mst = mstNew
         val ce = chosen
           .join(labels.select(col("node").as("a"), col("comp").as("ca")), "a")
           .join(labels.select(col("node").as("b"), col("comp").as("cb")), "b")
           .select(col("ca").as("src"), col("cb").as("dst"))
         val merged = connectedComponents(ce, scope)
           .withColumnRenamed("node_id", "comp")
-        val grown = labels.join(merged, Seq("comp"), "left")
-          .select(col("node"), coalesce(col("component"), col("comp")).as("comp"))
-          .persist()
-        grown.count()
-        cached.unpersist(blocking = false)
-        cached = grown
-        labels = spark.createDataFrame(grown.rdd, grown.schema)
+        val grown = cp(labels.join(merged, Seq("comp"), "left")
+          .select(col("node"),
+            coalesce(col("component"), col("comp")).as("comp")))
+        labels.unpersist(blocking = false)
+        labels = grown
       }
     }
-    scope.track(cached)
-    // rebase the ≤ log n union chain before handing the plan out
-    val out = mst.persist()
-    out.count()
-    scope.track(out)
-    spark.createDataFrame(out.rdd, out.schema)
+    labels.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    scope.track(mst)
+    mst
   }
 
   /** Landmark-based harmonic closeness centrality: exact closeness needs
