@@ -1668,6 +1668,17 @@ object SparkEntry {
         SpatialOps.rasterizePolygons(a.unionByName(b), RasterizeLevel))
     }),
 
+    // --- isochrone rings through the occupancy grid (connectivity) ---
+    // BFS hops through occupied cells from deterministic seed cells —
+    // a gap BLOCKS an isochrone but not the distance transform
+    "q_isochrone" -> ((s, d) => {
+      val occ = SpatialOps.equirectDensity(Synth.points(s, d), DilateLevel)
+        .filter(col("cnt") >= 3).select("bx", "by")
+      val seeds = occ.filter(
+        (col("bx") * (1L << DilateLevel) + col("by")) % IsoSeedMod === 3)
+      SpatialOps.isochrone(occ, seeds, DilateLevel, IsoMaxHops)
+    }),
+
     // --- pole of inaccessibility per polygon (label placement) ---
     "q_polylabel" -> ((s, _) => SpatialOps.poleOfInaccessibility(
       SpatialOps.rasterizePolygons(Synth.hexCorpus(s, RegionsPolys),
@@ -2333,6 +2344,12 @@ object SparkEntry {
     */
   val DistTransK = 4
   val RegionsPolys = 3000
+
+  /** q_isochrone: seed rule (cid % mod == 3 over occupied cells) and
+    * BFS ring bound.
+    */
+  val IsoSeedMod = 97L
+  val IsoMaxHops = 6
 
   /** q_quadtree: finest subdivision level and per-tile point cap. */
   val QuadMaxLevel = 8
@@ -5588,6 +5605,32 @@ object SparkEntry {
          |SELECT cell_x, cell_y, way_id, CAST(count(*) AS BIGINT) AS n_pts,
          |  string_agg(ps, ',' ORDER BY seq) AS enc
          |FROM zz GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    // isochrone twin: INDEPENDENT adjacency (|Δbx|+|Δby| = 1 predicate
+    // join), recursive min-hop reach
+    "q_isochrone" -> {
+      val g = 1L << DilateLevel
+      s"""WITH RECURSIVE p AS ($P),
+         |occ AS (
+         |  SELECT bx, by FROM (
+         |    SELECT least(((lon_fix + 1800000000) * $g) // 3600000000, ${g - 1}) AS bx,
+         |      least(((lat_fix + 900000000) * $g) // 1800000000, ${g - 1}) AS by,
+         |      count(*) AS c
+         |    FROM p GROUP BY 1, 2) WHERE c >= 3),
+         |cid AS (SELECT bx, by, bx * $g + by AS cid FROM occ),
+         |e AS (SELECT a.cid AS src, b.cid AS dst FROM cid a JOIN cid b
+         |  ON b.bx BETWEEN a.bx - 1 AND a.bx + 1
+         |    AND b.by BETWEEN a.by - 1 AND a.by + 1
+         |    AND abs(a.bx - b.bx) + abs(a.by - b.by) = 1),
+         |seeds AS (SELECT cid FROM cid WHERE cid % $IsoSeedMod = 3),
+         |reach AS (
+         |  SELECT cid AS node, 0 AS hops FROM seeds
+         |  UNION
+         |  SELECT e.dst, r.hops + 1 FROM reach r JOIN e ON e.src = r.node
+         |  WHERE r.hops < $IsoMaxHops)
+         |SELECT node // $g AS bx, node % $g AS by, CAST(min(hops) AS BIGINT) AS hops
+         |FROM reach GROUP BY 1, 2""".stripMargin
     },
 
     // polylabel twin: neighbor-count stamps for the boundary, per-poly

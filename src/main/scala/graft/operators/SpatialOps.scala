@@ -2375,6 +2375,40 @@ object SpatialOps {
         sum(lit(1L) - col("is_border")).as("n_shared"))
   }
 
+  /** Isochrone rings over the occupancy grid: minimum number of
+    * 4-adjacent steps THROUGH OCCUPIED CELLS from any seed cell, capped
+    * at `maxHops` — the reachability analog of [[distanceTransform]]
+    * (which measures straight-line cell distance and ignores
+    * connectivity: an unoccupied gap blocks an isochrone but not the
+    * transform). The drive-time-ring shape of road-network analysis,
+    * on the raster approximation.
+    *
+    * Scale posture: delegates to [[GraphOps.hopDistance]]'s frontier BFS
+    * over the occupied-cell adjacency list (two shifted self equi-joins
+    * per direction pair — Θ(occupied cells), bounded rounds). Output:
+    * (bx, by, hops).
+    */
+  def isochrone(occ: DataFrame, seeds: DataFrame, level: Int,
+                maxHops: Int): DataFrame = {
+    val g = 1L << level
+    val cells = occ.select(col("bx"), col("by"),
+      (col("bx") * g + col("by")).as("cid"))
+    val shifts = Seq((1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L))
+    val edges = shifts.map { case (dx, dy) =>
+      cells.select((col("bx") + dx).as("bx"), (col("by") + dy).as("by"),
+          col("cid").as("dst"))
+        .join(cells.select(col("bx"), col("by"), col("cid").as("src")),
+          Seq("bx", "by"))
+        .select(col("src"), col("dst"))
+    }.reduce(_ unionByName _)
+    val seedIds = seeds.select((col("bx") * g + col("by")).as("cid"))
+      .join(cells.select("cid"), "cid") // seeds must be occupied
+      .select(col("cid").as("node_id"))
+    GraphOps.hopDistance(edges, seedIds, maxHops)
+      .select(expr(s"node_id div ${g}L").as("bx"),
+        pmod(col("node_id"), lit(g)).as("by"), col("hops"))
+  }
+
   /** Pole of inaccessibility per polygon footprint (label placement):
     * the footprint cell maximally far (Chebyshev) from the footprint's
     * BOUNDARY cells — where a renderer drops the polygon's name, the
