@@ -598,7 +598,29 @@ object GraphOps {
     * scc_id = min node id of the component.
     */
   def stronglyConnectedComponents(edges: DataFrame,
-      scope: CacheScope = CacheScope.global): DataFrame = {
+      scope: CacheScope = CacheScope.global): DataFrame =
+    withLoopCoalescing(edges) { sccBody(edges, scope) }
+
+  /** The FW-BW rounds are LATENCY-bound (a hundred-plus tiny sequential
+    * jobs), so AQE post-shuffle coalescing is enabled for their duration
+    * even where a bench session disables it for throughput measurement:
+    * at 100 TB the 64MB advisory never folds below the core count, so
+    * this is a pure small-frame latency win. Restores the previous
+    * setting on exit.
+    */
+  private def withLoopCoalescing[T](df: DataFrame)(body: => T): T = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def sccBody(edges: DataFrame, scope: CacheScope): DataFrame = {
     // Lineage control: the doubly-nested rounds would chain hundreds of
     // stages into one RDD DAG — task serialization stack-overflows around
     // a few hundred nested dependencies (observed in a full Verify run).
@@ -614,8 +636,46 @@ object GraphOps {
     var acc: DataFrame = nodes.select(col("id").as("node_id"),
       col("id").as("scc_id")).filter(lit(false))
     while (nLive > 0) {
-      // (1) forward min-color to fixpoint
+      // (0) trim: nodes with zero out- or in-degree in the live graph are
+      // singleton SCCs — resolving them in bulk spares the coloring loop
+      // one full round per DAG-tail level (the dominant round count on
+      // crawl-shaped graphs)
+      var trimming = true
+      while (trimming && nLive > 0) {
+        val dead = cp(nodes
+          .join(rem.select(col("src").as("id")).distinct(), Seq("id"),
+            "left_anti")
+          .unionByName(nodes.join(rem.select(col("dst").as("id")).distinct(),
+            Seq("id"), "left_anti"))
+          .distinct())
+        val nDead = dead.count()
+        if (nDead == 0) { trimming = false; dead.unpersist(blocking = false) }
+        else {
+          val accNew = cp(acc.unionByName(
+            dead.select(col("id").as("node_id"), col("id").as("scc_id"))))
+          acc.unpersist(blocking = false)
+          acc = accNew
+          val liveNew = cp(nodes.join(dead, Seq("id"), "left_anti"))
+          val remNew = cp(rem
+            .join(liveNew.select(col("id").as("src")), "src")
+            .join(liveNew.select(col("id").as("dst")), "dst"))
+          nodes.unpersist(blocking = false)
+          rem.unpersist(blocking = false)
+          dead.unpersist(blocking = false)
+          nodes = liveNew
+          rem = remNew
+          nLive -= nDead
+        }
+      }
+      if (nLive == 0) {
+        scope.track(rem); scope.track(nodes); scope.track(acc)
+        return acc
+      }
+      // (1) forward min-color to fixpoint — convergence gated on the
+      // monotone label sum (each f only decreases, so an unchanged sum
+      // IS a fixpoint): one cheap scan-agg instead of a diff join
       var lab = cp(nodes.select(col("id").as("node"), col("id").as("f")))
+      var prevSum = lab.agg(sum(col("f"))).head().getLong(0)
       var stable = false
       while (!stable) {
         val next = cp(rem
@@ -623,8 +683,9 @@ object GraphOps {
           .select(col("dst").as("node"), col("f"))
           .unionByName(lab)
           .groupBy("node").agg(min(col("f")).as("f")))
-        stable = next.join(lab.withColumnRenamed("f", "f0"), "node")
-          .filter(col("f") =!= col("f0")).isEmpty
+        val s = next.agg(sum(col("f"))).head().getLong(0)
+        stable = s == prevSum
+        prevSum = s
         lab.unpersist(blocking = false)
         lab = next
       }
@@ -706,7 +767,10 @@ object GraphOps {
     * (a, b, w) edges.
     */
   def boruvkaMst(edges: DataFrame,
-                 scope: CacheScope = CacheScope.global): DataFrame = {
+                 scope: CacheScope = CacheScope.global): DataFrame =
+    withLoopCoalescing(edges) { boruvkaBody(edges, scope) }
+
+  private def boruvkaBody(edges: DataFrame, scope: CacheScope): DataFrame = {
     // localCheckpoint(eager) per round: the hook-and-contract rounds nest
     // connectedComponents' own loop, so persist-only rebasing would chain
     // every round's stages into one task-serialized RDD DAG (the q_scc
