@@ -204,7 +204,13 @@ object DedupOps {
     * caller to release after consuming the result.
     */
   private[graft] def duplicateClustersCounted(pairs: DataFrame,
-                                              scope: CacheScope): (DataFrame, Int) = {
+      scope: CacheScope): (DataFrame, Int) =
+    graft.core.LoopConf.withCoalescing(pairs) {
+      duplicateClustersLoop(pairs, scope)
+    }
+
+  private def duplicateClustersLoop(pairs: DataFrame,
+                                    scope: CacheScope): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val symRaw = scope.persist(edges.unionByName(

@@ -599,26 +599,7 @@ object GraphOps {
     */
   def stronglyConnectedComponents(edges: DataFrame,
       scope: CacheScope = CacheScope.global): DataFrame =
-    withLoopCoalescing(edges) { sccBody(edges, scope) }
-
-  /** The FW-BW rounds are LATENCY-bound (a hundred-plus tiny sequential
-    * jobs), so AQE post-shuffle coalescing is enabled for their duration
-    * even where a bench session disables it for throughput measurement:
-    * at 100 TB the 64MB advisory never folds below the core count, so
-    * this is a pure small-frame latency win. Restores the previous
-    * setting on exit.
-    */
-  private def withLoopCoalescing[T](df: DataFrame)(body: => T): T = {
-    val spark = df.sparkSession
-    val key = "spark.sql.adaptive.coalescePartitions.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
+    graft.core.LoopConf.withCoalescing(edges) { sccBody(edges, scope) }
 
   private def sccBody(edges: DataFrame, scope: CacheScope): DataFrame = {
     // Lineage control: the doubly-nested rounds would chain hundreds of
@@ -768,7 +749,7 @@ object GraphOps {
     */
   def boruvkaMst(edges: DataFrame,
                  scope: CacheScope = CacheScope.global): DataFrame =
-    withLoopCoalescing(edges) { boruvkaBody(edges, scope) }
+    graft.core.LoopConf.withCoalescing(edges) { boruvkaBody(edges, scope) }
 
   private def boruvkaBody(edges: DataFrame, scope: CacheScope): DataFrame = {
     // localCheckpoint(eager) per round: the hook-and-contract rounds nest
