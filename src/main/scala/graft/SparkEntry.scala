@@ -1075,6 +1075,18 @@ object SparkEntry {
           .pointWkt(col("lon_fix"), col("lat_fix")).as("wkt"))
     }),
 
+    // --- GeoJSON Feature sink (LineString, fmtG number parity) ---
+    "q_geojson" -> ((s, d) => {
+      val wp = wayPoints(t(s, d, "lineitem")).filter(col("way_id") % 17 === 0)
+      wp.groupBy("way_id")
+        .agg(array_sort(collect_list(struct(col("seq"), col("x"), col("y"))))
+          .as("p"))
+        .select(col("way_id"),
+          graft.plans.TextHashExpressions.lineGeoJson(col("way_id"),
+            expr("transform(p, q -> q.x)"), expr("transform(p, q -> q.y)"))
+            .as("gj"))
+    }),
+
     // --- multimodal plumbing (stubbed codec, real binary pipeline) ---
     "q_multimodal" -> ((s, d) => {
       MultimodalOps.extractMedia(s, Synth.pages(s, d)).toDF()
@@ -5259,6 +5271,27 @@ object SparkEntry {
       """SELECT 'lang' AS dim, lang AS key, count(*) AS n FROM documents GROUP BY 2
         |UNION ALL
         |SELECT 'source' AS dim, source AS key, count(*) AS n FROM documents GROUP BY 2""".stripMargin,
+
+    // geojson twin: printf %.10g == core.Wkt.fmtG (the q_wkt parity),
+    // ORDER-pinned string_agg
+    "q_geojson" ->
+      """WITH pts AS (
+        |  SELECT DISTINCT l_orderkey AS way_id, l_linenumber AS seq,
+        |    (l_orderkey * 2654435761) % 3400000000 - 1700000000
+        |      + (((l_orderkey*10 + l_linenumber) * 1103515245) % 20000000 - 10000000) AS x,
+        |    (l_orderkey * 2246822519) % 1600000000 - 800000000
+        |      + (((l_orderkey*10 + l_linenumber) * 69069) % 20000000 - 10000000) AS y
+        |  FROM lineitem WHERE l_orderkey % 17 = 0),
+        |cs AS (SELECT way_id,
+        |    string_agg('[' || printf('%.10g', x / 10000000.0) || ','
+        |      || printf('%.10g', y / 10000000.0) || ']', ',' ORDER BY seq)
+        |      AS coords
+        |  FROM pts GROUP BY 1)
+        |SELECT way_id,
+        |  '{"type":"Feature","properties":{"way_id":' || CAST(way_id AS VARCHAR)
+        |  || '},"geometry":{"type":"LineString","coordinates":['
+        |  || coords || ']}}' AS gj
+        |FROM cs""".stripMargin,
 
     "q_wkt" ->
       s"""WITH p AS ($P)

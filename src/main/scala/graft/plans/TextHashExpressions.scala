@@ -389,6 +389,53 @@ case class PointWkt(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen bridge for the GeoJSON LineString feature writer (same fmtG
+  * number formatting as the WKT family — C++ setprecision(10) parity).
+  */
+object GeoJsonKernel {
+  def lineFeature(id: Long,
+                  xs: org.apache.spark.sql.catalyst.util.ArrayData,
+                  ys: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val xa = xs.toLongArray(); val ya = ys.toLongArray()
+    val sb = new java.lang.StringBuilder(64 + 24 * xa.length)
+    sb.append("{\"type\":\"Feature\",\"properties\":{\"way_id\":").append(id)
+      .append("},\"geometry\":{\"type\":\"LineString\",\"coordinates\":[")
+    var i = 0
+    while (i < xa.length) {
+      if (i > 0) sb.append(',')
+      sb.append('[').append(graft.core.Wkt.fmtG(xa(i) / 1e7)).append(',')
+        .append(graft.core.Wkt.fmtG(ya(i) / 1e7)).append(']')
+      i += 1
+    }
+    sb.append("]}}")
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Native GeoJSON Feature writer for fix-coordinate line geometries —
+  * the sibling sink format of the WKT/WKB writers, kept inside
+  * whole-stage codegen (a Scala UDF would break the span).
+  */
+case class LineGeoJson(first: Expression, second: Expression,
+                       third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def prettyName: String = "line_geojson"
+
+  override def nullSafeEval(id: Any, xs: Any, ys: Any): Any =
+    GeoJsonKernel.lineFeature(id.asInstanceOf[Long],
+      xs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      ys.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.plans.GeoJsonKernel.lineFeature($a, $b, $c)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** Codegen bridge for the LSH-bucket kernel (ArrayData float unwrap). */
 object VecLshKernel {
   def buckets(vec: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -439,6 +486,10 @@ object TextHashExpressions {
   def pointWkt(lonFix: Column, latFix: Column): Column =
     GraftColumnBridge.column(PointWkt(
       GraftColumnBridge.expression(lonFix), GraftColumnBridge.expression(latFix)))
+
+  def lineGeoJson(id: Column, xs: Column, ys: Column): Column =
+    GraftColumnBridge.column(LineGeoJson(GraftColumnBridge.expression(id),
+      GraftColumnBridge.expression(xs), GraftColumnBridge.expression(ys)))
 
   def vecLshBuckets(vec: Column, tables: Int, bits: Int): Column =
     GraftColumnBridge.column(
