@@ -301,15 +301,18 @@ object SpatialOps {
     * capability class: way geometry comparison in the conflation
     * ecosystem around the reference's assembled ways.
     *
-    * Correctness of the candidate set: dF ≥ the bbox gap on either axis
-    * (if B's x-range sits more than thr past A's, EVERY point pair is
-    * further than thr, so the minimax is too), hence expanding ONE
-    * side's bbox by thr and requiring overlap covers every emitted pair.
-    * Same distributed shape as [[polyIntersectJoin]]: chained-explode
-    * cell covers (no broadcast of either corpus), shuffle_hash on the
-    * cover cell, anchor-cell pair dedup (no distinct), and the native
-    * exact O(m·n) rolling-DP kernel ([[graft.plans.FrechetDf2]]) rides
-    * the join's codegen stage. Output: (way_a, way_b, df2).
+    * Correctness of the candidate set: every monotone coupling matches
+    * the two FIRST points and the two LAST points, so dF ≥ d(a₀,b₀) and
+    * dF ≥ d(a_last,b_last) — both endpoints must lie within thr of their
+    * counterpart, a far tighter candidate gate than whole-track bbox
+    * overlap (see [[trackPairCandidates]]). Distributed shape: the A
+    * side's first point covers a thr-halfwidth cell box (chained
+    * explodes, no broadcast), the B side lands in its single first-point
+    * cell, one shuffle_hash equi-join on the cell — each pair appears at
+    * most once by construction (B contributes one row), so no dedup pass
+    * at all — and the native exact O(m·n) rolling-DP kernel
+    * ([[graft.plans.FrechetDf2]]) rides the join's codegen stage.
+    * Output: (way_a, way_b, df2).
     */
   def frechetJoin(tracksA: DataFrame, tracksB: DataFrame, thrFix: Long,
                   coverLevel: Int = CoverLevel,
@@ -325,12 +328,14 @@ object SpatialOps {
     * is ≤ `budget` — the cumulative-cost sibling of [[frechetJoin]]'s
     * minimax, preferred when similarity should tolerate a short local
     * excursion that a max-metric would veto. Candidate completeness:
-    * every coupling matches the two first points, so DTW ≥ d²(a₀,b₀) ≥
-    * (bbox axis gap)²; expanding one side's bbox by ⌈√budget⌉ therefore
-    * covers every pair within budget. Identical distributed shape as
-    * frechetJoin (chained-explode covers, shuffle_hash on the cover cell,
-    * anchor-cell dedup, native O(m·n) kernel in the join's codegen
-    * stage). Output: (way_a, way_b, dtw2).
+    * every coupling matches the two first points AND the two last points,
+    * and every cell cost is non-negative, so DTW ≥ d²(a₀,b₀) and
+    * DTW ≥ d²(a_last,b_last); gating candidates on both endpoint pairs
+    * being within ⌈√budget⌉ covers every within-budget pair. Identical
+    * distributed shape as frechetJoin (first-point cell-box cover vs
+    * single B cell, shuffle_hash, dedup-free by construction, native
+    * O(m·n) kernel in the join's codegen stage).
+    * Output: (way_a, way_b, dtw2).
     */
   def dtwJoin(tracksA: DataFrame, tracksB: DataFrame, budget: Long,
               coverLevel: Int = CoverLevel,
@@ -344,34 +349,48 @@ object SpatialOps {
   }
 
   /** Shared candidate stage of the trajectory-similarity joins
-    * ([[frechetJoin]], [[dtwJoin]]): the A side's bbox expanded by
-    * `expandFix`, both sides' cell covers chained-exploded (fully
-    * distributed, no broadcast), one shuffle_hash equi-join on the cover
-    * cell, anchor-cell pair dedup (no distinct pass). Emits
-    * (aid, axs, ays, bid, bxs, bys) once per bbox-overlapping pair.
+    * ([[frechetJoin]], [[dtwJoin]]), exploiting that both metrics force
+    * the endpoint matches: a pair can pass the final metric filter only
+    * if d(a₀,b₀) ≤ expandFix AND d(a_last,b_last) ≤ expandFix. The A
+    * side's FIRST point covers the cells of its ±expandFix box (chained
+    * explodes — a handful of cells, not a whole-track bbox cover); the B
+    * side lands in exactly ONE row at its first point's cell; one
+    * shuffle_hash equi-join on the cell. Because B contributes a single
+    * cover row per track, each pair appears at most once — no anchor-cell
+    * dedup or distinct pass. Exact endpoint gates run in the join's
+    * codegen stage: Chebyshev |Δ| ≤ expandFix first (also makes the
+    * squared term overflow-free: world-span Δ² would wrap int64, but the
+    * conjunction is already false), then Euclid Δ² ≤ expandFix². Emits
+    * (aid, axs, ays, bid, bxs, bys) once per endpoint-compatible pair —
+    * typically orders of magnitude fewer rows than bbox-overlap
+    * candidates, because track extent no longer inflates the join.
     */
   private def trackPairCandidates(tracksA: DataFrame, tracksB: DataFrame,
                                   expandFix: Long, coverLevel: Int,
                                   selfJoin: Boolean): DataFrame = {
-    def side(p: DataFrame, tag: String, expand: Long): DataFrame =
-      coverByBBox(
-        p.select(col("way_id").as(s"${tag}id"), col("xs").as(s"${tag}xs"),
-          col("ys").as(s"${tag}ys"),
-          (array_min(col("xs")) - expand).as(s"${tag}minx"),
-          (array_min(col("ys")) - expand).as(s"${tag}miny"),
-          (array_max(col("xs")) + expand).as(s"${tag}maxx"),
-          (array_max(col("ys")) + expand).as(s"${tag}maxy")),
-        col(s"${tag}minx"), col(s"${tag}miny"), col(s"${tag}maxx"), col(s"${tag}maxy"),
-        coverLevel,
-        Seq(col(s"${tag}id"), col(s"${tag}xs"), col(s"${tag}ys"),
-          col(s"${tag}minx"), col(s"${tag}miny")))
-    val anchor = Fns.cellIdFromXY(
-      Fns.cellX(greatest(col("aminx"), col("bminx")), coverLevel),
-      Fns.cellY(greatest(col("aminy"), col("bminy")), coverLevel), coverLevel)
+    def withEnds(p: DataFrame, tag: String): DataFrame =
+      p.select(col("way_id").as(s"${tag}id"), col("xs").as(s"${tag}xs"),
+        col("ys").as(s"${tag}ys"),
+        element_at(col("xs"), 1).as(s"${tag}hx"),
+        element_at(col("ys"), 1).as(s"${tag}hy"),
+        element_at(col("xs"), -1).as(s"${tag}tx"),
+        element_at(col("ys"), -1).as(s"${tag}ty"))
+    val a = coverByBBox(withEnds(tracksA, "a"),
+      col("ahx") - expandFix, col("ahy") - expandFix,
+      col("ahx") + expandFix, col("ahy") + expandFix, coverLevel,
+      Seq(col("aid"), col("axs"), col("ays"),
+        col("ahx"), col("ahy"), col("atx"), col("aty")))
+    val b = withEnds(tracksB, "b")
+      .withColumn("cell", Fns.cellId(col("bhx"), col("bhy"), coverLevel))
+    val e2 = lit(expandFix * expandFix)
+    def near(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+      abs(x1 - x2) <= lit(expandFix) && abs(y1 - y2) <= lit(expandFix) &&
+        (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) <= e2
     val pairFilter = if (selfJoin) col("aid") < col("bid") else lit(true)
-    side(tracksA, "a", expandFix)
-      .join(side(tracksB, "b", 0L).hint("shuffle_hash"), "cell")
-      .filter(col("cell") === anchor && pairFilter)
+    a.join(b.hint("shuffle_hash"), "cell")
+      .filter(near(col("ahx"), col("ahy"), col("bhx"), col("bhy")) &&
+        near(col("atx"), col("aty"), col("btx"), col("bty")) && pairFilter)
+      .drop("ahx", "ahy", "atx", "aty", "bhx", "bhy", "btx", "bty")
   }
 
   /** Way-in-polygon join: (way_id, poly_id, n_segs) for every way with at
