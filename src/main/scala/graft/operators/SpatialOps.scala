@@ -1514,16 +1514,7 @@ object SpatialOps {
       if (selfJoin) col("way_a") < col("way_b")
       else col("way_a") =!= col("way_b")
     val cand = a.join(b, Seq("cell_x", "cell_y")).filter(pairFilter)
-    val d1 = (col("bx1") - col("bx0")) * (col("ay0") - col("by0")) -
-      (col("by1") - col("by0")) * (col("ax0") - col("bx0"))
-    val d2 = (col("bx1") - col("bx0")) * (col("ay1") - col("by0")) -
-      (col("by1") - col("by0")) * (col("ax1") - col("bx0"))
-    val d3 = (col("ax1") - col("ax0")) * (col("by0") - col("ay0")) -
-      (col("ay1") - col("ay0")) * (col("bx0") - col("ax0"))
-    val d4 = (col("ax1") - col("ax0")) * (col("by1") - col("ay0")) -
-      (col("ay1") - col("ay0")) * (col("bx1") - col("ax0"))
-    val straddle = signum(d1) * signum(d2) <= 0 && signum(d3) * signum(d4) <= 0
-    val allZero = d1 === 0 && d2 === 0 && d3 === 0 && d4 === 0
+    val (straddle, allZero) = straddleTest
     val bboxOverlap =
       least(col("ax0"), col("ax1")) <= greatest(col("bx0"), col("bx1")) &&
       greatest(col("ax0"), col("ax1")) >= least(col("bx0"), col("bx1")) &&
@@ -1536,6 +1527,28 @@ object SpatialOps {
       .agg(count(lit(1)).as("n_crossings"))
   }
 
+  /** The CLRS four-cross-product straddle test on the joined (a, b)
+    * segment coordinate columns — exact int64 under the span contract
+    * (|dir| ≤ span, same-cell separation ≤ 2·span + cell keep every
+    * product ≲ 2^51), endpoint-inclusive. Returns (straddle, allZero):
+    * callers combine with the bbox-overlap fallback for the
+    * all-collinear case. Shared by [[waysCrossJoin]] (the count) and
+    * [[planarize]] (as the cheap codegen PREFILTER so the BigInt
+    * rational kernel only runs on true crossings).
+    */
+  private def straddleTest: (Column, Column) = {
+    val d1 = (col("bx1") - col("bx0")) * (col("ay0") - col("by0")) -
+      (col("by1") - col("by0")) * (col("ax0") - col("bx0"))
+    val d2 = (col("bx1") - col("bx0")) * (col("ay1") - col("by0")) -
+      (col("by1") - col("by0")) * (col("ax1") - col("bx0"))
+    val d3 = (col("ax1") - col("ax0")) * (col("by0") - col("ay0")) -
+      (col("ay1") - col("ay0")) * (col("bx0") - col("ax0"))
+    val d4 = (col("ax1") - col("ax0")) * (col("by1") - col("ay0")) -
+      (col("ay1") - col("ay0")) * (col("bx1") - col("ax0"))
+    (signum(d1) * signum(d2) <= 0 && signum(d3) * signum(d4) <= 0,
+      d1 === 0 && d2 === 0 && d3 === 0 && d4 === 0)
+  }
+
   /** Planarize: the exact crossing POINTS of a way network — for every
     * properly-crossing segment pair, the floor fix coords of the rational
     * intersection (the noding step that turns a line soup into a planar
@@ -1545,12 +1558,15 @@ object SpatialOps {
     * not a node).
     *
     * Same distributed candidate shape as [[waysCrossJoin]]: segments
-    * cover the cells they cross, one equi-join on the cell, and the
-    * native exact kernel ([[graft.plans.SegIntersectionFix]], BigInt
-    * rationals + floor division) rides the join's codegen stage. A pair
-    * sharing several cover cells yields byte-identical rows — the
-    * distinct on the output key dedups them. Output: (way_a, seq_a,
-    * way_b, seq_b, px, py).
+    * cover the cells they cross, one equi-join on the cell, then the
+    * int64 [[straddleTest]] prefilter kills the non-crossing candidates
+    * in pure codegen BEFORE the allocating BigInt kernel
+    * ([[graft.plans.SegIntersectionFix]], rationals + floor division)
+    * runs on the survivors — candidates outnumber true crossings by
+    * orders of magnitude, so the kernel cost follows the OUTPUT size,
+    * not the candidate size. A pair sharing several cover cells yields
+    * byte-identical rows — the distinct on the output key dedups them.
+    * Output: (way_a, seq_a, way_b, seq_b, px, py).
     */
   def planarize(segsA: DataFrame, segsB: DataFrame, level: Int,
                 maxSpanFix: Long, selfJoin: Boolean = false): DataFrame = {
@@ -1563,8 +1579,13 @@ object SpatialOps {
     val pairFilter =
       if (selfJoin) col("way_a") < col("way_b")
       else col("way_a") =!= col("way_b")
+    // straddle is NECESSARY for any intersection (collinear overlap has
+    // all four products zero, so it passes too) — a strict superset of
+    // the kernel's size-2 rows, evaluated entirely in int64 codegen.
+    val (straddle, _) = straddleTest
     cover(segsA, "a").join(cover(segsB, "b"), Seq("cell_x", "cell_y"))
       .filter(pairFilter)
+      .filter(straddle)
       .select(col("way_a"), col("seq_a"), col("way_b"), col("seq_b"),
         graft.plans.GeomExpressions.segIntersectionFix(
           array(col("ax0"), col("ay0"), col("ax1"), col("ay1")),
