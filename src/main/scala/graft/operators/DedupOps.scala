@@ -117,7 +117,7 @@ object DedupOps {
     * guard all three LSH candidate generators (and their QUALIFY oracle
     * twins) share. `keys` identify the bucket.
     */
-  private def capBuckets(rows: DataFrame, keys: Seq[String]): DataFrame = {
+  private[graft] def capBuckets(rows: DataFrame, keys: Seq[String]): DataFrame = {
     val small = rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") <= MaxBandBucket)
@@ -206,11 +206,86 @@ object DedupOps {
   private[graft] def duplicateClustersCounted(pairs: DataFrame,
       scope: CacheScope): (DataFrame, Int) =
     graft.core.LoopConf.withCoalescing(pairs) {
-      duplicateClustersLoop(pairs, scope)
+      val (nodeRoot, contracted) = contractPairs(pairs, scope)
+      val (rootLabels, rounds) = duplicateClustersLoop(contracted, scope)
+      val idType = pairs.schema("doc_a").dataType
+      val out = nodeRoot.join(
+          rootLabels.withColumnRenamed("doc_id", "mroot"), Seq("mroot"), "left")
+        .select(col("node").cast(idType).as("doc_id"),
+          coalesce(col("cluster_id"), col("mroot")).cast(idType)
+            .as("cluster_id"))
+      (out, rounds)
     }
 
-  private def duplicateClustersLoop(pairs: DataFrame,
-                                    scope: CacheScope): (DataFrame, Int) = {
+  /** Partition-local union-find CONTRACTION: collapse every path that
+    * lives inside one partition before the global round loop ever runs.
+    * Each partition's edges go through an in-memory union-find (union by
+    * MIN id, path-compressed find — memory is O(nodes in the partition),
+    * which Spark already bounds by partition size), emitting
+    * (node, local root). A node whose edges are spread over several
+    * partitions gets several local roots — each such multi-membership IS
+    * a cross-partition merge, so the groupBy(node) that follows emits the
+    * CONTRACTED graph: one edge (root, min root of the node) per extra
+    * membership. The loop then runs on roots only.
+    *
+    * Why this is the 100 TB shape: every loop round shuffles the FULL
+    * label table; contraction replaces all intra-partition label travel
+    * with one narrow mapPartitions pass + one groupBy(node) shuffle, and
+    * the loop's input shrinks from |V| to the number of partition-
+    * spanning roots (typically orders of magnitude smaller — a crawl's
+    * duplicate chains are mostly partition-local). Component diameters —
+    * the pointer-jump round count — shrink to the CROSS-PARTITION
+    * diameter.
+    *
+    * Labels are unchanged: the global component minimum m is its own
+    * local root wherever it appears, every local root is a component
+    * member ≥ m, and roots chain to m through the contracted edges — so
+    * the loop's min-label output on roots, mapped back through
+    * (node → min root), reproduces exactly the labels the plain loop
+    * assigns (spec'd parity on random graphs). Returns
+    * (node→mroot mapping, contracted edges as (doc_a, doc_b)).
+    */
+  private[graft] def contractPairs(pairs: DataFrame,
+      scope: CacheScope): (DataFrame, DataFrame) = {
+    val sess = pairs.sparkSession
+    import sess.implicits._
+    val n2r = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x
+          while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+          r
+        }
+        it.foreach { case (a, b) =>
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent.put(rb, ra)
+          else if (rb < ra) parent.put(ra, rb)
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+        val ks = parent.keySet().iterator()
+        while (ks.hasNext) { val k = ks.next(); out += ((k, find(k))) }
+        out.iterator
+      }
+      .toDF("node", "root")
+    val nr = scope.persist(n2r.groupBy("node")
+      .agg(min("root").as("mroot"), collect_set("root").as("roots")))
+    val contracted = nr
+      .select(col("mroot"), explode(col("roots")).as("r"))
+      .filter(col("r") =!= col("mroot"))
+      .select(col("r").as("doc_a"), col("mroot").as("doc_b"))
+      .distinct()
+    (nr.select(col("node"), col("mroot")), contracted)
+  }
+
+  private[graft] def duplicateClustersLoop(pairs: DataFrame,
+                                           scope: CacheScope): (DataFrame, Int) = {
     val spark = pairs.sparkSession
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val symRaw = scope.persist(edges.unionByName(

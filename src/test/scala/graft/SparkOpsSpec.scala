@@ -240,6 +240,39 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got2.values.toSet === Set(10L) && got2.size === 6)
   }
 
+  test("duplicate clusters: union-find contraction matches the plain loop") {
+    val ss = spark; import ss.implicits._
+    // deterministic pseudo-random graph: 300 edges over ~160 nodes via a
+    // multiplicative hash — mixes chains, stars, and isolated pairs, and
+    // repartition(16) scatters each component across partitions so the
+    // contracted graph is non-trivial in BOTH directions (some components
+    // fully partition-local, some spanning many partitions)
+    def h(i: Long, salt: Long): Long =
+      math.floorMod((i * 6364136223846793005L + salt) >>> 33, 160L)
+    val edges = (0L until 300L).map(i => (h(i, 11L), h(i, 77L)))
+      .filter(p => p._1 != p._2)
+      .toDF("doc_a", "doc_b").repartition(16)
+    val scopeA = new graft.core.CacheScope
+    val scopeB = new graft.core.CacheScope
+    val viaContract = DedupOps.duplicateClustersCounted(edges, scopeA)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaLoop = DedupOps.duplicateClustersLoop(
+        edges.select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b")), scopeB)
+      ._1.collect()
+      .map(r => (r.getLong(0).asInstanceOf[Long], r.getLong(1))).toMap
+    assert(viaContract === viaLoop)
+    scopeA.release(); scopeB.release()
+    // a chain laid out one-edge-per-partition: every merge is
+    // cross-partition, the contracted graph is the chain itself — the
+    // worst case for contraction must still be exact
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+      .repartition(20)
+    val got = DedupOps.duplicateClusters(chain)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size === 21 && got.values.toSet === Set(0L))
+  }
+
   test("minhash LSH candidates include every exact-copy pair") {
     val pairs = DedupOps.minHashLshPairs(Synth.corpus(spark, dir))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
