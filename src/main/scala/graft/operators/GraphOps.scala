@@ -79,6 +79,59 @@ object GraphOps {
     ranks.select(col("node_id"), col("rank").as("rank_e6"))
   }
 
+  /** PERSONALIZED PageRank: the restart mass teleports to a SEED set
+    * instead of uniformly — rank_0 = S on seeds and 0 elsewhere, each
+    * round a node keeps `(seed ? (1−d)·S : 0) + d·Σ_in ⌊rank/outdeg⌋`.
+    * This is the topic-/site-conditioned relevance primitive (crawl
+    * frontier prioritization from trusted seeds, related-page discovery):
+    * mass diffuses outward from the seeds along links and decays with
+    * the damping factor per hop.
+    *
+    * Same exact-int64 arithmetic and scale posture as [[pageRank]]: one
+    * degree-annotated-edge join + one agg shuffle per iteration, the
+    * seed flag rides the persisted node frame, per-round persist/
+    * unpersist + RDD rebase. Seeds outside the edge set are ignored
+    * (they have no links to diffuse over). Input: edges(src, dst),
+    * seeds(node_id). Output: (node_id, rank_e6) over all linked nodes —
+    * nodes unreachable from any seed report 0.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int,
+                           scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    val simple = edges.select(col("src"), col("dst")).distinct()
+    val nodes = scope.persist(
+      simple.select(col("src").as("node_id"))
+        .unionByName(simple.select(col("dst").as("node_id"))).distinct()
+        .join(seeds.select(col("node_id"), lit(1L).as("__s")).distinct(),
+          Seq("node_id"), "left")
+        .select(col("node_id"), coalesce(col("__s"), lit(0L)).as("seed")))
+    val deg = simple.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = scope.persist(simple.join(deg, "src"))
+    var cached = nodes
+      .select(col("node_id"), (col("seed") * RankScale).as("rank")).persist()
+    cached.count()
+    var ranks = spark.createDataFrame(cached.rdd, cached.schema)
+    val base = (100L - DampingPct) * (RankScale / 100L)
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(ranks, col("src") === col("node_id"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("rank div outdeg")).cast("long").as("in_sum"))
+      val next = nodes.join(contrib, col("node_id") === col("dst"), "left")
+        .select(col("node_id"), col("seed"),
+          coalesce(col("in_sum"), lit(0L)).as("in_sum"))
+        .selectExpr("node_id",
+          s"seed * $base + ($DampingPct * in_sum) div 100 AS rank")
+        .persist()
+      next.count()
+      cached.unpersist(blocking = false)
+      cached = next
+      ranks = spark.createDataFrame(next.toDF().rdd, next.schema)
+    }
+    scope.track(cached)
+    ranks.select(col("node_id"), col("rank").as("rank_e6"))
+  }
+
   /** WEIGHTED PageRank, same fixed-point integer contract as
     * [[pageRank]]: a node keeps (1−d)·S + d·Σ_in ⌊rank_src·w / sw_src⌋
     * where sw_src is the source's total out-weight — the walk follows an
