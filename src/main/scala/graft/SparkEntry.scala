@@ -714,6 +714,11 @@ object SparkEntry {
 
     "q_sim_neardup" -> ((s, d) => DedupOps.embeddingNearDups(Synth.embCorpus(s, d), 9000L)),
 
+    // SemDeDup: semantic near-dup pairs within coarse-quantizer clusters
+    // (exhaustive in small clusters, LSH-refined in mega-clusters)
+    "q_sem_dedup" -> ((s, d) =>
+      SimilarityOps.semDedupPairs(Synth.embCorpus(s, d), 900000L)),
+
     // cross-doc boilerplate at chunk granularity (CCNet line-dedup shape)
     "q_boilerplate" -> ((s, d) => DedupOps.boilerplateChunks(Synth.corpus(s, d))),
 
@@ -1356,6 +1361,15 @@ object SparkEntry {
 
     // --- link-graph rank (fixed-point integer PageRank, 5 rounds) ---
     "q_pagerank" -> ((s, d) => GraphOps.pageRank(linkEdges(s, d), 5)),
+
+    // personalized PageRank: restart mass pinned to the %101 seed docs
+    // (trusted-seed crawl prioritization / related-page discovery)
+    "q_ppr" -> ((s, d) => {
+      val e = linkEdges(s, d)
+      GraphOps.personalizedPageRank(e,
+        e.select(col("src").as("node_id")).filter(col("node_id") % 101 === 0),
+        5)
+    }),
 
     // --- HITS hubs/authorities (integer max-normalized power iteration) ---
     "q_hits" -> ((s, d) => GraphOps.hits(linkEdges(s, d), 3)),
@@ -3212,6 +3226,35 @@ object SparkEntry {
        |SELECT node_id AS $idCol, pr AS rank_e6 FROM r$iters""".stripMargin
   }
 
+  /** GraphOps.personalizedPageRank twin: pageRankSql with the restart
+    * term gated on the seed flag (r0 = S·seed; per round
+    * seed·base + ⌊d·in_sum/100⌋), seeds = node_id % 101 = 0.
+    */
+  private def pprSql(iters: Int): String = {
+    import graft.operators.GraphOps.{DampingPct, RankScale}
+    val base = (100 - DampingPct) * (RankScale / 100)
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node_id,
+         |    CAST(sum(r.pr // d.outdeg) AS BIGINT) AS in_sum
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node_id
+         |  JOIN deg d ON e.src = d.src GROUP BY 1),
+         |r$i AS (
+         |  SELECT nd.node_id,
+         |    nd.seed * $base + ($DampingPct * coalesce(c.in_sum, 0)) // 100 AS pr
+         |  FROM nodes nd LEFT JOIN c$i c USING (node_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $linkEdgesSql,
+       |nodes AS (SELECT node_id,
+       |  CASE WHEN node_id % 101 = 0 THEN 1 ELSE 0 END AS seed
+       |  FROM (SELECT src AS node_id FROM edges UNION SELECT dst FROM edges)),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+       |  FROM edges GROUP BY 1),
+       |r0 AS (SELECT node_id, CAST(seed * $RankScale AS BIGINT) AS pr FROM nodes),
+       |$rounds
+       |SELECT node_id, pr AS rank_e6 FROM r$iters""".stripMargin
+  }
+
   /** GraphOps.pageRankWeighted twin: the same unrolled rounds with
     * per-edge ⌊pr·w / sw⌋ contributions; `edgesWith` must end in
     * edges(src, dst, w).
@@ -4779,6 +4822,51 @@ object SparkEntry {
          |WHERE ($ham) <= 3""".stripMargin
     },
 
+    // SemDeDup twin: the q_sim_ivf quantizer/assignment CTEs, cluster
+    // size split at MaxSemCluster, LSH sub-bucket refinement with the
+    // MaxBandBucket QUALIFY cap on the big side, exact cosine filter
+    "q_sem_dedup" -> {
+      val buckets = lshBucketsSql("embedding")
+        .zipWithIndex.map { case (e, t) => s"$e AS bucket$t" }.mkString(",\n  ")
+      val bank = (0 until DedupOps.NearDupTables)
+        .map(t => s"SELECT vec_id, cid, $t AS tbl, bucket$t AS bucket FROM bigb")
+        .mkString("\n  UNION ALL ")
+      s"""WITH src AS ($E),
+         |n AS (SELECT count(*) AS c FROM src),
+         |md AS (SELECT greatest(c // greatest(least(${SimilarityOps.IvfMaxCentroids},
+         |  CAST(ceil(sqrt(c)) AS BIGINT)), 1), 1) AS m FROM n),
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM src, md
+         |  WHERE ${mixIdSql("vec_id")} % m = 3 % m),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosE6Sql("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |    FROM src e, cent c) WHERE rn = 1),
+         |sz AS (SELECT *, count(*) OVER (PARTITION BY cid) AS csz FROM assigned),
+         |small AS (SELECT * FROM sz WHERE csz <= ${SimilarityOps.MaxSemCluster}),
+         |sp AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb FROM small a JOIN small b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |big AS (SELECT * FROM sz WHERE csz > ${SimilarityOps.MaxSemCluster}),
+         |bigb AS (SELECT vec_id, cid, $buckets FROM big),
+         |bigbk AS ($bank),
+         |bigkept AS (SELECT * FROM bigbk QUALIFY
+         |  count(*) OVER (PARTITION BY cid, tbl, bucket) <= ${DedupOps.MaxBandBucket}),
+         |bp AS (
+         |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+         |  FROM bigkept a JOIN bigkept b
+         |    ON a.cid = b.cid AND a.tbl = b.tbl AND a.bucket = b.bucket
+         |      AND a.vec_id < b.vec_id),
+         |cand AS (SELECT va, vb FROM sp UNION ALL SELECT va, vb FROM bp)
+         |SELECT va AS vec_a, vb AS vec_b, cos_e6 FROM (
+         |  SELECT c.va, c.vb, ${cosE6Sql("x.embedding", "y.embedding")} AS cos_e6
+         |  FROM cand c JOIN src x ON x.vec_id = c.va
+         |  JOIN src y ON y.vec_id = c.vb)
+         |WHERE cos_e6 >= 900000""".stripMargin
+    },
+
     "q_sim_neardup" -> {
       val dot = "(SELECT sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) " +
         "FROM unnest(range(1, 1 + len(a.embedding))) AS t(i))"
@@ -5404,6 +5492,8 @@ object SparkEntry {
     "q_knn_geo_auto" -> knnGeoSql(499),
 
     "q_pagerank" -> pageRankSql(5),
+
+    "q_ppr" -> pprSql(5),
 
     // poly-sample twin: candidates from a range cross product, the hex
     // half-planes as the exact inside test, QUALIFY first-k

@@ -132,6 +132,73 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("rank"), col("cos_e6"))
   }
 
+  /** Per-cluster all-pairs bound for [[semDedupPairs]]: clusters at or
+    * under this size compare exhaustively; larger ones refine by LSH
+    * sub-buckets instead of going O(s²).
+    */
+  val MaxSemCluster = 256
+
+  /** SemDeDup-style SEMANTIC near-duplicate pairs: partition the corpus
+    * by the bounded coarse quantizer (every vector joins its nearest
+    * centroid, same deterministic K = min(4096, ⌈√n⌉) table as the IVF
+    * path), compare WITHIN clusters only, keep pairs with
+    * round(cos·1e6) ≥ `thresholdE6`. This is the published SemDeDup
+    * recipe (cluster embeddings, dedup within clusters) — it catches
+    * semantic rewrites that shingle-MinHash misses and, unlike the
+    * global LSH path ([[DedupOps.embeddingNearDups]]), never pairs
+    * across semantically distant regions.
+    *
+    * Scale posture — the part the paper leaves implicit: K is capped at
+    * 4096 (broadcast boundedness), so at crawl scale every cluster is a
+    * MEGA-cluster and within-cluster all-pairs is O(n²/K). Clusters
+    * larger than `maxClusterSize` therefore refine by the 8×12-bit
+    * sign-LSH sub-buckets (the exact family the near-dup path uses)
+    * WITHIN the cluster, with the MaxBandBucket per-(cluster, table,
+    * bucket) cap — candidates stay group-local and bounded at any n,
+    * while test-scale clusters (≤ maxClusterSize) keep the paper's
+    * exhaustive semantics. Small and large clusters are disjoint, so the
+    * union is duplicate-free by construction (the LSH side dedups its
+    * multi-table hits). Output: (vec_a, vec_b, cos_e6), vec_a < vec_b.
+    */
+  def semDedupPairs(emb: DataFrame, thresholdE6: Long,
+                    maxCentroids: Int = IvfMaxCentroids,
+                    maxClusterSize: Int = MaxSemCluster,
+                    scope: CacheScope = CacheScope.global): DataFrame = {
+    import graft.plans.GeomExpressions.vecNearestCentroids
+    val bc = coarseQuantizer(emb, maxCentroids)
+    val sized = scope.persist(emb.select(col("vec_id"), col("embedding"))
+      .withColumn("cid",
+        element_at(vecNearestCentroids(col("embedding"), 1, bc), 1))
+      .withColumn("__csz", count(lit(1)).over(Window.partitionBy("cid"))))
+    val small = sized.filter(col("__csz") <= maxClusterSize)
+    val smallPairs = small.select(col("cid"), col("vec_id").as("vec_a"))
+      .join(small.select(col("cid"), col("vec_id").as("vec_b")), "cid")
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+    val big = sized.filter(col("__csz") > maxClusterSize)
+      .select(col("vec_id"), col("cid"),
+        posexplode(graft.plans.TextHashExpressions.vecLshBuckets(
+          col("embedding"), DedupOps.NearDupTables, DedupOps.NearDupBits))
+          .as(Seq("table", "bucket")))
+    val bigKept = DedupOps.capBuckets(big, Seq("cid", "table", "bucket"))
+    val bigPairs = bigKept.as("a")
+      .join(bigKept.as("b"), col("a.cid") === col("b.cid") &&
+        col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val e = sized.select(col("vec_id"), col("embedding"))
+    val ea = e.select(col("vec_id").as("vec_a"), col("embedding").as("__ea"))
+    val eb = e.select(col("vec_id").as("vec_b"), col("embedding").as("__eb"))
+    smallPairs.unionByName(bigPairs)
+      .join(ea, "vec_a").join(eb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.plans.TextHashExpressions.vecCosine(
+          col("__ea"), col("__eb")) * lit(1000000.0), 0)
+          .cast("long").as("cos_e6"))
+      .filter(col("cos_e6") >= thresholdE6)
+  }
+
   /** Number of codebook entries per PQ subspace. */
   val PqKsub = 16
 
