@@ -316,6 +316,25 @@ object SparkEntry {
         coverLevel = TrackCoverLevel, selfJoin = true)
     }),
 
+    // trajectory clustering: Fréchet-threshold pair graph → connected
+    // components (route-variant grouping; the components engine is the
+    // contraction-accelerated dedup loop)
+    "q_traj_cluster" -> ((s, d) => {
+      val wp = wayPoints(t(s, d, "lineitem"))
+      val tracks = wp.groupBy("way_id").agg(
+          array_sort(collect_list(struct(col("seq"), col("x"), col("y")))).as("p"))
+        .select(col("way_id"),
+          expr("transform(p, q -> q.x)").as("xs"),
+          expr("transform(p, q -> q.y)").as("ys"))
+      val thr = if (tracks.count() <= FrechetSmallN) FrechetThrSmall
+        else FrechetThr
+      val pairs = SpatialOps.frechetJoin(tracks, tracks, thr,
+        coverLevel = TrackCoverLevel, selfJoin = true)
+      DedupOps.duplicateClusters(pairs
+          .select(col("way_a").as("doc_a"), col("way_b").as("doc_b")))
+        .groupBy("cluster_id").agg(count(lit(1)).as("n_tracks"))
+    }),
+
     // DTW trajectory-similarity join: the cumulative-cost sibling of
     // q_frechet (Σ d² over the best monotone coupling, not the max)
     "q_dtw" -> ((s, d) => {
@@ -775,6 +794,14 @@ object SparkEntry {
       SimilarityOps.cosineTopK(e, e.filter(col("vec_id") % 25 === 0), 10)
     }),
 
+    // hard-negative mining over the near-dup-planted corpus: top-k below
+    // the duplicate ceiling, exclusion BEFORE the rank
+    "q_negatives" -> ((s, d) => {
+      val e = Synth.embCorpus(s, d)
+      SimilarityOps.hardNegatives(e, e.filter(col("vec_id") % 25 === 0),
+        10, 990000L)
+    }),
+
     "q_sim_ann" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       SimilarityOps.cosineTopKAnn(e, e.filter(col("vec_id") % 25 === 0), 10)
@@ -970,6 +997,12 @@ object SparkEntry {
           max(unix_micros(col("warc_ts"))).as("last_us"))
     }),
 
+    // recrawl frontier: stalest-first per-host politeness schedule over
+    // the canonicalized capture log
+    "q_frontier" -> ((s, d) =>
+      CrawlOps.frontierSchedule(Synth.pagesCaptures(s, d),
+        FrontierBaseUs, FrontierDelayUs)),
+
     // host-level corpus stats over MESSY urls (scheme/host case, default
     // ports, query strings): normalize then one hash-shuffle groupBy
     "q_url_hosts" -> ((s, d) => {
@@ -1127,6 +1160,20 @@ object SparkEntry {
         .groupBy(col("user_id"), col("sess_seq"))
         .agg(count(lit(1)).as("n_events"),
           min(us(col("ts"))).as("start_us"), max(us(col("ts"))).as("end_us"))
+    }),
+
+    // cohort retention matrix: users grouped by first-activity day,
+    // distinct-active counts per (cohort, day offset). Two key shuffles
+    // (user_id for the cohort, then the matrix agg with map-side partial
+    // distinct); the cohort join reuses the user_id partitioning.
+    "q_retention" -> ((s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort"))
+      ev.join(cohort, "user_id")
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+          datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+        .agg(countDistinct("user_id").as("active_users"))
     }),
 
     // as-of join: every click picks up the latest prior view per user —
@@ -2502,6 +2549,12 @@ object SparkEntry {
     */
   val GeofenceEntities = 199
 
+  /** q_frontier schedule epoch (2024-02-01T00:00Z) and per-host
+    * politeness delay (15 s) — literal in both engines.
+    */
+  val FrontierBaseUs = 1706745600000000L
+  val FrontierDelayUs = 15000000L
+
   /** q_hilbert: 256x256 grid (order 8); bucket = index >> 8, i.e. 256
     * contiguous 256-cell curve ranges — the file-sized layout granule.
     */
@@ -2694,6 +2747,53 @@ object SparkEntry {
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
   }
+
+  /** The q_frechet oracle's CTE chain (requires WITH RECURSIVE): way
+    * points → per-track bboxes → adaptive threshold `th` → bbox-expanded
+    * candidates → coupling-DAG minimax paths → `fin(wa, wb, df2)`.
+    * Shared by the q_frechet and q_traj_cluster twins.
+    */
+  private lazy val frechetCtesSql: String =
+    s"""li AS ($WayPtsSql),
+       |pts AS MATERIALIZED (
+       |  SELECT way_id, row_number() OVER (PARTITION BY way_id ORDER BY seq) - 1 AS i,
+       |         x, y
+       |  FROM li),
+       |np AS (SELECT way_id, count(*) AS n FROM pts GROUP BY 1),
+       |-- MATERIALIZED: same DuckDB 1.0.0 IEJoin-input workaround as q_planarize
+       |tr AS MATERIALIZED (
+       |  SELECT way_id, min(x) AS minx, max(x) AS maxx,
+       |         min(y) AS miny, max(y) AS maxy
+       |  FROM pts GROUP BY 1),
+       |th AS (SELECT CAST(CASE WHEN (SELECT count(*) FROM tr) <= ${FrechetSmallN}
+       |  THEN ${FrechetThrSmall} ELSE $FrechetThr END AS BIGINT) AS thr),
+       |cand AS (
+       |  SELECT a.way_id AS wa, b.way_id AS wb
+       |  FROM tr a JOIN tr b ON a.way_id < b.way_id
+       |  CROSS JOIN th
+       |  WHERE a.minx - th.thr <= b.maxx AND a.maxx + th.thr >= b.minx
+       |    AND a.miny - th.thr <= b.maxy AND a.maxy + th.thr >= b.miny),
+       |d AS MATERIALIZED (
+       |  SELECT c.wa, c.wb, pa.i AS ia, pb.i AS ib,
+       |    (pa.x - pb.x)*(pa.x - pb.x) + (pa.y - pb.y)*(pa.y - pb.y) AS d2
+       |  FROM cand c
+       |  JOIN pts pa ON pa.way_id = c.wa
+       |  JOIN pts pb ON pb.way_id = c.wb),
+       |paths AS (
+       |  SELECT wa, wb, ia, ib, d2 AS c FROM d WHERE ia = 0 AND ib = 0
+       |  UNION
+       |  SELECT d.wa, d.wb, d.ia, d.ib, greatest(p.c, d.d2)
+       |  FROM paths p JOIN d ON d.wa = p.wa AND d.wb = p.wb
+       |    AND ((d.ia = p.ia + 1 AND d.ib = p.ib)
+       |      OR (d.ia = p.ia AND d.ib = p.ib + 1)
+       |      OR (d.ia = p.ia + 1 AND d.ib = p.ib + 1))),
+       |fin AS (
+       |  SELECT p.wa, p.wb, min(p.c) AS df2
+       |  FROM paths p
+       |  JOIN np na ON na.way_id = p.wa
+       |  JOIN np nb ON nb.way_id = p.wb
+       |  WHERE p.ia = na.n - 1 AND p.ib = nb.n - 1
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** Recursive-CTE connected-components labels over the LSH pair graph
     * (requires WITH RECURSIVE + a `corpus` CTE in scope) — the independent
@@ -3832,48 +3932,30 @@ object SparkEntry {
       // the q_wsssp relaxation shape, not the kernel's rolling row.
       // Candidates via plain bbox inequality join (one side expanded by
       // thr; dF ≥ any axis gap, so this covers every emitted pair).
-      s"""WITH RECURSIVE li AS ($WayPtsSql),
-         |pts AS MATERIALIZED (
-         |  SELECT way_id, row_number() OVER (PARTITION BY way_id ORDER BY seq) - 1 AS i,
-         |         x, y
-         |  FROM li),
-         |np AS (SELECT way_id, count(*) AS n FROM pts GROUP BY 1),
-         |-- MATERIALIZED: same DuckDB 1.0.0 IEJoin-input workaround as q_planarize
-         |tr AS MATERIALIZED (
-         |  SELECT way_id, min(x) AS minx, max(x) AS maxx,
-         |         min(y) AS miny, max(y) AS maxy
-         |  FROM pts GROUP BY 1),
-         |th AS (SELECT CAST(CASE WHEN (SELECT count(*) FROM tr) <= ${FrechetSmallN}
-         |  THEN ${FrechetThrSmall} ELSE $FrechetThr END AS BIGINT) AS thr),
-         |cand AS (
-         |  SELECT a.way_id AS wa, b.way_id AS wb
-         |  FROM tr a JOIN tr b ON a.way_id < b.way_id
-         |  CROSS JOIN th
-         |  WHERE a.minx - th.thr <= b.maxx AND a.maxx + th.thr >= b.minx
-         |    AND a.miny - th.thr <= b.maxy AND a.maxy + th.thr >= b.miny),
-         |d AS MATERIALIZED (
-         |  SELECT c.wa, c.wb, pa.i AS ia, pb.i AS ib,
-         |    (pa.x - pb.x)*(pa.x - pb.x) + (pa.y - pb.y)*(pa.y - pb.y) AS d2
-         |  FROM cand c
-         |  JOIN pts pa ON pa.way_id = c.wa
-         |  JOIN pts pb ON pb.way_id = c.wb),
-         |paths AS (
-         |  SELECT wa, wb, ia, ib, d2 AS c FROM d WHERE ia = 0 AND ib = 0
-         |  UNION
-         |  SELECT d.wa, d.wb, d.ia, d.ib, greatest(p.c, d.d2)
-         |  FROM paths p JOIN d ON d.wa = p.wa AND d.wb = p.wb
-         |    AND ((d.ia = p.ia + 1 AND d.ib = p.ib)
-         |      OR (d.ia = p.ia AND d.ib = p.ib + 1)
-         |      OR (d.ia = p.ia + 1 AND d.ib = p.ib + 1))),
-         |fin AS (
-         |  SELECT p.wa, p.wb, min(p.c) AS df2
-         |  FROM paths p
-         |  JOIN np na ON na.way_id = p.wa
-         |  JOIN np nb ON nb.way_id = p.wb
-         |  WHERE p.ia = na.n - 1 AND p.ib = nb.n - 1
-         |  GROUP BY 1, 2)
+      s"""WITH RECURSIVE $frechetCtesSql
          |SELECT wa AS way_a, wb AS way_b, CAST(df2 AS BIGINT) AS df2
          |FROM fin WHERE df2 <= (SELECT thr * thr FROM th)""".stripMargin
+    },
+
+    // trajectory clustering: the q_frechet pair CTEs + a recursive-CTE
+    // transitive closure (the clusterCtesSql shape) over the threshold
+    // pair graph
+    "q_traj_cluster" -> {
+      s"""WITH RECURSIVE $frechetCtesSql,
+         |fp AS (SELECT wa, wb FROM fin
+         |  WHERE df2 <= (SELECT thr * thr FROM th)),
+         |fedges AS (SELECT wa AS src, wb AS dst FROM fp
+         |  UNION SELECT wb, wa FROM fp),
+         |freach AS (
+         |  SELECT src AS a, dst AS b FROM fedges
+         |  UNION
+         |  SELECT r.a, e.dst FROM freach r JOIN fedges e ON r.b = e.src),
+         |fnodes AS (SELECT DISTINCT src AS id FROM fedges),
+         |flabels AS (
+         |  SELECT id, least(id, coalesce(min(b), id)) AS cluster_id
+         |  FROM fnodes LEFT JOIN freach ON a = id GROUP BY id)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_tracks
+         |FROM flabels GROUP BY 1""".stripMargin
     },
 
     "q_dtw" -> {
@@ -4913,6 +4995,22 @@ object SparkEntry {
          |WHERE rank <= 10""".stripMargin
     },
 
+    // hard-negatives twin: brute-force cosine over the planted corpus,
+    // the duplicate ceiling applied BEFORE the per-query rank
+    "q_negatives" ->
+      s"""WITH src AS ($E),
+         |q AS (SELECT vec_id AS qid, embedding AS qemb FROM src
+         |  WHERE vec_id % 25 = 0),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id AS nid,
+         |    ${cosE6Sql("e.embedding", "q.qemb")} AS cos_e6
+         |  FROM src e, q WHERE e.vec_id <> q.qid)
+         |SELECT qid, nid, rank, cos_e6 FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_e6 DESC, nid) AS rank
+         |  FROM scored WHERE cos_e6 < 990000)
+         |WHERE rank <= 10""".stripMargin,
+
     "q_sim_topk" -> {
       val dot = "(SELECT sum(CAST(q.qemb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)) " +
         "FROM unnest(range(1, 1 + len(e.embedding))) AS t(i))"
@@ -5142,6 +5240,16 @@ object SparkEntry {
         |  min(ts_us) AS start_us, max(ts_us) AS end_us
         |FROM s GROUP BY 1, 2""".stripMargin,
 
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |fd AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY 1),
+        |j AS (SELECT e.user_id, f.cohort,
+        |    datediff('day', f.cohort, e.day) AS day_offset
+        |  FROM ev e JOIN fd f USING (user_id))
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, day_offset,
+        |  count(DISTINCT user_id) AS active_users
+        |FROM j GROUP BY cohort, day_offset""".stripMargin,
+
     "q_asof" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
         |  CAST(round(l.value * 1000000) AS BIGINT) AS click_e6,
@@ -5294,6 +5402,26 @@ object SparkEntry {
         |       count(*) AS n_caps,
         |       max(1704067200000000 + doc_id * 1000000) AS last_us
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // frontier twin: closed-form canonical url/host (the q_url_canon
+    // ground-truth construction), stalest-first slot per host
+    "q_frontier" ->
+      s"""WITH cand AS (
+         |  SELECT 'https://site' || CAST((doc_id % 100) % 13 AS VARCHAR)
+         |      || '.example.org/doc/' || CAST(doc_id % 100 AS VARCHAR)
+         |      || '?a=1&b=2' AS curl,
+         |    'site' || CAST((doc_id % 100) % 13 AS VARCHAR)
+         |      || '.example.org' AS host,
+         |    max(1704067200000000 + doc_id * 1000000) AS last_us
+         |  FROM documents GROUP BY 1, 2),
+         |sl AS (
+         |  SELECT curl, host,
+         |    row_number() OVER (PARTITION BY host ORDER BY last_us, curl) - 1
+         |      AS slot
+         |  FROM cand)
+         |SELECT curl, host, slot,
+         |  $FrontierBaseUs + slot * $FrontierDelayUs AS fetch_us
+         |FROM sl""".stripMargin,
 
     "q_url_hosts" ->
       s"""WITH u AS (

@@ -356,6 +356,31 @@ object SimilarityOps {
   /** Exact cosine top-k: (qid, nid, rank, cos_e6). Deterministic — scores
     * rounded to 1e-6 before ranking, ties broken by neighbor id.
     */
+  /** HARD-NEGATIVE mining for contrastive training: for each query, the
+    * top-k most-similar corpus vectors whose cosine stays strictly BELOW
+    * `ceilE6` — vectors at or above the ceiling are positives/duplicates
+    * (the pair you'd train TOWARD, not away from), so they are excluded
+    * BEFORE the rank, which is what makes this a distinct operator: a
+    * post-filtered top-k would under-fill exactly for the queries with
+    * many duplicates, i.e. the ones that need negatives most. Same
+    * physical shape as [[cosineTopK]] (broadcast query set, no corpus
+    * shuffle, per-query window) — compose with the IVF path when the
+    * query set is corpus-sized. Output (qid, nid, rank, cos_e6).
+    */
+  def hardNegatives(emb: DataFrame, queries: DataFrame, k: Int,
+                    ceilE6: Long): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qemb")))
+    val scored = emb.join(q, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        round(graft.plans.TextHashExpressions.vecCosine(col("embedding"), col("qemb")) * lit(1000000.0), 0)
+          .cast("long").as("cos_e6"))
+      .filter(col("cos_e6") < ceilE6)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("cos_e6"))
+  }
+
   def cosineTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qemb")))
     val scored = emb.join(q, col("vec_id") =!= col("qid"))

@@ -87,6 +87,53 @@ class Round4SessionSevenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.subsetOf(want), s"extra: ${got.diff(want)}")
   }
 
+  test("hardNegatives: nothing at/above the ceiling, dense ranks, and " +
+      "exclusion happens before the rank") {
+    val s = spark; import s.implicits._
+    val dim = 8
+    // query 0; 3 near-copies (positives, cos ~ 1) and 5 spread vectors
+    val base = Array.fill(dim)(1f)
+    val rows = Seq((0L, base.toSeq)) ++
+      (1 to 3).map(i => (i.toLong, base.updated(0, 1f + 0.0001f * i).toSeq)) ++
+      (4 to 8).map { i =>
+        val v = Array.fill(dim)(0.2f); v(i % dim) = 1f; (i.toLong, v.toSeq)
+      }
+    val emb = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val got = SimilarityOps.hardNegatives(emb,
+        emb.filter(col("vec_id") === 0L), 3, 999000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.forall(_._3 < 999000L), got.mkString(","))
+    // the 3 near-copies are excluded BEFORE ranking, so ranks 1..3 are
+    // the best of the spread vectors — a post-filtered top-3 of the raw
+    // ranking would have returned ZERO rows here
+    assert(got.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L), got.mkString(","))
+    assert(got.forall(g => g._1 >= 4L), got.mkString(","))
+  }
+
+  test("frontierSchedule: dense per-host slots, politeness spacing, stalest first") {
+    val s = spark; import s.implicits._
+    val caps = Seq(
+      ("https://a.example.org/x?b=2&a=1", 100L),
+      ("HTTPS://A.Example.ORG:443/x?a=1&b=2", 900L), // same canon url, newer
+      ("https://a.example.org/y", 50L),
+      ("https://b.example.org/z", 10L))
+      .toDF("url", "us")
+      .select(col("url"), timestamp_micros(col("us")).as("warc_ts"))
+    val got = CrawlOps.frontierSchedule(caps, 1000000L, 15000000L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 3) // the duplicate capture collapsed
+    val byHost = got.groupBy(_._2)
+    // dense slots 0..n-1 per host and delay-spaced fetch times
+    byHost.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === rows.indices.map(_.toLong))
+      rows.foreach(r => assert(r._4 === 1000000L + r._3 * 15000000L))
+    }
+    // stalest-first within host a: /y (50) before /x (max(100,900)=900)
+    val a = byHost("a.example.org").sortBy(_._3).map(_._1)
+    assert(a.head.contains("/y") && a(1).contains("/x"), a.mkString(","))
+  }
+
   test("semDedupPairs mega-cluster stays bounded and still finds dups") {
     val s = spark; import s.implicits._
     // 300 near-identical vectors: ONE coarse cluster of size 300 >
