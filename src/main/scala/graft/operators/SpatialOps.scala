@@ -1270,27 +1270,20 @@ object SpatialOps {
     * coordinates too.
     *
     * Scale posture: a pure per-row array transform — no shuffle, no
-    * join, no UDF (nested codegen'd `transform`s); output length per way
-    * is 2ⁿ·(len−1)+... bounded by rounds, a compile-time constant.
-    * Input (way_id, xs, ys) with len ≥ 2 (shorter ways pass through
-    * unchanged). Output: (way_id, idx, x, y) exploded in order.
+    * join; the native [[graft.plans.ChaikinAxis]] kernel runs the
+    * round loop once per row (the earlier nested-`transform` SQL
+    * formulation re-substituted the previous round's tree ~6× per round,
+    * a 6^rounds plan blowup that dominated wall time). Output length per
+    * way is bounded by 2^rounds·len. Input (way_id, xs, ys); arrays
+    * shorter than 2 pass through unchanged. Output: (way_id, idx, x, y)
+    * exploded in order.
     */
-  def chaikinSmooth(tracks: DataFrame, rounds: Int,
-                    offset: Long = 2000000000L): DataFrame = {
-    def once(c: String): String =
-      s"""concat(array(element_at($c, 1)),
-         |flatten(transform(sequence(1, size($c) - 1), i ->
-         |  array((3 * (element_at($c, i) + ${offset}L) +
-         |         (element_at($c, i + 1) + ${offset}L)) div 4 - ${offset}L,
-         |        ((element_at($c, i) + ${offset}L) +
-         |         3 * (element_at($c, i + 1) + ${offset}L)) div 4 - ${offset}L))),
-         |array(element_at($c, size($c))))""".stripMargin.replace("\n", " ")
-    def smooth(c: String): String =
-      (1 to rounds).foldLeft(c)((acc, _) => once(acc))
+  def chaikinSmooth(tracks: DataFrame, rounds: Int): DataFrame = {
+    import graft.plans.GeomExpressions.chaikinAxis
     tracks
       .select(col("way_id"),
-        when(size(col("xs")) >= 2, expr(smooth("xs"))).otherwise(col("xs")).as("sx"),
-        when(size(col("ys")) >= 2, expr(smooth("ys"))).otherwise(col("ys")).as("sy"))
+        chaikinAxis(col("xs"), rounds).as("sx"),
+        chaikinAxis(col("ys"), rounds).as("sy"))
       .select(col("way_id"),
         posexplode(expr("arrays_zip(sx, sy)")).as(Seq("idx", "p")))
       .select(col("way_id"), col("idx").cast("long").as("idx"),

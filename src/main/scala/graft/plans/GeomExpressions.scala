@@ -35,6 +35,33 @@ object RingKernel {
       Planar.segIntersectionFix(a(0), a(1), a(2), a(3), b(0), b(1), b(2), b(3)))
   }
 
+  /** Chaikin corner cutting of one coordinate axis, `rounds` iterations,
+    * exact integer: each round keeps the endpoints and replaces every
+    * edge (a, b) with ⌊(3a+b)/4⌋, ⌊(a+3b)/4⌋ (Math.floorDiv IS floor
+    * division — identical to the offset formulation the SQL twin uses on
+    * negatives). Arrays shorter than 2 pass through. One JIT'd loop per
+    * row instead of a 6^rounds-fold nested SQL expression tree.
+    */
+  def chaikin(a: ArrayData, rounds: Int): GenericArrayData = {
+    var cur = a.toLongArray()
+    var r = 0
+    while (r < rounds && cur.length >= 2) {
+      val n = cur.length
+      val out = new Array[Long](2 * n)
+      out(0) = cur(0)
+      var i = 0
+      while (i < n - 1) {
+        out(2 * i + 1) = Math.floorDiv(3 * cur(i) + cur(i + 1), 4)
+        out(2 * i + 2) = Math.floorDiv(cur(i) + 3 * cur(i + 1), 4)
+        i += 1
+      }
+      out(2 * n - 1) = cur(n - 1)
+      cur = out
+      r += 1
+    }
+    new GenericArrayData(cur)
+  }
+
   /** Squared discrete Fréchet distance between two coordinate-array
     * polylines (see core.Planar.discreteFrechet2).
     */
@@ -170,6 +197,27 @@ case class HullStats(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** Native Chaikin corner-cutting of one coordinate-array axis (exact
+  * integer, see [[RingKernel.chaikin]]) — replaces the nested-`transform`
+  * SQL formulation whose expression tree grew 6^rounds-fold.
+  */
+case class ChaikinAxis(child: Expression, rounds: Int)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "chaikin_axis"
+
+  override def nullSafeEval(a: Any): Any =
+    RingKernel.chaikin(a.asInstanceOf[ArrayData], rounds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.RingKernel.chaikin($c, $rounds)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Native exact ring centroid: `[cx_fix, cy_fix]` of a fixed-point ring
@@ -1010,6 +1058,9 @@ object GeomExpressions {
   def hullStats(xs: Column, ys: Column): Column =
     GraftColumnBridge.column(HullStats(
       GraftColumnBridge.expression(xs), GraftColumnBridge.expression(ys)))
+
+  def chaikinAxis(a: Column, rounds: Int): Column =
+    GraftColumnBridge.column(ChaikinAxis(GraftColumnBridge.expression(a), rounds))
 
   def pqEncode(vec: Column, bc: Broadcast[PqKernel.Book]): Column =
     GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(vec), bc))
