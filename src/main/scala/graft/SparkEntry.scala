@@ -49,7 +49,7 @@ object SparkEntry {
     * segments, plus the level derivation (smallest level in [6,10] with
     * 4^level >= n — integer while-loop == the oracle's CASE).
     */
-  private def crossWaySegs(s: SparkSession, d: String): (DataFrame, Int) = {
+  private[graft] def crossWaySegs(s: SparkSession, d: String): (DataFrame, Int) = {
     val key = col("way_id") * lit(10L) + col("seq")
     val x = functions.Fns.mixId(col("way_id") * lit(2L)) - lit(1073741824L) +
       ((key * lit(1103515245L)) % lit(20000000L) - lit(10000000L))
@@ -60,16 +60,30 @@ object SparkEntry {
       .distinct()
       .select(col("way_id"), col("seq"), x.as("x"), y.as("y"))
     val w = Window.partitionBy("way_id").orderBy("seq")
-    val segs = pts.select(col("way_id"), col("seq"),
-        lag(col("x"), 1).over(w).as("x0"), lag(col("y"), 1).over(w).as("y0"),
-        col("x").as("x1"), col("y").as("y1"))
-      .filter(col("x0").isNotNull &&
-        abs(col("x1") - col("x0")) <= WayCrossSpan &&
-        abs(col("y1") - col("y0")) <= WayCrossSpan)
+    // persisted (global scope, released per query by Verify/Bench): the
+    // level probe below plus BOTH cover sides of the self-join consumers
+    // read it — without the cache the lineitem window stage runs 3x
+    val segs = graft.core.CacheScope.global.persist(
+      pts.select(col("way_id"), col("seq"),
+          lag(col("x"), 1).over(w).as("x0"), lag(col("y"), 1).over(w).as("y0"),
+          col("x").as("x1"), col("y").as("y1"))
+        .filter(col("x0").isNotNull &&
+          abs(col("x1") - col("x0")) <= WayCrossSpan &&
+          abs(col("y1") - col("y0")) <= WayCrossSpan))
     val n = segs.count()
-    var level = 6
-    while (level < 10 && n > (1L << (2 * level))) level += 1
-    (segs, level)
+    // span-matched floor: the smallest level whose cells are no wider
+    // than the span bound — cell ≈ segment length keeps the cover
+    // fan-out O(1) per segment, which empirically beats the pure
+    // density rule 2x at sf0.1 (level 8 vs 10 on 310k segs: 3.7s vs
+    // 7.0s planarize). The density term still takes over (shifted two
+    // levels: candidates per cell shrink 4x per level while cover rows
+    // only double) so per-cell occupancy stays bounded as data grows.
+    var spanLevel = 0
+    while ((3600000000L >> spanLevel) > WayCrossSpan && spanLevel < 12)
+      spanLevel += 1
+    var dens = 6
+    while (dens < 12 && n > (1L << (2 * dens))) dens += 1
+    (segs, math.max(spanLevel, dens - 2))
   }
 
   /** The q_tile_clip/q_way_len_tile input: jittered way segments clipped
