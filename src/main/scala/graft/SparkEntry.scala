@@ -1504,6 +1504,34 @@ object SparkEntry {
     // --- per-node triangle counts (degree-ordered orientation) ---
     "q_triangles" -> ((s, d) => GraphOps.triangleCounts(linkEdges(s, d))),
 
+    // double-sweep diameter lower bound (two BFS frontier loops)
+    "q_diameter" -> ((s, d) =>
+      GraphOps.doubleSweepDiameter(linkEdges(s, d), 30)),
+
+    // gazetteer geotagging: nation-name mentions planted into the corpus
+    // text, resolved by exact substring counts against the nation/region
+    // gazetteer (broadcast dim), winner per doc by (count, key)
+    "q_geonames" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region")
+      val n1 = nat.select(col("n_nationkey").as("k1"), col("n_name").as("nm1"))
+      val n2 = nat.select(col("n_nationkey").as("k2"), col("n_name").as("nm2"))
+      val planted = docs
+        .join(n1, col("doc_id") % 25 === col("k1"))
+        .join(n2, (col("doc_id") * 7 + 3) % 25 === col("k2"))
+        .select(col("doc_id"),
+          concat(col("text"), lit(" Visit "), col("nm1"), lit(" and "),
+            col("nm2"), lit(" or "), col("nm1"), lit(".")).as("text"))
+      val gaz = nat.join(reg, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("gaz_key"), col("n_name").as("gaz_name"),
+          col("r_name").as("gaz_group"))
+      SearchOps.gazetteerTag(planted, gaz)
+        .select(col("doc_id"), col("gaz_key").as("nation_key"),
+          col("gaz_name").as("nation"), col("gaz_group").as("region"),
+          col("n_mentions"))
+    }),
+
     // --- link prediction (common neighbors + Adamic-Adar, hub-capped) ---
     "q_linkpred" -> ((s, d) => GraphOps.linkPrediction(linkEdges(s, d))),
 
@@ -6282,6 +6310,58 @@ object SparkEntry {
          |  WHERE r.hops < $SsspMaxHops)
          |SELECT node_id, CAST(min(dist) AS BIGINT) AS dist
          |FROM reach GROUP BY 1""".stripMargin,
+
+    // double-sweep twin: two recursive-CTE BFS passes, argmax by
+    // (hops DESC, node) — the exact rule doubleSweepDiameter applies
+    "q_diameter" ->
+      s"""WITH RECURSIVE $linkEdgesSql,
+         |sym AS (SELECT src, dst FROM edges
+         |  UNION SELECT dst AS src, src AS dst FROM edges),
+         |s0 AS (SELECT min(src) AS sid FROM sym),
+         |b1 AS (
+         |  SELECT sid AS node_id, 0 AS hops FROM s0
+         |  UNION
+         |  SELECT e.dst, b.hops + 1 FROM b1 b JOIN sym e ON e.src = b.node_id
+         |  WHERE b.hops < 30),
+         |d1 AS (SELECT node_id, min(hops) AS hops FROM b1 GROUP BY 1),
+         |f1 AS (SELECT node_id AS fid, hops AS e1 FROM d1
+         |  ORDER BY hops DESC, node_id LIMIT 1),
+         |b2 AS (
+         |  SELECT fid AS node_id, 0 AS hops FROM f1
+         |  UNION
+         |  SELECT e.dst, b.hops + 1 FROM b2 b JOIN sym e ON e.src = b.node_id
+         |  WHERE b.hops < 30),
+         |d2 AS (SELECT node_id, min(hops) AS hops FROM b2 GROUP BY 1),
+         |f2 AS (SELECT node_id AS pid2, hops AS e2 FROM d2
+         |  ORDER BY hops DESC, node_id LIMIT 1)
+         |SELECT s0.sid AS seed, f1.fid AS far_node, f1.e1 AS seed_ecc,
+         |  f2.pid2 AS peak_node, f2.e2 AS diameter_lb
+         |FROM s0, f1, f2""".stripMargin,
+
+    // gazetteer twin: the same exact substring-count formula over the
+    // planted corpus, winner per doc via QUALIFY
+    "q_geonames" ->
+      """WITH gaz AS (
+        |  SELECT n_nationkey AS gaz_key, n_name AS gaz_name,
+        |    r_name AS gaz_group
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey),
+        |pl AS (
+        |  SELECT d.doc_id,
+        |    upper(d.text || ' Visit ' || n1.n_name || ' and ' || n2.n_name
+        |      || ' or ' || n1.n_name || '.') AS ut
+        |  FROM documents d
+        |  JOIN nation n1 ON d.doc_id % 25 = n1.n_nationkey
+        |  JOIN nation n2 ON (d.doc_id * 7 + 3) % 25 = n2.n_nationkey),
+        |sc AS (
+        |  SELECT doc_id, gaz_key, gaz_name, gaz_group,
+        |    (length(ut) - length(replace(ut, upper(gaz_name), '')))
+        |      // length(gaz_name) AS n_mentions
+        |  FROM pl CROSS JOIN gaz)
+        |SELECT doc_id, gaz_key AS nation_key, gaz_name AS nation,
+        |  gaz_group AS region, n_mentions
+        |FROM sc WHERE n_mentions > 0
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY n_mentions DESC, gaz_key) = 1""".stripMargin,
 
     // independent formulation: the orientation trick is a Spark-side
     // perf strategy; the oracle counts triangles directly as the ordered

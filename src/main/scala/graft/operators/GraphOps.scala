@@ -477,6 +477,39 @@ object GraphOps {
     visited
   }
 
+  /** Double-sweep diameter estimation (the standard BFS heuristic whose
+    * result is an exact LOWER bound and exact on trees): BFS from a
+    * deterministic seed (the minimum node id), hop to the farthest node
+    * reached (ties to the smallest id), BFS again — the second
+    * eccentricity bounds the graph diameter from below, typically
+    * tightly. The crawl use: "how many hops is this link island across",
+    * the budget input for hop-limited frontier expansion. Edges are
+    * treated as undirected (symmetrized here).
+    *
+    * Scale posture: two [[hopDistance]] frontier loops (each O(diameter)
+    * rounds of one join + one distinct, frontier-sized state, per-round
+    * persist/unpersist + rebase) plus three driver-side single-value
+    * probes (the seed min, and each sweep's argmax row) — documented
+    * eager scalars, the same contract as knn's density probe. Output one
+    * row: (seed, far_node, seed_ecc, peak_node, diameter_lb).
+    */
+  def doubleSweepDiameter(edges: DataFrame, maxHops: Int,
+                          scope: CacheScope = CacheScope.global): DataFrame = {
+    val sess = edges.sparkSession
+    import sess.implicits._
+    val sym = scope.persist(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    val seed = sym.agg(min(col("src"))).head().getLong(0)
+    val d1 = hopDistance(sym, Seq(seed).toDF("node_id"), maxHops, scope)
+    val f1 = d1.orderBy(col("hops").desc, col("node_id")).limit(1).head()
+    val (far, ecc1) = (f1.getLong(0), f1.getLong(1))
+    val d2 = hopDistance(sym, Seq(far).toDF("node_id"), maxHops, scope)
+    val f2 = d2.orderBy(col("hops").desc, col("node_id")).limit(1).head()
+    Seq((seed, far, ecc1, f2.getLong(0), f2.getLong(1)))
+      .toDF("seed", "far_node", "seed_ecc", "peak_node", "diameter_lb")
+  }
+
   /** Undirected connected components over an (src, dst) edge list:
     * node_id → component, where the component label is the smallest node
     * id reachable from the node. The crawl use: carving a host/link graph

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Hll
@@ -25,6 +26,40 @@ object SearchOps {
 
   private def toks(docs: DataFrame) = docs.select(col("doc_id"),
     explode(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("tok"))
+
+  /** Gazetteer GEOTAGGING of web text: resolve each document to the
+    * place it mentions most. Every (doc, gazetteer entry) pair counts
+    * case-insensitive substring occurrences exactly
+    * (⌊(len − len(remove(name)))/len(name)⌋ — handles the multi-word
+    * names a token join cannot: 'UNITED KINGDOM', 'SAUDI ARABIA'), and
+    * the winner per doc is the max count with ties to the smallest key.
+    * This is the geospatial×webtext fusion primitive: place resolution
+    * feeding every downstream per-region rollup.
+    *
+    * Scale posture: the gazetteer is a genuinely small dimension
+    * (countries/admin regions — thousands, not millions), so the scan is
+    * ONE broadcast nested-loop over the corpus: |docs|·|gaz| codegen'd
+    * string ops, no shuffle until the per-doc argmax (a single window
+    * keyed by doc_id, fan-in ≤ |gaz|). Input: docs(doc_id, text),
+    * gaz(gaz_key, gaz_name, gaz_group). Output: (doc_id, gaz_key,
+    * gaz_name, gaz_group, n_mentions) — docs mentioning nothing are
+    * absent.
+    */
+  def gazetteerTag(docs: DataFrame, gaz: DataFrame): DataFrame = {
+    val ut = upper(col("text"))
+    val un = upper(col("gaz_name"))
+    val n = ((length(ut) - length(replace(ut, un, lit("")))) / length(un))
+      .cast("long")
+    val scored = docs.join(
+        broadcast(gaz.select(col("gaz_key"), col("gaz_name"), col("gaz_group"))))
+      .select(col("doc_id"), col("gaz_key"), col("gaz_name"), col("gaz_group"),
+        n.as("n_mentions"))
+      .filter(col("n_mentions") > 0)
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("n_mentions").desc, col("gaz_key"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 
   /** Inverted index: per term, document frequency and the posting list
     * (doc_id, tf) sorted by doc_id. `minDf` drops hapax noise; `maxPostings`

@@ -134,6 +134,38 @@ class Round4SessionSevenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.head.contains("/y") && a(1).contains("/x"), a.mkString(","))
   }
 
+  test("doubleSweepDiameter is exact on a path graph and tie-breaks deterministically") {
+    val s = spark; import s.implicits._
+    // path 5-4-3-2-1-0-10-11 (seed = min node 0): ecc(0) = 5 (node 5),
+    // second sweep from 5 reaches 11 at distance 7 = the true diameter
+    val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (1L, 0L),
+      (0L, 10L), (10L, 11L)).toDF("src", "dst")
+    val r = GraphOps.doubleSweepDiameter(edges, 30).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === ((0L, 5L, 5L, 11L, 7L)))
+    // star: every leaf at distance 1 from hub 0; seed 0 picks leaf 1
+    // (tie by min id), sweep from 1 crosses the hub: diameter 2
+    val star = (1L to 6L).map(i => (0L, i)).toDF("src", "dst")
+    val r2 = GraphOps.doubleSweepDiameter(star, 30).head()
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(4))
+      === ((0L, 1L, 1L, 2L)))
+  }
+
+  test("gazetteerTag counts multi-word names exactly and picks the max-mention winner") {
+    val s = spark; import s.implicits._
+    val gaz = Seq((3L, "SAUDI ARABIA", "MIDDLE EAST"), (7L, "CANADA", "AMERICA"),
+      (9L, "INDIA", "ASIA")).toDF("gaz_key", "gaz_name", "gaz_group")
+    val docs = Seq(
+      (1L, "visit saudi arabia twice: Saudi Arabia. canada once"),
+      (2L, "india india India vs CANADA canada"),
+      (3L, "nothing here"),
+      (4L, "canada india")) // tie at 1 each -> min key 7 wins
+      .toDF("doc_id", "text")
+    val got = SearchOps.gazetteerTag(docs, gaz)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(4)))).toMap
+    assert(got === Map(1L -> ((3L, 2L)), 2L -> ((9L, 3L)), 4L -> ((7L, 1L))))
+  }
+
   test("semDedupPairs mega-cluster stays bounded and still finds dups") {
     val s = spark; import s.implicits._
     // 300 near-identical vectors: ONE coarse cluster of size 300 >
