@@ -1508,6 +1508,13 @@ object SparkEntry {
     "q_diameter" -> ((s, d) =>
       GraphOps.doubleSweepDiameter(linkEdges(s, d), 30)),
 
+    // deterministic random-walk corpus (DeepWalk input): 2 walks/node,
+    // 4 steps, mixId-indexed sorted-neighbor choice
+    "q_walks" -> ((s, d) => GraphOps.randomWalks(linkEdges(s, d), 2, 4)),
+
+    // per-node link reciprocity (mutual-link fraction, permille)
+    "q_reciprocity" -> ((s, d) => GraphOps.reciprocity(linkEdges(s, d))),
+
     // gazetteer geotagging: nation-name mentions planted into the corpus
     // text, resolved by exact substring counts against the nation/region
     // gazetteer (broadcast dim), winner per doc by (count, key)
@@ -6337,6 +6344,39 @@ object SparkEntry {
          |SELECT s0.sid AS seed, f1.fid AS far_node, f1.e1 AS seed_ecc,
          |  f2.pid2 AS peak_node, f2.e2 AS diameter_lb
          |FROM s0, f1, f2""".stripMargin,
+
+    // walks twin: unrolled steps over the sorted capped adjacency lists,
+    // the same mixId index rule per (walk, step)
+    "q_walks" -> {
+      val steps = 4
+      val hops = (1 to steps).map { t =>
+        s"""s$t AS (
+           |  SELECT walk_id,
+           |    ns[${mixIdSql(s"walk_id * ${steps + 1} + $t")} % len(ns) + 1] AS cur
+           |  FROM s${t - 1} JOIN nb ON nb.src = s${t - 1}.cur)""".stripMargin
+      }.mkString(",\n")
+      val sel = (0 to steps).map(t =>
+        s"SELECT walk_id, CAST($t AS BIGINT) AS step, cur AS node FROM s$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH $linkEdgesSql,
+         |de AS (SELECT DISTINCT src, dst FROM edges),
+         |nb AS (SELECT src, list_sort(list(dst))[1:1024] AS ns
+         |  FROM de GROUP BY 1),
+         |s0 AS (SELECT src * 2 + w.w AS walk_id, src AS cur
+         |  FROM nb CROSS JOIN (SELECT unnest([0, 1]) AS w) w),
+         |$hops
+         |$sel""".stripMargin
+    },
+
+    "q_reciprocity" ->
+      s"""WITH $linkEdgesSql,
+         |de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+         |m AS (SELECT a.src, count(*) AS mutual FROM de a
+         |  JOIN de b ON b.src = a.dst AND b.dst = a.src GROUP BY 1),
+         |o AS (SELECT src, count(*) AS outdeg FROM de GROUP BY 1)
+         |SELECT o.src AS node_id, o.outdeg, coalesce(m.mutual, 0) AS mutual,
+         |  (coalesce(m.mutual, 0) * 1000) // o.outdeg AS recip_pm
+         |FROM o LEFT JOIN m USING (src)""".stripMargin,
 
     // gazetteer twin: the same exact substring-count formula over the
     // planted corpus, winner per doc via QUALIFY

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.core.CacheScope
+import graft.functions.Fns
 
 /** Link-graph analytics over crawl-scale edge lists — the rank side of a
   * web-corpus pipeline (page importance feeds crawl scheduling and
@@ -475,6 +476,79 @@ object GraphOps {
     }
     scope.track(cached)
     visited
+  }
+
+  /** Deterministic RANDOM-WALK corpus (the DeepWalk/node2vec input):
+    * `walksPerNode` walks from every node, each `steps` hops, where hop
+    * `t` of walk `w` picks sorted-neighbor index
+    * mixId(w·(steps+1)+t) mod degree — an RNG-free choice both engines
+    * reproduce bit-for-bit. This is the graph→sequence bridge of an
+    * embedding pipeline: the emitted (walk, step, node) rows ARE the
+    * training sentences.
+    *
+    * Scale posture: one groupBy builds per-node sorted adjacency ARRAYS
+    * (persisted; degree capped at `maxDeg` — a 10^6-degree hub would
+    * otherwise be a gigabyte row, and production walk engines cap or
+    * alias-sample exactly here), then `steps` equi-join shuffles of the
+    * walk frontier against it — the canonical distributed walk shape;
+    * per-round persist/unpersist + plan rebase as in [[pageRank]]. Walks
+    * reaching a node with no out-edges stop (the join drops them).
+    * Input: edges(src, dst). Output: (walk_id, step, node).
+    */
+  def randomWalks(edges: DataFrame, walksPerNode: Int, steps: Int,
+                  maxDeg: Int = 1024,
+                  scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    val simple = edges.select(col("src"), col("dst")).distinct()
+    val nbrs = scope.persist(simple.groupBy("src")
+      .agg(slice(sort_array(collect_list(col("dst"))), 1, maxDeg).as("ns")))
+    val w = walksPerNode.toLong
+    // every round's frame stays persisted until the scope releases: the
+    // output UNION references all of them, so dropping one mid-loop
+    // would recompute the whole join chain at evaluation time. Total
+    // held state ≈ the output itself ((steps+1)·n·walksPerNode 2-long
+    // rows), the natural floor for this operator.
+    var frontier = scope.persist(nbrs.select(col("src").as("node"))
+      .select(explode(sequence(lit(0L), lit(w - 1L))).as("wi"), col("node"))
+      .select((col("node") * w + col("wi")).as("walk_id"), col("node").as("cur")))
+    frontier.count()
+    frontier = spark.createDataFrame(frontier.rdd, frontier.schema)
+    var out = frontier.select(col("walk_id"), lit(0L).as("step"),
+      col("cur").as("node"))
+    for (t <- 1 to steps) {
+      val next = scope.persist(frontier.join(nbrs, col("cur") === col("src"))
+        .select(col("walk_id"),
+          element_at(col("ns"),
+            (Fns.mixId(col("walk_id") * (steps + 1) + t) % size(col("ns"))
+              + 1).cast("int")).as("cur")))
+      next.count()
+      frontier = spark.createDataFrame(next.rdd, next.schema)
+      out = out.unionByName(frontier.select(col("walk_id"),
+        lit(t.toLong).as("step"), col("cur").as("node")))
+    }
+    out
+  }
+
+  /** Per-node link RECIPROCITY: of a node's distinct out-links, how many
+    * are returned (⟨a→b⟩ with ⟨b→a⟩ present) — the webgraph mutuality
+    * signal (mirror detection, link-scheme scoring; a crawl ranker
+    * discounts link farms whose reciprocity ≈ 1000‰). One semi-join of
+    * the deduped edge list against its own transpose plus two key aggs —
+    * no window, no loop. Output: (node_id, outdeg, mutual, recip_pm)
+    * with recip_pm = ⌊1000·mutual/outdeg⌋.
+    */
+  def reciprocity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val mutual = e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"), "left_semi")
+      .groupBy("src").agg(count(lit(1)).as("mutual"))
+    e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .join(mutual, Seq("src"), "left")
+      .select(col("src").as("node_id"), col("outdeg"),
+        coalesce(col("mutual"), lit(0L)).as("mutual"))
+      .withColumn("recip_pm", expr("(mutual * 1000) div outdeg"))
   }
 
   /** Double-sweep diameter estimation (the standard BFS heuristic whose

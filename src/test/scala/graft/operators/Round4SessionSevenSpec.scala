@@ -166,6 +166,27 @@ class Round4SessionSevenSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> ((3L, 2L)), 2L -> ((9L, 3L)), 4L -> ((7L, 1L))))
   }
 
+  test("randomWalks: every hop follows an edge, walks stop at sinks, steps are dense") {
+    val s = spark; import s.implicits._
+    // 0 -> {1, 2}; 1 -> {2}; 2 is a sink
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val rows = GraphOps.randomWalks(edges, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edgeSet = Set((0L, 1L), (0L, 2L), (1L, 2L))
+    val byWalk = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // 2 walks per node with out-edges (nodes 0 and 1) = 4 walks
+    assert(byWalk.size === 4, byWalk.keys.toSeq.sorted.mkString(","))
+    byWalk.foreach { case (wid, path) =>
+      assert(path.map(_._2).toSeq === (0L until path.length).toSeq, s"walk $wid gaps")
+      path.sliding(2).foreach {
+        case Array(a, b) => assert(edgeSet((a._3, b._3)), s"walk $wid: ${a._3}->${b._3}")
+        case _ =>
+      }
+      // a walk only ends early at the sink
+      if (path.length < 4) assert(path.last._3 === 2L, s"walk $wid stopped at ${path.last._3}")
+    }
+  }
+
   test("semDedupPairs mega-cluster stays bounded and still finds dups") {
     val s = spark; import s.implicits._
     // 300 near-identical vectors: ONE coarse cluster of size 300 >
