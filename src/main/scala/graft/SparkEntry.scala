@@ -945,6 +945,14 @@ object SparkEntry {
     // occurrence (the frequency pass that never shuffles per key), then
     // point estimates for the top-20 true heavy hitters — emitted with
     // their exact counts so the oracle pins BOTH the sketch arithmetic
+    // BPE tokenizer-training merge round: adjacent character-pair
+    // frequencies over the vocabulary, word-frequency weighted, top 50
+    "q_bpe_pairs" -> ((s, d) => LmOps.bpePairCounts(t(s, d, "documents"), 50)),
+
+    // language-balanced subsample: every lang keeps its mixId-smallest
+    // n_min docs (n_min = smallest language) — re-shard-stable mixture cut
+    "q_balance" -> ((s, d) => LmOps.balancedSample(t(s, d, "documents"))),
+
     // and the never-underestimates bound row by row
     "q_cms" -> ((s, d) => {
       val th = graft.core.CacheScope.global.persist(
@@ -5422,6 +5430,32 @@ object SparkEntry {
       """SELECT tok, CAST(count(*) AS BIGINT) AS n_true FROM (
         |  SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents)
         |GROUP BY 1 HAVING count(*) >= 200""".stripMargin,
+
+    // BPE merge-round twin: vocabulary word counts, per-word adjacent
+    // character pairs via unnest(range), weighted sum, deterministic cut
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT w, count(*) AS wc FROM (
+        |    SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS w
+        |    FROM documents)
+        |  GROUP BY 1),
+        |pw AS (
+        |  SELECT wc, substr(w, i, 2) AS pair FROM (
+        |    SELECT w, wc, unnest(range(1, length(w))) AS i
+        |    FROM w WHERE length(w) >= 2)),
+        |pc AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt FROM pw GROUP BY 1)
+        |SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+        |FROM pc ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
+    "q_balance" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${mixIdSql("doc_id")}, doc_id) AS lang_rank
+         |  FROM documents),
+         |nm AS (SELECT min(n) AS nmin FROM (
+         |  SELECT count(*) AS n FROM r GROUP BY lang))
+         |SELECT doc_id, lang, lang_rank FROM r, nm
+         |WHERE lang_rank <= nmin""".stripMargin,
 
     "q_vocab" ->
       s"""SELECT tok, n FROM (

@@ -1,9 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.CacheScope
+import graft.functions.Fns
 import graft.plans.{HllExpressions, TextHashExpressions}
 
 /** CCNet-style statistical language-model quality scoring: documents are
@@ -69,6 +71,63 @@ object LmOps {
     sums.select(col("doc_id"), col("n_bigrams"),
       ((col("se") - pmod(col("se"), col("n_bigrams"))) / col("n_bigrams"))
         .cast("long").as("nll_e6"))
+  }
+
+  /** One BPE-training MERGE ROUND: the frequency table of adjacent
+    * symbol pairs over the word-frequency-weighted corpus — at the
+    * character stage (the first round of real BPE training, where the
+    * alphabet is single characters), the top row IS the first merge a
+    * tokenizer trainer would make. Top `k` pairs by (count DESC, pair)
+    * so the cut is deterministic.
+    *
+    * Scale posture: word counting collapses the corpus to its VOCABULARY
+    * first (one hash groupBy — Zipf makes |vocab| ≪ corpus tokens), the
+    * character-pair explode then runs per DISTINCT word (bounded by
+    * word length), and one more map-side-combined groupBy + a
+    * TakeOrdered ends it. No window, no join.
+    * Input: (doc_id, text). Output: (pair, cnt, rank).
+    */
+  def bpePairCounts(corpus: DataFrame, k: Int): DataFrame = {
+    val words = corpus.select(explode(
+        regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum("wc").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair")))
+          .cast("long"))
+  }
+
+  /** LANGUAGE-BALANCED subsample: every language keeps its
+    * mixId-smallest `n_min` docs, where n_min is the size of the
+    * smallest language — the exact, re-runnable "uniform mixture" cut of
+    * a multilingual corpus (the rebalancing step between quality gating
+    * and training). Deterministic: the per-language rank orders by
+    * (mixId(doc_id), doc_id), so re-sharding or re-running never changes
+    * the selected set.
+    *
+    * Scale posture: one per-language window (rank) + a broadcast of the
+    * single n_min scalar (computed distributively, joined as a 1-row
+    * frame — no driver collect). The window partitions by lang — the
+    * same bounded-key contract as every per-group rank here; a
+    * monster language spills its sort, the others proceed in parallel.
+    * Output: (doc_id, lang, lang_rank).
+    */
+  def balancedSample(docs: DataFrame): DataFrame = {
+    val ranked = docs.select(col("doc_id"), col("lang"))
+      .withColumn("lang_rank", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(Fns.mixId(col("doc_id")), col("doc_id"))).cast("long"))
+    val nMin = ranked.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("__nmin"))
+    ranked.join(broadcast(nMin), col("lang_rank") <= col("__nmin"))
+      .select(col("doc_id"), col("lang"), col("lang_rank"))
   }
 
   /** Bigram PMI collocations over a token corpus: for every adjacent word
