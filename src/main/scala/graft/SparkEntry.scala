@@ -1481,6 +1481,22 @@ object SparkEntry {
       GraphOps.hopDistance(linkEdges(s, d), sources, SsspMaxHops)
     }),
 
+    // --- shortest-path counts (Brandes σ) from landmark seeds ---
+    "q_path_counts" -> ((s, d) => {
+      val seeds = t(s, d, "documents")
+        .filter(col("doc_id") % PathCntSeedMod === 1)
+        .select(col("doc_id").as("node_id"))
+      GraphOps.shortestPathCounts(linkEdges(s, d), seeds, PathCntMaxHops)
+    }),
+
+    // --- odd-cycle witness edges (bipartiteness test, BFS parity) ---
+    "q_bipartite" -> ((s, d) => {
+      val seeds = t(s, d, "documents")
+        .filter(col("doc_id") % SsspSourceMod === 0)
+        .select(col("doc_id").as("node_id"))
+      GraphOps.oddParityEdges(linkEdges(s, d), seeds, SsspMaxHops)
+    }),
+
     // --- Borůvka minimum spanning forest (similarity-graph backbone) ---
     // distinct weights by construction (wbase·n² + a·n + b) ⇒ unique MST
     "q_mst" -> ((s, d) => {
@@ -2439,6 +2455,13 @@ object SparkEntry {
   /** q_sssp seed rule (doc_id % mod == 0) and BFS round bound. */
   val SsspSourceMod = 101L
   val SsspMaxHops = 6
+
+  /** q_path_counts seed rule (doc_id % mod == 1) and σ-propagation hop
+    * bound — kept small because σ multiplies by the branching factor per
+    * hop and the oracle unrolls one CTE stage per hop.
+    */
+  val PathCntSeedMod = 103L
+  val PathCntMaxHops = 4
 
   /** q_closeness landmark rule (doc_id % mod == 3, capped — the landmark
     * set stays ≤ 100 nodes at ANY scale factor, the fixed-budget contract
@@ -6274,6 +6297,45 @@ object SparkEntry {
          |  WHERE r.hops < $SsspMaxHops)
          |SELECT node_id, CAST(min(hops) AS BIGINT) AS hops
          |FROM reach GROUP BY 1""".stripMargin,
+
+    // σ twin — INDEPENDENT formulation: enumerate ALL walks up to the hop
+    // bound (UNION ALL keeps multiplicity); σ(v) = number of walks of
+    // length d(v), which equals the shortest-path count because a
+    // minimal-length walk cannot revisit a vertex
+    "q_path_counts" ->
+      s"""WITH RECURSIVE $linkEdgesSql,
+         |walks AS (
+         |  SELECT doc_id AS node_id, 0 AS hops FROM documents
+         |  WHERE doc_id % $PathCntSeedMod = 1
+         |  UNION ALL
+         |  SELECT e.dst, w.hops + 1 FROM walks w JOIN edges e ON e.src = w.node_id
+         |  WHERE w.hops < $PathCntMaxHops),
+         |d AS (SELECT node_id, min(hops) AS hops FROM walks GROUP BY 1)
+         |SELECT d.node_id, CAST(d.hops AS BIGINT) AS hops,
+         |  CAST(count(*) AS BIGINT) AS sigma
+         |FROM walks w JOIN d ON d.node_id = w.node_id AND d.hops = w.hops
+         |GROUP BY 1, 2""".stripMargin,
+
+    // bipartite twin — INDEPENDENT formulation: min-hop recursive closure
+    // on the symmetrized edge set; a witness edge has both endpoints at
+    // equal BFS parity
+    "q_bipartite" ->
+      s"""WITH RECURSIVE $linkEdgesSql,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |sym AS (SELECT a AS src, b AS dst FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |reach AS (
+         |  SELECT doc_id AS node_id, 0 AS hops FROM documents
+         |  WHERE doc_id % $SsspSourceMod = 0
+         |  UNION
+         |  SELECT e.dst, r.hops + 1 FROM reach r JOIN sym e ON e.src = r.node_id
+         |  WHERE r.hops < $SsspMaxHops),
+         |d AS (SELECT node_id, min(hops) AS hops FROM reach GROUP BY 1)
+         |SELECT u.a, u.b, CAST(d1.hops AS BIGINT) AS da,
+         |  CAST(d2.hops AS BIGINT) AS db
+         |FROM und u JOIN d d1 ON d1.node_id = u.a JOIN d d2 ON d2.node_id = u.b
+         |WHERE (d1.hops + d2.hops) % 2 = 0""".stripMargin,
 
     // SCC twin — INDEPENDENT formulation: full reachability closure,
     // mutual pairs, label = min mutually-reachable id (incl. self)

@@ -1011,4 +1011,89 @@ object GraphOps {
         sum(when(col("hops") > 0, expr("1000000 div hops")).otherwise(0L))
           .as("close_e6"))
   }
+
+  /** Shortest-path COUNTING from a seed set — the σ table of Brandes
+    * betweenness (how many distinct shortest paths from the seeds reach
+    * each node). Level-synchronous frontier propagation: a node first
+    * reached at hop `h` has σ = Σ σ(u) over frontier predecessors u at
+    * hop `h-1`; later (longer) arrivals never contribute, matching the
+    * textbook BFS-DAG definition. All-integer, so the result is
+    * bit-identical in any engine and any shuffle order.
+    *
+    * Scale posture: per round ONE shuffle join of the persisted edge
+    * list with the current frontier plus one `dst` aggregation and an
+    * anti-join against the visited set — [[hopDistance]]'s shape with a
+    * summed payload instead of DISTINCT; same per-round persist /
+    * unpersist / RDD-rebase hygiene, early exit when the frontier
+    * drains. σ grows at most by the max out-degree factor per hop, so
+    * int64 holds for any realistic (maxHops, degree) envelope; ANSI mode
+    * fails loudly on overflow rather than wrapping.
+    *
+    * Input: edges (src, dst), sources (node_id). Output
+    * (node_id, hops, sigma) for every node within `maxHops`; seeds carry
+    * (0, 1). Reference capability: SURVEY §2.3 multi-pass relation
+    * traversal (relations/assembler.hpp two-pass member resolution);
+    * path counting is the same frontier-join family the crawl analytics
+    * need for centrality estimates.
+    */
+  def shortestPathCounts(edges: DataFrame, sources: DataFrame, maxHops: Int,
+                         scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    val e = scope.persist(edges.select(col("src"), col("dst")).distinct())
+    var cached = sources.select(col("node_id")).distinct()
+      .withColumn("hops", lit(0L)).withColumn("sigma", lit(1L)).persist()
+    var prevTotal = cached.count()
+    var visited = spark.createDataFrame(cached.rdd, cached.schema)
+    var frontier = visited
+    var h = 0L
+    var drained = false
+    while (h < maxHops && !drained) {
+      h += 1
+      val next = e.join(frontier.select(col("node_id"), col("sigma")),
+          col("src") === col("node_id"))
+        .groupBy(col("dst")).agg(sum(col("sigma")).as("sigma"))
+        .withColumnRenamed("dst", "node_id")
+        .join(visited.select(col("node_id")), Seq("node_id"), "left_anti")
+        .select(col("node_id"), lit(h).as("hops"), col("sigma"))
+      val grown = visited.unionByName(next).persist()
+      val total = grown.count()
+      drained = total == prevTotal
+      prevTotal = total
+      cached.unpersist(blocking = false)
+      cached = grown
+      visited = spark.createDataFrame(grown.rdd, grown.schema)
+      frontier = visited.filter(col("hops") === h)
+    }
+    scope.track(cached)
+    visited
+  }
+
+  /** Odd-cycle witness edges: BFS-parity conflicts on the SYMMETRIZED
+    * graph. Runs [[hopDistance]] from the seed set over undirected
+    * edges; any surviving edge whose endpoints sit at the same hop
+    * parity closes an odd cycle (a bipartite component has none — the
+    * classic 2-coloring test). Emitted per undirected edge (a < b) with
+    * both hop counts, so the caller can rank witnesses by depth or count
+    * them per component.
+    *
+    * Scale posture: the BFS rounds dominate (see [[hopDistance]]);
+    * the parity check is two broadcast-eligible hash joins of the edge
+    * list against the (nodes-sized) distance frame — no new loop, no
+    * all-pairs stage.
+    */
+  def oddParityEdges(edges: DataFrame, sources: DataFrame, maxHops: Int,
+                     scope: CacheScope = CacheScope.global): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val dist = hopDistance(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst"))),
+      sources, maxHops, scope)
+    und
+      .join(dist.select(col("node_id").as("a"), col("hops").as("da")), Seq("a"))
+      .join(dist.select(col("node_id").as("b"), col("hops").as("db")), Seq("b"))
+      .filter((col("da") + col("db")) % 2 === 0)
+      .select(col("a"), col("b"), col("da"), col("db"))
+  }
 }
