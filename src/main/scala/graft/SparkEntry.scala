@@ -1801,6 +1801,14 @@ object SparkEntry {
     "q_quadtree" -> ((s, d) =>
       SpatialOps.quadtreeLeaves(Synth.points(s, d), QuadMaxLevel, QuadCap)),
 
+    // --- hierarchical cell-set compaction (H3-style compact) ---
+    "q_cell_compact" -> ((s, d) =>
+      SpatialOps.compactCells(
+        Synth.points(s, d).select(
+          Fns.cellX(col("lon_fix"), CompactLevel).as("bx"),
+          Fns.cellY(col("lat_fix"), CompactLevel).as("by")),
+        CompactLevel)),
+
     // --- polygon contact matrix (neighbor graph + border/overlap) ---
     // the hex corpus is overlap-free by construction (the q_iou finding),
     // so corpus B is corpus A shifted east by one raster cell: guaranteed
@@ -2503,6 +2511,13 @@ object SparkEntry {
     */
   val IsoSeedMod = 97L
   val IsoMaxHops = 6
+
+  /** q_cell_compact: the finest (input) cell level of the compacted
+    * cover — 128×128; the point scatter occupies ~5.4k of those cells
+    * densely enough that full sibling groups promote through several
+    * levels at every SF.
+    */
+  val CompactLevel = 7
 
   /** q_quadtree: finest subdivision level and per-tile point cap. */
   val QuadMaxLevel = 8
@@ -6042,6 +6057,34 @@ object SparkEntry {
          |  FROM p GROUP BY 1, 2),
          |$rollups
          |$leaves""".stripMargin
+    },
+
+    // compact twin: unrolled bottom-up sibling promotion — k{lv} is the
+    // live cell set at level lv, f{lv} its complete (count = 4) parents;
+    // leaves at lv are the cells whose parent is not complete
+    "q_cell_compact" -> {
+      val L = CompactLevel
+      val g = 1L << L
+      val sets = (L to 1 by -1).map { lv =>
+        val src = if (lv == L)
+          s"""k$L AS (SELECT DISTINCT
+             |  least(((lon_fix + 1800000000) * $g) // 3600000000, ${g - 1}) AS bx,
+             |  least(((lat_fix + 900000000) * $g) // 1800000000, ${g - 1}) AS by
+             |FROM p)""".stripMargin
+        else s"k$lv AS (SELECT bx, by FROM f${lv + 1})"
+        val full = s"f$lv AS (SELECT bx // 2 AS bx, by // 2 AS by " +
+          s"FROM k$lv GROUP BY 1, 2 HAVING count(*) = 4)"
+        s"$src,\n$full"
+      }.mkString(",\n")
+      val leaves = (L to 1 by -1).map { lv =>
+        s"""SELECT CAST($lv AS BIGINT) AS lv, k.bx, k.by FROM k$lv k
+           |LEFT JOIN f$lv f ON f.bx = k.bx // 2 AND f.by = k.by // 2
+           |WHERE f.bx IS NULL""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH p AS ($P),
+         |$sets
+         |$leaves
+         |UNION ALL SELECT CAST(0 AS BIGINT) AS lv, bx, by FROM f1""".stripMargin
     },
 
     // adjacency twin: the shared hex-raster CTEs, one directed join per

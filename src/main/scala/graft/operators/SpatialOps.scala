@@ -2929,4 +2929,40 @@ object SpatialOps {
       .select(col("bx"), col("by"), col("n_segs"), col("ent_e6"),
         col("m.bin").as("top_bin"))
   }
+
+  /** H3/S2-style cell-set COMPACTION: replace every complete 2×2 sibling
+    * group with its parent cell, recursively, until no group is complete —
+    * the minimal multi-level cover of an occupied fine-cell set. This is
+    * the hierarchical-index maintenance primitive of the north rule: a
+    * compacted cover is what a 10^12-row corpus hands to the PIP / tile /
+    * extract joins instead of billions of uniform fine cells (same role as
+    * `compactCells` in the H3 library; osmium's analogue is the multi-level
+    * TileIndex family, SURVEY §2.4).
+    *
+    * Scale posture: exactly `level` rounds — grid-depth-bounded, NOT
+    * data-dependent — each ONE parent-key shuffle (groupBy, count == 4 of a
+    * DISTINCT set) plus an anti-join of the round's cells against the full
+    * parents; the cell set shrinks by ≥4× per promoted level, so round
+    * cost is geometrically decreasing. Output (lv, bx, by): disjoint cells
+    * (lv in 0..level, coords at that level) whose union is exactly the
+    * input set and in which no 2×2 sibling group survives complete.
+    */
+  def compactCells(cells: DataFrame, level: Int,
+                   scope: CacheScope = CacheScope.global): DataFrame = {
+    var cur = scope.persist(cells.select(col("bx"), col("by")).distinct())
+    val leaves = (level to 1 by -1).map { lv =>
+      val withPar = cur.select(col("bx"), col("by"),
+        expr("bx div 2").as("pbx"), expr("by div 2").as("pby"))
+      val fullPar = withPar.groupBy("pbx", "pby")
+        .agg(count(lit(1)).as("c")).filter(col("c") === 4)
+        .select(col("pbx"), col("pby"))
+      val out = withPar.join(fullPar, Seq("pbx", "pby"), "left_anti")
+        .select(lit(lv.toLong).as("lv"), col("bx"), col("by"))
+      cur = scope.persist(
+        fullPar.select(col("pbx").as("bx"), col("pby").as("by")))
+      out
+    }
+    (leaves :+ cur.select(lit(0L).as("lv"), col("bx"), col("by")))
+      .reduce(_ unionByName _)
+  }
 }
