@@ -204,6 +204,14 @@ object SparkEntry {
         us(lead(col("ts"), 1).over(w)).as("end_us"))
     }),
 
+    // --- interval-sweep concurrency (max concurrent open versions) ---
+    "q_concurrency" -> ((s, d) => {
+      val h = HistoryOps.endTime(t(s, d, "events"),
+          "user_id", "ts", "ts", "event_id")
+        .select(us(col("ts")).as("s_us"), us(col("endtime")).as("e_us"))
+      HistoryOps.concurrencyProfile(h, "s_us", "e_us", ConcBucketUs)
+    }),
+
     "q_history_range" -> ((s, d) => {
       val ev = HistoryOps.endTime(t(s, d, "events"), "user_id", "ts", "ts", "event_id")
       val from = 1704672000000000L // 2024-01-08
@@ -2512,6 +2520,12 @@ object SparkEntry {
   val IsoSeedMod = 97L
   val IsoMaxHops = 6
 
+  /** q_concurrency sweep bucket (1 h): bucket count is bounded by the
+    * corpus' calendar span — ~720 for the 30-day events table, a few 10k
+    * for a decade-long crawl — never by row count.
+    */
+  val ConcBucketUs = 3600000000L
+
   /** q_cell_compact: the finest (input) cell level of the compacted
     * cover — 128×128; the point scatter occupies ~5.4k of those cells
     * densely enough that full sibling groups promote through several
@@ -3613,6 +3627,21 @@ object SparkEntry {
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS end_us
         |FROM events""".stripMargin,
+
+    // concurrency twin — INDEPENDENT formulation: the global ordered
+    // prefix sum DuckDB can afford at oracle scale
+    "q_concurrency" ->
+      """WITH h AS (
+        |  SELECT epoch_us(ts) AS s_us,
+        |    epoch_us(lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS e_us
+        |  FROM events),
+        |del AS (
+        |  SELECT s_us AS ts_us, 1 AS d FROM h
+        |  UNION ALL
+        |  SELECT e_us, -1 FROM h WHERE e_us IS NOT NULL),
+        |g AS (SELECT ts_us, sum(d) AS d FROM del GROUP BY 1)
+        |SELECT ts_us, CAST(sum(d) OVER (ORDER BY ts_us) AS BIGINT) AS concurrent
+        |FROM g""".stripMargin,
 
     "q_history_range" ->
       """WITH h AS (

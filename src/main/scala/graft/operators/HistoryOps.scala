@@ -126,4 +126,40 @@ object HistoryOps {
       .select(col("lid"), col("rid"), col("key"),
         (least(col("le"), col("re")) - greatest(col("ls"), col("rs"))).as("overlap_us"))
   }
+
+  /** Interval-sweep CONCURRENCY profile: for every boundary instant, how
+    * many intervals [start, end) are open — the classic +1/−1 delta sweep
+    * (max concurrent versions of the reference's history model; max
+    * concurrent sessions/crawls in the production table). An interval is
+    * open at its start and closed at its end; null ends never close.
+    *
+    * Scale posture: the naive sweep is a GLOBAL ordered prefix sum — a
+    * single-partition window at any scale. This runs it two-level: deltas
+    * aggregate per instant (one hash shuffle), instants roll up to coarse
+    * time buckets (`bucketUs` — bucket COUNT is bounded by the corpus'
+    * calendar span, independent of row count), ONE tiny window over the
+    * bucket frame computes exclusive bucket offsets, and a broadcast join
+    * hands each instant its offset so the final within-bucket prefix sum
+    * is a window PARTITIONED by bucket — every partition bounded by one
+    * bucket's distinct instants. Output (ts_us, concurrent), one row per
+    * distinct boundary instant.
+    */
+  def concurrencyProfile(intervals: DataFrame, startCol: String,
+                         endCol: String, bucketUs: Long): DataFrame = {
+    val deltas = intervals.select(col(startCol).as("ts_us"), lit(1L).as("d"))
+      .unionByName(intervals.filter(col(endCol).isNotNull)
+        .select(col(endCol).as("ts_us"), lit(-1L).as("d")))
+      .groupBy("ts_us").agg(sum(col("d")).as("d"))
+      .withColumn("bk", expr(s"ts_us div ${bucketUs}L"))
+    val offsets = deltas.groupBy("bk").agg(sum(col("d")).as("bd"))
+      .withColumn("off", coalesce(
+        sum(col("bd")).over(Window.orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bk", "off")
+    val win = Window.partitionBy("bk").orderBy("ts_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.join(broadcast(offsets), Seq("bk"))
+      .select(col("ts_us"),
+        (col("off") + sum(col("d")).over(win)).as("concurrent"))
+  }
 }
