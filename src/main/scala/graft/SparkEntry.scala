@@ -1619,6 +1619,13 @@ object SparkEntry {
     "q_bm25" -> ((s, d) =>
       SearchOps.bm25(t(s, d, "documents"), Seq("spark", "merge", "window"))),
 
+    // --- positional-postings phrase matching (offset-vote join) ---
+    "q_phrase" -> ((s, d) => {
+      import s.implicits._
+      SearchOps.phraseMatch(t(s, d, "documents"),
+        phraseSet.toDF("phrase_id", "terms"))
+    }),
+
     // --- SQL registry round trip: the injected catalog functions reached
     // through spark.sql on a live session (GraftRegistryBridge) ---
     "q_sql_fns" -> ((s, d) => {
@@ -2519,6 +2526,17 @@ object SparkEntry {
     */
   val IsoSeedMod = 97L
   val IsoMaxHops = 6
+
+  /** q_phrase query phrases — literals shared with the oracle's VALUES
+    * list (incl. a 2-gram and a repeated-term phrase to exercise the
+    * distinct-i vote rule).
+    */
+  lazy val phraseSet: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("big", "order", "scan"),
+    1L -> Seq("group", "slow", "spark"),
+    2L -> Seq("spark", "window", "join"),
+    3L -> Seq("data", "a"),
+    4L -> Seq("a", "part", "a"))
 
   /** q_concurrency sweep bucket (1 h): bucket count is bounded by the
     * corpus' calendar span — ~720 for the 30-day events table, a few 10k
@@ -6690,6 +6708,29 @@ object SparkEntry {
         |WHERE df >= 3""".stripMargin,
 
     "q_bm25" -> bm25Sql(Seq("spark", "merge", "window")),
+
+    // phrase twin — same offset-vote characterization over a list-indexed
+    // positional token table
+    "q_phrase" -> {
+      val values = phraseSet.map { case (id, ts) =>
+        s"($id, [${ts.map(t => s"'$t'").mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH ph(phrase_id, terms) AS (VALUES $values),
+         |pt0 AS (SELECT phrase_id, len(terms) AS plen,
+         |  unnest(range(0, len(terms))) AS i, terms FROM ph),
+         |pt AS (SELECT phrase_id, plen, i, terms[i + 1] AS tok FROM pt0),
+         |s1 AS (SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS a
+         |  FROM documents),
+         |tp0 AS (SELECT doc_id, unnest(range(0, len(a))) AS pos, a FROM s1),
+         |tp AS (SELECT doc_id, pos, a[pos + 1] AS tok FROM tp0),
+         |m AS (
+         |  SELECT phrase_id, doc_id, pos - i AS start, plen,
+         |    count(DISTINCT i) AS nhit
+         |  FROM tp JOIN pt USING (tok) GROUP BY 1, 2, 3, 4)
+         |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_matches
+         |FROM m WHERE nhit = plen AND start >= 0 GROUP BY 1, 2""".stripMargin
+    },
 
     "q_sql_fns" ->
       """SELECT doc_id,

@@ -184,4 +184,37 @@ object SearchOps {
         coalesce(col("m.prefix"), lit("")).as("prefix"),
         coalesce(col("m.allow"), lit(1L)).as("allow"))
   }
+
+  /** PHRASE matching over positional postings: a phrase p₀…p_{k−1}
+    * matches at start position s iff token(s+i) == p_i for every i. The
+    * classic offset trick turns that into ONE equi-join: each (term hit
+    * at pos, phrase term i) pair votes for start = pos − i, and a start
+    * with k distinct i-votes is a match — no per-term join chain, so a
+    * 7-word phrase costs the same two shuffles as a 2-word one.
+    *
+    * Scale posture: the phrase-term table is tiny (broadcast), so the
+    * corpus-side token explode inner-joins against it — tokens not in any
+    * phrase never leave the scan stage. Then one hash shuffle groups
+    * votes by (phrase, doc, start) and a map-side-combined count rolls
+    * matches up per (phrase, doc). Repeated terms inside a phrase are
+    * handled by the distinct-i vote count. Input: docs (doc_id, text),
+    * phrases (phrase_id, terms: array<string>); tokenization is the
+    * engine's whitespace contract. Output (phrase_id, doc_id, n_matches),
+    * docs without a match absent.
+    */
+  def phraseMatch(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    val pterms = phrases.select(col("phrase_id"),
+        size(col("terms")).cast("long").as("plen"),
+        posexplode(col("terms")).as(Seq("i", "tok")))
+    val tp = docs.select(col("doc_id"),
+      posexplode(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0)))
+        .as(Seq("pos", "tok")))
+    tp.join(broadcast(pterms), Seq("tok"))
+      .groupBy(col("phrase_id"), col("doc_id"),
+        (col("pos") - col("i")).as("start"), col("plen"))
+      .agg(countDistinct(col("i")).as("nhit"))
+      .filter(col("nhit") === col("plen") && col("start") >= 0)
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
 }
