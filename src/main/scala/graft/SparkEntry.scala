@@ -1848,6 +1848,15 @@ object SparkEntry {
       SpatialOps.isochrone(occ, seeds, DilateLevel, IsoMaxHops)
     }),
 
+    // --- grid line-of-sight over the occupancy mask (rounding DDA) ---
+    "q_visibility" -> ((s, d) => {
+      import s.implicits._
+      val occ = SpatialOps.equirectDensity(Synth.points(s, d), DilateLevel)
+        .filter(col("cnt") >= 3).select("bx", "by")
+      SpatialOps.lineOfSight(occ,
+        losPairs.toDF("pair_id", "x0", "y0", "x1", "y1"))
+    }),
+
     // --- pole of inaccessibility per polygon (label placement) ---
     "q_polylabel" -> ((s, _) => SpatialOps.poleOfInaccessibility(
       SpatialOps.rasterizePolygons(Synth.hexCorpus(s, RegionsPolys),
@@ -2526,6 +2535,17 @@ object SparkEntry {
     */
   val IsoSeedMod = 97L
   val IsoMaxHops = 6
+
+  /** q_visibility sight lines: 48 deterministic (observer, target) cell
+    * pairs at DilateLevel grid coords, LCG literals embedded verbatim in
+    * both engines (the skipProbes pattern), biased into the occupied
+    * lon/lat band so lines actually cross data.
+    */
+  lazy val losPairs: Seq[(Long, Long, Long, Long, Long)] =
+    (0L until 48L).map { k =>
+      (k, 32 + (k * 73 + 11) % 64, 21 + (k * 57 + 5) % 85,
+        32 + (k * 37 + 29) % 64, 21 + (k * 91 + 43) % 85)
+    }
 
   /** q_phrase query phrases — literals shared with the oracle's VALUES
     * list (incl. a 2-gram and a repeated-term phrase to exercise the
@@ -6160,6 +6180,34 @@ object SparkEntry {
          |SELECT poly_a, poly_b, CAST(sum(is_border) AS BIGINT) AS n_border,
          |  CAST(sum(1 - is_border) AS BIGINT) AS n_shared
          |FROM ar GROUP BY 1, 2""".stripMargin,
+
+    // visibility twin: same occupancy CTE as disttrans, identical
+    // floor-div DDA cell rule, probe steps via unnest(range)
+    "q_visibility" -> {
+      val g = 1L << DilateLevel
+      val values = losPairs.map(p =>
+        s"(${p._1}, ${p._2}, ${p._3}, ${p._4}, ${p._5})").mkString(", ")
+      s"""WITH p AS ($P),
+         |occ AS (
+         |  SELECT bx, by FROM (
+         |    SELECT least(((lon_fix + 1800000000) * $g) // 3600000000, ${g - 1}) AS bx,
+         |      least(((lat_fix + 900000000) * $g) // 1800000000, ${g - 1}) AS by,
+         |      count(*) AS c
+         |    FROM p GROUP BY 1, 2) WHERE c >= 3),
+         |pr(pair_id, x0, y0, x1, y1) AS (VALUES $values),
+         |st AS (SELECT *, greatest(abs(x1 - x0), abs(y1 - y0)) AS n FROM pr),
+         |probes AS (
+         |  SELECT pair_id,
+         |    (2 * n * x0 + 2 * (x1 - x0) * t + n) // (2 * n) AS bx,
+         |    (2 * n * y0 + 2 * (y1 - y0) * t + n) // (2 * n) AS by
+         |  FROM (SELECT *, unnest(range(1, n)) AS t FROM st)),
+         |hits AS (SELECT pair_id, count(*) AS nb FROM probes
+         |  JOIN occ USING (bx, by) GROUP BY 1)
+         |SELECT CAST(pr.pair_id AS BIGINT) AS pair_id,
+         |  CAST(coalesce(nb, 0) AS BIGINT) AS n_blockers,
+         |  CAST(CASE WHEN coalesce(nb, 0) = 0 THEN 1 ELSE 0 END AS BIGINT) AS visible
+         |FROM pr LEFT JOIN hits USING (pair_id)""".stripMargin
+    },
 
     // disttrans twin: same capped stamps via a range cross product
     "q_disttrans" -> {

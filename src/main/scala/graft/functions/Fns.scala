@@ -21,6 +21,15 @@ object Fns {
   def idiv(a: Column, b: Long): Column =
     ((a - pmod(a, lit(b))) / lit(b)).cast("long")
 
+  /** [[idiv]] with a column-valued positive divisor — FLOOR division on
+    * any-sign numerators (pmod keeps the subtracted remainder positive).
+    * NOTE: DuckDB's `//` TRUNCATES toward zero on negative numerators, so
+    * oracle twins must keep numerators non-negative (fold the offset into
+    * the numerator) for cross-engine parity. Exactness bound as above.
+    */
+  def idiv2(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
   // ---- deterministic point synthesis ---------------------------------------
   // Points derived from an integer key by multiplicative hashing; identical
   // SQL exists on the DuckDB side. lon in ±90°, lat in ±60° so that squared

@@ -2947,6 +2947,47 @@ object SpatialOps {
     * (lv in 0..level, coords at that level) whose union is exactly the
     * input set and in which no 2×2 sibling group survives complete.
     */
+  /** Grid LINE-OF-SIGHT: for each (observer, target) cell pair, walk the
+    * rounding-DDA line between them and count occupied intermediate
+    * cells — visible iff none blocks. The line cell at step t of n
+    * (n = Chebyshev span) is ⌊(2·n·x0 + 2·dx·t + n) / (2·n)⌋ — x0 folded
+    * INTO the numerator so it stays non-negative even on westward/
+    * southward lines, where floor and truncating integer division agree
+    * (DuckDB `//` truncates toward zero on negatives; Spark div too) —
+    * so both engines enumerate bit-identical cells. Endpoints never
+    * block.
+    *
+    * Scale posture: the pair set is a query-sized dimension and each
+    * line has ≤ grid-width probe cells, so the exploded probe frame is
+    * tiny — it BROADCASTS into one hash join against the (corpus-sized)
+    * occupancy mask, then one map-side-combined count per pair; the mask
+    * is never moved or sorted. Input: occ (bx, by) distinct occupied
+    * cells; pairs (pair_id, x0, y0, x1, y1). Output (pair_id,
+    * n_blockers, visible 0/1) for EVERY pair.
+    */
+  def lineOfSight(occ: DataFrame, pairs: DataFrame): DataFrame = {
+    val n = greatest(abs(col("x1") - col("x0")), abs(col("y1") - col("y0")))
+    val probes = pairs.select(col("pair_id"), col("x0"), col("y0"),
+        col("x1"), col("y1"), n.as("n"))
+      .select(col("pair_id"), col("x0"), col("y0"), col("x1"), col("y1"),
+        col("n"), explode(when(col("n") >= 2,
+          sequence(lit(1L), col("n") - 1))).as("t"))
+      .select(col("pair_id"),
+        Fns.idiv2(col("n") * 2 * col("x0") +
+          (col("x1") - col("x0")) * 2 * col("t") + col("n"),
+          col("n") * 2).as("bx"),
+        Fns.idiv2(col("n") * 2 * col("y0") +
+          (col("y1") - col("y0")) * 2 * col("t") + col("n"),
+          col("n") * 2).as("by"))
+    val hits = broadcast(probes).join(occ.select(col("bx"), col("by")),
+        Seq("bx", "by"))
+      .groupBy("pair_id").agg(count(lit(1)).as("nb"))
+    pairs.join(hits, Seq("pair_id"), "left")
+      .select(col("pair_id"), coalesce(col("nb"), lit(0L)).as("n_blockers"),
+        when(coalesce(col("nb"), lit(0L)) === 0, 1L).otherwise(0L)
+          .as("visible"))
+  }
+
   def compactCells(cells: DataFrame, level: Int,
                    scope: CacheScope = CacheScope.global): DataFrame = {
     var cur = scope.persist(cells.select(col("bx"), col("by")).distinct())
