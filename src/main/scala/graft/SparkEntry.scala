@@ -1505,6 +1505,10 @@ object SparkEntry {
       GraphOps.oddParityEdges(linkEdges(s, d), seeds, SsspMaxHops)
     }),
 
+    // --- deterministic Luby maximal independent set ---
+    "q_mis" -> ((s, d) =>
+      GraphOps.lubyMis(linkEdges(s, d), MisRounds, MisPrioMul)),
+
     // --- Borůvka minimum spanning forest (similarity-graph backbone) ---
     // distinct weights by construction (wbase·n² + a·n + b) ⇒ unique MST
     "q_mst" -> ((s, d) => {
@@ -2494,6 +2498,14 @@ object SparkEntry {
     */
   val PathCntSeedMod = 103L
   val PathCntMaxHops = 4
+
+  /** q_mis round cap (the oracle unrolls exactly this many; Luby halves
+    * the graph per expected round, so 12 covers any SF here — both
+    * engines no-op identically on drained rounds) and the priority-draw
+    * multiplier fed to mixId.
+    */
+  val MisRounds = 12
+  val MisPrioMul = 1000003L
 
   /** q_closeness landmark rule (doc_id % mod == 3, capped — the landmark
     * set stays ≤ 100 nodes at ANY scale factor, the fixed-budget contract
@@ -6474,6 +6486,42 @@ object SparkEntry {
          |  CAST(d2.hops AS BIGINT) AS db
          |FROM und u JOIN d d1 ON d1.node_id = u.a JOIN d d2 ON d2.node_id = u.b
          |WHERE (d1.hops + d2.hops) % 2 = 0""".stripMargin,
+
+    // MIS twin — the SAME deterministic round structure unrolled (the
+    // pageRankSql generator pattern): pN = priorities, loseN = beaten
+    // nodes, winN = round winners, remN/reN = shrunken graph
+    "q_mis" -> {
+      // every stage MATERIALIZED: the rem/re chain references its
+      // predecessor 3-4 times, so default CTE inlining is exponential in
+      // rounds (DuckDB runs out of file handles re-scanning the parquet)
+      val stages = (1 to MisRounds).map { r =>
+        s"""p$r AS MATERIALIZED (SELECT node_id,
+           |  ${mixIdSql(s"node_id * $MisPrioMul + $r")} AS p FROM rem${r - 1}),
+           |lose$r AS MATERIALIZED (SELECT DISTINCT e.src AS node_id FROM re${r - 1} e
+           |  JOIN p$r a ON a.node_id = e.src JOIN p$r b ON b.node_id = e.dst
+           |  WHERE b.p < a.p OR (b.p = a.p AND e.dst < e.src)),
+           |win$r AS MATERIALIZED (SELECT node_id FROM rem${r - 1}
+           |  EXCEPT SELECT node_id FROM lose$r),
+           |del$r AS MATERIALIZED (SELECT node_id FROM win$r UNION
+           |  SELECT e.dst FROM re${r - 1} e JOIN win$r w ON w.node_id = e.src),
+           |rem$r AS MATERIALIZED (SELECT node_id FROM rem${r - 1}
+           |  EXCEPT SELECT node_id FROM del$r),
+           |re$r AS MATERIALIZED (SELECT e.src, e.dst FROM re${r - 1} e
+           |  JOIN rem$r a ON a.node_id = e.src
+           |  JOIN rem$r b ON b.node_id = e.dst)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to MisRounds).map(r =>
+        s"SELECT node_id, CAST($r AS BIGINT) AS round FROM win$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH $linkEdgesSql,
+         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src <> dst),
+         |re0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |rem0 AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM re0),
+         |$stages
+         |$sel""".stripMargin
+    },
 
     // SCC twin — INDEPENDENT formulation: full reachability closure,
     // mutual pairs, label = min mutually-reachable id (incl. self)

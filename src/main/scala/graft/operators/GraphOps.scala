@@ -1096,4 +1096,73 @@ object GraphOps {
       .filter((col("da") + col("db")) % 2 === 0)
       .select(col("a"), col("b"), col("da"), col("db"))
   }
+
+  /** Deterministic LUBY maximal-independent-set rounds: each round every
+    * remaining node draws priority mixId(node_id·mul + round) and joins
+    * the MIS iff its (priority, id) beats every remaining neighbor's —
+    * local minima form an independent set by construction — then winners
+    * and their neighborhoods leave the graph. The RNG-free priority makes
+    * the result bit-identical in any engine (the oracle unrolls the same
+    * rounds), while keeping Luby's O(log n) expected-round behavior
+    * because mixId decorrelates adjacent ids.
+    *
+    * Scale posture: per round two hash joins of the remaining edge list
+    * against the (node-sized) priority frame, one anti-join for winners,
+    * and two semi-joins shrinking the edge list — every step keyed, no
+    * global sort; the remaining graph shrinks geometrically (each edge's
+    * lower-priority endpoint either wins or has a neighbor that does).
+    * Round loop capped at `rounds` (the oracle unrolls exactly that many;
+    * extra rounds after the graph drains are no-ops on both sides), with
+    * the per-round persist / count / unpersist / RDD-rebase hygiene of
+    * [[hopDistance]]. Output (node_id, round) for every MIS member.
+    */
+  def lubyMis(edges: DataFrame, rounds: Int, prioMul: Long,
+              scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    var cachedN = sym.select(col("src").as("node_id")).distinct().persist()
+    var cachedE = sym.persist()
+    var remN = spark.createDataFrame(cachedN.rdd, cachedN.schema)
+    var remE = spark.createDataFrame(cachedE.rdd, cachedE.schema)
+    var empty = cachedN.isEmpty
+    // schema-typed empty seed so an edgeless input still returns a frame
+    var out = List(remN.select(col("node_id"), lit(0L).as("round")).limit(0))
+    var r = 0L
+    while (r < rounds && !empty) {
+      r += 1
+      val prio = remN.withColumn("p",
+        Fns.mixId(col("node_id") * lit(prioMul) + lit(r)))
+      val lose = remE
+        .join(prio.select(col("node_id").as("src"), col("p").as("pa")), "src")
+        .join(prio.select(col("node_id").as("dst"), col("p").as("pb")), "dst")
+        .filter(col("pb") < col("pa") ||
+          (col("pb") === col("pa") && col("dst") < col("src")))
+        .select(col("src").as("node_id")).distinct()
+      val win = remN.join(lose, Seq("node_id"), "left_anti")
+        .select(col("node_id"), lit(r).as("round")).persist()
+      scope.track(win)
+      out ::= spark.createDataFrame(win.rdd, win.schema)
+      val del = win.select("node_id").unionByName(
+          remE.join(win.select(col("node_id").as("src")), "src")
+            .select(col("dst").as("node_id"))).distinct()
+      val newN = remN.join(del, Seq("node_id"), "left_anti").persist()
+      val newE = remE
+        .join(newN.select(col("node_id").as("src")), "src")
+        .join(newN.select(col("node_id").as("dst")), "dst")
+        .select("src", "dst").persist()
+      empty = newN.isEmpty
+      newE.count() // materialize before dropping the previous round
+      cachedN.unpersist(blocking = false)
+      cachedE.unpersist(blocking = false)
+      cachedN = newN; cachedE = newE
+      remN = spark.createDataFrame(newN.rdd, newN.schema)
+      remE = spark.createDataFrame(newE.rdd, newE.schema)
+    }
+    scope.track(cachedN); scope.track(cachedE)
+    out.reduce(_ unionByName _)
+  }
 }
