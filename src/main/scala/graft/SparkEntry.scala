@@ -957,6 +957,11 @@ object SparkEntry {
     // frequencies over the vocabulary, word-frequency weighted, top 50
     "q_bpe_pairs" -> ((s, d) => LmOps.bpePairCounts(t(s, d, "documents"), 50)),
 
+    // BPE merge TRAINING rounds: the sequential merge list (greedy
+    // argmax + left-to-right merge) both engines derive independently
+    "q_bpe_train" -> ((s, d) =>
+      LmOps.bpeTrain(t(s, d, "documents"), BpeTrainRounds)),
+
     // language-balanced subsample: every lang keeps its mixId-smallest
     // n_min docs (n_min = smallest language) — re-shard-stable mixture cut
     "q_balance" -> ((s, d) => LmOps.balancedSample(t(s, d, "documents"))),
@@ -2498,6 +2503,9 @@ object SparkEntry {
     */
   val PathCntSeedMod = 103L
   val PathCntMaxHops = 4
+
+  /** q_bpe_train merge rounds (the oracle unrolls exactly this many). */
+  val BpeTrainRounds = 8
 
   /** q_mis round cap (the oracle unrolls exactly this many; Luby halves
     * the graph per expected round, so 12 covers any SF here — both
@@ -5550,6 +5558,46 @@ object SparkEntry {
 
     // BPE merge-round twin: vocabulary word counts, per-word adjacent
     // character pairs via unnest(range), weighted sum, deterministic cut
+    // bpe-train twin: unrolled merge rounds — pc = weighted adjacent
+    // pair counts over the split symbol strings, top = the argmax merge,
+    // w{r} = the greedy left-to-right fold applied via list_reduce over
+    // a '#'-seeded token chain (boundary-space ends_with = token-exact
+    // last-symbol test); MATERIALIZED (chain reuse)
+    "q_bpe_train" -> {
+      val stages = (1 to BpeTrainRounds).map { r =>
+        s"""pc$r AS MATERIALIZED (
+           |  SELECT a[i + 1] AS x, a[i + 2] AS y, CAST(sum(wc) AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT wc, a, unnest(range(0, len(a) - 1)) AS i FROM (
+           |      SELECT wc, string_split(trim(s), ' ') AS a FROM w${r - 1})
+           |    WHERE len(a) >= 2)
+           |  GROUP BY 1, 2),
+           |top$r AS MATERIALIZED (
+           |  SELECT x, y, cnt FROM pc$r ORDER BY cnt DESC, x, y LIMIT 1),
+           |w$r AS MATERIALIZED (
+           |  SELECT wc, ' ' || substr(acc, 3) || ' ' AS s FROM (
+           |    SELECT wc, list_reduce(
+           |      list_prepend('#', string_split(trim(s), ' ')),
+           |      (acc, cur) -> CASE
+           |        WHEN ends_with(acc, ' ' || t.x) AND cur = t.y
+           |        THEN substr(acc, 1, length(acc) - length(t.x) - 1) ||
+           |          ' ' || t.x || t.y
+           |        ELSE acc || ' ' || cur END) AS acc
+           |    FROM w${r - 1}, top$r t))""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 to BpeTrainRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, x AS sym_a, y AS sym_b, cnt FROM top$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w0 AS MATERIALIZED (
+         |  SELECT wc, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s
+         |  FROM (
+         |    SELECT w, count(*) AS wc FROM (
+         |      SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS w FROM documents)
+         |    GROUP BY 1)),
+         |$stages
+         |$sel""".stripMargin
+    },
+
     "q_bpe_pairs" ->
       """WITH w AS (
         |  SELECT w, count(*) AS wc FROM (

@@ -237,4 +237,79 @@ object LmOps {
           (col("cab").cast("double") * col("nu") * col("nu")) /
             (col("nb").cast("double") * col("ca") * col("cb"))).as("pmi_e6"))
   }
+
+  /** BPE MERGE TRAINING — the iterative half of [[bpePairCounts]]: R
+    * rounds of (count adjacent symbol pairs weighted by word frequency →
+    * take the max-count pair, ties to the lexicographically smallest →
+    * merge every non-overlapping occurrence left-to-right). Words are
+    * the space-padded symbol strings " d a t a "; the merge is a
+    * LEFT-TO-RIGHT FOLD over the symbol list — merge when (last(acc),
+    * cur) == (x, y) — which is exactly the trainer's greedy
+    * non-overlapping rule because the merged token is strictly longer
+    * than x and therefore can never re-trigger as the left side of the
+    * same round's pattern. (A delimiter-string replace(' x y ') is NOT
+    * equivalent: consecutive matches share the boundary space and runs
+    * like 'x y x y' under-merge.) No end-of-word marker — a documented
+    * intra-word contract.
+    *
+    * Scale posture: the state table is the VOCABULARY (word, freq,
+    * symbol string) — Zipf-bounded, not corpus-bounded; each round is
+    * one map-side-combined pair-count shuffle, a TakeOrdered(1) argmax
+    * whose single row is the round's broadcast decision (the one
+    * documented driver probe — a tokenizer trainer is sequential in its
+    * merge list by definition), and a narrow map applying the merge.
+    * Round state persists/unpersists with RDD rebase per round. Output:
+    * (round, sym_a, sym_b, cnt) — the learned merge table.
+    */
+  def bpeTrain(corpus: DataFrame, rounds: Int,
+               scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val words0 = corpus.select(explode(
+        regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("wc"), concat(lit(" "),
+        array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
+        lit(" ")).as("s"))
+    var cached = words0.persist()
+    var state = spark.createDataFrame(cached.rdd, cached.schema)
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var r = 0L
+    var done = false
+    while (r < rounds && !done) {
+      r += 1
+      val top = state
+        .select(col("wc"), split(trim(col("s")), " ").as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(a) - 2), i -> struct(a[i] AS x, a[i+1] AS y))"))
+          .as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y"))
+        .limit(1).collect() // the round's single-row merge decision
+      if (top.isEmpty) done = true
+      else {
+        val (x, y, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, x, y, cnt))
+        val folded = aggregate(
+          split(trim(col("s")), " "),
+          array().cast("array<string>"),
+          (acc, sym) => when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(x) && sym === lit(y),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+            .otherwise(concat(acc, array(sym))))
+        val next = state.select(col("wc"),
+          concat(lit(" "), array_join(folded, " "), lit(" ")).as("s"))
+          .persist()
+        next.count() // materialize before dropping the previous round
+        cached.unpersist(blocking = false)
+        cached = next
+        state = spark.createDataFrame(next.rdd, next.schema)
+      }
+    }
+    scope.track(cached)
+    merges.toSeq.toDF("round", "sym_a", "sym_b", "cnt")
+  }
 }
