@@ -1514,6 +1514,17 @@ object SparkEntry {
     "q_mis" -> ((s, d) =>
       GraphOps.lubyMis(linkEdges(s, d), MisRounds, MisPrioMul)),
 
+    // --- redirect-chain resolution (functional-graph doubling) ---
+    // synthetic redirect map: docs with doc_id % 3 != 0 redirect to a
+    // mixId-scattered target; % 3 == 0 docs are terminals
+    "q_redirects" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      CrawlOps.resolveRedirects(docs.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("src"),
+          (Fns.mixId(col("doc_id") * 29 + 5) % n).as("dst")))
+    }),
+
     // --- Borůvka minimum spanning forest (similarity-graph backbone) ---
     // distinct weights by construction (wbase·n² + a·n + b) ⇒ unique MST
     "q_mst" -> ((s, d) => {
@@ -6570,6 +6581,25 @@ object SparkEntry {
          |$stages
          |$sel""".stripMargin
     },
+
+    // redirects twin — INDEPENDENT formulation: per-source reachability
+    // CLOSURE (UNION dedupes, so cycles terminate); the final is the
+    // unique reachable node with no outgoing edge, absent on a cycle
+    "q_redirects" ->
+      s"""WITH RECURSIVE red AS (
+         |  SELECT doc_id AS src, ${mixIdSql("doc_id * 29 + 5")} %
+         |    (SELECT count(*) FROM documents) AS dst
+         |  FROM documents WHERE doc_id % 3 <> 0),
+         |walk AS (
+         |  SELECT src, src AS cur FROM red
+         |  UNION
+         |  SELECT w.src, r.dst FROM walk w JOIN red r ON r.src = w.cur),
+         |term AS (
+         |  SELECT w.src, w.cur AS final FROM walk w
+         |  LEFT JOIN red r ON r.src = w.cur WHERE r.src IS NULL)
+         |SELECT r0.src, t.final,
+         |  CAST(CASE WHEN t.final IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_cycle
+         |FROM (SELECT DISTINCT src FROM red) r0 LEFT JOIN term t USING (src)""".stripMargin,
 
     // SCC twin — INDEPENDENT formulation: full reachability closure,
     // mutual pairs, label = min mutually-reachable id (incl. self)

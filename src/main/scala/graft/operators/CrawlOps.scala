@@ -34,4 +34,59 @@ object CrawlOps {
       .select(col("curl"), col("host"), col("slot"),
         (lit(baseUs) + col("slot") * delayUs).as("fetch_us"))
   }
+
+  /** REDIRECT-CHAIN resolution by POINTER JUMPING: every node follows
+    * its redirect edge to the chain's terminal (a node with no outgoing
+    * redirect); nodes trapped in a redirect cycle (cycles consist only
+    * of non-terminals — terminals have no out-edge) resolve to NULL with
+    * is_cycle = 1. The crawl-core dedup step: a 10^12-url frontier must
+    * collapse chains like m.example → example → example/index before any
+    * per-url work.
+    *
+    * Scale posture: the successor table closes over itself in
+    * ⌈log₂ n⌉ + 1 rounds of ONE self equi-join each (f ← f∘f), the
+    * doubling trick that replaces O(chain-length) sequential hops —
+    * chain length is unbounded on a crawl graph (pagination chains), so
+    * per-hop walking is not an option. Each round persists + rebases per
+    * the house loop hygiene. Terminal-ness is decided by the TERMINAL
+    * RULE (membership in the redirect map), not by fixpoint-ness, so
+    * self-redirects correctly report as cycles. Input: redirects
+    * (src, dst) — at most ONE outgoing edge per src (functional graph;
+    * callers dedupe upstream). Output: (src, final, is_cycle) for every
+    * node that appears as a source.
+    */
+  def resolveRedirects(redirects: DataFrame,
+                       scope: graft.core.CacheScope =
+                         graft.core.CacheScope.global): DataFrame = {
+    val spark = redirects.sparkSession
+    val edges = scope.persist(redirects.select(col("src"), col("dst")))
+    val n = edges.count() // documented probe: sets the doubling depth
+    val rounds = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L)) + 1
+    // successor map over ALL nodes: terminals point to themselves
+    val terms = edges.select(col("dst").as("src"))
+      .join(edges.select(col("src")), Seq("src"), "left_anti").distinct()
+      .select(col("src"), col("src").as("nxt"))
+    var cached = edges.select(col("src"), col("dst").as("nxt"))
+      .unionByName(terms).persist()
+    var f = spark.createDataFrame(cached.rdd, cached.schema)
+    var r = 0
+    while (r < rounds) {
+      r += 1
+      val next = f.join(f.select(col("src").as("nxt"), col("nxt").as("nxt2")),
+          Seq("nxt"))
+        .select(col("src"), col("nxt2").as("nxt")).persist()
+      next.count() // materialize before dropping the previous round
+      cached.unpersist(blocking = false)
+      cached = next
+      f = spark.createDataFrame(next.rdd, next.schema)
+    }
+    scope.track(cached)
+    val nonTerm = edges.select(col("src")).distinct()
+      .select(col("src").as("nxt"), lit(0L).as("nonterm"))
+    edges.select(col("src")).distinct().join(f, Seq("src"))
+      .join(nonTerm, Seq("nxt"), "left")
+      .select(col("src"),
+        when(col("nonterm").isNull, col("nxt")).as("final"),
+        when(col("nonterm").isNull, 0L).otherwise(1L).as("is_cycle"))
+  }
 }
