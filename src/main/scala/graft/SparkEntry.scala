@@ -962,6 +962,10 @@ object SparkEntry {
     "q_bpe_train" -> ((s, d) =>
       LmOps.bpeTrain(t(s, d, "documents"), BpeTrainRounds)),
 
+    // tokenize with the learned merges: per-doc word + token counts
+    "q_bpe_apply" -> ((s, d) =>
+      LmOps.bpeApply(t(s, d, "documents"), BpeTrainRounds)),
+
     // language-balanced subsample: every lang keeps its mixId-smallest
     // n_min docs (n_min = smallest language) — re-shard-stable mixture cut
     "q_balance" -> ((s, d) => LmOps.balancedSample(t(s, d, "documents"))),
@@ -2517,6 +2521,45 @@ object SparkEntry {
 
   /** q_bpe_train merge rounds (the oracle unrolls exactly this many). */
   val BpeTrainRounds = 8
+
+  /** Shared q_bpe_train / q_bpe_apply trainer stages: w0 = spaced char
+    * state per vocabulary word, then per round pc = weighted adjacent
+    * pair counts, top = argmax merge, w{r} = greedy left-to-right fold
+    * via list_reduce over a '#'-seeded token chain (boundary-space
+    * ends_with = token-exact last-symbol test). MATERIALIZED — the chain
+    * reuses each stage 2-3x and default inlining would be exponential.
+    */
+  private lazy val bpeStagesSql: String = {
+    val stages = (1 to BpeTrainRounds).map { r =>
+      s"""pc$r AS MATERIALIZED (
+         |  SELECT a[i + 1] AS x, a[i + 2] AS y, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (
+         |    SELECT wc, a, unnest(range(0, len(a) - 1)) AS i FROM (
+         |      SELECT wc, string_split(trim(s), ' ') AS a FROM w${r - 1})
+         |    WHERE len(a) >= 2)
+         |  GROUP BY 1, 2),
+         |top$r AS MATERIALIZED (
+         |  SELECT x, y, cnt FROM pc$r ORDER BY cnt DESC, x, y LIMIT 1),
+         |w$r AS MATERIALIZED (
+         |  SELECT w, wc, ' ' || substr(acc, 3) || ' ' AS s FROM (
+         |    SELECT w, wc, list_reduce(
+         |      list_prepend('#', string_split(trim(s), ' ')),
+         |      (acc, cur) -> CASE
+         |        WHEN ends_with(acc, ' ' || t.x) AND cur = t.y
+         |        THEN substr(acc, 1, length(acc) - length(t.x) - 1) ||
+         |          ' ' || t.x || t.y
+         |        ELSE acc || ' ' || cur END) AS acc
+         |    FROM w${r - 1}, top$r t))""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, wc,
+       |    ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s
+       |  FROM (
+       |    SELECT w, count(*) AS wc FROM (
+       |      SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS w FROM documents)
+       |    GROUP BY 1)),
+       |$stages""".stripMargin
+  }
 
   /** q_mis round cap (the oracle unrolls exactly this many; Luby halves
     * the graph per expected round, so 12 covers any SF here — both
@@ -5575,39 +5618,24 @@ object SparkEntry {
     // a '#'-seeded token chain (boundary-space ends_with = token-exact
     // last-symbol test); MATERIALIZED (chain reuse)
     "q_bpe_train" -> {
-      val stages = (1 to BpeTrainRounds).map { r =>
-        s"""pc$r AS MATERIALIZED (
-           |  SELECT a[i + 1] AS x, a[i + 2] AS y, CAST(sum(wc) AS BIGINT) AS cnt
-           |  FROM (
-           |    SELECT wc, a, unnest(range(0, len(a) - 1)) AS i FROM (
-           |      SELECT wc, string_split(trim(s), ' ') AS a FROM w${r - 1})
-           |    WHERE len(a) >= 2)
-           |  GROUP BY 1, 2),
-           |top$r AS MATERIALIZED (
-           |  SELECT x, y, cnt FROM pc$r ORDER BY cnt DESC, x, y LIMIT 1),
-           |w$r AS MATERIALIZED (
-           |  SELECT wc, ' ' || substr(acc, 3) || ' ' AS s FROM (
-           |    SELECT wc, list_reduce(
-           |      list_prepend('#', string_split(trim(s), ' ')),
-           |      (acc, cur) -> CASE
-           |        WHEN ends_with(acc, ' ' || t.x) AND cur = t.y
-           |        THEN substr(acc, 1, length(acc) - length(t.x) - 1) ||
-           |          ' ' || t.x || t.y
-           |        ELSE acc || ' ' || cur END) AS acc
-           |    FROM w${r - 1}, top$r t))""".stripMargin
-      }.mkString(",\n")
       val sel = (1 to BpeTrainRounds).map(r =>
         s"SELECT CAST($r AS BIGINT) AS round, x AS sym_a, y AS sym_b, cnt FROM top$r")
         .mkString("\nUNION ALL\n")
-      s"""WITH w0 AS MATERIALIZED (
-         |  SELECT wc, ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' ' AS s
-         |  FROM (
-         |    SELECT w, count(*) AS wc FROM (
-         |      SELECT unnest(regexp_extract_all(text, '[^ ]+')) AS w FROM documents)
-         |    GROUP BY 1)),
-         |$stages
+      s"""WITH $bpeStagesSql
          |$sel""".stripMargin
     },
+
+    // bpe-apply twin: the shared trainer stages, then token counts per
+    // vocabulary word joined back through the corpus' word explode
+    "q_bpe_apply" ->
+      s"""WITH $bpeStagesSql,
+         |tok AS (SELECT w, len(string_split(trim(s), ' ')) AS ntok
+         |  FROM w$BpeTrainRounds),
+         |dw AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^ ]+')) AS w
+         |  FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |FROM dw JOIN tok USING (w) GROUP BY 1""".stripMargin,
 
     "q_bpe_pairs" ->
       """WITH w AS (

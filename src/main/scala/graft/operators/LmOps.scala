@@ -262,13 +262,44 @@ object LmOps {
     * (round, sym_a, sym_b, cnt) — the learned merge table.
     */
   def bpeTrain(corpus: DataFrame, rounds: Int,
+               scope: CacheScope = CacheScope.global): DataFrame =
+    bpeTrainCore(corpus, rounds, scope)._1
+
+  /** [[bpeTrain]]'s merge list APPLIED back to the corpus: tokenize every
+    * document with the learned vocabulary and emit per-doc word and token
+    * counts — the compression measurement that tells a pipeline whether
+    * its tokenizer budget fits (tokens-per-doc drives training cost).
+    *
+    * Scale posture: tokenization happens ONCE PER VOCABULARY WORD (the
+    * trained state already holds each word's symbol string — token count
+    * is a length, no re-fold), then one hash join of the exploded corpus
+    * words against that Zipf-bounded vocabulary and a map-side-combined
+    * per-doc rollup. Output: (doc_id, n_words, n_tokens).
+    */
+  def bpeApply(corpus: DataFrame, rounds: Int,
                scope: CacheScope = CacheScope.global): DataFrame = {
+    val state = bpeTrainCore(corpus, rounds, scope)._2
+    val vocab = state.select(col("w"),
+      size(split(trim(col("s")), " ")).cast("long").as("ntok"))
+    corpus.select(col("doc_id"), explode(
+        regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("w"))
+      .join(vocab, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+  }
+
+  /** Shared trainer loop: returns (merge table, final vocabulary state
+    * (w, wc, s)). State keeps the raw word `w` as the join key for
+    * [[bpeApply]].
+    */
+  private def bpeTrainCore(corpus: DataFrame, rounds: Int,
+                           scope: CacheScope): (DataFrame, DataFrame) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val words0 = corpus.select(explode(
         regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
-      .select(col("wc"), concat(lit(" "),
+      .select(col("w"), col("wc"), concat(lit(" "),
         array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
         lit(" ")).as("s"))
     var cached = words0.persist()
@@ -300,7 +331,7 @@ object LmOps {
               element_at(acc, -1) === lit(x) && sym === lit(y),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
             .otherwise(concat(acc, array(sym))))
-        val next = state.select(col("wc"),
+        val next = state.select(col("w"), col("wc"),
           concat(lit(" "), array_join(folded, " "), lit(" ")).as("s"))
           .persist()
         next.count() // materialize before dropping the previous round
@@ -310,6 +341,6 @@ object LmOps {
       }
     }
     scope.track(cached)
-    merges.toSeq.toDF("round", "sym_a", "sym_b", "cnt")
+    (merges.toSeq.toDF("round", "sym_a", "sym_b", "cnt"), state)
   }
 }

@@ -66,6 +66,41 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === refBpe(docs, 6))
   }
 
+  /** Tokenize a word with an ordered merge list (greedy per merge). */
+  private def refTokenize(w: String,
+                          ms: Seq[(String, String)]): Vector[String] = {
+    var syms = w.map(_.toString).toVector
+    ms.foreach { case (x, y) =>
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == x && syms(i + 1) == y) {
+          b += x + y; i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      syms = b.result()
+    }
+    syms
+  }
+
+  test("bpeApply token counts match the sequential tokenizer") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      "banana bandana banana and a man ran",
+      "a banana can and a bandana fan",
+      "nan nan banana anna")
+    val ms = refBpe(docs, 6).map(m => (m._2, m._3))
+    val want = docs.zipWithIndex.map { case (text, i) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      i.toLong -> (ws.length.toLong,
+        ws.map(w => refTokenize(w, ms).length.toLong).sum)
+    }.toMap
+    val got = LmOps.bpeApply(docs.zipWithIndex.map(d =>
+        (d._2.toLong, d._1)).toDF("doc_id", "text"), 6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want)
+  }
+
   test("overlapping runs merge left-to-right ('aaaa' -> 'aa aa')") {
     val s = spark; import s.implicits._
     val docs = Seq((0L, "aaaa aaa")).toDF("doc_id", "text")
