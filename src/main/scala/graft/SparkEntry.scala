@@ -1518,6 +1518,10 @@ object SparkEntry {
     "q_mis" -> ((s, d) =>
       GraphOps.lubyMis(linkEdges(s, d), MisRounds, MisPrioMul)),
 
+    // --- k-truss peeling (cohesive link-ring backbone) ---
+    "q_ktruss" -> ((s, d) =>
+      GraphOps.kTruss(linkEdges(s, d), KTrussK, KTrussRounds)),
+
     // --- redirect-chain resolution (functional-graph doubling) ---
     // synthetic redirect map: docs with doc_id % 3 != 0 redirect to a
     // mixId-scattered target; % 3 == 0 docs are terminals
@@ -2560,6 +2564,12 @@ object SparkEntry {
        |    GROUP BY 1)),
        |$stages""".stripMargin
   }
+
+  /** q_ktruss: truss order (support ≥ k−2 = 1 triangle per surviving
+    * edge) and the peel-round cap both engines run exactly.
+    */
+  val KTrussK = 3
+  val KTrussRounds = 5
 
   /** q_mis round cap (the oracle unrolls exactly this many; Luby halves
     * the graph per expected round, so 12 covers any SF here — both
@@ -6608,6 +6618,40 @@ object SparkEntry {
          |rem0 AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM re0),
          |$stages
          |$sel""".stripMargin
+    },
+
+    // ktruss twin — INDEPENDENT formulation: triangles by the unoriented
+    // canonical 3-join per unrolled peel round (ke0..keT — linkEdgesSql
+    // owns the name e0); MATERIALIZED against exponential inlining
+    "q_ktruss" -> {
+      val stages = (1 to KTrussRounds).map { r =>
+        s"""t$r AS MATERIALIZED (
+           |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM ke${r - 1} e1 JOIN ke${r - 1} e2 ON e2.a = e1.b
+           |  JOIN ke${r - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+           |s$r AS MATERIALIZED (
+           |  SELECT a, b, count(*) AS sup FROM (
+           |    SELECT x AS a, y AS b FROM t$r
+           |    UNION ALL SELECT y, z FROM t$r
+           |    UNION ALL SELECT x, z FROM t$r) GROUP BY 1, 2),
+           |ke$r AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM ke${r - 1} e JOIN s$r s USING (a, b)
+           |  WHERE s.sup >= ${KTrussK - 2})""".stripMargin
+      }.mkString(",\n")
+      val T = KTrussRounds
+      s"""WITH $linkEdgesSql,
+         |ke0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,
+         |  greatest(src, dst) AS b FROM edges WHERE src <> dst),
+         |$stages,
+         |tf AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ke$T e1 JOIN ke$T e2 ON e2.a = e1.b
+         |  JOIN ke$T e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |sf AS (SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+         |    SELECT x AS a, y AS b FROM tf
+         |    UNION ALL SELECT y, z FROM tf
+         |    UNION ALL SELECT x, z FROM tf) GROUP BY 1, 2)
+         |SELECT e.a, e.b, coalesce(sf.sup, 0) AS sup
+         |FROM ke$T e LEFT JOIN sf USING (a, b)""".stripMargin
     },
 
     // redirects twin — INDEPENDENT formulation: per-source reachability

@@ -260,6 +260,19 @@ object GraphOps {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    orientedTriangles(ec, scope)
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("node_id"))
+      .groupBy("node_id").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Each triangle of a canonical (a < b, distinct) edge set, exactly
+    * once, as (u, v1, v2): vertices in DEGREE-rank order. The standard
+    * orientation trick — wedges form only at each triangle's
+    * minimum-rank vertex, so a 10^6-degree hub explodes O(deg^{3/2})
+    * wedges instead of O(deg²).
+    */
+  private def orientedTriangles(ec: DataFrame,
+                                scope: CacheScope): DataFrame = {
     val deg = ec.select(col("a").as("v"))
       .unionByName(ec.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -278,15 +291,70 @@ object GraphOps {
     val o2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
     // wedges at the minimum-ranked vertex, endpoints in rank order —
     // the closing edge (if any) is oriented exactly v1 -> v2
-    val wedges = o1.join(o2, "u")
+    o1.join(o2, "u")
       .filter(col("d1") < col("d2") ||
         (col("d1") === col("d2") && col("v1") < col("v2")))
-    val tris = wedges
       .join(oriented.select(col("u").as("v1"), col("v").as("v2")),
         Seq("v1", "v2"))
       .select(col("u"), col("v1"), col("v2"))
-    tris.select(explode(array(col("u"), col("v1"), col("v2"))).as("node_id"))
-      .groupBy("node_id").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Per canonical edge, the number of triangles through it, from
+    * [[orientedTriangles]] — (a, b, sup); triangle-free edges absent.
+    */
+  private def edgeSupport(ec: DataFrame, scope: CacheScope): DataFrame =
+    orientedTriangles(ec, scope)
+      .select(explode(array(
+        struct(least(col("u"), col("v1")).as("a"),
+          greatest(col("u"), col("v1")).as("b")),
+        struct(least(col("u"), col("v2")).as("a"),
+          greatest(col("u"), col("v2")).as("b")),
+        struct(least(col("v1"), col("v2")).as("a"),
+          greatest(col("v1"), col("v2")).as("b")))).as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("sup"))
+
+  /** K-TRUSS peeling (k ≥ 3): iteratively delete every edge supported by
+    * fewer than k−2 triangles until none is — the cohesive-subgraph
+    * backbone (denser than connected components, cheaper than cliques;
+    * the spam-farm / link-ring detector of a web graph). Exactly
+    * `rounds` peel rounds, matching the unrolled oracle — removal is
+    * monotone, so once the set is stable every further round is a no-op
+    * on both engines and the loop exits early on convergence.
+    *
+    * Scale posture: per round ONE oriented-wedge triangle enumeration
+    * (O(m^{3/2}) work, hub-safe via [[orientedTriangles]]) feeding a
+    * per-edge support count and a semi-join filter; the edge set only
+    * shrinks, so rounds get cheaper. Persist / count / unpersist /
+    * RDD-rebase per round. Output: surviving edges (a, b, sup) with
+    * support RECOMPUTED inside the surviving set.
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int,
+             scope: CacheScope = CacheScope.global): DataFrame = {
+    require(k >= 3, "k-truss peeling joins away support-0 edges; k >= 3")
+    val spark = edges.sparkSession
+    var cached = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().persist()
+    var e = spark.createDataFrame(cached.rdd, cached.schema)
+    var n = cached.count()
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
+      r += 1
+      val keep = e.join(edgeSupport(e, scope).filter(col("sup") >= k - 2),
+        Seq("a", "b"), "left_semi").persist()
+      val kn = keep.count()
+      stable = kn == n
+      n = kn
+      cached.unpersist(blocking = false)
+      cached = keep
+      e = spark.createDataFrame(keep.rdd, keep.schema)
+    }
+    scope.track(cached)
+    e.join(edgeSupport(e, scope), Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("sup"))
   }
 
   /** Synchronous label-propagation community detection, FIXED rounds:
