@@ -1506,6 +1506,14 @@ object SparkEntry {
       GraphOps.shortestPathCounts(linkEdges(s, d), seeds, PathCntMaxHops)
     }),
 
+    // --- landmark betweenness (Brandes forward σ + e6 backward δ) ---
+    "q_betweenness" -> ((s, d) => {
+      val seeds = t(s, d, "documents")
+        .filter(col("doc_id") % PathCntSeedMod === 1)
+        .select(col("doc_id").as("node_id"))
+      GraphOps.landmarkBetweenness(linkEdges(s, d), seeds, PathCntMaxHops)
+    }),
+
     // --- odd-cycle witness edges (bipartiteness test, BFS parity) ---
     "q_bipartite" -> ((s, d) => {
       val seeds = t(s, d, "documents")
@@ -6562,6 +6570,41 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS sigma
          |FROM walks w JOIN d ON d.node_id = w.node_id AND d.hops = w.hops
          |GROUP BY 1, 2""".stripMargin,
+
+    // betweenness twin: the walks-based (d, σ) table plus unrolled
+    // backward levels — every per-edge term is one integer floor div
+    "q_betweenness" -> {
+      val H = PathCntMaxHops
+      val bws = (H - 1 to 0 by -1).map { h =>
+        val deep = if (h == H - 1) "0"
+          else s"coalesce((SELECT delta FROM bw${h + 1} b WHERE b.node_id = e.dst), 0)"
+        s"""bw$h AS MATERIALIZED (
+           |  SELECT v.node_id,
+           |    CAST(sum((v.sigma * (1000000 + $deep)) // w.sigma) AS BIGINT) AS delta
+           |  FROM edges e JOIN d v ON v.node_id = e.src AND v.hops = $h
+           |  JOIN d w ON w.node_id = e.dst AND w.hops = ${h + 1}
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val allBw = (H - 1 to 0 by -1).map(h => s"SELECT * FROM bw$h")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $linkEdgesSql,
+         |walks AS (
+         |  SELECT doc_id AS node_id, 0 AS hops FROM documents
+         |  WHERE doc_id % $PathCntSeedMod = 1
+         |  UNION ALL
+         |  SELECT e.dst, w.hops + 1 FROM walks w JOIN edges e ON e.src = w.node_id
+         |  WHERE w.hops < $H),
+         |d AS MATERIALIZED (
+         |  SELECT w.node_id, CAST(dd.hops AS BIGINT) AS hops,
+         |    CAST(count(*) AS BIGINT) AS sigma
+         |  FROM walks w JOIN (SELECT node_id, min(hops) AS hops FROM walks
+         |    GROUP BY 1) dd
+         |    ON dd.node_id = w.node_id AND dd.hops = w.hops
+         |  GROUP BY 1, 2),
+         |$bws
+         |SELECT d.node_id, d.hops, d.sigma, coalesce(b.delta, 0) AS delta_e6
+         |FROM d LEFT JOIN ($allBw) b USING (node_id)""".stripMargin
+    },
 
     // bipartite twin — INDEPENDENT formulation: min-hop recursive closure
     // on the symmetrized edge set; a witness edge has both endpoints at

@@ -1136,6 +1136,55 @@ object GraphOps {
     visited
   }
 
+  /** Landmark BETWEENNESS (Brandes): the σ forward pass of
+    * [[shortestPathCounts]] plus the level-synchronous BACKWARD
+    * dependency accumulation δ(v) = Σ_{w : d(w)=d(v)+1, (v,w)∈E}
+    * ⌊σ_v · (10⁶ + δ_w) / σ_w⌋ — each edge's term is ONE integer floor
+    * division, so the per-node sum is shuffle-order-proof and the whole
+    * table bit-identical cross-engine (float Brandes is not). δ is in e6
+    * micro-units of the textbook dependency; paths are truncated at
+    * `maxHops` in BOTH passes (the landmark approximation's documented
+    * horizon).
+    *
+    * Scale posture: the forward pass is the audited frontier loop; the
+    * backward pass is exactly `maxHops` rounds (level-bounded, not
+    * data-dependent), each ONE edge-list join against two level slices
+    * of the persisted forward frame plus a map-side-combined sum.
+    * Output: (node_id, hops, sigma, delta_e6) for every reached node.
+    */
+  def landmarkBetweenness(edges: DataFrame, sources: DataFrame, maxHops: Int,
+                          scope: CacheScope = CacheScope.global): DataFrame = {
+    val fwd = scope.persist(shortestPathCounts(edges, sources, maxHops, scope))
+    val e = scope.persist(edges.select(col("src"), col("dst")).distinct())
+    var deeper: Option[DataFrame] = None
+    val levels = (maxHops - 1 to 0 by -1).map { h =>
+      val v = fwd.filter(col("hops") === h)
+        .select(col("node_id").as("src"), col("sigma").as("sv"))
+      val w = fwd.filter(col("hops") === h + 1)
+        .select(col("node_id").as("dst"), col("sigma").as("sw"))
+      val withDeep = deeper match {
+        case Some(d) => e.join(v, "src").join(w, "dst")
+          .join(d.select(col("node_id").as("dst"), col("delta").as("dw")),
+            Seq("dst"), "left")
+        case None => e.join(v, "src").join(w, "dst")
+          .withColumn("dw", lit(null).cast("long"))
+      }
+      val delta = scope.persist(withDeep
+        .select(col("src"),
+          Fns.idiv2(col("sv") * (lit(1000000L) + coalesce(col("dw"), lit(0L))),
+            col("sw")).as("c"))
+        .groupBy(col("src")).agg(sum(col("c")).as("delta"))
+        .select(col("src").as("node_id"), col("delta")))
+      deeper = Some(delta)
+      delta
+    }
+    val allDelta = levels.reduce(_ unionByName _)
+      .groupBy("node_id").agg(max(col("delta")).as("delta")) // levels disjoint
+    fwd.join(allDelta, Seq("node_id"), "left")
+      .select(col("node_id"), col("hops"), col("sigma"),
+        coalesce(col("delta"), lit(0L)).as("delta_e6"))
+  }
+
   /** Odd-cycle witness edges: BFS-parity conflicts on the SYMMETRIZED
     * graph. Runs [[hopDistance]] from the seed set over undirected
     * edges; any surviving edge whose endpoints sit at the same hop

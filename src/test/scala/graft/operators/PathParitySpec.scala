@@ -66,6 +66,54 @@ class PathParitySpec extends AnyFunSuite with BeforeAndAfterAll {
       5L -> (1L, 1L), 4L -> (2L, 2L), 6L -> (2L, 1L)))
   }
 
+  /** Sequential twin of landmarkBetweenness' integer backward pass. */
+  private def refDelta(edges: Seq[(Long, Long)], sources: Set[Long],
+                       maxHops: Int): Map[Long, Long] = {
+    val ds = refSigma(edges, sources, maxHops)
+    val e = edges.distinct
+    var delta = Map.empty[Long, Long].withDefaultValue(0L)
+    for (h <- maxHops - 1 to 0 by -1) {
+      val lv = e.flatMap { case (v, w) =>
+        (ds.get(v), ds.get(w)) match {
+          case (Some((dv, sv)), Some((dw, sw))) if dv == h && dw == h + 1 =>
+            Some(v -> sv * (1000000L + delta(w)) / sw)
+          case _ => None
+        }
+      }.groupBy(_._1).map { case (v, g) => v -> g.map(_._2).sum }
+      delta = delta ++ lv
+    }
+    ds.map { case (n, _) => n -> delta(n) }
+  }
+
+  test("betweenness matches the sequential integer Brandes pass") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(101)
+    val edges = Seq.fill(800)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val sources = Set(0L, 60L, 119L)
+    val want = refSigma(edges, sources, 4).map { case (n, (d, sg)) =>
+      n -> (d, sg, refDelta(edges, sources, 4)(n)) }
+    val got = GraphOps.landmarkBetweenness(
+        edges.toDF("src", "dst"), sources.toSeq.toDF("node_id"), 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === want)
+  }
+
+  test("diamond: the two middle nodes each carry half the dependency") {
+    val s = spark; import s.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val got = GraphOps.landmarkBetweenness(edges, Seq(1L).toDF("node_id"), 4)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // σ(4) = 2 via both middles; δ(2) = δ(3) = 1·(1e6+0)/2 = 500000;
+    // δ(1) = 1·(1e6+5e5)/1 × 2 = 3000000
+    assert(got === Map(1L -> (0L, 1L, 3000000L), 2L -> (1L, 1L, 500000L),
+      3L -> (1L, 1L, 500000L), 4L -> (2L, 2L, 0L)))
+  }
+
   test("odd-cycle witnesses: triangle flagged, square clean") {
     val s = spark; import s.implicits._
     // triangle 1-2-3 (odd) and square 10-11-12-13 (even, bipartite)
