@@ -1860,6 +1860,15 @@ object SparkEntry {
           Fns.cellY(col("lat_fix"), CompactLevel).as("by")),
         CompactLevel)),
 
+    // --- per-polygon compacted multi-level covers (index shipping) ---
+    "q_poly_compact" -> ((s, _) =>
+      SpatialOps.compactCells(
+        SpatialOps.rasterizePolygons(Synth.hexCorpus(s, RegionsPolys),
+            RasterizeLevel)
+          .select(col("poly_id"), col("cell_x").as("bx"),
+            col("cell_y").as("by")),
+        RasterizeLevel, keys = Seq("poly_id"))),
+
     // --- polygon contact matrix (neighbor graph + border/overlap) ---
     // the hex corpus is overlap-free by construction (the q_iou finding),
     // so corpus B is corpus A shifted east by one raster cell: guaranteed
@@ -6241,6 +6250,33 @@ object SparkEntry {
          |  FROM p GROUP BY 1, 2),
          |$rollups
          |$leaves""".stripMargin
+    },
+
+    // poly-compact twin: the shared hex-raster CTEs feeding the same
+    // unrolled sibling promotion, poly_id riding every group key
+    "q_poly_compact" -> {
+      val L = RasterizeLevel
+      val sets = (L to 1 by -1).map { lv =>
+        val src = if (lv == L)
+          s"kp$L AS MATERIALIZED (SELECT DISTINCT poly_id, cell_x AS bx, " +
+            "cell_y AS by FROM zcellsq)"
+        else s"kp$lv AS MATERIALIZED (SELECT poly_id, bx, by FROM fp${lv + 1})"
+        val full = s"fp$lv AS MATERIALIZED (SELECT poly_id, bx // 2 AS bx, " +
+          s"by // 2 AS by FROM kp$lv GROUP BY 1, 2, 3 HAVING count(*) = 4)"
+        s"$src,\n$full"
+      }.mkString(",\n")
+      val leaves = (L to 1 by -1).map { lv =>
+        s"""SELECT CAST($lv AS BIGINT) AS lv, k.poly_id, k.bx, k.by FROM kp$lv k
+           |LEFT JOIN fp$lv f ON f.poly_id = k.poly_id
+           |  AND f.bx = k.bx // 2 AND f.by = k.by // 2
+           |WHERE f.bx IS NULL""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH hexesq AS (${Synth.hexCorpusSql(RegionsPolys)}),
+         |${hexRasterCtesSqlFrom("hexesq", "q")},
+         |$sets
+         |$leaves
+         |UNION ALL SELECT CAST(0 AS BIGINT) AS lv, poly_id, bx, by FROM fp1"""
+        .stripMargin
     },
 
     // compact twin: unrolled bottom-up sibling promotion — k{lv} is the

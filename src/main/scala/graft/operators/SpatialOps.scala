@@ -2943,9 +2943,11 @@ object SpatialOps {
     * data-dependent — each ONE parent-key shuffle (groupBy, count == 4 of a
     * DISTINCT set) plus an anti-join of the round's cells against the full
     * parents; the cell set shrinks by ≥4× per promoted level, so round
-    * cost is geometrically decreasing. Output (lv, bx, by): disjoint cells
-    * (lv in 0..level, coords at that level) whose union is exactly the
-    * input set and in which no 2×2 sibling group survives complete.
+    * cost is geometrically decreasing. Output (lv, keys…, bx, by):
+    * disjoint cells (lv in 0..level, coords at that level) whose union is
+    * exactly the input set and in which no 2×2 sibling group survives
+    * complete. `keys` compacts per group (e.g. per polygon footprint) —
+    * the keys simply ride every shuffle key, same plan shape.
     */
   /** Grid LINE-OF-SIGHT: for each (observer, target) cell pair, walk the
     * rounding-DDA line between them and count occupied intermediate
@@ -2989,21 +2991,25 @@ object SpatialOps {
   }
 
   def compactCells(cells: DataFrame, level: Int,
+                   keys: Seq[String] = Nil,
                    scope: CacheScope = CacheScope.global): DataFrame = {
-    var cur = scope.persist(cells.select(col("bx"), col("by")).distinct())
+    val kc = keys.map(col)
+    var cur = scope.persist(
+      cells.select(kc :+ col("bx") :+ col("by"): _*).distinct())
     val leaves = (level to 1 by -1).map { lv =>
-      val withPar = cur.select(col("bx"), col("by"),
-        expr("bx div 2").as("pbx"), expr("by div 2").as("pby"))
-      val fullPar = withPar.groupBy("pbx", "pby")
+      val withPar = cur.select(kc ++ Seq(col("bx"), col("by"),
+        expr("bx div 2").as("pbx"), expr("by div 2").as("pby")): _*)
+      val fullPar = withPar.groupBy(kc :+ col("pbx") :+ col("pby"): _*)
         .agg(count(lit(1)).as("c")).filter(col("c") === 4)
-        .select(col("pbx"), col("pby"))
-      val out = withPar.join(fullPar, Seq("pbx", "pby"), "left_anti")
-        .select(lit(lv.toLong).as("lv"), col("bx"), col("by"))
-      cur = scope.persist(
-        fullPar.select(col("pbx").as("bx"), col("pby").as("by")))
+        .select(kc :+ col("pbx") :+ col("pby"): _*)
+      val out = withPar
+        .join(fullPar, keys ++ Seq("pbx", "pby"), "left_anti")
+        .select(lit(lv.toLong).as("lv") +: kc :+ col("bx") :+ col("by"): _*)
+      cur = scope.persist(fullPar.select(
+        kc :+ col("pbx").as("bx") :+ col("pby").as("by"): _*))
       out
     }
-    (leaves :+ cur.select(lit(0L).as("lv"), col("bx"), col("by")))
+    (leaves :+ cur.select(lit(0L).as("lv") +: kc :+ col("bx") :+ col("by"): _*))
       .reduce(_ unionByName _)
   }
 }

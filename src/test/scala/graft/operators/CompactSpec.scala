@@ -62,6 +62,25 @@ class CompactSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set((0L, 0L, 0L)))
   }
 
+  test("keyed compaction treats each group independently") {
+    val s = spark; import s.implicits._
+    // group 1: full 4x4 block -> one level-1 promotion chain to a single
+    // level-... cell; group 2: same coords minus one cell -> partial
+    val full = for (x <- 0L until 4; y <- 0L until 4) yield (1L, x, y)
+    val holed = full.filterNot(c => c._2 == 3 && c._3 == 3).map(c => (2L, c._2, c._3))
+    val got = SpatialOps.compactCells(
+        (full ++ holed).toDF("gid", "bx", "by"), 2, keys = Seq("gid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val g1 = got.filter(_._2 == 1L)
+    val g2 = got.filter(_._2 == 2L)
+    assert(g1 === Set((0L, 1L, 0L, 0L))) // full block -> the root cell
+    // holed group: 3 complete level-1 siblings + 3 loose level-2 cells
+    assert(g2 === Set((1L, 2L, 0L, 0L), (1L, 2L, 1L, 0L), (1L, 2L, 0L, 1L),
+      (2L, 2L, 2L, 3L), (2L, 2L, 3L, 2L), (2L, 2L, 2L, 2L)))
+  }
+
   test("cover invariants: exact union, disjoint, no complete sibling group") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(29)
