@@ -1869,6 +1869,11 @@ object SparkEntry {
             col("cell_y").as("by")),
         RasterizeLevel, keys = Seq("poly_id"))),
 
+    // --- PIP probed through the compacted cover (ancestor-cell join) ---
+    "q_compact_pip" -> ((s, d) =>
+      SpatialOps.pipJoinCompact(Synth.points(s, d),
+        Synth.hexCorpus(s, RegionsPolys), RasterizeLevel)),
+
     // --- polygon contact matrix (neighbor graph + border/overlap) ---
     // the hex corpus is overlap-free by construction (the q_iou finding),
     // so corpus B is corpus A shifted east by one raster cell: guaranteed
@@ -3372,6 +3377,37 @@ object SparkEntry {
   /** Parameterized variant: CTE names carry `tag` so two corpora can be
     * rasterized inside one oracle (q_iou). Final stage: `zcells$tag`.
     */
+  /** Shared q_poly_compact / q_compact_pip CTE chain: hexesq corpus →
+    * hex raster (tag q) → per-polygon unrolled sibling promotion
+    * (kp/fp, MATERIALIZED — the chain reuses each stage) → `pcover`,
+    * the per-polygon compacted multi-level cover (lv, poly_id, bx, by).
+    */
+  private lazy val polyCompactCtesSql: String = {
+    val L = RasterizeLevel
+    val sets = (L to 1 by -1).map { lv =>
+      val src = if (lv == L)
+        s"kp$L AS MATERIALIZED (SELECT DISTINCT poly_id, cell_x AS bx, " +
+          "cell_y AS by FROM zcellsq)"
+      else s"kp$lv AS MATERIALIZED (SELECT poly_id, bx, by FROM fp${lv + 1})"
+      val full = s"fp$lv AS MATERIALIZED (SELECT poly_id, bx // 2 AS bx, " +
+        s"by // 2 AS by FROM kp$lv GROUP BY 1, 2, 3 HAVING count(*) = 4)"
+      s"$src,\n$full"
+    }.mkString(",\n")
+    val leaves = (L to 1 by -1).map { lv =>
+      s"""SELECT CAST($lv AS BIGINT) AS lv, k.poly_id, k.bx, k.by FROM kp$lv k
+         |LEFT JOIN fp$lv f ON f.poly_id = k.poly_id
+         |  AND f.bx = k.bx // 2 AND f.by = k.by // 2
+         |WHERE f.bx IS NULL""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""hexesq AS (${Synth.hexCorpusSql(RegionsPolys)}),
+       |${hexRasterCtesSqlFrom("hexesq", "q")},
+       |$sets,
+       |pcover AS MATERIALIZED (
+       |$leaves
+       |UNION ALL SELECT CAST(0 AS BIGINT) AS lv, poly_id, bx, by FROM fp1)"""
+      .stripMargin
+  }
+
   private def hexRasterCtesSqlFrom(from: String, tag: String,
                                    level: Int = RasterizeLevel): String = {
     val lvl = 1 << level
@@ -6254,29 +6290,41 @@ object SparkEntry {
 
     // poly-compact twin: the shared hex-raster CTEs feeding the same
     // unrolled sibling promotion, poly_id riding every group key
-    "q_poly_compact" -> {
+    "q_poly_compact" ->
+      s"""WITH $polyCompactCtesSql
+         |SELECT lv, poly_id, bx, by FROM pcover""".stripMargin,
+
+    // compact-pip twin: every point probes the compacted cover with its
+    // level-l ancestor cells, half-plane refine against the hexagons
+    "q_compact_pip" -> {
       val L = RasterizeLevel
-      val sets = (L to 1 by -1).map { lv =>
-        val src = if (lv == L)
-          s"kp$L AS MATERIALIZED (SELECT DISTINCT poly_id, cell_x AS bx, " +
-            "cell_y AS by FROM zcellsq)"
-        else s"kp$lv AS MATERIALIZED (SELECT poly_id, bx, by FROM fp${lv + 1})"
-        val full = s"fp$lv AS MATERIALIZED (SELECT poly_id, bx // 2 AS bx, " +
-          s"by // 2 AS by FROM kp$lv GROUP BY 1, 2, 3 HAVING count(*) = 4)"
-        s"$src,\n$full"
-      }.mkString(",\n")
-      val leaves = (L to 1 by -1).map { lv =>
-        s"""SELECT CAST($lv AS BIGINT) AS lv, k.poly_id, k.bx, k.by FROM kp$lv k
-           |LEFT JOIN fp$lv f ON f.poly_id = k.poly_id
-           |  AND f.bx = k.bx // 2 AND f.by = k.by // 2
-           |WHERE f.bx IS NULL""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH hexesq AS (${Synth.hexCorpusSql(RegionsPolys)}),
-         |${hexRasterCtesSqlFrom("hexesq", "q")},
-         |$sets
-         |$leaves
-         |UNION ALL SELECT CAST(0 AS BIGINT) AS lv, poly_id, bx, by FROM fp1"""
-        .stripMargin
+      val g = 1L << L
+      val verts = Seq(("hx.cx + hx.r", "hx.cy"), ("hx.cx + hx.h", "hx.cy + hx.s"),
+        ("hx.cx - hx.h", "hx.cy + hx.s"), ("hx.cx - hx.r", "hx.cy"),
+        ("hx.cx - hx.h", "hx.cy - hx.s"), ("hx.cx + hx.h", "hx.cy - hx.s"))
+      val halfPlanes = verts.indices.map { i =>
+        val (x1, y1) = verts(i); val (x2, y2) = verts((i + 1) % verts.length)
+        s"((($x2) - ($x1)) * (c.lat_fix - ($y1)) - " +
+          s"(($y2) - ($y1)) * (c.lon_fix - ($x1)) >= 0)"
+      }.mkString("\n  AND ")
+      s"""WITH $polyCompactCtesSql,
+         |p AS ($P),
+         |pr AS (
+         |  SELECT pid, lon_fix, lat_fix, l AS lv,
+         |    fx // (1::BIGINT << ($L - l)) AS bx,
+         |    fy // (1::BIGINT << ($L - l)) AS by
+         |  FROM (
+         |    SELECT pid, lon_fix, lat_fix,
+         |      least(((lon_fix + 1800000000) * $g) // 3600000000, ${g - 1}) AS fx,
+         |      least(((lat_fix + 900000000) * $g) // 1800000000, ${g - 1}) AS fy,
+         |      unnest(range(0, ${L + 1})) AS l
+         |    FROM p)),
+         |cand AS (SELECT pid, lon_fix, lat_fix, poly_id
+         |  FROM pr JOIN pcover USING (lv, bx, by))
+         |SELECT c.poly_id, CAST(count(*) AS BIGINT) AS n_points
+         |FROM cand c JOIN hexesq hx ON hx.poly_id = c.poly_id
+         |WHERE $halfPlanes
+         |GROUP BY 1""".stripMargin
     },
 
     // compact twin: unrolled bottom-up sibling promotion — k{lv} is the

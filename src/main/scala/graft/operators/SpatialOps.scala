@@ -2949,6 +2949,45 @@ object SpatialOps {
     * complete. `keys` compacts per group (e.g. per polygon footprint) —
     * the keys simply ride every shuffle key, same plan shape.
     */
+  /** PIP join probed THROUGH a per-polygon COMPACTED cover — the
+    * north-rule index composition: instead of joining points against the
+    * dense fine-level footprint raster, each polygon ships its
+    * [[compactCells]] cover (4-70× fewer rows here, and the gap widens
+    * with polygon size), and every point probes it with its level-ℓ
+    * ANCESTOR cells — level+1 equi-join keys per point, one shuffle-hash
+    * join, no polygon broadcast. Candidates are unique per (point,
+    * polygon) because a compacted cover is disjoint across levels; the
+    * exact ray-cast then refines against the (broadcast, dimension-sized)
+    * ring geometry. Contract: candidate cells are the CENTER-rasterized
+    * footprint of [[rasterizePolygons]], so a hit means "inside the
+    * polygon AND inside its center-raster" — boundary points in
+    * uncovered edge cells drop identically in both engines.
+    * Output: (poly_id, n_points).
+    */
+  def pipJoinCompact(points: DataFrame, polys: DataFrame, level: Int,
+                     scope: CacheScope = CacheScope.global): DataFrame = {
+    val cover = compactCells(
+      rasterizePolygons(polys, level).select(col("poly_id"),
+        col("cell_x").as("bx"), col("cell_y").as("by")),
+      level, keys = Seq("poly_id"), scope)
+    val probes = points
+      .select(col("pid"), col("lon_fix"), col("lat_fix"),
+        Fns.cellX(col("lon_fix"), level).as("fx"),
+        Fns.cellY(col("lat_fix"), level).as("fy"))
+      .select(col("pid"), col("lon_fix"), col("lat_fix"),
+        explode(expr(s"transform(sequence(0L, ${level}L), l -> struct(" +
+          s"l AS lv, shiftright(fx, $level - int(l)) AS bx, " +
+          s"shiftright(fy, $level - int(l)) AS by))")).as("c"))
+      .select(col("pid"), col("lon_fix"), col("lat_fix"),
+        col("c.lv").as("lv"), col("c.bx").as("bx"), col("c.by").as("by"))
+    probes.join(cover.hint("shuffle_hash"), Seq("lv", "bx", "by"))
+      .join(broadcast(polys.select(col("poly_id"), col("xs"), col("ys"))),
+        Seq("poly_id"))
+      .filter(graft.plans.GeomExpressions.pointInRings(
+        col("lon_fix"), col("lat_fix"), col("xs"), col("ys")))
+      .groupBy(col("poly_id")).agg(count(lit(1)).as("n_points"))
+  }
+
   /** Grid LINE-OF-SIGHT: for each (observer, target) cell pair, walk the
     * rounding-DDA line between them and count occupied intermediate
     * cells — visible iff none blocks. The line cell at step t of n
