@@ -1526,6 +1526,23 @@ object SparkEntry {
     "q_mis" -> ((s, d) =>
       GraphOps.lubyMis(linkEdges(s, d), MisRounds, MisPrioMul)),
 
+    // --- iterated-MIS graph coloring (round index = color) ---
+    "q_coloring" -> ((s, d) =>
+      GraphOps.lubyColoring(linkEdges(s, d), ColoringRounds, ColorPrioMul)),
+
+    // --- deterministic weighted sampling (Efraimidis–Spirakis race) ---
+    // key = lnE6(1/u)·1e6 div w with u mixId-uniform: the k smallest
+    // exponential arrival times, P(pick) ∝ n_chars — the quality-weighted
+    // subsample cut, integer-exact in both engines
+    "q_wsample" -> ((s, d) =>
+      t(s, d, "documents").filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars").as("w"),
+          (graft.plans.HllExpressions.lnE6(lit(1048576.0) /
+            ((Fns.mixId(col("doc_id")) % 1048576L) + lit(1L)).cast("double"))
+            * 1000000L).as("lnu"))
+        .select(col("doc_id"), col("w"), expr("lnu div w").as("race_key"))
+        .orderBy(col("race_key"), col("doc_id")).limit(WSampleK)),
+
     // --- k-truss peeling (cohesive link-ring backbone) ---
     "q_ktruss" -> ((s, d) =>
       GraphOps.kTruss(linkEdges(s, d), KTrussK, KTrussRounds)),
@@ -2601,6 +2618,16 @@ object SparkEntry {
   val MisRounds = 12
   val MisPrioMul = 1000003L
 
+  /** q_coloring round cap (winner-only removal drains slower than MIS —
+    * expected rounds ~ max-degree-ish on this graph) and its own prio
+    * multiplier.
+    */
+  val ColoringRounds = 24
+  val ColorPrioMul = 999983L
+
+  /** q_wsample: weighted-race sample size. */
+  val WSampleK = 100
+
   /** q_closeness landmark rule (doc_id % mod == 3, capped — the landmark
     * set stays ≤ 100 nodes at ANY scale factor, the fixed-budget contract
     * of landmark centrality) and BFS hop bound.
@@ -3377,6 +3404,48 @@ object SparkEntry {
   /** Parameterized variant: CTE names carry `tag` so two corpora can be
     * rasterized inside one oracle (q_iou). Final stage: `zcells$tag`.
     */
+  /** Shared q_mis / q_coloring oracle builder: deterministic Luby rounds
+    * unrolled. Every stage MATERIALIZED — the rem/re chain references
+    * its predecessor 3-4 times, so default CTE inlining is exponential
+    * in rounds (DuckDB runs out of file handles re-scanning the
+    * parquet). `removeNeighbors` = true is MIS (winners + neighborhoods
+    * leave); false is coloring (winners only; round = color).
+    */
+  private def lubySql(rounds: Int, prioMul: Long,
+                      removeNeighbors: Boolean): String = {
+    val stages = (1 to rounds).map { r =>
+      val del = if (removeNeighbors)
+        s"""del$r AS MATERIALIZED (SELECT node_id FROM win$r UNION
+           |  SELECT e.dst FROM re${r - 1} e JOIN win$r w ON w.node_id = e.src),"""
+          .stripMargin
+      else s"del$r AS MATERIALIZED (SELECT node_id FROM win$r),"
+      s"""p$r AS MATERIALIZED (SELECT node_id,
+         |  ${mixIdSql(s"node_id * $prioMul + $r")} AS p FROM rem${r - 1}),
+         |lose$r AS MATERIALIZED (SELECT DISTINCT e.src AS node_id FROM re${r - 1} e
+         |  JOIN p$r a ON a.node_id = e.src JOIN p$r b ON b.node_id = e.dst
+         |  WHERE b.p < a.p OR (b.p = a.p AND e.dst < e.src)),
+         |win$r AS MATERIALIZED (SELECT node_id FROM rem${r - 1}
+         |  EXCEPT SELECT node_id FROM lose$r),
+         |$del
+         |rem$r AS MATERIALIZED (SELECT node_id FROM rem${r - 1}
+         |  EXCEPT SELECT node_id FROM del$r),
+         |re$r AS MATERIALIZED (SELECT e.src, e.dst FROM re${r - 1} e
+         |  JOIN rem$r a ON a.node_id = e.src
+         |  JOIN rem$r b ON b.node_id = e.dst)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to rounds).map(r =>
+      s"SELECT node_id, CAST($r AS BIGINT) AS round FROM win$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $linkEdgesSql,
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges WHERE src <> dst),
+       |re0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |rem0 AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM re0),
+       |$stages
+       |$sel""".stripMargin
+  }
+
   /** Shared q_poly_compact / q_compact_pip CTE chain: hexesq corpus →
     * hex raster (tag q) → per-polygon unrolled sibling promotion
     * (kp/fp, MATERIALIZED — the chain reuses each stage) → `pcover`,
@@ -6714,38 +6783,24 @@ object SparkEntry {
     // MIS twin — the SAME deterministic round structure unrolled (the
     // pageRankSql generator pattern): pN = priorities, loseN = beaten
     // nodes, winN = round winners, remN/reN = shrunken graph
-    "q_mis" -> {
-      // every stage MATERIALIZED: the rem/re chain references its
-      // predecessor 3-4 times, so default CTE inlining is exponential in
-      // rounds (DuckDB runs out of file handles re-scanning the parquet)
-      val stages = (1 to MisRounds).map { r =>
-        s"""p$r AS MATERIALIZED (SELECT node_id,
-           |  ${mixIdSql(s"node_id * $MisPrioMul + $r")} AS p FROM rem${r - 1}),
-           |lose$r AS MATERIALIZED (SELECT DISTINCT e.src AS node_id FROM re${r - 1} e
-           |  JOIN p$r a ON a.node_id = e.src JOIN p$r b ON b.node_id = e.dst
-           |  WHERE b.p < a.p OR (b.p = a.p AND e.dst < e.src)),
-           |win$r AS MATERIALIZED (SELECT node_id FROM rem${r - 1}
-           |  EXCEPT SELECT node_id FROM lose$r),
-           |del$r AS MATERIALIZED (SELECT node_id FROM win$r UNION
-           |  SELECT e.dst FROM re${r - 1} e JOIN win$r w ON w.node_id = e.src),
-           |rem$r AS MATERIALIZED (SELECT node_id FROM rem${r - 1}
-           |  EXCEPT SELECT node_id FROM del$r),
-           |re$r AS MATERIALIZED (SELECT e.src, e.dst FROM re${r - 1} e
-           |  JOIN rem$r a ON a.node_id = e.src
-           |  JOIN rem$r b ON b.node_id = e.dst)""".stripMargin
-      }.mkString(",\n")
-      val sel = (1 to MisRounds).map(r =>
-        s"SELECT node_id, CAST($r AS BIGINT) AS round FROM win$r")
-        .mkString("\nUNION ALL\n")
-      s"""WITH $linkEdgesSql,
-         |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-         |  FROM edges WHERE src <> dst),
-         |re0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
-         |  UNION ALL SELECT b, a FROM und),
-         |rem0 AS MATERIALIZED (SELECT DISTINCT src AS node_id FROM re0),
-         |$stages
-         |$sel""".stripMargin
-    },
+    "q_mis" -> lubySql(MisRounds, MisPrioMul, removeNeighbors = true),
+
+    // coloring twin: the same rounds with winner-only removal
+    "q_coloring" -> lubySql(ColoringRounds, ColorPrioMul,
+      removeNeighbors = false),
+
+    // wsample twin: the shared lnDet CTE stages produce lnE6(1/u), then
+    // the integer race key and the tie-broken top-k cut
+    "q_wsample" ->
+      s"""WITH ws0 AS (
+         |  SELECT doc_id, n_chars AS w,
+         |    1048576.0 / CAST((${mixIdSql("doc_id")} % 1048576) + 1 AS DOUBLE) AS x
+         |  FROM documents WHERE n_chars > 0),
+         |${lnStagesSql("ws", "ws0")}
+         |SELECT doc_id, w,
+         |  (CAST(round((kl + srs) * 1000000.0) AS BIGINT) * 1000000) // w
+         |    AS race_key
+         |FROM ws5 ORDER BY race_key, doc_id LIMIT $WSampleK""".stripMargin,
 
     // ktruss twin — INDEPENDENT formulation: triangles by the unoriented
     // canonical 3-join per unrolled peel round (ke0..keT — linkEdgesSql

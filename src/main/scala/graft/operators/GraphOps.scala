@@ -1234,7 +1234,25 @@ object GraphOps {
     * [[hopDistance]]. Output (node_id, round) for every MIS member.
     */
   def lubyMis(edges: DataFrame, rounds: Int, prioMul: Long,
-              scope: CacheScope = CacheScope.global): DataFrame = {
+              scope: CacheScope = CacheScope.global): DataFrame =
+    lubyRounds(edges, rounds, prioMul, removeNeighbors = true, scope)
+
+  /** GRAPH COLORING by iterated MIS rounds (Jones–Plassmann shape): the
+    * same deterministic priority race as [[lubyMis]], but each round
+    * removes ONLY the winners — the round index becomes the node's
+    * color. Within a round winners form an independent set, and a node's
+    * neighbors that won earlier carry smaller colors, so the coloring is
+    * proper. Colors are not minimal (that would need per-neighbor color
+    * sets); this is the conflict-free-scheduling primitive, not an
+    * optimizer. Output (node_id, round) — round IS the color.
+    */
+  def lubyColoring(edges: DataFrame, rounds: Int, prioMul: Long,
+                   scope: CacheScope = CacheScope.global): DataFrame =
+    lubyRounds(edges, rounds, prioMul, removeNeighbors = false, scope)
+
+  private def lubyRounds(edges: DataFrame, rounds: Int, prioMul: Long,
+                         removeNeighbors: Boolean,
+                         scope: CacheScope): DataFrame = {
     val spark = edges.sparkSession
     val und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -1263,9 +1281,11 @@ object GraphOps {
         .select(col("node_id"), lit(r).as("round")).persist()
       scope.track(win)
       out ::= spark.createDataFrame(win.rdd, win.schema)
-      val del = win.select("node_id").unionByName(
-          remE.join(win.select(col("node_id").as("src")), "src")
-            .select(col("dst").as("node_id"))).distinct()
+      val del =
+        if (removeNeighbors) win.select("node_id").unionByName(
+            remE.join(win.select(col("node_id").as("src")), "src")
+              .select(col("dst").as("node_id"))).distinct()
+        else win.select("node_id")
       val newN = remN.join(del, Seq("node_id"), "left_anti").persist()
       val newE = remE
         .join(newN.select(col("node_id").as("src")), "src")

@@ -53,6 +53,41 @@ class MisSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === refLuby(edges, 12, 1000003L))
   }
 
+  /** Sequential twin of the coloring rounds (winner-only removal). */
+  private def refColoring(raw: Seq[(Long, Long)], rounds: Int,
+                          mul: Long): Map[Long, Long] = {
+    val und = raw.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val fullAdj = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (k, g) => k -> g.map(_._2).toSet }
+    var remaining = fullAdj.keySet
+    var out = Map.empty[Long, Long]
+    var r = 0L
+    while (r < rounds && remaining.nonEmpty) {
+      r += 1
+      val p = remaining.map(n => n -> TextHash.mixId(n * mul + r)).toMap
+      val win = remaining.filter(n => (fullAdj(n) & remaining).forall(m =>
+        p(n) < p(m) || (p(n) == p(m) && n < m)))
+      out ++= win.map(_ -> r)
+      remaining --= win
+    }
+    out
+  }
+
+  test("coloring matches the sequential simulation and is proper") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(700)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val got = GraphOps.lubyColoring(edges.toDF("src", "dst"), 24, 999983L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refColoring(edges, 24, 999983L))
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    // proper: no edge joins two equal colors (both endpoints colored here)
+    assert(und.forall { case (a, b) =>
+      !got.contains(a) || !got.contains(b) || got(a) != got(b) })
+  }
+
   test("result is independent and maximal") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(47)
