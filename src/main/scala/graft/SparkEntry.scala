@@ -1526,6 +1526,17 @@ object SparkEntry {
     "q_mis" -> ((s, d) =>
       GraphOps.lubyMis(linkEdges(s, d), MisRounds, MisPrioMul)),
 
+    // --- HyperBall neighborhood function (HLL counter per node) ---
+    "q_hyperball" -> ((s, d) => {
+      val ed = linkEdges(s, d)
+      val nodes = ed.select(col("src").as("node_id"))
+        .unionByName(ed.select(col("dst").as("node_id"))).distinct()
+        .select(col("node_id"),
+          (Fns.mixId(col("node_id")) * lit(1L << 29) +
+            Fns.mixId(col("node_id") * 1009 + 3)).as("fp"))
+      SketchOps.hyperBall(nodes, ed, HyperBallRounds)
+    }),
+
     // --- iterated-MIS graph coloring (round index = color) ---
     "q_coloring" -> ((s, d) =>
       GraphOps.lubyColoring(linkEdges(s, d), ColoringRounds, ColorPrioMul)),
@@ -2627,6 +2638,9 @@ object SparkEntry {
 
   /** q_wsample: weighted-race sample size. */
   val WSampleK = 100
+
+  /** q_hyperball radius bound (ball estimates emitted for r = 0..this). */
+  val HyperBallRounds = 3
 
   /** q_closeness landmark rule (doc_id % mod == 3, capped — the landmark
     * set stays ≤ 100 nodes at ANY scale factor, the fixed-budget contract
@@ -6788,6 +6802,55 @@ object SparkEntry {
     // coloring twin: the same rounds with winner-only removal
     "q_coloring" -> lubySql(ColoringRounds, ColorPrioMul,
       removeNeighbors = false),
+
+    // hyperball twin: sparse register rows, per-round register-max merge
+    // along edges, the q_hll finish chain replicated per radius
+    "q_hyperball" -> {
+      import graft.core.Hll
+      val m = Hll.M
+      val R = HyperBallRounds
+      val fp = s"(${mixIdSql("nid")} * ${1L << 29} + ${mixIdSql("nid * 1009 + 3")})"
+      val w = s"($fp >> ${Hll.log2m(m)})"
+      val rounds = (1 to R).map { r =>
+        s"""hb$r AS MATERIALIZED (
+           |  SELECT node_id, reg, max(mrho) AS mrho FROM (
+           |    SELECT node_id, reg, mrho FROM hb${r - 1}
+           |    UNION ALL
+           |    SELECT e.src AS node_id, s.reg, s.mrho
+           |    FROM edges e JOIN hb${r - 1} s ON s.node_id = e.dst)
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      val ests = (0 to R).map { r =>
+        s"""agg$r AS (SELECT node_id, count(*) AS n_regs,
+           |  CAST(sum(CAST(1 AS BIGINT) << (${Hll.RhoCap} - mrho)) AS BIGINT) AS pop_sum
+           |  FROM hb$r GROUP BY 1),
+           |ex$r AS (SELECT node_id, n_regs,
+           |  pop_sum + ($m - n_regs) * ${Hll.Scale} AS reg_sum,
+           |  $m - n_regs AS vz FROM agg$r),
+           |hx$r AS (SELECT *, ${m.toDouble} / CAST(greatest(vz, 1) AS DOUBLE) AS x
+           |  FROM ex$r),
+           |${lnStagesSql(s"hl$r", s"hx$r")}""".stripMargin
+      }.mkString(",\n")
+      val sel = (0 to R).map { r =>
+        s"""SELECT node_id, CAST($r AS BIGINT) AS r, n_regs, reg_sum,
+           |  CASE WHEN vz > 0 AND reg_sum >= ${Hll.lcThreshold(m)}
+           |    THEN CAST(round((${m.toDouble} * (kl + srs)) * 1000.0) AS BIGINT)
+           |    ELSE CAST(round((${Hll.estNumerator(m)} / reg_sum) * 1000.0) AS BIGINT)
+           |  END AS est_e3
+           |FROM hl${r}5""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $linkEdgesSql,
+         |vs AS (SELECT DISTINCT src AS nid FROM edges
+         |  UNION SELECT dst FROM edges),
+         |rr AS (SELECT nid AS node_id, $fp % $m AS reg,
+         |  least(bit_count((($w & (-$w)) - 1)) + 1, ${Hll.RhoCap}) AS rho
+         |  FROM vs),
+         |hb0 AS MATERIALIZED (
+         |  SELECT node_id, reg, max(rho) AS mrho FROM rr GROUP BY 1, 2),
+         |$rounds,
+         |$ests
+         |$sel""".stripMargin
+    },
 
     // wsample twin: the shared lnDet CTE stages produce lnE6(1/u), then
     // the integer race key and the tie-broken top-k cut

@@ -115,6 +115,59 @@ object SketchOps {
       .select(col(groupCol), col("n_regs"), col("reg_sum"), col("est_e3"),
         col("n_exact"))
 
+  /** HYPERBALL (Boldi–Vigna): the neighborhood function |ball(v, r)| for
+    * every node and every radius r ≤ rounds, via an HLL counter per node
+    * merged register-wise along out-edges each round — THE
+    * trillion-edge effective-diameter / centrality algorithm (exact BFS
+    * per node is O(n·m); this is O(rounds · m · registers) total).
+    * Registers are kept SPARSE as (node, reg, mrho) rows — a node's ball
+    * of b distinct hashes populates ≤ min(b, m) rows, so round-0 state
+    * is one row per node and state never exceeds nodes×m.
+    *
+    * Determinism: register math is the integer [[Hll]] kernel; the
+    * per-round merge is a groupBy MAX (associative, shuffle-order-proof)
+    * and the estimate the fixed-IEEE-op estimator — bit-identical
+    * cross-engine, like every sketch here.
+    *
+    * Scale posture: per round ONE edge-list equi-join against the sparse
+    * register frame and one map-side-combined (node, reg) max; rounds
+    * are the query's radius bound (small by definition — web diameters
+    * are ~20). Persist / count / unpersist / RDD-rebase per round.
+    * Input: nodes (node_id, fp — nonnegative hash), edges (src, dst).
+    * Output: (node_id, r, n_regs, reg_sum, est_e3) for r in 0..rounds.
+    */
+  def hyperBall(nodes: DataFrame, edges: DataFrame, rounds: Int,
+                m: Int = Hll.M,
+                scope: graft.core.CacheScope =
+                  graft.core.CacheScope.global): DataFrame = {
+    val spark = edges.sparkSession
+    val e = scope.persist(edges.select(col("src"), col("dst")).distinct())
+    def finishRound(state: DataFrame, r: Int): DataFrame =
+      finish(state, "node_id", Nil, m)
+        .select(col("node_id"), lit(r.toLong).as("r"),
+          col("n_regs"), col("reg_sum"), col("est_e3"))
+    var cached = registers(nodes, "node_id", col("fp"), m)
+      .groupBy(col("node_id"), col("reg")).agg(max(col("rho")).as("mrho"))
+      .persist()
+    var state = spark.createDataFrame(cached.rdd, cached.schema)
+    val outs = scala.collection.mutable.ListBuffer(finishRound(state, 0))
+    for (r <- 1 to rounds) {
+      val prop = e
+        .join(state.withColumnRenamed("node_id", "dst"), "dst")
+        .select(col("src").as("node_id"), col("reg"), col("mrho"))
+      val next = state.unionByName(prop)
+        .groupBy(col("node_id"), col("reg")).agg(max(col("mrho")).as("mrho"))
+        .persist()
+      next.count() // materialize before dropping the previous round
+      cached.unpersist(blocking = false)
+      cached = next
+      state = spark.createDataFrame(next.rdd, next.schema)
+      outs += finishRound(state, r)
+    }
+    scope.track(cached)
+    outs.reduce(_ unionByName _)
+  }
+
   /** The [[graft.plans.TextHashExpressions.docFingerprint]] hash domain
     * (2^61 − 1): KMV's estimator scales the k-th minimum against it.
     */
