@@ -1926,6 +1926,18 @@ object SparkEntry {
       SpatialOps.isochrone(occ, seeds, DilateLevel, IsoMaxHops)
     }),
 
+    // --- antimeridian segment normalization (±180° splitting) ---
+    // synthetic full-range segments: doubled lonFixOf over mixId-scattered
+    // keys covers ±180° with decorrelated endpoints, so ~25% of segments
+    // wrap (the doc tables' points never do)
+    "q_antimeridian" -> ((s, d) =>
+      SpatialOps.splitAntimeridian(t(s, d, "documents").select(
+        col("doc_id").as("seg_id"),
+        (Fns.lonFixOf(Fns.mixId(col("doc_id") * 4 + 1)) * 2).as("x1"),
+        Fns.latFixOf(Fns.mixId(col("doc_id") * 4 + 2)).as("y1"),
+        (Fns.lonFixOf(Fns.mixId(col("doc_id") * 4 + 3)) * 2).as("x2"),
+        Fns.latFixOf(Fns.mixId(col("doc_id") * 4 + 4)).as("y2")))),
+
     // --- grid line-of-sight over the occupancy mask (rounding DDA) ---
     "q_visibility" -> ((s, d) => {
       import s.implicits._
@@ -6464,6 +6476,34 @@ object SparkEntry {
          |SELECT poly_a, poly_b, CAST(sum(is_border) AS BIGINT) AS n_border,
          |  CAST(sum(1 - is_border) AS BIGINT) AS n_shared
          |FROM ar GROUP BY 1, 2""".stripMargin,
+
+    // antimeridian twin: same orientation CASEs; `//` and Spark `div`
+    // agree (both truncate toward zero), so the split latitude matches
+    "q_antimeridian" ->
+      s"""WITH s0 AS (
+        |  SELECT doc_id AS seg_id,
+        |    ((${mixIdSql("doc_id*4 + 1")} * 2654435761) % 1800000000 - 900000000) * 2 AS x1,
+        |    (${mixIdSql("doc_id*4 + 2")} * 2246822519) % 1200000000 - 600000000 AS y1,
+        |    ((${mixIdSql("doc_id*4 + 3")} * 2654435761) % 1800000000 - 900000000) * 2 AS x2,
+        |    (${mixIdSql("doc_id*4 + 4")} * 2246822519) % 1200000000 - 600000000 AS y2
+        |  FROM documents),
+        |o AS (
+        |  SELECT seg_id, abs(x2 - x1) > 1800000000 AS cr,
+        |    CASE WHEN abs(x2 - x1) > 1800000000 AND x1 < x2 THEN x2 ELSE x1 END AS ax,
+        |    CASE WHEN abs(x2 - x1) > 1800000000 AND x1 < x2 THEN y2 ELSE y1 END AS ay,
+        |    CASE WHEN abs(x2 - x1) > 1800000000 AND x1 < x2 THEN x1 ELSE x2 END AS bx,
+        |    CASE WHEN abs(x2 - x1) > 1800000000 AND x1 < x2 THEN y1 ELSE y2 END AS by
+        |  FROM s0),
+        |w AS (SELECT *, ay + ((by - ay) * (1800000000 - ax))
+        |    // ((bx + 3600000000) - ax) AS ys FROM o)
+        |SELECT seg_id, CAST(1 AS BIGINT) AS piece, ax AS x1, ay AS y1,
+        |  CAST(1800000000 AS BIGINT) AS x2, ys AS y2 FROM w WHERE cr
+        |UNION ALL
+        |SELECT seg_id, CAST(2 AS BIGINT), CAST(-1800000000 AS BIGINT), ys,
+        |  bx, by FROM w WHERE cr
+        |UNION ALL
+        |SELECT seg_id, CAST(0 AS BIGINT), ax, ay, bx, by FROM w
+        |WHERE NOT cr""".stripMargin,
 
     // visibility twin: same occupancy CTE as disttrans, identical
     // floor-div DDA cell rule, probe steps via unnest(range)

@@ -2988,6 +2988,53 @@ object SpatialOps {
       .groupBy(col("poly_id")).agg(count(lit(1)).as("n_points"))
   }
 
+  /** ANTIMERIDIAN normalization: segments whose endpoints are closer the
+    * wrapped way around (|x2 − x1| > half the lon span) cross ±180° and
+    * break every planar operator downstream (bbox covers, tile
+    * assignment, length sums); this splits each crossing segment into
+    * two pieces meeting at the boundary. The crossing segment is first
+    * ORIENTED eastward (positive wrapped delta), then the boundary
+    * latitude is y1 + (y2 − y1)·(E − x1) div dxw with E = +180°·1e7 and
+    * dxw = wrapped delta > 0 — numerator and divisor are exact int64 and
+    * the division TRUNCATES toward zero in both engines (Spark `div` and
+    * DuckDB `//` agree on that; only FLOOR semantics diverge), so the
+    * split point is bit-identical. Non-crossing segments pass through as
+    * piece 0.
+    *
+    * Scale posture: one narrow map — a when/otherwise over each row plus
+    * a 2-element explode for crossers; no shuffle, no join, codegen'd
+    * end to end. Input: (seg_id, x1, y1, x2, y2) fix-coords with lon in
+    * (−1.8e9, 1.8e9). Output: (seg_id, piece, x1, y1, x2, y2).
+    */
+  def splitAntimeridian(segs: DataFrame): DataFrame = {
+    val E = 1800000000L
+    val crossing = abs(col("x2") - col("x1")) > E
+    // orient crossers eastward: travel from the positive-lon endpoint
+    // over +180 to the negative-lon endpoint
+    val o = segs.select(col("seg_id"), crossing.as("cr"),
+      when(crossing && col("x1") < col("x2"), col("x2")).otherwise(col("x1")).as("ax"),
+      when(crossing && col("x1") < col("x2"), col("y2")).otherwise(col("y1")).as("ay"),
+      when(crossing && col("x1") < col("x2"), col("x1")).otherwise(col("x2")).as("bx"),
+      when(crossing && col("x1") < col("x2"), col("y1")).otherwise(col("y2")).as("by"))
+    // wrapped eastward delta (bx + 360° − ax) is always > 0 after orienting
+    val ys = (col("ay") +
+      expr(s"((by - ay) * (${E}L - ax)) div ((bx + ${2 * E}L) - ax)")).as("ys")
+    o.select(col("seg_id"), col("cr"), col("ax"), col("ay"), col("bx"),
+        col("by"), ys)
+      .select(col("seg_id"), explode(when(col("cr"),
+          array(
+            struct(lit(1L).as("piece"), col("ax").as("x1"), col("ay").as("y1"),
+              lit(E).as("x2"), col("ys").as("y2")),
+            struct(lit(2L).as("piece"), lit(-E).as("x1"), col("ys").as("y1"),
+              col("bx").as("x2"), col("by").as("y2"))))
+        .otherwise(array(
+          struct(lit(0L).as("piece"), col("ax").as("x1"), col("ay").as("y1"),
+            col("bx").as("x2"), col("by").as("y2"))))).as("p"))
+      .select(col("seg_id"), col("p.piece").as("piece"),
+        col("p.x1").as("x1"), col("p.y1").as("y1"),
+        col("p.x2").as("x2"), col("p.y2").as("y2"))
+  }
+
   /** Grid LINE-OF-SIGHT: for each (observer, target) cell pair, walk the
     * rounding-DDA line between them and count occupied intermediate
     * cells — visible iff none blocks. The line cell at step t of n
