@@ -955,6 +955,10 @@ object SparkEntry {
     // their exact counts so the oracle pins BOTH the sketch arithmetic
     // BPE tokenizer-training merge round: adjacent character-pair
     // frequencies over the vocabulary, word-frequency weighted, top 50
+    // exact set-similarity join, prefix-filtered (PPJoin family)
+    "q_ppjoin" -> ((s, d) =>
+      DedupOps.ppjoinPairs(t(s, d, "documents"), PpJoinThrPm)),
+
     "q_bpe_pairs" -> ((s, d) => LmOps.bpePairCounts(t(s, d, "documents"), 50)),
 
     // BPE merge TRAINING rounds: the sequential merge list (greedy
@@ -2653,6 +2657,11 @@ object SparkEntry {
 
   /** q_hyperball radius bound (ball estimates emitted for r = 0..this). */
   val HyperBallRounds = 3
+
+  /** q_ppjoin Jaccard threshold (permille) — high, so prefixes stay a
+    * token or two and the candidate join is sparse.
+    */
+  val PpJoinThrPm = 980L
 
   /** q_closeness landmark rule (doc_id % mod == 3, capped — the landmark
     * set stays ≤ 100 nodes at ANY scale factor, the fixed-budget contract
@@ -5770,6 +5779,21 @@ object SparkEntry {
 
     // BPE merge-round twin: vocabulary word counts, per-word adjacent
     // character pairs via unnest(range), weighted sum, deterministic cut
+    // ppjoin twin — INDEPENDENT brute force: all-pairs token
+    // intersection with the exact integer threshold (no prefix logic)
+    "q_ppjoin" ->
+      s"""WITH toks AS (SELECT DISTINCT doc_id,
+         |    unnest(regexp_extract_all(text, '[^ ]+')) AS tok FROM documents),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+         |  FROM toks a JOIN toks b ON b.tok = a.tok AND b.doc_id > a.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(c AS BIGINT) AS inter,
+         |  CAST(sa.sz + sb.sz - c AS BIGINT) AS union_sz,
+         |  (1000 * c) // (sa.sz + sb.sz - c) AS jac_pm
+         |FROM i JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE 1000 * c >= $PpJoinThrPm * (sa.sz + sb.sz - c)""".stripMargin,
+
     // bpe-train twin: unrolled merge rounds — pc = weighted adjacent
     // pair counts over the split symbol strings, top = the argmax merge,
     // w{r} = the greedy left-to-right fold applied via list_reduce over

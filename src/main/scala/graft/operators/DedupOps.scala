@@ -492,6 +492,57 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard_pm"))
   }
 
+  /** EXACT set-similarity join with PREFIX FILTERING (the PPJoin family):
+    * all pairs whose distinct-token-set Jaccard is ≥ thrPm permille —
+    * deterministic and complete, unlike the MinHash path (probabilistic
+    * recall) and without its signature cost. Tokens get a GLOBAL
+    * rarity order (df, then token); a document's PREFIX is its first
+    * |s| − ⌈τ·|s|⌉ + 1 tokens in that order, and the classic theorem
+    * says two sets with J ≥ τ MUST share a prefix token — so the
+    * candidate join runs on prefix tokens only, and rare tokens (tiny
+    * df) dominate prefixes, bounding fan-out. Candidates verify with an
+    * exact integer count: keep iff 1000·|∩| ≥ thrPm·(|a|+|b|−|∩|).
+    *
+    * Scale posture: df is one map-combined groupBy; the per-doc rank is
+    * a window PARTITIONED by doc (bounded by doc length); the candidate
+    * self-join is per prefix-token (stopword tokens never enter
+    * prefixes at high τ — their df sorts them last); verification joins
+    * the full token lists only for surviving candidate pairs. Output:
+    * (doc_a, doc_b, inter, union_sz, jac_pm).
+    */
+  def ppjoinPairs(corpus: DataFrame, thrPm: Long,
+                  scope: CacheScope = CacheScope.global): DataFrame = {
+    val toks = scope.persist(corpus.select(col("doc_id"), explode(
+        array_distinct(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))))
+      .as("tok")))
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val prefix = toks.join(df, "tok")
+      .withColumn("rn", row_number().over(w))
+      .join(sz, "doc_id")
+      .filter(col("rn") <=
+        col("sz") - expr(s"(($thrPm * sz) + 999) div 1000") + 1)
+      .select(col("tok"), col("doc_id"))
+    val cand = prefix.join(
+        prefix.select(col("tok"), col("doc_id").as("doc_b")), "tok")
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    val inter = cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok")),
+        Seq("doc_b", "tok"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("union_sz", col("sza") + col("szb") - col("inter"))
+      .filter(col("inter") * 1000 >= lit(thrPm) * col("union_sz"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
+        expr("(inter * 1000) div union_sz").as("jac_pm"))
+  }
+
   /** Per-shingle document-frequency cap for [[containmentPairs]]'
     * inverted index: shingles in more docs than this are boilerplate and
     * are dropped from the metric (the documented contract — the oracle
