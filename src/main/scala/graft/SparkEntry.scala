@@ -959,6 +959,10 @@ object SparkEntry {
     "q_ppjoin" -> ((s, d) =>
       DedupOps.ppjoinPairs(t(s, d, "documents"), PpJoinThrPm)),
 
+    // winnowing fingerprints (MOSS): rightmost-min of each hash window
+    "q_winnow" -> ((s, d) =>
+      DedupOps.winnowFingerprints(t(s, d, "documents"), WinnowN, WinnowW)),
+
     "q_bpe_pairs" -> ((s, d) => LmOps.bpePairCounts(t(s, d, "documents"), 50)),
 
     // BPE merge TRAINING rounds: the sequential merge list (greedy
@@ -2662,6 +2666,12 @@ object SparkEntry {
     * token or two and the candidate join is sparse.
     */
   val PpJoinThrPm = 980L
+
+  /** q_winnow: gram length and window width (guarantee threshold
+    * n + w − 1 = 8 shared tokens).
+    */
+  val WinnowN = 4
+  val WinnowW = 5
 
   /** q_closeness landmark rule (doc_id % mod == 3, capped — the landmark
     * set stays ≤ 100 nodes at ANY scale factor, the fixed-budget contract
@@ -5779,6 +5789,29 @@ object SparkEntry {
 
     // BPE merge-round twin: vocabulary word counts, per-word adjacent
     // character pairs via unnest(range), weighted sum, deterministic cut
+    // winnow twin: same packed rightmost-min key over the chain-hash
+    // grams, sliding window frame, distinct keys decoded back
+    "q_winnow" -> {
+      val chain = (1 to WinnowN).map(k => tokenHashSql(s"ws[p + $k]"))
+        .foldLeft("0")((acc, t) =>
+          s"(($acc * 1000003 + ($t) % 1000000007) % 1000000007)")
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ws FROM documents),
+         |grams AS (
+         |  SELECT doc_id, len(ws) - ${WinnowN - 1} AS np, p, $chain AS h
+         |  FROM (SELECT doc_id, ws,
+         |          unnest(range(0, len(ws) - ${WinnowN - 1})) AS p FROM toks)),
+         |keys AS (
+         |  SELECT doc_id, p, np,
+         |    min(h * ${1L << 21} + (${1L << 20} - p)) OVER (
+         |      PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS k
+         |  FROM grams),
+         |sel AS (SELECT DISTINCT doc_id, k FROM keys WHERE p <= np - $WinnowW)
+         |SELECT doc_id, CAST(${1L << 20} - (k % ${1L << 21}) AS BIGINT) AS pos,
+         |  CAST(k // ${1L << 21} AS BIGINT) AS h FROM sel""".stripMargin
+    },
+
     // ppjoin twin — INDEPENDENT brute force: all-pairs token
     // intersection with the exact integer threshold (no prefix logic)
     "q_ppjoin" ->

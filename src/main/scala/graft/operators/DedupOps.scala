@@ -492,6 +492,40 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("jaccard_pm"))
   }
 
+  /** WINNOWING document fingerprints (the MOSS scheme): over the
+    * position-ordered n-gram chain hashes, every window of `w`
+    * consecutive hashes contributes its RIGHTMOST MINIMUM; the distinct
+    * selected (pos, hash) pairs are the fingerprint — guaranteed to
+    * catch any shared substring of ≥ n+w−1 tokens while storing ~2/(w+1)
+    * of the grams. The rightmost-min tie rule packs into ONE int64 key
+    * h·2²¹ + (2²⁰ − p): a plain sliding `min` then picks (h asc, p desc)
+    * — no per-window argmin gymnastics, bit-identical cross-engine.
+    *
+    * Scale posture: one narrow gram explode, ONE window pass partitioned
+    * by doc (frame = w rows, state O(w)), one distinct — linear in
+    * corpus tokens, no joins. Docs with fewer than n+w−1 tokens emit
+    * nothing (no complete window — the standard contract). Position
+    * contract: < 2^20 grams per document. Output (doc_id, pos, h).
+    */
+  def winnowFingerprints(corpus: DataFrame, n: Int, w: Int): DataFrame = {
+    val grams = corpus.select(col("doc_id"),
+        graft.plans.TextHashExpressions.slidingNgramHashes(col("text"), n)
+          .as("a"))
+      .select(col("doc_id"), size(col("a")).cast("long").as("np"),
+        posexplode(col("a")).as(Seq("p", "h")))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    grams
+      .withColumn("k",
+        min(col("h") * lit(1L << 21) + (lit(1L << 20) - col("p"))).over(cw))
+      .filter(col("p") <= col("np") - w)
+      .select(col("doc_id"), col("k")).distinct()
+      .select(col("doc_id"),
+        (lit(1L << 20) - pmod(col("k"), lit(1L << 21))).as("pos"),
+        expr(s"k div ${1L << 21}").as("h"))
+  }
+
   /** EXACT set-similarity join with PREFIX FILTERING (the PPJoin family):
     * all pairs whose distinct-token-set Jaccard is ≥ thrPm permille —
     * deterministic and complete, unlike the MinHash path (probabilistic
