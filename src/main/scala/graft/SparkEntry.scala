@@ -963,6 +963,11 @@ object SparkEntry {
     "q_winnow" -> ((s, d) =>
       DedupOps.winnowFingerprints(t(s, d, "documents"), WinnowN, WinnowW)),
 
+    // MOSS match stage: pairs sharing >= k capped fingerprints
+    "q_winnow_pairs" -> ((s, d) =>
+      DedupOps.winnowPairs(t(s, d, "documents"), WinnowN, WinnowW,
+        WinnowMinShared)),
+
     "q_bpe_pairs" -> ((s, d) => LmOps.bpePairCounts(t(s, d, "documents"), 50)),
 
     // BPE merge TRAINING rounds: the sequential merge list (greedy
@@ -2673,6 +2678,9 @@ object SparkEntry {
   val WinnowN = 4
   val WinnowW = 5
 
+  /** q_winnow_pairs emission floor (shared distinct fingerprints). */
+  val WinnowMinShared = 3L
+
   /** q_closeness landmark rule (doc_id % mod == 3, capped — the landmark
     * set stays ≤ 100 nodes at ANY scale factor, the fixed-budget contract
     * of landmark centrality) and BFS hop bound.
@@ -3449,6 +3457,29 @@ object SparkEntry {
   /** Parameterized variant: CTE names carry `tag` so two corpora can be
     * rasterized inside one oracle (q_iou). Final stage: `zcells$tag`.
     */
+  /** Shared q_winnow / q_winnow_pairs CTE chain ending in `sel`
+    * (doc_id, k) — the distinct packed rightmost-min fingerprint keys.
+    */
+  private lazy val winnowCtesSql: String = {
+    val chain = (1 to WinnowN).map(k => tokenHashSql(s"ws[p + $k]"))
+      .foldLeft("0")((acc, t) =>
+        s"(($acc * 1000003 + ($t) % 1000000007) % 1000000007)")
+    s"""toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ws FROM documents),
+       |grams AS (
+       |  SELECT doc_id, len(ws) - ${WinnowN - 1} AS np, p, $chain AS h
+       |  FROM (SELECT doc_id, ws,
+       |          unnest(range(0, len(ws) - ${WinnowN - 1})) AS p FROM toks)),
+       |keys AS (
+       |  SELECT doc_id, p, np,
+       |    min(h * ${1L << 21} + (${1L << 20} - p)) OVER (
+       |      PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS k
+       |  FROM grams),
+       |sel AS (SELECT DISTINCT doc_id, k FROM keys WHERE p <= np - $WinnowW)"""
+      .stripMargin
+  }
+
   /** Shared q_mis / q_coloring oracle builder: deterministic Luby rounds
     * unrolled. Every stage MATERIALIZED — the rem/re chain references
     * its predecessor 3-4 times, so default CTE inlining is exponential
@@ -5791,26 +5822,22 @@ object SparkEntry {
     // character pairs via unnest(range), weighted sum, deterministic cut
     // winnow twin: same packed rightmost-min key over the chain-hash
     // grams, sliding window frame, distinct keys decoded back
-    "q_winnow" -> {
-      val chain = (1 to WinnowN).map(k => tokenHashSql(s"ws[p + $k]"))
-        .foldLeft("0")((acc, t) =>
-          s"(($acc * 1000003 + ($t) % 1000000007) % 1000000007)")
-      s"""WITH toks AS (
-         |  SELECT doc_id, regexp_extract_all(text, '[^ ]+') AS ws FROM documents),
-         |grams AS (
-         |  SELECT doc_id, len(ws) - ${WinnowN - 1} AS np, p, $chain AS h
-         |  FROM (SELECT doc_id, ws,
-         |          unnest(range(0, len(ws) - ${WinnowN - 1})) AS p FROM toks)),
-         |keys AS (
-         |  SELECT doc_id, p, np,
-         |    min(h * ${1L << 21} + (${1L << 20} - p)) OVER (
-         |      PARTITION BY doc_id ORDER BY p
-         |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS k
-         |  FROM grams),
-         |sel AS (SELECT DISTINCT doc_id, k FROM keys WHERE p <= np - $WinnowW)
+    "q_winnow" ->
+      s"""WITH $winnowCtesSql
          |SELECT doc_id, CAST(${1L << 20} - (k % ${1L << 21}) AS BIGINT) AS pos,
-         |  CAST(k // ${1L << 21} AS BIGINT) AS h FROM sel""".stripMargin
-    },
+         |  CAST(k // ${1L << 21} AS BIGINT) AS h FROM sel""".stripMargin,
+
+    // winnow-pairs twin: distinct decoded hashes, QUALIFY bucket cap,
+    // per-hash self-join with the shared-count floor
+    "q_winnow_pairs" ->
+      s"""WITH $winnowCtesSql,
+         |fps AS (SELECT DISTINCT doc_id, k // ${1L << 21} AS h FROM sel),
+         |fk AS (SELECT doc_id, h FROM fps QUALIFY
+         |  count(*) OVER (PARTITION BY h) <= ${DedupOps.MaxBandBucket})
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM fk a JOIN fk b ON b.h = a.h AND b.doc_id > a.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared""".stripMargin,
 
     // ppjoin twin — INDEPENDENT brute force: all-pairs token
     // intersection with the exact integer threshold (no prefix logic)

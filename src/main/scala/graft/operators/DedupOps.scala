@@ -526,6 +526,32 @@ object DedupOps {
         expr(s"k div ${1L << 21}").as("h"))
   }
 
+  /** MOSS-style near-dup CANDIDATE PAIRS from shared winnowing
+    * fingerprints: documents sharing ≥ `minShared` distinct fingerprint
+    * hashes, with the shared count — the match stage that turns
+    * [[winnowFingerprints]] into a plagiarism/boilerplate detector (the
+    * n+w−1 guarantee makes recall structural: any shared ≥8-token run
+    * forces a shared fingerprint).
+    *
+    * Scale posture: the per-hash self-join is capped by the SAME
+    * [[MaxBandBucket]] rule as every LSH band here — a boilerplate span
+    * fingerprint appearing in s docs would otherwise emit s²/2 pairs;
+    * dropped hashes are the stopword-boilerplate ones by construction
+    * (documented recall cap, twinned via QUALIFY). Output
+    * (doc_a, doc_b, n_shared).
+    */
+  def winnowPairs(corpus: DataFrame, n: Int, w: Int, minShared: Long,
+                  scope: CacheScope = CacheScope.global): DataFrame = {
+    val fps = scope.persist(
+      winnowFingerprints(corpus, n, w).select("doc_id", "h").distinct())
+    val kept = capBuckets(fps, Seq("h"))
+    kept.join(kept.select(col("h"), col("doc_id").as("doc_b")), "h")
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** EXACT set-similarity join with PREFIX FILTERING (the PPJoin family):
     * all pairs whose distinct-token-set Jaccard is ≥ thrPm permille —
     * deterministic and complete, unlike the MinHash path (probabilistic

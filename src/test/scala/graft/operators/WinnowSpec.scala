@@ -49,6 +49,24 @@ class WinnowSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("winnowPairs finds the duplicated pair and caps hot fingerprints") {
+    val s = spark; import s.implicits._
+    val shared = (1 to 12).map(i => s"x$i").mkString(" ")
+    // docs 1,2 share a 12-token run; docs 10..89 all repeat one
+    // boilerplate span so its fingerprints blow the 64-doc bucket cap
+    val boiler = (1 to 12).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"p q r s t $shared a b c d e",
+      2L -> s"m n o $shared z y x w v") ++
+      (10L until 90L).map(i => i -> s"h$i j$i $boiler k$i")
+    val got = DedupOps.winnowPairs(docs.toDF("doc_id", "text"), 4, 5, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    // the 80-doc boilerplate cohort would be 3160 pairs uncapped; the
+    // cap drops those buckets entirely
+    assert(!got.exists(p => p._1 >= 10L && p._2 >= 10L))
+  }
+
   test("shared 8-token run always shares a fingerprint (n+w-1 guarantee)") {
     val s = spark; import s.implicits._
     val shared = "x1 x2 x3 x4 x5 x6 x7 x8"
