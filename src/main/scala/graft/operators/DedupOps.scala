@@ -584,10 +584,16 @@ object DedupOps {
       .join(sz, "doc_id")
       .filter(col("rn") <=
         col("sz") - expr(s"(($thrPm * sz) + 999) div 1000") + 1)
-      .select(col("tok"), col("doc_id"))
+      .select(col("tok"), col("doc_id"), col("sz"))
+    // LOSSLESS length prune: J ≥ τ forces min(|a|,|b|) ≥ τ·max(|a|,|b|)
+    // (|∩| ≤ min and |∪| ≥ max) — kills size-mismatched candidates
+    // before the distinct, the standard PPJoin companion filter
     val cand = prefix.join(
-        prefix.select(col("tok"), col("doc_id").as("doc_b")), "tok")
-      .filter(col("doc_id") < col("doc_b"))
+        prefix.select(col("tok"), col("doc_id").as("doc_b"),
+          col("sz").as("szb")), "tok")
+      .filter(col("doc_id") < col("doc_b") &&
+        least(col("sz"), col("szb")) * 1000 >=
+          lit(thrPm) * greatest(col("sz"), col("szb")))
       .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
     val inter = cand
       .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
