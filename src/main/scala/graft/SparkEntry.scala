@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 import graft.functions.Fns
 import graft.operators._
@@ -343,17 +344,24 @@ object SparkEntry {
     // contraction-accelerated dedup loop)
     "q_traj_cluster" -> ((s, d) => {
       val wp = wayPoints(t(s, d, "lineitem"))
-      val tracks = wp.groupBy("way_id").agg(
+      // persist BOTH the track build (the threshold-pick count() would
+      // otherwise throw it away and frechetJoin would recompute the full
+      // wayPoints→groupBy chain) and the pair graph (duplicateClusters'
+      // O(log d) pointer-jumping rounds each re-read their input — an
+      // unpersisted pair frame re-runs the whole cover+DP join per round)
+      val tracks = graft.core.CacheScope.global.persist(
+        wp.groupBy("way_id").agg(
           array_sort(collect_list(struct(col("seq"), col("x"), col("y")))).as("p"))
         .select(col("way_id"),
           expr("transform(p, q -> q.x)").as("xs"),
-          expr("transform(p, q -> q.y)").as("ys"))
+          expr("transform(p, q -> q.y)").as("ys")))
       val thr = if (tracks.count() <= FrechetSmallN) FrechetThrSmall
         else FrechetThr
-      val pairs = SpatialOps.frechetJoin(tracks, tracks, thr,
-        coverLevel = TrackCoverLevel, selfJoin = true)
-      DedupOps.duplicateClusters(pairs
+      val pairs = graft.core.CacheScope.global.persist(
+        SpatialOps.frechetJoin(tracks, tracks, thr,
+          coverLevel = TrackCoverLevel, selfJoin = true)
           .select(col("way_a").as("doc_a"), col("way_b").as("doc_b")))
+      DedupOps.duplicateClusters(pairs)
         .groupBy("cluster_id").agg(count(lit(1)).as("n_tracks"))
     }),
 
@@ -1429,9 +1437,16 @@ object SparkEntry {
     }),
 
     // --- generic relation assembly (node + way + relation members) ---
+    // Gated-output contract: the driver's compare sorts raw cell values,
+    // so list-shaped results must be projected to a canonical scalar.
+    // The operator API stays array<struct>; only the gated query output
+    // serializes it (compact JSON, nulls rendered — matches DuckDB
+    // to_json byte-for-byte on this schema).
     "q_route_assembly" -> ((s, d) => {
       val (members, nodes, ways, rels) = routeInput(s, d)
       AssemblyOps.assembleGeneric(members, nodes, ways, rels)
+        .withColumn("members",
+          to_json(col("members"), Map("ignoreNullFields" -> "false").asJava))
     }),
 
     // referential-integrity report (osmium check-refs -r): dangling
@@ -1689,8 +1704,13 @@ object SparkEntry {
     }),
 
     // --- inverted index (per-term df + capped sorted posting list) ---
+    // Same gated-output contract as q_route_assembly: the posting list
+    // stays array<struct> at the operator API; the gated query output
+    // serializes it to canonical compact JSON.
     "q_postings" -> ((s, d) =>
-      SearchOps.postings(t(s, d, "documents"), minDf = 3, maxPostings = 20)),
+      SearchOps.postings(t(s, d, "documents"), minDf = 3, maxPostings = 20)
+        .withColumn("postings",
+          to_json(col("postings"), Map("ignoreNullFields" -> "false").asJava))),
 
     // --- BM25 ranked retrieval (deterministic-ln idf, e6 fixed point) ---
     "q_bm25" -> ((s, d) =>
@@ -6082,8 +6102,8 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN mtype = 'n' AND found IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nodes,
          |  CAST(sum(CASE WHEN mtype = 'w' AND found IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ways,
          |  CAST(sum(CASE WHEN mtype = 'r' AND found IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rels,
-         |  list_sort(list(struct_pack(member_pos := member_pos, mtype := mtype,
-         |    ref := ref, payload := payload))) AS members,
+         |  CAST(to_json(list_sort(list(struct_pack(member_pos := member_pos,
+         |    mtype := mtype, ref := ref, payload := payload)))) AS VARCHAR) AS members,
          |  CAST(sum(payload) AS BIGINT) AS payload_sum
          |FROM resolved GROUP BY 1
          |HAVING count(*) = count(found)""".stripMargin,
@@ -7318,7 +7338,8 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT tok, df, postings FROM (
         |  SELECT tok, CAST(count(*) AS BIGINT) AS df,
-        |    list_sort(list(struct_pack(doc_id := doc_id, tf := tf)))[1:20] AS postings
+        |    CAST(to_json(list_sort(list(struct_pack(doc_id := doc_id,
+        |      tf := tf)))[1:20]) AS VARCHAR) AS postings
         |  FROM tf GROUP BY 1)
         |WHERE df >= 3""".stripMargin,
 

@@ -18,11 +18,30 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Gated-output contract: the driver's pandas compare sorts raw cell
+    // values, which crashes on array/map/struct cells (TypeError:
+    // unhashable type) — every gated column must be a sortable scalar.
+    // Fail FAST and LOUD here so a list-shaped output can never reach
+    // the driver gate again; serialize via to_json in the query layer.
+    def guardSortable(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val bad = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType] ||
+                  f.dataType.isInstanceOf[StructType] =>
+          s"${f.name}: ${f.dataType.simpleString}"
+      }
+      require(bad.isEmpty, s"[verify] $name emits non-scalar gated column(s) " +
+        s"${bad.mkString("; ")} — project through to_json in the query layer")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        guardSortable(name, df)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -576,25 +576,7 @@ object DedupOps {
         array_distinct(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))))
       .as("tok")))
     val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("tok"))
-    val prefix = toks.join(df, "tok")
-      .withColumn("rn", row_number().over(w))
-      .join(sz, "doc_id")
-      .filter(col("rn") <=
-        col("sz") - expr(s"(($thrPm * sz) + 999) div 1000") + 1)
-      .select(col("tok"), col("doc_id"), col("sz"))
-    // LOSSLESS length prune: J ≥ τ forces min(|a|,|b|) ≥ τ·max(|a|,|b|)
-    // (|∩| ≤ min and |∪| ≥ max) — kills size-mismatched candidates
-    // before the distinct, the standard PPJoin companion filter
-    val cand = prefix.join(
-        prefix.select(col("tok"), col("doc_id").as("doc_b"),
-          col("sz").as("szb")), "tok")
-      .filter(col("doc_id") < col("doc_b") &&
-        least(col("sz"), col("szb")) * 1000 >=
-          lit(thrPm) * greatest(col("sz"), col("szb")))
-      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+    val cand = ppjoinCandidates(toks, sz, thrPm)
     val inter = cand
       .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
       .join(toks.select(col("doc_id").as("doc_b"), col("tok")),
@@ -607,6 +589,48 @@ object DedupOps {
       .filter(col("inter") * 1000 >= lit(thrPm) * col("union_sz"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
         expr("(inter * 1000) div union_sz").as("jac_pm"))
+  }
+
+  /** PPJoin candidate generator (exposed for the boundedness spec):
+    * distinct (doc_a, doc_b) pairs surviving prefix + length +
+    * positional filtering. toks = (doc_id, tok) distinct-token rows,
+    * sz = (doc_id, sz) distinct-token counts.
+    */
+  private[graft] def ppjoinCandidates(toks: DataFrame, sz: DataFrame,
+                                      thrPm: Long): DataFrame = {
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    val prefix = toks.join(df, "tok")
+      .withColumn("rn", row_number().over(w))
+      .join(sz, "doc_id")
+      .filter(col("rn") <=
+        col("sz") - expr(s"(($thrPm * sz) + 999) div 1000") + 1)
+      .select(col("tok"), col("doc_id"), col("sz"), col("rn"))
+    // TWO lossless companion filters on the candidate join:
+    //  • length prune: J ≥ τ forces min(|a|,|b|) ≥ τ·max(|a|,|b|)
+    //    (|∩| ≤ min and |∪| ≥ max) — kills size-mismatched candidates;
+    //  • POSITIONAL filter (PPJoin's 2nd filter): a shared prefix token
+    //    at rarity-rank i in a and j in b bounds the whole overlap by
+    //    ubound = min(i−1, j−1) + 1 + min(|a|−i, |b|−j)  (common tokens
+    //    strictly before the match ≤ min(i−1,j−1); the match itself; the
+    //    tails after it). J ≥ τ needs O·(1000+τ‰) ≥ τ‰·(|a|+|b|), and
+    //    ubound ≥ O for EVERY shared occurrence of a true pair, so
+    //    dropping rows whose ubound misses the bar loses nothing. This
+    //    is what bounds candidates when token rarity collapses (a
+    //    boilerplate-heavy shard where every prefix token has df ≈ n/V):
+    //    high-rank matches on size-mismatched tails die HERE, before
+    //    the distinct + verification joins.
+    prefix.join(
+        prefix.select(col("tok"), col("doc_id").as("doc_b"),
+          col("sz").as("szb"), col("rn").as("rnb")), "tok")
+      .filter(col("doc_id") < col("doc_b") &&
+        least(col("sz"), col("szb")) * 1000 >=
+          lit(thrPm) * greatest(col("sz"), col("szb")) &&
+        (least(col("rn"), col("rnb")) +
+          least(col("sz") - col("rn"), col("szb") - col("rnb"))) *
+          lit(1000L + thrPm) >= lit(thrPm) * (col("sz") + col("szb")))
+      .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
   }
 
   /** Per-shingle document-frequency cap for [[containmentPairs]]'

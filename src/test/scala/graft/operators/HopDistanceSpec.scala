@@ -57,6 +57,44 @@ class HopDistanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("round count is bounded by eccentricity + 1, not maxHops") {
+    val s = spark; import s.implicits._
+    // chain of eccentricity 3 from the seed, maxHops 30: the
+    // empty-frontier early exit must stop after ecc + 1 rounds.
+    // Each round runs exactly one materializing count() job (plus one
+    // for the seed frame), so the Spark job count during the call is
+    // the observable round counter.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def countJobs(maxHops: Int): (Map[Long, Long], Int) = {
+      s.sparkContext.addSparkListener(listener)
+      try {
+        jobs.set(0)
+        val got = GraphOps.hopDistance(edges, Seq(1L).toDF("node_id"), maxHops)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // give the async listener bus a beat to drain before reading
+        Thread.sleep(500)
+        (got, jobs.get())
+      } finally s.sparkContext.removeSparkListener(listener)
+    }
+    // the maxHops=4 run IS the ecc+1 round budget (3 growing rounds + 1
+    // drained probe); identical job count at maxHops=30 evidences the
+    // early exit — without it the 30-hop run would spend ~7x the jobs
+    // (AQE fans each round's count() into several jobs, so absolute
+    // job counts are not 1:1 with rounds; the RATIO is the invariant)
+    val (got4, jobs4) = countJobs(4)
+    val (got30, jobs30) = countJobs(30)
+    val want = Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L)
+    assert(got4 === want && got30 === want)
+    assert(jobs30 <= jobs4 + 2,
+      s"maxHops=30 ran $jobs30 jobs vs $jobs4 at maxHops=4 - early exit broken?")
+  }
+
   test("a revisitable node keeps its first (minimum) hop count") {
     val s = spark; import s.implicits._
     // 1 -> 2 -> 4 and 1 -> 3 -> 2: node 2 reachable at hop 1 and hop 2

@@ -51,6 +51,36 @@ class PpJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("tiny-vocab candidates stay bounded (positional + length filters)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, explode,
+      array_distinct, regexp_extract_all}
+    // adversarial corpus: 31-token vocabulary → every prefix token has
+    // df ≈ n/31, so the prefix join ALONE is near-quadratic; the
+    // lossless length + positional filters must hold candidates far
+    // below the all-pairs count while losing no true pair
+    val rnd = new scala.util.Random(977)
+    val vocab = (0 until 31).map(i => s"t$i")
+    val docs = (0L until 200L).map(i =>
+      i -> Seq.fill(5 + rnd.nextInt(21))(vocab(rnd.nextInt(31)))
+        .mkString(" "))
+    val thr = 850L
+    val corpus = docs.toDF("doc_id", "text")
+    val toks = corpus.select(col("doc_id"), explode(
+        array_distinct(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))))
+      .as("tok"))
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val candN = DedupOps.ppjoinCandidates(toks, sz, thr).count()
+    val allPairs = 200L * 199L / 2
+    assert(candN * 5 < allPairs,
+      s"candidates $candN not bounded vs all-pairs $allPairs")
+    // completeness is untouched by the extra filters
+    val got = DedupOps.ppjoinPairs(corpus, thr).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === brute(docs, thr))
+  }
+
   test("boundary pair exactly AT the threshold survives") {
     val s = spark; import s.implicits._
     // sets {a b c d e} vs {a b c d}: |∩|=4, union=5 → 800 pm exactly

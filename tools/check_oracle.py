@@ -19,6 +19,10 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # DRIVER PARITY: sort RAW cell values first, exactly like the driver's
+    # gate — pandas sort_values crashes on ndarray/dict cells (unhashable
+    # type), so a list-shaped gated output fails HERE, not at the driver.
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     # stringify for type-insensitive compare, normalize float formatting
     def cell(v):
         if v is None or (isinstance(v, float) and pd.isna(v)):
@@ -26,8 +30,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if isinstance(v, float):
             return f"{v:.6f}"
         return str(v)
-    s = df.map(cell)
-    return s.sort_values(by=list(s.columns)).reset_index(drop=True)
+    return df.map(cell)
 
 fails = []
 for name in sorted(oracle):
