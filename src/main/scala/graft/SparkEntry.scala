@@ -2627,6 +2627,10 @@ object SparkEntry {
     * via list_reduce over a '#'-seeded token chain (boundary-space
     * ends_with = token-exact last-symbol test). MATERIALIZED — the chain
     * reuses each stage 2-3x and default inlining would be exponential.
+    * Degenerate-input hygiene: w{r} reads top{r} via LEFT JOIN ON TRUE,
+    * so if merges exhaust before BpeTrainRounds (empty top{r}) the NULL
+    * merge falls through the CASE and w{r} = w{r-1} — matching the Spark
+    * trainer's early exit instead of collapsing the state to zero rows.
     */
   private lazy val bpeStagesSql: String = {
     val stages = (1 to BpeTrainRounds).map { r =>
@@ -2648,7 +2652,7 @@ object SparkEntry {
          |        THEN substr(acc, 1, length(acc) - length(t.x) - 1) ||
          |          ' ' || t.x || t.y
          |        ELSE acc || ' ' || cur END) AS acc
-         |    FROM w${r - 1}, top$r t))""".stripMargin
+         |    FROM w${r - 1} LEFT JOIN top$r t ON TRUE))""".stripMargin
     }.mkString(",\n")
     s"""w0 AS MATERIALIZED (
        |  SELECT w, wc,

@@ -505,7 +505,9 @@ object DedupOps {
     * by doc (frame = w rows, state O(w)), one distinct — linear in
     * corpus tokens, no joins. Docs with fewer than n+w−1 tokens emit
     * nothing (no complete window — the standard contract). Position
-    * contract: < 2^20 grams per document. Output (doc_id, pos, h).
+    * contract: < 2^20 grams per document — ENFORCED with raise_error,
+    * oversized docs fail loudly rather than emit corrupt fingerprints.
+    * Output (doc_id, pos, h).
     */
   def winnowFingerprints(corpus: DataFrame, n: Int, w: Int): DataFrame = {
     val grams = corpus.select(col("doc_id"),
@@ -513,6 +515,14 @@ object DedupOps {
           .as("a"))
       .select(col("doc_id"), size(col("a")).cast("long").as("np"),
         posexplode(col("a")).as(Seq("p", "h")))
+      // ENFORCED position contract: the packed key budgets 2^20 positions;
+      // a doc with more grams would silently corrupt (2^20 − p) goes
+      // negative, wrong window minima). Fail loudly instead.
+      .withColumn("np",
+        when(col("np") < lit(1L << 20), col("np"))
+          .otherwise(raise_error(concat(lit("winnowFingerprints: doc "),
+            col("doc_id"), lit(" has "), col("np"),
+            lit(" grams >= 2^20 — exceeds the packed-position contract")))))
     val cw = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("p")
       .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)

@@ -1154,6 +1154,9 @@ object GraphOps {
     */
   def landmarkBetweenness(edges: DataFrame, sources: DataFrame, maxHops: Int,
                           scope: CacheScope = CacheScope.global): DataFrame = {
+    // maxHops == 0 would make the backward-level Seq empty and the
+    // levels.reduce below throw UnsupportedOperationException
+    require(maxHops >= 1, s"landmarkBetweenness needs maxHops >= 1, got $maxHops")
     val fwd = scope.persist(shortestPathCounts(edges, sources, maxHops, scope))
     val e = scope.persist(edges.select(col("src"), col("dst")).distinct())
     var deeper: Option[DataFrame] = None
