@@ -2965,11 +2965,25 @@ object SpatialOps {
     * Output: (poly_id, n_points).
     */
   def pipJoinCompact(points: DataFrame, polys: DataFrame, level: Int,
-                     scope: CacheScope = CacheScope.global): DataFrame = {
-    val cover = compactCells(
-      rasterizePolygons(polys, level).select(col("poly_id"),
-        col("cell_x").as("bx"), col("cell_y").as("by")),
-      level, keys = Seq("poly_id"), scope)
+                     scope: CacheScope = CacheScope.global): DataFrame =
+    pipJoinCompact(points, polys, level,
+      compactCells(
+        rasterizePolygons(polys, level).select(col("poly_id"),
+          col("cell_x").as("bx"), col("cell_y").as("by")),
+        level, keys = Seq("poly_id"), scope))
+
+  /** Production overload: probe a PRECOMPUTED per-polygon compacted
+    * cover (the [[compactCells]] output shape `(lv, poly_id, bx, by)` —
+    * exactly what the q_poly_compact path materializes). At 10^12 rows
+    * the cover is an ARTIFACT built once per polygon corpus and reused
+    * across every probe batch; with it supplied, the probe plan is ONE
+    * shuffle-hash join on the ancestor keys plus the broadcast ray-cast
+    * refine — no rasterize, no compaction rounds (plan-asserted in
+    * CompactCoverSpec). The convenience overload above keeps the
+    * build-in-query path for one-shot use.
+    */
+  def pipJoinCompact(points: DataFrame, polys: DataFrame, level: Int,
+                     cover: DataFrame): DataFrame = {
     val probes = points
       .select(col("pid"), col("lon_fix"), col("lat_fix"),
         Fns.cellX(col("lon_fix"), level).as("fx"),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -56,5 +57,47 @@ class CompactPipSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.toLong
     }.filter(_._2 > 0).toMap
     assert(got === want)
+  }
+
+  test("precomputed-cover overload: identical result, probe-only plan") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(41)
+    val polysDf = Seq(
+      (1L, Array(0L, 400000000L, 400000000L, 0L),
+        Array(0L, 0L, 300000000L, 300000000L)),
+      (2L, Array(-600000000L, -100000000L, -100000000L, -600000000L),
+        Array(-400000000L, -400000000L, 100000000L, 100000000L)))
+      .toDF("poly_id", "xs", "ys")
+    val pts = Seq.tabulate(2000)(i =>
+      (i.toLong, rnd.nextLong() % 900000000L, rnd.nextLong() % 600000000L))
+      .toDF("pid", "lon_fix", "lat_fix")
+    // the production shape: cover built ONCE, persisted as an artifact,
+    // read back for every probe batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_cover").toString
+    SpatialOps.compactCells(
+        SpatialOps.rasterizePolygons(polysDf, L)
+          .select(col("poly_id"), col("cell_x").as("bx"),
+            col("cell_y").as("by")),
+        L, keys = Seq("poly_id"))
+      .write.mode("overwrite").parquet(dir)
+    val probe = SpatialOps.pipJoinCompact(pts, polysDf, L,
+      s.read.parquet(dir))
+    // plan assertion: with the cover supplied, the probe is ONE ancestor
+    // explode + TWO joins (cover equi-join, broadcast ray-cast refine) —
+    // no rasterize (two sequence-explodes per polygon) and no compaction
+    // (L left-anti rounds) may appear in the probe plan
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    val plan = probe.queryExecution.optimizedPlan
+    val joins = plan.collect { case j: Join => j }
+    val gens = plan.collect { case g: Generate => g }
+    assert(joins.length == 2,
+      s"probe plan has ${joins.length} joins, want 2 (cover + refine):\n$plan")
+    assert(gens.length == 1,
+      s"probe plan has ${gens.length} Generate nodes, want 1 (ancestors):\n$plan")
+    // and the overload is result-identical to the build-in-query path
+    val gotCover = probe.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotBuild = SpatialOps.pipJoinCompact(pts, polysDf, L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCover === gotBuild)
   }
 }
