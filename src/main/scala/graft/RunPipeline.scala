@@ -24,11 +24,13 @@ import graft.sources.Synth
   *   survivors global       : one survivor per cluster + split column
   *   tiles     pid-bucketed : PIP tag + per-bucket partial tile rollup
   *   tilesum   global       : partial rollups combined
+  *   routes    rel-bucketed : generic relation assembly (ordered members)
   */
 object RunPipeline {
 
   val GateBuckets = 8
   val TileBuckets = 8
+  val RouteBuckets = 4
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
@@ -103,7 +105,23 @@ object RunPipeline {
       in.groupBy("poly_id", "tx", "ty").agg(sum("n").as("n"))
     }
 
+    // ---- routes: generic relation assembly, bucketed by rel_id ------------
+    // assembleGeneric groups strictly by rel_id, so a rel_id-residue bucket
+    // carries ALL of its relations' members — the stage is relation-local
+    // and resumes at bucket granularity; entity tables join in full each
+    // bucket (broadcast-sized dimensions at this shape). The ordered member
+    // list lands in the durable parquet as canonical JSON, the same gated
+    // serialization contract as q_route_assembly.
+    val (rMembers, rNodes, rWays, rRels) = SparkEntry.routeInput(spark, sfDir)
+    val nRoutes = CheckpointOps.runResumable(spark, rMembers, "rel_id",
+      RouteBuckets, s"$outDir/routes", s"$outDir/lineage/routes") { in =>
+      graft.operators.AssemblyOps.assembleGeneric(in, rNodes, rWays, rRels)
+        .withColumn("members", to_json(col("members"),
+          java.util.Collections.singletonMap("ignoreNullFields", "false")))
+    }
+
     Map("gate" -> nGate, "pairs" -> nPairs, "clusterRounds" -> roundsRun,
-      "survivors" -> nSurv, "tiles" -> nTiles, "tilesum" -> nSum)
+      "survivors" -> nSurv, "tiles" -> nTiles, "tilesum" -> nSum,
+      "routes" -> nRoutes)
   }
 }

@@ -855,6 +855,13 @@ object SparkEntry {
       SimilarityOps.pqTopKIvf(e, e.filter(col("vec_id") % 25 === 0), 10)
     }),
 
+    // IVF nprobe auto-tuning: per-nprobe recall vs the exact top-k on the
+    // calibration query set, plus the chosen setting (faiss-autotune shape)
+    "q_sim_autotune" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      SimilarityOps.ivfAutotune(e, e.filter(col("vec_id") % 25 === 0), 10)
+    }),
+
     // HyperLogLog distinct-count sketch per language — DETERMINISTIC
     // registers (pure integer function of the oracle-twinned fingerprint,
     // harmonic sum kept in exact int64), so the oracle compares the
@@ -2975,7 +2982,7 @@ object SparkEntry {
     * relation member — exercising the generic assembler's completeness
     * semantics on real join keys.
     */
-  private def routeInput(s: SparkSession, d: String)
+  private[graft] def routeInput(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val o = t(s, d, "orders"); val c = t(s, d, "customer"); val li = t(s, d, "lineitem")
     val wayKey = col("l_orderkey") * lit(10L) + col("l_linenumber")
@@ -5645,6 +5652,63 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist_e6 ASC, nid) AS rank
          |  FROM scored)
          |WHERE rank <= 10""".stripMargin
+    },
+
+    "q_sim_autotune" -> {
+      def cosE6(a: String, b: String): String = cosE6Sql(a, b)
+      // calibration twin: ONE probe pass at max(candidates) keeping the
+      // probe RANK (each vector is on exactly one list, so a candidate's
+      // rank IS its list's probe position), each smaller nprobe is a rank
+      // filter; recall_pm = floor(1000·hits/total) against the exact
+      // top-k; chosen = smallest candidate reaching 950‰, else the largest
+      s"""WITH n AS (SELECT count(*) AS c FROM embeddings),
+         |md AS (SELECT greatest(c // greatest(least(${SimilarityOps.IvfMaxCentroids},
+         |  CAST(ceil(sqrt(c)) AS BIGINT)), 1), 1) AS m FROM n),
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings, md
+         |  WHERE ${mixIdSql("vec_id")} % m = 3 % m),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosE6("e.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |    FROM embeddings e, cent c) WHERE rn = 1),
+         |probes AS (
+         |  SELECT qid, qemb, cid, rn AS prn FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qemb, c.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosE6("q.embedding", "c.cemb")} DESC, c.cid) AS rn
+         |    FROM embeddings q, cent c WHERE q.vec_id % 25 = 0) WHERE rn <= 8),
+         |cand AS (
+         |  SELECT p.qid, a.vec_id AS nid, p.prn,
+         |    ${cosE6("p.qemb", "a.embedding")} AS cos_e6
+         |  FROM probes p JOIN assigned a ON a.cid = p.cid WHERE a.vec_id <> p.qid),
+         |exact AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${cosE6("e.embedding", "q.embedding")} DESC, e.vec_id) AS rnk
+         |    FROM embeddings e, embeddings q
+         |    WHERE q.vec_id % 25 = 0 AND e.vec_id <> q.vec_id) WHERE rnk <= 10),
+         |tot AS (SELECT greatest(count(*), 1) AS t FROM exact),
+         |nps AS (SELECT unnest([1, 2, 4, 8]) AS np),
+         |ivf AS (
+         |  SELECT np, qid, nid FROM (
+         |    SELECT nps.np, c.qid, c.nid,
+         |      row_number() OVER (PARTITION BY nps.np, c.qid
+         |        ORDER BY c.cos_e6 DESC, c.nid) AS rnk
+         |    FROM cand c JOIN nps ON c.prn <= nps.np) WHERE rnk <= 10),
+         |hits AS (
+         |  SELECT i.np, count(*) AS h FROM ivf i
+         |  JOIN exact x ON x.qid = i.qid AND x.nid = i.nid GROUP BY 1),
+         |rec AS (
+         |  SELECT CAST(nps.np AS BIGINT) AS nprobe,
+         |    coalesce(h, 0) * 1000 // t AS recall_pm
+         |  FROM nps LEFT JOIN hits ON hits.np = nps.np, tot)
+         |SELECT nprobe, recall_pm,
+         |  nprobe = coalesce(min(CASE WHEN recall_pm >= 950 THEN nprobe END) OVER (),
+         |    max(nprobe) OVER ()) AS chosen
+         |FROM rec""".stripMargin
     },
 
     "q_lang_id" ->

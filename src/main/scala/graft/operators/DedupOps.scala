@@ -582,9 +582,7 @@ object DedupOps {
     */
   def ppjoinPairs(corpus: DataFrame, thrPm: Long,
                   scope: CacheScope = CacheScope.global): DataFrame = {
-    val toks = scope.persist(corpus.select(col("doc_id"), explode(
-        array_distinct(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))))
-      .as("tok")))
+    val toks = scope.persist(ppjoinToks(corpus))
     val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val cand = ppjoinCandidates(toks, sz, thrPm)
     val inter = cand
@@ -601,6 +599,32 @@ object DedupOps {
         expr("(inter * 1000) div union_sz").as("jac_pm"))
   }
 
+  /** Distinct-token rows (doc_id, tok) for the PPJoin family. */
+  private[graft] def ppjoinToks(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), explode(
+        array_distinct(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))))
+      .as("tok"))
+
+  /** PPJoin PREFIX rows (tok, doc_id, sz, rn): each document's first
+    * |s| − ⌈τ·|s|⌉ + 1 tokens in the global (df, token) rarity order —
+    * the shared candidate-key stage of the batch join and the streaming
+    * twin (which replays these rows against per-token state). The df
+    * table is corpus-global by definition; in a streaming deployment it
+    * is the precomputed slowly-changing artifact the stream broadcasts.
+    */
+  private[graft] def ppjoinPrefixRows(toks: DataFrame, sz: DataFrame,
+                                      thrPm: Long): DataFrame = {
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("tok"))
+    toks.join(df, "tok")
+      .withColumn("rn", row_number().over(w))
+      .join(sz, "doc_id")
+      .filter(col("rn") <=
+        col("sz") - expr(s"(($thrPm * sz) + 999) div 1000") + 1)
+      .select(col("tok"), col("doc_id"), col("sz"), col("rn"))
+  }
+
   /** PPJoin candidate generator (exposed for the boundedness spec):
     * distinct (doc_a, doc_b) pairs surviving prefix + length +
     * positional filtering. toks = (doc_id, tok) distinct-token rows,
@@ -608,15 +632,7 @@ object DedupOps {
     */
   private[graft] def ppjoinCandidates(toks: DataFrame, sz: DataFrame,
                                       thrPm: Long): DataFrame = {
-    val df = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("tok"))
-    val prefix = toks.join(df, "tok")
-      .withColumn("rn", row_number().over(w))
-      .join(sz, "doc_id")
-      .filter(col("rn") <=
-        col("sz") - expr(s"(($thrPm * sz) + 999) div 1000") + 1)
-      .select(col("tok"), col("doc_id"), col("sz"), col("rn"))
+    val prefix = ppjoinPrefixRows(toks, sz, thrPm)
     // TWO lossless companion filters on the candidate join:
     //  • length prune: J ≥ τ forces min(|a|,|b|) ≥ τ·max(|a|,|b|)
     //    (|∩| ≤ min and |∪| ≥ max) — kills size-mismatched candidates;

@@ -393,6 +393,89 @@ object SimilarityOps {
       .select(col("qid"), col("nid"), col("rank"), col("cos_e6"))
   }
 
+  /** IVF nprobe AUTO-TUNING — the calibration harness production ANN
+    * deployments run before fixing a query-time budget (the faiss
+    * autotune recipe): evaluate the IVF candidate restriction at each
+    * candidate `nprobe` against the EXACT brute-force top-k on the same
+    * query set, and report per-nprobe recall plus the chosen setting
+    * (the smallest candidate reaching `targetRecallPm`; the largest
+    * candidate when none does). The tuning table — not the tuned search —
+    * is the deliverable: it is what a pipeline owner reads to trade probe
+    * fan-out against recall, and what [[cosineTopKIvfAuto]] consumes.
+    *
+    * All-integer and deterministic: the corpus is probed ONCE at
+    * max(candidates) with each candidate's probe RANK kept (every vector
+    * lives on exactly one inverted list, so a candidate's rank is the
+    * probe position of its list — no dedup needed), and each smaller
+    * nprobe is a FILTER on that rank, not a re-run; recall_pm =
+    * ⌊1000·hits/total⌋ over the exact top-k row set.
+    *
+    * Scale posture: one coarse-quantizer broadcast (K ≤ 4096), one
+    * cid equi-join at nprobe = max(candidates), one broadcast exact pass
+    * over the CALIBRATION query set (calibration sets are small by
+    * design — tuning on a sample is the published recipe), then
+    * |candidates| window-rank + semi-join counts over the PERSISTED
+    * candidate frame. The per-candidate counts collect |candidates|
+    * scalars on the driver — the bounded, documented decision pattern
+    * (same class as the BPE merge pick).
+    *
+    * Output: (nprobe, recall_pm, chosen), one row per candidate.
+    */
+  def ivfAutotune(emb: DataFrame, queries: DataFrame, k: Int,
+                  targetRecallPm: Long = 950L,
+                  candidates: Seq[Int] = Seq(1, 2, 4, 8),
+                  maxCentroids: Int = IvfMaxCentroids,
+                  scope: CacheScope = CacheScope.global): DataFrame = {
+    import graft.plans.GeomExpressions.vecNearestCentroids
+    require(candidates.nonEmpty && candidates == candidates.sorted,
+      s"candidates must be ascending and non-empty: $candidates")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val maxNp = candidates.last
+    val bc = coarseQuantizer(emb, maxCentroids)
+    val assigned = emb.withColumn("cid",
+      element_at(vecNearestCentroids(col("embedding"), 1, bc), 1))
+    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .select(col("qid"), col("qemb"),
+        posexplode(vecNearestCentroids(col("qemb"), maxNp, bc)))
+      .select(col("qid"), col("qemb"), (col("pos") + 1).as("prn"), col("col").as("cid"))
+    val cand = scope.persist(probes.join(assigned, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("prn"),
+        round(graft.plans.TextHashExpressions.vecCosine(col("embedding"), col("qemb")) * lit(1000000.0), 0)
+          .cast("long").as("cos_e6")))
+    val exact = scope.persist(cosineTopK(emb, queries, k).select("qid", "nid"))
+    val total = math.max(exact.count(), 1L)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_e6").desc, col("nid"))
+    val recalls = candidates.map { np =>
+      val hits = cand.filter(col("prn") <= np)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .join(exact, Seq("qid", "nid"), "left_semi")
+        .count()
+      (np.toLong, hits * 1000L / total)
+    }
+    val chosen = recalls.collectFirst {
+      case (np, r) if r >= targetRecallPm => np
+    }.getOrElse(candidates.last.toLong)
+    recalls.toDF("nprobe", "recall_pm")
+      .withColumn("chosen", col("nprobe") === chosen)
+  }
+
+  /** The tuned search: run [[ivfAutotune]]'s calibration, then the IVF
+    * top-k at the chosen nprobe — the end-to-end auto-tuned path for
+    * pipelines that want the knob picked from data rather than config.
+    */
+  def cosineTopKIvfAuto(emb: DataFrame, queries: DataFrame, k: Int,
+                        calibration: DataFrame, targetRecallPm: Long = 950L,
+                        candidates: Seq[Int] = Seq(1, 2, 4, 8),
+                        maxCentroids: Int = IvfMaxCentroids): DataFrame = {
+    val tuned = ivfAutotune(emb, calibration, k, targetRecallPm, candidates,
+        maxCentroids)
+      .filter(col("chosen")).select("nprobe").collect()(0).getLong(0).toInt
+    cosineTopKIvf(emb, queries, k, maxCentroids, tuned)
+  }
+
   /** SPARSE-vector cosine-similarity pairs via an inverted index — the
     * "related hosts/sites by content" join, where each key is a bag of
     * token counts too wide and too sparse for the dense-embedding paths

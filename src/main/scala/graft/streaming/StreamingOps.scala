@@ -280,6 +280,88 @@ object StreamingOps {
         })
   }
 
+  /** Per-token PPJoin bucket state: (doc_id, sz, rn) triples seen so far
+    * on this prefix token; saturated buckets drop to a sentinel (the
+    * MaxBandBucket pattern — a boilerplate-degenerate token stops
+    * generating candidates instead of going quadratic).
+    */
+  case class PpjoinTokState(rows: Vector[(Long, Long, Long)], saturated: Boolean)
+  case class PpjoinCandidate(docA: Long, docB: Long)
+
+  /** Streaming twin of the batch PPJoin CANDIDATE stage
+    * (DedupOps.ppjoinCandidates): ingests prefix rows (tok, doc_id, sz,
+    * rn) — produced map-side from the corpus-global rarity dictionary,
+    * the slowly-changing artifact a production stream broadcasts — and
+    * emits candidate pairs per prefix token with BOTH lossless companion
+    * filters applied in-state (length-ratio prune and PPJoin's positional
+    * overlap upper bound), exactly the batch join's predicates. A pair
+    * sharing several prefix tokens may be emitted once per token (the
+    * batch stage ends in `.distinct()`); dedup downstream — the exact
+    * verify join is idempotent per pair.
+    *
+    * State per token = the (doc_id, sz, rn) triples seen, capped at
+    * `maxBucket` with saturation (same contract as [[lshCandidateStream]]
+    * — the streaming analog of the batch MaxBandBucket bound, here the
+    * STRUCTURAL cap on a degenerate vocabulary where every prefix token
+    * has df ≈ n/V). Optional TTL ages idle tokens out.
+    */
+  def ppjoinCandidateStream(prefix: DataFrame, thrPm: Long,
+                            maxBucket: Int = graft.operators.DedupOps.MaxBandBucket,
+                            stateTtlMs: Long = 0L): Dataset[PpjoinCandidate] = {
+    val spark = prefix.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    prefix
+      .select(col("tok").cast("string"), col("doc_id").cast("long"),
+        col("sz").cast("long"), col("rn").cast("long"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (_: String, rows: Iterator[(String, Long, Long, Long)],
+         state: GroupState[PpjoinTokState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = state.getOption.getOrElse(PpjoinTokState(Vector.empty, saturated = false))
+            val out =
+              if (st.saturated) { rows.foreach(_ => ()); Iterator.empty[PpjoinCandidate] }
+              else {
+                // batch-internal order is nondeterministic — sort for stable output
+                val incoming = rows.map(r => (r._2, r._3, r._4)).toArray.sortBy(_._1)
+                var kept = st.rows
+                var saturated = false
+                val b = Vector.newBuilder[PpjoinCandidate]
+                incoming.foreach { case (id, sz, rn) =>
+                  if (!saturated && !kept.exists(_._1 == id)) {
+                    if (kept.length >= maxBucket) saturated = true
+                    else {
+                      kept.foreach { case (pid, psz, prn) =>
+                        val lenOk = math.min(sz, psz) * 1000L >=
+                          thrPm * math.max(sz, psz)
+                        // positional filter: overlap ≤ common prefix before
+                        // the match + the match + the shorter tail after it
+                        val ubound = math.min(rn, prn) +
+                          math.min(sz - rn, psz - prn)
+                        val posOk = ubound * (1000L + thrPm) >= thrPm * (sz + psz)
+                        if (pid != id && lenOk && posOk)
+                          b += PpjoinCandidate(math.min(pid, id), math.max(pid, id))
+                      }
+                      kept = kept :+ ((id, sz, rn))
+                    }
+                  }
+                }
+                state.update(
+                  if (saturated) PpjoinTokState(Vector.empty, saturated = true)
+                  else PpjoinTokState(kept, saturated = false))
+                b.result().iterator
+              }
+            if (stateTtlMs > 0 && state.exists) state.setTimeoutDuration(stateTtlMs)
+            out
+          }
+        })
+  }
+
   case class SessionEvent(userId: Long, ts: java.sql.Timestamp)
 
   /** Change-event shape for [[tileDeltaStream]] (coords null on delete). */

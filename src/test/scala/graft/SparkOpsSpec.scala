@@ -829,6 +829,32 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("IVF autotune: recall monotone in nprobe, chosen = smallest hitting target") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") % 25 === 0)
+    val tuned = SimilarityOps.ivfAutotune(e, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(tuned.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    // more probed lists can only ADD candidates — recall is monotone
+    tuned.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2, s"recall not monotone: $a -> $b") }
+    // exactly one chosen row, and it is the smallest candidate reaching
+    // 950‰ (or the largest candidate when none does)
+    val chosen = tuned.filter(_._3)
+    assert(chosen.length === 1)
+    val expectNp = tuned.collectFirst { case (np, r, _) if r >= 950L => np }
+      .getOrElse(8L)
+    assert(chosen(0)._1 === expectNp, tuned.mkString(", "))
+    // recall at the max candidate is sane on the synthetic corpus
+    assert(tuned.last._2 >= 500L, s"recall@8 = ${tuned.last._2}")
+    // end-to-end tuned search == the IVF path at the chosen nprobe
+    val viaAuto = SimilarityOps.cosineTopKIvfAuto(e, q, 5, q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = SimilarityOps.cosineTopKIvf(e, q, 5, nprobe = expectNp.toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaAuto === direct)
+  }
+
   test("cosine top-1 of an injected near-duplicate is its source") {
     val e = Synth.embCorpus(spark, dir)
     val q = e.filter(col("vec_id") >= 1000000L).limit(5)
@@ -1504,6 +1530,7 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val first = RunPipeline.run(spark, dir, out)
     assert(first("gate") === RunPipeline.GateBuckets, "fresh run executes every gate bucket")
     assert(first("tiles") === RunPipeline.TileBuckets)
+    assert(first("routes") === RunPipeline.RouteBuckets)
     assert(first("clusterRounds") > 0, "the clustering loop must actually run")
     val survivors = spark.read.parquet(s"$out/survivors")
     val tiles = spark.read.parquet(s"$out/tilesum")
@@ -1522,6 +1549,17 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = survivors.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === expect, "durable staged pipeline must equal the in-memory chain")
+    // routes stage == the one-shot generic assembler (ordered members incl.)
+    val (m, nn, ww, rr) = SparkEntry.routeInput(spark, dir)
+    val routeExpect = AssemblyOps.assembleGeneric(m, nn, ww, rr)
+      .withColumn("members", to_json(col("members"),
+        java.util.Collections.singletonMap("ignoreNullFields", "false")))
+      .collect().map(r => (r.getLong(0), r.getString(r.fieldIndex("members")))).toSet
+    val routeGot = spark.read.parquet(s"$out/routes")
+      .collect().map(r => (r.getLong(r.fieldIndex("rel_id")),
+        r.getString(r.fieldIndex("members")))).toSet
+    assert(routeGot === routeExpect,
+      "durable routes stage must equal the in-memory generic assembly")
   }
 
   test("residual IVF-PQ beats raw full-scan PQ on clustered embeddings") {

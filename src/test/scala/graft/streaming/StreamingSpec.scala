@@ -233,6 +233,67 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q2.stop()
   }
 
+  test("streaming PPJoin candidates ⊇ batch candidate stage; filters + saturation hold") {
+    val ss = spark
+    import ss.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    implicit val sqlCtx = ss.sqlContext
+    val rnd = new scala.util.Random(533)
+    val vocab = (0 until 24).map(i => s"w$i")
+    val docs = (0L until 60L).map(i =>
+      i -> Seq.fill(6 + rnd.nextInt(14))(vocab(rnd.nextInt(24))).mkString(" ")) ++
+      // guaranteed true pairs: J = 4/5 = 800‰ exactly, and a 9/10 pair
+      Seq(100L -> "p0 p1 p2 p3 p4", 101L -> "p0 p1 p2 p3",
+          102L -> "r0 r1 r2 r3 r4 r5 r6 r7 r8 r9",
+          103L -> "r0 r1 r2 r3 r4 r5 r6 r7 r8")
+    val thr = 800L
+    val corpus = docs.toDF("doc_id", "text")
+    val toks = graft.operators.DedupOps.ppjoinToks(corpus)
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val prefixRows = graft.operators.DedupOps.ppjoinPrefixRows(toks, sz, thr)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3).toLong))
+    val batchCand = graft.operators.DedupOps.ppjoinCandidates(toks, sz, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the true pair set (batch end-to-end) must survive the stream's
+    // candidate stage too — candidates are a superset of true pairs
+    val truePairs = graft.operators.DedupOps.ppjoinPairs(corpus, thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val input = MemoryStream[(String, Long, Long, Long)]
+    val q = StreamingOps.ppjoinCandidateStream(
+        input.toDS().toDF("tok", "doc_id", "sz", "rn"), thr)
+      .writeStream.format("memory").queryName("ppjcand").outputMode("append").start()
+    try {
+      // split across micro-batches: cross-batch pairs must still emerge
+      input.addData(prefixRows.take(prefixRows.length / 2).toSeq)
+      q.processAllAvailable()
+      input.addData(prefixRows.drop(prefixRows.length / 2).toSeq)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT DISTINCT docA, docB FROM ppjcand").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // same predicates, same pairs: the stream applies exactly the batch
+      // join's length + positional filters per shared prefix token
+      assert(got === batchCand, s"stream $got vs batch $batchCand")
+      assert(truePairs.subsetOf(got) && truePairs.nonEmpty)
+    } finally q.stop()
+
+    // saturation: a degenerate token shared by everyone caps at
+    // C(cap, 2) pairs and the bucket state collapses to a sentinel
+    val cap = 4
+    val degenerate = (0L until 40L).map(i => ("t0", i, 10L, 1L))
+    val input2 = MemoryStream[(String, Long, Long, Long)]
+    val q2 = StreamingOps.ppjoinCandidateStream(
+        input2.toDS().toDF("tok", "doc_id", "sz", "rn"), thr, maxBucket = cap)
+      .writeStream.format("memory").queryName("ppjsat").outputMode("append").start()
+    try {
+      input2.addData(degenerate.take(20)); q2.processAllAvailable()
+      input2.addData(degenerate.drop(20)); q2.processAllAvailable()
+      val n = spark.sql("SELECT DISTINCT docA, docB FROM ppjsat").count()
+      assert(n <= cap.toLong * (cap - 1) / 2,
+        s"saturated token leaked $n distinct pairs (cap $cap)")
+    } finally q2.stop()
+  }
+
   test("streaming PIP counts == batch pipJoin rollup per closed window") {
     val ss = spark
     import ss.implicits._
