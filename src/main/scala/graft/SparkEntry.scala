@@ -32,7 +32,7 @@ object SparkEntry {
     * derivation, shared). DISTINCT because (l_orderkey, l_linenumber) is
     * not unique in the synthetic data.
     */
-  private def wayPoints(li: DataFrame, dedup: Boolean = true): DataFrame = {
+  private[graft] def wayPoints(li: DataFrame, dedup: Boolean = true): DataFrame = {
     val key = col("l_orderkey") * lit(10L) + col("l_linenumber")
     val x = (col("l_orderkey") * lit(2654435761L)) % lit(3400000000L) - lit(1700000000L) +
       ((key * lit(1103515245L)) % lit(20000000L) - lit(10000000L))

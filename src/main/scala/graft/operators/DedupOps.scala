@@ -217,41 +217,58 @@ object DedupOps {
       (out, rounds)
     }
 
-  /** Partition-local union-find CONTRACTION: collapse every path that
-    * lives inside one partition before the global round loop ever runs.
-    * Each partition's edges go through an in-memory union-find (union by
-    * MIN id, path-compressed find — memory is O(nodes in the partition),
-    * which Spark already bounds by partition size), emitting
-    * (node, local root). A node whose edges are spread over several
-    * partitions gets several local roots — each such multi-membership IS
-    * a cross-partition merge, so the groupBy(node) that follows emits the
-    * CONTRACTED graph: one edge (root, min root of the node) per extra
-    * membership. The loop then runs on roots only.
+  /** Per-partition edge budget for one cascaded-contraction pass: a
+    * union-find pass is allowed to see at most ~this many edges per
+    * partition (the in-memory map is O(nodes), nodes ≤ 2·edges), so the
+    * cascade's partition count is always derived from the REMAINING edge
+    * count and executor memory stays bounded no matter how the graph
+    * shrinks.
+    */
+  val SingleShotEdges: Long = 1L << 20
+
+  /** CASCADED partition-local union-find CONTRACTION: collapse the pair
+    * graph as far as repeated local passes can before the global round
+    * loop ever runs. One pass: each partition's edges go through an
+    * in-memory union-find (union by MIN id, path-compressed find —
+    * memory is O(nodes in the partition), which the pass's partition
+    * count bounds), emitting (node, local root). A node whose edges are
+    * spread over several partitions gets several local roots — each such
+    * multi-membership IS a cross-partition merge, so the groupBy(node)
+    * that follows emits the CONTRACTED graph: one edge
+    * (root, min root of the node) per extra membership.
     *
-    * Why this is the 100 TB shape: every loop round shuffles the FULL
-    * label table; contraction replaces all intra-partition label travel
-    * with one narrow mapPartitions pass + one groupBy(node) shuffle, and
-    * the loop's input shrinks from |V| to the number of partition-
-    * spanning roots (typically orders of magnitude smaller — a crawl's
-    * duplicate chains are mostly partition-local). Component diameters —
-    * the pointer-jump round count — shrink to the CROSS-PARTITION
-    * diameter.
+    * A single hash-partitioned pass contracts chain-shaped graphs badly
+    * (a path's edges scatter over P partitions, so ~(1−1/P) of them
+    * span partitions — measured 7% shrink on the trajectory pair graph,
+    * leaving a 42-round pointer-jump loop). So the pass CASCADES: after
+    * each pass the surviving contracted edges are re-counted and
+    * re-sharded into ceil(edges / [[SingleShotEdges]]) partitions — a
+    * strictly smaller partition count, each partition still
+    * memory-bounded — and contracted again. The partition count shrinks
+    * geometrically, so the cascade runs ≤ log(P) passes, and once the
+    * remaining graph fits one [[SingleShotEdges]] shard the final pass
+    * resolves every component exactly and the round loop sees an EMPTY
+    * graph (one convergence-check round, no propagation). Graphs too
+    * large to cascade to one shard (cross-partition edges still above
+    * the per-pass budget × current shard count) stop early and hand the
+    * remainder to the pointer-jump loop — the cascade never regresses
+    * the loop's asymptotics, it only shrinks the loop's input.
     *
-    * Labels are unchanged: the global component minimum m is its own
-    * local root wherever it appears, every local root is a component
-    * member ≥ m, and roots chain to m through the contracted edges — so
-    * the loop's min-label output on roots, mapped back through
-    * (node → min root), reproduces exactly the labels the plain loop
-    * assigns (spec'd parity on random graphs). Returns
-    * (node→mroot mapping, contracted edges as (doc_a, doc_b)).
+    * Labels are unchanged by any number of passes: the global component
+    * minimum m is its own local root wherever it appears, every local
+    * root is a component member ≥ m, and roots chain to m through the
+    * contracted edges — so the loop's min-label output on the final
+    * roots, mapped back through the COMPOSED (node → min root) mapping,
+    * reproduces exactly the labels the plain loop assigns (spec'd parity
+    * on random graphs). Returns (node→mroot mapping over every node in
+    * `pairs`, contracted edges as (doc_a, doc_b) — possibly empty).
     */
   private[graft] def contractPairs(pairs: DataFrame,
       scope: CacheScope): (DataFrame, DataFrame) = {
     val sess = pairs.sparkSession
     import sess.implicits._
-    val n2r = pairs
-      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .as[(Long, Long)]
+
+    def unionFindPass(edges: org.apache.spark.sql.Dataset[(Long, Long)]): DataFrame = edges
       .mapPartitions { it =>
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
@@ -274,14 +291,42 @@ object DedupOps {
         out.iterator
       }
       .toDF("node", "root")
-    val nr = scope.persist(n2r.groupBy("node")
-      .agg(min("root").as("mroot"), collect_set("root").as("roots")))
-    val contracted = nr
-      .select(col("mroot"), explode(col("roots")).as("r"))
-      .filter(col("r") =!= col("mroot"))
-      .select(col("r").as("doc_a"), col("mroot").as("doc_b"))
-      .distinct()
-    (nr.select(col("node"), col("mroot")), contracted)
+
+    var edges: org.apache.spark.sql.Dataset[(Long, Long)] = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .as[(Long, Long)]
+    var mapping: DataFrame = null
+    var contracted: DataFrame = null
+    var lastParts = -1 // first pass rides the caller's partitioning
+    var continue = true
+    while (continue) {
+      val nr = scope.persist(unionFindPass(edges).groupBy("node")
+        .agg(min("root").as("mroot"), collect_set("root").as("roots")))
+      val m = nr.select(col("node"), col("mroot"))
+      // compose this pass's root mapping onto the cumulative one: only
+      // roots that still had cross-partition edges re-appear in the next
+      // pass, so absent roots keep their current mroot (left + coalesce)
+      mapping = if (mapping == null) m
+        else scope.persist(mapping.join(
+            m.select(col("node").as("mroot"), col("mroot").as("mroot2")),
+          Seq("mroot"), "left")
+          .select(col("node"),
+            coalesce(col("mroot2"), col("mroot")).as("mroot")))
+      contracted = scope.persist(nr
+        .select(col("mroot"), explode(col("roots")).as("r"))
+        .filter(col("r") =!= col("mroot"))
+        .select(col("r").as("doc_a"), col("mroot").as("doc_b"))
+        .distinct())
+      val n = contracted.count()
+      val cur = if (lastParts > 0) lastParts else contracted.rdd.getNumPartitions
+      val target = math.max(1L, (n + SingleShotEdges - 1) / SingleShotEdges).toInt
+      if (n == 0 || target >= cur) continue = false
+      else {
+        lastParts = target
+        edges = contracted.repartition(target).as[(Long, Long)]
+      }
+    }
+    (mapping, contracted)
   }
 
   private[graft] def duplicateClustersLoop(pairs: DataFrame,

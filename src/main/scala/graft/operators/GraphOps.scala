@@ -635,6 +635,16 @@ object GraphOps {
     * eager scalars, the same contract as knn's density probe. Output one
     * row: (seed, far_node, seed_ecc, peak_node, diameter_lb).
     */
+  /** Edge budget for the single-shard double-sweep path: a symmetrized
+    * graph at or under this many edges runs both BFS sweeps inside ONE
+    * task over an in-memory adjacency map (memory O(edges), bounded by
+    * this constant) instead of paying ~2·eccentricity blocking frontier
+    * rounds of scheduler latency. Above the budget the distributed
+    * [[hopDistance]] loop runs unchanged — the switch mirrors the kNN
+    * family's small/large strategy selection.
+    */
+  val LocalSweepEdges: Long = 1L << 22
+
   def doubleSweepDiameter(edges: DataFrame, maxHops: Int,
                           scope: CacheScope = CacheScope.global): DataFrame = {
     val sess = edges.sparkSession
@@ -642,14 +652,55 @@ object GraphOps {
     val sym = scope.persist(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
-    val seed = sym.agg(min(col("src"))).head().getLong(0)
-    val d1 = hopDistance(sym, Seq(seed).toDF("node_id"), maxHops, scope)
-    val f1 = d1.orderBy(col("hops").desc, col("node_id")).limit(1).head()
-    val (far, ecc1) = (f1.getLong(0), f1.getLong(1))
-    val d2 = hopDistance(sym, Seq(far).toDF("node_id"), maxHops, scope)
-    val f2 = d2.orderBy(col("hops").desc, col("node_id")).limit(1).head()
-    Seq((seed, far, ecc1, f2.getLong(0), f2.getLong(1)))
-      .toDF("seed", "far_node", "seed_ecc", "peak_node", "diameter_lb")
+    if (sym.count() <= LocalSweepEdges) {
+      // both sweeps in one task: BFS level h's nodes are exactly the
+      // distributed loop's hops==h rows, so far-node tie-break (max hops,
+      // then min node id) = min id of the last non-empty level
+      sym.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val adj = new java.util.HashMap[
+          Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        var seed = Long.MaxValue
+        it.foreach { case (s, d) =>
+          adj.computeIfAbsent(s,
+            _ => new scala.collection.mutable.ArrayBuffer[Long]()) += d
+          if (s < seed) seed = s
+        }
+        def sweep(from: Long): (Long, Long) = {
+          val dist = new java.util.HashMap[Long, Long]()
+          dist.put(from, 0L)
+          var frontier = scala.collection.mutable.ArrayBuffer(from)
+          var h = 0L; var far = from; var ecc = 0L
+          while (frontier.nonEmpty && h < maxHops) {
+            h += 1
+            val next = new scala.collection.mutable.ArrayBuffer[Long]()
+            frontier.foreach { n =>
+              val ns = adj.get(n)
+              if (ns != null) ns.foreach { m =>
+                if (!dist.containsKey(m)) { dist.put(m, h); next += m }
+              }
+            }
+            frontier = next
+            if (next.nonEmpty) { ecc = h; far = next.min }
+          }
+          (far, ecc)
+        }
+        if (seed == Long.MaxValue) Iterator.empty
+        else {
+          val (far, ecc1) = sweep(seed)
+          val (peak, ecc2) = sweep(far)
+          Iterator((seed, far, ecc1, peak, ecc2))
+        }
+      }.toDF("seed", "far_node", "seed_ecc", "peak_node", "diameter_lb")
+    } else {
+      val seed = sym.agg(min(col("src"))).head().getLong(0)
+      val d1 = hopDistance(sym, Seq(seed).toDF("node_id"), maxHops, scope)
+      val f1 = d1.orderBy(col("hops").desc, col("node_id")).limit(1).head()
+      val (far, ecc1) = (f1.getLong(0), f1.getLong(1))
+      val d2 = hopDistance(sym, Seq(far).toDF("node_id"), maxHops, scope)
+      val f2 = d2.orderBy(col("hops").desc, col("node_id")).limit(1).head()
+      Seq((seed, far, ecc1, f2.getLong(0), f2.getLong(1)))
+        .toDF("seed", "far_node", "seed_ecc", "peak_node", "diameter_lb")
+    }
   }
 
   /** Undirected connected components over an (src, dst) edge list:

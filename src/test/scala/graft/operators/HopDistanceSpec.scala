@@ -103,4 +103,34 @@ class HopDistanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
+
+  test("doubleSweepDiameter local path matches the distributed selection") {
+    val s = spark; import s.implicits._
+    // seeded random sparse graph (chains + small components); the local
+    // single-shard path always triggers at spec scale, so the expected
+    // row is recomputed here through hopDistance + the exact distributed
+    // tie-break (max hops, then min node id)
+    val rnd = new scala.util.Random(41)
+    val edges = Seq.fill(220)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val df = edges.toDF("src", "dst")
+    val maxHops = 12
+    val got = GraphOps.doubleSweepDiameter(df, maxHops).collect()
+    assert(got.length === 1)
+    val r = got.head
+    val sym = df.select(org.apache.spark.sql.functions.col("src"),
+        org.apache.spark.sql.functions.col("dst"))
+      .unionByName(df.selectExpr("dst as src", "src as dst")).distinct()
+    val seed = edges.flatMap(e => Seq(e._1, e._2)).min
+    def farthest(from: Long): (Long, Long) = {
+      val d = GraphOps.hopDistance(sym, Seq(from).toDF("node_id"), maxHops)
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+      val ecc = d.map(_._2).max
+      (d.filter(_._2 == ecc).map(_._1).min, ecc)
+    }
+    val (far, ecc1) = farthest(seed)
+    val (peak, ecc2) = farthest(far)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((seed, far, ecc1, peak, ecc2)))
+  }
 }
