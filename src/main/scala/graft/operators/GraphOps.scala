@@ -514,11 +514,29 @@ object GraphOps {
     *
     * Input: edges (src, dst), sources (node_id). Output: (node_id, hops)
     * with hops ∈ [0, maxHops]; unreached nodes are absent.
+    *
+    * Strategy selection: a deduplicated edge list at or under
+    * [[LocalSweepEdges]] runs the whole BFS inside ONE task over an
+    * in-memory adjacency map ([[hopDistanceLocal]] — memory bounded by
+    * the edge budget, sources shipped executor-side via a tagged union,
+    * never collected to the driver) instead of paying one blocking
+    * frontier round per hop; larger graphs take the distributed loop
+    * unchanged. Same small/large split as the kNN family; parity spec'd.
     */
   def hopDistance(edges: DataFrame, sources: DataFrame, maxHops: Int,
                   scope: CacheScope = CacheScope.global): DataFrame = {
-    val spark = edges.sparkSession
     val e = scope.persist(edges.select(col("src"), col("dst")).distinct())
+    if (e.count() <= LocalSweepEdges) hopDistanceLocal(e, sources, maxHops)
+    else hopDistanceLoop(e, sources, maxHops, scope)
+  }
+
+  /** The distributed frontier loop of [[hopDistance]] (spec-reachable
+    * directly — the dispatch's size switch would otherwise hide it at
+    * test scale). `e` must be the deduplicated (src, dst) edge list.
+    */
+  private[graft] def hopDistanceLoop(e: DataFrame, sources: DataFrame,
+      maxHops: Int, scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = e.sparkSession
     var cached = sources.select(col("node_id")).distinct()
       .withColumn("hops", lit(0L)).persist()
     var prevTotal = cached.count()
@@ -544,6 +562,56 @@ object GraphOps {
     }
     scope.track(cached)
     visited
+  }
+
+  /** Single-shard BFS for graphs under the [[LocalSweepEdges]] budget:
+    * edges and sources ride one tagged union into a single partition
+    * (no driver collect) and the whole multi-source sweep runs in that
+    * task — identical output contract to the distributed loop (minimum
+    * hops per reached node, sources at 0, unreached absent, capped at
+    * maxHops).
+    */
+  private[graft] def hopDistanceLocal(e: DataFrame, sources: DataFrame,
+                               maxHops: Int): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val idType = sources.schema("node_id").dataType
+    val tagged = e
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        lit(1).as("t"))
+      .unionByName(sources.select(col("node_id").cast("long").as("src"))
+        .distinct()
+        .select(col("src"), lit(0L).as("dst"), lit(0).as("t")))
+    tagged.as[(Long, Long, Int)].coalesce(1).mapPartitions { it =>
+      val adj = new java.util.HashMap[
+        Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      val seeds = new scala.collection.mutable.ArrayBuffer[Long]()
+      it.foreach { case (s, d, t) =>
+        if (t == 1) adj.computeIfAbsent(s,
+          _ => new scala.collection.mutable.ArrayBuffer[Long]()) += d
+        else seeds += s
+      }
+      val dist = new java.util.HashMap[Long, Long]()
+      seeds.foreach(dist.put(_, 0L))
+      var frontier = seeds
+      var h = 0L
+      while (frontier.nonEmpty && h < maxHops) {
+        h += 1
+        val next = new scala.collection.mutable.ArrayBuffer[Long]()
+        frontier.foreach { n =>
+          val ns = adj.get(n)
+          if (ns != null) ns.foreach { m =>
+            if (!dist.containsKey(m)) { dist.put(m, h); next += m }
+          }
+        }
+        frontier = next
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](dist.size)
+      val ks = dist.entrySet().iterator()
+      while (ks.hasNext) { val kv = ks.next(); out += ((kv.getKey, kv.getValue)) }
+      out.iterator
+    }.toDF("node_id", "hops")
+      .select(col("node_id").cast(idType).as("node_id"), col("hops"))
   }
 
   /** Deterministic RANDOM-WALK corpus (the DeepWalk/node2vec input):
@@ -877,10 +945,102 @@ object GraphOps {
     * scc_id = min node id of the component.
     */
   def stronglyConnectedComponents(edges: DataFrame,
-      scope: CacheScope = CacheScope.global): DataFrame =
-    graft.core.LoopConf.withCoalescing(edges) { sccBody(edges, scope) }
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val e = scope.persist(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    if (e.count() <= LocalSweepEdges) sccLocal(e)
+    else graft.core.LoopConf.withCoalescing(edges) { sccBody(e, scope) }
+  }
 
-  private def sccBody(edges: DataFrame, scope: CacheScope): DataFrame = {
+  /** Single-shard SCC for graphs under the [[LocalSweepEdges]] budget:
+    * iterative Kosaraju (forward finish order, reverse-graph peeling) in
+    * ONE task. The output contract is canonical — scc_id = min node id
+    * of the component over non-self-loop edge endpoints — so any correct
+    * SCC algorithm produces bit-identical rows to the distributed
+    * coloring loop (parity spec'd); the local path just skips the
+    * loop's data-dependent rounds of join latency.
+    */
+  private def sccLocal(e: DataFrame): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val idType = e.schema("src").dataType
+    e.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val fwd = new java.util.HashMap[
+          Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        val rev = new java.util.HashMap[
+          Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        val nodes = new java.util.LinkedHashSet[Long]()
+        def add(m: java.util.HashMap[
+            Long, scala.collection.mutable.ArrayBuffer[Long]],
+            x: Long, y: Long): Unit =
+          m.computeIfAbsent(x,
+            _ => new scala.collection.mutable.ArrayBuffer[Long]()) += y
+        it.foreach { case (s, d) =>
+          add(fwd, s, d); add(rev, d, s); nodes.add(s); nodes.add(d)
+        }
+        // pass 1: forward DFS finish order (iterative, explicit stack)
+        val seen = new java.util.HashSet[Long]()
+        val order = new scala.collection.mutable.ArrayBuffer[Long](nodes.size)
+        val stack = new scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+        val nit = nodes.iterator()
+        while (nit.hasNext) {
+          val start = nit.next()
+          if (!seen.contains(start)) {
+            seen.add(start); stack += ((start, 0))
+            while (stack.nonEmpty) {
+              val (n, i) = stack.remove(stack.length - 1)
+              val ns = fwd.get(n)
+              var j = i; var descended = false
+              while (!descended && ns != null && j < ns.length) {
+                val m = ns(j)
+                if (!seen.contains(m)) {
+                  seen.add(m)
+                  stack += ((n, j + 1)); stack += ((m, 0))
+                  descended = true
+                }
+                j += 1
+              }
+              if (!descended) order += n
+            }
+          }
+        }
+        // pass 2: peel reverse graph in reverse finish order
+        val comp = new java.util.HashMap[Long, Long]()
+        var k = order.length - 1
+        val dfs2 = new scala.collection.mutable.ArrayBuffer[Long]()
+        while (k >= 0) {
+          val root = order(k)
+          if (!comp.containsKey(root)) {
+            var minId = root
+            val members = new scala.collection.mutable.ArrayBuffer[Long]()
+            dfs2 += root; comp.put(root, root)
+            while (dfs2.nonEmpty) {
+              val n = dfs2.remove(dfs2.length - 1)
+              members += n
+              if (n < minId) minId = n
+              val ns = rev.get(n)
+              if (ns != null) ns.foreach { m =>
+                if (!comp.containsKey(m)) { comp.put(m, root); dfs2 += m }
+              }
+            }
+            members.foreach(comp.put(_, minId))
+          }
+          k -= 1
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](comp.size)
+        val ci = comp.entrySet().iterator()
+        while (ci.hasNext) { val kv = ci.next(); out += ((kv.getKey, kv.getValue)) }
+        out.iterator
+      }.toDF("node_id", "scc_id")
+      .select(col("node_id").cast(idType).as("node_id"),
+        col("scc_id").cast(idType).as("scc_id"))
+  }
+
+  /** The distributed coloring loop (spec-reachable; `edges` must already
+    * be the deduplicated non-self-loop (src, dst) list).
+    */
+  private[graft] def sccBody(edges: DataFrame, scope: CacheScope): DataFrame = {
     // Lineage control: the doubly-nested rounds would chain hundreds of
     // stages into one RDD DAG — task serialization stack-overflows around
     // a few hundred nested dependencies (observed in a full Verify run).
@@ -1308,9 +1468,79 @@ object GraphOps {
                          removeNeighbors: Boolean,
                          scope: CacheScope): DataFrame = {
     val spark = edges.sparkSession
-    val und = edges.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val und = scope.persist(
+      edges.select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    if (und.count() <= LocalSweepEdges)
+      lubyRoundsLocal(und, rounds, prioMul, removeNeighbors,
+        edges.schema("src").dataType)
+    else lubyRoundsLoop(und, rounds, prioMul, removeNeighbors, scope)
+  }
+
+  /** Single-shard twin of [[lubyRoundsLoop]] for graphs under the
+    * [[LocalSweepEdges]] budget: the same deterministic priority race
+    * (p = mixId(node·prioMul + round), lose to a (p, id)-smaller
+    * neighbor), simulated over an in-memory adjacency map in ONE task —
+    * one job instead of ~5 shuffling stages per round. Bit-identical by
+    * construction: [[graft.core.TextHash.mixId]] is the spec'd scalar
+    * kernel of the Column mixId, and the win/removal rules are the
+    * loop's, so the oracle's unrolled rounds see the same rows.
+    */
+  private def lubyRoundsLocal(und: DataFrame, rounds: Int, prioMul: Long,
+                              removeNeighbors: Boolean,
+                              idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val sess = und.sparkSession
+    import sess.implicits._
+    und.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val adj = new java.util.HashMap[
+          Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        def add(x: Long, y: Long): Unit =
+          adj.computeIfAbsent(x,
+            _ => new scala.collection.mutable.ArrayBuffer[Long]()) += y
+        it.foreach { case (a, b) => add(a, b); add(b, a) }
+        val active = new java.util.HashSet[Long](adj.keySet())
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        var r = 0L
+        while (r < rounds && !active.isEmpty) {
+          r += 1
+          def prio(n: Long): Long =
+            graft.core.TextHash.mixId(n * prioMul + r)
+          val win = new scala.collection.mutable.ArrayBuffer[Long]()
+          val ai = active.iterator()
+          while (ai.hasNext) {
+            val n = ai.next(); val pa = prio(n)
+            var lost = false
+            val ns = adj.get(n); var i = 0
+            while (!lost && i < ns.length) {
+              val m = ns(i)
+              if (active.contains(m)) {
+                val pb = prio(m)
+                if (pb < pa || (pb == pa && m < n)) lost = true
+              }
+              i += 1
+            }
+            if (!lost) { win += n; out += ((n, r)) }
+          }
+          win.foreach { n =>
+            active.remove(n)
+            if (removeNeighbors) adj.get(n).foreach(active.remove(_))
+          }
+        }
+        out.iterator
+      }.toDF("node_id", "round")
+      .select(col("node_id").cast(idType).as("node_id"), col("round"))
+  }
+
+  /** The distributed round loop of [[lubyMis]]/[[lubyColoring]]
+    * (spec-reachable directly; `und` must be the distinct undirected
+    * a<b edge list).
+    */
+  private[graft] def lubyRoundsLoop(und: DataFrame, rounds: Int, prioMul: Long,
+                                    removeNeighbors: Boolean,
+                                    scope: CacheScope): DataFrame = {
+    val spark = und.sparkSession
     val sym = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
     var cachedN = sym.select(col("src").as("node_id")).distinct().persist()

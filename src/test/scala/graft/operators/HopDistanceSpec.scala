@@ -75,7 +75,10 @@ class HopDistanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       s.sparkContext.addSparkListener(listener)
       try {
         jobs.set(0)
-        val got = GraphOps.hopDistance(edges, Seq(1L).toDF("node_id"), maxHops)
+        // hopDistanceLoop directly: the public dispatch would take the
+        // single-shard local path at this scale and hide the loop
+        val got = GraphOps.hopDistanceLoop(edges.distinct(),
+            Seq(1L).toDF("node_id"), maxHops)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         // give the async listener bus a beat to drain before reading
         Thread.sleep(500)
@@ -104,6 +107,21 @@ class HopDistanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("single-shard local BFS matches the distributed frontier loop") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(97)
+    val edges = Seq.fill(500)((rnd.nextInt(180).toLong, rnd.nextInt(180).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val sources = Seq(0L, 55L, 179L).toDF("node_id")
+    for (maxHops <- Seq(2, 9)) {
+      val viaLoop = GraphOps.hopDistanceLoop(edges.distinct(), sources, maxHops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaLocal = GraphOps.hopDistance(edges, sources, maxHops)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaLocal === viaLoop, s"divergence at maxHops=$maxHops")
+    }
+  }
+
   test("doubleSweepDiameter local path matches the distributed selection") {
     val s = spark; import s.implicits._
     // seeded random sparse graph (chains + small components); the local
@@ -123,7 +141,7 @@ class HopDistanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .unionByName(df.selectExpr("dst as src", "src as dst")).distinct()
     val seed = edges.flatMap(e => Seq(e._1, e._2)).min
     def farthest(from: Long): (Long, Long) = {
-      val d = GraphOps.hopDistance(sym, Seq(from).toDF("node_id"), maxHops)
+      val d = GraphOps.hopDistanceLoop(sym, Seq(from).toDF("node_id"), maxHops)
         .collect().map(x => (x.getLong(0), x.getLong(1)))
       val ecc = d.map(_._2).max
       (d.filter(_._2 == ecc).map(_._1).min, ecc)

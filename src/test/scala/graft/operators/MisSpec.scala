@@ -88,6 +88,27 @@ class MisSpec extends AnyFunSuite with BeforeAndAfterAll {
       !got.contains(a) || !got.contains(b) || got(a) != got(b) })
   }
 
+  test("distributed round loop matches the single-shard twin (both modes)") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{least, greatest, col}
+    val rnd = new scala.util.Random(71)
+    val edges = Seq.fill(500)((rnd.nextInt(140).toLong, rnd.nextInt(140).toLong))
+      .toDF("src", "dst")
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    for (removeNeighbors <- Seq(true, false)) {
+      val viaLoop = GraphOps.lubyRoundsLoop(und, 12, 1000003L,
+          removeNeighbors, new graft.core.CacheScope)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaDispatch = (if (removeNeighbors)
+          GraphOps.lubyMis(edges, 12, 1000003L)
+        else GraphOps.lubyColoring(edges, 12, 1000003L))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDispatch === viaLoop, s"removeNeighbors=$removeNeighbors")
+    }
+  }
+
   test("result is independent and maximal") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(47)

@@ -80,6 +80,25 @@ class Round4SessionSixSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("SCC distributed coloring loop matches the single-shard Kosaraju twin") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.col
+    for (seed <- Seq(7L, 29L)) {
+      val n = 60
+      val edges = lcg(seed).take(400).grouped(2)
+        .map(p => (p.head % n, p.last % n)).filter(p => p._1 != p._2)
+        .toSeq.distinct.toDF("src", "dst")
+      val e = edges.select(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val viaLoop = graft.core.LoopConf.withCoalescing(e) {
+        GraphOps.sccBody(e, new graft.core.CacheScope)
+      }.as[(Long, Long)].collect().toMap
+      val viaLocal = GraphOps.stronglyConnectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      assert(viaLocal == viaLoop, s"seed $seed")
+    }
+  }
+
   test("strPartition: exact balance, full coverage, s*s partitions") {
     val s = spark; import s.implicits._
     val n = 1003 // deliberately not divisible by s or s*s
