@@ -2158,10 +2158,14 @@ object SparkEntry {
     // pair volume is capped at every SF. Top-3 per cell via rank
     // pushdown, ties to the smaller partner cell.
     "q_covisit" -> ((s, d) => {
-      val cells = excursionTrack(s, d).select(col("entity"),
+      // persisted: the (entity, cell) distinct is a full shuffle over the
+      // raw ping stream and feeds BOTH sides of the pair self-join —
+      // without the cache the scan+distinct runs twice
+      val cells = graft.core.CacheScope.global.persist(
+        excursionTrack(s, d).select(col("entity"),
           (Fns.idiv(col("x") + lit(2000000000L), CovisitPitch) * 1024 +
             Fns.idiv(col("y") + lit(2000000000L), CovisitPitch)).as("cell"))
-        .distinct()
+        .distinct())
       val pairs = cells.join(cells.select(col("entity"),
           col("cell").as("cell_b")), "entity")
         .filter(col("cell") < col("cell_b"))

@@ -61,6 +61,16 @@ object CrawlOps {
     val spark = redirects.sparkSession
     val edges = scope.persist(redirects.select(col("src"), col("dst")))
     val n = edges.count() // documented probe: sets the doubling depth
+    if (n <= GraphOps.LocalSweepEdges) resolveRedirectsLocal(edges)
+    else resolveRedirectsLoop(edges, n, scope)
+  }
+
+  /** The distributed doubling loop (spec-reachable; `edges` must be the
+    * (src, dst) redirect map, `n` its row count).
+    */
+  private[graft] def resolveRedirectsLoop(edges: DataFrame, n: Long,
+      scope: graft.core.CacheScope): DataFrame = {
+    val spark = edges.sparkSession
     val rounds = 64 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L)) + 1
     // successor map over ALL nodes: terminals point to themselves
     val terms = edges.select(col("dst").as("src"))
@@ -88,5 +98,59 @@ object CrawlOps {
       .select(col("src"),
         when(col("nonterm").isNull, col("nxt")).as("final"),
         when(col("nonterm").isNull, 0L).otherwise(1L).as("is_cycle"))
+  }
+
+  /** Single-shard twin of the doubling loop for redirect maps under the
+    * [[GraphOps.LocalSweepEdges]] budget: memoized chain walking with
+    * in-walk cycle detection in ONE task. The output contract is
+    * algorithm-independent — a src resolves to its chain's terminal
+    * (final, 0) or, when the walk enters a cycle, to (NULL, 1) — so the
+    * walk and the ⌈log₂ n⌉+1 doubling rounds emit identical rows
+    * (parity spec'd).
+    */
+  private def resolveRedirectsLocal(edges: DataFrame): DataFrame = {
+    val sess = edges.sparkSession
+    import sess.implicits._
+    val idType = edges.schema("src").dataType
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val succ = new java.util.HashMap[Long, Long]()
+        it.foreach { case (s, d) => succ.put(s, d) }
+        // memo: final terminal boxed, or null sentinel entry for cycles
+        val memo = new java.util.HashMap[Long, java.lang.Long]()
+        val resolved = new java.util.HashSet[Long]()
+        val path = new scala.collection.mutable.ArrayBuffer[Long]()
+        val onPath = new java.util.HashSet[Long]()
+        val si = succ.keySet().iterator()
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Option[Long], Long)](succ.size)
+        while (si.hasNext) {
+          val start = si.next()
+          if (!resolved.contains(start)) {
+            path.clear(); onPath.clear()
+            var cur = start
+            var outcome: java.lang.Long = null
+            var done = false
+            while (!done) {
+              if (resolved.contains(cur)) { outcome = memo.get(cur); done = true }
+              else if (onPath.contains(cur)) { outcome = null; done = true }
+              else if (!succ.containsKey(cur)) { outcome = cur; done = true }
+              else { path += cur; onPath.add(cur); cur = succ.get(cur) }
+            }
+            path.foreach { p =>
+              resolved.add(p); memo.put(p, outcome)
+            }
+          }
+        }
+        val mi = succ.keySet().iterator()
+        while (mi.hasNext) {
+          val s = mi.next()
+          val f = memo.get(s)
+          out += ((s, Option(f).map(_.longValue), if (f == null) 1L else 0L))
+        }
+        out.iterator
+      }.toDF("src", "final", "is_cycle")
+      .select(col("src").cast(idType).as("src"),
+        col("final").cast(idType).as("final"), col("is_cycle"))
   }
 }

@@ -42,6 +42,21 @@ class RedirectsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === refResolve(f))
   }
 
+  test("distributed doubling loop matches the single-shard walker") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(53)
+    val f = (0L until 250L).filter(_ % 4 != 3)
+      .map(i => i -> rnd.nextInt(250).toLong).toMap
+    val edges = f.toSeq.toDF("src", "dst")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2))).toMap
+    val viaLoop = rowsOf(CrawlOps.resolveRedirectsLoop(
+      edges, f.size.toLong, new graft.core.CacheScope))
+    val viaLocal = rowsOf(CrawlOps.resolveRedirects(edges))
+    assert(viaLocal === viaLoop)
+  }
+
   test("long chain resolves; self-loop and 2-cycle flagged") {
     val s = spark; import s.implicits._
     // chain 0→1→…→40 (terminal), self-loop 100→100, 2-cycle 200↔201
