@@ -61,7 +61,9 @@ object CrawlOps {
     val spark = redirects.sparkSession
     val edges = scope.persist(redirects.select(col("src"), col("dst")))
     val n = edges.count() // documented probe: sets the doubling depth
-    if (n <= GraphOps.LocalSweepEdges) resolveRedirectsLocal(edges)
+    if (n <= GraphOps.LocalSweepEdges &&
+        GraphOps.integralId(redirects.schema("src").dataType,
+          redirects.schema("dst").dataType)) resolveRedirectsLocal(edges)
     else resolveRedirectsLoop(edges, n, scope)
   }
 

@@ -45,8 +45,19 @@ object GraphOps {
     */
   def pageRank(edges: DataFrame, iterations: Int,
                scope: CacheScope = CacheScope.global): DataFrame = {
-    val spark = edges.sparkSession
-    val simple = edges.select(col("src"), col("dst")).distinct()
+    val simple = scope.persist(edges.select(col("src"), col("dst")).distinct())
+    if (simple.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType))
+      prLocal(simple, None, iterations, edges.schema("src").dataType)
+    else pageRankLoop(simple, iterations, scope)
+  }
+
+  /** The distributed power-iteration loop of [[pageRank]]
+    * (spec-reachable; `simple` must be the distinct (src, dst) list).
+    */
+  private[graft] def pageRankLoop(simple: DataFrame, iterations: Int,
+      scope: CacheScope): DataFrame = {
+    val spark = simple.sparkSession
     val nodes = scope.persist(
       simple.select(col("src").as("node_id"))
         .unionByName(simple.select(col("dst").as("node_id"))).distinct())
@@ -99,8 +110,18 @@ object GraphOps {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iterations: Int,
                            scope: CacheScope = CacheScope.global): DataFrame = {
-    val spark = edges.sparkSession
-    val simple = edges.select(col("src"), col("dst")).distinct()
+    val simple = scope.persist(edges.select(col("src"), col("dst")).distinct())
+    if (simple.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType,
+          seeds.schema("node_id").dataType))
+      prLocal(simple, Some(seeds), iterations, edges.schema("src").dataType)
+    else personalizedPageRankLoop(simple, seeds, iterations, scope)
+  }
+
+  /** The distributed loop of [[personalizedPageRank]] (spec-reachable). */
+  private[graft] def personalizedPageRankLoop(simple: DataFrame,
+      seeds: DataFrame, iterations: Int, scope: CacheScope): DataFrame = {
+    val spark = simple.sparkSession
     val nodes = scope.persist(
       simple.select(col("src").as("node_id"))
         .unionByName(simple.select(col("dst").as("node_id"))).distinct()
@@ -149,8 +170,17 @@ object GraphOps {
     */
   def pageRankWeighted(edges: DataFrame, iterations: Int,
                        scope: CacheScope = CacheScope.global): DataFrame = {
-    val spark = edges.sparkSession
-    val e = edges.select(col("src"), col("dst"), col("w"))
+    val e = scope.persist(edges.select(col("src"), col("dst"), col("w")))
+    if (e.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType))
+      pageRankWeightedLocal(e, iterations, edges.schema("src").dataType)
+    else pageRankWeightedLoop(e, iterations, scope)
+  }
+
+  /** The distributed loop of [[pageRankWeighted]] (spec-reachable). */
+  private[graft] def pageRankWeightedLoop(e: DataFrame, iterations: Int,
+      scope: CacheScope): DataFrame = {
+    val spark = e.sparkSession
     val sw = e.groupBy("src").agg(sum(col("w")).as("sw"))
     val ew = scope.persist(e.join(sw, "src"))
     // persisted (scope-released): re-joined every round for dangling nodes
@@ -526,7 +556,10 @@ object GraphOps {
   def hopDistance(edges: DataFrame, sources: DataFrame, maxHops: Int,
                   scope: CacheScope = CacheScope.global): DataFrame = {
     val e = scope.persist(edges.select(col("src"), col("dst")).distinct())
-    if (e.count() <= LocalSweepEdges) hopDistanceLocal(e, sources, maxHops)
+    if (e.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType,
+          sources.schema("node_id").dataType))
+      hopDistanceLocal(e, sources, maxHops)
     else hopDistanceLoop(e, sources, maxHops, scope)
   }
 
@@ -562,6 +595,167 @@ object GraphOps {
     }
     scope.track(cached)
     visited
+  }
+
+  /** Single-shard twin of the [[pageRank]] / [[personalizedPageRank]]
+    * power iteration for graphs under the [[LocalSweepEdges]] budget:
+    * the identical exact-int64 update (base + ⌊d·Σ⌊rank/outdeg⌋/100⌋,
+    * every operand non-negative so Java `/` = Spark `div`) runs all
+    * iterations inside ONE task — one job instead of two shuffles per
+    * round. Seeds (PPR) ride the tagged union; bit-identical by
+    * construction, parity spec'd against the distributed loop.
+    */
+  private def prLocal(simple: DataFrame, seeds: Option[DataFrame],
+                      iterations: Int,
+                      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val sess = simple.sparkSession
+    import sess.implicits._
+    val tagged = simple
+      .select(col("src").cast("long"), col("dst").cast("long"), lit(1).as("t"))
+      .unionByName(seeds.map(_.select(col("node_id").cast("long").as("src"))
+          .distinct().select(col("src"), lit(0L).as("dst"), lit(0).as("t")))
+        .getOrElse(sess.emptyDataset[(Long, Long, Int)].toDF("src", "dst", "t")))
+    val personalized = seeds.isDefined
+    tagged.as[(Long, Long, Int)].coalesce(1).mapPartitions { it =>
+      val es = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val seedSet = new java.util.HashSet[Long]()
+      val outdeg = new java.util.HashMap[Long, Long]()
+      val nodes = new java.util.LinkedHashSet[Long]()
+      it.foreach { case (s, d, t) =>
+        if (t == 1) {
+          es += ((s, d)); nodes.add(s); nodes.add(d)
+          outdeg.merge(s, 1L, (a, b) => a + b)
+        } else seedSet.add(s)
+      }
+      val base = (100L - DampingPct) * (RankScale / 100L)
+      val rank = new java.util.HashMap[Long, Long]()
+      val ni = nodes.iterator()
+      while (ni.hasNext) {
+        val n = ni.next()
+        rank.put(n,
+          if (!personalized) RankScale
+          else if (seedSet.contains(n)) RankScale else 0L)
+      }
+      var round = 0
+      while (round < iterations) {
+        round += 1
+        val inSum = new java.util.HashMap[Long, Long]()
+        es.foreach { case (s, d) =>
+          inSum.merge(d, rank.get(s) / outdeg.get(s), (a, b) => a + b)
+        }
+        val n2 = nodes.iterator()
+        while (n2.hasNext) {
+          val n = n2.next()
+          val b = if (!personalized) base
+            else if (seedSet.contains(n)) base else 0L
+          rank.put(n, b + DampingPct * inSum.getOrDefault(n, 0L) / 100L)
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](rank.size)
+      val ri = rank.entrySet().iterator()
+      while (ri.hasNext) { val kv = ri.next(); out += ((kv.getKey, kv.getValue)) }
+      out.iterator
+    }.toDF("node_id", "rank_e6")
+      .select(col("node_id").cast(idType).as("node_id"), col("rank_e6"))
+  }
+
+  /** Single-shard twin of [[pageRankWeighted]] (⌊rank·w/sw⌋ contribs,
+    * same exact-int64 contract) under the [[LocalSweepEdges]] budget.
+    */
+  private def pageRankWeightedLocal(e: DataFrame, iterations: Int,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    e.select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"))
+      .as[(Long, Long, Long)].coalesce(1).mapPartitions { it =>
+        val es = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        val sw = new java.util.HashMap[Long, Long]()
+        val nodes = new java.util.LinkedHashSet[Long]()
+        it.foreach { case (s, d, w) =>
+          es += ((s, d, w)); nodes.add(s); nodes.add(d)
+          sw.merge(s, w, (a, b) => a + b)
+        }
+        val base = (100L - DampingPct) * (RankScale / 100L)
+        val rank = new java.util.HashMap[Long, Long]()
+        val ni = nodes.iterator()
+        while (ni.hasNext) rank.put(ni.next(), RankScale)
+        var round = 0
+        while (round < iterations) {
+          round += 1
+          val inSum = new java.util.HashMap[Long, Long]()
+          es.foreach { case (s, d, w) =>
+            inSum.merge(d, rank.get(s) * w / sw.get(s), (a, b) => a + b)
+          }
+          val n2 = nodes.iterator()
+          while (n2.hasNext) {
+            val n = n2.next()
+            rank.put(n, base + DampingPct * inSum.getOrDefault(n, 0L) / 100L)
+          }
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](rank.size)
+        val ri = rank.entrySet().iterator()
+        while (ri.hasNext) { val kv = ri.next(); out += ((kv.getKey, kv.getValue)) }
+        out.iterator
+      }.toDF("node_id", "rank_e6")
+      .select(col("node_id").cast(idType).as("node_id"), col("rank_e6"))
+  }
+
+  /** Single-shard twin of [[hits]] (integer max-renormalized hub/auth
+    * half-steps, qa/qh = max raw ÷ RankScale floor-divided — identical
+    * scalars to the loop's two global maxes) under the budget.
+    */
+  private def hitsLocal(simple: DataFrame, iterations: Int,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val sess = simple.sparkSession
+    import sess.implicits._
+    simple.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val es = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        val nodes = new java.util.LinkedHashSet[Long]()
+        it.foreach { case (s, d) => es += ((s, d)); nodes.add(s); nodes.add(d) }
+        val h = new java.util.HashMap[Long, Long]()
+        val a = new java.util.HashMap[Long, Long]()
+        val ni = nodes.iterator()
+        while (ni.hasNext) { val n = ni.next(); h.put(n, RankScale); a.put(n, RankScale) }
+        var round = 0
+        while (round < iterations) {
+          round += 1
+          val araw = new java.util.HashMap[Long, Long]()
+          es.foreach { case (s, d) => araw.merge(d, h.get(s), (x, y) => x + y) }
+          var maxA = 0L
+          val i1 = nodes.iterator()
+          while (i1.hasNext) {
+            val v = araw.getOrDefault(i1.next(), 0L); if (v > maxA) maxA = v
+          }
+          val qa = math.max(maxA / RankScale, 1L)
+          val i2 = nodes.iterator()
+          while (i2.hasNext) {
+            val n = i2.next(); a.put(n, araw.getOrDefault(n, 0L) / qa)
+          }
+          val hraw = new java.util.HashMap[Long, Long]()
+          es.foreach { case (s, d) => hraw.merge(s, a.get(d), (x, y) => x + y) }
+          var maxH = 0L
+          val i3 = nodes.iterator()
+          while (i3.hasNext) {
+            val v = hraw.getOrDefault(i3.next(), 0L); if (v > maxH) maxH = v
+          }
+          val qh = math.max(maxH / RankScale, 1L)
+          val i4 = nodes.iterator()
+          while (i4.hasNext) {
+            val n = i4.next(); h.put(n, hraw.getOrDefault(n, 0L) / qh)
+          }
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Long)](nodes.size)
+        val i5 = nodes.iterator()
+        while (i5.hasNext) {
+          val n = i5.next(); out += ((n, h.get(n), a.get(n)))
+        }
+        out.iterator
+      }.toDF("node_id", "hub_e6", "auth_e6")
+      .select(col("node_id").cast(idType).as("node_id"),
+        col("hub_e6"), col("auth_e6"))
   }
 
   /** Single-shard BFS for graphs under the [[LocalSweepEdges]] budget:
@@ -713,6 +907,20 @@ object GraphOps {
     */
   val LocalSweepEdges: Long = 1L << 22
 
+  /** The single-shard twins key their in-memory maps by Long, so the
+    * budget dispatch additionally requires integral node ids — operators
+    * called with string ids (e.g. TextRank's word graph) stay on the
+    * distributed loop at any size.
+    */
+  private[graft] def integralId(dts: org.apache.spark.sql.types.DataType*): Boolean =
+    dts.forall {
+      case _: org.apache.spark.sql.types.LongType => true
+      case _: org.apache.spark.sql.types.IntegerType => true
+      case _: org.apache.spark.sql.types.ShortType => true
+      case _: org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+
   def doubleSweepDiameter(edges: DataFrame, maxHops: Int,
                           scope: CacheScope = CacheScope.global): DataFrame = {
     val sess = edges.sparkSession
@@ -720,7 +928,8 @@ object GraphOps {
     val sym = scope.persist(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct())
-    if (sym.count() <= LocalSweepEdges) {
+    if (sym.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType)) {
       // both sweeps in one task: BFS level h's nodes are exactly the
       // distributed loop's hops==h rows, so far-node tie-break (max hops,
       // then min node id) = min id of the last non-empty level
@@ -818,8 +1027,17 @@ object GraphOps {
     */
   def hits(edges: DataFrame, iterations: Int,
            scope: CacheScope = CacheScope.global): DataFrame = {
-    val spark = edges.sparkSession
-    val simple = edges.select(col("src"), col("dst")).distinct()
+    val simple = scope.persist(edges.select(col("src"), col("dst")).distinct())
+    if (simple.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType))
+      hitsLocal(simple, iterations, edges.schema("src").dataType)
+    else hitsLoop(simple, iterations, scope)
+  }
+
+  /** The distributed loop of [[hits]] (spec-reachable). */
+  private[graft] def hitsLoop(simple: DataFrame, iterations: Int,
+      scope: CacheScope): DataFrame = {
+    val spark = simple.sparkSession
     val nodes = scope.persist(
       simple.select(col("src").as("node_id"))
         .unionByName(simple.select(col("dst").as("node_id"))).distinct())
@@ -948,7 +1166,9 @@ object GraphOps {
       scope: CacheScope = CacheScope.global): DataFrame = {
     val e = scope.persist(edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct())
-    if (e.count() <= LocalSweepEdges) sccLocal(e)
+    if (e.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType))
+      sccLocal(e)
     else graft.core.LoopConf.withCoalescing(edges) { sccBody(e, scope) }
   }
 
@@ -1472,7 +1692,8 @@ object GraphOps {
       edges.select(least(col("src"), col("dst")).as("a"),
           greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") =!= col("b")).distinct())
-    if (und.count() <= LocalSweepEdges)
+    if (und.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType))
       lubyRoundsLocal(und, rounds, prioMul, removeNeighbors,
         edges.schema("src").dataType)
     else lubyRoundsLoop(und, rounds, prioMul, removeNeighbors, scope)
