@@ -231,12 +231,31 @@ object GraphOps {
     *
     * Input: edges (src, dst, w) with w a non-negative long; sources
     * (node_id). Output: (node_id, dist); unreached nodes are absent.
+    *
+    * Strategy selection: a deduplicated integral-id edge list at or
+    * under [[LocalSweepEdges]] runs every relaxation round inside ONE
+    * task over an in-memory adjacency map ([[weightedDistanceLocal]] —
+    * sources ride a tagged union, never a driver collect); larger
+    * graphs take the distributed loop verbatim. Parity spec'd.
     */
   def weightedDistance(edges: DataFrame, sources: DataFrame, maxRounds: Int,
                        scope: CacheScope = CacheScope.global): DataFrame = {
-    val spark = edges.sparkSession
     val e = scope.persist(
       edges.select(col("src"), col("dst"), col("w")).distinct())
+    if (e.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType,
+          edges.schema("w").dataType, sources.schema("node_id").dataType))
+      weightedDistanceLocal(e, sources, maxRounds)
+    else weightedDistanceLoop(e, sources, maxRounds, scope)
+  }
+
+  /** The distributed Bellman-Ford loop of [[weightedDistance]]
+    * (spec-reachable directly). `e` must be the deduplicated
+    * (src, dst, w) edge list.
+    */
+  private[graft] def weightedDistanceLoop(e: DataFrame, sources: DataFrame,
+      maxRounds: Int, scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = e.sparkSession
     var cached = sources.select(col("node_id")).distinct()
       .withColumn("dist", lit(0L)).withColumn("r", lit(0)).persist()
     cached.count()
@@ -262,6 +281,71 @@ object GraphOps {
     }
     scope.track(cached)
     state.select(col("node_id"), col("dist"))
+  }
+
+  /** Single-shard twin of [[weightedDistance]] under the
+    * [[LocalSweepEdges]] budget: the same synchronous relaxation
+    * schedule (candidates drawn only from the round's improved
+    * frontier, strict-improvement activation so an equal re-derivation
+    * never re-activates a node — the loop's min(struct(dist, r))
+    * tie rule) runs all rounds in one task. Bit-identical by
+    * construction; parity spec'd against the distributed loop.
+    */
+  private[graft] def weightedDistanceLocal(e: DataFrame, sources: DataFrame,
+                                           maxRounds: Int): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val idType = sources.schema("node_id").dataType
+    val tagged = e
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("w").cast("long"), lit(1).as("t"))
+      .unionByName(sources.select(col("node_id").cast("long").as("src"))
+        .distinct()
+        .select(col("src"), lit(0L).as("dst"), lit(0L).as("w"), lit(0).as("t")))
+    tagged.as[(Long, Long, Long, Int)].coalesce(1).mapPartitions { it =>
+      val adj = new java.util.HashMap[
+        Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+      val seeds = new java.util.LinkedHashSet[Long]()
+      it.foreach { case (s, d, w, t) =>
+        if (t == 1) adj.computeIfAbsent(s,
+          _ => new scala.collection.mutable.ArrayBuffer[(Long, Long)]()) +=
+            ((d, w))
+        else seeds.add(s)
+      }
+      val dist = new java.util.HashMap[Long, Long]()
+      var frontier = new scala.collection.mutable.ArrayBuffer[Long]()
+      val si = seeds.iterator()
+      while (si.hasNext) { val n = si.next(); dist.put(n, 0L); frontier += n }
+      var round = 0
+      while (round < maxRounds && frontier.nonEmpty) {
+        round += 1
+        // min candidate per destination from the frontier's round-start
+        // distances (the synchronous half of the loop's union + min agg)
+        val cand = new java.util.HashMap[Long, Long]()
+        frontier.foreach { n =>
+          val dn = dist.get(n)
+          val ns = adj.get(n)
+          if (ns != null) ns.foreach { case (m, w) =>
+            cand.merge(m, dn + w, (a, b) => math.min(a, b))
+          }
+        }
+        val next = new scala.collection.mutable.ArrayBuffer[Long]()
+        val ci = cand.entrySet().iterator()
+        while (ci.hasNext) {
+          val kv = ci.next()
+          val k2 = kv.getKey
+          if (!dist.containsKey(k2) || kv.getValue < dist.get(k2)) {
+            dist.put(k2, kv.getValue); next += k2
+          }
+        }
+        frontier = next
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](dist.size)
+      val ks = dist.entrySet().iterator()
+      while (ks.hasNext) { val kv = ks.next(); out += ((kv.getKey, kv.getValue)) }
+      out.iterator
+    }.toDF("node_id", "dist")
+      .select(col("node_id").cast(idType).as("node_id"), col("dist"))
   }
 
   /** Per-node triangle participation counts over the undirected simple
@@ -362,11 +446,24 @@ object GraphOps {
   def kTruss(edges: DataFrame, k: Int, rounds: Int,
              scope: CacheScope = CacheScope.global): DataFrame = {
     require(k >= 3, "k-truss peeling joins away support-0 edges; k >= 3")
-    val spark = edges.sparkSession
-    var cached = edges
+    val ec = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().persist()
+      .filter(col("a") =!= col("b")).distinct()
+    val cec = scope.persist(ec)
+    if (cec.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType))
+      kTrussLocal(cec, k, rounds)
+    else kTrussLoop(cec, k, rounds, scope)
+  }
+
+  /** The distributed peel loop of [[kTruss]] (spec-reachable directly).
+    * `ec0` must be the canonical (a < b, distinct) edge list.
+    */
+  private[graft] def kTrussLoop(ec0: DataFrame, k: Int, rounds: Int,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = ec0.sparkSession
+    var cached = ec0.persist()
     var e = spark.createDataFrame(cached.rdd, cached.schema)
     var n = cached.count()
     var r = 0
@@ -385,6 +482,59 @@ object GraphOps {
     scope.track(cached)
     e.join(edgeSupport(e, scope), Seq("a", "b"), "left")
       .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("sup"))
+  }
+
+  /** Single-shard twin of [[kTruss]] under the [[LocalSweepEdges]]
+    * budget: the same synchronous peel schedule (per-round support =
+    * |N(a) ∩ N(b)| within the surviving set, remove sup < k−2, stop on
+    * stability or the round cap, output survivors with support
+    * RECOMPUTED) over in-memory adjacency sets in one task. Support is
+    * algorithm-independent (triangles through an edge), so rows match
+    * the oriented-wedge loop bit-for-bit; parity spec'd.
+    */
+  private[graft] def kTrussLocal(ec: DataFrame, k: Int,
+                                 rounds: Int): DataFrame = {
+    val sess = ec.sparkSession
+    import sess.implicits._
+    val idType = ec.schema("a").dataType
+    ec.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        var es = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        it.foreach(es += _)
+        def adjacency(edges: Iterable[(Long, Long)]) = {
+          val adj = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+          edges.foreach { case (a, b) =>
+            adj.computeIfAbsent(a, _ => new java.util.HashSet[Long]()).add(b)
+            adj.computeIfAbsent(b, _ => new java.util.HashSet[Long]()).add(a)
+          }
+          adj
+        }
+        def support(adj: java.util.HashMap[Long, java.util.HashSet[Long]],
+                    a: Long, b: Long): Long = {
+          val na = adj.get(a); val nb = adj.get(b)
+          if (na == null || nb == null) 0L
+          else {
+            val (small, big) = if (na.size <= nb.size) (na, nb) else (nb, na)
+            var c = 0L
+            val i = small.iterator()
+            while (i.hasNext) if (big.contains(i.next())) c += 1
+            c
+          }
+        }
+        var r = 0
+        var stable = false
+        while (r < rounds && !stable) {
+          r += 1
+          val adj = adjacency(es)
+          val keep = es.filter { case (a, b) => support(adj, a, b) >= k - 2 }
+          stable = keep.length == es.length
+          es = keep
+        }
+        val adj = adjacency(es)
+        es.iterator.map { case (a, b) => (a, b, support(adj, a, b)) }
+      }.toDF("a", "b", "sup")
+      .select(col("a").cast(idType).as("a"), col("b").cast(idType).as("b"),
+        col("sup"))
   }
 
   /** Synchronous label-propagation community detection, FIXED rounds:
@@ -412,13 +562,24 @@ object GraphOps {
     */
   def labelPropagation(edges: DataFrame, rounds: Int,
                        scope: CacheScope = CacheScope.global): DataFrame = {
-    val spark = edges.sparkSession
     val ec = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
     val adj = scope.persist(ec.select(col("a").as("u"), col("b").as("v"))
       .unionByName(ec.select(col("b").as("u"), col("a").as("v"))))
+    if (adj.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType))
+      labelPropagationLocal(adj, rounds)
+    else labelPropagationLoop(adj, rounds, scope)
+  }
+
+  /** The distributed vote loop of [[labelPropagation]] (spec-reachable
+    * directly). `adj` must be the doubled (u, v) adjacency list.
+    */
+  private[graft] def labelPropagationLoop(adj: DataFrame, rounds: Int,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = adj.sparkSession
     var cached = adj.select(col("u").as("node_id"))
       .distinct().withColumn("lab", col("node_id")).persist()
     cached.count()
@@ -440,6 +601,63 @@ object GraphOps {
     }
     scope.track(cached)
     labels.select(col("node_id"), col("lab").as("community"))
+  }
+
+  /** Single-shard twin of [[labelPropagation]] under the
+    * [[LocalSweepEdges]] budget: the same synchronous schedule (every
+    * node adopts its neighbors' most frequent label, ties to the
+    * SMALLEST label, exactly `rounds` rounds) over an in-memory doubled
+    * adjacency in one task. Deterministic by the same tie rule, so rows
+    * match the vote loop bit-for-bit; parity spec'd.
+    */
+  private[graft] def labelPropagationLocal(adj: DataFrame,
+                                           rounds: Int): DataFrame = {
+    val sess = adj.sparkSession
+    import sess.implicits._
+    val idType = adj.schema("u").dataType
+    adj.select(col("u").cast("long"), col("v").cast("long"))
+      .as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val nbrs = new java.util.HashMap[
+          Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        it.foreach { case (u, v) =>
+          nbrs.computeIfAbsent(u,
+            _ => new scala.collection.mutable.ArrayBuffer[Long]()) += v
+        }
+        var labels = new java.util.HashMap[Long, Long]()
+        val ni = nbrs.keySet().iterator()
+        while (ni.hasNext) { val n = ni.next(); labels.put(n, n) }
+        var r = 0
+        while (r < rounds) {
+          r += 1
+          val next = new java.util.HashMap[Long, Long](labels.size)
+          val ui = nbrs.entrySet().iterator()
+          while (ui.hasNext) {
+            val kv = ui.next()
+            val votes = new java.util.HashMap[Long, Long]()
+            kv.getValue.foreach { v =>
+              votes.merge(labels.get(v), 1L, (a, b) => a + b)
+            }
+            var bestLab = Long.MaxValue
+            var bestCnt = -1L
+            val vi = votes.entrySet().iterator()
+            while (vi.hasNext) {
+              val e = vi.next()
+              if (e.getValue > bestCnt ||
+                  (e.getValue == bestCnt && e.getKey < bestLab)) {
+                bestCnt = e.getValue; bestLab = e.getKey
+              }
+            }
+            next.put(kv.getKey, bestLab)
+          }
+          labels = next
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Long)](labels.size)
+        val li = labels.entrySet().iterator()
+        while (li.hasNext) { val kv = li.next(); out += ((kv.getKey, kv.getValue)) }
+        out.iterator
+      }.toDF("node_id", "community")
+      .select(col("node_id").cast(idType).as("node_id"), col("community").cast(idType).as("community"))
   }
 
   /** Local clustering coefficient per node, exact integer permille:
@@ -1105,12 +1323,23 @@ object GraphOps {
     */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int,
             scope: CacheScope = CacheScope.global): DataFrame = {
-    val spark = edges.sparkSession
     val und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
     val ue = scope.persist(
       und.unionByName(und.select(col("b").as("a"), col("a").as("b"))))
+    if (ue.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType))
+      kCoreLocal(ue, k, maxRounds)
+    else kCoreLoop(ue, k, maxRounds, scope)
+  }
+
+  /** The distributed peel loop of [[kCore]] (spec-reachable directly).
+    * `ue` must be the symmetrized deduplicated (a, b) edge list.
+    */
+  private[graft] def kCoreLoop(ue: DataFrame, k: Int, maxRounds: Int,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = ue.sparkSession
 
     def degrees(alive: DataFrame): DataFrame =
       ue.join(alive.select(col("node_id").as("__s")), col("a") === col("__s"))
@@ -1136,6 +1365,64 @@ object GraphOps {
     }
     scope.track(cached)
     degrees(alive)
+  }
+
+  /** Single-shard twin of [[kCore]] under the [[LocalSweepEdges]]
+    * budget: the same synchronous peel schedule (per round recompute
+    * every live node's degree within the live set, keep ≥ k, stop on
+    * convergence or the round cap, emit final live degrees — nodes with
+    * no surviving edge are absent, matching the loop's degrees-frame
+    * filter) over an in-memory symmetric adjacency in one task; parity
+    * spec'd.
+    */
+  private[graft] def kCoreLocal(ue: DataFrame, k: Int,
+                                maxRounds: Int): DataFrame = {
+    val sess = ue.sparkSession
+    import sess.implicits._
+    val idType = ue.schema("a").dataType
+    ue.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val nbrs = new java.util.HashMap[
+          Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        it.foreach { case (a, b) =>
+          nbrs.computeIfAbsent(a,
+            _ => new scala.collection.mutable.ArrayBuffer[Long]()) += b
+        }
+        var alive = new java.util.HashSet[Long](nbrs.keySet())
+        def liveDeg(n: Long): Long = {
+          var c = 0L
+          val ns = nbrs.get(n)
+          if (ns != null) ns.foreach { m => if (alive.contains(m)) c += 1 }
+          c
+        }
+        var n = alive.size.toLong
+        var round = 0
+        var converged = false
+        while (round < maxRounds && !converged) {
+          round += 1
+          val next = new java.util.HashSet[Long]()
+          val ai = alive.iterator()
+          while (ai.hasNext) {
+            val v = ai.next()
+            val d = liveDeg(v)
+            // the loop's degrees frame only carries nodes with >= 1 live
+            // edge, so deg-0 nodes drop regardless of k
+            if (d >= 1 && d >= k) next.add(v)
+          }
+          converged = next.size.toLong == n
+          n = next.size.toLong
+          alive = next
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        val ai = alive.iterator()
+        while (ai.hasNext) {
+          val v = ai.next()
+          val d = liveDeg(v)
+          if (d >= 1) out += ((v, d))
+        }
+        out.iterator
+      }.toDF("node_id", "core_deg")
+      .select(col("node_id").cast(idType).as("node_id"), col("core_deg"))
   }
 
   /** Strongly connected components of a DIRECTED edge list — the crawl
@@ -1407,10 +1694,113 @@ object GraphOps {
     * (a, b, w) edges.
     */
   def boruvkaMst(edges: DataFrame,
-                 scope: CacheScope = CacheScope.global): DataFrame =
-    graft.core.LoopConf.withCoalescing(edges) { boruvkaBody(edges, scope) }
+                 scope: CacheScope = CacheScope.global): DataFrame = {
+    val e = scope.persist(edges.select(col("a"), col("b"), col("w")))
+    if (e.count() <= LocalSweepEdges &&
+        integralId(edges.schema("a").dataType, edges.schema("b").dataType,
+          edges.schema("w").dataType))
+      boruvkaLocal(e)
+    else graft.core.LoopConf.withCoalescing(edges) { boruvkaBody(e, scope) }
+  }
 
-  private def boruvkaBody(edges: DataFrame, scope: CacheScope): DataFrame = {
+  /** Single-shard twin of [[boruvkaMst]] under the [[LocalSweepEdges]]
+    * budget: the identical Borůvka schedule — per round every component
+    * picks its lexicographic-min (w, a, b) cross edge, the chosen set
+    * dedups, components merge to the MIN member label (the
+    * connectedComponents contract) — run over in-memory union-find in
+    * one task. Same chosen edges per round by construction; parity
+    * spec'd against the distributed rounds.
+    */
+  private[graft] def boruvkaLocal(e: DataFrame): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val aType = e.schema("a").dataType
+    val wType = e.schema("w").dataType
+    e.select(col("a").cast("long"), col("b").cast("long"),
+        col("w").cast("long"))
+      .as[(Long, Long, Long)].coalesce(1).mapPartitions { it =>
+        val es = new scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+        val comp = new java.util.HashMap[Long, Long]()
+        it.foreach { case (a, b, w) =>
+          es += ((a, b, w))
+          comp.putIfAbsent(a, a); comp.putIfAbsent(b, b)
+        }
+        val mst = new java.util.LinkedHashSet[(Long, Long, Long)]()
+        var done = false
+        while (!done) {
+          // per-component lexicographic-min (w, a, b) cross edge —
+          // the loop's min(struct(w, a, b)) per side
+          val best = new java.util.HashMap[Long, (Long, Long, Long)]()
+          var any = false
+          es.foreach { case (a, b, w) =>
+            val ca = comp.get(a); val cb = comp.get(b)
+            if (ca != cb) {
+              any = true
+              val cand = (w, a, b)
+              def upd(c: Long): Unit = {
+                val cur = best.get(c)
+                if (cur == null ||
+                    Ordering[(Long, Long, Long)].lt(cand, cur))
+                  best.put(c, cand)
+              }
+              upd(ca); upd(cb)
+            }
+          }
+          if (!any) done = true
+          else {
+            val chosen = new java.util.HashSet[(Long, Long, Long)](best.values())
+            // merge chosen components to the min member label (union-find
+            // with min-root normalization = the WCC min-label contract)
+            val parent = new java.util.HashMap[Long, Long]()
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+              var c = x
+              while (parent.getOrDefault(c, c) != c) {
+                val n = parent.get(c); parent.put(c, r); c = n
+              }
+              r
+            }
+            val ci = chosen.iterator()
+            while (ci.hasNext) {
+              val (w, a, b) = ci.next()
+              mst.add((a, b, w))
+              val ra = find(comp.get(a)); val rb = find(comp.get(b))
+              if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+            }
+            // normalize every touched root to the min comp id in its group
+            val minOf = new java.util.HashMap[Long, Long]()
+            val keys = new java.util.HashSet[Long](parent.keySet())
+            val c2 = chosen.iterator()
+            while (c2.hasNext) {
+              val (_, a, b) = c2.next()
+              keys.add(comp.get(a)); keys.add(comp.get(b))
+            }
+            val ki = keys.iterator()
+            while (ki.hasNext) {
+              val c = ki.next()
+              val r = find(c)
+              minOf.merge(r, c, (x, y) => math.min(x, y))
+            }
+            val ni = comp.entrySet().iterator()
+            while (ni.hasNext) {
+              val kv = ni.next()
+              if (keys.contains(kv.getValue))
+                kv.setValue(minOf.get(find(kv.getValue)))
+            }
+          }
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[
+          (Long, Long, Long)](mst.size)
+        val mi = mst.iterator()
+        while (mi.hasNext) out += mi.next()
+        out.iterator
+      }.toDF("a", "b", "w")
+      .select(col("a").cast(aType).as("a"), col("b").cast(aType).as("b"),
+        col("w").cast(wType).as("w"))
+  }
+
+  private[graft] def boruvkaBody(edges: DataFrame, scope: CacheScope): DataFrame = {
     // localCheckpoint(eager) per round: the hook-and-contract rounds nest
     // connectedComponents' own loop, so persist-only rebasing would chain
     // every round's stages into one task-serialized RDD DAG (the q_scc
@@ -1478,8 +1868,21 @@ object GraphOps {
     */
   def landmarkCloseness(edges: DataFrame, landmarks: DataFrame, maxHops: Int,
                         scope: CacheScope = CacheScope.global): DataFrame = {
-    val spark = edges.sparkSession
     val e = scope.persist(edges.select(col("src"), col("dst")).distinct())
+    if (e.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType,
+          landmarks.schema("node_id").dataType))
+      landmarkClosenessLocal(e, landmarks, maxHops)
+    else landmarkClosenessLoop(e, landmarks, maxHops, scope)
+  }
+
+  /** The distributed (landmark × node) frontier loop of
+    * [[landmarkCloseness]] (spec-reachable directly). `e` must be the
+    * deduplicated (src, dst) edge list.
+    */
+  private[graft] def landmarkClosenessLoop(e: DataFrame, landmarks: DataFrame,
+      maxHops: Int, scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = e.sparkSession
     var cached = landmarks.select(col("node_id")).distinct()
       .select(col("node_id").as("lm"), col("node_id"), lit(0L).as("hops"))
       .persist()
@@ -1511,6 +1914,70 @@ object GraphOps {
           .as("close_e6"))
   }
 
+  /** Single-shard twin of [[landmarkCloseness]] under the
+    * [[LocalSweepEdges]] budget: one BFS per landmark over an in-memory
+    * adjacency map in a single task (landmarks ride the tagged union),
+    * accumulating the identical integer harmonic terms ⌊10⁶/d⌋ — the
+    * per-(landmark, node) distances equal the loop's visited frame by
+    * BFS minimality, so the aggregated rows match bit-for-bit; parity
+    * spec'd.
+    */
+  private[graft] def landmarkClosenessLocal(e: DataFrame,
+      landmarks: DataFrame, maxHops: Int): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val idType = landmarks.schema("node_id").dataType
+    val tagged = e
+      .select(col("src").cast("long"), col("dst").cast("long"), lit(1).as("t"))
+      .unionByName(landmarks.select(col("node_id").cast("long").as("src"))
+        .distinct()
+        .select(col("src"), lit(0L).as("dst"), lit(0).as("t")))
+    tagged.as[(Long, Long, Int)].coalesce(1).mapPartitions { it =>
+      val adj = new java.util.HashMap[
+        Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      val lms = new scala.collection.mutable.ArrayBuffer[Long]()
+      it.foreach { case (s, d, t) =>
+        if (t == 1) adj.computeIfAbsent(s,
+          _ => new scala.collection.mutable.ArrayBuffer[Long]()) += d
+        else lms += s
+      }
+      val nLm = new java.util.HashMap[Long, Long]()
+      val close = new java.util.HashMap[Long, Long]()
+      lms.foreach { lm =>
+        val seen = new java.util.HashSet[Long]()
+        seen.add(lm)
+        nLm.merge(lm, 1L, (a, b) => a + b)
+        var frontier = scala.collection.mutable.ArrayBuffer(lm)
+        var h = 0L
+        while (frontier.nonEmpty && h < maxHops) {
+          h += 1
+          val next = new scala.collection.mutable.ArrayBuffer[Long]()
+          frontier.foreach { n =>
+            val ns = adj.get(n)
+            if (ns != null) ns.foreach { m =>
+              if (!seen.contains(m)) {
+                seen.add(m); next += m
+                nLm.merge(m, 1L, (a, b) => a + b)
+                close.merge(m, 1000000L / h, (a, b) => a + b)
+              }
+            }
+          }
+          frontier = next
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long)](nLm.size)
+      val ki = nLm.entrySet().iterator()
+      while (ki.hasNext) {
+        val kv = ki.next()
+        out += ((kv.getKey, kv.getValue, close.getOrDefault(kv.getKey, 0L)))
+      }
+      out.iterator
+    }.toDF("node_id", "n_lm", "close_e6")
+      .select(col("node_id").cast(idType).as("node_id"), col("n_lm"),
+        col("close_e6"))
+  }
+
   /** Shortest-path COUNTING from a seed set — the σ table of Brandes
     * betweenness (how many distinct shortest paths from the seeds reach
     * each node). Level-synchronous frontier propagation: a node first
@@ -1537,8 +2004,21 @@ object GraphOps {
     */
   def shortestPathCounts(edges: DataFrame, sources: DataFrame, maxHops: Int,
                          scope: CacheScope = CacheScope.global): DataFrame = {
-    val spark = edges.sparkSession
     val e = scope.persist(edges.select(col("src"), col("dst")).distinct())
+    if (e.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType,
+          sources.schema("node_id").dataType))
+      shortestPathCountsLocal(e, sources, maxHops)
+    else shortestPathCountsLoop(e, sources, maxHops, scope)
+  }
+
+  /** The distributed σ frontier loop of [[shortestPathCounts]]
+    * (spec-reachable directly). `e` must be the deduplicated (src, dst)
+    * edge list.
+    */
+  private[graft] def shortestPathCountsLoop(e: DataFrame, sources: DataFrame,
+      maxHops: Int, scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = e.sparkSession
     var cached = sources.select(col("node_id")).distinct()
       .withColumn("hops", lit(0L)).withColumn("sigma", lit(1L)).persist()
     var prevTotal = cached.count()
@@ -1567,6 +2047,73 @@ object GraphOps {
     visited
   }
 
+  /** Single-shard twin of [[shortestPathCounts]] under the
+    * [[LocalSweepEdges]] budget: the level-synchronous BFS-DAG σ
+    * recurrence (first-arrival level, σ(v) = Σ σ(u) over hop-(h−1)
+    * predecessors) over an in-memory adjacency map in one task, sources
+    * on the tagged union. The σ table is algorithm-independent (the
+    * textbook definition), so rows match the loop bit-for-bit; parity
+    * spec'd.
+    */
+  private[graft] def shortestPathCountsLocal(e: DataFrame,
+      sources: DataFrame, maxHops: Int): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val idType = sources.schema("node_id").dataType
+    val tagged = e
+      .select(col("src").cast("long"), col("dst").cast("long"), lit(1).as("t"))
+      .unionByName(sources.select(col("node_id").cast("long").as("src"))
+        .distinct()
+        .select(col("src"), lit(0L).as("dst"), lit(0).as("t")))
+    tagged.as[(Long, Long, Int)].coalesce(1).mapPartitions { it =>
+      val adj = new java.util.HashMap[
+        Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      val seeds = new java.util.LinkedHashSet[Long]()
+      it.foreach { case (s, d, t) =>
+        if (t == 1) adj.computeIfAbsent(s,
+          _ => new scala.collection.mutable.ArrayBuffer[Long]()) += d
+        else seeds.add(s)
+      }
+      val hops = new java.util.HashMap[Long, Long]()
+      val sigma = new java.util.HashMap[Long, Long]()
+      var frontier = new scala.collection.mutable.ArrayBuffer[Long]()
+      val si = seeds.iterator()
+      while (si.hasNext) {
+        val n = si.next(); hops.put(n, 0L); sigma.put(n, 1L); frontier += n
+      }
+      var h = 0L
+      while (frontier.nonEmpty && h < maxHops) {
+        h += 1
+        val acc = new java.util.HashMap[Long, Long]()
+        frontier.foreach { n =>
+          val sn = sigma.get(n)
+          val ns = adj.get(n)
+          if (ns != null) ns.foreach { m =>
+            if (!hops.containsKey(m)) acc.merge(m, sn, (a, b) => a + b)
+          }
+        }
+        val next = new scala.collection.mutable.ArrayBuffer[Long](acc.size)
+        val ai = acc.entrySet().iterator()
+        while (ai.hasNext) {
+          val kv = ai.next()
+          hops.put(kv.getKey, h); sigma.put(kv.getKey, kv.getValue)
+          next += kv.getKey
+        }
+        frontier = next
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long)](hops.size)
+      val ki = hops.entrySet().iterator()
+      while (ki.hasNext) {
+        val kv = ki.next()
+        out += ((kv.getKey, kv.getValue, sigma.get(kv.getKey)))
+      }
+      out.iterator
+    }.toDF("node_id", "hops", "sigma")
+      .select(col("node_id").cast(idType).as("node_id"), col("hops"),
+        col("sigma"))
+  }
+
   /** Landmark BETWEENNESS (Brandes): the σ forward pass of
     * [[shortestPathCounts]] plus the level-synchronous BACKWARD
     * dependency accumulation δ(v) = Σ_{w : d(w)=d(v)+1, (v,w)∈E}
@@ -1588,8 +2135,21 @@ object GraphOps {
     // maxHops == 0 would make the backward-level Seq empty and the
     // levels.reduce below throw UnsupportedOperationException
     require(maxHops >= 1, s"landmarkBetweenness needs maxHops >= 1, got $maxHops")
-    val fwd = scope.persist(shortestPathCounts(edges, sources, maxHops, scope))
     val e = scope.persist(edges.select(col("src"), col("dst")).distinct())
+    if (e.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType,
+          sources.schema("node_id").dataType))
+      landmarkBetweennessLocal(e, sources, maxHops)
+    else landmarkBetweennessLoop(e, sources, maxHops, scope)
+  }
+
+  /** The distributed Brandes passes of [[landmarkBetweenness]]
+    * (spec-reachable directly). `e` must be the deduplicated (src, dst)
+    * edge list.
+    */
+  private[graft] def landmarkBetweennessLoop(e: DataFrame, sources: DataFrame,
+      maxHops: Int, scope: CacheScope = CacheScope.global): DataFrame = {
+    val fwd = scope.persist(shortestPathCountsLoop(e, sources, maxHops, scope))
     var deeper: Option[DataFrame] = None
     val levels = (maxHops - 1 to 0 by -1).map { h =>
       val v = fwd.filter(col("hops") === h)
@@ -1617,6 +2177,107 @@ object GraphOps {
     fwd.join(allDelta, Seq("node_id"), "left")
       .select(col("node_id"), col("hops"), col("sigma"),
         coalesce(col("delta"), lit(0L)).as("delta_e6"))
+  }
+
+  /** Single-shard twin of [[landmarkBetweenness]] under the
+    * [[LocalSweepEdges]] budget: the σ forward BFS and the
+    * level-descending backward accumulation
+    * δ(v) = Σ ⌊σ_v·(10⁶+δ_w)/σ_w⌋ run in ONE task — identical integer
+    * terms (all operands non-negative, so Java `/` = the loop's floor
+    * division), identical level slices, so the table matches
+    * bit-for-bit; parity spec'd.
+    */
+  private[graft] def landmarkBetweennessLocal(e: DataFrame,
+      sources: DataFrame, maxHops: Int): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val idType = sources.schema("node_id").dataType
+    val tagged = e
+      .select(col("src").cast("long"), col("dst").cast("long"), lit(1).as("t"))
+      .unionByName(sources.select(col("node_id").cast("long").as("src"))
+        .distinct()
+        .select(col("src"), lit(0L).as("dst"), lit(0).as("t")))
+    tagged.as[(Long, Long, Int)].coalesce(1).mapPartitions { it =>
+      val es = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      val adj = new java.util.HashMap[
+        Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      val seeds = new java.util.LinkedHashSet[Long]()
+      it.foreach { case (s, d, t) =>
+        if (t == 1) {
+          es += ((s, d))
+          adj.computeIfAbsent(s,
+            _ => new scala.collection.mutable.ArrayBuffer[Long]()) += d
+        } else seeds.add(s)
+      }
+      // forward: first-arrival level + sigma (the shortestPathCounts twin)
+      val hops = new java.util.HashMap[Long, Long]()
+      val sigma = new java.util.HashMap[Long, Long]()
+      var frontier = new scala.collection.mutable.ArrayBuffer[Long]()
+      val si = seeds.iterator()
+      while (si.hasNext) {
+        val n = si.next(); hops.put(n, 0L); sigma.put(n, 1L); frontier += n
+      }
+      var h = 0L
+      while (frontier.nonEmpty && h < maxHops) {
+        h += 1
+        val acc = new java.util.HashMap[Long, Long]()
+        frontier.foreach { n =>
+          val sn = sigma.get(n)
+          val ns = adj.get(n)
+          if (ns != null) ns.foreach { m =>
+            if (!hops.containsKey(m)) acc.merge(m, sn, (a, b) => a + b)
+          }
+        }
+        val next = new scala.collection.mutable.ArrayBuffer[Long](acc.size)
+        val ai = acc.entrySet().iterator()
+        while (ai.hasNext) {
+          val kv = ai.next()
+          hops.put(kv.getKey, h); sigma.put(kv.getKey, kv.getValue)
+          next += kv.getKey
+        }
+        frontier = next
+      }
+      // backward: DAG edges bucketed by the tail's level, accumulated
+      // level-descending — δ terms identical to the loop's idiv2 floor
+      val byLevel = new java.util.HashMap[
+        Long, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+      es.foreach { case (v, w) =>
+        if (hops.containsKey(v) && hops.containsKey(w) &&
+            hops.get(w) == hops.get(v) + 1L)
+          byLevel.computeIfAbsent(hops.get(v),
+            _ => new scala.collection.mutable.ArrayBuffer[(Long, Long)]()) +=
+              ((v, w))
+      }
+      val delta = new java.util.HashMap[Long, Long]()
+      var lvl = maxHops - 1L
+      while (lvl >= 0L) {
+        val le = byLevel.get(lvl)
+        if (le != null) {
+          val levelDelta = new java.util.HashMap[Long, Long]()
+          le.foreach { case (v, w) =>
+            val term = sigma.get(v) *
+              (1000000L + delta.getOrDefault(w, 0L)) / sigma.get(w)
+            levelDelta.merge(v, term, (a, b) => a + b)
+          }
+          val li = levelDelta.entrySet().iterator()
+          while (li.hasNext) {
+            val kv = li.next(); delta.put(kv.getKey, kv.getValue)
+          }
+        }
+        lvl -= 1L
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long, Long)](hops.size)
+      val ki = hops.entrySet().iterator()
+      while (ki.hasNext) {
+        val kv = ki.next()
+        out += ((kv.getKey, kv.getValue, sigma.get(kv.getKey),
+          delta.getOrDefault(kv.getKey, 0L)))
+      }
+      out.iterator
+    }.toDF("node_id", "hops", "sigma", "delta_e6")
+      .select(col("node_id").cast(idType).as("node_id"), col("hops"),
+        col("sigma"), col("delta_e6"))
   }
 
   /** Odd-cycle witness edges: BFS-parity conflicts on the SYMMETRIZED
