@@ -140,8 +140,31 @@ object SketchOps {
                 m: Int = Hll.M,
                 scope: graft.core.CacheScope =
                   graft.core.CacheScope.global): DataFrame = {
-    val spark = edges.sparkSession
     val e = scope.persist(edges.select(col("src"), col("dst")).distinct())
+    if (e.count() <= LocalBallEdges &&
+        GraphOps.integralId(edges.schema("src").dataType,
+          edges.schema("dst").dataType, nodes.schema("node_id").dataType))
+      hyperBallLocal(nodes, e, rounds, m)
+    else hyperBallLoop(nodes, e, rounds, m, scope)
+  }
+
+  /** Edge budget for [[hyperBall]]'s single-shard twin: its in-memory
+    * state is O(nodes·m) register BYTES — m× denser than the BFS twins'
+    * frontier maps — so the budget sits 8× under
+    * [[GraphOps.LocalSweepEdges]] (512k edges ≈ ≤64 MB of registers at
+    * m = 64).
+    */
+  val LocalBallEdges: Long = 1L << 19
+
+  /** The distributed register-merge loop of [[hyperBall]]
+    * (spec-reachable directly). `e` must be the deduplicated (src, dst)
+    * edge list.
+    */
+  private[graft] def hyperBallLoop(nodes: DataFrame, e: DataFrame,
+      rounds: Int, m: Int = Hll.M,
+      scope: graft.core.CacheScope =
+        graft.core.CacheScope.global): DataFrame = {
+    val spark = e.sparkSession
     def finishRound(state: DataFrame, r: Int): DataFrame =
       finish(state, "node_id", Nil, m)
         .select(col("node_id"), lit(r.toLong).as("r"),
@@ -166,6 +189,97 @@ object SketchOps {
     }
     scope.track(cached)
     outs.reduce(_ unionByName _)
+  }
+
+  /** Single-shard twin of [[hyperBall]] under [[LocalBallEdges]]: the
+    * per-round register max-merge (a pure int max, associative and
+    * monotone) runs double-buffered over per-node byte arrays in ONE
+    * task — initial registers still come from the distributed
+    * `registers` aggregation (one shuffle, not a loop) and ride the
+    * tagged union with the edges. The task emits the exact integer
+    * (n_regs, reg_sum) per (node, round); est_e3 is applied COLUMNAR
+    * through the same [[graft.plans.HllExpressions.hllEstE3]]
+    * expression as the loop's finish, so every row is bit-identical;
+    * parity spec'd.
+    */
+  private[graft] def hyperBallLocal(nodes: DataFrame, e: DataFrame,
+      rounds: Int, m: Int): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val idType = nodes.schema("node_id").dataType
+    val init = registers(nodes, "node_id", col("fp"), m)
+      .groupBy(col("node_id"), col("reg")).agg(max(col("rho")).as("mrho"))
+    val tagged = init
+      .select(col("node_id").cast("long").as("x"), col("reg").cast("long"),
+        col("mrho").cast("long"), lit(0).as("t"))
+      .unionByName(e.select(col("src").cast("long").as("x"),
+        col("dst").cast("long").as("reg"), lit(0L).as("mrho"),
+        lit(1).as("t")))
+    val mCap = m
+    val nRounds = rounds
+    tagged.as[(Long, Long, Long, Int)].coalesce(1).mapPartitions { it =>
+      val state = new java.util.HashMap[Long, Array[Byte]]()
+      val es = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      it.foreach { case (x, r2, mr, t) =>
+        if (t == 0) {
+          val a = state.computeIfAbsent(x, _ => new Array[Byte](mCap))
+          if (mr > a(r2.toInt)) a(r2.toInt) = mr.toByte
+        } else es += ((x, r2))
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long, Long)]()
+      def emit(s: java.util.HashMap[Long, Array[Byte]], r: Int): Unit = {
+        val ni = s.entrySet().iterator()
+        while (ni.hasNext) {
+          val kv = ni.next()
+          val a = kv.getValue
+          var nRegs = 0L
+          var pop = 0L
+          var j = 0
+          while (j < mCap) {
+            if (a(j) != 0) {
+              nRegs += 1L
+              pop += 1L << (Hll.RhoCap - a(j))
+            }
+            j += 1
+          }
+          if (nRegs > 0)
+            out += ((kv.getKey, r.toLong, nRegs,
+              pop + (mCap.toLong - nRegs) * Hll.Scale))
+        }
+      }
+      emit(state, 0)
+      var cur = state
+      var r = 1
+      while (r <= nRounds) {
+        // double-buffer: round r's ball must merge round r-1 states only
+        val next = new java.util.HashMap[Long, Array[Byte]](cur.size)
+        val ci = cur.entrySet().iterator()
+        while (ci.hasNext) {
+          val kv = ci.next()
+          next.put(kv.getKey, kv.getValue.clone())
+        }
+        es.foreach { case (s, d) =>
+          val sd = cur.get(d)
+          if (sd != null) {
+            val a = next.computeIfAbsent(s, _ => new Array[Byte](mCap))
+            var j = 0
+            while (j < mCap) {
+              if (sd(j) > a(j)) a(j) = sd(j)
+              j += 1
+            }
+          }
+        }
+        emit(next, r)
+        cur = next
+        r += 1
+      }
+      out.iterator
+    }.toDF("node_id", "r", "n_regs", "reg_sum")
+      .select(col("node_id").cast(idType).as("node_id"), col("r"),
+        col("n_regs"), col("reg_sum"),
+        graft.plans.HllExpressions.hllEstE3(col("reg_sum"), col("n_regs"), m)
+          .as("est_e3"))
   }
 
   /** The [[graft.plans.TextHashExpressions.docFingerprint]] hash domain

@@ -3094,8 +3094,43 @@ object SpatialOps {
                    keys: Seq[String] = Nil,
                    scope: CacheScope = CacheScope.global): DataFrame = {
     val kc = keys.map(col)
-    var cur = scope.persist(
+    val dedup = scope.persist(
       cells.select(kc :+ col("bx") :+ col("by"): _*).distinct())
+    val cellsIntegral = GraphOps.integralId(
+      dedup.schema("bx").dataType, dedup.schema("by").dataType)
+    val grouped =
+      if (!cellsIntegral) false
+      else if (keys.isEmpty) dedup.count() <= CompactGroupCells
+      else if (keys.size == 1 &&
+          GraphOps.integralId(dedup.schema(keys.head).dataType))
+        Option(dedup.groupBy(col(keys.head)).agg(count(lit(1)).as("__c"))
+            .agg(max(col("__c"))).head().get(0))
+          .forall(_.asInstanceOf[Long] <= CompactGroupCells)
+      else false
+    if (grouped) compactCellsGrouped(dedup, level, keys.headOption)
+    else compactCellsRounds(dedup, level, keys, scope)
+  }
+
+  /** Per-GROUP footprint budget for [[compactCells]]'s one-shuffle
+    * path: the promotion fixpoint of one group runs inside one task over
+    * a packed-long hash set, so the bound is per-group memory (2M cells
+    * ≈ 32 MB), NOT total corpus size — a 10^12-cell corpus with bounded
+    * per-polygon footprints still takes this path, every group an
+    * independent task. Groups above the budget (continental footprints
+    * at fine levels) take the level-bounded distributed rounds.
+    */
+  val CompactGroupCells: Long = 1L << 21
+
+  /** The distributed promotion rounds of [[compactCells]]
+    * (spec-reachable directly): exactly `level` rounds, each one
+    * parent-key shuffle + anti-join; `dedup` must be the deduplicated
+    * (keys…, bx, by) frame.
+    */
+  private[graft] def compactCellsRounds(dedup: DataFrame, level: Int,
+      keys: Seq[String] = Nil,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val kc = keys.map(col)
+    var cur = dedup
     val leaves = (level to 1 by -1).map { lv =>
       val withPar = cur.select(kc ++ Seq(col("bx"), col("by"),
         expr("bx div 2").as("pbx"), expr("by div 2").as("pby")): _*)
@@ -3111,5 +3146,77 @@ object SpatialOps {
     }
     (leaves :+ cur.select(lit(0L).as("lv") +: kc :+ col("bx") :+ col("by"): _*))
       .reduce(_ unionByName _)
+  }
+
+  /** One-shuffle twin of [[compactCells]] under [[CompactGroupCells]]:
+    * the compacted cover is the UNIQUE fixpoint of "promote every
+    * complete 2×2 sibling group", so running the whole promotion ladder
+    * per group inside one task (packed (bx << 32) | by longs, one
+    * parent-count map per level) emits exactly the rounds' rows — one
+    * groupBy shuffle total instead of `level` shuffle+anti-join rounds.
+    * keyOpt None = the whole set is one group (single task, count
+    * pre-checked against the budget). Parity spec'd against the rounds.
+    */
+  private[graft] def compactCellsGrouped(dedup: DataFrame, level: Int,
+                                         keyOpt: Option[String]): DataFrame = {
+    val sess = dedup.sparkSession
+    import sess.implicits._
+    val bxType = dedup.schema("bx").dataType
+    def compactSet(cells0: java.util.HashSet[Long], k: Long):
+        Iterator[(Long, Long, Long, Long)] = {
+      val out = new scala.collection.mutable.ArrayBuffer[
+        (Long, Long, Long, Long)]()
+      var cells = cells0
+      var lv = level
+      while (lv >= 1 && !cells.isEmpty) {
+        val parCnt = new java.util.HashMap[Long, Int]()
+        val i1 = cells.iterator()
+        while (i1.hasNext) {
+          val c = i1.next()
+          val p = (((c >>> 32) >> 1) << 32) | ((c & 0xffffffffL) >> 1)
+          parCnt.merge(p, 1, (a, b) => a + b)
+        }
+        val next = new java.util.HashSet[Long]()
+        val i2 = cells.iterator()
+        while (i2.hasNext) {
+          val c = i2.next()
+          val p = (((c >>> 32) >> 1) << 32) | ((c & 0xffffffffL) >> 1)
+          if (parCnt.get(p) == 4) next.add(p)
+          else out += ((lv.toLong, k, c >>> 32, c & 0xffffffffL))
+        }
+        cells = next
+        lv -= 1
+      }
+      val i3 = cells.iterator()
+      while (i3.hasNext) {
+        val c = i3.next()
+        out += ((0L, k, c >>> 32, c & 0xffffffffL))
+      }
+      out.iterator
+    }
+    keyOpt match {
+      case Some(key) =>
+        val keyType = dedup.schema(key).dataType
+        dedup.select(col(key).cast("long").as("k"),
+            col("bx").cast("long"), col("by").cast("long"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .flatMapGroups { (k, it) =>
+            val cells = new java.util.HashSet[Long]()
+            it.foreach { case (_, bx, by) => cells.add((bx << 32) | by) }
+            compactSet(cells, k)
+          }.toDF("lv", "k", "bx", "by")
+          .select(col("lv"), col("k").cast(keyType).as(key),
+            col("bx").cast(bxType).as("bx"), col("by").cast(bxType).as("by"))
+      case None =>
+        dedup.select(col("bx").cast("long"), col("by").cast("long"))
+          .as[(Long, Long)].coalesce(1).mapPartitions { it =>
+            val cells = new java.util.HashSet[Long]()
+            it.foreach { case (bx, by) => cells.add((bx << 32) | by) }
+            compactSet(cells, 0L)
+          }.toDF("lv", "k", "bx", "by")
+          .select(col("lv"), col("bx").cast(bxType).as("bx"),
+            col("by").cast(bxType).as("by"))
+    }
   }
 }

@@ -81,6 +81,33 @@ class CompactSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 2L, 2L, 3L), (2L, 2L, 3L, 2L), (2L, 2L, 2L, 2L)))
   }
 
+  test("distributed rounds match the grouped one-shuffle twin") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(97)
+    // keyed: several groups with dense-and-holed footprints
+    val keyed = (for (g <- 1L to 5L; x <- 0L until 16; y <- 0L until 16
+                      if rnd.nextInt(12) > 0) yield (g, x, y))
+    val kdf = keyed.toDF("gid", "bx", "by")
+    val viaRounds = SpatialOps.compactCellsRounds(
+        kdf.distinct(), 4, keys = Seq("gid"), new graft.core.CacheScope)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val viaGrouped = SpatialOps.compactCells(kdf, 4, keys = Seq("gid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(viaGrouped === viaRounds)
+    // unkeyed: single-set twin
+    val flat = keyed.filter(_._1 == 3L).map(c => (c._2, c._3)).toDF("bx", "by")
+    val fRounds = SpatialOps.compactCellsRounds(
+        flat.distinct(), 4, Nil, new graft.core.CacheScope)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fGrouped = SpatialOps.compactCells(flat, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fGrouped === fRounds)
+  }
+
   test("cover invariants: exact union, disjoint, no complete sibling group") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(29)

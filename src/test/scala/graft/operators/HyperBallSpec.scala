@@ -69,6 +69,28 @@ class HyperBallSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === refBalls(edges, fp, 3, Hll.M))
   }
 
+  test("distributed register loop matches the single-shard twin") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(211)
+    val edges = Seq.fill(500)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter(e => e._1 != e._2)
+    def fp(n: Long): Long = {
+      val a = graft.core.TextHash.mixId(n)
+      val b = graft.core.TextHash.mixId(n * 1009 + 3)
+      a * (1L << 29) + b
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => (n, fp(n))).toDF("node_id", "fp")
+    val e = edges.toDF("src", "dst").distinct()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))
+    val viaLoop = SketchOps.hyperBallLoop(nodes, e, 3)
+      .collect().map(key).toMap
+    val viaLocal = SketchOps.hyperBall(nodes, edges.toDF("src", "dst"), 3)
+      .collect().map(key).toMap
+    assert(viaLocal === viaLoop)
+  }
+
   test("estimates are monotone in radius (balls only grow)") {
     val s = spark; import s.implicits._
     val edges = (0L until 30L).map(i => (i, (i + 1) % 30)) // a 30-cycle
