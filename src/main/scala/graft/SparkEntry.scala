@@ -305,7 +305,10 @@ object SparkEntry {
     // IDW scatter-to-grid interpolation (integer weights; level floor 8
     // keeps own-cell weights nonzero — see SpatialOps.idwGrid contract)
     "q_idw" -> ((s, d) => {
-      val pts = Synth.points(s, d)
+      // persist before the level-probe count: the point set is a scan +
+      // DISTINCT shuffle, and it feeds the count plus BOTH idwGrid scans
+      // (cell set + 9x scatter) — uncached it would run three times
+      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
       val n = pts.count()
       var level = 8
       while (level < 12 && n > (1L << (2 * level))) level += 1
@@ -666,30 +669,30 @@ object SparkEntry {
       SpatialOps.dissolve(Synth.hexCorpus(s, PipLargePolys))),
 
     "q_knn" -> ((s, d) => {
-      val pts = Synth.points(s, d)
+      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
       SpatialOps.knn(pts, pts.filter(col("pid") % 997 === 0), 5)
     }),
 
     // large-query-set kNN: cell-bucket shuffle join, query side not broadcast
     "q_knn_large" -> ((s, d) => {
-      val pts = Synth.points(s, d)
+      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
       SpatialOps.knnShuffled(pts, pts.filter(col("pid") % 101 === 0), 5)
     }),
 
     // geodesic kNN: haversine-ranked, lon cells wrap the antimeridian
     "q_knn_geo" -> ((s, d) => {
-      val pts = Synth.points(s, d)
+      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
       SpatialOps.knnGeo(pts, pts.filter(col("pid") % 997 === 0), 5)
     }),
 
     "q_knn_geo_large" -> ((s, d) => {
-      val pts = Synth.points(s, d)
+      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
       SpatialOps.knnGeoShuffled(pts, pts.filter(col("pid") % 101 === 0), 5)
     }),
 
     // geodesic radius join: everything within 120 km, haversine-exact
     "q_radius_geo" -> ((s, d) => {
-      val pts = Synth.points(s, d)
+      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
       SpatialOps.withinRadiusGeo(pts, pts.filter(col("pid") % 199 === 0), 120000.0)
     }),
 
@@ -702,7 +705,8 @@ object SparkEntry {
     // the suite (152 s) — constant expected degree is the scale contract
     // (same derived-parameter pattern as q_vectorize's grid level)
     "q_dbscan" -> ((s, d) => {
-      val pts = Synth.points(s, d).filter(col("pid") % DbscanPidMod === 0)
+      val pts = graft.core.CacheScope.global.persist(
+        Synth.points(s, d).filter(col("pid") % DbscanPidMod === 0))
       val n = pts.count() // derive-from-count contract (eager, documented)
       val eps = if (n <= 4000) DbscanEpsM
         else if (n <= 16000) DbscanEpsM / 2 else DbscanEpsM / 4

@@ -1021,10 +1021,22 @@ object SpatialOps {
     * (~19 m cells): beyond that the bin numerator passes 2⁵³ and
     * [[Fns.idiv]]'s exact-division contract breaks.
     */
-  def geohashDensity(points: DataFrame, precision: Int): DataFrame =
-    points.select(geohashCol(col("lon_fix"), col("lat_fix"), precision)
-        .as("geohash"))
-      .groupBy("geohash").agg(count(lit(1)).as("cnt"))
+  def geohashDensity(points: DataFrame, precision: Int): DataFrame = {
+    // group on the INTEGER bin pair and encode the string per GROUP:
+    // the geohash is a bijection of (lonb, latb), so counts are
+    // identical, the shuffle key is two longs instead of a string, and
+    // the 5·p-term character build runs once per occupied cell instead
+    // of once per point
+    require(precision >= 1 && precision <= 8, "geohash precision 1..8")
+    val bits = 5 * precision
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    points.select(Fns.cellX(col("lon_fix"), lonBits).as("__gx"),
+        Fns.cellY(col("lat_fix"), latBits).as("__gy"))
+      .groupBy("__gx", "__gy").agg(count(lit(1)).as("cnt"))
+      .select(geohashFromBins(col("__gx"), col("__gy"), precision)
+        .as("geohash"), col("cnt"))
+  }
 
   /** The geohash encode itself as one Column (also the SQL catalog's
     * `geohash(lon_fix, lat_fix, precision)`); bin columns bound once so
@@ -1035,21 +1047,32 @@ object SpatialOps {
     val bits = 5 * precision
     val lonBits = (bits + 1) / 2
     val latBits = bits / 2
-    val alpha = array(GeohashAlphabet.map(c => lit(c.toString)): _*)
     Fns.bindOnce(Fns.cellX(lonFix, lonBits)) { lonb =>
       Fns.bindOnce(Fns.cellY(latFix, latBits)) { latb =>
-        val chars = (0 until precision).map { k =>
-          val digit = (0 until 5).map { j =>
-            val g = 5 * k + j // global bit index from the MSB; even = lon
-            val src = if (g % 2 == 0) shiftright(lonb, lonBits - 1 - g / 2)
-                      else shiftright(latb, latBits - 1 - (g - 1) / 2)
-            src.bitwiseAND(lit(1L)) * lit(1L << (4 - j))
-          }.reduce(_ + _)
-          element_at(alpha, (digit + lit(1L)).cast("int"))
-        }
-        concat(chars: _*)
+        geohashFromBins(lonb, latb, precision)
       }
     }
+  }
+
+  /** Geohash characters from the already-binned (lonb, latb) pair —
+    * lonb on (5p+1)/2 bits, latb on 5p/2 bits.
+    */
+  private def geohashFromBins(lonb: Column, latb: Column,
+                              precision: Int): Column = {
+    val bits = 5 * precision
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    val alpha = array(GeohashAlphabet.map(c => lit(c.toString)): _*)
+    val chars = (0 until precision).map { k =>
+      val digit = (0 until 5).map { j =>
+        val g = 5 * k + j // global bit index from the MSB; even = lon
+        val src = if (g % 2 == 0) shiftright(lonb, lonBits - 1 - g / 2)
+                  else shiftright(latb, latBits - 1 - (g - 1) / 2)
+        src.bitwiseAND(lit(1L)) * lit(1L << (4 - j))
+      }.reduce(_ + _)
+      element_at(alpha, (digit + lit(1L)).cast("int"))
+    }
+    concat(chars: _*)
   }
 
   /** Equirect integer raster — exact int64 twin of nodedensity binning. */
@@ -2208,10 +2231,15 @@ object SpatialOps {
     * anywhere, so engine results are bit-equal regardless of aggregation
     * order (the house rule that keeps every oracle hash-comparable).
     *
-    * Scale posture: a 9× scatter explode of the observations + ONE
-    * equi-join on the cell key + one map-side-combined groupBy — the
-    * same bounded-fanout stencil shape as [[rasterBlur]]; per-cell work
-    * is the 3×3 neighborhood's observation count, kept O(1) by deriving
+    * Scale posture: a 9× scatter explode of the observations feeding
+    * ONE map-side-combined groupBy — the target cell's center is a pure
+    * function of its (bx, by), so the per-contribution weight computes
+    * INLINE and the partial aggregation collapses the 9× fanout to
+    * ~|occupied cells| rows BEFORE the only wide shuffle; the occupancy
+    * gate (estimates exist only where an observation actually lies) is
+    * then a cell-set-sized semi-join, never a row-scale join. Same
+    * bounded-fanout stencil family as [[rasterBlur]]; per-cell work is
+    * the 3×3 neighborhood's observation count, kept O(1) by deriving
     * `level` from the corpus size (callers use the q_vectorize scheme).
     * Input (x, y, v) fix-coord observations; output
     * (bx, by, n_obs, est_e3).
@@ -2220,14 +2248,10 @@ object SpatialOps {
     val g = 1L << level
     val cellW = 3600000000L / g
     val cellH = 1800000000L / g
-    val cells = obs
+    val occupied = obs
       .select(Fns.cellX(col("x"), level).as("bx"),
         Fns.cellY(col("y"), level).as("by"))
       .distinct()
-      // cell-center fix coords (floor midpoint — integer, twin-exact)
-      .select(col("bx"), col("by"),
-        (col("bx") * lit(cellW) - lit(1800000000L) + lit(cellW / 2)).as("qx"),
-        (col("by") * lit(cellH) - lit(900000000L) + lit(cellH / 2)).as("qy"))
     val offs = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
       struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
     val scattered = obs
@@ -2238,13 +2262,18 @@ object SpatialOps {
     // exact floor division of nonnegative int64 columns (pmod keeps the
     // quotient an exact multiple, so the final double division is exact)
     def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
-    val d2 = (col("qx") - col("x")) * (col("qx") - col("x")) +
-      (col("qy") - col("y")) * (col("qy") - col("y"))
+    // target-cell center fix coords, inline (floor midpoint — integer,
+    // twin-exact; identical to the former cell-frame derivation)
+    val qx = col("bx") * lit(cellW) - lit(1800000000L) + lit(cellW / 2)
+    val qy = col("by") * lit(cellH) - lit(900000000L) + lit(cellH / 2)
+    val d2 = (qx - col("x")) * (qx - col("x")) +
+      (qy - col("y")) * (qy - col("y"))
     val w = fdiv(lit(1000000000000000L), d2 + lit(1000000000000L))
-    cells.join(scattered, Seq("bx", "by"))
+    scattered
       .select(col("bx"), col("by"), w.as("w"), (col("v") * w).as("vw"))
       .groupBy("bx", "by")
       .agg(count(lit(1)).as("n_obs"), sum("w").as("sw"), sum("vw").as("svw"))
+      .join(occupied, Seq("bx", "by"), "left_semi")
       .select(col("bx"), col("by"), col("n_obs"),
         fdiv(col("svw") * lit(1000L), col("sw")).as("est_e3"))
   }
