@@ -1308,10 +1308,15 @@ object SparkEntry {
     // their ways, kept ways all their nodes. Every step is a distinct
     // semi-join on a narrow key; nothing is broadcast-dependent.
     "q_extract_rels" -> ((s, d) => {
-      val pts = Synth.points(s, d)
+      // the point distinct and both membership distincts each feed TWO
+      // traversal directions (upward seeding + downward completion) —
+      // uncached the scan+distinct chains re-execute per consumer
+      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
       val refs = pts.select(expr("pid DIV 100").as("way_id"), col("pid"))
-      val relMem = refs.select(expr("way_id DIV 10").as("rel_id"), col("way_id")).distinct()
-      val srelMem = relMem.select(expr("rel_id DIV 10").as("srel_id"), col("rel_id")).distinct()
+      val relMem = graft.core.CacheScope.global.persist(
+        refs.select(expr("way_id DIV 10").as("rel_id"), col("way_id")).distinct())
+      val srelMem = graft.core.CacheScope.global.persist(
+        relMem.select(expr("rel_id DIV 10").as("srel_id"), col("rel_id")).distinct())
       val inRegion = col("lon_fix").between(0L, 299999999L) &&
         col("lat_fix").between(0L, 199999999L)
       // upward seeding
@@ -1358,7 +1363,7 @@ object SparkEntry {
     // a fixed grid saturates at 100x the data, percolates into one
     // grid-spanning component and turns vectorization degenerate.
     "q_vectorize" -> ((s, d) => {
-      val pts = Synth.points(s, d)
+      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
       val n = pts.count()
       var level = 6
       while (level < 12 && n > (1L << (2 * level))) level += 1

@@ -2366,40 +2366,42 @@ object SpatialOps {
     * while it either fits the cap or cannot subdivide further
     * (maxLevel); the root is a leaf iff the whole set fits.
     *
-    * Scale posture: one groupBy at the finest level, then `maxLevel`
-    * halving rollups over ALREADY-AGGREGATED frames (each ≤ 4^level
-    * rows — the pyramid rollup argument); each level is persisted for
-    * its two uses (own leaf filter + child leaf gate) and scope-
-    * released. Output: (lv, bx, by, cnt).
+    * Scale posture: ONE ancestor-explode groupBy gives every level's
+    * counts in a single map-combined shuffle (bin nesting:
+    * cellX(·, lv) div 2 = cellX(·, lv−1), clamp included, so the
+    * per-level rollup chain and direct binning agree bit-for-bit), and
+    * the leaf gate is one child-vs-parent self-join of that combined
+    * pyramid — two shuffles total instead of `maxLevel` rollup rounds
+    * plus per-level gate joins. The exploded frame is (maxLevel+1)·n
+    * rows BEFORE partial aggregation and ≤ Σ 4^lv AFTER; the pyramid is
+    * persisted for its two uses and scope-released.
+    * Output: (lv, bx, by, cnt).
     */
   def quadtreeLeaves(points: DataFrame, maxLevel: Int, cap: Long,
                      scope: CacheScope = CacheScope.global): DataFrame = {
-    val counts = new Array[DataFrame](maxLevel + 1)
-    counts(maxLevel) = scope.persist(points.select(
-        Fns.cellX(col("lon_fix"), maxLevel).as("bx"),
-        Fns.cellY(col("lat_fix"), maxLevel).as("by"))
-      .groupBy("bx", "by").agg(count(lit(1)).as("cnt")))
-    for (lv <- maxLevel - 1 to 0 by -1)
-      counts(lv) = scope.persist(counts(lv + 1)
-        .groupBy(expr("bx div 2").as("bx"), expr("by div 2").as("by"))
-        .agg(sum(col("cnt")).as("cnt")))
-    val leaves = (0 to maxLevel).map { lv =>
-      val own = counts(lv)
-      val fits = if (lv == maxLevel) lit(true) else col("cnt") <= cap
-      val gated =
-        if (lv == 0) own.filter(col("cnt") <= cap)
-        else {
-          val parent = counts(lv - 1)
-            .select(col("bx").as("pbx"), col("by").as("pby"),
-              col("cnt").as("pcnt"))
-          own.filter(fits)
-            .join(parent, expr("bx div 2") === col("pbx") &&
-              expr("by div 2") === col("pby"))
-            .filter(col("pcnt") > cap)
-        }
-      gated.select(lit(lv.toLong).as("lv"), col("bx"), col("by"), col("cnt"))
-    }
-    leaves.reduce(_ unionByName _)
+    val pc = scope.persist(points.select(
+        Fns.cellX(col("lon_fix"), maxLevel).as("fx"),
+        Fns.cellY(col("lat_fix"), maxLevel).as("fy"))
+      .select(explode(expr(
+        s"transform(sequence(0, $maxLevel), l -> struct(" +
+          s"CAST(l AS BIGINT) AS lv, shiftright(fx, $maxLevel - l) AS bx, " +
+          s"shiftright(fy, $maxLevel - l) AS by))")).as("c"))
+      .groupBy(col("c.lv").as("lv"), col("c.bx").as("bx"),
+        col("c.by").as("by"))
+      .agg(count(lit(1)).as("cnt")))
+    val upper = pc
+      .filter(col("lv") >= 1 &&
+        (col("lv") === maxLevel || col("cnt") <= cap))
+      .select(col("lv"), col("bx"), col("by"), col("cnt"),
+        (col("lv") - 1L).as("plv"), expr("bx div 2").as("pbx"),
+        expr("by div 2").as("pby"))
+      .join(pc.select(col("lv").as("plv"), col("bx").as("pbx"),
+          col("by").as("pby"), col("cnt").as("pcnt")).filter(col("pcnt") > cap),
+        Seq("plv", "pbx", "pby"))
+      .select(col("lv"), col("bx"), col("by"), col("cnt"))
+    val root = pc.filter(col("lv") === 0 && col("cnt") <= cap)
+      .select(col("lv"), col("bx"), col("by"), col("cnt"))
+    upper.unionByName(root)
   }
 
   /** Polygon contact matrix from rasterized footprints: for every
