@@ -331,11 +331,12 @@ object SparkEntry {
     // dedup, native O(m·n) rolling-DP kernel on the joined row
     "q_frechet" -> ((s, d) => {
       val wp = wayPoints(t(s, d, "lineitem"))
-      val tracks = wp.groupBy("way_id").agg(
+      // persist: the threshold-pick count() and both join sides read it
+      val tracks = graft.core.CacheScope.global.persist(wp.groupBy("way_id").agg(
           array_sort(collect_list(struct(col("seq"), col("x"), col("y")))).as("p"))
         .select(col("way_id"),
           expr("transform(p, q -> q.x)").as("xs"),
-          expr("transform(p, q -> q.y)").as("ys"))
+          expr("transform(p, q -> q.y)").as("ys")))
       val thr = if (tracks.count() <= FrechetSmallN) FrechetThrSmall
         else FrechetThr
       SpatialOps.frechetJoin(tracks, tracks, thr,
@@ -372,11 +373,12 @@ object SparkEntry {
     // q_frechet (Σ d² over the best monotone coupling, not the max)
     "q_dtw" -> ((s, d) => {
       val wp = wayPoints(t(s, d, "lineitem"))
-      val tracks = wp.groupBy("way_id").agg(
+      // persist: the threshold-pick count() and both join sides read it
+      val tracks = graft.core.CacheScope.global.persist(wp.groupBy("way_id").agg(
           array_sort(collect_list(struct(col("seq"), col("x"), col("y")))).as("p"))
         .select(col("way_id"),
           expr("transform(p, q -> q.x)").as("xs"),
-          expr("transform(p, q -> q.y)").as("ys"))
+          expr("transform(p, q -> q.y)").as("ys")))
       val thr = if (tracks.count() <= FrechetSmallN) FrechetThrSmall
         else FrechetThr
       SpatialOps.dtwJoin(tracks, tracks, 2L * thr * thr,
