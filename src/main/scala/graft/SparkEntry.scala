@@ -2053,23 +2053,9 @@ object SparkEntry {
         "doc_id", RendezvousShards)),
 
     // --- weighted TextRank: the walk follows co-occurrence counts ---
-    "q_textrank_w" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = t(s, d, "documents").select(col("doc_id"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      val win = Window.partitionBy("doc_id").orderBy("pos")
-      val bi = toks.select(col("w").as("wa"), lead(col("w"), 1).over(win).as("wb"))
-        .filter(col("wb").isNotNull && col("wa") =!= col("wb"))
-      val und = bi
-        .select(least(col("wa"), col("wb")).as("a"),
-          greatest(col("wa"), col("wb")).as("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c"))
-        .filter(col("c") >= TextRankMinCount)
-      val edges = und.select(col("a").as("src"), col("b").as("dst"), col("c").as("w"))
-        .unionByName(und.select(col("b").as("src"), col("a").as("dst"), col("c").as("w")))
-      GraphOps.pageRankWeighted(edges, TextRankIters)
-        .withColumnRenamed("node_id", "word")
-    }),
+    "q_textrank_w" -> ((s, d) =>
+      LmOps.textRankWeighted(t(s, d, "documents"), TextRankIters,
+        TextRankMinCount)),
 
     // --- related hosts by content: sparse-cosine over token bags ---
     "q_host_sim" -> ((s, d) =>

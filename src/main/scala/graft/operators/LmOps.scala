@@ -164,21 +164,72 @@ object LmOps {
     */
   def textRank(corpus: DataFrame, iterations: Int, minCount: Long,
                scope: CacheScope = CacheScope.global): DataFrame = {
+    val und = collocationGraph(corpus, minCount)
+    val vocab = scope.persist(wordIds(und))
+    val enc = und
+      .join(vocab.select(col("w").as("a"), col("wid").as("ida")), "a")
+      .join(vocab.select(col("w").as("b"), col("wid").as("idb")), "b")
+    val edges = enc.select(col("ida").as("src"), col("idb").as("dst"))
+      .unionByName(enc.select(col("idb").as("src"), col("ida").as("dst")))
+    GraphOps.pageRank(edges, iterations, scope)
+      .join(vocab.select(col("wid").as("node_id"), col("w").as("word")),
+        "node_id")
+      .select(col("word"), col("rank_e6"))
+  }
+
+  /** WEIGHTED TextRank: the walk follows co-occurrence counts —
+    * [[textRank]]'s graph with the bigram count as edge weight through
+    * [[GraphOps.pageRankWeighted]]'s ⌊rank·w/sw⌋ contributions. Same
+    * encode/decode bijection, same bit-identity argument.
+    */
+  def textRankWeighted(corpus: DataFrame, iterations: Int, minCount: Long,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
+    val und = collocationGraph(corpus, minCount)
+    val vocab = scope.persist(wordIds(und))
+    val enc = und
+      .join(vocab.select(col("w").as("a"), col("wid").as("ida")), "a")
+      .join(vocab.select(col("w").as("b"), col("wid").as("idb")), "b")
+    val edges = enc
+      .select(col("ida").as("src"), col("idb").as("dst"), col("c").as("w"))
+      .unionByName(enc
+        .select(col("idb").as("src"), col("ida").as("dst"), col("c").as("w")))
+    GraphOps.pageRankWeighted(edges, iterations, scope)
+      .join(vocab.select(col("wid").as("node_id"), col("w").as("word")),
+        "node_id")
+      .select(col("word"), col("rank_e6"))
+  }
+
+  /** The recurring-collocation word graph shared by both TextRank
+    * variants: an undirected edge (a < b, count c ≥ minCount) between
+    * adjacent tokens. Tokenization is one narrow posexplode; the bigram
+    * window is per-doc (partitioned, no global sort).
+    */
+  private def collocationGraph(corpus: DataFrame, minCount: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = corpus.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val bi = toks.select(col("w").as("wa"), lead(col("w"), 1).over(w).as("wb"))
       .filter(col("wb").isNotNull && col("wa") =!= col("wb"))
-    val und = bi
-      .select(least(col("wa"), col("wb")).as("a"),
+    bi.select(least(col("wa"), col("wb")).as("a"),
         greatest(col("wa"), col("wb")).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("c"))
       .filter(col("c") >= minCount)
-    val edges = und.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
-    GraphOps.pageRank(edges, iterations, scope)
-      .withColumnRenamed("node_id", "word")
+  }
+
+  /** Bijective word → id dictionary for the collocation graph: ids are
+    * the lexicographic rank — a single-partition window BOUNDED by the
+    * recurring-collocation vocabulary (the bounded-domain window class
+    * of WindowBoundSpec). PageRank's fixed-point update is
+    * label-invariant, so encode → rank → decode emits exactly the
+    * string loop's rows — and the integral ids unlock [[GraphOps]]'
+    * single-shard twin on small graphs.
+    */
+  private def wordIds(und: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    und.select(col("a").as("w")).unionByName(und.select(col("b").as("w")))
+      .distinct()
+      .withColumn("wid", row_number().over(Window.orderBy("w")).cast("long"))
   }
 
   /** Mixed-language document segmentation: language-ID per fixed-width
@@ -288,20 +339,122 @@ object LmOps {
       .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
   }
 
-  /** Shared trainer loop: returns (merge table, final vocabulary state
-    * (w, wc, s)). State keeps the raw word `w` as the join key for
-    * [[bpeApply]].
+  /** Vocabulary budget for the single-shard BPE trainer: the whole
+    * merge-round ladder runs in ONE task when the (Zipf-bounded) word
+    * state fits — the rounds are sequential by definition (each merge
+    * decision feeds the next), so the only distributed work worth
+    * keeping above this size is the per-round fold map.
+    */
+  val LocalVocabWords: Long = 1L << 20
+
+  /** Shared trainer dispatch: returns (merge table, final vocabulary
+    * state (w, wc, s)). State keeps the raw word `w` as the join key
+    * for [[bpeApply]]. Under [[LocalVocabWords]] the whole round ladder
+    * runs in one task ([[bpeTrainLocal]]); above it the distributed
+    * loop runs verbatim ([[bpeTrainLoop]], spec-reachable).
     */
   private def bpeTrainCore(corpus: DataFrame, rounds: Int,
                            scope: CacheScope): (DataFrame, DataFrame) = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val words0 = corpus.select(explode(
+    val words0 = scope.persist(corpus.select(explode(
         regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .select(col("w"), col("wc"), concat(lit(" "),
         array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
-        lit(" ")).as("s"))
+        lit(" ")).as("s")))
+    if (words0.count() <= LocalVocabWords) bpeTrainLocal(words0, rounds, scope)
+    else bpeTrainLoop(words0, rounds, scope)
+  }
+
+  /** Single-shard twin of the BPE trainer under [[LocalVocabWords]]:
+    * all merge rounds in one task over the in-memory word state — the
+    * identical argmax (cnt desc, then UTF-8-byte-order (x, y), matching
+    * Spark's UTF8String binary sort) and the identical left-to-right
+    * non-overlapping fold. The tagged output splits into the merge
+    * table and the final state with two filters over one persisted
+    * vocab-sized frame; parity spec'd against the loop.
+    */
+  private def bpeTrainLocal(words0: DataFrame, rounds: Int,
+                            scope: CacheScope): (DataFrame, DataFrame) = {
+    val spark = words0.sparkSession
+    import spark.implicits._
+    val nRounds = rounds
+    val tagged = scope.persist(words0
+      .select(col("w"), col("wc"), col("s"))
+      .as[(String, Long, String)].coalesce(1).mapPartitions { it =>
+        def u8lt(a: String, b: String): Boolean = {
+          val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          while (i < x.length && i < y.length) {
+            val c = (x(i) & 0xff) - (y(i) & 0xff)
+            if (c != 0) return c < 0
+            i += 1
+          }
+          x.length < y.length
+        }
+        val ws = new scala.collection.mutable.ArrayBuffer[
+          (String, Long, Array[String])]()
+        it.foreach { case (w, wc, s) => ws += ((w, wc, s.trim.split(" "))) }
+        val merges = new scala.collection.mutable.ArrayBuffer[
+          (Long, String, String, Long)]()
+        var r = 0L
+        var done = false
+        while (r < nRounds && !done) {
+          r += 1
+          val cnt = new java.util.HashMap[(String, String), Long]()
+          ws.foreach { case (_, wc, syms) =>
+            var i = 0
+            while (i < syms.length - 1) {
+              cnt.merge((syms(i), syms(i + 1)), wc, (a, b) => a + b)
+              i += 1
+            }
+          }
+          if (cnt.isEmpty) done = true
+          else {
+            var bx: String = null; var by: String = null; var bc = Long.MinValue
+            val ci = cnt.entrySet().iterator()
+            while (ci.hasNext) {
+              val e = ci.next()
+              val (x, y) = e.getKey
+              if (e.getValue > bc ||
+                  (e.getValue == bc && (u8lt(x, bx) ||
+                    (x == bx && u8lt(y, by))))) {
+                bc = e.getValue; bx = x; by = y
+              }
+            }
+            merges += ((r, bx, by, bc))
+            var i = 0
+            while (i < ws.length) {
+              val (w, wc, syms) = ws(i)
+              val out = new scala.collection.mutable.ArrayBuffer[String](
+                syms.length)
+              syms.foreach { s =>
+                if (out.nonEmpty && out.last == bx && s == by)
+                  out(out.length - 1) = bx + by
+                else out += s
+              }
+              ws(i) = (w, wc, out.toArray)
+              i += 1
+            }
+          }
+        }
+        merges.iterator.map { case (round, x, y, c) =>
+          (0, round, x, y, c, "", 0L, "") } ++
+          ws.iterator.map { case (w, wc, syms) =>
+            (1, 0L, "", "", 0L, w, wc, " " + syms.mkString(" ") + " ") }
+      }.toDF("t", "round", "sym_a", "sym_b", "cnt", "w", "wc", "s"))
+    (tagged.filter(col("t") === 0)
+        .select(col("round"), col("sym_a"), col("sym_b"), col("cnt")),
+      tagged.filter(col("t") === 1).select(col("w"), col("wc"), col("s")))
+  }
+
+  /** The distributed round loop of the BPE trainer (spec-reachable
+    * directly). `words0` must be the (w, wc, s) vocabulary state.
+    */
+  private[graft] def bpeTrainLoop(words0: DataFrame, rounds: Int,
+      scope: CacheScope = CacheScope.global): (DataFrame, DataFrame) = {
+    val spark = words0.sparkSession
+    import spark.implicits._
     var cached = words0.persist()
     var state = spark.createDataFrame(cached.rdd, cached.schema)
     val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]

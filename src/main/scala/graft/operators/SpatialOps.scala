@@ -2041,13 +2041,16 @@ object SpatialOps {
     * Input points (pid, lon_fix, lat_fix); cents0 (cid, x, y) in the
     * SHIFTED domain. Output (cid, cx, cy, n) in lon/lat fix units.
     */
-  def kmeans(points: DataFrame, cents0: DataFrame, rounds: Int): DataFrame = {
+  def kmeans(points: DataFrame, cents0: DataFrame, rounds: Int,
+             scope: CacheScope = CacheScope.global): DataFrame = {
     val sess = points.sparkSession
     import sess.implicits._
     def fdiv(a: Column, b: Column): Column = ((a - pmod(a, b)) / b).cast("long")
-    val pts = points.select(
+    // persisted: every Lloyd round re-scans the shifted point set — an
+    // unpersisted upstream (scan + distinct) would re-execute per round
+    val pts = scope.persist(points.select(
       (col("lon_fix") + lit(1800000000L)).as("sx"),
-      (col("lat_fix") + lit(900000000L)).as("sy"))
+      (col("lat_fix") + lit(900000000L)).as("sy")))
     var cents: Seq[(Long, Long, Long)] = cents0
       .select(col("cid").cast("long"), col("x").cast("long"), col("y").cast("long"))
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq

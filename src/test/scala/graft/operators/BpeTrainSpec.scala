@@ -101,6 +101,47 @@ class BpeTrainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("distributed trainer loop matches the single-shard twin") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      "banana bandana banana and a man ran",
+      "a banana can and a bandana fan",
+      "nan nan banana anna", "abba abab baba ab")
+    val ddf = docs.zipWithIndex.map(d => (d._2.toLong, d._1))
+      .toDF("doc_id", "text")
+    val words0 = ddf.select(explode(
+        regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(col("w"), col("wc"), concat(lit(" "),
+        array_join(regexp_extract_all(col("w"), lit("."), lit(0)), " "),
+        lit(" ")).as("s"))
+    val (mLoop, sLoop) = LmOps.bpeTrainLoop(words0, 5,
+      new graft.core.CacheScope)
+    val mergesLoop = mLoop.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val stateLoop = sLoop.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val mergesLocal = LmOps.bpeTrain(ddf, 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(mergesLocal === mergesLoop)
+    // final vocabulary state parity through the apply surface
+    val applyLocal = LmOps.bpeApply(ddf, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val vocabLoop = sLoop.select(col("w"),
+      size(split(trim(col("s")), " ")).cast("long").as("ntok"))
+    val applyLoop = ddf.select(col("doc_id"), explode(
+        regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("w"))
+      .join(vocabLoop, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(applyLocal === applyLoop)
+    assert(stateLoop.nonEmpty)
+  }
+
   test("overlapping runs merge left-to-right ('aaaa' -> 'aa aa')") {
     val s = spark; import s.implicits._
     val docs = Seq((0L, "aaaa aaa")).toDF("doc_id", "text")
