@@ -1707,6 +1707,12 @@ object SparkEntry {
       StatsOps.exactQuantiles(t(s, d, "documents"), "lang", "n_chars",
         Seq(500, 900, 990))),
 
+    // --- sample-based quantiles (deterministic bottom-k estimator) ---
+    // same data as q_quantiles so exact-vs-sampled is directly comparable
+    "q_quantiles_samp" -> ((s, d) =>
+      StatsOps.sampledQuantiles(t(s, d, "documents"), "lang", "doc_id",
+        "n_chars", SampQuantK, Seq(500, 900, 990))),
+
     // --- interval overlap join (bucketized 1-D range join) ---
     "q_interval_join" -> ((s, d) => {
       val ev = t(s, d, "events")
@@ -2695,6 +2701,9 @@ object SparkEntry {
 
   /** q_wsample: weighted-race sample size. */
   val WSampleK = 100
+
+  /** q_quantiles_samp: bottom-k sample size per group. */
+  val SampQuantK = 64
 
   /** q_hyperball radius bound (ball estimates emitted for r = 0..this). */
   val HyperBallRounds = 3
@@ -7384,6 +7393,23 @@ object SparkEntry {
         |SELECT lang, q_pm, v AS value, n FROM q
         |WHERE cum >= (n * q_pm + 999) // 1000
         |  AND cum - cnt < (n * q_pm + 999) // 1000""".stripMargin,
+
+    "q_quantiles_samp" ->
+      s"""WITH sk AS (
+         |  SELECT lang, n_chars AS v, doc_id,
+         |    ${mixIdSql("doc_id * 2654435761 + 97")} AS skk
+         |  FROM documents
+         |  QUALIFY row_number() OVER (PARTITION BY lang ORDER BY skk, doc_id)
+         |    <= $SampQuantK),
+         |r AS (
+         |  SELECT lang, v, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY v, doc_id)
+         |      AS BIGINT) AS vr,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS m
+         |  FROM sk),
+         |q AS (SELECT *, unnest([500, 900, 990]) AS q_pm FROM r)
+         |SELECT lang, q_pm, v AS est, m AS n_sampled FROM q
+         |WHERE vr = (m * q_pm + 999) // 1000""".stripMargin,
 
     "q_interval_join" ->
       """WITH l AS (

@@ -46,6 +46,48 @@ object StatsOps {
       .select(col(groupCol), col("q_pm"), col("v").as("value"), col("n"))
   }
 
+  /** SAMPLE-BASED per-group quantiles — the scale companion of
+    * [[exactQuantiles]] for value domains too wide to histogram: exact
+    * type-1 quantiles of a DETERMINISTIC bottom-k uniform row sample
+    * (the k smallest mixId(id) hashes per group — the same RNG-free
+    * sampling contract as every sampler here, so both engines draw the
+    * identical sample and the result stays hash-comparable). Groups at
+    * or under k sample themselves entirely and the estimate is exact;
+    * larger groups get the classic bottom-k estimator whose error
+    * concentrates as O(1/√k) independent of group size.
+    *
+    * Scale posture: the rank-≤-k filter on a literal compiles to
+    * WindowGroupLimit — at most k rows per group per map partition
+    * cross the shuffle, so the sample stage is bounded by k·partitions
+    * per group regardless of row count (the same plan shape as
+    * [[SketchOps.kmvSketch]]); the quantile selection then runs over
+    * ≤ k rows per group. Input: df with `groupCol`, a unique integer
+    * `idCol` (the sample key), and integer `valueCol`. Output:
+    * (group, q_pm, est, n_sampled).
+    */
+  def sampledQuantiles(df: DataFrame, groupCol: String, idCol: String,
+                       valueCol: String, k: Int, qsPm: Seq[Int]): DataFrame = {
+    require(k >= 1, s"sampledQuantiles needs k >= 1, got $k")
+    val keyed = df.select(col(groupCol), col(valueCol).as("v"),
+      col(idCol).as("__id"),
+      graft.functions.Fns.mixId(col(idCol) * lit(2654435761L) + lit(97L))
+        .as("__sk"))
+    val sw = Window.partitionBy(groupCol).orderBy(col("__sk"), col("__id"))
+    val sample = keyed
+      .withColumn("rn", row_number().over(sw)).filter(col("rn") <= k)
+    val vw = Window.partitionBy(groupCol).orderBy(col("v"), col("__id"))
+    val whole = Window.partitionBy(groupCol)
+    sample
+      .withColumn("vr", row_number().over(vw).cast("long"))
+      .withColumn("m", count(lit(1)).over(whole))
+      .select(col(groupCol), col("v"), col("vr"), col("m"),
+        explode(array(qsPm.map(lit(_)): _*)).as("q_pm"))
+      .filter(col("vr") ===
+        graft.functions.Fns.idiv(col("m") * col("q_pm") + lit(999L), 1000L))
+      .select(col(groupCol), col("q_pm"), col("v").as("est"),
+        col("m").as("n_sampled"))
+  }
+
   /** 2-D skyline (Pareto frontier, maximize both axes): the (a, b) value
     * pairs not dominated by any other pair (a' ≥ a, b' ≥ b, at least one
     * strict), with the number of input rows sitting exactly on each

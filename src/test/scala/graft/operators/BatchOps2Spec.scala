@@ -311,6 +311,44 @@ class BatchOps2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sampledQuantiles: exact when the group fits k; subset-exact beyond") {
+    val s = spark; import s.implicits._
+    def mixRef(c: Long): Long = {
+      val M = 2147483647L
+      def xs(z: Long) = z ^ (z >> 16)
+      val z0 = ((c % M) + M) % M
+      val z1 = xs((z0 * 1103515245L + 12345L) % M)
+      xs((z1 * 69069L + 1L) % M)
+    }
+    val rows = (0L until 400L).map(i =>
+      ("g" + (i % 3), i, (mixRef(i * 7 + 1) % 1000).toInt))
+    val df = rows.toDF("grp", "id", "v")
+    val qs = Seq(250, 500, 900)
+    // k larger than any group: sample = group, estimates = exact quantiles
+    val exact = StatsOps.sampledQuantiles(df, "grp", "id", "v", 1000, qs)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getInt(2))).toMap
+    for (g <- Seq("g0", "g1", "g2"); q <- qs) {
+      val sorted = rows.filter(_._1 == g).map(_._3).sorted
+      val idx = ((sorted.size.toLong * q + 999) / 1000).toInt
+      assert(exact((g, q)) === sorted(idx - 1), s"exact branch $g q=$q")
+    }
+    // k smaller: the estimate is the exact quantile OF the deterministic
+    // bottom-k mixId sample — replicate the sample driver-side
+    val k = 20
+    val got = StatsOps.sampledQuantiles(df, "grp", "id", "v", k, qs)
+      .collect()
+      .map(r => ((r.getString(0), r.getInt(1)), (r.getInt(2), r.getLong(3))))
+      .toMap
+    for (g <- Seq("g0", "g1", "g2"); q <- qs) {
+      val sample = rows.filter(_._1 == g)
+        .sortBy(t => (mixRef(t._2 * 2654435761L + 97L), t._2)).take(k)
+      val sorted = sample.map(_._3).sorted
+      val idx = ((sorted.size.toLong * q + 999) / 1000).toInt
+      assert(got((g, q)) === ((sorted(idx - 1), sample.size.toLong)),
+        s"sampled branch $g q=$q")
+    }
+  }
+
   test("bm25 matches a local replication; postings are capped, sorted, df-exact") {
     val s = spark; import s.implicits._
     val docs = Seq(
