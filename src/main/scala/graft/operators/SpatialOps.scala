@@ -2456,18 +2456,26 @@ object SpatialOps {
     * (bx, by, hops).
     */
   def isochrone(occ: DataFrame, seeds: DataFrame, level: Int,
-                maxHops: Int): DataFrame = {
+                maxHops: Int,
+                scope: CacheScope = CacheScope.global): DataFrame = {
     val g = 1L << level
-    val cells = occ.select(col("bx"), col("by"),
-      (col("bx") * g + col("by")).as("cid"))
-    val shifts = Seq((1L, 0L), (-1L, 0L), (0L, 1L), (0L, -1L))
-    val edges = shifts.map { case (dx, dy) =>
-      cells.select((col("bx") + dx).as("bx"), (col("by") + dy).as("by"),
-          col("cid").as("dst"))
-        .join(cells.select(col("bx"), col("by"), col("cid").as("src")),
-          Seq("bx", "by"))
-        .select(col("src"), col("dst"))
-    }.reduce(_ unionByName _)
+    // persisted: the cell frame feeds both sides of the adjacency join
+    // plus the seed gate — uncached, the upstream density raster would
+    // re-execute per consumer
+    val cells = scope.persist(occ.select(col("bx"), col("by"),
+      (col("bx") * g + col("by")).as("cid")))
+    // all four 4-neighbor shifts through ONE explode + ONE equi-join
+    // (same edge set as four per-shift joins, one shuffle instead of four)
+    val shifted = cells.select(col("cid").as("dst"),
+        explode(expr("array(struct(bx + 1L AS bx, by AS by), " +
+          "struct(bx - 1L AS bx, by AS by), " +
+          "struct(bx AS bx, by + 1L AS by), " +
+          "struct(bx AS bx, by - 1L AS by))")).as("s"))
+      .select(col("s.bx").as("bx"), col("s.by").as("by"), col("dst"))
+    val edges = shifted
+      .join(cells.select(col("bx"), col("by"), col("cid").as("src")),
+        Seq("bx", "by"))
+      .select(col("src"), col("dst"))
     val seedIds = seeds.select((col("bx") * g + col("by")).as("cid"))
       .join(cells.select("cid"), "cid") // seeds must be occupied
       .select(col("cid").as("node_id"))
