@@ -51,6 +51,10 @@ class WindowBoundSpec extends AnyFunSuite with BeforeAndAfterAll {
           Seq(q.plan)
         case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
           Seq(r.child)
+        // a persisted upstream hides its plan (and its WindowExec
+        // metrics) inside the cached relation
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(im.relation.cachedPlan)
         case _ => p.children
       }
       here ++ kids.flatMap(deep)
@@ -105,6 +109,21 @@ class WindowBoundSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sky = StatsOps.skyline(rows.toDF("len", "score"), "len", "score")
     for (n <- globalWindowRows(sky))
       assert(n <= 13, s"global window saw $n rows > 13 distinct a")
+  }
+
+  test("textRank's dictionary window sees one row per VOCAB word") {
+    val s = spark; import s.implicits._
+    // 5k docs over a 12-word vocabulary: the id-assignment window is
+    // bounded by the recurring-collocation vocabulary, not the corpus
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val rnd = new scala.util.Random(23)
+    val docs = Seq.tabulate(5000) { i =>
+      (i.toLong, Seq.fill(8)(words(rnd.nextInt(words.size))).mkString(" "))
+    }
+    val tr = LmOps.textRank(docs.toDF("doc_id", "text"), 2, 2L)
+    for (n <- globalWindowRows(tr))
+      assert(n <= words.size, s"global window saw $n rows > vocab ${words.size}")
   }
 
   test("bpePairCounts' global window sees at most k rows") {
