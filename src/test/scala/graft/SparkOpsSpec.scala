@@ -254,8 +254,12 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("doc_a", "doc_b").repartition(16)
     val scopeA = new graft.core.CacheScope
     val scopeB = new graft.core.CacheScope
-    val viaContract = DedupOps.duplicateClustersCounted(edges, scopeA)._1
+    val viaContract = DedupOps.duplicateClustersContractedLoop(
+        edges.select(col("doc_a"), col("doc_b")), scopeA)._1
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaLocal = DedupOps.duplicateClusters(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaLocal === viaContract) // dispatch twin vs contraction path
     val viaLoop = DedupOps.duplicateClustersLoop(
         edges.select(col("doc_a").cast("long").as("doc_a"),
           col("doc_b").cast("long").as("doc_b")), scopeB)
@@ -951,7 +955,8 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // rounds; pointer jumping must close it in O(log d)
     val pairs = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val scope = new graft.core.CacheScope
-    val (labels, rounds) = DedupOps.duplicateClustersCounted(pairs, scope)
+    val (labels, rounds) = DedupOps.duplicateClustersContractedLoop(
+      pairs.select(col("doc_a"), col("doc_b")), scope)
     val out = labels.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length === 61)
     assert(out.forall(_._2 === 0L), out.filter(_._2 != 0L).take(5).mkString(","))
