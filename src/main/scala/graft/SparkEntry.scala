@@ -1600,6 +1600,12 @@ object SparkEntry {
         .select(col("doc_id"), col("w"), expr("lnu div w").as("race_key"))
         .orderBy(col("race_key"), col("doc_id")).limit(WSampleK)),
 
+    // --- per-group weighted sampling (A-Res per language) ---
+    "q_wsample_group" -> ((s, d) =>
+      SamplingOps.weightedSampleGrouped(
+        t(s, d, "documents").select(col("lang"), col("doc_id"),
+          col("n_chars")), "lang", "doc_id", "n_chars", WSampleGroupK)),
+
     // --- k-truss peeling (cohesive link-ring backbone) ---
     "q_ktruss" -> ((s, d) =>
       GraphOps.kTruss(linkEdges(s, d), KTrussK, KTrussRounds)),
@@ -2704,6 +2710,9 @@ object SparkEntry {
 
   /** q_quantiles_samp: bottom-k sample size per group. */
   val SampQuantK = 64
+
+  /** q_wsample_group: per-group weighted-race sample size. */
+  val WSampleGroupK = 20
 
   /** q_hyperball radius bound (ball estimates emitted for r = 0..this). */
   val HyperBallRounds = 3
@@ -7086,6 +7095,23 @@ object SparkEntry {
          |  (CAST(round((kl + srs) * 1000000.0) AS BIGINT) * 1000000) // w
          |    AS race_key
          |FROM ws5 ORDER BY race_key, doc_id LIMIT $WSampleK""".stripMargin,
+
+    "q_wsample_group" ->
+      s"""WITH gs0 AS (
+         |  SELECT lang, doc_id, n_chars AS w,
+         |    1048576.0 / CAST((${mixIdSql("doc_id")} % 1048576) + 1 AS DOUBLE) AS x
+         |  FROM documents WHERE n_chars > 0),
+         |${lnStagesSql("gs", "gs0")},
+         |keyed AS (
+         |  SELECT lang, doc_id AS id, w,
+         |    (CAST(round((kl + srs) * 1000000.0) AS BIGINT) * 1000000) // w
+         |      AS race_key
+         |  FROM gs5)
+         |SELECT lang, id, w, race_key,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY race_key, id)
+         |    AS BIGINT) AS rn
+         |FROM keyed
+         |QUALIFY rn <= $WSampleGroupK""".stripMargin,
 
     // ktruss twin — INDEPENDENT formulation: triangles by the unoriented
     // canonical 3-join per unrolled peel round (ke0..keT — linkEdgesSql

@@ -9,6 +9,41 @@ import graft.core.CacheScope
 /** Deterministic sampling operators for training-data pipelines. */
 object SamplingOps {
 
+  /** Per-GROUP weighted sampling without replacement
+    * (Efraimidis–Spirakis A-Res, the per-group generalization of the
+    * global q_wsample cut): every row draws the RNG-free exponential
+    * arrival key ⌊lnE6(1/u)·10⁶⌋ div w with u a mixId-uniform of its
+    * id, and the k SMALLEST keys per group are the sample —
+    * P(pick) ∝ w within each group, deterministic and re-runnable in
+    * both engines (lnE6 is the fixed-IEEE-op kernel every sketch twin
+    * shares).
+    *
+    * Scale posture: the rank-≤-k filter on a literal compiles to
+    * WindowGroupLimit, so at most k rows per group per map partition
+    * cross the shuffle — the same bounded plan shape as
+    * [[StatsOps.sampledQuantiles]] / [[SketchOps.kmvSketch]]; no global
+    * sort, no per-group state beyond k. Rows with w ≤ 0 are excluded
+    * (zero weight = never picked; the division needs w > 0).
+    * Input: df with `groupCol`, a unique integer `idCol`, integer
+    * `wCol`. Output: (group, id, w, race_key, rn), rn ∈ [1, k].
+    */
+  def weightedSampleGrouped(df: DataFrame, groupCol: String, idCol: String,
+                            wCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"weightedSampleGrouped needs k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.filter(col(wCol) > 0)
+      .select(col(groupCol), col(idCol).as("id"),
+        col(wCol).cast("long").as("w"),
+        (graft.plans.HllExpressions.lnE6(lit(1048576.0) /
+          ((graft.functions.Fns.mixId(col(idCol)) % 1048576L) + lit(1L))
+            .cast("double")) * 1000000L).as("lnu"))
+      .select(col(groupCol), col("id"), col("w"),
+        expr("lnu div w").as("race_key"))
+    val win = Window.partitionBy(groupCol).orderBy(col("race_key"), col("id"))
+    keyed.withColumn("rn", row_number().over(win).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Weighted systematic sample: rows chosen proportional to an integer
     * weight with k evenly-spaced slot boundaries over the cumulative
     * weight line — the classic exact alternative to per-row Bernoulli

@@ -43,6 +43,31 @@ class SamplingSpec extends AnyFunSuite with BeforeAndAfterAll {
     SamplingOps.systematicSample(df(rows, parts), "id", "w", k)
       .collect().map(_.getLong(0)).toSet
 
+  test("weightedSampleGrouped: per-group A-Res matches driver replication") {
+    val s2 = spark; import s2.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 300L).map(i =>
+      ("g" + (i % 4), i, 1L + rnd.nextInt(40).toLong))
+    val got = SamplingOps.weightedSampleGrouped(
+        rows.toDF("grp", "id", "w"), "grp", "id", "w", 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    def key(id: Long, w: Long): Long = {
+      val u = (graft.core.TextHash.mixId(id) % 1048576L) + 1L
+      graft.core.Hll.lnE6(1048576.0 / u.toDouble) * 1000000L / w
+    }
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map { case (_, id, w) => (id, w, key(id, w)) }
+        .sortBy(t => (t._3, t._1)).take(10).zipWithIndex
+        .map { case ((id, w, rk), i) => (g, id, w, rk, i + 1L) }
+    }.toSet
+    assert(got === want)
+    // every group contributes exactly min(10, |group|) rows
+    assert(got.groupBy(_._1).forall(_._2.size == 10))
+  }
+
   test("exact k selected on random positive weights, matches reference") {
     val rnd = new scala.util.Random(5)
     val rows = (1L to 400L).map(i => (i, 1L + rnd.nextInt(50).toLong))
