@@ -1610,6 +1610,10 @@ object SparkEntry {
     "q_ktruss" -> ((s, d) =>
       GraphOps.kTruss(linkEdges(s, d), KTrussK, KTrussRounds)),
 
+    // --- topological layering (Kahn rounds, cycle cores flagged) ---
+    "q_topo" -> ((s, d) =>
+      GraphOps.topologicalLayers(linkEdges(s, d), TopoRounds)),
+
     // --- redirect-chain resolution (functional-graph doubling) ---
     // synthetic redirect map: docs with doc_id % 3 != 0 redirect to a
     // mixId-scattered target; % 3 == 0 docs are terminals
@@ -2713,6 +2717,9 @@ object SparkEntry {
 
   /** q_wsample_group: per-group weighted-race sample size. */
   val WSampleGroupK = 20
+
+  /** q_topo: Kahn round horizon (nodes still blocked after -> layer -1). */
+  val TopoRounds = 8
 
   /** q_hyperball radius bound (ball estimates emitted for r = 0..this). */
   val HyperBallRounds = 3
@@ -7145,6 +7152,34 @@ object SparkEntry {
          |    UNION ALL SELECT x, z FROM tf) GROUP BY 1, 2)
          |SELECT e.a, e.b, coalesce(sf.sup, 0) AS sup
          |FROM ke$T e LEFT JOIN sf USING (a, b)""".stripMargin
+    },
+
+    // topo twin: Kahn rounds unrolled — per round the zero-in-degree
+    // slice peels (EXCEPT of the remaining dst set), survivors after the
+    // horizon carry layer -1; MATERIALIZED against exponential inlining
+    "q_topo" -> {
+      val stages = (0 until TopoRounds).map { r =>
+        s"""z$r AS MATERIALIZED (
+           |  SELECT node_id FROM n$r
+           |  EXCEPT SELECT DISTINCT dst AS node_id FROM t${r}e),
+           |n${r + 1} AS MATERIALIZED (
+           |  SELECT DISTINCT dst AS node_id FROM t${r}e),
+           |t${r + 1}e AS MATERIALIZED (
+           |  SELECT src, dst FROM t${r}e
+           |  WHERE src NOT IN (SELECT node_id FROM z$r))""".stripMargin
+      }.mkString(",\n")
+      val sel = (0 until TopoRounds).map(r =>
+        s"SELECT node_id, CAST($r AS BIGINT) AS layer FROM z$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH $linkEdgesSql,
+         |t0e AS MATERIALIZED (SELECT src, dst FROM edges),
+         |n0 AS MATERIALIZED (
+         |  SELECT src AS node_id FROM t0e UNION SELECT dst FROM t0e),
+         |$stages
+         |$sel
+         |UNION ALL
+         |SELECT node_id, CAST(-1 AS BIGINT) AS layer FROM n$TopoRounds"""
+        .stripMargin
     },
 
     // redirects twin — INDEPENDENT formulation: per-source reachability

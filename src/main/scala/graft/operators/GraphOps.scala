@@ -2309,6 +2309,137 @@ object GraphOps {
       .select(col("a"), col("b"), col("da"), col("db"))
   }
 
+  /** TOPOLOGICAL LAYERING (level-synchronous Kahn): layer r = the nodes
+    * whose remaining in-degree reaches zero once layers < r are removed
+    * — the dependency schedule of a DAG (redirect/canonical chains,
+    * category hierarchies, pipeline stage graphs), with every node
+    * still blocked after `maxRounds` rounds — cycle cores and their
+    * downstream — emitted with layer = −1 (the cycle DETECTOR: a DAG
+    * within the round horizon flags nothing). The layering is
+    * algorithm-independent (layer(n) = longest predecessor chain
+    * length), so engines agree bit-for-bit.
+    *
+    * Scale posture: per round one distinct on the remaining edge list's
+    * dst side, one anti-join for the zero-in-degree slice, and one
+    * anti-join shrinking the edge list — all keyed, no global sort; the
+    * loop exits early when a round peels nothing (pure-cycle residue
+    * reaches a fixpoint, which the unrolled oracle replays). Same
+    * persist / count / unpersist / rebase hygiene as [[hopDistance]].
+    * Strategy selection: under [[LocalSweepEdges]] with integral ids
+    * the whole ladder runs in one task over in-degree counters
+    * ([[topologicalLayersLocal]]); parity spec'd.
+    *
+    * Input: (src, dst). Output: (node_id, layer), layer ∈ [0, maxRounds)
+    * or −1.
+    */
+  def topologicalLayers(edges: DataFrame, maxRounds: Int,
+                        scope: CacheScope = CacheScope.global): DataFrame = {
+    require(maxRounds >= 1, s"topologicalLayers needs maxRounds >= 1")
+    val e = scope.persist(edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    if (e.count() <= LocalSweepEdges &&
+        integralId(edges.schema("src").dataType, edges.schema("dst").dataType))
+      topologicalLayersLocal(e, maxRounds)
+    else topologicalLayersLoop(e, maxRounds, scope)
+  }
+
+  /** The distributed Kahn rounds of [[topologicalLayers]]
+    * (spec-reachable directly). `e` must be the deduplicated,
+    * self-loop-free (src, dst) edge list.
+    */
+  private[graft] def topologicalLayersLoop(e: DataFrame, maxRounds: Int,
+      scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = e.sparkSession
+    var cachedN = e.select(col("src").as("node_id"))
+      .unionByName(e.select(col("dst").as("node_id"))).distinct().persist()
+    var nodes = spark.createDataFrame(cachedN.rdd, cachedN.schema)
+    var cachedE = e
+    var alive = spark.createDataFrame(e.rdd, e.schema)
+    val layers = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var r = 0
+    var stuck = false
+    while (r < maxRounds && !stuck) {
+      val blocked = alive.select(col("dst").as("node_id")).distinct()
+      val zero = nodes.join(blocked, Seq("node_id"), "left_anti").persist()
+      if (zero.count() == 0) {
+        zero.unpersist(blocking = false)
+        stuck = true
+      } else {
+        scope.track(zero)
+        layers += zero.withColumn("layer", lit(r.toLong))
+        val nextN = blocked.persist()
+        nextN.count()
+        cachedN.unpersist(blocking = false)
+        cachedN = nextN
+        nodes = spark.createDataFrame(nextN.rdd, nextN.schema)
+        val nextE = alive.join(zero.select(col("node_id").as("src")),
+          Seq("src"), "left_anti").persist()
+        nextE.count()
+        if (cachedE ne e) cachedE.unpersist(blocking = false)
+        cachedE = nextE
+        alive = spark.createDataFrame(nextE.rdd, nextE.schema)
+        r += 1
+      }
+    }
+    scope.track(cachedN)
+    if (cachedE ne e) scope.track(cachedE)
+    val leftover = nodes.withColumn("layer", lit(-1L))
+    (layers :+ leftover).reduce(_ unionByName _)
+  }
+
+  /** Single-shard twin of [[topologicalLayers]] under the
+    * [[LocalSweepEdges]] budget: level-synchronous Kahn over in-memory
+    * in-degree counters in one task — identical layer assignment by the
+    * longest-predecessor-chain argument; parity spec'd.
+    */
+  private[graft] def topologicalLayersLocal(e: DataFrame,
+                                            maxRounds: Int): DataFrame = {
+    val sess = e.sparkSession
+    import sess.implicits._
+    val idType = e.schema("src").dataType
+    e.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].coalesce(1).mapPartitions { it =>
+        val adj = new java.util.HashMap[
+          Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        val inDeg = new java.util.HashMap[Long, Long]()
+        it.foreach { case (s, d) =>
+          adj.computeIfAbsent(s,
+            _ => new scala.collection.mutable.ArrayBuffer[Long]()) += d
+          inDeg.merge(d, 1L, (a, b) => a + b)
+          inDeg.putIfAbsent(s, 0L)
+        }
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+          inDeg.size)
+        var frontier = new scala.collection.mutable.ArrayBuffer[Long]()
+        val ni = inDeg.entrySet().iterator()
+        while (ni.hasNext) {
+          val kv = ni.next(); if (kv.getValue == 0L) frontier += kv.getKey
+        }
+        val peeled = new java.util.HashSet[Long]()
+        var r = 0L
+        while (r < maxRounds && frontier.nonEmpty) {
+          val next = new scala.collection.mutable.ArrayBuffer[Long]()
+          frontier.foreach { n =>
+            out += ((n, r)); peeled.add(n)
+            val ns = adj.get(n)
+            if (ns != null) ns.foreach { m =>
+              val d2 = inDeg.merge(m, -1L, (a, b) => a + b)
+              if (d2 == 0L) next += m
+            }
+          }
+          frontier = next
+          r += 1
+        }
+        val li = inDeg.keySet().iterator()
+        while (li.hasNext) {
+          val n = li.next()
+          if (!peeled.contains(n)) out += ((n, -1L))
+        }
+        out.iterator
+      }.toDF("node_id", "layer")
+      .select(col("node_id").cast(idType).as("node_id"), col("layer"))
+  }
+
   /** Deterministic LUBY maximal-independent-set rounds: each round every
     * remaining node draws priority mixId(node_id·mul + round) and joins
     * the MIS iff its (priority, id) beats every remaining neighbor's —

@@ -151,6 +151,36 @@ class GraphLocalParity2Spec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaLocal === viaLoop)
   }
 
+  test("topologicalLayers loop matches the single-shard twin") {
+    val s = spark; import s.implicits._
+    // seeded digraph WITH cycles: random edges plus a planted 3-cycle
+    val edges = seededEdges(101, 60, 150)
+      .unionByName(Seq((100L, 101L), (101L, 102L), (102L, 100L),
+        (102L, 103L)).toDF("src", "dst"))
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val viaLoop = GraphOps.topologicalLayersLoop(e, 6,
+        new graft.core.CacheScope)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaLocal = GraphOps.topologicalLayers(edges, 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(viaLocal === viaLoop)
+    // the planted cycle (and its downstream node) must be flagged
+    assert(viaLocal(100L) === -1L && viaLocal(101L) === -1L &&
+      viaLocal(102L) === -1L && viaLocal(103L) === -1L)
+  }
+
+  test("topologicalLayers on a DAG = longest predecessor chain length") {
+    val s = spark; import s.implicits._
+    // layered DAG: i -> i+1 and i -> i+2 over 0..9 (chain length = i)
+    val edges = (0L until 9L).flatMap(i =>
+      Seq((i, i + 1)) ++ (if (i < 8) Seq((i, i + 2)) else Nil))
+      .toDF("src", "dst")
+    val got = GraphOps.topologicalLayers(edges, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === (0L to 9L).map(i => i -> i).toMap)
+  }
+
   test("boruvkaMst rounds match the single-shard twin") {
     val s = spark; import s.implicits._
     val rnd = new scala.util.Random(79)
