@@ -1717,6 +1717,13 @@ object SparkEntry {
       StatsOps.exactQuantiles(t(s, d, "documents"), "lang", "n_chars",
         Seq(500, 900, 990))),
 
+    // --- weighted exact quantiles (char-mass length-bucket quantiles) ---
+    "q_quantiles_w" -> ((s, d) =>
+      StatsOps.exactQuantilesWeighted(
+        t(s, d, "documents").select(col("lang"),
+          expr("n_chars div 100").as("len_bucket"), col("n_chars")),
+        "lang", "len_bucket", "n_chars", Seq(500, 900, 990))),
+
     // --- sample-based quantiles (deterministic bottom-k estimator) ---
     // same data as q_quantiles so exact-vs-sampled is directly comparable
     "q_quantiles_samp" -> ((s, d) =>
@@ -7445,6 +7452,20 @@ object SparkEntry {
     "q_quantiles" ->
       """WITH hist AS (
         |  SELECT lang, n_chars AS v, count(*) AS cnt FROM documents GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, v, CAST(cnt AS BIGINT) AS cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM hist),
+        |q AS (SELECT *, unnest([500, 900, 990]) AS q_pm FROM cum)
+        |SELECT lang, q_pm, v AS value, n FROM q
+        |WHERE cum >= (n * q_pm + 999) // 1000
+        |  AND cum - cnt < (n * q_pm + 999) // 1000""".stripMargin,
+
+    "q_quantiles_w" ->
+      """WITH hist AS (
+        |  SELECT lang, n_chars // 100 AS v, sum(n_chars) AS cnt
+        |  FROM documents GROUP BY 1, 2),
         |cum AS (
         |  SELECT lang, v, CAST(cnt AS BIGINT) AS cnt,
         |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,

@@ -46,6 +46,33 @@ object StatsOps {
       .select(col(groupCol), col("q_pm"), col("v").as("value"), col("n"))
   }
 
+  /** WEIGHTED exact per-group quantiles: [[exactQuantiles]] with each
+    * row contributing its integer weight instead of 1 — quantile q is
+    * the smallest value whose cumulative WEIGHT reaches
+    * ceil(q·W/1000). The corpus-budgeting question ("below which length
+    * bucket does half the total character mass live") that unweighted
+    * quantiles cannot answer. Same two-phase plan and the same
+    * value-domain-bounded window as the unweighted form; all-integer,
+    * engine-exact. Output: (group, q_pm, value, n) with n = Σw.
+    */
+  def exactQuantilesWeighted(df: DataFrame, groupCol: String,
+                             valueCol: String, wCol: String,
+                             qsPm: Seq[Int]): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(valueCol).as("v"))
+      .agg(sum(col(wCol)).as("cnt"))
+    val ordered = Window.partitionBy(groupCol).orderBy("v")
+    val whole = Window.partitionBy(groupCol)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(ordered))
+      .withColumn("n", sum("cnt").over(whole))
+    cum.select(col(groupCol), col("v"), col("cnt"), col("cum"), col("n"),
+        explode(array(qsPm.map(lit(_)): _*)).as("q_pm"))
+      .withColumn("thr",
+        graft.functions.Fns.idiv(col("n") * col("q_pm") + lit(999L), 1000L))
+      .filter(col("cum") >= col("thr") && col("cum") - col("cnt") < col("thr"))
+      .select(col(groupCol), col("q_pm"), col("v").as("value"), col("n"))
+  }
+
   /** SAMPLE-BASED per-group quantiles — the scale companion of
     * [[exactQuantiles]] for value domains too wide to histogram: exact
     * type-1 quantiles of a DETERMINISTIC bottom-k uniform row sample

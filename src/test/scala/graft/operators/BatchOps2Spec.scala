@@ -311,6 +311,23 @@ class BatchOps2Spec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exactQuantilesWeighted = weighted order statistics (ceil weight rank)") {
+    val s = spark; import s.implicits._
+    val vals = lcg(29).take(400)
+      .map(v => ("g" + (v % 2), (v % 23).toInt, 1L + (v % 9))).toSeq
+    val got = StatsOps.exactQuantilesWeighted(
+        vals.toDF("grp", "v", "w"), "grp", "v", "w", Seq(250, 500, 900))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getInt(2))).toMap
+    for (g <- Seq("g0", "g1"); q <- Seq(250, 500, 900)) {
+      val rows = vals.filter(_._1 == g).sortBy(_._2)
+      val total = rows.map(_._3).sum
+      val thr = (total * q + 999) / 1000
+      var cum = 0L
+      val want = rows.find { r => cum += r._3; cum >= thr }.get._2
+      assert(got((g, q)) === want, s"group $g q=$q")
+    }
+  }
+
   test("sampledQuantiles: exact when the group fits k; subset-exact beyond") {
     val s = spark; import s.implicits._
     def mixRef(c: Long): Long = {
