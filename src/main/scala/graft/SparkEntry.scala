@@ -273,7 +273,9 @@ object SparkEntry {
     // exact-integer aggregates, grid level derived from the point count
     // (same scheme as q_vectorize so per-cell density is scale-stable)
     "q_moran" -> ((s, d) => {
-      val pts = Synth.points(s, d)
+      // persist: the level-probe count AND the density raster both read
+      // the scan+distinct point set
+      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
       val n = pts.count()
       var level = 6
       while (level < 12 && n > (1L << (2 * level))) level += 1
@@ -294,7 +296,8 @@ object SparkEntry {
     // Getis-Ord Gi* hot-spot z-scores per density cell (local companion
     // to q_moran; same derived grid level)
     "q_gi" -> ((s, d) => {
-      val pts = Synth.points(s, d)
+      // persist: level-probe count + density raster share the point set
+      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
       val n = pts.count()
       var level = 6
       while (level < 12 && n > (1L << (2 * level))) level += 1
@@ -580,7 +583,10 @@ object SparkEntry {
     // — touches |changes| rows, never rescans; oracle recomputes the
     // after-state from scratch
     "q_tile_delta" -> ((s, d) => {
-      val base = Synth.points(s, d)
+      // persist: the base point set feeds the histogram, all three
+      // changeset branches AND applyTileDeltas' old-cell lookup — five
+      // scan+distinct derivations uncached
+      val base = graft.core.CacheScope.global.persist(Synth.points(s, d))
       val pid = col("pid")
       val baseHist = base.groupBy(
           Fns.cellX(col("lon_fix"), 8).as("bx"),
@@ -1289,14 +1295,18 @@ object SparkEntry {
     // ones — so no kept way dangles. Two semi-join closures, all
     // hash-shuffle equi-joins on narrow keys
     "q_extract" -> ((s, d) => {
-      val pts = Synth.points(s, d)
+      // persist: the point set feeds the seed join, the region filter and
+      // the completion join
+      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
       val refs = pts.select(expr("pid DIV 100").as("way_id"), col("pid"))
       val inRegion = col("lon_fix").between(0L, 299999999L) &&
         col("lat_fix").between(0L, 199999999L)
       val keptWays = refs.join(pts.filter(inRegion).select("pid"), "pid")
         .select("way_id").distinct()
-      val keptNodes = refs.join(keptWays, "way_id").select("pid").distinct()
-      keptNodes.join(pts, "pid")
+      // node completion joins pts directly on its way derivation key
+      // (functional: pid DIV 100) — see q_extract_rels
+      pts.withColumn("way_id", expr("pid DIV 100"))
+        .join(keptWays, "way_id")
         .select(col("pid"), col("lon_fix"), col("lat_fix"),
           when(inRegion, 1L).otherwise(0L).as("in_region"))
     }),
@@ -1329,8 +1339,14 @@ object SparkEntry {
       // downward completion
       val keptRels = srelMem.join(seedSrels, "srel_id").select("rel_id").distinct()
       val keptWays = relMem.join(keptRels, "rel_id").select("way_id").distinct()
-      val keptNodes = refs.join(keptWays, "way_id").select("pid").distinct()
-      keptNodes.join(pts, "pid")
+      // node completion joins pts directly on its way derivation key: a
+      // point's way membership is functional (pid DIV 100), so
+      // pts ⋈ keptWays IS the kept-node set with coords already attached —
+      // the former refs⋈keptWays→distinct(pid)→⋈pts path shuffled the
+      // full point table twice more for the same rows (AQE turns this
+      // into a broadcast join of the small kept-way set at runtime)
+      pts.withColumn("way_id", expr("pid DIV 100"))
+        .join(keptWays, "way_id")
         .select(col("pid"), col("lon_fix"), col("lat_fix"),
           when(inRegion, 1L).otherwise(0L).as("in_region"))
     }),
@@ -1419,7 +1435,8 @@ object SparkEntry {
     // shuffle on poly_id serves both the per-polygon total and the
     // deterministic top-1 tile
     "q_geo_pipeline" -> ((s, d) => {
-      val pts = Synth.points(s, d)
+      // persist: the point set feeds the PIP join AND the coord join back
+      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
       val hits = SpatialOps.pipJoinPolygons(pts, Synth.hexCorpus(s, 1000), PipLargeLevel)
       val tiled = hits.join(pts, "pid")
         .select(col("poly_id"),
@@ -1487,7 +1504,9 @@ object SparkEntry {
 
     // --- geodesic kNN facade: strategy picked by query-set size ---
     "q_knn_geo_auto" -> ((s, d) => {
-      val pts = Synth.points(s, d)
+      // persist: the corpus feeds the size probe, the candidate join and
+      // (via the filter) the query side — like the other kNN entries
+      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
       SpatialOps.knnGeoAuto(pts, pts.filter(col("pid") % 499 === 0), 5)
     }),
 
@@ -1863,12 +1882,15 @@ object SparkEntry {
         .select(col("pid"), col("lon_fix").as("x"), col("lat_fix").as("y"))
       val wp = wayPoints(t(s, d, "lineitem"))
       val w = Window.partitionBy("way_id").orderBy("seq")
-      val segs = wp.select(col("way_id"), col("seq"),
+      // persist: the level-probe count and the snap cover both read the
+      // lineitem window stage
+      val segs = graft.core.CacheScope.global.persist(
+        wp.select(col("way_id"), col("seq"),
           lag(col("x"), 1).over(w).as("x0"), lag(col("y"), 1).over(w).as("y0"),
           col("x").as("x1"), col("y").as("y1"))
         .filter(col("x0").isNotNull &&
           abs(col("x1") - col("x0")) <= WayCrossSpan &&
-          abs(col("y1") - col("y0")) <= WayCrossSpan)
+          abs(col("y1") - col("y0")) <= WayCrossSpan))
       val n = segs.count()
       var level = 6
       while (level < 9 && n > (1L << (2 * level))) level += 1
@@ -2217,7 +2239,9 @@ object SparkEntry {
     }),
 
     "q_geofence" -> ((s, d) => {
-      val pts = Synth.points(s, d)
+      // persist: the point set feeds both the track projection and the
+      // PIP hit stream
+      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
       val ent = col("pid") % GeofenceEntities
       val track = pts.select(ent.as("entity"), col("pid").as("ts"))
       val hits = SpatialOps.pipJoinConvex(s, pts)

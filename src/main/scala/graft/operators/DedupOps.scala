@@ -680,17 +680,26 @@ object DedupOps {
     */
   def ppjoinPairs(corpus: DataFrame, thrPm: Long,
                   scope: CacheScope = CacheScope.global): DataFrame = {
-    val toks = scope.persist(ppjoinToks(corpus))
-    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val cand = ppjoinCandidates(toks, sz, thrPm)
-    val inter = cand
-      .join(toks.select(col("doc_id").as("doc_a"), col("tok")), "doc_a")
-      .join(toks.select(col("doc_id").as("doc_b"), col("tok")),
-        Seq("doc_b", "tok"), "left_semi")
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+    // ONE tokenize pass: the distinct-token ARRAY per doc is the shared
+    // artifact — the prefix index explodes it, sizes come from size()
+    // (no groupBy shuffle), and verification intersects the two arrays
+    // per candidate pair directly (|∩| = size(array_intersect) on
+    // distinct arrays) instead of exploding every candidate pair by the
+    // doc's tokens into a pairs×|doc| semi-join + aggregate. Same exact
+    // counts, two narrow joins on doc ids in place of the token-row
+    // explosion — the verify stage's shuffle volume drops from
+    // Θ(pairs · |doc|) rows to Θ(pairs).
+    val tokArr = scope.persist(corpus.select(col("doc_id"), array_distinct(
+      regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).as("toks")))
+    val toks = tokArr.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val sz = tokArr.select(col("doc_id"), size(col("toks")).cast("long").as("sz"))
+    val cand = ppjoinCandidates(toks, sz, thrPm, scope)
+    val a = tokArr.select(col("doc_id").as("doc_a"), col("toks").as("__ta"),
+      size(col("toks")).cast("long").as("sza"))
+    val b = tokArr.select(col("doc_id").as("doc_b"), col("toks").as("__tb"),
+      size(col("toks")).cast("long").as("szb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
       .withColumn("union_sz", col("sza") + col("szb") - col("inter"))
       .filter(col("inter") * 1000 >= lit(thrPm) * col("union_sz"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"),
@@ -729,8 +738,12 @@ object DedupOps {
     * sz = (doc_id, sz) distinct-token counts.
     */
   private[graft] def ppjoinCandidates(toks: DataFrame, sz: DataFrame,
-                                      thrPm: Long): DataFrame = {
-    val prefix = ppjoinPrefixRows(toks, sz, thrPm)
+                                      thrPm: Long,
+                                      scope: CacheScope = CacheScope.global): DataFrame = {
+    // persisted (scope-released): BOTH sides of the prefix self-join read
+    // this — uncached, each side recomputes the df groupBy + the per-doc
+    // rank window from scratch
+    val prefix = scope.persist(ppjoinPrefixRows(toks, sz, thrPm))
     // TWO lossless companion filters on the candidate join:
     //  • length prune: J ≥ τ forces min(|a|,|b|) ≥ τ·max(|a|,|b|)
     //    (|∩| ≤ min and |∪| ≥ max) — kills size-mismatched candidates;
@@ -785,9 +798,12 @@ object DedupOps {
   def containmentPairs(corpus: DataFrame, thrPm: Long,
                        dfCap: Int = ContainDfCap,
                        scope: CacheScope = CacheScope.global): DataFrame = {
-    val sh = corpus.select(col("doc_id"), explode(array_distinct(
+    // persisted (scope-released): the shingle explode is the expensive
+    // text-hashing pass and BOTH the df aggregation and the capped-index
+    // join read it — uncached it shingles the corpus twice
+    val sh = scope.persist(corpus.select(col("doc_id"), explode(array_distinct(
       graft.plans.TextHashExpressions
-        .shingleHashes(col("text"), ShingleCap, ShingleLen))).as("sh"))
+        .shingleHashes(col("text"), ShingleCap, ShingleLen))).as("sh")))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= dfCap).select("sh")
     // persisted (scope-released): the capped index feeds both join sides

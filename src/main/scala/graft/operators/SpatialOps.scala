@@ -507,21 +507,23 @@ object SpatialOps {
       .filter(col("pid") =!= col("qid"))
       .withColumn("d2", dx * dx + dy * dy)
     val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))
-    // persisted (scope-released): feeds both the guarantee stats and the
-    // guaranteed output
+    // per-query exactness guarantee (k candidates found AND kth within
+    // bound) via a SECOND window over the SAME qid partitioning — the data
+    // is already partitioned and sorted by qid after the rank window, so
+    // this adds no exchange and no sort, where the former stats groupBy
+    // cost an exchange + its own persist + a broadcast join back.
+    // persisted (scope-released): feeds the guaranteed output and the
+    // fallback anti-join
+    val wq = Window.partitionBy(col("qid"))
     val ranked = scope.persist(cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("pid"), col("rank"), col("d2")))
+      .withColumn("ok",
+        count(lit(1)).over(wq) === k && max(col("d2")).over(wq) <= bound2)
+      .select(col("qid"), col("pid"), col("rank"), col("d2"), col("ok")))
 
-    // per-query exactness guarantee: k candidates found AND kth within bound
-    val stats = scope.persist(ranked.groupBy("qid")
-      .agg(count(lit(1)).as("cnt"), max("d2").as("maxd2"))
-      .filter(col("cnt") === k && col("maxd2") <= bound2)
-      .select(col("qid").as("ok_qid")))
-    val guaranteed = ranked.join(broadcast(stats), col("qid") === col("ok_qid"))
-      .drop("ok_qid")
+    val guaranteed = ranked.filter(col("ok")).drop("ok")
     val fallbackQueries = queries.join(
-      broadcast(stats.withColumnRenamed("ok_qid", "pid")), Seq("pid"), "left_anti")
+      broadcast(guaranteed.select(col("qid").as("pid"))), Seq("pid"), "left_anti")
     // common case: every query resolved — checking costs one pass over the
     // (small, per the operator contract) query side and saves the
     // brute-force plan's full point-table scan
@@ -596,29 +598,33 @@ object SpatialOps {
         .withColumn("d2", dx * dx + dy * dy)
       val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("pid"))
       // persisted (scope-released): the round's top-k feeds both the
-      // guarantee stats and the emitted output — without it the heavy
+      // guarantee check and the emitted output — without it the heavy
       // join+window runs twice
-      val ranked = scope.persist(cand.withColumn("rank", row_number().over(w).cast("long"))
+      val base = cand.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= k)
-        .select(col("qid"), col("pid"), col("rank"), col("d2")))
+        .select(col("qid"), col("pid"), col("rank"), col("d2"))
 
       if (terminal) {
+        val ranked = scope.persist(base)
         out = if (out == null) ranked else out.unionByName(ranked)
         // the terminal round's top-k is not materialized until the caller
         // acts, and it reads this frontier — release with the scope
         scope.track(remaining)
         done = true
       } else {
-        val ok = scope.persist(ranked.groupBy("qid")
-          .agg(count(lit(1)).as("cnt"), max("d2").as("maxd2"))
-          .filter(col("cnt") === k && col("maxd2") <= bound2)
-          .select("qid"))
-        val emit = ranked.join(ok, "qid")
+        // per-query guarantee via a second window over the SAME qid
+        // partitioning (no exchange, no sort — the rank window already
+        // established both), replacing the former stats groupBy + its
+        // persist + the join back
+        val wq = Window.partitionBy(col("qid"))
+        val ranked = scope.persist(base.withColumn("ok",
+          count(lit(1)).over(wq) === k && max(col("d2")).over(wq) <= bound2))
+        val emit = ranked.filter(col("ok")).drop("ok")
         out = if (out == null) emit else out.unionByName(emit)
         // count() (not isEmpty) fully materializes the next frontier, so the
         // superseded one can be dropped immediately instead of leaking one
         // persisted frame per coarsening round
-        val next = remaining.join(ok, Seq("qid"), "left_anti").persist()
+        val next = remaining.join(emit.select("qid"), Seq("qid"), "left_anti").persist()
         val nLeft = next.count()
         remaining.unpersist(blocking = false)
         if (nLeft == 0L) { next.unpersist(blocking = false); done = true }
@@ -723,21 +729,21 @@ object SpatialOps {
       .filter(col("pid") =!= col("qid"))
       .withColumn("dist_e3", geoDistE3(col("lon_fix"), col("lat_fix"), col("qx"), col("qy")))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist_e3"), col("pid"))
-    // persisted (scope-released): feeds both the guarantee stats and the
-    // guaranteed output
+    // per-query guarantee via a second window over the SAME qid
+    // partitioning (no exchange, no sort) — see [[knn]]; the
+    // latitude-aware bound reads qy straight off the row.
+    // persisted (scope-released): feeds the guaranteed output and the
+    // fallback anti-join
+    val wq = Window.partitionBy(col("qid"))
     val ranked = scope.persist(cand.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("pid"), col("rank"), col("dist_e3"), col("qy")))
+      .withColumn("ok", count(lit(1)).over(wq) === k &&
+        max(col("dist_e3")).over(wq) <= geoBoundE3(col("qy"), n))
+      .select(col("qid"), col("pid"), col("rank"), col("dist_e3"), col("ok")))
 
-    val stats = scope.persist(ranked.groupBy("qid")
-      .agg(count(lit(1)).as("cnt"), max("dist_e3").as("maxd"),
-        max("qy").as("sqy"))
-      .filter(col("cnt") === k && col("maxd") <= geoBoundE3(col("sqy"), n))
-      .select(col("qid").as("ok_qid")))
-    val guaranteed = ranked.drop("qy")
-      .join(broadcast(stats), col("qid") === col("ok_qid")).drop("ok_qid")
+    val guaranteed = ranked.filter(col("ok")).drop("ok")
     val fallbackQueries = queries.join(
-      broadcast(stats.withColumnRenamed("ok_qid", "pid")), Seq("pid"), "left_anti")
+      broadcast(guaranteed.select(col("qid").as("pid"))), Seq("pid"), "left_anti")
     if (fallbackQueries.isEmpty) guaranteed
     else guaranteed.unionByName(knnGeoBruteForce(points, fallbackQueries, k))
   }
@@ -783,23 +789,26 @@ object SpatialOps {
         .filter(col("pid") =!= col("qid"))
         .withColumn("dist_e3", geoDistE3(col("lon_fix"), col("lat_fix"), col("qx"), col("qy")))
       val w = Window.partitionBy(col("qid")).orderBy(col("dist_e3"), col("pid"))
-      val ranked = scope.persist(cand.withColumn("rank", row_number().over(w).cast("long"))
+      val base = cand.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= k)
-        .select(col("qid"), col("pid"), col("rank"), col("dist_e3"), col("qy")))
 
       if (terminal) {
-        out = if (out == null) ranked.drop("qy") else out.unionByName(ranked.drop("qy"))
+        val ranked = scope.persist(
+          base.select(col("qid"), col("pid"), col("rank"), col("dist_e3")))
+        out = if (out == null) ranked else out.unionByName(ranked)
         scope.track(remaining)
         done = true
       } else {
-        val ok = scope.persist(ranked.groupBy("qid")
-          .agg(count(lit(1)).as("cnt"), max("dist_e3").as("maxd"),
-            max("qy").as("sqy"))
-          .filter(col("cnt") === k && col("maxd") <= geoBoundE3(col("sqy"), n))
-          .select("qid"))
-        val emit = ranked.drop("qy").join(ok, "qid")
+        // per-round guarantee via a second window over the SAME qid
+        // partitioning (no exchange, no sort) — see [[knnShuffled]]
+        val wq = Window.partitionBy(col("qid"))
+        val ranked = scope.persist(base.withColumn("ok",
+            count(lit(1)).over(wq) === k &&
+              max(col("dist_e3")).over(wq) <= geoBoundE3(col("qy"), n))
+          .select(col("qid"), col("pid"), col("rank"), col("dist_e3"), col("ok")))
+        val emit = ranked.filter(col("ok")).drop("ok")
         out = if (out == null) emit else out.unionByName(emit)
-        val next = remaining.join(ok, Seq("qid"), "left_anti").persist()
+        val next = remaining.join(emit.select("qid"), Seq("qid"), "left_anti").persist()
         val nLeft = next.count()
         remaining.unpersist(blocking = false)
         if (nLeft == 0L) { next.unpersist(blocking = false); done = true }
@@ -880,11 +889,14 @@ object SpatialOps {
       .join(labels.withColumnRenamed("doc_id", "pid"), Seq("pid"), "left")
       .select(col("pid"), coalesce(col("cluster_id"), col("pid")).as("cluster"),
         lit("core").as("role")))
-    val borders = pairs
+    // persisted (scope-released): borders feeds BOTH the output union and
+    // the noise anti-join — uncached, the pairs⋈cores⋈coreLab chain runs
+    // twice
+    val borders = scope.persist(pairs
       .join(cores.select(col("pid").as("qid")), Seq("qid"), "left_anti")
       .join(coreLab.select(col("pid").as("nid"), col("cluster")), "nid")
       .groupBy(col("qid").as("pid")).agg(min("cluster").as("cluster"))
-      .withColumn("role", lit("border"))
+      .withColumn("role", lit("border")))
     val noise = pts.select("pid")
       .join(coreLab.select("pid"), Seq("pid"), "left_anti")
       .join(borders.select("pid"), Seq("pid"), "left_anti")
@@ -1517,15 +1529,22 @@ object SpatialOps {
     * way_b, n_crossings).
     */
   def waysCrossJoin(segsA: DataFrame, segsB: DataFrame, level: Int,
-                    maxSpanFix: Long, selfJoin: Boolean = false): DataFrame = {
-    def cover(segs: DataFrame, p: String) =
+                    maxSpanFix: Long, selfJoin: Boolean = false,
+                    scope: CacheScope = CacheScope.global): DataFrame = {
+    def ali(cov: DataFrame, p: String) =
+      cov.select(col("way_id").as(s"way_$p"), col("seq").as(s"seq_$p"),
+        col("cell_x"), col("cell_y"),
+        col("x0").as(s"${p}x0"), col("y0").as(s"${p}y0"),
+        col("x1").as(s"${p}x1"), col("y1").as(s"${p}y1"))
+    def cover(segs: DataFrame) =
       segmentCellCover(segs, level, maxSpanFix, keepCoords = true)
-        .select(col("way_id").as(s"way_$p"), col("seq").as(s"seq_$p"),
-          col("cell_x"), col("cell_y"),
-          col("x0").as(s"${p}x0"), col("y0").as(s"${p}y0"),
-          col("x1").as(s"${p}x1"), col("y1").as(s"${p}y1"))
-    val a = cover(segsA, "a")
-    val b = cover(segsB, "b")
+    // selfJoin: BOTH join sides read the same cover — persist it once
+    // (scope-released) instead of recomputing the explode per side
+    // (ReuseExchange does not fire across the per-side aliasing)
+    val (a, b) = if (selfJoin) {
+      val cov = scope.persist(cover(segsA))
+      (ali(cov, "a"), ali(cov, "b"))
+    } else (ali(cover(segsA), "a"), ali(cover(segsB), "b"))
     val pairFilter =
       if (selfJoin) col("way_a") < col("way_b")
       else col("way_a") =!= col("way_b")
@@ -1585,13 +1604,20 @@ object SpatialOps {
     * Output: (way_a, seq_a, way_b, seq_b, px, py).
     */
   def planarize(segsA: DataFrame, segsB: DataFrame, level: Int,
-                maxSpanFix: Long, selfJoin: Boolean = false): DataFrame = {
-    def cover(segs: DataFrame, p: String) =
+                maxSpanFix: Long, selfJoin: Boolean = false,
+                scope: CacheScope = CacheScope.global): DataFrame = {
+    def ali(cov: DataFrame, p: String) =
+      cov.select(col("way_id").as(s"way_$p"), col("seq").as(s"seq_$p"),
+        col("cell_x"), col("cell_y"),
+        col("x0").as(s"${p}x0"), col("y0").as(s"${p}y0"),
+        col("x1").as(s"${p}x1"), col("y1").as(s"${p}y1"))
+    def cover(segs: DataFrame) =
       segmentCellCover(segs, level, maxSpanFix, keepCoords = true)
-        .select(col("way_id").as(s"way_$p"), col("seq").as(s"seq_$p"),
-          col("cell_x"), col("cell_y"),
-          col("x0").as(s"${p}x0"), col("y0").as(s"${p}y0"),
-          col("x1").as(s"${p}x1"), col("y1").as(s"${p}y1"))
+    // selfJoin: persist the shared cover once (see waysCrossJoin)
+    val (covA, covB) = if (selfJoin) {
+      val cov = scope.persist(cover(segsA))
+      (ali(cov, "a"), ali(cov, "b"))
+    } else (ali(cover(segsA), "a"), ali(cover(segsB), "b"))
     val pairFilter =
       if (selfJoin) col("way_a") < col("way_b")
       else col("way_a") =!= col("way_b")
@@ -1599,7 +1625,7 @@ object SpatialOps {
     // all four products zero, so it passes too) — a strict superset of
     // the kernel's size-2 rows, evaluated entirely in int64 codegen.
     val (straddle, _) = straddleTest
-    cover(segsA, "a").join(cover(segsB, "b"), Seq("cell_x", "cell_y"))
+    covA.join(covB, Seq("cell_x", "cell_y"))
       .filter(pairFilter)
       .filter(straddle)
       .select(col("way_a"), col("seq_a"), col("way_b"), col("seq_b"),
@@ -2329,16 +2355,16 @@ object SpatialOps {
     val cross = pairs.join(pa, "way_a").join(pb, "way_b")
       .select(col("way_a"), col("way_b"), col("sa"), col("sb"), d2.as("d2"))
     // directed h(A->B): per (pair, a-point) min over b, then max; the
-    // symmetric H is the max of both directions — computed in ONE
-    // aggregation tree by tagging direction
-    val dirA = cross.groupBy("way_a", "way_b", "sa")
-      .agg(min("d2").as("mind"))
-      .groupBy("way_a", "way_b").agg(max("mind").as("h"))
-    val dirB = cross.groupBy("way_a", "way_b", "sb")
-      .agg(min("d2").as("mind"))
-      .groupBy("way_a", "way_b").agg(max("mind").as("h"))
-    dirA.unionByName(dirB)
-      .groupBy("way_a", "way_b").agg(max("h").as("haus_sq"))
+    // symmetric H is the max of both directions. BOTH directions ride ONE
+    // aggregation chain: each cross row is tagged with its a-side point
+    // (even code 2·sa) and its b-side point (odd code 2·sb+1), so the
+    // per-(pair, tagged-point) min yields every directed per-point min in
+    // one pass and the outer max over the codes is H². The former
+    // two-branch union re-executed the |pairs|·|A|·|B| join per branch.
+    cross.select(col("way_a"), col("way_b"), col("d2"),
+        explode(array(col("sa") * 2, col("sb") * 2 + 1)).as("ds"))
+      .groupBy("way_a", "way_b", "ds").agg(min("d2").as("mind"))
+      .groupBy("way_a", "way_b").agg(max("mind").as("haus_sq"))
       .filter(col("haus_sq") <= maxSqDist)
   }
 
@@ -2418,8 +2444,13 @@ object SpatialOps {
     * (shuffle on cell keys) and one pair groupBy — Θ(cells · per-cell
     * occupancy), never polygons².
     */
-  def polygonAdjacency(cells: DataFrame): DataFrame = {
-    val c = cells.select(col("poly_id"), col("cell_x"), col("cell_y"))
+  def polygonAdjacency(cells: DataFrame,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
+    // persisted (scope-released): six join sides below read this frame —
+    // uncached, the upstream rasterize (explode + ray-cast per cell) runs
+    // once PER SIDE
+    val c = scope.persist(
+      cells.select(col("poly_id"), col("cell_x"), col("cell_y")))
     val right = c.select((col("cell_x") - 1).as("cell_x"), col("cell_y"),
       col("poly_id").as("pb"))
     val down = c.select(col("cell_x"), (col("cell_y") - 1).as("cell_y"),
@@ -2825,16 +2856,22 @@ object SpatialOps {
     * never points × polygons. Both stages shuffle on cell keys only.
     */
   def reverseGeocode(points: DataFrame, polys: DataFrame, radiusFix: Long,
-                     level: Int = 7): DataFrame = {
-    val inside = pipJoinPolygons(points, polys)
+                     level: Int = 7,
+                     scope: CacheScope = CacheScope.global): DataFrame = {
+    // persisted (scope-released): the point set feeds the PIP join AND
+    // the left-anti "rest" side; the inside frame feeds the output union
+    // AND that anti-join — uncached, the upstream scan and the whole PIP
+    // each run twice
+    val pts = scope.persist(points)
+    val inside = scope.persist(pipJoinPolygons(pts, polys)
       .groupBy("pid").agg(min(col("poly_id")).as("poly_id"))
-      .withColumn("method", lit("in"))
+      .withColumn("method", lit("in")))
     // hexCorpus vertex layout: xs = [cx+r, cx+h, cx-h, cx-r, ...], ys(0)=cy
     // — the center is recovered exactly (the sum is even by construction)
     val centers = polys.select(col("poly_id"),
       Fns.idiv(element_at(col("xs"), 1) + element_at(col("xs"), 4), 2L).as("cx"),
       element_at(col("ys"), 1).as("cy"))
-    val rest = points.join(inside.select("pid"), Seq("pid"), "left_anti")
+    val rest = pts.join(inside.select("pid"), Seq("pid"), "left_anti")
     val offCol = array(Seq(-1L, 0L, 1L).map(lit): _*)
     val cCells = centers
       .withColumn("bx0", Fns.cellX(col("cx"), level))
@@ -3026,23 +3063,52 @@ object SpatialOps {
     */
   def pipJoinCompact(points: DataFrame, polys: DataFrame, level: Int,
                      cover: DataFrame): DataFrame = {
+    val scope = CacheScope.global
+    // ONE tiny probe over the (artifact-sized) cover picks the join
+    // dispatch and trims the ancestor ladder to the level range actually
+    // present: compacted covers never reach the coarse root levels, so
+    // sequence(0, level) was exploding probe rows whose lv can never
+    // match a cover row — at level 10 that was 11 rows per point where
+    // the cover spans ~5 levels.
+    val covC = scope.persist(cover)
+    val st = covC.agg(count(lit(1)).as("n"),
+      min(col("lv")).cast("long").as("lo"),
+      max(col("lv")).cast("long").as("hi")).head()
+    val (nCover, lvLo, lvHi) =
+      if (st.isNullAt(1)) (0L, 0L, level.toLong)
+      else (st.getLong(0), st.getLong(1), st.getLong(2))
     val probes = points
       .select(col("pid"), col("lon_fix"), col("lat_fix"),
         Fns.cellX(col("lon_fix"), level).as("fx"),
         Fns.cellY(col("lat_fix"), level).as("fy"))
       .select(col("pid"), col("lon_fix"), col("lat_fix"),
-        explode(expr(s"transform(sequence(0L, ${level}L), l -> struct(" +
+        explode(expr(s"transform(sequence(${lvLo}L, ${lvHi}L), l -> struct(" +
           s"l AS lv, shiftright(fx, $level - int(l)) AS bx, " +
           s"shiftright(fy, $level - int(l)) AS by))")).as("c"))
       .select(col("pid"), col("lon_fix"), col("lat_fix"),
         col("c.lv").as("lv"), col("c.bx").as("bx"), col("c.by").as("by"))
-    probes.join(cover.hint("shuffle_hash"), Seq("lv", "bx", "by"))
-      .join(broadcast(polys.select(col("poly_id"), col("xs"), col("ys"))),
+    // size dispatch (the house twin rule): a cover under the budget is
+    // BROADCAST, so the exploded probe rows never shuffle — the join is
+    // a map-side hash probe and only matches flow to the refine. Above
+    // the budget the no-broadcast shuffle-hash path runs verbatim (a
+    // 10^12-row corpus' continental cover cannot ship to every task).
+    val cj = if (nCover <= PipCompactBroadcastCells)
+        probes.join(broadcast(covC), Seq("lv", "bx", "by"))
+      else probes.join(covC.hint("shuffle_hash"), Seq("lv", "bx", "by"))
+    cj.join(broadcast(polys.select(col("poly_id"), col("xs"), col("ys"))),
         Seq("poly_id"))
       .filter(graft.plans.GeomExpressions.pointInRings(
         col("lon_fix"), col("lat_fix"), col("xs"), col("ys")))
       .groupBy(col("poly_id")).agg(count(lit(1)).as("n_points"))
   }
+
+  /** Cover-size budget under which [[pipJoinCompact]] broadcasts the
+    * compacted cover to the probe side. 2M cells ≈ ~100 MB as a built
+    * hash relation — the same order as the engine's other local-path
+    * budgets, small against executor memory, and a compacted cover this
+    * size already describes a continent at level 10.
+    */
+  val PipCompactBroadcastCells = 2000000L
 
   /** ANTIMERIDIAN normalization: segments whose endpoints are closer the
     * wrapped way around (|x2 − x1| > half the lon span) cross ±180° and
