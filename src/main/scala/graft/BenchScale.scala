@@ -121,6 +121,12 @@ object BenchScale {
     // to cores, so let it stand. (At 100TB the advisory size never binds
     // below the core count — leave coalescing ON there.)
     .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // NB: spark.sql.join.preferSortMergeJoin=false (the optimization
+    // guide's suggested baseline) was A/B-profiled this round over the
+    // join-heavy queries (q_geofence, q_dbscan, q_extract_rels,
+    // q_hausdorff, q_contain, q5_join): CPU deltas were inside ambient
+    // noise in both directions (e.g. dbscan −25%, contain +17%), so the
+    // Spark default stands — see OPTIMIZATION_r06.md.
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()

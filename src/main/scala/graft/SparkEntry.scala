@@ -2015,8 +2015,11 @@ object SparkEntry {
     // BFS hops through occupied cells from deterministic seed cells —
     // a gap BLOCKS an isochrone but not the distance transform
     "q_isochrone" -> ((s, d) => {
-      val occ = SpatialOps.equirectDensity(Synth.points(s, d), DilateLevel)
-        .filter(col("cnt") >= 3).select("bx", "by")
+      // persist: the occupancy mask feeds the adjacency build AND the
+      // seed filter — uncached, the scan+density raster runs twice
+      val occ = graft.core.CacheScope.global.persist(
+        SpatialOps.equirectDensity(Synth.points(s, d), DilateLevel)
+          .filter(col("cnt") >= 3).select("bx", "by"))
       val seeds = occ.filter(
         (col("bx") * (1L << DilateLevel) + col("by")) % IsoSeedMod === 3)
       SpatialOps.isochrone(occ, seeds, DilateLevel, IsoMaxHops)
@@ -2145,7 +2148,9 @@ object SparkEntry {
       val segs = wp.select(col("way_id"), col("seq"), col("x"), col("y"),
           lag(col("x"), 1).over(w).as("px"), lag(col("y"), 1).over(w).as("py"))
         .filter(col("px").isNotNull)
-      val mid = segs.select(
+      // persist: the midpoint frame feeds the PIP probe AND the length
+      // join-back — uncached, the lineitem window + haversine runs twice
+      val mid = graft.core.CacheScope.global.persist(segs.select(
         (col("way_id") * 10 + col("seq")).as("pid"),
         (Fns.idiv(col("x") + col("px") + 3600000000L, 2L) - 1800000000L)
           .as("lon_fix"),
@@ -2153,7 +2158,7 @@ object SparkEntry {
           .as("lat_fix"),
         round(Fns.haversineMeters(Fns.fixToDeg(col("px")), Fns.fixToDeg(col("py")),
           Fns.fixToDeg(col("x")), Fns.fixToDeg(col("y"))) * 1000)
-          .cast("long").as("len_mm"))
+          .cast("long").as("len_mm")))
       SpatialOps.pipJoinPolygons(mid.select("pid", "lon_fix", "lat_fix"),
           Synth.hexCorpus(s, RoadPolys))
         .join(mid.select("pid", "len_mm"), "pid")

@@ -1897,11 +1897,15 @@ object SpatialOps {
         sum(col("start_ts") - col("from_end")).as("transit_sum"))
   }
 
-  def geofenceTransitions(track: DataFrame, hits: DataFrame): DataFrame = {
+  def geofenceTransitions(track: DataFrame, hits: DataFrame,
+                          scope: CacheScope = CacheScope.global): DataFrame = {
     val wTr = Window.partitionBy("entity").orderBy("ts")
-    val tr = track.select(col("entity"), col("ts"))
+    // persisted (scope-released): the numbered track feeds the run join
+    // AND the final timestamp join-back — uncached, the full-track window
+    // shuffle runs twice
+    val tr = scope.persist(track.select(col("entity"), col("ts"))
       .withColumn("rn", row_number().over(wTr))
-      .withColumn("maxrn", count(lit(1)).over(Window.partitionBy("entity")))
+      .withColumn("maxrn", count(lit(1)).over(Window.partitionBy("entity"))))
     val wRun = Window.partitionBy("entity", "poly_id").orderBy("rn")
     val runs = hits.join(tr, Seq("entity", "ts"))
       .withColumn("grp", col("rn") - row_number().over(wRun))
