@@ -117,7 +117,12 @@ object CrawlOps {
     edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].coalesce(1).mapPartitions { it =>
         val succ = new java.util.HashMap[Long, Long]()
-        it.foreach { case (s, d) => succ.put(s, d) }
+        // contract: at most one dst per src (functional map). On
+        // malformed input keep the MIN dst so the resolution is
+        // deterministic (a plain put would keep whichever duplicate
+        // happened to land later in the coalesced partition).
+        it.foreach { case (s, d) =>
+          succ.merge(s, d, (a, b) => math.min(a, b)) }
         // memo: final terminal boxed, or null sentinel entry for cycles
         val memo = new java.util.HashMap[Long, java.lang.Long]()
         val resolved = new java.util.HashSet[Long]()

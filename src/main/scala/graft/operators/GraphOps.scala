@@ -1128,7 +1128,11 @@ object GraphOps {
   /** The single-shard twins key their in-memory maps by Long, so the
     * budget dispatch additionally requires integral node ids — operators
     * called with string ids (e.g. TextRank's word graph) stay on the
-    * distributed loop at any size.
+    * distributed loop at any size. The id columns must also share ONE
+    * type: twins cast output node ids to the first column's type, which
+    * would silently truncate ids from a WIDER second column (src INT,
+    * dst BIGINT), where the distributed loops widen via unionByName —
+    * mixed-width inputs therefore stay distributed too.
     */
   private[graft] def integralId(dts: org.apache.spark.sql.types.DataType*): Boolean =
     dts.forall {
@@ -1137,7 +1141,7 @@ object GraphOps {
       case _: org.apache.spark.sql.types.ShortType => true
       case _: org.apache.spark.sql.types.ByteType => true
       case _ => false
-    }
+    } && dts.distinct.lengthCompare(1) <= 0
 
   def doubleSweepDiameter(edges: DataFrame, maxHops: Int,
                           scope: CacheScope = CacheScope.global): DataFrame = {

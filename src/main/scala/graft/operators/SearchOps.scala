@@ -46,11 +46,16 @@ object SearchOps {
     * absent.
     */
   def gazetteerTag(docs: DataFrame, gaz: DataFrame): DataFrame = {
-    val ut = upper(col("text"))
+    // uppercase each document ONCE before the gazetteer fan-out — inside
+    // the join the expression would re-run per (doc, gazetteer-row) combo
+    // (Catalyst does not CSE across the join), multiplying the heaviest
+    // string op by the gazetteer size
+    val up = docs.select(col("doc_id"), upper(col("text")).as("__ut"))
+    val ut = col("__ut")
     val un = upper(col("gaz_name"))
     val n = ((length(ut) - length(replace(ut, un, lit("")))) / length(un))
       .cast("long")
-    val scored = docs.join(
+    val scored = up.join(
         broadcast(gaz.select(col("gaz_key"), col("gaz_name"), col("gaz_group"))))
       .select(col("doc_id"), col("gaz_key"), col("gaz_name"), col("gaz_group"),
         n.as("n_mentions"))

@@ -3210,15 +3210,22 @@ object SpatialOps {
       cells.select(kc :+ col("bx") :+ col("by"): _*).distinct())
     val cellsIntegral = GraphOps.integralId(
       dedup.schema("bx").dataType, dedup.schema("by").dataType)
+    // the grouped path packs cells as (bx<<32)|by into a non-nullable
+    // Long tuple encoder, so it additionally requires level <= 31
+    // (bins < 2^32) and a key column with no NULL groups — the rounds
+    // path handles both fine, so either condition just falls back
     val grouped =
-      if (!cellsIntegral) false
+      if (!cellsIntegral || level > 31) false
       else if (keys.isEmpty) dedup.count() <= CompactGroupCells
       else if (keys.size == 1 &&
-          GraphOps.integralId(dedup.schema(keys.head).dataType))
-        Option(dedup.groupBy(col(keys.head)).agg(count(lit(1)).as("__c"))
-            .agg(max(col("__c"))).head().get(0))
-          .forall(_.asInstanceOf[Long] <= CompactGroupCells)
-      else false
+          GraphOps.integralId(dedup.schema(keys.head).dataType)) {
+        val st = dedup.groupBy(col(keys.head)).agg(count(lit(1)).as("__c"))
+          .agg(max(col("__c")).as("__mx"),
+            max(when(col(keys.head).isNull, 1L).otherwise(0L)).as("__n"))
+          .head()
+        !st.isNullAt(0) && st.getLong(1) == 0L &&
+          st.getLong(0) <= CompactGroupCells
+      } else false
     if (grouped) compactCellsGrouped(dedup, level, keys.headOption)
     else compactCellsRounds(dedup, level, keys, scope)
   }

@@ -304,6 +304,16 @@ object StreamingOps {
     * — the streaming analog of the batch MaxBandBucket bound, here the
     * STRUCTURAL cap on a degenerate vocabulary where every prefix token
     * has df ≈ n/V). Optional TTL ages idle tokens out.
+    *
+    * RECALL ASYMMETRY vs batch (explicit, not a bug): the batch candidate
+    * stage has NO bucket cap — its boundedness comes from the lossless
+    * prefix filters — so once a token saturates here, ALL its future
+    * candidates are dropped, and a true pair whose ONLY shared prefix
+    * token saturated is silently lost. Batch parity therefore holds only
+    * below saturation; deployments must size `maxBucket` to the observed
+    * per-token prefix df (on real text prefix tokens are rare by
+    * construction — saturation itself is the signal that the rarity
+    * dictionary is stale).
     */
   def ppjoinCandidateStream(prefix: DataFrame, thrPm: Long,
                             maxBucket: Int = graft.operators.DedupOps.MaxBandBucket,
