@@ -322,7 +322,11 @@ object SparkEntry {
     // symmetric Hausdorff polyline-similarity join over anchor-cell
     // candidate pairs (exact int64 squared distances)
     "q_hausdorff" -> ((s, d) => {
-      val pts = wayPoints(t(s, d, "lineitem"))
+      // persist: the way-point set feeds the level probe, the anchor
+      // build and BOTH exploded point sides of the pair kernel — four
+      // scan+distinct derivations uncached
+      val pts = graft.core.CacheScope.global.persist(
+        wayPoints(t(s, d, "lineitem")))
       val n = pts.select("way_id").distinct().count()
       var level = 6
       while (level < 10 && n > (1L << (2 * level))) level += 1
@@ -817,13 +821,18 @@ object SparkEntry {
     // (the filter feeds dedup, the survivor set feeds the split)
     "q_pipeline" -> ((s, d) => {
       val corpus = Synth.corpus(s, d)
-      val gated = corpus.filter(
-        Fns.qualityScore(col("text")).cast("long") >= 400 &&
-        Fns.tokenCount(col("text")).cast("long") >= 20)
+      // persist: the quality gate (the expensive text kernels) feeds the
+      // LSH pair stage, the survivor pick AND the fingerprint join —
+      // uncached it re-scores the corpus per consumer; fp rides the
+      // cached frame so the fingerprint kernel also runs once
+      val gated = graft.core.CacheScope.global.persist(corpus.filter(
+          Fns.qualityScore(col("text")).cast("long") >= 400 &&
+          Fns.tokenCount(col("text")).cast("long") >= 20)
+        .select(col("doc_id"), col("text"),
+          graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fp")))
       val surv = DedupOps.dedupSurvivors(gated,
         DedupOps.duplicateClusters(DedupOps.minHashLshPairs(gated)))
-      surv.join(gated.select(col("doc_id"),
-          graft.plans.TextHashExpressions.docFingerprint(col("text")).as("fp")), "doc_id")
+      surv.join(gated.select("doc_id", "fp"), "doc_id")
         .select(col("doc_id"), col("cluster_id"), col("text_len"),
           when(col("fp") % 1000 < 800, "train")
             .when(col("fp") % 1000 < 900, "valid")
@@ -1492,7 +1501,10 @@ object SparkEntry {
     }),
 
     "q_orphans" -> ((s, d) => {
-      val (members, nodes, ways, rels) = routeInput(s, d)
+      val (members0, nodes, ways, rels) = routeInput(s, d)
+      // persist: the member union (orders + lineitem-distinct) feeds one
+      // anti-join per entity type — uncached it derives three times
+      val members = graft.core.CacheScope.global.persist(members0)
       Seq(("n", nodes), ("w", ways), ("r", rels)).map { case (t, e) =>
         AssemblyOps.entitiesNotInAnyRelation(e, members, t)
           .agg(count(lit(1)).as("n_orphans")).withColumn("mtype", lit(t))
@@ -2506,7 +2518,8 @@ object SparkEntry {
     * SQL twin inlined in the oracle.
     */
   private def wccEdges(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    val docs = graft.core.CacheScope.global.persist(
+      t(s, d, "documents").select("doc_id"))
     val n = docs.count()
     docs.select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
       .filter(col("dst") % WccChain =!= 0 && col("dst") < n)
@@ -2959,7 +2972,10 @@ object SparkEntry {
     * dedupes per its own contract. SQL twin: [[linkEdgesSql]].
     */
   private def linkEdges(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    // persist the pruned id column: the density probe and the edge
+    // derivation both scan it (~15 graph queries pay this entry)
+    val docs = graft.core.CacheScope.global.persist(
+      t(s, d, "documents").select("doc_id"))
     val n = docs.count() // doc_ids are dense 0..n-1 (TESTDATA contract)
     docs
       .select(col("doc_id").as("src"),

@@ -2634,15 +2634,21 @@ object SpatialOps {
     * shape a real footer-pruning audit runs at.
     */
   def clusterSkipStats(points: DataFrame, order: Int, files: Int,
-                       probes: DataFrame): DataFrame = {
-    val n = points.count()
-    val keyed = points.select(col("pid"),
+                       probes: DataFrame,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
+    // persisted (scope-released): pts feeds the file-cut count probe AND
+    // the Hilbert keying; the renumbered file table feeds the footer
+    // stats AND the row-match join — uncached, the scan runs twice and
+    // the range-sort + zipWithIndex chain re-executes per consumer
+    val pts = scope.persist(points.select("pid", "lon_fix", "lat_fix"))
+    val n = pts.count()
+    val keyed = pts.select(col("pid"),
         Fns.cellX(col("lon_fix"), order).as("gx"),
         Fns.cellY(col("lat_fix"), order).as("gy"))
       .withColumn("hk", graft.plans.GeomExpressions.hilbertIndex(
         col("gx"), col("gy"), order))
-    val withFile = IdOps.renumber(keyed, "hk", "pid")
-      .withColumn("fid", expr(s"(new_id - 1) * $files div ${n}L"))
+    val withFile = scope.persist(IdOps.renumber(keyed, "hk", "pid")
+      .withColumn("fid", expr(s"(new_id - 1) * $files div ${n}L")))
     val stats = withFile.groupBy("fid").agg(
       min("gx").as("minx"), max("gx").as("maxx"),
       min("gy").as("miny"), max("gy").as("maxy"))
@@ -2824,10 +2830,13 @@ object SpatialOps {
     * n/s rows each — s is the parallelism knob (hundreds-to-thousands in
     * production, so slab windows stay executor-sized).
     */
-  def strPartition(points: DataFrame, s: Int): DataFrame = {
-    val n = points.count()
-    val xr = IdOps.renumber(points.select("pid", "lon_fix", "lat_fix"),
-      "lon_fix", "pid")
+  def strPartition(points: DataFrame, s: Int,
+                   scope: CacheScope = CacheScope.global): DataFrame = {
+    // persisted (scope-released): the slab-count probe and the renumber
+    // both read the point set — uncached, the upstream scan runs twice
+    val pts = scope.persist(points.select("pid", "lon_fix", "lat_fix"))
+    val n = pts.count()
+    val xr = IdOps.renumber(pts, "lon_fix", "pid")
     val slabbed = xr.withColumn("slab", expr(s"(new_id - 1) * $s div ${n}L"))
     val w = Window.partitionBy("slab").orderBy("lat_fix", "pid")
     val cells = slabbed
