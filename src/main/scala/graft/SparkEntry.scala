@@ -587,10 +587,7 @@ object SparkEntry {
     // — touches |changes| rows, never rescans; oracle recomputes the
     // after-state from scratch
     "q_tile_delta" -> ((s, d) => {
-      // persist: the base point set feeds the histogram, all three
-      // changeset branches AND applyTileDeltas' old-cell lookup — five
-      // scan+distinct derivations uncached
-      val base = graft.core.CacheScope.global.persist(Synth.points(s, d))
+      val base = Synth.points(s, d)
       val pid = col("pid")
       val baseHist = base.groupBy(
           Fns.cellX(col("lon_fix"), 8).as("bx"),
@@ -1340,13 +1337,15 @@ object SparkEntry {
         relMem.select(expr("rel_id DIV 10").as("srel_id"), col("rel_id")).distinct())
       val inRegion = col("lon_fix").between(0L, 299999999L) &&
         col("lat_fix").between(0L, 199999999L)
-      // upward seeding
+      // upward seeding — the intermediate rel-hop dedup is deferred to
+      // the srel distinct (membership joins preserve the seed SET either
+      // way; the extra duplicate rows are cheaper than an exchange)
       val seedWays = refs.join(pts.filter(inRegion).select("pid"), "pid")
         .select("way_id").distinct()
-      val seedRels = relMem.join(seedWays, "way_id").select("rel_id").distinct()
+      val seedRels = relMem.join(seedWays, "way_id").select("rel_id")
       val seedSrels = srelMem.join(seedRels, "rel_id").select("srel_id").distinct()
-      // downward completion
-      val keptRels = srelMem.join(seedSrels, "srel_id").select("rel_id").distinct()
+      // downward completion — same deferral: keptWays' distinct dedups
+      val keptRels = srelMem.join(seedSrels, "srel_id").select("rel_id")
       val keptWays = relMem.join(keptRels, "rel_id").select("way_id").distinct()
       // node completion joins pts directly on its way derivation key: a
       // point's way membership is functional (pid DIV 100), so
@@ -2256,9 +2255,7 @@ object SparkEntry {
     }),
 
     "q_geofence" -> ((s, d) => {
-      // persist: the point set feeds both the track projection and the
-      // PIP hit stream
-      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
+      val pts = Synth.points(s, d)
       val ent = col("pid") % GeofenceEntities
       val track = pts.select(ent.as("entity"), col("pid").as("ts"))
       val hits = SpatialOps.pipJoinConvex(s, pts)

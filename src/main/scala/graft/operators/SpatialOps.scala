@@ -3090,6 +3090,19 @@ object SpatialOps {
     val (nCover, lvLo, lvHi) =
       if (st.isNullAt(1)) (0L, 0L, level.toLong)
       else (st.getLong(0), st.getLong(1), st.getLong(2))
+    pipJoinCompactProbe(points, polys, level, covC, lvLo, lvHi,
+      broadcastCover = nCover <= PipCompactBroadcastCells)
+  }
+
+  /** The probe plan behind [[pipJoinCompact]], spec-reachable with an
+    * explicit dispatch so BOTH join strategies stay parity-tested
+    * without building a 2M-cell cover: `broadcastCover = true` is the
+    * under-budget map-side hash probe, `false` the production
+    * no-broadcast shuffle-hash path.
+    */
+  private[graft] def pipJoinCompactProbe(points: DataFrame, polys: DataFrame,
+      level: Int, covC: DataFrame, lvLo: Long, lvHi: Long,
+      broadcastCover: Boolean): DataFrame = {
     val probes = points
       .select(col("pid"), col("lon_fix"), col("lat_fix"),
         Fns.cellX(col("lon_fix"), level).as("fx"),
@@ -3105,7 +3118,7 @@ object SpatialOps {
     // a map-side hash probe and only matches flow to the refine. Above
     // the budget the no-broadcast shuffle-hash path runs verbatim (a
     // 10^12-row corpus' continental cover cannot ship to every task).
-    val cj = if (nCover <= PipCompactBroadcastCells)
+    val cj = if (broadcastCover)
         probes.join(broadcast(covC), Seq("lv", "bx", "by"))
       else probes.join(covC.hint("shuffle_hash"), Seq("lv", "bx", "by"))
     cj.join(broadcast(polys.select(col("poly_id"), col("xs"), col("ys"))),

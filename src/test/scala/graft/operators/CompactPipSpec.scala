@@ -100,4 +100,35 @@ class CompactPipSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotCover === gotBuild)
   }
+
+  test("cover-join dispatch parity: broadcast and shuffle-hash branches agree") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(43)
+    val polysDf = Seq(
+      (1L, Array(0L, 400000000L, 400000000L, 0L),
+        Array(0L, 0L, 300000000L, 300000000L)),
+      (2L, Array(-600000000L, -100000000L, -100000000L, -600000000L),
+        Array(-400000000L, -400000000L, 100000000L, 100000000L)))
+      .toDF("poly_id", "xs", "ys")
+    val pts = Seq.tabulate(3000)(i =>
+      (i.toLong, rnd.nextLong() % 900000000L, rnd.nextLong() % 600000000L))
+      .toDF("pid", "lon_fix", "lat_fix")
+    val cov = SpatialOps.compactCells(
+      SpatialOps.rasterizePolygons(polysDf, L)
+        .select(col("poly_id"), col("cell_x").as("bx"), col("cell_y").as("by")),
+      L, keys = Seq("poly_id")).persist()
+    val st = cov.agg(org.apache.spark.sql.functions.min(col("lv")),
+      org.apache.spark.sql.functions.max(col("lv"))).head()
+    val (lo, hi) = (st.getLong(0), st.getLong(1))
+    def run(bc: Boolean) = SpatialOps
+      .pipJoinCompactProbe(pts, polysDf, L, cov, lo, hi, broadcastCover = bc)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(true) === run(false))
+    // and the ladder trim is lossless: the full 0..L ladder agrees too
+    val full = SpatialOps
+      .pipJoinCompactProbe(pts, polysDf, L, cov, 0L, L.toLong, broadcastCover = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === run(true))
+    cov.unpersist()
+  }
 }
