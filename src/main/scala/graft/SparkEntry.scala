@@ -273,9 +273,7 @@ object SparkEntry {
     // exact-integer aggregates, grid level derived from the point count
     // (same scheme as q_vectorize so per-cell density is scale-stable)
     "q_moran" -> ((s, d) => {
-      // persist: the level-probe count AND the density raster both read
-      // the scan+distinct point set
-      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
+      val pts = Synth.points(s, d)
       val n = pts.count()
       var level = 6
       while (level < 12 && n > (1L << (2 * level))) level += 1
@@ -296,8 +294,7 @@ object SparkEntry {
     // Getis-Ord Gi* hot-spot z-scores per density cell (local companion
     // to q_moran; same derived grid level)
     "q_gi" -> ((s, d) => {
-      // persist: level-probe count + density raster share the point set
-      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
+      val pts = Synth.points(s, d)
       val n = pts.count()
       var level = 6
       while (level < 12 && n > (1L << (2 * level))) level += 1
@@ -322,11 +319,7 @@ object SparkEntry {
     // symmetric Hausdorff polyline-similarity join over anchor-cell
     // candidate pairs (exact int64 squared distances)
     "q_hausdorff" -> ((s, d) => {
-      // persist: the way-point set feeds the level probe, the anchor
-      // build and BOTH exploded point sides of the pair kernel — four
-      // scan+distinct derivations uncached
-      val pts = graft.core.CacheScope.global.persist(
-        wayPoints(t(s, d, "lineitem")))
+      val pts = wayPoints(t(s, d, "lineitem"))
       val n = pts.select("way_id").distinct().count()
       var level = 6
       while (level < 10 && n > (1L << (2 * level))) level += 1
@@ -1301,9 +1294,7 @@ object SparkEntry {
     // ones — so no kept way dangles. Two semi-join closures, all
     // hash-shuffle equi-joins on narrow keys
     "q_extract" -> ((s, d) => {
-      // persist: the point set feeds the seed join, the region filter and
-      // the completion join
-      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
+      val pts = Synth.points(s, d)
       val refs = pts.select(expr("pid DIV 100").as("way_id"), col("pid"))
       val inRegion = col("lon_fix").between(0L, 299999999L) &&
         col("lat_fix").between(0L, 199999999L)
@@ -1326,10 +1317,7 @@ object SparkEntry {
     // their ways, kept ways all their nodes. Every step is a distinct
     // semi-join on a narrow key; nothing is broadcast-dependent.
     "q_extract_rels" -> ((s, d) => {
-      // the point distinct and both membership distincts each feed TWO
-      // traversal directions (upward seeding + downward completion) —
-      // uncached the scan+distinct chains re-execute per consumer
-      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
+      val pts = Synth.points(s, d)
       val refs = pts.select(expr("pid DIV 100").as("way_id"), col("pid"))
       val relMem = graft.core.CacheScope.global.persist(
         refs.select(expr("way_id DIV 10").as("rel_id"), col("way_id")).distinct())
@@ -1443,8 +1431,7 @@ object SparkEntry {
     // shuffle on poly_id serves both the per-polygon total and the
     // deterministic top-1 tile
     "q_geo_pipeline" -> ((s, d) => {
-      // persist: the point set feeds the PIP join AND the coord join back
-      val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
+      val pts = Synth.points(s, d)
       val hits = SpatialOps.pipJoinPolygons(pts, Synth.hexCorpus(s, 1000), PipLargeLevel)
       val tiled = hits.join(pts, "pid")
         .select(col("poly_id"),
@@ -1894,7 +1881,8 @@ object SparkEntry {
       val wp = wayPoints(t(s, d, "lineitem"))
       val w = Window.partitionBy("way_id").orderBy("seq")
       // persist: the level-probe count and the snap cover both read the
-      // lineitem window stage
+      // lineitem window stage (wash locally, saves the window recompute
+      // at scale)
       val segs = graft.core.CacheScope.global.persist(
         wp.select(col("way_id"), col("seq"),
           lag(col("x"), 1).over(w).as("x0"), lag(col("y"), 1).over(w).as("y0"),
