@@ -810,11 +810,20 @@ object DedupOps {
     // and the per-doc size aggregation
     val capped = scope.persist(sh.join(rare, "sh"))
     val sizes = capped.groupBy("doc_id").agg(count(lit(1)).as("na"))
-    capped.select(col("sh"), col("doc_id").as("doc_a"))
+    // |∩| is symmetric: count each UNORDERED pair once (a < b) — half
+    // the candidate rows through the pair exchange — and expand to both
+    // directed containments on the aggregated (orders-of-magnitude
+    // smaller) frame before the size join
+    // persisted (scope-released): both union branches read the
+    // aggregated pair frame — uncached, the heavy per-shingle join would
+    // run once per branch
+    val inter = scope.persist(capped.select(col("sh"), col("doc_id").as("doc_a"))
       .join(capped.select(col("sh"), col("doc_id").as("doc_b"))
         .hint("shuffle_hash"), "sh")
-      .filter(col("doc_a") =!= col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter")))
+    inter.unionByName(inter.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b"), col("inter")))
       .join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
       .filter(col("inter") * 1000 >= lit(thrPm) * col("na"))
       .selectExpr("doc_a", "doc_b", "(inter * 1000) div na AS cont_pm")

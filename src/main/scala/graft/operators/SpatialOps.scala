@@ -2450,28 +2450,34 @@ object SpatialOps {
     */
   def polygonAdjacency(cells: DataFrame,
                        scope: CacheScope = CacheScope.global): DataFrame = {
-    // persisted (scope-released): six join sides below read this frame —
-    // uncached, the upstream rasterize (explode + ray-cast per cell) runs
-    // once PER SIDE
+    // persisted (scope-released): both sides of the edge-key join read
+    // this frame — uncached, the upstream rasterize (explode + ray-cast
+    // per cell) runs once per side
     val c = scope.persist(
       cells.select(col("poly_id"), col("cell_x"), col("cell_y")))
-    val right = c.select((col("cell_x") - 1).as("cell_x"), col("cell_y"),
-      col("poly_id").as("pb"))
-    val down = c.select(col("cell_x"), (col("cell_y") - 1).as("cell_y"),
-      col("poly_id").as("pb"))
-    val border = c.join(right, Seq("cell_x", "cell_y"))
-      .select(col("poly_id").as("pa"), col("pb"))
-      .unionByName(c.join(down, Seq("cell_x", "cell_y"))
-        .select(col("poly_id").as("pa"), col("pb")))
-      .filter(col("pa") =!= col("pb"))
+    // ONE equi-join carries all three contact types through a composite
+    // edge key (t, kx, ky): t=0 keys the VERTICAL edge between (x,y) and
+    // (x+1,y) — the left cell emits it verbatim, the right cell shifted
+    // — t=1 the horizontal edge likewise, t=2 the cell itself for shared
+    // coverage. The former three self-joins (six exchanges of the cell
+    // table) collapse into two exchanges + one pair groupBy; per-key
+    // bucket size is still per-cell occupancy, never polygons².
+    def side(name: String, dx: Int, dy: Int) = c.select(explode(array(
+        struct(lit(0L).as("t"), (col("cell_x") + dx).as("kx"),
+          col("cell_y").as("ky")),
+        struct(lit(1L).as("t"), col("cell_x").as("kx"),
+          (col("cell_y") + dy).as("ky")),
+        struct(lit(2L).as("t"), col("cell_x").as("kx"),
+          col("cell_y").as("ky")))).as("k"),
+      col("poly_id").as(name))
+      .select(col("k.t").as("t"), col("k.kx").as("kx"),
+        col("k.ky").as("ky"), col(name))
+    side("pa", 0, 0).join(side("pb", -1, -1), Seq("t", "kx", "ky"))
+      .filter((col("t") === 2 && col("pa") < col("pb")) ||
+        (col("t") =!= 2 && col("pa") =!= col("pb")))
       .select(least(col("pa"), col("pb")).as("poly_a"),
-        greatest(col("pa"), col("pb")).as("poly_b"), lit(1L).as("is_border"))
-    val shared = c.join(c.select(col("cell_x"), col("cell_y"),
-          col("poly_id").as("pb")), Seq("cell_x", "cell_y"))
-      .filter(col("poly_id") < col("pb"))
-      .select(col("poly_id").as("poly_a"), col("pb").as("poly_b"),
-        lit(0L).as("is_border"))
-    border.unionByName(shared)
+        greatest(col("pa"), col("pb")).as("poly_b"),
+        when(col("t") === 2, 0L).otherwise(1L).as("is_border"))
       .groupBy("poly_a", "poly_b")
       .agg(sum(col("is_border")).as("n_border"),
         sum(lit(1L) - col("is_border")).as("n_shared"))
