@@ -50,6 +50,22 @@ object SparkEntry {
     * segments, plus the level derivation (smallest level in [6,10] with
     * 4^level >= n — integer while-loop == the oracle's CASE).
     */
+  /** The kNN entries' cell level, derived from the RAW lineitem row
+    * count (a metadata-speed count — no distinct exchange) instead of
+    * the distinct point count the operators would probe by default: the
+    * ~50-points-per-cell density rule only needs the order of magnitude
+    * (raw vs distinct differ by the ~1.3× dup factor, within rounding at
+    * every SF), the result is EXACT at any level (the per-query
+    * guarantee + brute-force fallback, and the oracles are level-free
+    * brute force), and skipping the probe removes one sequential
+    * scan+distinct job from each kNN entry's critical path.
+    */
+  private def knnDensityLevel(s: SparkSession, d: String): Int = {
+    val n = math.max(t(s, d, "lineitem").count(), 1L)
+    math.max(1, math.min(12,
+      math.round(math.log(n / 50.0) / math.log(4.0)).toInt))
+  }
+
   private[graft] def crossWaySegs(s: SparkSession, d: String): (DataFrame, Int) = {
     val key = col("way_id") * lit(10L) + col("seq")
     val x = functions.Fns.mixId(col("way_id") * lit(2L)) - lit(1073741824L) +
@@ -672,24 +688,28 @@ object SparkEntry {
 
     "q_knn" -> ((s, d) => {
       val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
-      SpatialOps.knn(pts, pts.filter(col("pid") % 997 === 0), 5)
+      SpatialOps.knn(pts, pts.filter(col("pid") % 997 === 0), 5,
+        levelIn = knnDensityLevel(s, d))
     }),
 
     // large-query-set kNN: cell-bucket shuffle join, query side not broadcast
     "q_knn_large" -> ((s, d) => {
       val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
-      SpatialOps.knnShuffled(pts, pts.filter(col("pid") % 101 === 0), 5)
+      SpatialOps.knnShuffled(pts, pts.filter(col("pid") % 101 === 0), 5,
+        level = knnDensityLevel(s, d))
     }),
 
     // geodesic kNN: haversine-ranked, lon cells wrap the antimeridian
     "q_knn_geo" -> ((s, d) => {
       val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
-      SpatialOps.knnGeo(pts, pts.filter(col("pid") % 997 === 0), 5)
+      SpatialOps.knnGeo(pts, pts.filter(col("pid") % 997 === 0), 5,
+        levelIn = knnDensityLevel(s, d))
     }),
 
     "q_knn_geo_large" -> ((s, d) => {
       val pts = graft.core.CacheScope.global.persist(Synth.points(s, d))
-      SpatialOps.knnGeoShuffled(pts, pts.filter(col("pid") % 101 === 0), 5)
+      SpatialOps.knnGeoShuffled(pts, pts.filter(col("pid") % 101 === 0), 5,
+        level = knnDensityLevel(s, d))
     }),
 
     // geodesic radius join: everything within 120 km, haversine-exact
